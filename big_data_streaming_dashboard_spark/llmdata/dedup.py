@@ -1,0 +1,122 @@
+"""Document deduplication: exact + MinHash/LSH near-dup.
+
+Exact dedup: md5(text) hash groups -- one shuffle on the 128-bit hash,
+no text comparison. At 100 TB: hash-partitioned, no skew (cryptographic
+hash), and the heavy ``text`` column never shuffles if the caller
+projects first (we only carry doc_id + hash through the exchange).
+
+Near-dup: word-shingle MinHash + LSH banding.
+  shingle(3 words) -> k minhashes (lexicographic min of md5(i:shingle))
+  -> b bands of r rows -> band-bucket equi-join -> candidate pairs
+  -> exact shingle-Jaccard verify.
+The minhash uses md5 + string min so the DuckDB oracle can reproduce it
+bit-for-bit (any total order works for MinHash; we use lexicographic).
+At scale the candidate join is an equi-join on (band_idx, band_hash) --
+hash-shuffled, band buckets are tiny by construction, and the quadratic
+explosion inside one bucket is bounded by the band collision rate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+DEFAULT_K = 8  # minhash signature length
+DEFAULT_BAND_ROWS = 2  # rows per LSH band -> b = K / r bands
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Per-doc exact-dup annotation: text_hash, n_copies,
+    canonical_doc_id (lowest doc_id in the hash group), is_duplicate."""
+    from pyspark.sql import Window
+
+    h = F.md5(F.col("text"))
+    w = Window.partitionBy("text_hash")
+    return (
+        docs.select("doc_id", h.alias("text_hash"))
+        .withColumn("n_copies", F.count(F.lit(1)).over(w))
+        .withColumn("canonical_doc_id", F.min("doc_id").over(w))
+        .withColumn("is_duplicate", F.col("doc_id") != F.col("canonical_doc_id"))
+    )
+
+
+def shingles(text: Column, n_words: int = 3) -> Column:
+    """Distinct word n-gram shingles via null-propagating zips.
+
+    ``concat`` returns NULL when any argument is NULL, so zipping the
+    token list against its 1- and 2-shifted copies (which are shorter)
+    yields NULL for the tail positions -- filtered out. Docs shorter
+    than ``n_words`` fall back to a single whole-text shingle.
+    """
+    toks = tokens(text)
+    t2 = F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(1)))
+    bigrams = F.zip_with(toks, t2, lambda a, b: F.concat(a, F.lit(" "), b))
+    t3 = F.slice(toks, 3, F.greatest(F.size(toks) - 2, F.lit(1)))
+    trigrams = F.zip_with(bigrams, t3, lambda ab, c: F.concat(ab, F.lit(" "), c))
+    sh = F.array_distinct(F.filter(trigrams, lambda x: x.isNotNull()))
+    return F.when(F.size(toks) >= n_words, sh).otherwise(F.array(text))
+
+
+def _minhash_col(sh: Column, i: int) -> Column:
+    # NB: a two-parameter lambda would make F.transform pass the array
+    # index as the second argument -- use a closure over the prefix
+    prefix = f"{i}:"
+    return F.array_min(F.transform(sh, lambda s: F.md5(F.concat(F.lit(prefix), s))))
+
+
+def minhash_signature(docs: DataFrame, k: int = DEFAULT_K) -> DataFrame:
+    """doc_id + sig_0..sig_{k-1}: lexicographic-min md5('<i>:'+shingle)."""
+    sh = shingles(F.col("text"))
+    return docs.select(
+        "doc_id", *[_minhash_col(sh, i).alias(f"sig_{i}") for i in range(k)]
+    )
+
+
+def neardup_pairs(
+    docs: DataFrame,
+    k: int = DEFAULT_K,
+    band_rows: int = DEFAULT_BAND_ROWS,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Candidate pairs from LSH band collisions, verified with exact
+    shingle Jaccard; returns (doc_a, doc_b, jaccard) with doc_a < doc_b."""
+    sigs = minhash_signature(docs, k)
+    n_bands = k // band_rows
+    band_struct = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.md5(
+                    F.concat_ws(
+                        "|", *[F.col(f"sig_{b * band_rows + r}") for r in range(band_rows)]
+                    )
+                ).alias("band_hash"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    banded = sigs.select("doc_id", F.explode(band_struct).alias("band")).select(
+        "doc_id", "band.band_idx", "band.band_hash"
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(b, ["band_idx", "band_hash"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sh = docs.select("doc_id", shingles(F.col("text")).alias("sh"))
+    pair = (
+        cand.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
+        .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
+    jac = F.round(inter / union, 6)
+    return (
+        pair.select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -1,0 +1,116 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media are opaque ``binary`` columns with a typed metadata struct; the
+decode/feature steps run as Arrow-batched ``mapInPandas`` stages. The
+image/audio codecs are NOT in this container, so the decode kernel is
+stubbed: ``decode_stub=True`` (default) produces a deterministic fake
+feature vector from the bytes; with ``decode_stub=False`` it raises
+``NotImplementedError`` where a real codec (PIL/librosa/av) would
+plug in. The Spark-side plumbing -- schema, batch iteration, partition
+behavior -- is real and tested (tests/test_multimodal.py).
+
+Scale notes: binary payloads never shuffle -- decode is a map-only
+stage; `spark.sql.files.maxPartitionBytes` bounds the per-task batch
+footprint; Arrow batches bound Python memory.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image | audio | video
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("sample_rate", T.IntegerType(), True),
+                    T.StructField("n_frames", T.IntegerType(), True),
+                    T.StructField("mime", T.StringType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+FEATURE_DIM = 16
+
+_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("feature", T.ArrayType(T.DoubleType()), True),
+    ]
+)
+
+
+def synthetic_media(spark: Any, n: int = 64) -> DataFrame:
+    """Deterministic fake media table for plumbing tests."""
+    rows = []
+    kinds = ["image", "audio", "video"]
+    for i in range(n):
+        kind = kinds[i % 3]
+        payload = hashlib.sha256(f"media-{i}".encode()).digest() * (4 + i % 8)
+        meta = (
+            64 + i % 512 if kind == "image" else None,
+            64 + (i * 7) % 512 if kind == "image" else None,
+            16000 if kind == "audio" else None,
+            30 * (1 + i % 10) if kind == "video" else None,
+            f"application/x-fake-{kind}",
+        )
+        rows.append((i, kind, payload, meta))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def _stub_decode(payload: bytes) -> list[float]:
+    """Deterministic fake 'decode': bytes -> FEATURE_DIM doubles."""
+    h = hashlib.sha256(payload or b"").digest()
+    return [h[i] / 255.0 for i in range(FEATURE_DIM)]
+
+
+def extract_features(media: DataFrame, decode_stub: bool = True) -> DataFrame:
+    """mapInPandas feature extraction; Arrow-batched, map-only."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not decode_stub:
+                raise NotImplementedError(
+                    "real media codecs (PIL/librosa/av) are not installed in "
+                    "this container; pass decode_stub=True"
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": pdf["payload"].map(lambda b: len(b) if b is not None else 0),
+                    "feature": pdf["payload"].map(_stub_decode),
+                }
+            )
+
+    return media.mapInPandas(op, schema=_FEATURE_SCHEMA)
+
+
+def frame_sample(media: DataFrame, every_n: int = 30) -> DataFrame:
+    """Video frame-sampling plumbing: one output row per sampled frame
+    index (real decoder would attach the frame tensor)."""
+    frames = F.when(
+        (F.col("kind") == "video") & F.col("meta.n_frames").isNotNull(),
+        F.sequence(F.lit(0), F.col("meta.n_frames") - 1, F.lit(every_n)),
+    ).otherwise(F.array(F.lit(0)))
+    return media.select(
+        "media_id", "kind", F.explode(frames).alias("frame_idx")
+    )

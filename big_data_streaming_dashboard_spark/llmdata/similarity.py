@@ -1,0 +1,126 @@
+"""Embedding similarity search over the ``embeddings`` table.
+
+Brute-force cosine top-k as the correctness baseline, and an
+LSH-bucketed variant as the scale path.
+
+Numeric discipline (oracle parity): dot products are ORDERED left
+folds over the element pairs (``F.aggregate`` over ``zip_with``) --
+never an unordered SUM over exploded rows, whose float reassociation
+differs run-to-run and engine-to-engine. float32 inputs are cast to
+double before any arithmetic. sqrt is IEEE-exact, so norms match too.
+
+Scale path (100 TB of vectors): brute force is a broadcast
+nested-loop against a small query set -- fine when |queries| is small
+(the broadcast side) and linear in the corpus. For all-pairs or large
+query sets, ``lsh_bucket_topk`` buckets vectors by random-hyperplane
+signs (SimHash) so candidates shrink to per-bucket groups before exact
+scoring -- same shape as the MinHash/LSH text path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _dvec(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Ordered left-fold dot product (deterministic across engines)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+def brute_force_topk(
+    embeddings: DataFrame, n_queries: int = 5, k: int = 10
+) -> DataFrame:
+    """Exact top-k cosine neighbors for the first ``n_queries`` vectors.
+
+    The query side is tiny by construction -> broadcast join, no
+    shuffle of the corpus; ranking is a per-query-group top-k window
+    (partial top-k per partition under AQE).
+    """
+    qs = embeddings.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), _dvec("embedding").alias("qvec")
+    )
+    corpus = embeddings.select("vec_id", _dvec("embedding").alias("cvec"), "label")
+    scored = (
+        corpus.crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            "label",
+            cosine(F.col("qvec"), F.col("cvec")).alias("_cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("_cos").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "label", "rank", F.round("_cos", 6).alias("cos_sim"))
+    )
+
+
+def simhash_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-pattern bucket id from fixed hyperplanes (deterministic)."""
+    bits = [
+        F.when(dot(vec, F.array(*[F.lit(p) for p in plane])) >= 0, F.lit(1)).otherwise(
+            F.lit(0)
+        )
+        for plane in planes
+    ]
+    out = F.lit(0)
+    for bit in bits:
+        out = out * 2 + bit
+    return out
+
+
+def lsh_bucket_topk(
+    embeddings: DataFrame,
+    planes: list[list[float]],
+    n_queries: int = 5,
+    k: int = 10,
+) -> DataFrame:
+    """ANN top-k: candidates restricted to the query's SimHash bucket.
+
+    Recall < 1 by design (documented approximation); at scale the
+    bucket column is also the natural partition/bucketing key so the
+    per-query probe touches one partition instead of the corpus.
+    """
+    with_bucket = embeddings.select(
+        "vec_id", "label", _dvec("embedding").alias("vec")
+    ).withColumn("bucket", simhash_bucket(F.col("vec"), planes))
+    qs = with_bucket.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.col("bucket").alias("qbucket"),
+    )
+    scored = (
+        with_bucket.join(
+            F.broadcast(qs), F.col("bucket") == F.col("qbucket"), "inner"
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            "label",
+            cosine(F.col("qvec"), F.col("vec")).alias("_cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("_cos").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "label", "rank", F.round("_cos", 6).alias("cos_sim"))
+    )

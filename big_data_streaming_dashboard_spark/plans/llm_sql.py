@@ -1,0 +1,198 @@
+"""DuckDB oracle SQL for the llmdata operators.
+
+Kept in lock-step with llmdata/{text,dedup,similarity}.py. Shared
+determinism rules: md5 for all hashing (identical hex in both
+engines), lexicographic min for MinHash, ordered list folds for dot
+products, distinct-set sizes for Jaccard (element order never matters).
+"""
+
+from __future__ import annotations
+
+from ..llmdata.dedup import DEFAULT_BAND_ROWS, DEFAULT_K
+from ..llmdata.text import LANG_LEXICONS, STOPWORDS
+
+# shared CTE: tokens + shingles (mirrors llmdata.text.tokens / dedup.shingles)
+_TOKENS_CTE = r"""
+toks AS (
+    SELECT doc_id, text, regexp_split_to_array(text, '\s+') AS tokens
+    FROM documents
+),
+sh AS (
+    SELECT doc_id, text,
+        CASE WHEN len(tokens) >= 3 THEN
+            list_distinct(list_filter(
+                list_transform(
+                    list_zip(
+                        list_transform(list_zip(tokens, tokens[2:]), x -> x[1] || ' ' || x[2]),
+                        tokens[3:]
+                    ),
+                    y -> y[1] || ' ' || y[2]
+                ),
+                z -> z IS NOT NULL))
+        ELSE [text] END AS shingles
+    FROM toks
+)
+"""
+
+TOKEN_STATS_SQL = r"""
+WITH toks AS (
+    SELECT doc_id, text, regexp_split_to_array(text, '\s+') AS tokens
+    FROM documents
+)
+SELECT
+    doc_id,
+    len(tokens) AS n_tokens,
+    len(list_distinct(tokens)) AS n_unique_tokens,
+    round(CAST(list_aggregate(list_transform(tokens, t -> CAST(length(t) AS BIGINT)), 'sum') AS DOUBLE)
+          / CAST(len(tokens) AS DOUBLE), 6) AS avg_token_len,
+    md5(text) AS fingerprint
+FROM toks
+"""
+
+_STOP_LIST = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+QUALITY_SQL = rf"""
+WITH toks AS (
+    SELECT doc_id, text, regexp_split_to_array(text, '\s+') AS tokens
+    FROM documents
+),
+m AS (
+    SELECT
+        doc_id,
+        length(text) AS text_len,
+        len(tokens) AS n_tokens,
+        CAST(len(list_filter(tokens, t -> lower(t) IN ({_STOP_LIST}))) AS DOUBLE)
+            / CAST(len(tokens) AS DOUBLE) AS stop_ratio,
+        CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')) AS DOUBLE)
+            / CAST(length(text) AS DOUBLE) AS punct_ratio,
+        least(1.0, CAST(len(tokens) AS DOUBLE) / 100.0) AS len_score
+    FROM toks
+)
+SELECT
+    doc_id, text_len, n_tokens,
+    round(stop_ratio, 6) AS stopword_ratio,
+    round(punct_ratio, 6) AS punct_ratio,
+    round(len_score * (1.0 - punct_ratio) * (0.5 + stop_ratio), 6) AS quality_score
+FROM m
+"""
+
+
+def _lang_hits_sql() -> str:
+    cols = []
+    for lang, lex in LANG_LEXICONS.items():
+        lst = ", ".join(f"'{w}'" for w in lex)
+        cols.append(f"len(list_filter(tokens, t -> t IN ({lst}))) AS hits_{lang}")
+    return ",\n        ".join(cols)
+
+
+# nested-CASE expansion of the argmax loop in llmdata.text.language_id
+LANGID_SQL = rf"""
+WITH toks AS (
+    SELECT doc_id, lang, regexp_split_to_array(lower(text), '\s+') AS tokens
+    FROM documents
+),
+hits AS (
+    SELECT doc_id, lang AS labeled_lang,
+        {_lang_hits_sql()}
+    FROM toks
+)
+SELECT *,
+    CASE WHEN hits_fr > greatest(hits_en, hits_es, hits_de) THEN 'fr'
+         WHEN hits_de > greatest(hits_en, hits_es) THEN 'de'
+         WHEN hits_es > hits_en THEN 'es'
+         ELSE 'en' END AS predicted_lang
+FROM hits
+"""
+
+EXACT_DEDUP_SQL = """
+SELECT
+    doc_id,
+    md5(text) AS text_hash,
+    COUNT(*) OVER (PARTITION BY md5(text)) AS n_copies,
+    MIN(doc_id) OVER (PARTITION BY md5(text)) AS canonical_doc_id,
+    doc_id <> MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_duplicate
+FROM documents
+"""
+
+
+def _sig_cols_sql(k: int = DEFAULT_K) -> str:
+    return ",\n    ".join(
+        f"list_aggregate(list_transform(shingles, s -> md5('{i}:' || s)), 'min') AS sig_{i}"
+        for i in range(k)
+    )
+
+
+MINHASH_SQL = rf"""
+WITH {_TOKENS_CTE}
+SELECT doc_id,
+    {_sig_cols_sql()}
+FROM sh
+"""
+
+
+def _bands_union_sql(k: int = DEFAULT_K, band_rows: int = DEFAULT_BAND_ROWS) -> str:
+    n_bands = k // band_rows
+    parts = []
+    for b in range(n_bands):
+        cols = " || '|' || ".join(f"sig_{b * band_rows + r}" for r in range(band_rows))
+        parts.append(
+            f"SELECT doc_id, {b} AS band_idx, md5({cols}) AS band_hash FROM sig"
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+NEARDUP_SQL = rf"""
+WITH {_TOKENS_CTE},
+sig AS (
+    SELECT doc_id,
+        {_sig_cols_sql()}
+    FROM sh
+),
+banded AS (
+{_bands_union_sql()}
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM banded a JOIN banded b USING (band_idx, band_hash)
+    WHERE a.doc_id < b.doc_id
+),
+pairs AS (
+    SELECT
+        cand.doc_a, cand.doc_b,
+        round(
+            CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+            / (CAST(len(sa.shingles) + len(sb.shingles) AS DOUBLE)
+               - CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)),
+        6) AS jaccard
+    FROM cand
+    JOIN sh sa ON cand.doc_a = sa.doc_id
+    JOIN sh sb ON cand.doc_b = sb.doc_id
+)
+SELECT * FROM pairs WHERE jaccard >= 0.2
+"""
+
+TOPK_COSINE_SQL = """
+WITH dv AS (
+    SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+),
+q AS (
+    SELECT vec_id AS query_id, v AS qv FROM dv WHERE vec_id < 5
+),
+scored AS (
+    SELECT
+        q.query_id, dv.vec_id, dv.label,
+        list_reduce(list_transform(list_zip(q.qv, dv.v), p -> p[1] * p[2]), (a, b) -> a + b)
+        / (sqrt(list_reduce(list_transform(list_zip(q.qv, q.qv), p -> p[1] * p[2]), (a, b) -> a + b))
+           * sqrt(list_reduce(list_transform(list_zip(dv.v, dv.v), p -> p[1] * p[2]), (a, b) -> a + b)))
+        AS _cos
+    FROM dv CROSS JOIN q
+    WHERE dv.vec_id <> q.query_id
+),
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY _cos DESC, vec_id) AS rank
+    FROM scored
+)
+SELECT query_id, vec_id, label, rank, round(_cos, 6) AS cos_sim
+FROM ranked WHERE rank <= 10
+"""

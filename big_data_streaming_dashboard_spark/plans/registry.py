@@ -1,0 +1,402 @@
+"""Driver-contract query registry (SURVEY.md section 2 inventory).
+
+Each entry pairs a Spark callable ``(spark, sf_dir) -> DataFrame`` with
+the equivalent DuckDB SQL (or None for genuinely non-SQL-expressible
+ops -> the driver records a rows-only check). Column names are aliased
+identically on both sides; the driver hashes values with columns sorted
+by name (contract in /root/repo/__spark_entry__.py).
+
+Canonical pipeline order (mirrors the reference,
+flink_process/flink_process.py:245-351):
+    bronze -> validate_enrich (silver) -> dedup (D1) -> route /
+    temporal batch (W4) / gold analytics over the valid points.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import DEFAULT_CONFIG
+from ..llmdata.dedup import exact_dedup, minhash_signature, neardup_pairs
+from ..llmdata.similarity import brute_force_topk, lsh_bucket_topk
+from ..llmdata.text import language_id, quality_score, token_stats
+from ..operators.alerts import alert_candidates, alert_cooldown
+from ..operators.analytics import grid_cluster, level_filter, recent_points, rolling_stats
+from ..operators.dedup import first_occurrence_dedup
+from ..operators.route import route
+from ..operators.temporal import temporal_batch, union_with_invalid
+from ..operators.validate import validate_enrich
+from ..functions.levels import severity_ws
+from ..tables import bronze_radiation, load_table
+from . import llm_sql, relational
+from .fragments import BRONZE_SQL, SILVER_SQL
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    description: str
+
+
+# --- shared pipeline stages (batch) ---------------------------------------
+
+
+def _silver(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return validate_enrich(bronze_radiation(spark, sf_dir))
+
+
+def _deduped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return first_occurrence_dedup(_silver(spark, sf_dir), "dedup_key", "event_id")
+
+
+def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _deduped(spark, sf_dir).filter(F.col("status") == "valid")
+
+
+# oracle CTE prefix for the deduped pipeline
+_PIPE_CTE = f"""
+WITH silver AS ({SILVER_SQL}),
+deduped AS (
+    SELECT * FROM silver
+    QUALIFY row_number() OVER (PARTITION BY dedup_key ORDER BY event_id) = 1
+),
+points AS (SELECT * FROM deduped WHERE status = 'valid')
+"""
+
+_ANNOTATED_CTE = f"""{_PIPE_CTE},
+annotated AS (
+    SELECT *,
+        substring(timestamp, 1, 19) AS timestamp_key,
+        COUNT(*) OVER (PARTITION BY substring(timestamp, 1, 19)) AS temporal_batch_size,
+        'compliant' AS temporal_ordering
+    FROM points
+)
+"""
+
+
+# --- reference-parity query callables --------------------------------------
+
+
+def q_bronze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bronze_radiation(spark, sf_dir)
+
+
+def q_silver(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _silver(spark, sf_dir)
+
+
+def q_error_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _silver(spark, sf_dir)
+        .groupBy("status", "error")
+        .agg(F.count(F.lit(1)).alias("n_records"))
+    )
+
+
+def q_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _deduped(spark, sf_dir)
+
+
+def q_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return route(_deduped(spark, sf_dir))
+
+
+def q_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        route(_deduped(spark, sf_dir))
+        .groupBy("route")
+        .agg(F.count(F.lit(1)).alias("n_records"))
+    )
+
+
+def q_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return temporal_batch(_points(spark, sf_dir))
+
+
+def q_temporal_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    deduped = _deduped(spark, sf_dir)
+    annotated = temporal_batch(deduped.filter(F.col("status") == "valid"))
+    return union_with_invalid(annotated, deduped.filter(F.col("status") == "invalid"))
+
+
+def q_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rolling_stats(_points(spark, sf_dir))
+
+
+def q_grid_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return grid_cluster(_points(spark, sf_dir))
+
+
+def q_recent_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return recent_points(_points(spark, sf_dir))
+
+
+def q_level_filter_high(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return level_filter(_points(spark, sf_dir), "high")
+
+
+def q_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return alert_cooldown(alert_candidates(_points(spark, sf_dir)))
+
+
+def q_severity_ws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _points(spark, sf_dir)
+        .groupBy(severity_ws(F.col("value")).alias("severity"))
+        .agg(F.count(F.lit(1)).alias("n_points"))
+    )
+
+
+def q_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship slice (SURVEY.md section 7.3): classify + grouped
+    conditional aggregation over `events`."""
+    ev = load_table(spark, sf_dir, "events")
+    cpm = F.bround(F.col("value") * 4.0).cast("long")
+    c = ev.select("event_type", cpm.alias("cpm"))
+    return c.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count(F.when(F.col("cpm") < 50, 1)).alias("n_low"),
+        F.count(F.when((F.col("cpm") >= 50) & (F.col("cpm") < 200), 1)).alias("n_moderate"),
+        F.count(F.when(F.col("cpm") >= 200, 1)).alias("n_high"),
+        F.count(F.when(F.col("cpm") >= 1000, 1)).alias("n_critical"),
+        (F.sum("cpm").cast("double") / F.count(F.lit(1)).cast("double")).alias("avg_cpm"),
+        F.max("cpm").alias("max_cpm"),
+        F.min("cpm").alias("min_cpm"),
+    )
+
+
+# --- llmdata callables ------------------------------------------------------
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+# fixed hyperplanes for the LSH ANN variant (deterministic; 3 planes -> 8 buckets)
+_LSH_PLANES = [
+    [((i * 37 + j * 11) % 17 - 8) / 8.0 for j in range(64)] for i in range(3)
+]
+
+
+QUERIES: dict[str, QuerySpec] = {
+    # -- reference parity (SURVEY.md section 2) --
+    "bronze_radiation": QuerySpec(
+        q_bronze, f"SELECT * FROM ({BRONZE_SQL})", "S1-S5 bronze derivation from events"
+    ),
+    "silver_validate": QuerySpec(
+        q_silver, SILVER_SQL, "F1-F2,P2-P8 single-pass validate+enrich"
+    ),
+    "silver_error_breakdown": QuerySpec(
+        q_error_breakdown,
+        f"WITH silver AS ({SILVER_SQL}) "
+        "SELECT status, error, COUNT(*) AS n_records FROM silver GROUP BY status, error",
+        "validator rejection-reason census",
+    ),
+    "dedup_first_occurrence": QuerySpec(
+        q_dedup,
+        f"{_PIPE_CTE} SELECT * FROM deduped",
+        "D1 keyed first-occurrence dedup (invalid_key quirk included)",
+    ),
+    "routed_records": QuerySpec(
+        q_routed,
+        f"""{_PIPE_CTE}
+        SELECT *, CASE WHEN status = 'invalid' THEN 'dirty'
+                       WHEN critical THEN 'critical'
+                       ELSE 'normal' END AS route
+        FROM deduped""",
+        "F3/F4 3-way routing",
+    ),
+    "route_counts": QuerySpec(
+        q_route_counts,
+        f"""{_PIPE_CTE}
+        SELECT CASE WHEN status = 'invalid' THEN 'dirty'
+                    WHEN critical THEN 'critical'
+                    ELSE 'normal' END AS route,
+               COUNT(*) AS n_records
+        FROM deduped GROUP BY 1""",
+        "routing census (normal/critical/dirty)",
+    ),
+    "temporal_batch_annotate": QuerySpec(
+        q_temporal,
+        f"{_ANNOTATED_CTE} SELECT * FROM annotated",
+        "W4 same-second batch annotation",
+    ),
+    "temporal_union": QuerySpec(
+        q_temporal_union,
+        f"""{_ANNOTATED_CTE}
+        SELECT * FROM annotated
+        UNION ALL
+        SELECT d.*, CAST(NULL AS VARCHAR) AS timestamp_key,
+               CAST(NULL AS BIGINT) AS temporal_batch_size,
+               CAST(NULL AS VARCHAR) AS temporal_ordering
+        FROM deduped d WHERE status = 'invalid'""",
+        "W5 valid-window union invalid bypass",
+    ),
+    "rolling_stats": QuerySpec(
+        q_rolling_stats,
+        f"""{_PIPE_CTE}
+        SELECT
+            COUNT(*) FILTER (WHERE level5 IN ('very-high', 'high')) AS high_count,
+            COUNT(*) FILTER (WHERE level5 IN ('moderate')) AS medium_count,
+            COUNT(*) FILTER (WHERE level5 IN ('low', 'very-low')) AS low_count,
+            CAST(COALESCE(SUM(value), 0) AS BIGINT) AS sum_value,
+            COUNT(value) AS value_count,
+            COALESCE(CAST(SUM(value) AS DOUBLE) / CAST(COUNT(value) AS DOUBLE), 0.0) AS avg_value,
+            COUNT(*) AS total_points,
+            COUNT(*) FILTER (WHERE level5 IN ('very-high', 'high')) AS dangerous_points,
+            arg_max(timestamp, event_id) AS last_update
+        FROM points""",
+        "A1 multi-metric conditional-agg stats",
+    ),
+    "grid_cluster": QuerySpec(
+        q_grid_cluster,
+        f"""{_PIPE_CTE}
+        SELECT
+            CAST(floor(lat / 1.0) AS BIGINT) AS cell_lat,
+            CAST(floor(lon / 1.0) AS BIGINT) AS cell_lon,
+            MAX(value) AS max_cpm,
+            COUNT(*) AS point_count,
+            CASE WHEN MAX(value) < 50 THEN '#00e400'
+                 WHEN MAX(value) < 200 THEN '#ffff00'
+                 WHEN MAX(value) < 1000 THEN '#ff7e00'
+                 ELSE '#ff0000' END AS cluster_color,
+            CASE WHEN COUNT(*) < 100 THEN 20
+                 WHEN COUNT(*) < 750 THEN 30
+                 ELSE 40 END AS cluster_radius
+        FROM points GROUP BY 1, 2""",
+        "A2 grid-cell cluster max/count + step ladders",
+    ),
+    "recent_points": QuerySpec(
+        q_recent_points,
+        f"{_PIPE_CTE} SELECT * FROM points ORDER BY timestamp DESC, event_id DESC LIMIT 2000",
+        "W8 retention window (top-2000 by recency)",
+    ),
+    "level_filter_high": QuerySpec(
+        q_level_filter_high,
+        f"{_PIPE_CTE} SELECT * FROM points WHERE level5 IN ('very-high', 'high')",
+        "F6 interactive level filter",
+    ),
+    "alerts_cooldown": QuerySpec(
+        q_alerts,
+        f"""{_PIPE_CTE},
+        cand AS (
+            SELECT *,
+                CASE WHEN value >= 2000.0 THEN 'critical' ELSE 'warning' END AS severity,
+                (CASE WHEN value >= 2000.0 THEN 'critical' ELSE 'warning' END)
+                    || '-' || printf('%.3f', lat) || ',' || printf('%.3f', lon) AS cooldown_key,
+                printf('CPM %s at [%s, %s]', CAST(value AS VARCHAR),
+                       printf('%.2f', lat), printf('%.2f', lon)) AS alert_message
+            FROM points WHERE value >= 1000.0
+        )
+        SELECT *, CAST(floor(CAST(floor(epoch(event_time)) AS BIGINT) / 30) AS BIGINT) AS cooldown_bucket
+        FROM cand
+        QUALIFY row_number() OVER (
+            PARTITION BY cooldown_key,
+                         CAST(floor(CAST(floor(epoch(event_time)) AS BIGINT) / 30) AS BIGINT)
+            ORDER BY event_id) = 1""",
+        "F8+P10+P12+D2 threshold alerts with cooldown dedup",
+    ),
+    "severity_ws_counts": QuerySpec(
+        q_severity_ws,
+        f"""{_PIPE_CTE}
+        SELECT CASE WHEN value >= 100.0 THEN 'critical'
+                    WHEN value >= 50.0 THEN 'warning'
+                    ELSE 'info' END AS severity,
+               COUNT(*) AS n_points
+        FROM points GROUP BY 1""",
+        "P10 useWebsocket severity census",
+    ),
+    "flagship_event_stats": QuerySpec(
+        q_flagship,
+        """
+        WITH c AS (
+            SELECT event_type, CAST(round_even(value * 4.0, 0) AS BIGINT) AS cpm FROM events
+        )
+        SELECT event_type,
+            COUNT(*) AS n_events,
+            COUNT(*) FILTER (WHERE cpm < 50) AS n_low,
+            COUNT(*) FILTER (WHERE cpm >= 50 AND cpm < 200) AS n_moderate,
+            COUNT(*) FILTER (WHERE cpm >= 200) AS n_high,
+            COUNT(*) FILTER (WHERE cpm >= 1000) AS n_critical,
+            CAST(SUM(cpm) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_cpm,
+            MAX(cpm) AS max_cpm,
+            MIN(cpm) AS min_cpm
+        FROM c GROUP BY event_type""",
+        "flagship: classify + grouped conditional aggregation",
+    ),
+    # -- relational coverage --
+    "pricing_summary": QuerySpec(
+        relational.pricing_summary, relational.PRICING_SUMMARY_SQL, "TPC-H Q1 analog"
+    ),
+    "revenue_by_nation": QuerySpec(
+        relational.revenue_by_nation,
+        relational.REVENUE_BY_NATION_SQL,
+        "star join with broadcast dims",
+    ),
+    "top_customers": QuerySpec(
+        relational.top_customers, relational.TOP_CUSTOMERS_SQL, "top-k by exact revenue"
+    ),
+    "user_sessions": QuerySpec(
+        relational.user_sessions, relational.USER_SESSIONS_SQL, "sessionization (lag+cumsum)"
+    ),
+    # -- llmdata (SURVEY.md section 7.6) --
+    "doc_token_stats": QuerySpec(
+        lambda spark, sf: token_stats(_docs(spark, sf)),
+        llm_sql.TOKEN_STATS_SQL,
+        "token counting + fingerprint",
+    ),
+    "doc_quality": QuerySpec(
+        lambda spark, sf: quality_score(_docs(spark, sf)),
+        llm_sql.QUALITY_SQL,
+        "quality scoring (length/punct/stopword)",
+    ),
+    "doc_langid": QuerySpec(
+        lambda spark, sf: language_id(_docs(spark, sf)),
+        llm_sql.LANGID_SQL,
+        "lexicon-hit language ID",
+    ),
+    "doc_exact_dedup": QuerySpec(
+        lambda spark, sf: exact_dedup(_docs(spark, sf)),
+        llm_sql.EXACT_DEDUP_SQL,
+        "exact dedup via md5 hash groups",
+    ),
+    "doc_minhash_signature": QuerySpec(
+        lambda spark, sf: minhash_signature(_docs(spark, sf)),
+        llm_sql.MINHASH_SQL,
+        "MinHash signatures (k=8, md5 lexicographic min)",
+    ),
+    "doc_neardup_pairs": QuerySpec(
+        lambda spark, sf: neardup_pairs(_docs(spark, sf)),
+        llm_sql.NEARDUP_SQL,
+        "LSH-banded near-dup candidate pairs + exact Jaccard",
+    ),
+    "emb_topk_cosine": QuerySpec(
+        lambda spark, sf: brute_force_topk(_embs(spark, sf)),
+        llm_sql.TOPK_COSINE_SQL,
+        "brute-force cosine top-k (broadcast queries)",
+    ),
+    # LSH ANN is approximate by design -> rows-only check (no oracle)
+    "emb_lsh_topk": QuerySpec(
+        lambda spark, sf: lsh_bucket_topk(_embs(spark, sf), _LSH_PLANES),
+        None,
+        "SimHash-bucketed approximate top-k (scale path)",
+    ),
+}
+
+
+def queries_dict() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec.fn for name, spec in QUERIES.items()}
+
+
+def oracle_sql_dict() -> dict[str, str]:
+    return {name: spec.oracle for name, spec in QUERIES.items() if spec.oracle}

@@ -1,0 +1,57 @@
+"""Batch source adapters (SURVEY.md S1-S5).
+
+The reference replays a ~30 GB Safecast CSV in 50k-row pandas chunks
+(data_provider/data_provider.py:107); Spark's CSV scan splits and
+parallelizes the same file automatically, so the adapter is one
+declarative read with an EXPLICIT permissive schema (stringly bronze --
+validation happens in silver, never at parse time; inferSchema would
+both scan twice and guess types the validator must own).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# raw Safecast columns accessed by the reference
+# (data_provider/data_provider.py:110,127-130)
+CSV_SCHEMA = T.StructType(
+    [
+        T.StructField("Captured Time", T.StringType(), True),
+        T.StructField("Latitude", T.StringType(), True),
+        T.StructField("Longitude", T.StringType(), True),
+        T.StructField("Value", T.StringType(), True),
+        T.StructField("Unit", T.StringType(), True),
+    ]
+)
+
+BRONZE_COLUMNS = [
+    "captured_time",
+    "latitude",
+    "longitude",
+    "value",
+    "unit",
+    "ingestion_timestamp",
+]
+
+
+def read_csv_bronze(spark: SparkSession, path: str) -> DataFrame:
+    """CSV -> bronze: project/rename (S4), all-null row drop (S3),
+    ingest-time enrich. Column pruning + filters push into the scan."""
+    raw = spark.read.csv(path, header=True, schema=CSV_SCHEMA)
+    raw = raw.na.drop(how="all")  # S3
+    return raw.select(
+        F.col("Captured Time").alias("captured_time"),
+        F.col("Latitude").alias("latitude"),
+        F.col("Longitude").alias("longitude"),
+        F.col("Value").alias("value"),
+        F.col("Unit").alias("unit"),
+        F.unix_millis(F.current_timestamp()).alias("ingestion_timestamp"),
+    )
+
+
+def read_parquet_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    import os
+
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))

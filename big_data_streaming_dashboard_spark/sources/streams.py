@@ -1,0 +1,98 @@
+"""Streaming source adapters (SURVEY.md S7, S9).
+
+The reference consumes Kafka (`radiation-data`, latest offsets --
+flink_process/flink_process.py:230-236) with a ~1000 rec/s replay
+throttle (S7). Kafka needs a broker + the spark-sql-kafka jar (absent
+here), so the Kafka adapter builds the reader but is exercised only
+when a broker is configured; tests drive the SAME downstream pipeline
+from file and rate sources -- source choice is one line, the plan
+below it is identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+BRONZE_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("captured_time", T.StringType(), True),
+        T.StructField("latitude", T.StringType(), True),
+        T.StructField("longitude", T.StringType(), True),
+        T.StructField("value", T.StringType(), True),
+        T.StructField("unit", T.StringType(), True),
+        T.StructField("ingestion_timestamp", T.LongType(), True),
+    ]
+)
+
+# raw Kafka JSON payload (data_provider/data_provider.py:125-132)
+KAFKA_JSON_SCHEMA = T.StructType(
+    [
+        T.StructField("captured_time", T.StringType(), True),
+        T.StructField("latitude", T.StringType(), True),
+        T.StructField("longitude", T.StringType(), True),
+        T.StructField("value", T.StringType(), True),
+        T.StructField("unit", T.StringType(), True),
+        T.StructField("ingestion_timestamp", T.LongType(), True),
+    ]
+)
+
+
+def stream_parquet_bronze(spark: SparkSession, dir_path: str) -> DataFrame:
+    """File-source replay of a bronze directory (test/dev harness).
+
+    ``maxFilesPerTrigger`` is the file-source analog of the reference's
+    replay throttle (S7).
+    """
+    return (
+        spark.readStream.schema(BRONZE_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(dir_path)
+    )
+
+
+def stream_rate_bronze(spark: SparkSession, rows_per_second: int = 1000) -> DataFrame:
+    """Rate-source synthetic bronze (parity with the reference's
+    ~1000 rec/s producer ceiling, BASELINE.md)."""
+    rate = spark.readStream.format("rate").option(
+        "rowsPerSecond", rows_per_second
+    ).load()
+    return rate.select(
+        F.col("value").alias("event_id"),
+        F.date_format("timestamp", "yyyy-MM-dd HH:mm:ss").alias("captured_time"),
+        F.format_string("%.2f", (F.col("value") % 18000) / 100.0 - 90.0).alias("latitude"),
+        F.format_string("%.2f", (F.col("value") * 7 % 36000) / 100.0 - 180.0).alias(
+            "longitude"
+        ),
+        F.format_string("%.2f", (F.col("value") % 2500).cast("double")).alias("value"),
+        F.lit("cpm").alias("unit"),
+        F.unix_millis(F.col("timestamp")).alias("ingestion_timestamp"),
+    )
+
+
+def stream_kafka_bronze(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str = "radiation-data",
+    starting_offsets: str = "latest",
+) -> DataFrame:
+    """Kafka -> bronze: parse the JSON payload ONCE at the edge
+    (from_json), vs the reference's per-operator json.loads (P1).
+
+    Requires the spark-sql-kafka package on the classpath; not
+    available in the test container (documented, not stubbed away).
+    """
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
+    parsed = raw.select(
+        F.from_json(F.col("value").cast("string"), KAFKA_JSON_SCHEMA).alias("r"),
+        F.col("key").cast("string").alias("kafka_key"),
+    )
+    return parsed.select("r.*", "kafka_key")

@@ -1,0 +1,69 @@
+"""Structured Streaming pipeline builders (SURVEY.md section 2.5).
+
+The SAME silver operators used in batch (operators/validate.py etc.)
+applied to a streaming DataFrame -- the declarative plan is identical;
+only the source and the stateful dedup/window operators differ:
+
+- dedup (D1): ``dropDuplicates`` on the composite key = the reference's
+  unbounded ValueState semantics; ``dropDuplicatesWithinWatermark`` =
+  the bounded-state mode that survives 100 TB/day (documented delta:
+  duplicates farther apart than the watermark are NOT suppressed).
+- temporal batch (W4): 1 s tumbling event-time window over the 5 s
+  watermark; emits each record annotated with its same-second batch
+  size, invalids bypass and union back (W5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import DEFAULT_CONFIG, PipelineConfig
+from ..operators.validate import validate_enrich
+
+
+def silver_stream(
+    bronze: DataFrame,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+    bounded_state: bool = True,
+) -> DataFrame:
+    """bronze stream -> validated+deduped silver stream."""
+    silver = validate_enrich(bronze, cfg)
+    # dedup needs the watermark column when bounded; invalid rows have
+    # null event_time so they are deduped on the shared invalid_key in
+    # the unbounded mode (the reference's D1 quirk) -- in bounded mode
+    # we exclude them from dedup and union back (documented delta).
+    if bounded_state:
+        valid = (
+            silver.filter(F.col("status") == "valid")
+            .withWatermark("event_time", f"{cfg.watermark_seconds} seconds")
+            .dropDuplicatesWithinWatermark(["dedup_key"])
+        )
+        invalid = silver.filter(F.col("status") == "invalid")
+        return valid.unionByName(invalid)
+    return silver.dropDuplicates(["dedup_key"])
+
+
+def temporal_batch_stream(
+    silver: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """W4 streaming analog: per (1 s window, timestamp_key) counts.
+
+    Streaming append mode cannot re-emit individual rows with their
+    final batch size before the watermark closes the window, so the
+    streaming shape is the closed-window aggregate (timestamp_key,
+    temporal_batch_size, window) -- the batch operator
+    (operators/temporal.py) annotates rows 1:1 like the reference and
+    is cross-checked against the oracle; this streaming variant is
+    checked for agreement with it in tests/test_streaming.py.
+    """
+    valid = silver.filter(F.col("status") == "valid")
+    return (
+        valid.withWatermark("event_time", f"{cfg.watermark_seconds} seconds")
+        .groupBy(
+            F.window("event_time", f"{cfg.temporal_window_seconds} seconds"),
+            F.substring("timestamp", 1, 19).alias("timestamp_key"),
+        )
+        .agg(F.count(F.lit(1)).alias("temporal_batch_size"))
+        .withColumn("temporal_ordering", F.lit("compliant"))
+    )

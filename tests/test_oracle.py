@@ -1,0 +1,28 @@
+"""Oracle cross-check: every registry query vs its DuckDB twin at the
+driver's correctness scale factor (sf0.01) -- the same comparison the
+driver runs (row count + schema + order-insensitive values)."""
+
+from __future__ import annotations
+
+import pytest
+
+from big_data_streaming_dashboard_spark.plans import QUERIES
+
+from .conftest import SF_ORACLE, compare_spark_duck
+
+ORACLE_QUERIES = sorted(name for name, spec in QUERIES.items() if spec.oracle)
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_oracle_match(spark, duck, name):
+    spec = QUERIES[name]
+    df = spec.fn(spark, SF_ORACLE)
+    ok, msg = compare_spark_duck(df, duck, spec.oracle)
+    assert ok, f"{name}: {msg}"
+
+
+def test_rows_only_queries_run(spark):
+    for name, spec in QUERIES.items():
+        if spec.oracle is None:
+            df = spec.fn(spark, SF_ORACLE)
+            assert df.count() >= 0, name
