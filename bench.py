@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is materialized with the noop writer (forces full
+computation of every column; a bare count() would let Catalyst prune
+the projections we are trying to measure).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from big_data_streaming_dashboard_spark.plans import QUERIES
+from big_data_streaming_dashboard_spark.session import get_spark
+
+HEADLINE = [
+    "silver_validate",
+    "dedup_first_occurrence",
+    "temporal_batch_annotate",
+    "route_counts",
+    "rolling_stats",
+    "grid_cluster",
+    "recent_points",
+    "alerts_cooldown",
+    "flagship_event_stats",
+    "pricing_summary",
+    "revenue_by_nation",
+    "top_customers",
+    "user_sessions",
+    "doc_token_stats",
+    "doc_minhash_signature",
+    "doc_neardup_pairs",
+    "emb_topk_cosine",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="bench")
+    # warm the JVM/codegen once so per-query numbers measure the plans
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name].fn
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -97,8 +97,14 @@ def neardup_pairs(
             for b in range(n_bands)
         ]
     )
-    banded = sigs.select("doc_id", F.explode(band_struct).alias("band")).select(
-        "doc_id", "band.band_idx", "band.band_hash"
+    # persist: the self-join below would otherwise recompute the whole
+    # md5/minhash stage on BOTH branches. The banded table is 4 short
+    # rows per doc -- at 100 TB this is the standard "materialize the
+    # LSH index before probing" step (storage-backed there, cache here).
+    banded = (
+        sigs.select("doc_id", F.explode(band_struct).alias("band"))
+        .select("doc_id", "band.band_idx", "band.band_hash")
+        .persist()
     )
     a = banded.alias("a")
     b = banded.alias("b")
@@ -108,7 +114,7 @@ def neardup_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    sh = docs.select("doc_id", shingles(F.col("text")).alias("sh"))
+    sh = docs.select("doc_id", shingles(F.col("text")).alias("sh")).persist()
     pair = (
         cand.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
         .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")

@@ -55,6 +55,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Fan a small scan out to all cores before expression-heavy stages.
+
+    Local-scale artifact fix: a few-MB parquet file yields ONE input
+    partition (below maxPartitionBytes), serializing every downstream
+    projection. On a real cluster the scan already produces >= cores
+    splits and this is a no-op branch; the round-robin shuffle it adds
+    here moves only the raw few MB.
+    """
+    n = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n)
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
 
@@ -75,7 +90,7 @@ def bronze_radiation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Must stay in lock-step with plans/fragments.py::BRONZE_SQL.
     """
-    ev = load_table(spark, sf_dir, "events")
+    ev = spread(load_table(spark, sf_dir, "events"), spark)
     ts_str = F.date_format("ts", "yyyy-MM-dd HH:mm:ss")
     lat = (((F.col("user_id") * 37 + F.col("event_id")) % 18000).cast("double") / 100.0) - 90.0
     lon = (((F.col("user_id") * 73 + F.col("event_id") * 7) % 36000).cast("double") / 100.0) - 180.0
