@@ -76,16 +76,22 @@ def synthetic_media(spark: Any, n: int = 64) -> DataFrame:
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
-def _stub_decode(payload: bytes) -> list[float]:
-    """Deterministic fake 'decode': bytes -> FEATURE_DIM doubles."""
-    h = hashlib.sha256(payload or b"").digest()
-    return [h[i] / 255.0 for i in range(FEATURE_DIM)]
-
-
 def extract_features(media: DataFrame, decode_stub: bool = True) -> DataFrame:
-    """mapInPandas feature extraction; Arrow-batched, map-only."""
+    """mapInPandas feature extraction; Arrow-batched, map-only.
+
+    The closure is self-contained (no module-global references): Spark
+    Python workers may not have this repo on their PYTHONPATH.
+    """
+    dim = FEATURE_DIM
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hl
+
+        def stub_decode(payload):
+            # deterministic fake 'decode': bytes -> dim doubles
+            h = _hl.sha256(payload or b"").digest()
+            return [h[i] / 255.0 for i in range(dim)]
+
         for pdf in batches:
             if not decode_stub:
                 raise NotImplementedError(
@@ -97,7 +103,7 @@ def extract_features(media: DataFrame, decode_stub: bool = True) -> DataFrame:
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
                     "n_bytes": pdf["payload"].map(lambda b: len(b) if b is not None else 0),
-                    "feature": pdf["payload"].map(_stub_decode),
+                    "feature": pdf["payload"].map(stub_decode),
                 }
             )
 

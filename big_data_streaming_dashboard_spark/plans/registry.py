@@ -32,6 +32,7 @@ from ..operators.route import route
 from ..operators.temporal import temporal_batch, union_with_invalid
 from ..operators.validate import validate_enrich
 from ..functions.levels import severity_ws
+from ..streaming.stateful import exact_cooldown_batch
 from ..tables import bronze_radiation, load_table, spread
 from . import llm_sql, relational
 from .fragments import BRONZE_SQL, SILVER_SQL
@@ -428,6 +429,13 @@ QUERIES: dict[str, QuerySpec] = {
         lambda spark, sf: lsh_bucket_topk(_embs(spark, sf), _LSH_PLANES),
         None,
         "SimHash-bucketed approximate top-k (scale path)",
+    ),
+    # last-EMITTED-alert dependency is sequential per key -> not
+    # SQL-expressible with plain window functions -> rows-only check
+    "alerts_cooldown_exact": QuerySpec(
+        lambda spark, sf: exact_cooldown_batch(alert_candidates(_points(spark, sf))),
+        None,
+        "D2 exact sequential cooldown (applyInPandas keyed scan)",
     ),
 }
 

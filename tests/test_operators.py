@@ -1,0 +1,201 @@
+"""Operator unit tests: exact rows over tiny inline fixtures
+(SURVEY.md section 5 tier 1 -- the reference has zero tests; these lock
+down its reconstructed semantics, quirks included)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from big_data_streaming_dashboard_spark.functions.levels import level3, level5
+from big_data_streaming_dashboard_spark.functions.timeparse import normalize_event_time
+from big_data_streaming_dashboard_spark.llmdata.dedup import shingles
+from big_data_streaming_dashboard_spark.operators.analytics import recent_points
+from big_data_streaming_dashboard_spark.operators.dedup import first_occurrence_dedup
+from big_data_streaming_dashboard_spark.operators.route import route
+from big_data_streaming_dashboard_spark.operators.temporal import temporal_batch
+from big_data_streaming_dashboard_spark.operators.validate import validate_enrich
+from big_data_streaming_dashboard_spark.streaming.stateful import exact_cooldown_batch
+
+BRONZE_COLS = "event_id long, captured_time string, latitude string, longitude string, value string, unit string, ingestion_timestamp long"
+
+
+def _bronze(spark, rows):
+    return spark.createDataFrame(rows, BRONZE_COLS)
+
+
+def _silver_map(spark, rows):
+    out = validate_enrich(_bronze(spark, rows)).collect()
+    return {r["event_id"]: r for r in out}
+
+
+def test_validator_rejection_reasons(spark):
+    """Each F1/F2 rejection reason, in the reference's check order
+    (flink_process/flink_process.py:105-137)."""
+    rows = [
+        (1, "2024-01-01 10:00:00", "10.0", "20.0", "100.0", "cpm", 0),  # valid
+        (2, None, "10.0", "20.0", "100.0", "cpm", 0),  # missing field
+        (3, "2024-01-01 10:00:00", "abc", "20.0", "100.0", "cpm", 0),  # non-numeric
+        (4, "2024-01-01 10:00:00", "95.0", "20.0", "100.0", "cpm", 0),  # bad lat
+        (5, "2024-01-01 10:00:00", "10.0", "190.0", "100.0", "cpm", 0),  # bad lon
+        (6, "2024-01-01 10:00:00", "10.0", "20.0", "0.2", "cpm", 0),  # rounds to 0
+        (7, "2024-01-01 10:00:00", "10.0", "20.0", "100.0", "usv", 0),  # bad unit
+        # missing field checked BEFORE numeric (reference order)
+        (8, None, "abc", "20.0", "100.0", "cpm", 0),
+    ]
+    got = _silver_map(spark, rows)
+    assert got[1]["status"] == "valid" and got[1]["error"] is None
+    assert got[2]["error"] == "Missing fields"
+    assert got[3]["error"] == "Invalid numeric values"
+    assert got[4]["error"] == "Invalid latitude: 95.0"
+    assert got[5]["error"] == "Invalid longitude: 190.0"
+    assert got[6]["error"] == "Invalid radiation value: 0"
+    assert got[7]["error"] == "Invalid unit: usv"
+    assert got[8]["error"] == "Missing fields"
+
+
+def test_validator_enrichment_and_bankers_rounding(spark):
+    """P2: Python round() is banker's -> 2.5 rounds to 2, 3.5 to 4;
+    coords to 5 dp; unit canonicalized; level/critical on rounded value."""
+    rows = [
+        (1, "2024-01-01 10:00:00", "10.123456", "20.9876543", "2.5", "CPM", 0),
+        (2, "2024-01-01 10:00:00", "10.0", "20.0", "3.5", "cpm", 0),
+        (3, "2024-01-01 10:00:00", "10.0", "20.0", "999.5", "cpm", 0),  # -> 1000
+    ]
+    got = _silver_map(spark, rows)
+    assert got[1]["value"] == 2 and got[1]["level"] == "low"
+    assert got[1]["lat"] == 10.12346 and got[1]["lon"] == 20.98765
+    assert got[1]["unit"] == "cpm"
+    assert got[2]["value"] == 4
+    assert got[3]["value"] == 1000 and got[3]["critical"] is True
+    assert got[3]["level"] == "high" and got[3]["level5"] == "very-high"
+
+
+def test_level_classifications(spark):
+    df = spark.createDataFrame(
+        [(0,), (9,), (10,), (49,), (50,), (199,), (200,), (999,), (1000,), (None,)],
+        "v long",
+    )
+    got = df.select(
+        level3(F.col("v")).alias("l3"), level5(F.col("v")).alias("l5")
+    ).collect()
+    l3 = [r["l3"] for r in got]
+    l5 = [r["l5"] for r in got]
+    # null falls to the otherwise() branch -> 'high'; out-of-domain in the
+    # reference (validation rejects non-numerics before classification)
+    assert l3 == ["low", "low", "low", "low", "moderate", "moderate", "high", "high", "high", "high"]
+    # P9: null -> very-low (the client classifier quirk; disagrees with level3)
+    assert l5 == [
+        "very-low", "very-low", "low", "low", "moderate", "moderate",
+        "high", "high", "very-high", "very-low",
+    ]
+
+
+def test_timeparse_variants(spark):
+    """P4: strip +TZ / trailing Z / fractional seconds; null on garbage
+    (flink_process/flink_process.py:56-84)."""
+    df = spark.createDataFrame(
+        [
+            ("2024-01-01 10:00:01",),
+            ("2024-01-01 10:00:02+09:00",),
+            ("2024-01-01 10:00:03Z",),
+            ("2024-01-01 10:00:04.123",),
+            ("not-a-time",),
+            (None,),
+        ],
+        "s string",
+    )
+    got = [r[0] for r in df.select(normalize_event_time(F.col("s"))).collect()]
+    assert [str(t) for t in got[:4]] == [
+        "2024-01-01 10:00:01",
+        "2024-01-01 10:00:02",
+        "2024-01-01 10:00:03",
+        "2024-01-01 10:00:04",
+    ]
+    assert got[4] is None and got[5] is None
+
+
+def test_dedup_first_occurrence_and_invalid_key_quirk(spark):
+    """D1: first record per composite key survives; rounding precision
+    beyond 5/2 dp dedups; ALL unparseable rows share 'invalid_key' so
+    only the first-ever survives (the reference quirk)."""
+    rows = [
+        (1, "2024-01-01 10:00:00", "10.000001", "20.0", "100.001", "cpm", 0),
+        # same key after rounding (lat 5dp, value 2dp) -> dropped
+        (2, "2024-01-01 10:00:00", "10.000004", "20.0", "100.002", "cpm", 0),
+        # differs at the 5th dp -> kept
+        (3, "2024-01-01 10:00:00", "10.00002", "20.0", "100.0", "cpm", 0),
+        # two unparseable -> shared invalid_key -> only first survives
+        (4, "2024-01-01 10:00:00", "abc", "20.0", "100.0", "cpm", 0),
+        (5, "2024-01-01 10:00:00", "def", "99.0", "1.0", "cpm", 0),
+    ]
+    silver = validate_enrich(_bronze(spark, rows))
+    got = first_occurrence_dedup(silver, "dedup_key", "event_id")
+    ids = sorted(r["event_id"] for r in got.collect())
+    assert ids == [1, 3, 4]
+
+
+def test_route_partition(spark):
+    rows = [
+        (1, "2024-01-01 10:00:00", "10.0", "20.0", "100.0", "cpm", 0),  # normal
+        (2, "2024-01-01 10:00:00", "11.0", "20.0", "1500.0", "cpm", 0),  # critical
+        (3, "2024-01-01 10:00:00", "abc", "20.0", "100.0", "cpm", 0),  # dirty
+    ]
+    got = {r["event_id"]: r["route"] for r in route(validate_enrich(_bronze(spark, rows))).collect()}
+    assert got == {1: "normal", 2: "critical", 3: "dirty"}
+
+
+def test_temporal_batch_sizes(spark):
+    """W4: same-second records annotated with the cluster size."""
+    rows = [
+        (1, "2024-01-01 10:00:00", "10.0", "20.0", "100.0", "cpm", 0),
+        (2, "2024-01-01 10:00:00", "11.0", "20.0", "100.0", "cpm", 0),
+        (3, "2024-01-01 10:00:00", "12.0", "20.0", "100.0", "cpm", 0),
+        (4, "2024-01-01 10:00:01", "13.0", "20.0", "100.0", "cpm", 0),
+    ]
+    valid = validate_enrich(_bronze(spark, rows)).filter(F.col("status") == "valid")
+    got = {r["event_id"]: r for r in temporal_batch(valid).collect()}
+    assert [got[i]["temporal_batch_size"] for i in (1, 2, 3, 4)] == [3, 3, 3, 1]
+    assert got[1]["timestamp_key"] == "2024-01-01 10:00:00"
+    assert got[1]["temporal_ordering"] == "compliant"
+
+
+def test_recent_points_tiebreak(spark):
+    df = spark.createDataFrame(
+        [(i, f"2024-01-01 10:00:{i % 3:02d}") for i in range(10)],
+        "event_id long, timestamp string",
+    )
+    got = [r["event_id"] for r in recent_points(df, n=3).collect()]
+    # latest second is :02 -> event_ids 2,5,8, descending
+    assert got == [8, 5, 2]
+
+
+def test_exact_cooldown_emits_after_suppressed_alert(spark):
+    """D2 reference semantics: cooldown measured from the last EMITTED
+    alert -- t=0 emit, t=20 suppress, t=40 EMIT (40-0 >= 30), t=50
+    suppress (50-40 < 30). The bucketed approximation would differ."""
+    base = "2024-01-01 10:"
+    rows = [
+        (i, f"{base}{t // 60:02d}:{t % 60:02d}") for i, t in enumerate([0, 20, 40, 50])
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts string").select(
+        "event_id",
+        F.lit("warning-10.000,20.000").alias("cooldown_key"),
+        F.to_timestamp("ts").alias("event_time"),
+        F.lit(10.0).alias("lat"),
+        F.lit(20.0).alias("lon"),
+        F.lit(1200).cast("long").alias("value"),
+        F.lit("warning").alias("severity"),
+        F.lit("msg").alias("alert_message"),
+    )
+    got = sorted(r["event_id"] for r in exact_cooldown_batch(df).collect())
+    assert got == [0, 2]
+
+
+def test_shingles_short_doc_fallback(spark):
+    df = spark.createDataFrame(
+        [("a b c d",), ("a b",), ("solo",)], "text string"
+    )
+    got = [sorted(r[0]) for r in df.select(shingles(F.col("text"))).collect()]
+    assert got[0] == ["a b c", "b c d"]
+    assert got[1] == ["a b"]  # < 3 tokens -> whole-text shingle
+    assert got[2] == ["solo"]

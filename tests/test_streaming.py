@@ -1,0 +1,186 @@
+"""Structured Streaming semantics tests (SURVEY.md section 5 tier 4).
+
+Drives the SAME operators used in batch through micro-batch replay
+(file source, multiple files per trigger boundary) and checks
+agreement with the batch results: dedup across batches, windowed
+temporal counts, 3-way routed foreachBatch fan-out, stateful cooldown
+across micro-batches."""
+
+from __future__ import annotations
+
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_streaming_dashboard_spark.operators.dedup import first_occurrence_dedup
+from big_data_streaming_dashboard_spark.operators.route import ROUTES
+from big_data_streaming_dashboard_spark.operators.temporal import temporal_batch
+from big_data_streaming_dashboard_spark.operators.validate import validate_enrich
+from big_data_streaming_dashboard_spark.sources.streams import stream_parquet_bronze
+from big_data_streaming_dashboard_spark.streaming.pipeline import (
+    silver_stream,
+    temporal_batch_stream,
+)
+from big_data_streaming_dashboard_spark.streaming.sinks import route_foreach_batch
+from big_data_streaming_dashboard_spark.streaming.stateful import (
+    COOLDOWN_OUTPUT_SCHEMA,
+    exact_cooldown_stream,
+)
+from big_data_streaming_dashboard_spark.tables import bronze_radiation
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def bronze_dir(spark, tmp_path_factory):
+    """Bronze fixture split into 4 TIME-ORDERED parquet files (-> 4
+    in-order micro-batches, like the reference's chunk-sorted replay,
+    S2). Random file assignment would scatter event time across
+    batches and the 5 s watermark would late-drop most windows."""
+    path = str(tmp_path_factory.mktemp("bronze_stream"))
+    bronze = bronze_radiation(spark, SF).withColumn(
+        "_slice", F.ntile(4).over(__import__("pyspark").sql.Window.orderBy("event_id"))
+    )
+    import time
+
+    for i in range(1, 5):
+        (
+            bronze.filter(F.col("_slice") == i)
+            .drop("_slice")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(path)
+        )
+        time.sleep(0.1)  # distinct mtimes: the file source replays oldest-first
+    return path
+
+
+def _run_stream(spark, stream_df, name):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def test_streaming_silver_matches_batch_dedup(spark, bronze_dir):
+    """Unbounded-mode streaming dedup keeps exactly one row per key --
+    the same key set as batch dedup (survivor row may differ: batch
+    picks min event_id, streaming picks arrival order)."""
+    stream = silver_stream(
+        stream_parquet_bronze(spark, bronze_dir), bounded_state=False
+    )
+    got = _run_stream(spark, stream, f"t_{uuid.uuid4().hex[:8]}")
+    batch = first_occurrence_dedup(
+        validate_enrich(bronze_radiation(spark, SF)), "dedup_key", "event_id"
+    )
+    s_keys = sorted(r["dedup_key"] for r in got.select("dedup_key").collect())
+    b_keys = sorted(r["dedup_key"] for r in batch.select("dedup_key").collect())
+    assert s_keys == b_keys
+
+
+def test_streaming_temporal_counts_match_batch(spark, bronze_dir):
+    """W4 streaming window counts == batch analytic counts per second
+    (for seconds fully below the final watermark all data arrived)."""
+    silver = silver_stream(stream_parquet_bronze(spark, bronze_dir), bounded_state=False)
+    stream = temporal_batch_stream(silver)
+    got = _run_stream(spark, stream, f"t_{uuid.uuid4().hex[:8]}")
+    s_counts = {
+        r["timestamp_key"]: r["temporal_batch_size"]
+        for r in got.select("timestamp_key", "temporal_batch_size").collect()
+    }
+    # rows with an unparseable captured_time are 'valid' (the validator
+    # never checks it -- reference-faithful) but have no event time, so
+    # streaming can never window them; compare on the parseable subset
+    batch = temporal_batch(
+        first_occurrence_dedup(
+            validate_enrich(bronze_radiation(spark, SF)), "dedup_key", "event_id"
+        ).filter((F.col("status") == "valid") & F.col("event_time").isNotNull())
+    )
+    b_counts = {
+        r["timestamp_key"]: r["temporal_batch_size"]
+        for r in batch.select("timestamp_key", "temporal_batch_size")
+        .distinct()
+        .collect()
+    }
+    # availableNow closes all windows at end-of-stream; every batch-side
+    # second must appear with the same count
+    for key, n in s_counts.items():
+        assert b_counts[key] == n, key
+    # seconds inside the final watermark horizon (last 5 s of event
+    # time) are held in state and never emit -- everything else must
+    import datetime
+
+    missing = set(b_counts) - set(s_counts)
+    fmt = "%Y-%m-%d %H:%M:%S"
+    horizon = datetime.datetime.strptime(max(b_counts), fmt) - datetime.timedelta(seconds=6)
+    late = [k for k in missing if datetime.datetime.strptime(k, fmt) < horizon]
+    assert not late, f"unemitted windows outside the final horizon: {sorted(late)[:5]}"
+
+
+def test_foreach_batch_three_way_routing(spark, bronze_dir):
+    """S10: one persisted pass per micro-batch writes all three routes;
+    totals across batches == batch route census."""
+    collected: dict[str, int] = {name: 0 for name in ROUTES}
+
+    def write_route(name, df, epoch_id):
+        collected[name] += df.count()
+
+    silver = silver_stream(stream_parquet_bronze(spark, bronze_dir), bounded_state=False)
+    q = (
+        silver.writeStream.foreachBatch(route_foreach_batch(write_route))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    from big_data_streaming_dashboard_spark.operators.route import route as batch_route
+
+    batch = batch_route(
+        first_occurrence_dedup(
+            validate_enrich(bronze_radiation(spark, SF)), "dedup_key", "event_id"
+        )
+    )
+    expected = {
+        r["route"]: r["n"]
+        for r in batch.groupBy("route").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert collected == expected
+
+
+def test_exact_cooldown_state_survives_micro_batches(spark, tmp_path):
+    """D2 streaming: last-emit state carries across micro-batches --
+    an alert in batch 2 within 30 s of one emitted in batch 1 is
+    suppressed."""
+    rows_by_file = [
+        [(0, "2024-01-01 10:00:00"), (1, "2024-01-01 10:00:20")],  # batch 1
+        [(2, "2024-01-01 10:00:25"), (3, "2024-01-01 10:00:40")],  # batch 2
+    ]
+    src = str(tmp_path / "alerts_src")
+    for i, rows in enumerate(rows_by_file):
+        df = spark.createDataFrame(rows, "event_id long, ts string").select(
+            F.lit("warning-10.000,20.000").alias("cooldown_key"),
+            "event_id",
+            F.to_timestamp("ts").alias("event_time"),
+            F.lit(10.0).alias("lat"),
+            F.lit(20.0).alias("lon"),
+            F.lit(1200).cast("long").alias("value"),
+            F.lit("warning").alias("severity"),
+            F.lit("msg").alias("alert_message"),
+        )
+        df.coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(COOLDOWN_OUTPUT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    got = _run_stream(spark, exact_cooldown_stream(stream), f"t_{uuid.uuid4().hex[:8]}")
+    ids = sorted(r["event_id"] for r in got.collect())
+    # 0 emitted; 20s suppressed; 25s suppressed (state crossed the batch
+    # boundary); 40s emitted (>= 30s after t=0)
+    assert ids == [0, 3]
