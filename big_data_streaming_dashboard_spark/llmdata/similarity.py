@@ -72,6 +72,25 @@ def brute_force_topk(
     )
 
 
+def knn_label_vote(
+    embeddings: DataFrame, n_queries: int = 5, k: int = 5
+) -> DataFrame:
+    """k-NN majority-label classification per query vector: top-k by
+    cosine, then argmax of label votes (count desc, label asc)."""
+    topk = brute_force_topk(embeddings, n_queries=n_queries, k=k)
+    votes = topk.groupBy("query_id", "label").agg(
+        F.count(F.lit(1)).alias("votes")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("votes").desc(), F.col("label")
+    )
+    return (
+        votes.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select("query_id", F.col("label").alias("predicted_label"), "votes")
+    )
+
+
 def simhash_bucket(vec: Column, planes: list[list[float]]) -> Column:
     """Sign-pattern bucket id from fixed hyperplanes (deterministic)."""
     bits = [

@@ -70,6 +70,68 @@ def quality_score(docs: DataFrame) -> DataFrame:
     )
 
 
+def simhash8(docs: DataFrame) -> DataFrame:
+    """8-bit SimHash document fingerprint, md5-based (oracle-exact).
+
+    Bit j is the majority vote of md5(token) nibble j's high bit across
+    ALL tokens (duplicates weight naturally). Hex trick: nibble chars
+    '8'..'f' sort above '0'..'7', so `substr(md5, j+1, 1) >= '8'` IS
+    the high-bit test -- no bit arithmetic needed, identical in DuckDB.
+    A production simhash widens to 64 bits the same way.
+    """
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+
+    def bit(j: int) -> Column:
+        hits = F.size(
+            F.filter(toks, lambda t: F.substring(F.md5(t), j + 1, 1) >= F.lit("8"))
+        )
+        return F.when(hits * 2 >= n, F.lit(1)).otherwise(F.lit(0))
+
+    sim = F.lit(0)
+    for j in range(8):
+        sim = sim + bit(j) * (1 << j)
+    return docs.select("doc_id", sim.cast("int").alias("simhash8"))
+
+
+def tfidf_top_terms(docs: DataFrame, top_k: int = 3) -> DataFrame:
+    """Top-k terms per doc by a rational tf-idf variant.
+
+    score = tf * N / doc_freq -- deliberately log-free: ln() is libm-
+    dependent and not bit-identical across engines, while integer
+    ratios are. Same ranking monotonicity as classic tf-idf for fixed
+    tf. Shape: explode -> two hash aggs -> broadcast the tiny term
+    dictionary back -> per-doc top-k window.
+    """
+    from pyspark.sql import Window
+
+    term = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    tf = term.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    doc_freq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
+    n_docs = docs.select(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(doc_freq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf").cast("double")
+                * F.col("n_docs").cast("double")
+                / F.col("doc_freq").cast("double"),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("doc_id", "term", "tf", "doc_freq", "rank", "score")
+    )
+
+
 def language_id(docs: DataFrame) -> DataFrame:
     """Lexicon-hit language ID: argmax of function-word hits per
     language (ties broken in fixed lexicon order)."""

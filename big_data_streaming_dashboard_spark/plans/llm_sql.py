@@ -171,6 +171,85 @@ pairs AS (
 SELECT * FROM pairs WHERE jaccard >= 0.2
 """
 
+def _simhash_bits_sql() -> str:
+    terms = []
+    for j in range(8):
+        terms.append(
+            f"(CASE WHEN 2 * len(list_filter(tokens, t -> substr(md5(t), {j + 1}, 1) >= '8'))"
+            f" >= len(tokens) THEN 1 ELSE 0 END) * {1 << j}"
+        )
+    return " + ".join(terms)
+
+
+SIMHASH_SQL = rf"""
+WITH toks AS (
+    SELECT doc_id, regexp_split_to_array(text, '\s+') AS tokens
+    FROM documents
+)
+SELECT doc_id, CAST({_simhash_bits_sql()} AS INTEGER) AS simhash8
+FROM toks
+"""
+
+TFIDF_SQL = r"""
+WITH term AS (
+    SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS term
+    FROM documents
+),
+tf AS (
+    SELECT doc_id, term, COUNT(*) AS tf FROM term GROUP BY doc_id, term
+),
+doc_freq AS (
+    SELECT term, COUNT(*) AS doc_freq FROM tf GROUP BY term
+),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+    SELECT tf.doc_id, tf.term, tf.tf, doc_freq.doc_freq,
+           round(CAST(tf.tf AS DOUBLE) * CAST(n.n_docs AS DOUBLE)
+                 / CAST(doc_freq.doc_freq AS DOUBLE), 6) AS score
+    FROM tf JOIN doc_freq USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tf, doc_freq, rank, score
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+    FROM scored
+)
+WHERE rank <= 3
+"""
+
+KNN_VOTE_SQL = """
+WITH dv AS (
+    SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+),
+q AS (
+    SELECT vec_id AS query_id, v AS qv FROM dv WHERE vec_id < 5
+),
+scored AS (
+    SELECT
+        q.query_id, dv.vec_id, dv.label,
+        list_reduce(list_transform(list_zip(q.qv, dv.v), p -> p[1] * p[2]), (a, b) -> a + b)
+        / (sqrt(list_reduce(list_transform(list_zip(q.qv, q.qv), p -> p[1] * p[2]), (a, b) -> a + b))
+           * sqrt(list_reduce(list_transform(list_zip(dv.v, dv.v), p -> p[1] * p[2]), (a, b) -> a + b)))
+        AS _cos
+    FROM dv CROSS JOIN q
+    WHERE dv.vec_id <> q.query_id
+),
+topk AS (
+    SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY _cos DESC, vec_id) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+),
+votes AS (
+    SELECT query_id, label, COUNT(*) AS votes FROM topk GROUP BY query_id, label
+)
+SELECT query_id, label AS predicted_label, votes
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, label) AS _r
+    FROM votes
+) WHERE _r = 1
+"""
+
 TOPK_COSINE_SQL = """
 WITH dv AS (
     SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -23,8 +23,14 @@ from pyspark.sql import functions as F
 
 from ..config import DEFAULT_CONFIG
 from ..llmdata.dedup import exact_dedup, minhash_signature, neardup_pairs
-from ..llmdata.similarity import brute_force_topk, lsh_bucket_topk
-from ..llmdata.text import language_id, quality_score, token_stats
+from ..llmdata.similarity import brute_force_topk, knn_label_vote, lsh_bucket_topk
+from ..llmdata.text import (
+    language_id,
+    quality_score,
+    simhash8,
+    tfidf_top_terms,
+    token_stats,
+)
 from ..operators.alerts import alert_candidates, alert_cooldown
 from ..operators.analytics import grid_cluster, level_filter, recent_points, rolling_stats
 from ..operators.dedup import first_occurrence_dedup
@@ -34,7 +40,7 @@ from ..operators.validate import validate_enrich
 from ..functions.levels import severity_ws
 from ..streaming.stateful import exact_cooldown_batch
 from ..tables import bronze_radiation, load_table, spread
-from . import llm_sql, relational
+from . import llm_sql, relational, relational2
 from .fragments import BRONZE_SQL, SILVER_SQL
 
 
@@ -388,6 +394,26 @@ QUERIES: dict[str, QuerySpec] = {
     "user_sessions": QuerySpec(
         relational.user_sessions, relational.USER_SESSIONS_SQL, "sessionization (lag+cumsum)"
     ),
+    "rollup_pricing": QuerySpec(
+        relational2.rollup_pricing,
+        relational2.ROLLUP_PRICING_SQL,
+        "ROLLUP subtotals + grand total",
+    ),
+    "segment_semi_anti": QuerySpec(
+        relational2.segment_semi_anti,
+        relational2.SEGMENT_SEMI_ANTI_SQL,
+        "left_semi / left_anti join census",
+    ),
+    "pivot_event_counts": QuerySpec(
+        relational2.pivot_event_counts,
+        relational2.PIVOT_EVENT_COUNTS_SQL,
+        "pivot users x event_type",
+    ),
+    "asof_latest_order": QuerySpec(
+        relational2.asof_latest_order,
+        relational2.ASOF_LATEST_ORDER_SQL,
+        "as-of join via union + carry-forward window (DuckDB ASOF oracle)",
+    ),
     # -- llmdata (SURVEY.md section 7.6) --
     "doc_token_stats": QuerySpec(
         lambda spark, sf: token_stats(_docs(spark, sf)),
@@ -419,10 +445,25 @@ QUERIES: dict[str, QuerySpec] = {
         llm_sql.NEARDUP_SQL,
         "LSH-banded near-dup candidate pairs + exact Jaccard",
     ),
+    "doc_simhash": QuerySpec(
+        lambda spark, sf: simhash8(_docs(spark, sf)),
+        llm_sql.SIMHASH_SQL,
+        "SimHash document fingerprint (md5 nibble majority)",
+    ),
+    "doc_tfidf_top_terms": QuerySpec(
+        lambda spark, sf: tfidf_top_terms(_docs(spark, sf)),
+        llm_sql.TFIDF_SQL,
+        "top-3 terms per doc by rational tf-idf",
+    ),
     "emb_topk_cosine": QuerySpec(
         lambda spark, sf: brute_force_topk(_embs(spark, sf)),
         llm_sql.TOPK_COSINE_SQL,
         "brute-force cosine top-k (broadcast queries)",
+    ),
+    "emb_knn_label_vote": QuerySpec(
+        lambda spark, sf: knn_label_vote(_embs(spark, sf)),
+        llm_sql.KNN_VOTE_SQL,
+        "k-NN majority-label classification",
     ),
     # LSH ANN is approximate by design -> rows-only check (no oracle)
     "emb_lsh_topk": QuerySpec(

@@ -1,0 +1,161 @@
+"""Relational coverage, part 2: rollup, semi/anti joins, pivot, as-of.
+
+The as-of join is the one operator here Spark lacks natively
+(pyspark guide 'Common OLAP patterns'): implemented as the
+union-and-carry-forward window trick -- tag order rows 0 and event
+rows 1, sort by (time, tag) per key, carry the last order struct
+forward with last(..., ignorenulls) -- one shuffle on the key, no
+range explosion. The DuckDB oracle uses its native ASOF LEFT JOIN.
+Orders are pre-deduped to one row per (custkey, date) (max orderkey)
+so the as-of pick is well-defined in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..tables import load_table as _load
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation (subtotals + grand total) over lineitem."""
+    li = _load(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double").alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+ROLLUP_PRICING_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def segment_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi/anti join census: per market segment, customers with and
+    without orders (left_semi / left_anti -> EXISTS / NOT EXISTS)."""
+    cust = _load(spark, sf_dir, "customer")
+    orders = _load(spark, sf_dir, "orders")
+    with_orders = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_with_orders"))
+    )
+    without = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_without_orders"))
+    )
+    return (
+        with_orders.join(without, "c_mktsegment", "full_outer")
+        .select(
+            "c_mktsegment",
+            F.coalesce("n_with_orders", F.lit(0)).alias("n_with_orders"),
+            F.coalesce("n_without_orders", F.lit(0)).alias("n_without_orders"),
+        )
+    )
+
+
+SEGMENT_SEMI_ANTI_SQL = """
+WITH w AS (
+    SELECT c_mktsegment, COUNT(*) AS n_with_orders
+    FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_mktsegment
+),
+wo AS (
+    SELECT c_mktsegment, COUNT(*) AS n_without_orders
+    FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_mktsegment
+)
+SELECT
+    COALESCE(w.c_mktsegment, wo.c_mktsegment) AS c_mktsegment,
+    COALESCE(n_with_orders, 0) AS n_with_orders,
+    COALESCE(n_without_orders, 0) AS n_without_orders
+FROM w FULL OUTER JOIN wo ON w.c_mktsegment = wo.c_mktsegment
+"""
+
+
+def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: events per user x event_type (explicit value list keeps
+    the plan single-pass; Spark fills absent combos with null -> 0)."""
+    ev = _load(spark, sf_dir, "events")
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    return out.na.fill(0, EVENT_TYPES)
+
+
+PIVOT_EVENT_COUNTS_SQL = """
+SELECT user_id,
+    COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+    COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+    COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+    COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+    COUNT(*) FILTER (WHERE event_type = 'view') AS view
+FROM events
+GROUP BY user_id
+"""
+
+
+def asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event matched to the user's latest order at or
+    before the event time (union + carry-forward window)."""
+    ev = _load(spark, sf_dir, "events")
+    orders = _load(spark, sf_dir, "orders")
+    od = orders.groupBy("o_custkey", "o_orderdate").agg(
+        F.max("o_orderkey").alias("o_orderkey"),
+        F.max_by("o_totalprice", F.col("o_orderkey")).alias("o_totalprice"),
+    )
+    o_side = od.select(
+        F.col("o_custkey").alias("uid"),
+        F.col("o_orderdate").alias("t"),
+        F.struct("o_orderkey", "o_totalprice").alias("ord"),
+        F.lit(0).alias("tag"),
+        F.lit(None).cast("long").alias("event_id"),
+    )
+    e_side = ev.select(
+        F.col("user_id").alias("uid"),
+        F.col("ts").alias("t"),
+        F.lit(None).cast("struct<o_orderkey:bigint,o_totalprice:double>").alias("ord"),
+        F.lit(1).alias("tag"),
+        "event_id",
+    )
+    w = (
+        Window.partitionBy("uid")
+        .orderBy("t", "tag")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = o_side.unionByName(e_side).withColumn(
+        "last_ord", F.last("ord", ignorenulls=True).over(w)
+    )
+    return carried.filter(F.col("tag") == 1).select(
+        "event_id",
+        F.col("uid").alias("user_id"),
+        F.col("t").alias("ts"),
+        F.col("last_ord.o_orderkey").alias("last_orderkey"),
+        F.col("last_ord.o_totalprice").alias("last_totalprice"),
+    )
+
+
+ASOF_LATEST_ORDER_SQL = """
+WITH od AS (
+    SELECT o_custkey, o_orderdate,
+           MAX(o_orderkey) AS o_orderkey,
+           arg_max(o_totalprice, o_orderkey) AS o_totalprice
+    FROM orders GROUP BY 1, 2
+)
+SELECT e.event_id, e.user_id, e.ts,
+       od.o_orderkey AS last_orderkey,
+       od.o_totalprice AS last_totalprice
+FROM events e
+ASOF LEFT JOIN od ON e.user_id = od.o_custkey AND od.o_orderdate <= e.ts
+"""
