@@ -1,0 +1,103 @@
+"""Serving-layer + observability tests (S8/S12/S14/F5/F7/W9/A3/A4)."""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import functions as F
+
+from big_data_streaming_dashboard_spark.operators.validate import validate_enrich
+from big_data_streaming_dashboard_spark.sources.batch import read_csv_bronze
+from big_data_streaming_dashboard_spark.sources.streams import stream_parquet_bronze
+from big_data_streaming_dashboard_spark.streaming.metrics import (
+    IngestMetricsListener,
+    with_observed_metrics,
+)
+from big_data_streaming_dashboard_spark.streaming.pipeline import silver_stream
+from big_data_streaming_dashboard_spark.streaming.serving import (
+    DashboardState,
+    drop_heartbeats,
+    priority_tag,
+)
+from big_data_streaming_dashboard_spark.tables import bronze_radiation
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_priority_tag_and_heartbeat_drop(spark):
+    df = spark.createDataFrame(
+        [(1, True, None), (2, False, None), (3, False, "heartbeat"), (4, True, "data")],
+        "event_id long, critical boolean, type string",
+    )
+    tagged = priority_tag(drop_heartbeats(df))
+    got = {r["event_id"]: r["data_priority"] for r in tagged.collect()}
+    assert got == {1: "critical", 2: "normal", 4: "critical"}  # 3 dropped
+
+
+def test_dashboard_state_foreach_batch(spark, tmp_path):
+    """W9/A1/W8: foreachBatch maintains bounded snapshot + stats."""
+    src = str(tmp_path / "bronze")
+    bronze_radiation(spark, SF).coalesce(2).write.parquet(src)
+    state = DashboardState()
+    stream = silver_stream(stream_parquet_bronze(spark, src), bounded_state=False)
+    q = (
+        stream.writeStream.foreachBatch(state.foreach_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert state.batches_seen >= 2  # maxFilesPerTrigger=1 over 2 files
+    # snapshot accumulates ACROSS micro-batches up to the retention cap
+    n_valid = 940  # sf0.001 bronze census (see oracle tests)
+    assert len(state.recent) == min(n_valid, 2000)
+    assert state.stats["total_points"] == len(state.recent)
+    assert state.stats["high_count"] == state.stats["dangerous_points"]
+    assert state.health() == {"status": "healthy", "connected_clients": 0}
+
+
+def test_observed_metrics_streaming(spark, tmp_path):
+    """S8/A3: observe() counters arrive in query progress per batch and
+    total to the real census."""
+    src = str(tmp_path / "bronze_m")
+    bronze_radiation(spark, SF).coalesce(2).write.parquet(src)
+    silver = with_observed_metrics(
+        silver_stream(stream_parquet_bronze(spark, src), bounded_state=False)
+    )
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    q = (
+        silver.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    listener = IngestMetricsListener()
+    for p in q.recentProgress:
+        listener.record(p)
+    totals = listener.totals()
+    table = spark.table(name)
+    assert totals["n_rows"] == table.count()
+    assert totals["n_valid"] == table.filter(F.col("status") == "valid").count()
+    assert totals["n_valid"] + totals["n_invalid"] == totals["n_rows"]
+
+
+def test_csv_bronze_source(spark, tmp_path):
+    """S1-S4: CSV scan -> projected/renamed bronze with all-null drop."""
+    csv = tmp_path / "safecast.csv"
+    csv.write_text(
+        "Captured Time,Latitude,Longitude,Value,Unit\n"
+        "2024-01-01 10:00:00,10.0,20.0,100.0,cpm\n"
+        ",,,,\n"  # all-null -> dropped (S3)
+        "2024-01-01 10:00:01,95.0,20.0,50.0,cpm\n"
+    )
+    bronze = read_csv_bronze(spark, str(csv))
+    rows = bronze.collect()
+    assert len(rows) == 2
+    assert set(bronze.columns) == {
+        "captured_time", "latitude", "longitude", "value", "unit",
+        "ingestion_timestamp",
+    }
+    silver = validate_enrich(bronze.withColumn("event_id", F.monotonically_increasing_id()))
+    got = sorted((r["status"], r["error"]) for r in silver.collect())
+    assert got == [("invalid", "Invalid latitude: 95.0"), ("valid", None)]
