@@ -24,6 +24,13 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+# fixed rational hyperplanes (deterministic, oracle-reproducible as SQL
+# literals; 3 planes -> 8 buckets over 64-dim embeddings)
+DEFAULT_PLANES: list[list[float]] = [
+    [((i * 37 + j * 11) % 17 - 8) / 8.0 for j in range(64)] for i in range(3)
+]
+
+
 def _dvec(col: Column) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
 
@@ -103,6 +110,38 @@ def simhash_bucket(vec: Column, planes: list[list[float]]) -> Column:
     for bit in bits:
         out = out * 2 + bit
     return out
+
+
+def embedding_neardup_pairs(
+    embeddings: DataFrame,
+    planes: list[list[float]],
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs, LSH-bucketed.
+
+    Candidates = pairs sharing a SimHash bucket (sign pattern over
+    fixed hyperplanes); verified with exact cosine >= threshold.
+    The bucket bounds the quadratic blowup exactly like MinHash
+    banding does for text (llmdata/dedup.py)."""
+    wb = embeddings.select(
+        "vec_id", _dvec("embedding").alias("vec")
+    ).withColumn("bucket", simhash_bucket(F.col("vec"), planes)).persist()
+    a = wb.select(
+        F.col("vec_id").alias("vec_a"), F.col("vec").alias("va"), "bucket"
+    )
+    b = wb.select(
+        F.col("vec_id").alias("vec_b"), F.col("vec").alias("vb"), "bucket"
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
 
 
 def lsh_bucket_topk(

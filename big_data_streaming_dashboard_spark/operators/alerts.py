@@ -68,6 +68,33 @@ def alert_candidates(
     )
 
 
+def active_alerts(
+    candidates: DataFrame,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+    max_alerts: int = 5,
+) -> DataFrame:
+    """W11 auto-expiring alert view: alerts still visible at the end of
+    the stream -- severity-dependent TTL (critical 15 s / warning 10 s /
+    else 7 s, useAlertManager.js:50-65), at most ``max_alerts`` newest
+    retained. 'Now' is the max event time over candidates, making the
+    batch view deterministic."""
+    ttl = (
+        F.when(F.col("severity") == "critical", 15)
+        .when(F.col("severity") == "warning", 10)
+        .otherwise(7)
+    )
+    now = candidates.agg(F.max("event_time").alias("_now"))
+    return (
+        candidates.crossJoin(F.broadcast(now))
+        .filter(
+            F.unix_timestamp("event_time") + ttl > F.unix_timestamp("_now")
+        )
+        .drop("_now")
+        .orderBy(F.col("event_time").desc(), F.col("event_id").desc())
+        .limit(max_alerts)
+    )
+
+
 def alert_cooldown(
     candidates: DataFrame,
     order_col: str = "event_id",

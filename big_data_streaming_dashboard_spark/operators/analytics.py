@@ -114,6 +114,26 @@ def recent_points(
     return points.orderBy(F.col(ts_col).desc(), F.col(tiebreak_col).desc()).limit(n)
 
 
+def geojson_features(points: DataFrame) -> DataFrame:
+    """P13: record -> GeoJSON Feature<Point> string
+    (MapView.jsx:73-81). Built with explicit concat (not to_json) so
+    the byte layout is engine-independent and oracle-checkable."""
+    feature = F.concat(
+        F.lit('{"type":"Feature","geometry":{"type":"Point","coordinates":['),
+        F.col("lon").cast("string"),
+        F.lit(","),
+        F.col("lat").cast("string"),
+        F.lit(']},"properties":{"value":'),
+        F.col("value").cast("string"),
+        F.lit(',"level":"'),
+        F.col("level5"),
+        F.lit('","timestamp":"'),
+        F.col("timestamp"),
+        F.lit('"}}'),
+    )
+    return points.select("event_id", feature.alias("feature"))
+
+
 def level_filter(points: DataFrame, bucket: str) -> DataFrame:
     """F6 interactive level filter; bucket in {high, medium, low, all}."""
     if bucket == "all":

@@ -250,6 +250,43 @@ FROM (
 ) WHERE _r = 1
 """
 
+def _plane_literal(plane: list[float]) -> str:
+    return "[" + ", ".join(repr(x) for x in plane) + "]"
+
+
+def neardup_emb_sql(planes: list[list[float]], threshold: float = 0.5) -> str:
+    """Embedding near-dup oracle: SimHash bucket from literal planes,
+    bucket self-join, exact cosine verify (mirrors
+    llmdata.similarity.embedding_neardup_pairs)."""
+    dot = (
+        "list_reduce(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]),"
+        " (x, y) -> x + y)"
+    )
+    bits = []
+    for i, plane in enumerate(planes):
+        d = dot.format(a="v", b=_plane_literal(plane))
+        bits.append(f"(CASE WHEN {d} >= 0 THEN 1 ELSE 0 END)")
+    # matches simhash_bucket's out = out*2 + bit fold over plane order
+    bucket = "0"
+    for b in bits:
+        bucket = f"({bucket}) * 2 + {b}"
+    cos = (
+        f"{dot.format(a='a.v', b='b.v')} / "
+        f"(sqrt({dot.format(a='a.v', b='a.v')}) * sqrt({dot.format(a='b.v', b='b.v')}))"
+    )
+    return f"""
+WITH dv AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+           {bucket} AS bucket
+    FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round({cos}, 6) AS cos_sim
+FROM dv a JOIN dv b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE round({cos}, 6) >= {threshold}
+"""
+
+
 TOPK_COSINE_SQL = """
 WITH dv AS (
     SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

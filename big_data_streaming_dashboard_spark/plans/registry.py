@@ -23,7 +23,13 @@ from pyspark.sql import functions as F
 
 from ..config import DEFAULT_CONFIG
 from ..llmdata.dedup import exact_dedup, minhash_signature, neardup_pairs
-from ..llmdata.similarity import brute_force_topk, knn_label_vote, lsh_bucket_topk
+from ..llmdata.similarity import (
+    DEFAULT_PLANES,
+    brute_force_topk,
+    embedding_neardup_pairs,
+    knn_label_vote,
+    lsh_bucket_topk,
+)
 from ..llmdata.text import (
     language_id,
     quality_score,
@@ -31,8 +37,14 @@ from ..llmdata.text import (
     tfidf_top_terms,
     token_stats,
 )
-from ..operators.alerts import alert_candidates, alert_cooldown
-from ..operators.analytics import grid_cluster, level_filter, recent_points, rolling_stats
+from ..operators.alerts import active_alerts, alert_candidates, alert_cooldown
+from ..operators.analytics import (
+    geojson_features,
+    grid_cluster,
+    level_filter,
+    recent_points,
+    rolling_stats,
+)
 from ..operators.dedup import first_occurrence_dedup
 from ..operators.route import route
 from ..operators.temporal import temporal_batch, union_with_invalid
@@ -227,10 +239,18 @@ def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# fixed hyperplanes for the LSH ANN variant (deterministic; 3 planes -> 8 buckets)
-_LSH_PLANES = [
-    [((i * 37 + j * 11) % 17 - 8) / 8.0 for j in range(64)] for i in range(3)
-]
+# alerts_cooldown's candidate CTE, shared by the alert-view oracles
+_CAND_CTE = f"""{_PIPE_CTE},
+cand AS (
+    SELECT *,
+        CASE WHEN value >= 2000.0 THEN 'critical' ELSE 'warning' END AS severity,
+        (CASE WHEN value >= 2000.0 THEN 'critical' ELSE 'warning' END)
+            || '-' || printf('%.3f', lat) || ',' || printf('%.3f', lon) AS cooldown_key,
+        printf('CPM %s at [%s, %s]', CAST(value AS VARCHAR),
+               printf('%.2f', lat), printf('%.2f', lon)) AS alert_message
+    FROM points WHERE value >= 1000.0
+)
+"""
 
 
 QUERIES: dict[str, QuerySpec] = {
@@ -351,6 +371,31 @@ QUERIES: dict[str, QuerySpec] = {
             ORDER BY event_id) = 1""",
         "F8+P10+P12+D2 threshold alerts with cooldown dedup",
     ),
+    "geojson_features": QuerySpec(
+        lambda spark, sf: geojson_features(_points(spark, sf)),
+        f"""{_PIPE_CTE}
+        SELECT event_id,
+            '{{"type":"Feature","geometry":{{"type":"Point","coordinates":['
+            || CAST(lon AS VARCHAR) || ',' || CAST(lat AS VARCHAR)
+            || ']}},"properties":{{"value":' || CAST(value AS VARCHAR)
+            || ',"level":"' || level5 || '","timestamp":"' || timestamp
+            || '"}}}}' AS feature
+        FROM points""",
+        "P13 GeoJSON Feature<Point> construction",
+    ),
+    "alerts_active": QuerySpec(
+        lambda spark, sf: active_alerts(alert_candidates(_points(spark, sf))),
+        f"""{_CAND_CTE}
+        SELECT * EXCLUDE (_now) FROM (
+            SELECT *, MAX(event_time) OVER () AS _now FROM cand
+        )
+        WHERE CAST(floor(epoch(event_time)) AS BIGINT)
+              + CASE WHEN severity = 'critical' THEN 15
+                     WHEN severity = 'warning' THEN 10 ELSE 7 END
+              > CAST(floor(epoch(_now)) AS BIGINT)
+        ORDER BY event_time DESC, event_id DESC LIMIT 5""",
+        "W11 auto-expiring alert view (TTL by severity, newest 5)",
+    ),
     "severity_ws_counts": QuerySpec(
         q_severity_ws,
         f"""{_PIPE_CTE}
@@ -467,9 +512,14 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     # LSH ANN is approximate by design -> rows-only check (no oracle)
     "emb_lsh_topk": QuerySpec(
-        lambda spark, sf: lsh_bucket_topk(_embs(spark, sf), _LSH_PLANES),
+        lambda spark, sf: lsh_bucket_topk(_embs(spark, sf), DEFAULT_PLANES),
         None,
         "SimHash-bucketed approximate top-k (scale path)",
+    ),
+    "emb_neardup_pairs": QuerySpec(
+        lambda spark, sf: embedding_neardup_pairs(_embs(spark, sf), DEFAULT_PLANES),
+        llm_sql.neardup_emb_sql(DEFAULT_PLANES),
+        "embedding-cosine near-dup pairs (LSH-bucketed + exact verify)",
     ),
     # last-EMITTED-alert dependency is sequential per key -> not
     # SQL-expressible with plain window functions -> rows-only check
