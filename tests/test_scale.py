@@ -1,0 +1,118 @@
+"""Scale-strategy tests: skew salting, bucketed co-located joins,
+streaming checkpoint recovery (the 100-TB design claims, exercised)."""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import functions as F
+
+from big_data_streaming_dashboard_spark.operators.skew import (
+    salted_aggregate,
+    salted_broadcast_left,
+)
+
+
+def test_salted_aggregate_matches_plain(spark):
+    """Two-phase salted agg == plain agg, exactly (algebraic merges)."""
+    df = spark.range(0, 20000).select(
+        (F.col("id") % 7).alias("k"),  # skew: key 0 also gets a hot burst
+        (F.col("id") % 1000).alias("v"),
+    )
+    hot = spark.range(0, 30000).select(F.lit(0).alias("k"), F.lit(5).alias("v"))
+    df = df.unionByName(hot)
+    plain = {
+        r["k"]: (r["s"], r["n"], r["mx"])
+        for r in df.groupBy("k")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"), F.max("v").alias("mx"))
+        .collect()
+    }
+    salted = {
+        r["k"]: (r["s"], r["n"], r["mx"])
+        for r in salted_aggregate(
+            df,
+            ["k"],
+            {"s": ("sum", "v"), "n": ("count", "v"), "mx": ("max", "v")},
+            n_salts=16,
+        ).collect()
+    }
+    assert salted == plain
+
+
+def test_salted_join_matches_plain(spark):
+    big = spark.range(0, 5000).select(
+        (F.when(F.col("id") % 10 < 8, 1).otherwise(F.col("id") % 50)).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    small = spark.range(0, 50).select(
+        F.col("id").alias("k"), (F.col("id") * 100).alias("dim")
+    )
+    plain = sorted(
+        (r["k"], r["payload"], r["dim"]) for r in big.join(small, "k").collect()
+    )
+    salted = sorted(
+        (r["k"], r["payload"], r["dim"])
+        for r in salted_broadcast_left(big, small, "k", n_salts=8).collect()
+    )
+    assert salted == plain
+
+
+def test_bucketed_join_skips_shuffle(spark, tmp_path):
+    """Bucketing co-locates join keys: the bucketed-bucketed equi-join
+    plans with NO shuffle exchange on either side."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    ta, tb = f"ba_{uuid.uuid4().hex[:6]}", f"bb_{uuid.uuid4().hex[:6]}"
+    try:
+        a = spark.range(0, 10000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("va")
+        )
+        b = spark.range(0, 10000).select(
+            F.col("id").alias("k"), (F.col("id") * 3).alias("vb")
+        )
+        a.write.bucketBy(8, "k").sortBy("k").saveAsTable(ta)
+        b.write.bucketBy(8, "k").sortBy("k").saveAsTable(tb)
+        joined = spark.table(ta).join(spark.table(tb), "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan, plan[:2000]
+        assert joined.count() == 10000
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+        spark.sql(f"DROP TABLE IF EXISTS {ta}")
+        spark.sql(f"DROP TABLE IF EXISTS {tb}")
+
+
+def test_streaming_checkpoint_recovery(spark, tmp_path):
+    """W10: a restarted query resumes from the checkpoint -- already-
+    processed files are not re-emitted, new files are."""
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")  # memory sink can't recover; file sink can
+
+    def write_batch(lo, hi):
+        spark.range(lo, hi).select(F.col("id")).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def run():
+        stream = spark.readStream.schema("id long").parquet(src)
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    write_batch(0, 100)
+    run()
+    assert spark.read.parquet(out).count() == 100
+    write_batch(100, 150)
+    run()
+    # restart resumed from the checkpoint: new file appended exactly
+    # once, no reprocessing of the first 100 rows
+    got = sorted(r["id"] for r in spark.read.parquet(out).collect())
+    assert got == list(range(150))
