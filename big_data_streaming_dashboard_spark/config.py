@@ -31,9 +31,11 @@ class PipelineConfig:
     level5_moderate: float = 200.0
     level5_high: float = 1000.0
 
-    # event-time semantics (W2/W4)
+    # event-time semantics (W2/W4/W6)
     temporal_window_seconds: int = 1
     watermark_seconds: int = 5
+    # W6: ENABLE_TEMPORAL_ORDERING toggle (flink_process/config.ini:40)
+    enable_temporal_ordering: bool = True
 
     # alerting (F8/P10/D2/W8)
     alert_threshold: float = 1000.0

@@ -27,7 +27,27 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..config import DEFAULT_CONFIG, PipelineConfig
-from ..functions.levels import severity_map
+from ..functions.levels import severity_map, severity_ws
+
+
+def alerts_ws(points: DataFrame, threshold: float | None = None,
+              cfg: PipelineConfig = DEFAULT_CONFIG) -> DataFrame:
+    """The useWebsocket alert variant (the reference's SECOND, coexisting
+    alert path): same threshold filter, severity by the 100/50 rule
+    (P10), message 'High radiation detected: {v} CPM'
+    (useWebsocket.js:59-69)."""
+    thr = threshold if threshold is not None else cfg.alert_threshold
+    return points.filter(F.col("value") >= F.lit(thr)).select(
+        "event_id",
+        "timestamp",
+        F.col("value"),
+        severity_ws(F.col("value")).alias("severity"),
+        F.concat(
+            F.lit("High radiation detected: "),
+            F.col("value").cast("string"),
+            F.lit(" CPM"),
+        ).alias("alert_message"),
+    )
 
 
 def alert_candidates(

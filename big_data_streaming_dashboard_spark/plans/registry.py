@@ -37,7 +37,13 @@ from ..llmdata.text import (
     tfidf_top_terms,
     token_stats,
 )
-from ..operators.alerts import active_alerts, alert_candidates, alert_cooldown
+from ..operators.alerts import (
+    active_alerts,
+    alert_candidates,
+    alert_cooldown,
+    alerts_ws,
+)
+from ..operators.pipeline import batch_pipeline
 from ..operators.analytics import (
     geojson_features,
     grid_cluster,
@@ -370,6 +376,35 @@ QUERIES: dict[str, QuerySpec] = {
                          CAST(floor(CAST(floor(epoch(event_time)) AS BIGINT) / 30) AS BIGINT)
             ORDER BY event_id) = 1""",
         "F8+P10+P12+D2 threshold alerts with cooldown dedup",
+    ),
+    "full_pipeline": QuerySpec(
+        lambda spark, sf: batch_pipeline(bronze_radiation(spark, sf)),
+        f"""{_ANNOTATED_CTE},
+        merged AS (
+            SELECT * FROM annotated
+            UNION ALL
+            SELECT d.*, CAST(NULL AS VARCHAR) AS timestamp_key,
+                   CAST(NULL AS BIGINT) AS temporal_batch_size,
+                   CAST(NULL AS VARCHAR) AS temporal_ordering
+            FROM deduped d WHERE status = 'invalid'
+        )
+        SELECT *, CASE WHEN status = 'invalid' THEN 'dirty'
+                       WHEN critical THEN 'critical'
+                       ELSE 'normal' END AS route
+        FROM merged""",
+        "end-to-end: validate -> dedup -> temporal -> union -> route",
+    ),
+    "alerts_ws_messages": QuerySpec(
+        lambda spark, sf: alerts_ws(_points(spark, sf)),
+        f"""{_PIPE_CTE}
+        SELECT event_id, timestamp, value,
+               CASE WHEN value >= 100.0 THEN 'critical'
+                    WHEN value >= 50.0 THEN 'warning'
+                    ELSE 'info' END AS severity,
+               'High radiation detected: ' || CAST(value AS VARCHAR) || ' CPM'
+                   AS alert_message
+        FROM points WHERE value >= 1000.0""",
+        "P12 useWebsocket alert message variant",
     ),
     "geojson_features": QuerySpec(
         lambda spark, sf: geojson_features(_points(spark, sf)),

@@ -51,6 +51,14 @@ def read_csv_bronze(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def chunk_time_sort(bronze: DataFrame, ts_col: str = "captured_time") -> DataFrame:
+    """S2: the reference sorts each 50k-row chunk by captured time
+    before sending (partial order only within a chunk,
+    data_provider/data_provider.py:109-110). Spark analog with the same
+    semantics: per-partition sort, no global shuffle."""
+    return bronze.sortWithinPartitions(ts_col)
+
+
 def read_parquet_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     import os
 

@@ -77,6 +77,7 @@ def stream_kafka_bronze(
     bootstrap_servers: str,
     topic: str = "radiation-data",
     starting_offsets: str = "latest",
+    max_offsets_per_trigger: int | None = 100_000,
 ) -> DataFrame:
     """Kafka -> bronze: parse the JSON payload ONCE at the edge
     (from_json), vs the reference's per-operator json.loads (P1).
@@ -84,13 +85,17 @@ def stream_kafka_bronze(
     Requires the spark-sql-kafka package on the classpath; not
     available in the test container (documented, not stubbed away).
     """
-    raw = (
+    reader = (
         spark.readStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap_servers)
         .option("subscribe", topic)
         .option("startingOffsets", starting_offsets)
-        .load()
     )
+    if max_offsets_per_trigger:
+        # S7: replay-rate bound (the Kafka analog of the reference's
+        # per-record sleep throttle)
+        reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
+    raw = reader.load()
     parsed = raw.select(
         F.from_json(F.col("value").cast("string"), KAFKA_JSON_SCHEMA).alias("r"),
         F.col("key").cast("string").alias("kafka_key"),
