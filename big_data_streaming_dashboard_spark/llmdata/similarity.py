@@ -98,6 +98,57 @@ def knn_label_vote(
     )
 
 
+def kmeans_assign(
+    embeddings: DataFrame, k: int = 8, iterations: int = 5
+) -> DataFrame:
+    """Lloyd k-means over the embedding column (iterative algorithm --
+    genuinely not SQL-expressible, rows-only driver check).
+
+    Deterministic: init centroids = the first k vectors by vec_id;
+    assignment ties broken by lowest centroid index (array_position
+    finds the first minimum). Per iteration: broadcast the k centroids
+    as literals (k x dim doubles -- tiny), assign by squared distance,
+    recompute means via posexplode + per-dimension avg. Only the k
+    centroids ever reach the driver; the corpus stays distributed."""
+    vecs = embeddings.select("vec_id", _dvec("embedding").alias("v")).persist()
+    centroids = [
+        list(r["v"])
+        for r in vecs.filter(F.col("vec_id") < k).orderBy("vec_id").collect()
+    ]
+
+    def assign_col(cents: list[list[float]]) -> Column:
+        cent_arr = F.array(*[F.array(*[F.lit(x) for x in c]) for c in cents])
+        dists = F.transform(
+            cent_arr,
+            lambda c: F.aggregate(
+                F.zip_with(F.col("v"), c, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, d: acc + d,
+            ),
+        )
+        return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+    assigned = None
+    for _ in range(iterations):
+        assigned = vecs.withColumn("cluster", assign_col(centroids))
+        means = (
+            assigned.select("cluster", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        by_cluster: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cluster.setdefault(r["cluster"], {})[r["pos"]] = r["m"]
+        centroids = [
+            [by_cluster[c][p] for p in range(len(centroids[0]))]
+            if c in by_cluster
+            else centroids[c]
+            for c in range(k)
+        ]
+    return assigned.select("vec_id", "cluster")
+
+
 def simhash_bucket(vec: Column, planes: list[list[float]]) -> Column:
     """Sign-pattern bucket id from fixed hyperplanes (deterministic)."""
     bits = [

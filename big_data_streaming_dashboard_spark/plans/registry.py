@@ -27,6 +27,7 @@ from ..llmdata.similarity import (
     DEFAULT_PLANES,
     brute_force_topk,
     embedding_neardup_pairs,
+    kmeans_assign,
     knn_label_vote,
     lsh_bucket_topk,
 )
@@ -459,6 +460,34 @@ QUERIES: dict[str, QuerySpec] = {
         FROM c GROUP BY event_type""",
         "flagship: classify + grouped conditional aggregation",
     ),
+    "value_percentiles": QuerySpec(
+        lambda spark, sf: (
+            load_table(spark, sf, "events")
+            .select(
+                "event_type",
+                F.bround(F.col("value") * 4.0).cast("long").alias("cpm"),
+            )
+            .groupBy("event_type")
+            .agg(
+                F.round(F.percentile("cpm", F.lit(0.5)), 6).alias("p50"),
+                F.round(F.percentile("cpm", F.lit(0.9)), 6).alias("p90"),
+                F.round(F.percentile("cpm", F.lit(0.99)), 6).alias("p99"),
+                F.count(F.lit(1)).alias("n"),
+            )
+        ),
+        """
+        WITH c AS (
+            SELECT event_type, CAST(round_even(value * 4.0, 0) AS BIGINT) AS cpm
+            FROM events
+        )
+        SELECT event_type,
+               round(quantile_cont(cpm, 0.5), 6) AS p50,
+               round(quantile_cont(cpm, 0.9), 6) AS p90,
+               round(quantile_cont(cpm, 0.99), 6) AS p99,
+               COUNT(*) AS n
+        FROM c GROUP BY event_type""",
+        "exact interpolated percentiles per group",
+    ),
     # -- relational coverage --
     "pricing_summary": QuerySpec(
         relational.pricing_summary, relational.PRICING_SUMMARY_SQL, "TPC-H Q1 analog"
@@ -555,6 +584,12 @@ QUERIES: dict[str, QuerySpec] = {
         lambda spark, sf: embedding_neardup_pairs(_embs(spark, sf), DEFAULT_PLANES),
         llm_sql.neardup_emb_sql(DEFAULT_PLANES),
         "embedding-cosine near-dup pairs (LSH-bucketed + exact verify)",
+    ),
+    # iterative algorithm -> rows-only check
+    "emb_kmeans": QuerySpec(
+        lambda spark, sf: kmeans_assign(_embs(spark, sf)),
+        None,
+        "Lloyd k-means cluster assignment (iterative, k=8, 5 iters)",
     ),
     # last-EMITTED-alert dependency is sequential per key -> not
     # SQL-expressible with plain window functions -> rows-only check

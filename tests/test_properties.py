@@ -1,0 +1,98 @@
+"""Property-based tests (hypothesis): invariants of the validator,
+router, and dedup over arbitrary stringly bronze rows."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from big_data_streaming_dashboard_spark.operators.dedup import first_occurrence_dedup
+from big_data_streaming_dashboard_spark.operators.route import route
+from big_data_streaming_dashboard_spark.operators.validate import validate_enrich
+
+BRONZE_COLS = (
+    "event_id long, captured_time string, latitude string, longitude string, "
+    "value string, unit string, ingestion_timestamp long"
+)
+
+# strings that exercise every validator path: numerics (in/out of range),
+# garbage, empties, None
+_numish = st.one_of(
+    st.none(),
+    st.just(""),
+    st.just("abc"),
+    st.floats(-250, 250, allow_nan=False).map(lambda x: f"{x:.4f}"),
+)
+_ts = st.one_of(
+    st.none(),
+    st.just("not-a-time"),
+    st.just("2024-01-01 10:00:00"),
+    st.just("2024-01-01 10:00:00+09:00"),
+    st.just("2024-01-01 10:00:01.5"),
+)
+_unit = st.one_of(st.none(), st.just("cpm"), st.just("CPM"), st.just("usv"), st.just(""))
+
+_row = st.tuples(_ts, _numish, _numish, _numish, _unit)
+_rows = st.lists(_row, min_size=1, max_size=25)
+
+
+def _bronze(spark, raw_rows):
+    rows = [
+        (i, ts, lat, lon, val, unit, 0)
+        for i, (ts, lat, lon, val, unit) in enumerate(raw_rows)
+    ]
+    return spark.createDataFrame(rows, BRONZE_COLS)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_rows)
+def test_validator_total_partition(spark, raw_rows):
+    """Every row is valid XOR carries an error; valid rows have the full
+    enrichment, invalid rows have raw_data; row count preserved."""
+    silver = validate_enrich(_bronze(spark, raw_rows)).collect()
+    assert len(silver) == len(raw_rows)
+    for r in silver:
+        if r["status"] == "valid":
+            assert r["error"] is None and r["raw_data"] is None
+            assert r["value"] is not None and r["value"] > 0
+            assert -90 <= r["lat"] <= 90 and -180 <= r["lon"] <= 180
+            assert r["unit"] == "cpm"
+            assert r["level"] in ("low", "moderate", "high")
+            assert r["critical"] == (r["value"] >= 1000)
+        else:
+            assert r["status"] == "invalid" and r["error"]
+            assert r["raw_data"] is not None
+            assert r["value"] is None and r["level"] is None
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_rows)
+def test_route_total_and_consistent(spark, raw_rows):
+    routed = route(validate_enrich(_bronze(spark, raw_rows))).collect()
+    assert len(routed) == len(raw_rows)
+    for r in routed:
+        if r["status"] == "invalid":
+            assert r["route"] == "dirty"
+        elif r["critical"]:
+            assert r["route"] == "critical"
+        else:
+            assert r["route"] == "normal"
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_rows)
+def test_dedup_idempotent_and_minimal(spark, raw_rows):
+    """dedup is idempotent; survivors have the min event_id of their
+    key group; every key keeps exactly one row."""
+    silver = validate_enrich(_bronze(spark, raw_rows))
+    once = first_occurrence_dedup(silver, "dedup_key", "event_id")
+    twice = first_occurrence_dedup(once, "dedup_key", "event_id")
+    got_once = sorted(r["event_id"] for r in once.collect())
+    got_twice = sorted(r["event_id"] for r in twice.collect())
+    assert got_once == got_twice
+    groups = {}
+    for r in silver.collect():
+        groups.setdefault(r["dedup_key"], []).append(r["event_id"])
+    expected = sorted(min(v) for v in groups.values())
+    assert got_once == expected
