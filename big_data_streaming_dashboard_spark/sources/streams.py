@@ -40,6 +40,19 @@ KAFKA_JSON_SCHEMA = T.StructType(
 )
 
 
+def parse_kafka_json(raw: DataFrame) -> DataFrame:
+    """P1: parse the raw Kafka JSON payload ONCE at the edge
+    (vs the reference's per-operator json.loads). Works on any
+    DataFrame with binary/string ``value`` and ``key`` columns --
+    batch-testable without a broker; malformed JSON yields an all-null
+    struct which the validator routes to dirty (F1)."""
+    parsed = raw.select(
+        F.from_json(F.col("value").cast("string"), KAFKA_JSON_SCHEMA).alias("r"),
+        F.col("key").cast("string").alias("kafka_key"),
+    )
+    return parsed.select("r.*", "kafka_key")
+
+
 def stream_parquet_bronze(spark: SparkSession, dir_path: str) -> DataFrame:
     """File-source replay of a bronze directory (test/dev harness).
 
@@ -95,9 +108,4 @@ def stream_kafka_bronze(
         # S7: replay-rate bound (the Kafka analog of the reference's
         # per-record sleep throttle)
         reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
-    raw = reader.load()
-    parsed = raw.select(
-        F.from_json(F.col("value").cast("string"), KAFKA_JSON_SCHEMA).alias("r"),
-        F.col("key").cast("string").alias("kafka_key"),
-    )
-    return parsed.select("r.*", "kafka_key")
+    return parse_kafka_json(reader.load())

@@ -1,0 +1,107 @@
+"""Source-adapter tests: Kafka JSON edge parse (P1), rate source (S7),
+RocksDB state store (W10 scale state)."""
+
+from __future__ import annotations
+
+import json
+import time
+import uuid
+
+from pyspark.sql import functions as F
+
+from big_data_streaming_dashboard_spark.operators.validate import validate_enrich
+from big_data_streaming_dashboard_spark.sources.streams import (
+    parse_kafka_json,
+    stream_rate_bronze,
+)
+
+
+def test_parse_kafka_json_once(spark):
+    """P1: one from_json at the edge; malformed payloads become all-null
+    structs that the validator routes to dirty (Missing fields)."""
+    good = json.dumps(
+        {
+            "captured_time": "2024-01-01 10:00:00",
+            "latitude": "10.0",
+            "longitude": "20.0",
+            "value": "100.0",
+            "unit": "cpm",
+            "ingestion_timestamp": 1704100000000,
+        }
+    )
+    raw = spark.createDataFrame(
+        [("10.0|20.0|100.0|2024-01-01 10:00:00|cpm", good), ("k2", "{not json")],
+        "key string, value string",
+    )
+    bronze = parse_kafka_json(raw)
+    rows = {r["kafka_key"]: r for r in bronze.collect()}
+    assert rows["10.0|20.0|100.0|2024-01-01 10:00:00|cpm"]["latitude"] == "10.0"
+    assert rows["k2"]["captured_time"] is None  # malformed -> nulls
+    silver = validate_enrich(
+        bronze.withColumn("event_id", F.monotonically_increasing_id())
+    )
+    got = sorted((r["status"], r["error"]) for r in silver.collect())
+    assert got == [("invalid", "Missing fields"), ("valid", None)]
+
+
+def test_rate_source_bronze(spark):
+    """S7: the rate-source replay produces schema-complete bronze rows
+    that flow through the validator."""
+    stream = stream_rate_bronze(spark, rows_per_second=500)
+    silver = validate_enrich(
+        stream.withColumn("event_id", F.col("ingestion_timestamp"))
+    )
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    q = (
+        silver.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + 30
+        while time.time() < deadline and spark.table(name).count() == 0:
+            time.sleep(1)
+    finally:
+        q.stop()
+    out = spark.table(name)
+    assert out.count() > 0
+    assert out.filter(F.col("status") == "valid").count() > 0
+
+
+def test_rocksdb_state_store_dedup(spark, tmp_path):
+    """W10: streaming dedup runs on the RocksDB state store provider
+    (the reference's state backend; Spark's scale-state equivalent)."""
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        src = str(tmp_path / "src")
+        for lo, hi in [(0, 50), (25, 75)]:  # overlapping ids -> dups
+            spark.range(lo, hi).select(
+                F.col("id"), F.concat(F.lit("k"), F.col("id")).alias("dedup_key")
+            ).coalesce(1).write.mode("append").parquet(src)
+        stream = spark.readStream.schema("id long, dedup_key string").option(
+            "maxFilesPerTrigger", 1
+        ).parquet(src)
+        name = f"t_{uuid.uuid4().hex[:8]}"
+        q = (
+            stream.dropDuplicates(["dedup_key"])
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = sorted(r["id"] for r in spark.table(name).collect())
+        assert got == list(range(75))  # each id exactly once across batches
+    finally:
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
