@@ -149,6 +149,48 @@ def kmeans_assign(
     return assigned.select("vec_id", "cluster")
 
 
+def ivf_topk(
+    embeddings: DataFrame,
+    n_queries: int = 5,
+    k: int = 10,
+    n_lists: int = 8,
+    kmeans_iterations: int = 3,
+) -> DataFrame:
+    """IVF approximate top-k: k-means centroids define the inverted
+    lists; each query probes only its own cell.
+
+    The classic IVF trade: recall < 1 (cell-boundary neighbors missed),
+    candidate set shrinks ~n_lists-fold. At 100 TB the cluster id is
+    the partition/bucket key, so a probe touches one partition. The
+    assignment reuses kmeans_assign (deterministic)."""
+    assigned = kmeans_assign(embeddings, k=n_lists, iterations=kmeans_iterations)
+    corpus = (
+        embeddings.select("vec_id", "label", _dvec("embedding").alias("vec"))
+        .join(assigned, "vec_id")
+    )
+    qs = corpus.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.col("cluster").alias("qcluster"),
+    )
+    scored = (
+        corpus.join(F.broadcast(qs), F.col("cluster") == F.col("qcluster"))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            "label",
+            cosine(F.col("qvec"), F.col("vec")).alias("_cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("_cos").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "label", "rank", F.round("_cos", 6).alias("cos_sim"))
+    )
+
+
 def simhash_bucket(vec: Column, planes: list[list[float]]) -> Column:
     """Sign-pattern bucket id from fixed hyperplanes (deterministic)."""
     bits = [

@@ -27,6 +27,7 @@ from ..llmdata.similarity import (
     DEFAULT_PLANES,
     brute_force_topk,
     embedding_neardup_pairs,
+    ivf_topk,
     kmeans_assign,
     knn_label_vote,
     lsh_bucket_topk,
@@ -584,6 +585,27 @@ QUERIES: dict[str, QuerySpec] = {
         lambda spark, sf: embedding_neardup_pairs(_embs(spark, sf), DEFAULT_PLANES),
         llm_sql.neardup_emb_sql(DEFAULT_PLANES),
         "embedding-cosine near-dup pairs (LSH-bucketed + exact verify)",
+    ),
+    "unpivot_event_metrics": QuerySpec(
+        relational2.unpivot_event_metrics,
+        relational2.UNPIVOT_EVENT_METRICS_SQL,
+        "unpivot (melt) the user x event_type pivot",
+    ),
+    "user_set_ops": QuerySpec(
+        relational2.user_set_ops,
+        relational2.USER_SET_OPS_SQL,
+        "INTERSECT / EXCEPT / UNION census",
+    ),
+    "events_by_hour": QuerySpec(
+        relational2.events_by_hour,
+        relational2.EVENTS_BY_HOUR_SQL,
+        "hourly timeseries with conditional + distinct aggs",
+    ),
+    # IVF probes only the query's k-means cell -> approximate -> rows-only
+    "emb_ivf_topk": QuerySpec(
+        lambda spark, sf: ivf_topk(_embs(spark, sf)),
+        None,
+        "IVF approximate top-k (k-means inverted lists)",
     ),
     # iterative algorithm -> rows-only check
     "emb_kmeans": QuerySpec(

@@ -106,6 +106,75 @@ GROUP BY user_id
 """
 
 
+def unpivot_event_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): the per-user pivot back to long form."""
+    wide = pivot_event_counts(spark, sf_dir)
+    return wide.unpivot(
+        "user_id", EVENT_TYPES, "event_type", "n_events"
+    )
+
+
+UNPIVOT_EVENT_METRICS_SQL = f"""
+WITH wide AS ({PIVOT_EVENT_COUNTS_SQL})
+SELECT user_id, event_type, n_events
+FROM wide UNPIVOT (n_events FOR event_type IN (click, error, purchase, signup, view))
+"""
+
+
+def user_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT / UNION census over two derived key sets:
+    active users (events) vs purchasing users."""
+    ev = _load(spark, sf_dir, "events")
+    active = ev.select(F.col("user_id").alias("k")).distinct()
+    buyers = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("k"))
+        .distinct()
+    )
+    inter = active.intersect(buyers).select(F.count(F.lit(1)).alias("n_both"))
+    only_active = active.exceptAll(buyers).select(
+        F.count(F.lit(1)).alias("n_active_only")
+    )
+    union_n = active.union(buyers).distinct().select(
+        F.count(F.lit(1)).alias("n_union")
+    )
+    return inter.crossJoin(only_active).crossJoin(union_n)
+
+
+USER_SET_OPS_SQL = """
+WITH active AS (SELECT DISTINCT user_id AS k FROM events),
+buyers AS (SELECT DISTINCT user_id AS k FROM events WHERE event_type = 'purchase')
+SELECT
+    (SELECT COUNT(*) FROM (SELECT k FROM active INTERSECT SELECT k FROM buyers)) AS n_both,
+    (SELECT COUNT(*) FROM (SELECT k FROM active EXCEPT SELECT k FROM buyers)) AS n_active_only,
+    (SELECT COUNT(*) FROM (SELECT k FROM active UNION SELECT k FROM buyers)) AS n_union
+"""
+
+
+def events_by_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucketed aggregation: date_trunc to the hour + conditional
+    counts (the classic dashboard timeseries shape)."""
+    ev = _load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count(F.when(F.col("event_type") == "error", 1)).alias("n_errors"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+EVENTS_BY_HOUR_SQL = """
+SELECT date_trunc('hour', ts) AS hour,
+       COUNT(*) AS n_events,
+       COUNT(*) FILTER (WHERE event_type = 'error') AS n_errors,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1
+"""
+
+
 def asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each event matched to the user's latest order at or
     before the event time (union + carry-forward window)."""
