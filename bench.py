@@ -24,6 +24,7 @@ from big_data_streaming_dashboard_spark.plans import QUERIES
 from big_data_streaming_dashboard_spark.session import get_spark
 
 HEADLINE = [
+    "full_pipeline",
     "silver_validate",
     "dedup_first_occurrence",
     "temporal_batch_annotate",
@@ -37,6 +38,8 @@ HEADLINE = [
     "revenue_by_nation",
     "top_customers",
     "user_sessions",
+    "asof_latest_order",
+    "events_by_hour",
     "doc_token_stats",
     "doc_minhash_signature",
     "doc_neardup_pairs",

@@ -44,6 +44,18 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
+def dot_unrolled(a: Column, b: Column, dim: int) -> Column:
+    """Same left-associated sum as ``dot`` -- (((0+p0)+p1)+...) --
+    but as a flat expression chain instead of a higher-order fold.
+    HOFs evaluate interpreted per element; this unrolled form stays in
+    whole-stage codegen (~3-4x faster in the pairwise hot loop).
+    Bit-identical result: 0.0+p0 == p0, same order, same doubles."""
+    out = a.getItem(0) * b.getItem(0)
+    for i in range(1, dim):
+        out = out + a.getItem(i) * b.getItem(i)
+    return out
+
+
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
 
@@ -54,13 +66,21 @@ def brute_force_topk(
     """Exact top-k cosine neighbors for the first ``n_queries`` vectors.
 
     The query side is tiny by construction -> broadcast join, no
-    shuffle of the corpus; ranking is a per-query-group top-k window
-    (partial top-k per partition under AQE).
+    shuffle of the corpus; ranking is a per-query-group top-k window.
+    Hot-loop discipline: norms are computed ONCE per row (not per
+    pair), and the pairwise dot is the unrolled codegen form -- the
+    values are bit-identical to the naive per-pair fold the oracle
+    runs (same order, multiplication commutes).
     """
+    dim = len(embeddings.select("embedding").first()[0])
     qs = embeddings.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), _dvec("embedding").alias("qvec")
+        F.col("vec_id").alias("query_id"),
+        _dvec("embedding").alias("qvec"),
     )
-    corpus = embeddings.select("vec_id", _dvec("embedding").alias("cvec"), "label")
+    qs = qs.withColumn("qnorm", F.sqrt(dot_unrolled(F.col("qvec"), F.col("qvec"), dim)))
+    corpus = embeddings.select(
+        "vec_id", _dvec("embedding").alias("cvec"), "label"
+    ).withColumn("cnorm", F.sqrt(dot_unrolled(F.col("cvec"), F.col("cvec"), dim)))
     scored = (
         corpus.crossJoin(F.broadcast(qs))
         .filter(F.col("vec_id") != F.col("query_id"))
@@ -68,7 +88,10 @@ def brute_force_topk(
             "query_id",
             "vec_id",
             "label",
-            cosine(F.col("qvec"), F.col("cvec")).alias("_cos"),
+            (
+                dot_unrolled(F.col("qvec"), F.col("cvec"), dim)
+                / (F.col("qnorm") * F.col("cnorm"))
+            ).alias("_cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("_cos").desc(), F.col("vec_id"))
