@@ -601,6 +601,23 @@ QUERIES: dict[str, QuerySpec] = {
         relational2.EVENTS_BY_HOUR_SQL,
         "hourly timeseries with conditional + distinct aggs",
     ),
+    "cube_order_stats": QuerySpec(
+        relational2.cube_order_stats,
+        relational2.CUBE_ORDER_STATS_SQL,
+        "CUBE with GROUPING() markers",
+    ),
+    "above_user_avg": QuerySpec(
+        relational2.above_user_avg,
+        relational2.ABOVE_USER_AVG_SQL,
+        "correlated-subquery shape (window-avg filter)",
+    ),
+    # sketches differ across engines by design -> rows-only; tests
+    # bound the error vs exact
+    "approx_aggregates": QuerySpec(
+        relational2.approx_aggregates,
+        None,
+        "HLL distinct + approx quantile (error-bounded in tests)",
+    ),
     # IVF probes only the query's k-means cell -> approximate -> rows-only
     "emb_ivf_topk": QuerySpec(
         lambda spark, sf: ivf_topk(_embs(spark, sf)),

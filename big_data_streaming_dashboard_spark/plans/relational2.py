@@ -175,6 +175,77 @@ GROUP BY 1
 """
 
 
+def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (orderstatus, orderpriority): all four grouping
+    combinations, with GROUPING() markers to disambiguate rollup nulls."""
+    orders = _load(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias(
+            "sum_price"
+        ),
+        F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+    )
+
+
+CUBE_ORDER_STATS_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+       CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+       CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_priority
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+def above_user_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery shape: events whose value exceeds their
+    user's average. Spark side uses the idiomatic window-average
+    (one shuffle); the oracle uses an actual correlated scalar
+    subquery -- same semantics."""
+    ev = _load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    # avg as exact-decimal sum / count -- engine AVG implementations
+    # differ (decimal-rounding vs double accumulation); this form is
+    # deterministic and identical in both
+    avg_d = (
+        F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double")
+        / F.count(F.lit(1)).over(w).cast("double")
+    )
+    return (
+        ev.withColumn("user_avg", avg_d)
+        .filter(F.col("value") > F.col("user_avg"))
+        .select("event_id", "user_id", "value", F.round("user_avg", 6).alias("user_avg"))
+    )
+
+
+ABOVE_USER_AVG_SQL = """
+WITH ua AS (
+    SELECT user_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS user_avg
+    FROM events GROUP BY user_id
+)
+SELECT e.event_id, e.user_id, e.value, round(ua.user_avg, 6) AS user_avg
+FROM events e JOIN ua ON e.user_id = ua.user_id
+WHERE e.value > ua.user_avg
+"""
+
+
+def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates (HLL distinct + approx quantiles) -- the
+    sketches differ across engines by design, so this is a rows-only
+    query; tests bound the error against exact values instead."""
+    li = _load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median_price"),
+    )
+
+
 def asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each event matched to the user's latest order at or
     before the event time (union + carry-forward window)."""

@@ -44,6 +44,46 @@ def silver_stream(
     return silver.dropDuplicates(["dedup_key"])
 
 
+def temporal_batch_stream_annotated(
+    silver: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Reference-faithful streaming W4: when the watermark closes a 1 s
+    window, re-emit EVERY record annotated with its same-second batch
+    size (flink_process/flink_process.py:23-54 collects the window then
+    emits each element).
+
+    Shape: window agg collecting the row structs, then explode after
+    the window closes. Scale note: the buffered state is bounded by
+    one second of arrivals per key -- at extreme per-second rates use
+    ``temporal_batch_stream`` (count-only, no row buffering) and join
+    the size back downstream.
+    """
+    valid = silver.filter(F.col("status") == "valid")
+    cols = [c for c in valid.columns]
+    agg = (
+        valid.withWatermark("event_time", f"{cfg.watermark_seconds} seconds")
+        .groupBy(
+            F.window("event_time", f"{cfg.temporal_window_seconds} seconds"),
+            F.substring("timestamp", 1, 19).alias("timestamp_key"),
+        )
+        .agg(
+            F.collect_list(F.struct(*cols)).alias("_rows"),
+            F.count(F.lit(1)).alias("temporal_batch_size"),
+        )
+    )
+    exploded = agg.select(
+        "timestamp_key",
+        "temporal_batch_size",
+        F.explode("_rows").alias("_r"),
+    )
+    return exploded.select(
+        "_r.*",
+        "timestamp_key",
+        "temporal_batch_size",
+        F.lit("compliant").alias("temporal_ordering"),
+    )
+
+
 def temporal_batch_stream(
     silver: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG
 ) -> DataFrame:

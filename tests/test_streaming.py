@@ -123,6 +123,35 @@ def test_streaming_temporal_counts_match_batch(spark, bronze_dir):
     assert not late, f"unemitted windows outside the final horizon: {sorted(late)[:5]}"
 
 
+def test_streaming_temporal_annotated_rows_match_batch(spark, bronze_dir):
+    """Reference-faithful W4: per-record re-emission with final batch
+    size equals the batch annotation for every emitted row."""
+    from big_data_streaming_dashboard_spark.streaming.pipeline import (
+        temporal_batch_stream_annotated,
+    )
+
+    silver = silver_stream(stream_parquet_bronze(spark, bronze_dir), bounded_state=False)
+    got = _run_stream(
+        spark, temporal_batch_stream_annotated(silver), f"t_{uuid.uuid4().hex[:8]}"
+    )
+    s_rows = {
+        r["event_id"]: (r["timestamp_key"], r["temporal_batch_size"], r["temporal_ordering"])
+        for r in got.collect()
+    }
+    batch = temporal_batch(
+        first_occurrence_dedup(
+            validate_enrich(bronze_radiation(spark, SF)), "dedup_key", "event_id"
+        ).filter((F.col("status") == "valid") & F.col("event_time").isNotNull())
+    )
+    b_rows = {
+        r["event_id"]: (r["timestamp_key"], r["temporal_batch_size"], r["temporal_ordering"])
+        for r in batch.collect()
+    }
+    assert len(s_rows) > 0.9 * len(b_rows)  # tail windows held by watermark
+    for eid, vals in s_rows.items():
+        assert b_rows[eid] == vals, eid
+
+
 def test_foreach_batch_three_way_routing(spark, bronze_dir):
     """S10: one persisted pass per micro-batch writes all three routes;
     totals across batches == batch route census."""
