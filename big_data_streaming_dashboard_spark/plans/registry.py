@@ -601,6 +601,11 @@ QUERIES: dict[str, QuerySpec] = {
         relational2.EVENTS_BY_HOUR_SQL,
         "hourly timeseries with conditional + distinct aggs",
     ),
+    "range_join_events_orders": QuerySpec(
+        relational2.range_join_events_orders,
+        relational2.RANGE_JOIN_SQL,
+        "range join via day-bucket explode + equi-join + exact filter",
+    ),
     "cube_order_stats": QuerySpec(
         relational2.cube_order_stats,
         relational2.CUBE_ORDER_STATS_SQL,

@@ -175,6 +175,57 @@ GROUP BY 1
 """
 
 
+def range_join_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: events within 7 days after an order by the same
+    user, via the BUCKETIZED pattern Spark needs at scale.
+
+    A naive theta join (a.key = b.key AND a.ts BETWEEN ...) plans as
+    BroadcastNestedLoop/cartesian per key at scale. Instead: explode
+    each range into its covered day buckets (bounded: 7 rows/range),
+    equi-join on (user, day) -- hash-shuffled, prunable -- then apply
+    the exact range predicate. Orders are midnight-aligned so the
+    range [D0, D0+7d) covers exactly day buckets D0..D6.
+    The oracle is the plain inequality join (identical semantics).
+    """
+    ev = _load(spark, sf_dir, "events")
+    orders = _load(spark, sf_dir, "orders")
+    ranges = orders.select(
+        F.col("o_custkey").alias("uid"),
+        "o_orderkey",
+        "o_orderdate",
+        F.explode(
+            F.sequence(
+                F.to_date("o_orderdate"),
+                F.date_add(F.to_date("o_orderdate"), 6),
+            )
+        ).alias("day"),
+    )
+    ev_b = ev.select(
+        "event_id", "user_id", "ts", F.to_date("ts").alias("day")
+    )
+    return (
+        ev_b.join(
+            ranges,
+            (ev_b.user_id == ranges.uid) & (ev_b.day == ranges.day),
+        )
+        .filter(
+            (F.col("ts") >= F.col("o_orderdate"))
+            & (F.col("ts") < F.col("o_orderdate") + F.expr("INTERVAL 7 DAYS"))
+        )
+        .select("event_id", "o_orderkey", "user_id", "ts", "o_orderdate")
+    )
+
+
+RANGE_JOIN_SQL = """
+SELECT e.event_id, o.o_orderkey, e.user_id, e.ts, o.o_orderdate
+FROM events e
+JOIN orders o
+  ON e.user_id = o.o_custkey
+ AND e.ts >= o.o_orderdate
+ AND e.ts < o.o_orderdate + INTERVAL 7 DAY
+"""
+
+
 def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE over (orderstatus, orderpriority): all four grouping
     combinations, with GROUPING() markers to disambiguate rollup nulls."""

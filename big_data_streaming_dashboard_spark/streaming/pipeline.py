@@ -84,6 +84,29 @@ def temporal_batch_stream_annotated(
     )
 
 
+def full_stream(
+    bronze: DataFrame,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+    bounded_state: bool = False,
+) -> DataFrame:
+    """The reference's complete dataflow as ONE streaming query:
+    validate -> dedup -> temporal annotation (W4, watermark-gated) ->
+    union with the invalid bypass (W5) -> route (F3/F4).
+
+    The union joins an aggregated (window-closed) branch with a plain
+    append branch -- both append-mode, so the combined query stays
+    append. Invalid rows flow through with null temporal columns,
+    exactly like the batch `operators/pipeline.batch_pipeline`.
+    """
+    from ..operators.route import route
+
+    silver = silver_stream(bronze, cfg, bounded_state=bounded_state)
+    annotated = temporal_batch_stream_annotated(silver, cfg)
+    invalid = silver.filter(F.col("status") == "invalid")
+    merged = annotated.unionByName(invalid, allowMissingColumns=True)
+    return route(merged)
+
+
 def temporal_batch_stream(
     silver: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG
 ) -> DataFrame:

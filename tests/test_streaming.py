@@ -182,6 +182,36 @@ def test_foreach_batch_three_way_routing(spark, bronze_dir):
     assert collected == expected
 
 
+def test_full_stream_single_job_matches_batch_pipeline(spark, bronze_dir):
+    """The complete dataflow as ONE streaming query (validate -> dedup
+    -> W4 annotation -> W5 union -> route) agrees with batch_pipeline
+    for every emitted row; invalid rows ride the bypass with null
+    temporal columns."""
+    from big_data_streaming_dashboard_spark.operators.pipeline import batch_pipeline
+    from big_data_streaming_dashboard_spark.streaming.pipeline import full_stream
+
+    got = _run_stream(
+        spark,
+        full_stream(stream_parquet_bronze(spark, bronze_dir)),
+        f"t_{uuid.uuid4().hex[:8]}",
+    )
+    s_rows = {
+        r["event_id"]: (r["route"], r["temporal_batch_size"]) for r in got.collect()
+    }
+    batch = batch_pipeline(bronze_radiation(spark, SF))
+    b_rows = {
+        r["event_id"]: (r["route"], r["temporal_batch_size"])
+        for r in batch.filter(
+            (F.col("status") == "invalid") | F.col("event_time").isNotNull()
+        ).collect()
+    }
+    assert len(s_rows) > 0.9 * len(b_rows)
+    dirty_emitted = sum(1 for v in s_rows.values() if v[0] == "dirty")
+    assert dirty_emitted == sum(1 for v in b_rows.values() if v[0] == "dirty")
+    for eid, vals in s_rows.items():
+        assert b_rows[eid] == vals, eid
+
+
 def test_exact_cooldown_state_survives_micro_batches(spark, tmp_path):
     """D2 streaming: last-emit state carries across micro-batches --
     an alert in batch 2 within 30 s of one emitted in batch 1 is
