@@ -606,6 +606,11 @@ QUERIES: dict[str, QuerySpec] = {
         relational2.RANGE_JOIN_SQL,
         "range join via day-bucket explode + equi-join + exact filter",
     ),
+    "session_window_events": QuerySpec(
+        relational2.session_window_events,
+        relational2.SESSION_WINDOW_SQL,
+        "native session_window (30 min gap) vs lag+cumsum oracle",
+    ),
     "cube_order_stats": QuerySpec(
         relational2.cube_order_stats,
         relational2.CUBE_ORDER_STATS_SQL,

@@ -226,6 +226,53 @@ JOIN orders o
 """
 
 
+def session_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-session rows via Spark's NATIVE session_window (gap 30 min).
+
+    Complements `user_sessions` (manual lag+cumsum, per-user totals):
+    this emits one row per session with the merged window bounds.
+    Spark merges an event into the current session iff its ts is
+    STRICTLY before last_ts + gap, so the oracle's new-session flag is
+    `diff >= gap`; window end = last event ts + gap. One shuffle on
+    user_id; session merge runs inside the partition.
+    """
+    ev = _load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+SESSION_WINDOW_SQL = """
+WITH flagged AS (
+    SELECT user_id, ts, event_id,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS new_sess
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+    SELECT user_id, ts,
+           SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sid
+    FROM flagged
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n_events
+FROM sess
+GROUP BY user_id, sid
+"""
+
+
 def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE over (orderstatus, orderpriority): all four grouping
     combinations, with GROUPING() markers to disambiguate rollup nulls."""

@@ -107,6 +107,39 @@ def full_stream(
     return route(merged)
 
 
+def session_stream(
+    silver: DataFrame,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+    gap_seconds: int = 3,
+) -> DataFrame:
+    """Activity bursts per severity level via streaming session_window.
+
+    A session = consecutive valid readings of the same level with gaps
+    < ``gap_seconds``. The watermark closes a session once event time
+    moves past last_ts + gap + watermark; state per open session is one
+    (start, end, count) triple -- bounded by the number of ACTIVE keys,
+    not history, so it scales with key cardinality only. Batch-mode
+    `session_window` (plans/relational2.session_window_events) is the
+    oracle-paired ground truth for the merge semantics; the streaming
+    form is checked against a batch run over the same fixture.
+    """
+    valid = silver.filter(F.col("status") == "valid")
+    return (
+        valid.withWatermark("event_time", f"{cfg.watermark_seconds} seconds")
+        .groupBy(
+            "level",
+            F.session_window("event_time", f"{gap_seconds} seconds").alias("sw"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "level",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def temporal_batch_stream(
     silver: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG
 ) -> DataFrame:

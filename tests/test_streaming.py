@@ -212,6 +212,43 @@ def test_full_stream_single_job_matches_batch_pipeline(spark, bronze_dir):
         assert b_rows[eid] == vals, eid
 
 
+def test_session_window_stream_matches_batch(spark, bronze_dir):
+    """Streaming session_window (3 s gap per level) emits exactly the
+    sessions a batch-mode session_window computes over the same data,
+    for every session the watermark closed."""
+    from big_data_streaming_dashboard_spark.streaming.pipeline import session_stream
+
+    silver = silver_stream(stream_parquet_bronze(spark, bronze_dir), bounded_state=False)
+    got = _run_stream(spark, session_stream(silver), f"t_{uuid.uuid4().hex[:8]}")
+    s_sessions = {
+        (r["level"], r["session_start"]): (r["session_end"], r["n_events"])
+        for r in got.collect()
+    }
+    assert len(s_sessions) > 0
+
+    batch_silver = first_occurrence_dedup(
+        validate_enrich(bronze_radiation(spark, SF)), "dedup_key", "event_id"
+    ).filter((F.col("status") == "valid") & F.col("event_time").isNotNull())
+    batch = (
+        batch_silver.groupBy(
+            "level", F.session_window("event_time", "3 seconds").alias("sw")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "level",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    b_sessions = {
+        (r["level"], r["session_start"]): (r["session_end"], r["n_events"])
+        for r in batch.collect()
+    }
+    for key, vals in s_sessions.items():
+        assert b_sessions[key] == vals, key
+
+
 def test_exact_cooldown_state_survives_micro_batches(spark, tmp_path):
     """D2 streaming: last-emit state carries across micro-batches --
     an alert in batch 2 within 30 s of one emitted in batch 1 is
@@ -243,3 +280,64 @@ def test_exact_cooldown_state_survives_micro_batches(spark, tmp_path):
     # 0 emitted; 20s suppressed; 25s suppressed (state crossed the batch
     # boundary); 40s emitted (>= 30s after t=0)
     assert ids == [0, 3]
+
+
+def _has_protobuf() -> bool:
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithStateInPandas needs protobuf (not in container)",
+)
+def test_exact_cooldown_transform_with_state(spark, tmp_path):
+    """D2 on Spark 4's transformWithStateInPandas (StatefulProcessor +
+    ValueState, RocksDB provider): same cross-batch suppression as the
+    applyInPandasWithState form."""
+    from big_data_streaming_dashboard_spark.streaming.stateful import (
+        exact_cooldown_tws,
+    )
+
+    rows_by_file = [
+        [(0, "2024-01-01 10:00:00"), (1, "2024-01-01 10:00:20")],  # batch 1
+        [(2, "2024-01-01 10:00:25"), (3, "2024-01-01 10:00:40")],  # batch 2
+    ]
+    src = str(tmp_path / "alerts_src")
+    for rows in rows_by_file:
+        df = spark.createDataFrame(rows, "event_id long, ts string").select(
+            F.lit("warning-10.000,20.000").alias("cooldown_key"),
+            "event_id",
+            F.to_timestamp("ts").alias("event_time"),
+            F.lit(10.0).alias("lat"),
+            F.lit(20.0).alias("lon"),
+            F.lit(1200).cast("long").alias("value"),
+            F.lit("warning").alias("severity"),
+            F.lit("msg").alias("alert_message"),
+        )
+        df.coalesce(1).write.mode("append").parquet(src)
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = (
+            spark.readStream.schema(COOLDOWN_OUTPUT_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        got = _run_stream(
+            spark, exact_cooldown_tws(stream), f"t_{uuid.uuid4().hex[:8]}"
+        )
+        ids = sorted(r["event_id"] for r in got.collect())
+        assert ids == [0, 3]
+    finally:
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
