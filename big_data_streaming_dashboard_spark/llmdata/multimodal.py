@@ -110,6 +110,30 @@ def extract_features(media: DataFrame, decode_stub: bool = True) -> DataFrame:
     return media.mapInPandas(op, schema=_FEATURE_SCHEMA)
 
 
+def media_feature_census(spark: Any, sf_dir: str = "") -> DataFrame:
+    """Driver-contract query: the full multimodal plumbing end-to-end.
+
+    synthetic media -> mapInPandas feature extraction -> frame-sample
+    explode -> per-kind census. Deterministic by construction (sha256
+    stub decode; min/max over doubles, integer sums -- never a
+    reassociable double sum), so the rows-only check is stable.
+    ``sf_dir`` is ignored: media payloads are generated, not a fixture
+    table (TESTDATA.md has no binary column).
+    """
+    media = synthetic_media(spark, 64)
+    feats = extract_features(media)
+    frames = frame_sample(media).groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n_frames_sampled")
+    )
+    census = feats.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n_media"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.min(F.element_at("feature", 1)).alias("min_f0"),
+        F.max(F.element_at("feature", 1)).alias("max_f0"),
+    )
+    return census.join(frames, "kind").orderBy("kind")
+
+
 def frame_sample(media: DataFrame, every_n: int = 30) -> DataFrame:
     """Video frame-sampling plumbing: one output row per sampled frame
     index (real decoder would attach the frame tensor)."""

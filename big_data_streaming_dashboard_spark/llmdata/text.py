@@ -132,6 +132,60 @@ def tfidf_top_terms(docs: DataFrame, top_k: int = 3) -> DataFrame:
     )
 
 
+def bigram_lm_score(docs: DataFrame) -> DataFrame:
+    """Corpus bigram language model -> per-doc typicality score.
+
+    Train: count every adjacent token pair (bigram) and every context
+    token over the WHOLE corpus; p(w2|w1) = c(w1,w2)/c(w1). Score each
+    doc by the mean conditional probability of its bigrams -- the
+    rational, log-free cousin of inverse perplexity (ln() is not
+    bit-identical across engines; integer ratios are). Probabilities
+    are quantized to integer micro-units with FLOOR division so every
+    aggregate stays exact-integer until one final double division.
+
+    Shape: explode bigrams (map-side, codegen) -> two hash aggs build
+    the model -> join the model back -> per-doc agg. At sf-test scale
+    the model tables broadcast; at 100 TB they exceed the broadcast
+    threshold and Catalyst/AQE picks sort-merge on (w1, w2) -- both
+    joins share the exploded table's natural key so no extra exchange
+    of the big side. Skewed contexts (stopwords) are exactly the AQE
+    skew-join case; partial aggregation halves the shuffle first.
+    """
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    bg = docs.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice(toks, 1, n - 1),
+                F.slice(toks, 2, n - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("bg"),
+    ).select("doc_id", "bg.w1", "bg.w2")
+    c_bg = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_bg"))
+    c_ctx = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c_ctx"))
+    scored = (
+        bg.join(c_bg, ["w1", "w2"])
+        .join(c_ctx, ["w1"])
+        .select(
+            "doc_id",
+            F.expr("CAST(1000000 * c_bg AS BIGINT) div c_ctx").alias("p_micro"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("p_micro").alias("sum_p_micro"),
+        (
+            (
+                F.sum("p_micro").cast("double")
+                / F.count(F.lit(1)).cast("double")
+            )
+            / F.lit(1000000.0)
+        ).alias("lm_score"),
+    )
+
+
 def language_id(docs: DataFrame) -> DataFrame:
     """Lexicon-hit language ID: argmax of function-word hits per
     language (ties broken in fixed lexicon order)."""

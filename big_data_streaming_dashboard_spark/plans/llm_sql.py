@@ -216,6 +216,28 @@ FROM (
 WHERE rank <= 3
 """
 
+BIGRAM_LM_SQL = r"""
+WITH toks AS (
+    SELECT doc_id, regexp_split_to_array(text, '\s+') AS t FROM documents
+),
+bg AS (
+    SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+    FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i FROM toks)
+),
+c_bg AS (SELECT w1, w2, COUNT(*) AS c_bg FROM bg GROUP BY w1, w2),
+c_ctx AS (SELECT w1, COUNT(*) AS c_ctx FROM bg GROUP BY w1),
+scored AS (
+    SELECT bg.doc_id, (1000000 * c_bg.c_bg) // c_ctx.c_ctx AS p_micro
+    FROM bg JOIN c_bg USING (w1, w2) JOIN c_ctx USING (w1)
+)
+SELECT doc_id,
+       COUNT(*) AS n_bigrams,
+       CAST(SUM(p_micro) AS BIGINT) AS sum_p_micro,
+       (CAST(SUM(p_micro) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) / 1000000.0 AS lm_score
+FROM scored
+GROUP BY doc_id
+"""
+
 KNN_VOTE_SQL = """
 WITH dv AS (
     SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -32,7 +32,9 @@ from ..llmdata.similarity import (
     knn_label_vote,
     lsh_bucket_topk,
 )
+from ..llmdata.multimodal import media_feature_census
 from ..llmdata.text import (
+    bigram_lm_score,
     language_id,
     quality_score,
     simhash8,
@@ -565,6 +567,11 @@ QUERIES: dict[str, QuerySpec] = {
         llm_sql.TFIDF_SQL,
         "top-3 terms per doc by rational tf-idf",
     ),
+    "doc_bigram_lm": QuerySpec(
+        lambda spark, sf: bigram_lm_score(_docs(spark, sf)),
+        llm_sql.BIGRAM_LM_SQL,
+        "corpus bigram LM, per-doc mean conditional probability",
+    ),
     "emb_topk_cosine": QuerySpec(
         lambda spark, sf: brute_force_topk(_embs(spark, sf)),
         llm_sql.TOPK_COSINE_SQL,
@@ -646,6 +653,14 @@ QUERIES: dict[str, QuerySpec] = {
         lambda spark, sf: exact_cooldown_batch(alert_candidates(_points(spark, sf))),
         None,
         "D2 exact sequential cooldown (applyInPandas keyed scan)",
+    ),
+    # binary-payload decode runs through mapInPandas (codec stubbed:
+    # not in container) -> no SQL analog -> rows-only check; outputs are
+    # deterministic (sha256 stub, min/max aggregates -- no double sums)
+    "media_feature_census": QuerySpec(
+        media_feature_census,
+        None,
+        "multimodal decode->feature census (mapInPandas plumbing)",
     ),
 }
 

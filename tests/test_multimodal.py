@@ -45,3 +45,22 @@ def test_frame_sample(spark):
     assert sorted(per_vid[2]) == [0, 30, 60]
     # non-video rows contribute exactly one row each
     assert all(len(v) == 1 for k, v in per_vid.items() if k not in vids)
+
+
+def test_media_feature_census_query(spark):
+    """Driver-contract entry: end-to-end plumbing census is stable and
+    covers all three kinds."""
+    from big_data_streaming_dashboard_spark.llmdata.multimodal import (
+        media_feature_census,
+    )
+
+    rows = {r["kind"]: r for r in media_feature_census(spark).collect()}
+    assert set(rows) == {"image", "audio", "video"}
+    for r in rows.values():
+        assert r["n_media"] > 0 and r["total_bytes"] > 0
+        assert 0.0 <= r["min_f0"] <= r["max_f0"] <= 1.0
+    # twice -> identical (rows-only check must be stable)
+    again = {r["kind"]: r for r in media_feature_census(spark).collect()}
+    assert {k: tuple(v) for k, v in rows.items()} == {
+        k: tuple(v) for k, v in again.items()
+    }
