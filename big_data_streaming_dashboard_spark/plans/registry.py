@@ -618,6 +618,16 @@ QUERIES: dict[str, QuerySpec] = {
         relational2.SESSION_WINDOW_SQL,
         "native session_window (30 min gap) vs lag+cumsum oracle",
     ),
+    "moving_avg_events": QuerySpec(
+        relational2.moving_avg_events,
+        relational2.MOVING_AVG_SQL,
+        "1 h sliding average (RANGE frame over epoch seconds)",
+    ),
+    "downsample_5min": QuerySpec(
+        relational2.downsample_5min,
+        relational2.DOWNSAMPLE_SQL,
+        "5-min continuous-aggregate rollup (first/last/min/max)",
+    ),
     "cube_order_stats": QuerySpec(
         relational2.cube_order_stats,
         relational2.CUBE_ORDER_STATS_SQL,

@@ -273,6 +273,91 @@ GROUP BY user_id, sid
 """
 
 
+def moving_avg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour sliding average per user: RANGE frame over epoch seconds.
+
+    RANGE (not ROWS) so simultaneous events share a frame regardless of
+    row order -- the only deterministic sliding frame. avg is written
+    as exact-decimal sum / count (engine AVG accumulators differ).
+    One shuffle on user_id; the frame scan is a per-partition
+    running-window pass, no second exchange.
+    """
+    ev = _load(spark, sf_dir, "events")
+    sec = F.unix_timestamp("ts")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("_sec"))
+        .rangeBetween(-3599, Window.currentRow)
+    )
+    return (
+        ev.withColumn("_sec", sec)
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            (
+                F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double")
+                / F.count(F.lit(1)).over(w).cast("double")
+            ).alias("moving_avg"),
+            F.count(F.lit(1)).over(w).alias("n_in_window"),
+        )
+    )
+
+
+MOVING_AVG_SQL = """
+SELECT event_id, user_id, ts,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+         / CAST(COUNT(*) OVER w AS DOUBLE) AS moving_avg,
+       COUNT(*) OVER w AS n_in_window
+FROM events
+WINDOW w AS (
+    PARTITION BY user_id
+    ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+    RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW
+)
+"""
+
+
+def downsample_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate rollup: 5-minute buckets
+    per event_type with first/last (by event_id -- the deterministic
+    arrival order), min/max, count.
+
+    The timeseries-DB downsampling pattern as one hash aggregate:
+    bucket key is integer epoch-seconds arithmetic (cross-engine exact,
+    no tz-sensitive date truncation). Map-side partial agg halves the
+    shuffle; at 100 TB this is the canonical pre-aggregation cascade
+    (5 min -> hour -> day each reusing the previous level).
+    """
+    ev = _load(spark, sf_dir, "events")
+    bucket = F.expr("(unix_timestamp(ts) div 300) * 300")
+    return (
+        ev.groupBy(
+            "event_type", bucket.alias("bucket_sec")
+        )
+        .agg(
+            F.min_by("value", "event_id").alias("first_value"),
+            F.max_by("value", "event_id").alias("last_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+DOWNSAMPLE_SQL = """
+SELECT event_type,
+       (CAST(floor(epoch(ts)) AS BIGINT) // 300) * 300 AS bucket_sec,
+       arg_min(value, event_id) AS first_value,
+       arg_max(value, event_id) AS last_value,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY 1, 2
+"""
+
+
 def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE over (orderstatus, orderpriority): all four grouping
     combinations, with GROUPING() markers to disambiguate rollup nulls."""

@@ -212,6 +212,63 @@ def test_full_stream_single_job_matches_batch_pipeline(spark, bronze_dir):
         assert b_rows[eid] == vals, eid
 
 
+def test_stream_static_policy_enrichment(spark, bronze_dir):
+    """Stream-static broadcast join: every valid row picks up its
+    level's escalation policy; invalid rows pass with null policy."""
+    from big_data_streaming_dashboard_spark.streaming.joins import (
+        LEVEL_POLICY_ROWS,
+        enrich_with_policy,
+        level_policy,
+    )
+
+    silver = silver_stream(stream_parquet_bronze(spark, bronze_dir), bounded_state=False)
+    enriched = enrich_with_policy(silver, level_policy(spark))
+    got = _run_stream(spark, enriched, f"t_{uuid.uuid4().hex[:8]}")
+    rows = got.collect()
+    assert len(rows) > 0
+    policy = {level: (action, prio) for level, action, prio in LEVEL_POLICY_ROWS}
+    for r in rows:
+        if r["status"] == "valid":
+            assert (r["action"], r["priority"]) == policy[r["level"]], r["event_id"]
+        else:
+            assert r["action"] is None and r["priority"] is None
+
+
+def test_stream_stream_interval_join_matches_batch(spark, bronze_dir):
+    """Stream-stream interval join (watermarked both sides) emits
+    exactly the pairs the equivalent batch join produces, modulo the
+    watermark-held tail."""
+    from big_data_streaming_dashboard_spark.streaming.joins import (
+        critical_context_stream,
+    )
+
+    bronze_a = stream_parquet_bronze(spark, bronze_dir)
+    bronze_b = stream_parquet_bronze(spark, bronze_dir)
+    joined = critical_context_stream(
+        validate_enrich(bronze_a), validate_enrich(bronze_b)
+    )
+    got = _run_stream(spark, joined, f"t_{uuid.uuid4().hex[:8]}")
+    s_pairs = {
+        (r["critical_id"], r["reading_id"]): (r["cell"], r["reading_value"])
+        for r in got.collect()
+    }
+    assert len(s_pairs) > 0
+
+    # batch ground truth: same operator applied to batch silver (the
+    # builder is source-agnostic -- watermarks are no-ops in batch)
+    batch_silver = validate_enrich(bronze_radiation(spark, SF))
+    b_joined = critical_context_stream(batch_silver, batch_silver)
+    b_pairs = {
+        (r["critical_id"], r["reading_id"]): (r["cell"], r["reading_value"])
+        for r in b_joined.collect()
+    }
+    # every critical matches at least itself in batch
+    assert len(b_pairs) >= 1
+    for key, vals in s_pairs.items():
+        assert b_pairs[key] == vals, key
+    assert len(s_pairs) > 0.8 * len(b_pairs)
+
+
 def test_session_window_stream_matches_batch(spark, bronze_dir):
     """Streaming session_window (3 s gap per level) emits exactly the
     sessions a batch-mode session_window computes over the same data,
