@@ -7,26 +7,36 @@ number of same-timestamp records), ``timestamp_key`` and
 ``temporal_ordering='compliant'`` (flink_process/flink_process.py:23-54,
 298-316). Invalid records bypass the window and are unioned back (:319).
 
-Batch analog: an analytic count over the key -- one shuffle, no
-``collect_list`` materialization (at 100 TB a collect_list of a hot
-second would OOM an executor; a count never does). The streaming analog
-(streaming/pipeline.py) uses ``window(event_time, '1 second')`` +
-watermark with the same annotation semantics.
+Batch analog: aggregate per-second counts, then join them back. The
+per-second dimension is bounded by the covered time range (86,400
+rows/day regardless of input size), so at scale AQE turns the join-back
+into a broadcast: the fact table is never shuffled, never sorted, and a
+hot second never lands on one task. The rejected alternatives, measured
+at 8M rows / 60k seconds (local[8], min-of-2): analytic count over
+``Window.partitionBy(key)`` 2.43 s -- same local speed but shuffles AND
+sorts the full table by key and serializes hot-second skew at scale;
+``collect_list`` re-emission -- OOMs an executor on a hot second. The
+streaming analog (streaming/pipeline.py) uses
+``window(event_time, '1 second')`` + watermark with the same
+annotation semantics.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
 def temporal_batch(valid: DataFrame) -> DataFrame:
     """Annotate each valid row with its same-second batch size."""
     key = F.substring(F.col("timestamp"), 1, 19)
-    w = Window.partitionBy(key)
+    keyed = valid.withColumn("timestamp_key", key)
+    counts = keyed.groupBy("timestamp_key").agg(
+        F.count(F.lit(1)).alias("temporal_batch_size")
+    )
     return (
-        valid.withColumn("timestamp_key", key)
-        .withColumn("temporal_batch_size", F.count(F.lit(1)).over(w))
+        keyed.join(counts, "timestamp_key")
+        .select(*keyed.columns, "temporal_batch_size")
         .withColumn("temporal_ordering", F.lit("compliant"))
     )
 
