@@ -94,6 +94,86 @@ def simhash8(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", sim.cast("int").alias("simhash8"))
 
 
+# Rabin-Karp rolling-hash parameters. M < 2^31 keeps the fold's
+# intermediate (acc * B + code) under 2^52 -- exact in int64 in BOTH
+# engines (DuckDB BIGINT, Spark LongType), no overflow, no float drift.
+RK_MOD = 2147483647
+RK_BASE = 1000003
+RK_WINDOW = 8
+
+
+def _token_codes(text: Column) -> Column:
+    """Integer code per token: length*131 + first-codepoint. Cheap,
+    deterministic, and identical in DuckDB (``ascii`` returns the
+    Unicode codepoint in both engines; '' -> 0 in both)."""
+    return F.transform(
+        tokens(text), lambda t: (F.length(t) * 131 + F.ascii(t)).cast("long")
+    )
+
+
+def _rk_fold(codes: Column) -> Column:
+    """Ordered polynomial fold: h = (h*B + code) mod M, init 0.
+    DuckDB twin: list_reduce(list_prepend(0, codes), ...)."""
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * RK_BASE + c) % RK_MOD,
+    )
+
+
+def _window_hashes(codes: Column, window: int) -> Column:
+    """Hash of every ``window``-token slice. NB: ``sequence(1, n)`` with
+    n < 1 generates a DESCENDING sequence (e.g. [1, 0]) and slice(start=0)
+    throws -- short docs must be guarded to an empty array, not an empty
+    sequence."""
+    n_win = F.size(codes) - window + 1
+    idx = F.when(n_win >= 1, F.sequence(F.lit(1), n_win)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(idx, lambda i: _rk_fold(F.slice(codes, i, window)))
+
+
+def rolling_fingerprint(docs: DataFrame, window: int = RK_WINDOW) -> DataFrame:
+    """Per-doc Rabin-Karp fingerprint (reference stores a per-record
+    content hash for dedup, Backend/consumer_worker.py; here the rolling
+    variant a training pipeline uses for passage-level work).
+
+    Pure map stage -- no shuffle, no UDF, stays in whole-stage codegen;
+    at 100 TB it scales linearly with input splits."""
+    codes = _token_codes(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(codes).alias("n_tokens"),
+        _rk_fold(codes).alias("doc_fp"),
+        F.size(_window_hashes(codes, window)).alias("n_windows"),
+    )
+
+
+def repeated_passages(docs: DataFrame, window: int = RK_WINDOW) -> DataFrame:
+    """Cross-doc repeated ``window``-token passages (contamination /
+    boilerplate detection): explode per-doc window hashes, group by
+    hash, keep hashes seen in >= 2 distinct docs.
+
+    One shuffle, on the passage hash -- uniform by construction (it is
+    a hash), so no skew; count-distinct(doc_id) runs as a two-stage
+    partial aggregate. The heavy ``text`` column is dropped before the
+    exchange: only (hash, doc_id) pairs shuffle."""
+    wh = docs.select(
+        "doc_id",
+        F.explode(_window_hashes(_token_codes(F.col("text")), window)).alias(
+            "passage_hash"
+        ),
+    )
+    return (
+        wh.groupBy("passage_hash")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
 def tfidf_top_terms(docs: DataFrame, top_k: int = 3) -> DataFrame:
     """Top-k terms per doc by a rational tf-idf variant.
 

@@ -238,6 +238,42 @@ FROM scored
 GROUP BY doc_id
 """
 
+# Rabin-Karp rolling hash (mirrors llmdata.text.rolling_fingerprint /
+# repeated_passages; same M/B/W constants, same length*131+ascii codes)
+_RK_CODES = r"""
+codes AS (
+    SELECT doc_id,
+        list_transform(regexp_split_to_array(text, '\s+'),
+                       t -> CAST(length(t) * 131 + ascii(t) AS BIGINT)) AS c
+    FROM documents
+),
+win AS (
+    SELECT doc_id, c,
+        list_transform(generate_series(1, len(c) - 8 + 1),
+            i -> list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(c, i, i + 7)),
+                             (a, x) -> (a * 1000003 + x) % 2147483647)) AS wh
+    FROM codes
+)
+"""
+
+ROLLING_FP_SQL = rf"""
+WITH {_RK_CODES}
+SELECT doc_id,
+    len(c) AS n_tokens,
+    list_reduce(list_prepend(CAST(0 AS BIGINT), c),
+                (a, x) -> (a * 1000003 + x) % 2147483647) AS doc_fp,
+    len(wh) AS n_windows
+FROM win
+"""
+
+REPEATED_PASSAGES_SQL = rf"""
+WITH {_RK_CODES}
+SELECT passage_hash, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occurrences
+FROM (SELECT doc_id, unnest(wh) AS passage_hash FROM win)
+GROUP BY passage_hash
+HAVING COUNT(DISTINCT doc_id) >= 2
+"""
+
 KNN_VOTE_SQL = """
 WITH dv AS (
     SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

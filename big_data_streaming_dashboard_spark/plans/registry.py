@@ -37,6 +37,8 @@ from ..llmdata.text import (
     bigram_lm_score,
     language_id,
     quality_score,
+    repeated_passages,
+    rolling_fingerprint,
     simhash8,
     tfidf_top_terms,
     token_stats,
@@ -556,6 +558,16 @@ QUERIES: dict[str, QuerySpec] = {
         lambda spark, sf: neardup_pairs(_docs(spark, sf)),
         llm_sql.NEARDUP_SQL,
         "LSH-banded near-dup candidate pairs + exact Jaccard",
+    ),
+    "doc_rolling_fingerprint": QuerySpec(
+        lambda spark, sf: rolling_fingerprint(_docs(spark, sf)),
+        llm_sql.ROLLING_FP_SQL,
+        "Rabin-Karp per-doc fingerprint (integer polynomial fold)",
+    ),
+    "doc_repeated_passages": QuerySpec(
+        lambda spark, sf: repeated_passages(_docs(spark, sf)),
+        llm_sql.REPEATED_PASSAGES_SQL,
+        "cross-doc repeated 8-token passages (rolling-hash windows)",
     ),
     "doc_simhash": QuerySpec(
         lambda spark, sf: simhash8(_docs(spark, sf)),

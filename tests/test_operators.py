@@ -199,3 +199,29 @@ def test_shingles_short_doc_fallback(spark):
     assert got[0] == ["a b c", "b c d"]
     assert got[1] == ["a b"]  # < 3 tokens -> whole-text shingle
     assert got[2] == ["solo"]
+
+
+def test_rolling_fingerprint_short_doc_guard(spark):
+    """sequence(1, n) with n < 1 DESCENDS in Spark ([1, 0] -> slice
+    start=0 crash); short docs must yield zero windows, not an error."""
+    from big_data_streaming_dashboard_spark.llmdata.text import (
+        repeated_passages,
+        rolling_fingerprint,
+    )
+
+    # NB: token codes are (length, first-char) -- tokens like w1..w9
+    # would all collide; use distinct shapes
+    long_a = "alpha bravo charlie delta echo foxtrot golf hotel india"
+    long_b = "zz bravo charlie delta echo foxtrot golf hotel india"
+    df = spark.createDataFrame(
+        [(1, long_a), (2, long_b), (3, "too short"), (4, "")],
+        "doc_id long, text string",
+    )
+    fp = {r["doc_id"]: r.asDict() for r in rolling_fingerprint(df).collect()}
+    assert fp[1]["n_windows"] == 2 and fp[2]["n_windows"] == 2
+    assert fp[3]["n_windows"] == 0 and fp[4]["n_windows"] == 0
+    assert fp[4]["doc_fp"] == 0  # empty text -> [''] -> code 0 -> fold 0
+
+    rep = repeated_passages(df).collect()
+    assert len(rep) == 1  # exactly the shared w2..w9 window
+    assert rep[0]["n_docs"] == 2 and rep[0]["n_occurrences"] == 2
