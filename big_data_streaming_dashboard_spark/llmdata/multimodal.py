@@ -76,6 +76,42 @@ def synthetic_media(spark: Any, n: int = 64) -> DataFrame:
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
+def write_media_fixture(
+    spark: Any, path: str, n: int = 64, payload_kb: int = 0
+) -> str:
+    """Persist synthetic media to parquet (the writable-fixture path a
+    real pipeline would use -- binary columns live in object storage,
+    not in createDataFrame literals).
+
+    ``payload_kb`` > 0 inflates each payload to roughly that size so
+    scan-split behavior (`spark.sql.files.maxPartitionBytes`) can be
+    exercised with realistically heavy binary cells."""
+    media = synthetic_media(spark, n)
+    if payload_kb > 0:
+        reps = max(1, (payload_kb * 1024) // 32)
+        media = media.withColumn(
+            "payload", F.expr(f"repeat(payload, {reps})").cast("binary")
+        )
+    # one file per partition; several files so maxPartitionBytes has
+    # split points to work with (parquet splits at row-group/file edges).
+    # Uncompressed: real media payloads (JPEG/MP3/H.264) are already
+    # entropy-coded, so on-disk size ~ payload size; snappy on the
+    # synthetic repeated digest would shrink files ~1000x and make the
+    # scan-split behavior untestable.
+    (
+        media.repartition(8, "media_id")
+        .write.mode("overwrite")
+        .option("compression", "uncompressed")
+        .parquet(path)
+    )
+    return path
+
+
+def read_media(spark: Any, path: str) -> DataFrame:
+    """Read a media fixture back with the canonical column order."""
+    return spark.read.parquet(path).select([f.name for f in MEDIA_SCHEMA.fields])
+
+
 def extract_features(media: DataFrame, decode_stub: bool = True) -> DataFrame:
     """mapInPandas feature extraction; Arrow-batched, map-only.
 

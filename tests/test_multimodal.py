@@ -47,6 +47,68 @@ def test_frame_sample(spark):
     assert all(len(v) == 1 for k, v in per_vid.items() if k not in vids)
 
 
+def test_media_fixture_roundtrip(spark, tmp_path):
+    """Binary payloads survive the parquet round trip byte-exactly."""
+    from big_data_streaming_dashboard_spark.llmdata.multimodal import (
+        read_media,
+        write_media_fixture,
+    )
+
+    path = str(tmp_path / "media")
+    write_media_fixture(spark, path, n=32)
+    back = read_media(spark, path)
+    assert [f.name for f in back.schema.fields] == [
+        "media_id",
+        "kind",
+        "payload",
+        "meta",
+    ]
+    orig = {r["media_id"]: bytes(r["payload"]) for r in synthetic_media(spark, 32).collect()}
+    got = {r["media_id"]: bytes(r["payload"]) for r in back.collect()}
+    assert got == orig
+
+
+def test_media_fixture_inflation_byte_exact(spark, tmp_path):
+    """payload_kb inflation goes through JVM-side repeat (binary->string
+    ->binary); sha256 bytes contain invalid UTF-8 sequences, so this
+    asserts the cast chain never mangles them."""
+    import hashlib
+
+    from big_data_streaming_dashboard_spark.llmdata.multimodal import (
+        read_media,
+        write_media_fixture,
+    )
+
+    path = str(tmp_path / "media_kb")
+    write_media_fixture(spark, path, n=6, payload_kb=64)
+    reps = (64 * 1024) // 32
+    back = {r["media_id"]: bytes(r["payload"]) for r in read_media(spark, path).collect()}
+    for i in range(6):
+        base = hashlib.sha256(f"media-{i}".encode()).digest() * (4 + i % 8)
+        assert back[i] == base * reps, f"media_id={i} mangled"
+
+
+def test_media_fixture_max_partition_bytes(spark, tmp_path):
+    """Scan splits track spark.sql.files.maxPartitionBytes on heavy
+    binary cells: a small cap yields many more scan partitions than a
+    big one (the knob that bounds per-task memory at 100 TB)."""
+    from big_data_streaming_dashboard_spark.llmdata.multimodal import (
+        write_media_fixture,
+    )
+
+    path = str(tmp_path / "media_big")
+    write_media_fixture(spark, path, n=32, payload_kb=64)
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(128 * 1024))
+        many = spark.read.parquet(path).rdd.getNumPartitions()
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        few = spark.read.parquet(path).rdd.getNumPartitions()
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+    assert many > few, (many, few)
+
+
 def test_media_feature_census_query(spark):
     """Driver-contract entry: end-to-end plumbing census is stable and
     covers all three kinds."""
