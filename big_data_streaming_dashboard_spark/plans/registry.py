@@ -523,6 +523,11 @@ QUERIES: dict[str, QuerySpec] = {
         relational2.PIVOT_EVENT_COUNTS_SQL,
         "pivot users x event_type",
     ),
+    "grouping_sets_shipping": QuerySpec(
+        relational2.grouping_sets_shipping,
+        relational2.GROUPING_SETS_SHIPPING_SQL,
+        "GROUPING SETS with heterogeneous sets (beyond cube/rollup)",
+    ),
     "asof_latest_order": QuerySpec(
         relational2.asof_latest_order,
         relational2.ASOF_LATEST_ORDER_SQL,

@@ -383,6 +383,39 @@ GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """
 
 
+def grouping_sets_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS with heterogeneous sets -- ((flag, status), (mode),
+    ()) -- the shape CUBE/ROLLUP can't express (they only emit prefix /
+    power-set lattices). Native `DataFrame.groupingSets` (Spark 4.0+);
+    one Expand + one hash aggregate, same cost as a single-pass cube.
+    GROUPING() markers disambiguate lattice nulls from data nulls."""
+    li = _load(spark, sf_dir, "lineitem").withColumn(
+        "ship_year", F.year("l_shipdate")
+    )
+    return li.groupingSets(
+        [["l_returnflag", "l_linestatus"], ["ship_year"], []],
+        "l_returnflag",
+        "l_linestatus",
+        "ship_year",
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double").alias("sum_qty"),
+        F.grouping("l_returnflag").cast("int").alias("g_flag"),
+        F.grouping("ship_year").cast("int").alias("g_year"),
+    )
+
+
+GROUPING_SETS_SHIPPING_SQL = """
+SELECT l_returnflag, l_linestatus, year(l_shipdate) AS ship_year,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+       CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
+       CAST(GROUPING(year(l_shipdate)) AS INTEGER) AS g_year
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (year(l_shipdate)), ())
+"""
+
+
 def above_user_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated-subquery shape: events whose value exceeds their
     user's average. Spark side uses the idiomatic window-average
