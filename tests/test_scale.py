@@ -57,6 +57,39 @@ def test_salted_join_matches_plain(spark):
     assert salted == plain
 
 
+def test_dim_broadcast_hint_survives_threshold(spark):
+    """With autoBroadcastJoinThreshold=-1 (fact tables too big to
+    broadcast -- the 100 TB case), the star join degrades to
+    SortMergeJoin on the fact keys while explicit F.broadcast hints
+    keep nation/region as BroadcastHashJoin. Never a nested loop."""
+    import re
+
+    from big_data_streaming_dashboard_spark.plans.relational import (
+        revenue_by_nation,
+    )
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = revenue_by_nation(spark, "/root/testdata/sf0.001")
+        expl = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "simple"
+            )
+        )
+        joins = re.findall(
+            r"BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin"
+            r"|BroadcastNestedLoopJoin|CartesianProduct",
+            expl,
+        )
+        assert joins.count("BroadcastHashJoin") == 2, joins  # the 2 dims
+        assert "BroadcastNestedLoopJoin" not in joins, joins
+        assert "CartesianProduct" not in joins, joins
+        assert len(df.collect()) > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_bucketed_join_skips_shuffle(spark, tmp_path):
     """Bucketing co-locates join keys: the bucketed-bucketed equi-join
     plans with NO shuffle exchange on either side."""
