@@ -44,6 +44,46 @@ def test_parse_kafka_json_once(spark):
     assert got == [("invalid", "Missing fields"), ("valid", None)]
 
 
+def test_kafka_producer_consumer_round_trip(spark):
+    """S6 <-> S9 contract, broker-independent: the producer projection
+    (key = composite dedup key, value = to_json(struct)) fed back
+    through parse_kafka_json reproduces every bronze record exactly --
+    including the dirty rows (nulls, non-numerics) the fixture plants.
+    to_json omits null fields; from_json yields null for absent ones,
+    so null round-trips hold."""
+    from collections import Counter
+
+    from big_data_streaming_dashboard_spark.functions.keys import dedup_key
+    from big_data_streaming_dashboard_spark.tables import bronze_radiation
+
+    bronze = bronze_radiation(spark, "/root/testdata/sf0.001")
+    cols = [
+        "captured_time",
+        "latitude",
+        "longitude",
+        "value",
+        "unit",
+        "ingestion_timestamp",
+    ]
+    wire = bronze.select(
+        dedup_key(
+            F.col("latitude"),
+            F.col("longitude"),
+            F.col("value"),
+            F.col("captured_time"),
+            F.col("unit"),
+        ).alias("key"),
+        F.to_json(F.struct(*cols)).alias("value"),
+    )
+    back = parse_kafka_json(wire)
+    orig = Counter(tuple(r[c] for c in cols) for r in bronze.select(*cols).collect())
+    got = Counter(tuple(r[c] for c in cols) for r in back.collect())
+    assert got == orig
+    # D3: every wire record carries a non-null partition-alignment key
+    # (unparseable rows share INVALID_KEY, never null)
+    assert back.filter(F.col("kafka_key").isNull()).count() == 0
+
+
 def test_rate_source_bronze(spark):
     """S7: the rate-source replay produces schema-complete bronze rows
     that flow through the validator."""
