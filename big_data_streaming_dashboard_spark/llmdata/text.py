@@ -78,20 +78,30 @@ def simhash8(docs: DataFrame) -> DataFrame:
     '8'..'f' sort above '0'..'7', so `substr(md5, j+1, 1) >= '8'` IS
     the high-bit test -- no bit arithmetic needed, identical in DuckDB.
     A production simhash widens to 64 bits the same way.
+
+    The per-token md5 array is materialized once in its own projection
+    and the 8 bit-filters test substrings of it: HOFs are
+    CodegenFallback (no codegen CSE), so inlining would hash every
+    token 8 times. Measured at sf0.1 (5k docs): 1.14 s inlined vs
+    0.57 s shared, identical output (same finding as
+    llmdata/dedup.minhash_signature).
     """
-    toks = tokens(F.col("text"))
-    n = F.size(toks)
+    hashed = docs.withColumn(
+        "_h", F.transform(tokens(F.col("text")), lambda t: F.md5(t))
+    )
+    h = F.col("_h")
+    n = F.size(h)
 
     def bit(j: int) -> Column:
         hits = F.size(
-            F.filter(toks, lambda t: F.substring(F.md5(t), j + 1, 1) >= F.lit("8"))
+            F.filter(h, lambda x: F.substring(x, j + 1, 1) >= F.lit("8"))
         )
         return F.when(hits * 2 >= n, F.lit(1)).otherwise(F.lit(0))
 
     sim = F.lit(0)
     for j in range(8):
         sim = sim + bit(j) * (1 << j)
-    return docs.select("doc_id", sim.cast("int").alias("simhash8"))
+    return hashed.select("doc_id", sim.cast("int").alias("simhash8"))
 
 
 # Rabin-Karp rolling-hash parameters. M < 2^31 keeps the fold's
