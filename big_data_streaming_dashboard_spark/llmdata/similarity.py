@@ -24,10 +24,18 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+# embeddings-table vector width (fixture and default corpus). Array
+# columns carry no length in the Spark schema, so the dim must be a
+# parameter -- probing it with .first() would run a driver-side Spark
+# job at plan-construction time (a collect()-class action in the hot
+# path). Callers with a different corpus pass dim= explicitly.
+EMBEDDING_DIM = 64
+
 # fixed rational hyperplanes (deterministic, oracle-reproducible as SQL
 # literals; 3 planes -> 8 buckets over 64-dim embeddings)
 DEFAULT_PLANES: list[list[float]] = [
-    [((i * 37 + j * 11) % 17 - 8) / 8.0 for j in range(64)] for i in range(3)
+    [((i * 37 + j * 11) % 17 - 8) / 8.0 for j in range(EMBEDDING_DIM)]
+    for i in range(3)
 ]
 
 
@@ -61,7 +69,10 @@ def cosine(a: Column, b: Column) -> Column:
 
 
 def brute_force_topk(
-    embeddings: DataFrame, n_queries: int = 5, k: int = 10
+    embeddings: DataFrame,
+    n_queries: int = 5,
+    k: int = 10,
+    dim: int = EMBEDDING_DIM,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for the first ``n_queries`` vectors.
 
@@ -70,9 +81,9 @@ def brute_force_topk(
     Hot-loop discipline: norms are computed ONCE per row (not per
     pair), and the pairwise dot is the unrolled codegen form -- the
     values are bit-identical to the naive per-pair fold the oracle
-    runs (same order, multiplication commutes).
+    runs (same order, multiplication commutes). ``dim`` is a plan-time
+    parameter (no data probe; see EMBEDDING_DIM).
     """
-    dim = len(embeddings.select("embedding").first()[0])
     qs = embeddings.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         _dvec("embedding").alias("qvec"),
@@ -103,11 +114,14 @@ def brute_force_topk(
 
 
 def knn_label_vote(
-    embeddings: DataFrame, n_queries: int = 5, k: int = 5
+    embeddings: DataFrame,
+    n_queries: int = 5,
+    k: int = 5,
+    dim: int = EMBEDDING_DIM,
 ) -> DataFrame:
     """k-NN majority-label classification per query vector: top-k by
     cosine, then argmax of label votes (count desc, label asc)."""
-    topk = brute_force_topk(embeddings, n_queries=n_queries, k=k)
+    topk = brute_force_topk(embeddings, n_queries=n_queries, k=k, dim=dim)
     votes = topk.groupBy("query_id", "label").agg(
         F.count(F.lit(1)).alias("votes")
     )
