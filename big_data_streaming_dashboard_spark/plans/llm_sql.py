@@ -312,35 +312,40 @@ def _plane_literal(plane: list[float]) -> str:
     return "[" + ", ".join(repr(x) for x in plane) + "]"
 
 
-def neardup_emb_sql(planes: list[list[float]], threshold: float = 0.5) -> str:
-    """Embedding near-dup oracle: SimHash bucket from literal planes,
-    bucket self-join, exact cosine verify (mirrors
-    llmdata.similarity.embedding_neardup_pairs)."""
+def neardup_emb_sql(
+    planes: tuple, bands: int, rows_per_band: int, threshold: float = 0.5
+) -> str:
+    """Embedding near-dup oracle: banded multi-bit SimHash signatures
+    from literal planes, ANY-band self-join, exact cosine verify
+    (mirrors llmdata.similarity.embedding_neardup_pairs: same plane
+    doubles, same left-fold dot order, same s = s*2 + bit fold)."""
     dot = (
         "list_reduce(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]),"
         " (x, y) -> x + y)"
     )
-    bits = []
-    for i, plane in enumerate(planes):
-        d = dot.format(a="v", b=_plane_literal(plane))
-        bits.append(f"(CASE WHEN {d} >= 0 THEN 1 ELSE 0 END)")
-    # matches simhash_bucket's out = out*2 + bit fold over plane order
-    bucket = "0"
-    for b in bits:
-        bucket = f"({bucket}) * 2 + {b}"
+    sig_cols = []
+    for band in range(bands):
+        sig = "0"
+        for plane in planes[band * rows_per_band : (band + 1) * rows_per_band]:
+            d = dot.format(a="v", b=_plane_literal(list(plane)))
+            sig = f"({sig}) * 2 + (CASE WHEN {d} >= 0 THEN 1 ELSE 0 END)"
+        sig_cols.append(f"{sig} AS s{band}")
+    any_band = " OR ".join(f"a.s{b} = b.s{b}" for b in range(bands))
     cos = (
         f"{dot.format(a='a.v', b='b.v')} / "
         f"(sqrt({dot.format(a='a.v', b='a.v')}) * sqrt({dot.format(a='b.v', b='b.v')}))"
     )
     return f"""
 WITH dv AS (
-    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
-           {bucket} AS bucket
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
     FROM embeddings
+),
+sigs AS (
+    SELECT vec_id, v, {", ".join(sig_cols)} FROM dv
 )
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        round({cos}, 6) AS cos_sim
-FROM dv a JOIN dv b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+FROM sigs a JOIN sigs b ON a.vec_id < b.vec_id AND ({any_band})
 WHERE round({cos}, 6) >= {threshold}
 """
 

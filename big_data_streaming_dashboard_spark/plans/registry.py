@@ -24,13 +24,17 @@ from pyspark.sql import functions as F
 from ..config import DEFAULT_CONFIG
 from ..llmdata.dedup import exact_dedup, minhash_signature, neardup_pairs
 from ..llmdata.similarity import (
-    DEFAULT_PLANES,
+    DEFAULT_NEARDUP_BANDS,
+    DEFAULT_NEARDUP_ROWS,
+    EMBEDDING_DIM,
     brute_force_topk,
     embedding_neardup_pairs,
+    gaussian_planes,
     ivf_topk,
     kmeans_assign,
     knn_label_vote,
-    lsh_bucket_topk,
+    lsh_banded_topk,
+    simhash_hamming_topk,
 )
 from ..llmdata.multimodal import media_feature_census
 from ..llmdata.text import (
@@ -599,16 +603,27 @@ QUERIES: dict[str, QuerySpec] = {
         llm_sql.KNN_VOTE_SQL,
         "k-NN majority-label classification",
     ),
-    # LSH ANN is approximate by design -> rows-only check (no oracle)
+    # ANN is approximate by design -> rows-only check (no oracle)
     "emb_lsh_topk": QuerySpec(
-        lambda spark, sf: lsh_bucket_topk(_embs(spark, sf), DEFAULT_PLANES),
+        lambda spark, sf: lsh_banded_topk(_embs(spark, sf)),
         None,
-        "SimHash-bucketed approximate top-k (scale path)",
+        "banded multi-bit LSH approximate top-k (equi-join scale path)",
+    ),
+    "emb_hamming_topk": QuerySpec(
+        lambda spark, sf: simhash_hamming_topk(_embs(spark, sf)),
+        None,
+        "256-bit SimHash Hamming-radius ANN top-k (recall 0.96 @ 1/8 candidates)",
     ),
     "emb_neardup_pairs": QuerySpec(
-        lambda spark, sf: embedding_neardup_pairs(_embs(spark, sf), DEFAULT_PLANES),
-        llm_sql.neardup_emb_sql(DEFAULT_PLANES),
-        "embedding-cosine near-dup pairs (LSH-bucketed + exact verify)",
+        lambda spark, sf: embedding_neardup_pairs(_embs(spark, sf)),
+        llm_sql.neardup_emb_sql(
+            gaussian_planes(
+                DEFAULT_NEARDUP_BANDS * DEFAULT_NEARDUP_ROWS, EMBEDDING_DIM
+            ),
+            DEFAULT_NEARDUP_BANDS,
+            DEFAULT_NEARDUP_ROWS,
+        ),
+        "embedding-cosine near-dup pairs (banded LSH + exact verify)",
     ),
     "unpivot_event_metrics": QuerySpec(
         relational2.unpivot_event_metrics,

@@ -1,0 +1,105 @@
+"""ANN quality gates: recall@k vs brute force and candidate-budget
+assertions for the Hamming-radius and banded-LSH paths, plus banded
+near-dup recall vs exact all-pairs.
+
+Run at sf0.1 (N=2000) -- the scale the round bench uses -- so the
+asserted numbers are the ones quoted in llmdata/similarity.py's
+parameter table. Floors sit below the measured values by a margin
+(the planes are seeded, so runs are deterministic; the margin guards
+parameter edits, not noise)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from big_data_streaming_dashboard_spark.llmdata.similarity import (
+    brute_force_topk,
+    embedding_neardup_pairs,
+    hamming_candidates,
+    lsh_banded_topk,
+    simhash_hamming_topk,
+)
+from big_data_streaming_dashboard_spark.tables import load_table
+
+SF = "/root/testdata/sf0.1"
+N_QUERIES = 5
+K = 10
+
+
+def _topk_sets(rows):
+    out = {}
+    for r in rows:
+        out.setdefault(r["query_id"], set()).add(r["vec_id"])
+    return out
+
+
+def _recall(exact_rows, approx_rows):
+    exact, approx = _topk_sets(exact_rows), _topk_sets(approx_rows)
+    recalls = [
+        len(exact[q] & approx.get(q, set())) / len(exact[q]) for q in exact
+    ]
+    return sum(recalls) / len(recalls)
+
+
+def test_hamming_topk_recall_and_candidate_budget(spark):
+    """The verdict gate: recall >= 0.9 at sf0.1 with candidate set
+    <= corpus/8. Measured 0.96 recall @ 0.119 candidate fraction."""
+    embs = load_table(spark, SF, "embeddings")
+    n = embs.count()
+    exact = brute_force_topk(embs, n_queries=N_QUERIES, k=K).collect()
+    approx = simhash_hamming_topk(embs, n_queries=N_QUERIES, k=K).collect()
+    assert _recall(exact, approx) >= 0.9
+    # candidate budget: survivors of the radius prefilter are all the
+    # exact re-rank ever pays for
+    n_cands = hamming_candidates(embs, n_queries=N_QUERIES).count()
+    assert n_cands <= N_QUERIES * n / 8, (n_cands, n)
+    # exact-scored survivors carry true cosine: wherever approx and
+    # exact overlap the similarity is identical
+    exact_cos = {(r["query_id"], r["vec_id"]): r["cos_sim"] for r in exact}
+    for r in approx:
+        key = (r["query_id"], r["vec_id"])
+        if key in exact_cos:
+            assert abs(r["cos_sim"] - exact_cos[key]) < 1e-9
+
+
+def test_banded_topk_recall(spark):
+    """Banded equi-join + multiprobe path: measured 0.83 recall at
+    32 bands x 10 bits on the weakly-separated fixture; floor 0.7."""
+    embs = load_table(spark, SF, "embeddings")
+    exact = brute_force_topk(embs, n_queries=N_QUERIES, k=K).collect()
+    approx = lsh_banded_topk(embs, n_queries=N_QUERIES, k=K).collect()
+    assert _recall(exact, approx) >= 0.7
+
+
+def test_hamming_topk_deterministic(spark):
+    embs = load_table(spark, SF, "embeddings")
+    a = sorted(map(tuple, simhash_hamming_topk(embs).collect()))
+    b = sorted(map(tuple, simhash_hamming_topk(embs).collect()))
+    assert a == b
+
+
+def test_neardup_banded_recall_vs_exact(spark):
+    """Banded candidate generation vs exact all-pairs at threshold
+    0.5. The fixture's 'near-dups' sit at cos 0.5-0.6 (p ~ 0.69), the
+    flattest part of the banding S-curve -- predicted recall ~0.79
+    with 32 bands x 8 bits; real duplicates (cos >= 0.85) are caught
+    w.p. ~1. Precision is exact by construction (verify step)."""
+    embs = load_table(spark, SF, "embeddings")
+    dv = embs.select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+    a = dv.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    b = dv.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    from big_data_streaming_dashboard_spark.llmdata.similarity import cosine
+
+    exact_pairs = {
+        (r["vec_a"], r["vec_b"])
+        for r in a.crossJoin(b)
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .filter(F.round(cosine(F.col("va"), F.col("vb")), 6) >= 0.5)
+        .collect()
+    }
+    got = embedding_neardup_pairs(embs).collect()
+    got_pairs = {(r["vec_a"], r["vec_b"]) for r in got}
+    assert got_pairs <= exact_pairs  # precision 1.0: verify is exact
+    assert exact_pairs, "fixture lost its near-dup pairs"
+    recall = len(got_pairs) / len(exact_pairs)
+    assert recall >= 0.5, (recall, len(exact_pairs))
