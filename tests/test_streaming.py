@@ -398,3 +398,61 @@ def test_exact_cooldown_transform_with_state(spark, tmp_path):
         assert ids == [0, 3]
     finally:
         spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_streaming_temporal_annotated_rejoin_matches_batch(
+    spark, bronze_dir, tmp_path
+):
+    """Scale-safe W4 (no collect_list): phase 1 writes the per-second
+    count aggregate to files; phase 2 stream-stream joins the record
+    stream with the count stream. Every emitted row carries the same
+    final batch size as the batch annotation."""
+    from big_data_streaming_dashboard_spark.streaming.pipeline import (
+        stream_temporal_counts,
+        temporal_annotated_rejoin,
+        temporal_counts_to_files,
+    )
+
+    counts_dir = str(tmp_path / "counts")
+    ckpt = str(tmp_path / "ckpt")
+    silver1 = silver_stream(
+        stream_parquet_bronze(spark, bronze_dir), bounded_state=False
+    )
+    q = temporal_counts_to_files(silver1, counts_dir, ckpt)
+    q.awaitTermination(120)
+
+    silver2 = silver_stream(
+        stream_parquet_bronze(spark, bronze_dir), bounded_state=False
+    )
+    joined = temporal_annotated_rejoin(
+        silver2, stream_temporal_counts(spark, counts_dir)
+    )
+    got = _run_stream(spark, joined, f"t_{uuid.uuid4().hex[:8]}")
+    s_rows = {
+        r["event_id"]: (
+            r["timestamp_key"],
+            r["temporal_batch_size"],
+            r["temporal_ordering"],
+        )
+        for r in got.collect()
+    }
+    batch = temporal_batch(
+        first_occurrence_dedup(
+            validate_enrich(bronze_radiation(spark, SF)), "dedup_key", "event_id"
+        ).filter((F.col("status") == "valid") & F.col("event_time").isNotNull())
+    )
+    b_rows = {
+        r["event_id"]: (
+            r["timestamp_key"],
+            r["temporal_batch_size"],
+            r["temporal_ordering"],
+        )
+        for r in batch.collect()
+    }
+    # every emitted row must agree exactly with the batch annotation
+    for event_id, vals in s_rows.items():
+        assert b_rows[event_id] == vals, event_id
+    # phase 1 closed all windows (availableNow drains the backlog), so
+    # phase 2 re-finds nearly all batch rows; only rows whose window
+    # never closed under the phase-1 watermark tail are absent
+    assert len(s_rows) > 0.9 * len(b_rows)
