@@ -109,3 +109,52 @@ def stream_kafka_bronze(
         # per-record sleep throttle)
         reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
     return parse_kafka_json(reader.load())
+
+
+def read_playback_config(config_dir: str, default_speed: float = 1.0) -> float:
+    """S13: dynamic-config channel, effective semantics.
+
+    The reference publishes {"playback_speed": x} to a Kafka config
+    topic (backend/main.py:44-51) and the producer's listener thread
+    applies it to the replay delay (data_provider/data_provider.py:
+    67-84); the reference's *server-side* consumer is dead code (never
+    started -- SURVEY §2.1 S13). Spark sources can't change options
+    mid-query, so the effective semantics here: the LATEST config in
+    the channel is applied at (re)start, which micro-batch restart
+    makes cheap and exactly-once (checkpoint preserves offsets).
+
+    File-backed channel (one JSON doc per file, lexically-last file
+    wins = latest message); the Kafka form would read the compacted
+    config topic's tail instead."""
+    import json
+    import os
+
+    try:
+        files = sorted(
+            f for f in os.listdir(config_dir) if f.endswith(".json")
+        )
+        if not files:
+            return default_speed
+        with open(os.path.join(config_dir, files[-1])) as fh:
+            return float(json.load(fh).get("playback_speed", default_speed))
+    except (OSError, ValueError):
+        return default_speed
+
+
+def stream_parquet_bronze_dynamic(
+    spark: SparkSession,
+    dir_path: str,
+    config_dir: str,
+    base_files_per_trigger: int = 1,
+) -> DataFrame:
+    """File-source bronze replay whose throttle follows the config
+    channel: files-per-trigger = base * playback_speed (the
+    maxFilesPerTrigger analog of the reference's delay/speed). Restart
+    the query to pick up a new speed (see read_playback_config)."""
+    speed = read_playback_config(config_dir)
+    files_per_trigger = max(1, int(base_files_per_trigger * speed))
+    return (
+        spark.readStream.schema(BRONZE_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(dir_path)
+    )

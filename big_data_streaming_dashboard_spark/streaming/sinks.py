@@ -73,3 +73,24 @@ def run_to_memory(stream_df: DataFrame, name: str, timeout_sec: int = 120) -> No
         .start()
     )
     q.awaitTermination(timeout_sec)
+
+
+def debug_print_sink(
+    stream_df: DataFrame,
+    num_rows: int = 20,
+    truncate: bool = True,
+    available_now: bool = False,
+):
+    """S11: debug console sink -- the Spark analog of the reference's
+    ``normal_stream.print()`` / ``critical_stream.print()`` debug taps
+    (flink_process/flink_process.py:393-394). Returns the started
+    query; dev-only (prints to driver stdout)."""
+    writer = (
+        stream_df.writeStream.format("console")
+        .option("numRows", str(num_rows))
+        .option("truncate", str(truncate).lower())
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

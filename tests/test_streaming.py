@@ -456,3 +456,60 @@ def test_streaming_temporal_annotated_rejoin_matches_batch(
     # phase 2 re-finds nearly all batch rows; only rows whose window
     # never closed under the phase-1 watermark tail are absent
     assert len(s_rows) > 0.9 * len(b_rows)
+
+
+def test_debug_print_sink_runs(spark, bronze_dir):
+    """S11: console sink drives the stream to completion (output goes
+    to driver stdout; the assertion is that the query runs and
+    processes every input row)."""
+    from big_data_streaming_dashboard_spark.streaming.sinks import debug_print_sink
+
+    silver = silver_stream(
+        stream_parquet_bronze(spark, bronze_dir), bounded_state=False
+    )
+    q = debug_print_sink(silver, num_rows=5, available_now=True)
+    q.awaitTermination(120)
+    total = sum(p["numInputRows"] for p in q.recentProgress)
+    assert total > 0
+
+
+def test_dynamic_config_changes_replay_rate_across_restart(
+    spark, bronze_dir, tmp_path
+):
+    """S13 effective semantics: the latest playback_speed in the config
+    channel scales maxFilesPerTrigger at (re)start -- 4 bronze files
+    replay as 4 micro-batches at speed 1, as 1 micro-batch after the
+    channel carries speed 4 and the query restarts."""
+    import json
+
+    from big_data_streaming_dashboard_spark.sources.streams import (
+        read_playback_config,
+        stream_parquet_bronze_dynamic,
+    )
+
+    cfg_dir = tmp_path / "config"
+    cfg_dir.mkdir()
+
+    def batches(tag):
+        stream = stream_parquet_bronze_dynamic(spark, bronze_dir, str(cfg_dir))
+        counts = []
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda df, eid: counts.append(df.count())
+            )
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{tag}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return [c for c in counts if c > 0]
+
+    assert read_playback_config(str(cfg_dir)) == 1.0  # empty channel -> default
+    first = batches("v1")
+    assert len(first) == 4
+
+    (cfg_dir / "0001.json").write_text(json.dumps({"playback_speed": 4.0}))
+    assert read_playback_config(str(cfg_dir)) == 4.0
+    second = batches("v2")
+    assert len(second) == 1
+    assert sum(second) == sum(first)  # same data, different batching
