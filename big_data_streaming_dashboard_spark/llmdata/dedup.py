@@ -26,6 +26,16 @@ from .text import tokens
 DEFAULT_K = 8  # minhash signature length
 DEFAULT_BAND_ROWS = 2  # rows per LSH band -> b = K / r bands
 
+# per-bucket guard: a degenerate band (boilerplate corpus, template
+# pages -- every doc sharing one band hash) makes that bucket's
+# self-join quadratic (m docs -> m(m-1)/2 pairs). Buckets above the
+# cap are excluded from candidate generation -- at scale an oversized
+# LSH bucket is a spam/template cluster, not a near-dup neighborhood,
+# and is routed to `oversized_buckets` for separate handling. Must
+# stay in sync with the literal in plans/llm_sql.NEARDUP_SQL (the
+# oracle mirrors the cap).
+DEFAULT_MAX_BUCKET = 1000
+
 
 def exact_dedup(docs: DataFrame) -> DataFrame:
     """Per-doc exact-dup annotation: text_hash, n_copies,
@@ -84,14 +94,10 @@ def minhash_signature(docs: DataFrame, k: int = DEFAULT_K) -> DataFrame:
     )
 
 
-def neardup_pairs(
-    docs: DataFrame,
-    k: int = DEFAULT_K,
-    band_rows: int = DEFAULT_BAND_ROWS,
-    threshold: float = 0.2,
-) -> DataFrame:
-    """Candidate pairs from LSH band collisions, verified with exact
-    shingle Jaccard; returns (doc_a, doc_b, jaccard) with doc_a < doc_b."""
+def _banded_sigs(docs: DataFrame, k: int, band_rows: int) -> DataFrame:
+    """(doc_id, band_idx, band_hash, _bucket_n): exploded LSH bands
+    with per-bucket occupancy, persisted (the index the self-join
+    probes)."""
     sigs = minhash_signature(docs, k)
     n_bands = k // band_rows
     band_struct = F.array(
@@ -111,10 +117,50 @@ def neardup_pairs(
     # md5/minhash stage on BOTH branches. The banded table is 4 short
     # rows per doc -- at 100 TB this is the standard "materialize the
     # LSH index before probing" step (storage-backed there, cache here).
-    banded = (
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band_idx", "band_hash")
+    return (
         sigs.select("doc_id", F.explode(band_struct).alias("band"))
         .select("doc_id", "band.band_idx", "band.band_hash")
+        .withColumn("_bucket_n", F.count(F.lit(1)).over(w))
         .persist()
+    )
+
+
+def oversized_buckets(
+    docs: DataFrame,
+    k: int = DEFAULT_K,
+    band_rows: int = DEFAULT_BAND_ROWS,
+    max_bucket_size: int = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """The buckets `neardup_pairs` drops under the cap, with their
+    occupancy -- the observable drop count (count() it, log it, route
+    the member docs to template/spam handling)."""
+    banded = _banded_sigs(docs, k, band_rows)
+    return (
+        banded.filter(F.col("_bucket_n") > max_bucket_size)
+        .groupBy("band_idx", "band_hash")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def neardup_pairs(
+    docs: DataFrame,
+    k: int = DEFAULT_K,
+    band_rows: int = DEFAULT_BAND_ROWS,
+    threshold: float = 0.2,
+    max_bucket_size: int = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """Candidate pairs from LSH band collisions, verified with exact
+    shingle Jaccard; returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
+
+    Buckets larger than ``max_bucket_size`` are excluded BEFORE the
+    self-join (see DEFAULT_MAX_BUCKET): the quadratic pair explosion of
+    a degenerate band never materializes. `oversized_buckets` reports
+    what was dropped."""
+    banded = _banded_sigs(docs, k, band_rows).filter(
+        F.col("_bucket_n") <= max_bucket_size
     )
     a = banded.alias("a")
     b = banded.alias("b")

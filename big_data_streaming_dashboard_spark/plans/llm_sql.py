@@ -151,9 +151,16 @@ sig AS (
 banded AS (
 {_bands_union_sql()}
 ),
+-- bucket cap mirrors llmdata.dedup.DEFAULT_MAX_BUCKET (degenerate-band guard)
+bounded AS (
+    SELECT doc_id, band_idx, band_hash FROM (
+        SELECT *, COUNT(*) OVER (PARTITION BY band_idx, band_hash) AS _bucket_n
+        FROM banded
+    ) WHERE _bucket_n <= 1000
+),
 cand AS (
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM banded a JOIN banded b USING (band_idx, band_hash)
+    FROM bounded a JOIN bounded b USING (band_idx, band_hash)
     WHERE a.doc_id < b.doc_id
 ),
 pairs AS (

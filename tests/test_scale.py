@@ -161,3 +161,43 @@ def test_streaming_checkpoint_recovery(spark, tmp_path):
     # once, no reprocessing of the first 100 rows
     got = sorted(r["id"] for r in spark.read.parquet(out).collect())
     assert got == list(range(150))
+
+
+def test_neardup_bucket_cap_bounds_degenerate_band(spark):
+    """A boilerplate corpus (every doc identical) collapses all LSH
+    bands into single buckets -- uncapped, 200 docs would self-join
+    into 19,900 candidate pairs per band. With the cap the quadratic
+    set never materializes and the dropped buckets are observable."""
+    from big_data_streaming_dashboard_spark.llmdata.dedup import (
+        neardup_pairs,
+        oversized_buckets,
+    )
+
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same boilerplate template text repeated everywhere").alias(
+            "text"
+        ),
+    )
+    capped = neardup_pairs(docs, max_bucket_size=50)
+    assert capped.count() == 0  # every bucket oversized -> no pairs
+    dropped = oversized_buckets(docs, max_bucket_size=50).collect()
+    assert len(dropped) == 4  # one degenerate bucket per band
+    assert all(r["n_docs"] == 200 for r in dropped)
+    # a mixed corpus: the boilerplate cluster is dropped, the real
+    # near-dup pair in the tail still comes through
+    mixed = docs.unionByName(
+        spark.createDataFrame(
+            [
+                (1000, "alpha beta gamma delta epsilon zeta eta theta"),
+                (1001, "alpha beta gamma delta epsilon zeta eta iota"),
+            ],
+            "doc_id long, text string",
+        )
+    )
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in neardup_pairs(mixed, max_bucket_size=50).collect()
+    }
+    assert (1000, 1001) in pairs
+    assert all(a >= 1000 for a, _ in pairs)  # no boilerplate pairs
