@@ -54,14 +54,14 @@ def main() -> None:
     # warm the JVM/codegen once so per-query numbers measure the plans
     spark.range(1000).selectExpr("sum(id)").collect()
 
-    # min of 2 runs per query: the first run includes JIT/codegen warmup
+    # min of 3 runs per query: the first run includes JIT/codegen warmup
     # and cache materialization; the min is the steady-state number and
     # is far less sensitive to machine noise
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name].fn
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
