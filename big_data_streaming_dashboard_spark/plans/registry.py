@@ -604,6 +604,11 @@ QUERIES: dict[str, QuerySpec] = {
         "k-NN majority-label classification",
     ),
     # ANN is approximate by design -> rows-only check (no oracle)
+    "emb_ivf_topk_tuned": QuerySpec(
+        lambda spark, sf: ivf_topk(_embs(spark, sf), n_lists=16, n_probe=2),
+        None,
+        "IVF ANN with multi-probe (nprobe=2 of 16 lists; ~0.8 recall @ 1/8 candidates)",
+    ),
     "emb_lsh_topk": QuerySpec(
         lambda spark, sf: lsh_banded_topk(_embs(spark, sf)),
         None,

@@ -103,3 +103,17 @@ def test_neardup_banded_recall_vs_exact(spark):
     assert exact_pairs, "fixture lost its near-dup pairs"
     recall = len(got_pairs) / len(exact_pairs)
     assert recall >= 0.5, (recall, len(exact_pairs))
+
+
+def test_ivf_multiprobe_recall(spark):
+    """IVF with nprobe=2 of 16 lists: candidate budget ~corpus/8,
+    recall measured 1.0 on the 5 fixture queries at sf0.1 (floor 0.8
+    guards parameter edits)."""
+    from big_data_streaming_dashboard_spark.llmdata.similarity import ivf_topk
+
+    embs = load_table(spark, SF, "embeddings")
+    exact = brute_force_topk(embs, n_queries=N_QUERIES, k=K).collect()
+    approx = ivf_topk(
+        embs, n_queries=N_QUERIES, k=K, n_lists=16, n_probe=2
+    ).collect()
+    assert _recall(exact, approx) >= 0.8
