@@ -1,0 +1,73 @@
+"""Training-data curation pipeline over the ``documents`` table.
+
+The composition a 100 TB pretraining-data job actually runs, as ONE
+declarative plan: language ID + quality scoring (pure map stages,
+whole-stage codegen) -> exact dedup (one shuffle on md5) -> near-dup
+exclusion (banded MinHash LSH with the bucket cap, shuffle on
+(band_idx, band_hash)) -> per-doc verdict with a drop reason.
+
+Composition semantics: every signal is computed corpus-wide and the
+verdict is a fixed-precedence CASE (non_english > low_quality >
+exact_duplicate > near_duplicate) -- no cascade where one filter's
+output feeds the next's candidate generation, so stages run as
+independent shuffle trees that AQE schedules freely and the whole
+thing stays oracle-checkable. Near-dup policy is keep-lowest-doc-id:
+a doc is dropped iff it appears as the HIGHER id of a verified pair
+(transitive chains collapse to their minimum like the reference's
+canonical-id rule in exact dedup).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import exact_dedup, neardup_pairs
+from .text import language_id, quality_score
+
+DEFAULT_QUALITY_THRESHOLD = 0.3
+DEFAULT_NEARDUP_JACCARD = 0.5
+DEFAULT_KEEP_LANG = "en"
+
+
+def curation_pipeline(
+    docs: DataFrame,
+    quality_threshold: float = DEFAULT_QUALITY_THRESHOLD,
+    neardup_threshold: float = DEFAULT_NEARDUP_JACCARD,
+    keep_lang: str = DEFAULT_KEEP_LANG,
+) -> DataFrame:
+    """Per-doc curation verdict: (doc_id, predicted_lang,
+    quality_score, n_tokens, drop_reason, kept).
+
+    drop_reason precedence: non_english, low_quality, exact_duplicate,
+    near_duplicate; NULL means the doc survives into the training set.
+    Mirrored exactly by plans/llm_sql.CURATION_SQL."""
+    q = quality_score(docs).select("doc_id", "n_tokens", "quality_score")
+    lang = language_id(docs).select("doc_id", "predicted_lang")
+    exact = exact_dedup(docs).select("doc_id", "is_duplicate")
+    near = (
+        neardup_pairs(docs, threshold=neardup_threshold)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        .withColumn("is_near_dup", F.lit(True))
+    )
+    out = (
+        q.join(lang, "doc_id")
+        .join(exact, "doc_id")
+        .join(near, "doc_id", "left")
+        .withColumn("is_near_dup", F.coalesce("is_near_dup", F.lit(False)))
+    )
+    drop_reason = (
+        F.when(F.col("predicted_lang") != keep_lang, "non_english")
+        .when(F.col("quality_score") < quality_threshold, "low_quality")
+        .when(F.col("is_duplicate"), "exact_duplicate")
+        .when(F.col("is_near_dup"), "near_duplicate")
+    )
+    return out.select(
+        "doc_id",
+        "predicted_lang",
+        "quality_score",
+        "n_tokens",
+        drop_reason.alias("drop_reason"),
+        drop_reason.isNull().alias("kept"),
+    )

@@ -382,3 +382,94 @@ ranked AS (
 SELECT query_id, vec_id, label, rank, round(_cos, 6) AS cos_sim
 FROM ranked WHERE rank <= 10
 """
+
+
+# mirrors llmdata.curation.curation_pipeline: same quality formula,
+# same langid argmax CASE, same exact-dedup window, same banded
+# near-dup chain (incl. the 1000 bucket cap) at jaccard >= 0.5,
+# keep-lowest-doc-id policy, same drop_reason precedence
+CURATION_SQL = rf"""
+WITH {_TOKENS_CTE},
+qm AS (
+    SELECT
+        doc_id,
+        len(tokens) AS n_tokens,
+        CAST(len(list_filter(tokens, t -> lower(t) IN ({_STOP_LIST}))) AS DOUBLE)
+            / CAST(len(tokens) AS DOUBLE) AS stop_ratio,
+        CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')) AS DOUBLE)
+            / CAST(length(text) AS DOUBLE) AS punct_ratio,
+        least(1.0, CAST(len(tokens) AS DOUBLE) / 100.0) AS len_score
+    FROM toks
+),
+q AS (
+    SELECT doc_id, n_tokens,
+        round(len_score * (1.0 - punct_ratio) * (0.5 + stop_ratio), 6) AS quality_score
+    FROM qm
+),
+ltoks AS (
+    SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS tokens
+    FROM documents
+),
+lhits AS (
+    SELECT doc_id,
+        {_lang_hits_sql()}
+    FROM ltoks
+),
+lang AS (
+    SELECT doc_id,
+        CASE WHEN hits_fr > greatest(hits_en, hits_es, hits_de) THEN 'fr'
+             WHEN hits_de > greatest(hits_en, hits_es) THEN 'de'
+             WHEN hits_es > hits_en THEN 'es'
+             ELSE 'en' END AS predicted_lang
+    FROM lhits
+),
+exact AS (
+    SELECT doc_id,
+        doc_id <> MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_duplicate
+    FROM documents
+),
+sig AS (
+    SELECT doc_id,
+        {_sig_cols_sql()}
+    FROM sh
+),
+banded AS (
+{_bands_union_sql()}
+),
+bounded AS (
+    SELECT doc_id, band_idx, band_hash FROM (
+        SELECT *, COUNT(*) OVER (PARTITION BY band_idx, band_hash) AS _bucket_n
+        FROM banded
+    ) WHERE _bucket_n <= 1000
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bounded a JOIN bounded b USING (band_idx, band_hash)
+    WHERE a.doc_id < b.doc_id
+),
+near AS (
+    SELECT DISTINCT cand.doc_b AS doc_id
+    FROM cand
+    JOIN sh sa ON cand.doc_a = sa.doc_id
+    JOIN sh sb ON cand.doc_b = sb.doc_id
+    WHERE round(
+            CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+            / (CAST(len(sa.shingles) + len(sb.shingles) AS DOUBLE)
+               - CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)),
+        6) >= 0.5
+),
+verdict AS (
+    SELECT
+        q.doc_id, lang.predicted_lang, q.quality_score, q.n_tokens,
+        CASE WHEN lang.predicted_lang <> 'en' THEN 'non_english'
+             WHEN q.quality_score < 0.3 THEN 'low_quality'
+             WHEN exact.is_duplicate THEN 'exact_duplicate'
+             WHEN near.doc_id IS NOT NULL THEN 'near_duplicate'
+        END AS drop_reason
+    FROM q
+    JOIN lang ON q.doc_id = lang.doc_id
+    JOIN exact ON q.doc_id = exact.doc_id
+    LEFT JOIN near ON q.doc_id = near.doc_id
+)
+SELECT *, drop_reason IS NULL AS kept FROM verdict
+"""

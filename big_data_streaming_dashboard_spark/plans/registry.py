@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..config import DEFAULT_CONFIG
+from ..llmdata.curation import curation_pipeline
 from ..llmdata.dedup import exact_dedup, minhash_signature, neardup_pairs
 from ..llmdata.similarity import (
     DEFAULT_NEARDUP_BANDS,
@@ -592,6 +593,11 @@ QUERIES: dict[str, QuerySpec] = {
         lambda spark, sf: bigram_lm_score(_docs(spark, sf)),
         llm_sql.BIGRAM_LM_SQL,
         "corpus bigram LM, per-doc mean conditional probability",
+    ),
+    "doc_curation": QuerySpec(
+        lambda spark, sf: curation_pipeline(_docs(spark, sf)),
+        llm_sql.CURATION_SQL,
+        "training-data curation verdict: lang + quality + exact/near dedup, one plan",
     ),
     "emb_topk_cosine": QuerySpec(
         lambda spark, sf: brute_force_topk(_embs(spark, sf)),

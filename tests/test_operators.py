@@ -225,3 +225,34 @@ def test_rolling_fingerprint_short_doc_guard(spark):
     rep = repeated_passages(df).collect()
     assert len(rep) == 1  # exactly the shared w2..w9 window
     assert rep[0]["n_docs"] == 2 and rep[0]["n_occurrences"] == 2
+
+
+def test_curation_pipeline_verdicts(spark):
+    """Hand-built corpus exercising every drop reason and the
+    precedence order (non_english beats low_quality beats dup)."""
+    from big_data_streaming_dashboard_spark.llmdata.curation import (
+        curation_pipeline,
+    )
+
+    # len_score caps at 100 tokens; quality >= 0.3 needs a real doc
+    good = "the quick brown fox jumps over the lazy dog in the park " * 10
+    docs = spark.createDataFrame(
+        [
+            (0, good, "en"),
+            (1, good, "en"),  # exact dup of 0 -> exact_duplicate
+            (2, good + " extra tail words here now", "en"),  # near dup of 0
+            (3, "el la de que y los el la de que y los " * 10, "es"),  # non_english
+            (4, "!!! ??? ***", "en"),  # low_quality (all punct)
+            # non-english AND low length -> precedence: non_english
+            (5, "el la de que", "es"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    got = {r["doc_id"]: r for r in curation_pipeline(docs).collect()}
+    assert got[0]["kept"] and got[0]["drop_reason"] is None
+    assert got[1]["drop_reason"] == "exact_duplicate"
+    assert got[2]["drop_reason"] == "near_duplicate"
+    assert got[3]["drop_reason"] == "non_english"
+    assert got[4]["drop_reason"] == "low_quality"
+    assert got[5]["drop_reason"] == "non_english"  # precedence
+    assert all(not got[i]["kept"] for i in (1, 2, 3, 4, 5))
