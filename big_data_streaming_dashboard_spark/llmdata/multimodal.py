@@ -180,3 +180,158 @@ def frame_sample(media: DataFrame, every_n: int = 30) -> DataFrame:
     return media.select(
         "media_id", "kind", F.explode(frames).alias("frame_idx")
     )
+
+
+_RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("src_width", T.IntegerType(), True),
+        T.StructField("src_height", T.IntegerType(), True),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("pixels", T.BinaryType(), True),
+    ]
+)
+
+
+def resize_images(
+    media: DataFrame,
+    width: int = 64,
+    height: int = 64,
+    decode_stub: bool = True,
+) -> DataFrame:
+    """Image resize as an Arrow-batched mapInPandas stage.
+
+    Output ``pixels`` is the decoded+resized RGB buffer (width*height*3
+    bytes -- the contract a real PIL/torchvision kernel honors). The
+    stub synthesizes it deterministically from sha256(payload) so batch
+    shape, byte length, and partition behavior are testable without
+    codecs; ``decode_stub=False`` raises where the real kernel plugs
+    in. The kind filter runs BEFORE the Python stage (JVM-side, pushed
+    to the scan), so non-image payloads never cross the Arrow boundary.
+    """
+    out_len = width * height * 3
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hl
+
+        def stub_resize(payload):
+            if payload is None:
+                return None
+            h = _hl.sha256(payload).digest()
+            return (h * (out_len // len(h) + 1))[:out_len]
+
+        for pdf in batches:
+            if not decode_stub:
+                raise NotImplementedError(
+                    "real image codecs (PIL/torchvision) are not installed "
+                    "in this container; pass decode_stub=True"
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "src_width": pdf["meta"].map(lambda m: m["width"]),
+                    "src_height": pdf["meta"].map(lambda m: m["height"]),
+                    "width": width,
+                    "height": height,
+                    "pixels": pdf["payload"].map(stub_resize),
+                }
+            )
+
+    return media.filter(F.col("kind") == "image").mapInPandas(
+        op, schema=_RESIZE_SCHEMA
+    )
+
+
+def audio_windows(
+    media: DataFrame,
+    window_ms: int = 1000,
+    hop_ms: int = 500,
+    bytes_per_sample: int = 2,
+) -> DataFrame:
+    """Audio windowing plumbing: one row per (media_id, window) with
+    sample offsets -- pure JVM-side sequence/explode, NO Python stage.
+
+    Treats the payload as mono PCM (``bytes_per_sample`` bytes per
+    sample, the contract a real loader honors): n_samples =
+    len(payload) / bytes_per_sample, window/hop in samples from
+    meta.sample_rate. The window INDEXING is native because it only
+    needs arithmetic -- Python is reserved for the per-window feature
+    kernel (`audio_window_features`). Windows shorter than a full
+    window_ms at the tail are dropped (librosa center=False framing).
+    """
+    sr = F.col("meta.sample_rate")
+    n_samples = (F.length("payload") / bytes_per_sample).cast("long")
+    win = (sr * window_ms / 1000).cast("long")
+    hop = (sr * hop_ms / 1000).cast("long")
+    starts = F.when(
+        (F.col("kind") == "audio") & sr.isNotNull() & (n_samples >= win),
+        F.sequence(F.lit(0).cast("long"), n_samples - win, hop),
+    )
+    return (
+        media.filter(F.col("kind") == "audio")
+        .select(
+            "media_id",
+            sr.alias("sample_rate"),
+            F.explode(starts).alias("start_sample"),
+            win.alias("n_window_samples"),
+            "payload",
+        )
+        .select(
+            "media_id",
+            "sample_rate",
+            "start_sample",
+            (F.col("start_sample") + F.col("n_window_samples")).alias("end_sample"),
+            "payload",
+        )
+    )
+
+
+_AUDIO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("start_sample", T.LongType(), False),
+        T.StructField("end_sample", T.LongType(), False),
+        T.StructField("feature", T.ArrayType(T.DoubleType()), True),
+    ]
+)
+
+
+def audio_window_features(
+    windows: DataFrame,
+    bytes_per_sample: int = 2,
+    decode_stub: bool = True,
+) -> DataFrame:
+    """Per-window feature kernel (the MFCC/fbank slot) over
+    `audio_windows` output: Arrow-batched, stub = deterministic sha256
+    of the window's byte slice -> FEATURE_DIM doubles."""
+    dim = FEATURE_DIM
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hl
+
+        def stub_feat(row):
+            payload = row["payload"]
+            if payload is None:
+                return None
+            lo = int(row["start_sample"]) * bytes_per_sample
+            hi = int(row["end_sample"]) * bytes_per_sample
+            h = _hl.sha256(payload[lo:hi]).digest()
+            return [h[i] / 255.0 for i in range(dim)]
+
+        for pdf in batches:
+            if not decode_stub:
+                raise NotImplementedError(
+                    "real audio codecs (librosa/torchaudio) are not installed "
+                    "in this container; pass decode_stub=True"
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "start_sample": pdf["start_sample"],
+                    "end_sample": pdf["end_sample"],
+                    "feature": pdf.apply(stub_feat, axis=1),
+                }
+            )
+
+    return windows.mapInPandas(op, schema=_AUDIO_FEATURE_SCHEMA)

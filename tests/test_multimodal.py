@@ -126,3 +126,94 @@ def test_media_feature_census_query(spark):
     assert {k: tuple(v) for k, v in rows.items()} == {
         k: tuple(v) for k, v in again.items()
     }
+
+
+def test_resize_images_stub(spark):
+    from big_data_streaming_dashboard_spark.llmdata.multimodal import (
+        resize_images,
+    )
+
+    media = synthetic_media(spark, n=12)
+    got = resize_images(media, width=8, height=8).collect()
+    # only images (media_id % 3 == 0) cross the Arrow boundary
+    assert {r["media_id"] for r in got} == {0, 3, 6, 9}
+    for r in got:
+        assert (r["width"], r["height"]) == (8, 8)
+        assert len(r["pixels"]) == 8 * 8 * 3  # RGB buffer contract
+        assert r["src_width"] is not None and r["src_height"] is not None
+    # deterministic
+    again = {r["media_id"]: bytes(r["pixels"]) for r in resize_images(media, 8, 8).collect()}
+    assert again == {r["media_id"]: bytes(r["pixels"]) for r in got}
+
+
+def test_resize_images_real_codec_unimplemented(spark):
+    from big_data_streaming_dashboard_spark.llmdata.multimodal import (
+        resize_images,
+    )
+
+    media = synthetic_media(spark, n=3)
+    with pytest.raises(Exception, match="NotImplementedError|not installed"):
+        resize_images(media, decode_stub=False).collect()
+
+
+def test_audio_windows_offsets(spark):
+    from big_data_streaming_dashboard_spark.llmdata.multimodal import (
+        audio_windows,
+    )
+
+    media = synthetic_media(spark, n=6)
+    # audio payloads here are 32*(4 + i%8) bytes -> 64-176 samples at
+    # 2 B/sample; 2 ms windows at 16 kHz = 32 samples, 1 ms hop = 16
+    got = audio_windows(media, window_ms=2, hop_ms=1).collect()
+    assert got, "no audio windows produced"
+    by_media = {}
+    for r in got:
+        by_media.setdefault(r["media_id"], []).append(r)
+    assert set(by_media) == {1, 4}  # media_id % 3 == 1 are audio
+    for media_id, rows in by_media.items():
+        rows.sort(key=lambda r: r["start_sample"])
+        n_samples = len(rows[0]["payload"]) // 2
+        starts = [r["start_sample"] for r in rows]
+        assert starts == list(range(0, n_samples - 32 + 1, 16))
+        assert all(r["end_sample"] - r["start_sample"] == 32 for r in rows)
+        assert rows[0]["sample_rate"] == 16000
+
+
+def test_audio_window_features_slice_dependent(spark):
+    from big_data_streaming_dashboard_spark.llmdata.multimodal import (
+        audio_window_features,
+        audio_windows,
+    )
+
+    # synthetic_media audio payloads are a REPEATED 32-byte digest, so
+    # hop-aligned slices are identical -- build a non-periodic payload
+    # to prove the kernel sees the slice, not the whole payload
+    from big_data_streaming_dashboard_spark.llmdata.multimodal import (
+        MEDIA_SCHEMA,
+    )
+
+    media = spark.createDataFrame(
+        [
+            (
+                1,
+                "audio",
+                bytes(range(256)) * 4,
+                (None, None, 16000, None, "application/x-fake-audio"),
+            )
+        ],
+        MEDIA_SCHEMA,
+    )
+    wins = audio_windows(media, window_ms=2, hop_ms=1)
+    feats = audio_window_features(wins).collect()
+    assert len(feats) > 1
+    assert all(len(r["feature"]) == FEATURE_DIM for r in feats)
+    distinct = {tuple(r["feature"]) for r in feats}
+    assert len(distinct) > 1
+    # deterministic across runs
+    again = sorted(
+        (r["media_id"], r["start_sample"], tuple(r["feature"]))
+        for r in audio_window_features(wins).collect()
+    )
+    assert again == sorted(
+        (r["media_id"], r["start_sample"], tuple(r["feature"])) for r in feats
+    )
