@@ -659,3 +659,75 @@ def embedding_neardup_pairs(
         .filter(F.col("cos_sim") >= threshold)
         .select("vec_a", "vec_b", "cos_sim")
     )
+
+
+def _cross_encoder_udf(dim: int, seed: int, model_stub: bool):
+    """Pairwise 'cross-encoder' scoring kernel (the re-rank model
+    slot). Stub = sigmoid of a seeded random bilinear form q.W.c --
+    deterministic, Arrow-vectorized, and exercises the learned-
+    interaction shape (the score is NOT a function of the two vectors'
+    cosine alone). ``model_stub=False`` raises where a real ONNX /
+    torch cross-encoder forward pass plugs in. Self-contained closure
+    (workers lack the repo PYTHONPATH)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def score(qvec: pd.Series, cvec: pd.Series) -> pd.Series:
+        import numpy as np
+
+        if not model_stub:
+            raise NotImplementedError(
+                "no cross-encoder model in this container; pass model_stub=True"
+            )
+        W = np.random.RandomState(seed).standard_normal((dim, dim)) / dim
+        Q = np.array([np.asarray(v, dtype=np.float64) for v in qvec])
+        C = np.array([np.asarray(v, dtype=np.float64) for v in cvec])
+        z = np.einsum("bi,ij,bj->b", Q, W, C)
+        return pd.Series(1.0 / (1.0 + np.exp(-z)))
+
+    return score
+
+
+def cross_encoder_rerank(
+    embeddings: DataFrame,
+    n_queries: int = 5,
+    k: int = 5,
+    n_bits: int = DEFAULT_SIG_BITS,
+    radius: int = DEFAULT_HAMMING_RADIUS,
+    dim: int = EMBEDDING_DIM,
+    seed: int = 42,
+    model_stub: bool = True,
+) -> DataFrame:
+    """Two-stage retrieve-then-rerank (the RAG serving pattern):
+    Hamming-radius ANN retrieval bounds the candidate set (~12% of the
+    corpus, see simhash_hamming_topk), then the cross-encoder kernel
+    scores only those pairs and a per-query window keeps the top k.
+
+    At 100 TB the expensive model forward pass is the cost driver --
+    this plan runs it on |queries| x ~N/8 pairs instead of |queries| x
+    N, and the kernel is Arrow-batched so a GPU-backed scorer slots in
+    without plan changes. Approximate + model-dependent -> rows-only
+    driver check."""
+    score = _cross_encoder_udf(dim, seed, model_stub)
+    scored = hamming_candidates(
+        embeddings, n_queries, n_bits, radius, dim, seed
+    ).select(
+        "query_id",
+        "vec_id",
+        "label",
+        score(F.col("qvec"), F.col("vec")).alias("rerank_score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rerank_score").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "vec_id",
+            "label",
+            "rank",
+            F.round("rerank_score", 6).alias("rerank_score"),
+        )
+    )

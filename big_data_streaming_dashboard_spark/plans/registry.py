@@ -29,6 +29,7 @@ from ..llmdata.similarity import (
     DEFAULT_NEARDUP_ROWS,
     EMBEDDING_DIM,
     brute_force_topk,
+    cross_encoder_rerank,
     embedding_neardup_pairs,
     gaussian_planes,
     ivf_topk,
@@ -624,6 +625,11 @@ QUERIES: dict[str, QuerySpec] = {
         lambda spark, sf: simhash_hamming_topk(_embs(spark, sf)),
         None,
         "256-bit SimHash Hamming-radius ANN top-k (recall 0.96 @ 1/8 candidates)",
+    ),
+    "emb_rerank_topk": QuerySpec(
+        lambda spark, sf: cross_encoder_rerank(_embs(spark, sf)),
+        None,
+        "retrieve-then-rerank: Hamming ANN candidates + cross-encoder-slot scoring",
     ),
     "emb_neardup_pairs": QuerySpec(
         lambda spark, sf: embedding_neardup_pairs(_embs(spark, sf)),

@@ -117,3 +117,28 @@ def test_ivf_multiprobe_recall(spark):
         embs, n_queries=N_QUERIES, k=K, n_lists=16, n_probe=2
     ).collect()
     assert _recall(exact, approx) >= 0.8
+
+
+def test_cross_encoder_rerank(spark):
+    """Retrieve-then-rerank plumbing: k rows per query, scores in
+    (0,1), deterministic, and the model slot raises without a stub."""
+    import pytest
+
+    from big_data_streaming_dashboard_spark.llmdata.similarity import (
+        cross_encoder_rerank,
+    )
+
+    embs = load_table(spark, SF, "embeddings")
+    got = cross_encoder_rerank(embs, n_queries=3, k=5).collect()
+    per_q = {}
+    for r in got:
+        per_q.setdefault(r["query_id"], []).append(r)
+    assert set(per_q) == {0, 1, 2}
+    for q, rows in per_q.items():
+        assert len(rows) == 5
+        assert sorted(r["rank"] for r in rows) == [1, 2, 3, 4, 5]
+        assert all(0.0 < r["rerank_score"] < 1.0 for r in rows)
+    again = sorted(map(tuple, cross_encoder_rerank(embs, n_queries=3, k=5).collect()))
+    assert again == sorted(map(tuple, got))
+    with pytest.raises(Exception, match="NotImplementedError|no cross-encoder"):
+        cross_encoder_rerank(embs, n_queries=1, model_stub=False).collect()
