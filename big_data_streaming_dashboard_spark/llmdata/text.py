@@ -306,3 +306,38 @@ def language_id(docs: DataFrame) -> DataFrame:
         pred2 = F.when(F.col(f"hits_{lang}") > best2, lang).otherwise(pred2)
         best2 = F.greatest(best2, F.col(f"hits_{lang}"))
     return out.withColumn("predicted_lang", pred2)
+
+
+# GPT-2-style pre-tokenizer, simplified to the lookahead-free subset so
+# Java regex (Spark) and RE2 (DuckDB oracle) agree: contractions,
+# optional-leading-space letter runs, digit runs, punctuation runs,
+# whitespace runs. The real BPE merge table operates WITHIN these
+# pre-token boundaries, so pre-token counts + lengths are the inputs a
+# token-budget estimator needs.
+BPE_PRETOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
+def subword_stats(docs: DataFrame) -> DataFrame:
+    """BPE-ish token accounting per doc: pre-token counts by class and
+    an estimated BPE token budget (~4 chars/token within a pre-token,
+    integer ceil -- deterministic, oracle-exact).
+
+    Pure map stage: regexp_extract_all + array folds, whole plan
+    JVM-side, no shuffle."""
+    toks = F.regexp_extract_all(F.col("text"), F.lit(BPE_PRETOKEN_RE), F.lit(0))
+    nonws = F.filter(toks, lambda t: t.rlike(r"\S"))
+    est = _sum_long(
+        F.transform(
+            nonws,
+            lambda t: ((F.length(F.trim(t)) + F.lit(3)) / 4).cast("long"),
+        )
+    )
+    n_class = lambda pat: F.size(F.filter(nonws, lambda t: t.rlike(pat)))  # noqa: E731
+    return docs.select(
+        "doc_id",
+        F.size(nonws).alias("n_pretokens"),
+        n_class(r"^ ?[A-Za-z]+$").alias("n_word_tokens"),
+        n_class(r"^ ?[0-9]+$").alias("n_number_tokens"),
+        n_class(r"^ ?[^A-Za-z0-9\s]+$").alias("n_punct_tokens"),
+        est.alias("est_bpe_tokens"),
+    )

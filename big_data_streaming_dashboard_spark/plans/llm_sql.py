@@ -473,3 +473,28 @@ verdict AS (
 )
 SELECT *, drop_reason IS NULL AS kept FROM verdict
 """
+
+
+# mirrors llmdata.text.subword_stats: same lookahead-free pre-tokenizer
+# (Java regex and RE2 agree on it), same class patterns, same integer
+# ceil for the ~4-chars/token estimate
+SUBWORD_SQL = r"""
+WITH pt AS (
+    SELECT doc_id,
+        list_filter(
+            regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+'),
+            t -> regexp_matches(t, '\S')
+        ) AS toks
+    FROM documents
+)
+SELECT
+    doc_id,
+    len(toks) AS n_pretokens,
+    len(list_filter(toks, t -> regexp_matches(t, '^ ?[A-Za-z]+$'))) AS n_word_tokens,
+    len(list_filter(toks, t -> regexp_matches(t, '^ ?[0-9]+$'))) AS n_number_tokens,
+    len(list_filter(toks, t -> regexp_matches(t, '^ ?[^A-Za-z0-9\s]+$'))) AS n_punct_tokens,
+    CAST(list_aggregate(
+        list_transform(toks, t -> (length(trim(t)) + 3) // 4), 'sum'
+    ) AS BIGINT) AS est_bpe_tokens
+FROM pt
+"""

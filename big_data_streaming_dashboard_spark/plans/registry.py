@@ -46,6 +46,7 @@ from ..llmdata.text import (
     repeated_passages,
     rolling_fingerprint,
     simhash8,
+    subword_stats,
     tfidf_top_terms,
     token_stats,
 )
@@ -594,6 +595,11 @@ QUERIES: dict[str, QuerySpec] = {
         lambda spark, sf: bigram_lm_score(_docs(spark, sf)),
         llm_sql.BIGRAM_LM_SQL,
         "corpus bigram LM, per-doc mean conditional probability",
+    ),
+    "doc_subword_stats": QuerySpec(
+        lambda spark, sf: subword_stats(_docs(spark, sf)),
+        llm_sql.SUBWORD_SQL,
+        "BPE-ish pre-token accounting + estimated token budget",
     ),
     "doc_curation": QuerySpec(
         lambda spark, sf: curation_pipeline(_docs(spark, sf)),

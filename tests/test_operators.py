@@ -256,3 +256,24 @@ def test_curation_pipeline_verdicts(spark):
     assert got[4]["drop_reason"] == "low_quality"
     assert got[5]["drop_reason"] == "non_english"  # precedence
     assert all(not got[i]["kept"] for i in (1, 2, 3, 4, 5))
+
+
+def test_subword_stats_classes(spark):
+    """BPE-ish pre-tokenizer: contractions split, class counts, and
+    the ~4-chars/token ceil estimate."""
+    from big_data_streaming_dashboard_spark.llmdata.text import subword_stats
+
+    docs = spark.createDataFrame(
+        [(0, "don't stop... we've 42 reasons"), (1, "hello")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in subword_stats(docs).collect()}
+    # don | 't | stop | ... | we | 've | 42 | reasons
+    assert got[0]["n_pretokens"] == 8
+    assert got[0]["n_word_tokens"] == 4  # don, stop, we, reasons
+    assert got[0]["n_number_tokens"] == 1  # 42
+    assert got[0]["n_punct_tokens"] == 1  # ...
+    # ceil(len/4) per trimmed pre-token:
+    # don 1, 't 1, stop 1, ... 1, we 1, 've 1, 42 1, reasons 2
+    assert got[0]["est_bpe_tokens"] == 9
+    assert got[1]["n_pretokens"] == 1 and got[1]["est_bpe_tokens"] == 2
