@@ -22,8 +22,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import exact_dedup, neardup_pairs
-from .text import language_id, quality_score
+from pyspark.sql.window import Window
+
+from .dedup import neardup_pairs
+from .text import predicted_lang_column, quality_columns
 
 DEFAULT_QUALITY_THRESHOLD = 0.3
 DEFAULT_NEARDUP_JACCARD = 0.5
@@ -41,21 +43,34 @@ def curation_pipeline(
 
     drop_reason precedence: non_english, low_quality, exact_duplicate,
     near_duplicate; NULL means the doc survives into the training set.
-    Mirrored exactly by plans/llm_sql.CURATION_SQL."""
-    q = quality_score(docs).select("doc_id", "n_tokens", "quality_score")
-    lang = language_id(docs).select("doc_id", "predicted_lang")
-    exact = exact_dedup(docs).select("doc_id", "is_duplicate")
+    Mirrored exactly by plans/llm_sql.CURATION_SQL.
+
+    Plan shape: the three per-row signals (quality, lang, exact-dup
+    hash) FUSE into one projection over one scan of the text column --
+    text is the heavy column, so per-signal subtrees would scan it
+    once each (the first draft's join-of-four read documents 7x).
+    Exact dedup rides the fused projection as a window over md5; only
+    near-dup needs its own tree (banded self-join)."""
+    qc = quality_columns(F.col("text"))
+    base = docs.select(
+        "doc_id",
+        qc["n_tokens"].alias("n_tokens"),
+        qc["quality_score"].alias("quality_score"),
+        predicted_lang_column(F.col("text")).alias("predicted_lang"),
+        F.md5(F.col("text")).alias("_text_hash"),
+    )
+    w = Window.partitionBy("_text_hash")
+    sig = base.withColumn(
+        "is_duplicate", F.col("doc_id") != F.min("doc_id").over(w)
+    )
     near = (
         neardup_pairs(docs, threshold=neardup_threshold)
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
         .withColumn("is_near_dup", F.lit(True))
     )
-    out = (
-        q.join(lang, "doc_id")
-        .join(exact, "doc_id")
-        .join(near, "doc_id", "left")
-        .withColumn("is_near_dup", F.coalesce("is_near_dup", F.lit(False)))
+    out = sig.join(near, "doc_id", "left").withColumn(
+        "is_near_dup", F.coalesce("is_near_dup", F.lit(False))
     )
     drop_reason = (
         F.when(F.col("predicted_lang") != keep_lang, "non_english")

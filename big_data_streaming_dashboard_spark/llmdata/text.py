@@ -47,27 +47,34 @@ def token_stats(docs: DataFrame) -> DataFrame:
     )
 
 
-def quality_score(docs: DataFrame) -> DataFrame:
-    """Heuristic quality signals: length, stopword ratio, punctuation
-    ratio, and a composite score in [0, 1] (rational arithmetic only)."""
-    toks = tokens(F.col("text"))
+def quality_columns(text: Column) -> dict[str, Column]:
+    """Quality-signal expressions keyed by output name (column-level so
+    composition plans -- llmdata/curation.py -- can fuse them into a
+    single scan projection instead of joining per-signal subtrees)."""
+    toks = tokens(text)
     n = F.size(toks)
     stop_hits = F.size(F.filter(toks, lambda t: F.lower(t).isin(*STOPWORDS)))
-    text_len = F.length("text")
-    punct_len = text_len - F.length(F.regexp_replace("text", r"[^A-Za-z0-9\s]", ""))
+    text_len = F.length(text)
+    punct_len = text_len - F.length(F.regexp_replace(text, r"[^A-Za-z0-9\s]", ""))
     stop_ratio = stop_hits.cast("double") / n
     punct_ratio = punct_len.cast("double") / text_len
     len_score = F.least(F.lit(1.0), n.cast("double") / 100.0)
-    return docs.select(
-        "doc_id",
-        text_len.alias("text_len"),
-        n.alias("n_tokens"),
-        F.round(stop_ratio, 6).alias("stopword_ratio"),
-        F.round(punct_ratio, 6).alias("punct_ratio"),
-        F.round(len_score * (1.0 - punct_ratio) * (0.5 + stop_ratio), 6).alias(
-            "quality_score"
+    return {
+        "text_len": text_len,
+        "n_tokens": n,
+        "stopword_ratio": F.round(stop_ratio, 6),
+        "punct_ratio": F.round(punct_ratio, 6),
+        "quality_score": F.round(
+            len_score * (1.0 - punct_ratio) * (0.5 + stop_ratio), 6
         ),
-    )
+    }
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Heuristic quality signals: length, stopword ratio, punctuation
+    ratio, and a composite score in [0, 1] (rational arithmetic only)."""
+    cols = quality_columns(F.col("text"))
+    return docs.select("doc_id", *[c.alias(k) for k, c in cols.items()])
 
 
 def simhash8(docs: DataFrame) -> DataFrame:
@@ -274,6 +281,25 @@ def bigram_lm_score(docs: DataFrame) -> DataFrame:
             / F.lit(1000000.0)
         ).alias("lm_score"),
     )
+
+
+def predicted_lang_column(text: Column) -> Column:
+    """Argmax-of-lexicon-hits language prediction as one expression
+    (the fusable form of language_id's verdict; identical CASE
+    semantics, ties broken in fixed lexicon order)."""
+    toks = tokens(F.lower(text))
+
+    def _hits(lex: list[str]) -> Column:
+        return F.size(F.filter(toks, lambda t: t.isin(*lex)))
+
+    langs = list(LANG_LEXICONS)
+    hits = {lang: _hits(lex) for lang, lex in LANG_LEXICONS.items()}
+    pred = F.lit(langs[0])
+    best = hits[langs[0]]
+    for lang in langs[1:]:
+        pred = F.when(hits[lang] > best, lang).otherwise(pred)
+        best = F.greatest(best, hits[lang])
+    return pred
 
 
 def language_id(docs: DataFrame) -> DataFrame:
