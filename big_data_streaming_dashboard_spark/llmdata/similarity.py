@@ -70,12 +70,21 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
-def dot_unrolled(a: Column, b: Column, dim: int) -> Column:
+def dot_unrolled(a: Column | str, b: Column | str, dim: int) -> Column:
     """Same left-associated sum as ``dot`` -- (((0+p0)+p1)+...) --
     but as a flat expression chain instead of a higher-order fold.
     HOFs evaluate interpreted per element; this unrolled form stays in
     whole-stage codegen (~3-4x faster in the pairwise hot loop).
-    Bit-identical result: 0.0+p0 == p0, same order, same doubles."""
+    Bit-identical result: 0.0+p0 == p0, same order, same doubles.
+
+    Pass column NAMES where possible: the string form is ONE parsed
+    SQL expression (F.expr, ~3 ms), while chaining 64 Column operator
+    calls costs ~0.9 s of py4j round trips PER DOT at plan
+    construction -- measured 2.6 s of the brute-force query's bench
+    time was building its four dots. SQL `arr[i]` is 0-based, exactly
+    getItem(i)."""
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(" + ".join(f"{a}[{i}]*{b}[{i}]" for i in range(dim)))
     out = a.getItem(0) * b.getItem(0)
     for i in range(1, dim):
         out = out + a.getItem(i) * b.getItem(i)
@@ -106,10 +115,10 @@ def brute_force_topk(
         F.col("vec_id").alias("query_id"),
         _dvec("embedding").alias("qvec"),
     )
-    qs = qs.withColumn("qnorm", F.sqrt(dot_unrolled(F.col("qvec"), F.col("qvec"), dim)))
+    qs = qs.withColumn("qnorm", F.sqrt(dot_unrolled("qvec", "qvec", dim)))
     corpus = embeddings.select(
         "vec_id", _dvec("embedding").alias("cvec"), "label"
-    ).withColumn("cnorm", F.sqrt(dot_unrolled(F.col("cvec"), F.col("cvec"), dim)))
+    ).withColumn("cnorm", F.sqrt(dot_unrolled("cvec", "cvec", dim)))
     scored = (
         corpus.crossJoin(F.broadcast(qs))
         .filter(F.col("vec_id") != F.col("query_id"))
@@ -118,7 +127,7 @@ def brute_force_topk(
             "vec_id",
             "label",
             (
-                dot_unrolled(F.col("qvec"), F.col("cvec"), dim)
+                dot_unrolled("qvec", "cvec", dim)
                 / (F.col("qnorm") * F.col("cnorm"))
             ).alias("_cos"),
         )
@@ -501,10 +510,10 @@ def simhash_hamming_topk(
         "vec_id",
         "label",
         (
-            dot_unrolled(F.col("qvec"), F.col("vec"), dim)
+            dot_unrolled("qvec", "vec", dim)
             / (
-                F.sqrt(dot_unrolled(F.col("qvec"), F.col("qvec"), dim))
-                * F.sqrt(dot_unrolled(F.col("vec"), F.col("vec"), dim))
+                F.sqrt(dot_unrolled("qvec", "qvec", dim))
+                * F.sqrt(dot_unrolled("vec", "vec", dim))
             )
         ).alias("_cos"),
     )
@@ -584,10 +593,10 @@ def lsh_banded_topk(
             "vec_id",
             "label",
             (
-                dot_unrolled(F.col("qvec"), F.col("vec"), dim)
+                dot_unrolled("qvec", "vec", dim)
                 / (
-                    F.sqrt(dot_unrolled(F.col("qvec"), F.col("qvec"), dim))
-                    * F.sqrt(dot_unrolled(F.col("vec"), F.col("vec"), dim))
+                    F.sqrt(dot_unrolled("qvec", "qvec", dim))
+                    * F.sqrt(dot_unrolled("vec", "vec", dim))
                 )
             ).alias("_cos"),
         )
