@@ -181,7 +181,14 @@ def kmeans_assign(
     ]
 
     def assign_col(cents: list[list[float]]) -> Column:
-        cent_arr = F.array(*[F.array(*[F.lit(x) for x in c]) for c in cents])
+        # one parsed literal string, not k*dim F.lit py4j calls (same
+        # plan-construction economics as dot_unrolled's name form)
+        cent_arr = F.expr(
+            "array(%s)"
+            % ", ".join(
+                "array(%s)" % ", ".join(repr(x) for x in c) for c in cents
+            )
+        )
         dists = F.transform(
             cent_arr,
             lambda c: F.aggregate(
