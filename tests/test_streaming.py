@@ -513,3 +513,46 @@ def test_dynamic_config_changes_replay_rate_across_restart(
     second = batches("v2")
     assert len(second) == 1
     assert sum(second) == sum(first)  # same data, different batching
+
+
+def test_streaming_curation_matches_batch(spark, tmp_path):
+    """Streaming curation verdict agrees with the batch pipeline on
+    every non-dedup reason; exact-dup flagging keeps exactly one doc
+    per distinct text (arrival-order canonical, batch uses min-id)."""
+    from big_data_streaming_dashboard_spark.llmdata.curation import (
+        curation_pipeline,
+    )
+    from big_data_streaming_dashboard_spark.streaming.llm_ingest import (
+        curation_stream,
+        stream_documents,
+    )
+    from big_data_streaming_dashboard_spark.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text", "lang"
+    )
+    docs_dir = str(tmp_path / "docs")
+    docs.repartition(4).write.parquet(docs_dir)
+
+    got = _run_stream(
+        spark,
+        curation_stream(stream_documents(spark, docs_dir)),
+        f"t_{uuid.uuid4().hex[:8]}",
+    )
+    s_rows = {r["doc_id"]: r for r in got.collect()}
+    b_rows = {r["doc_id"]: r for r in curation_pipeline(docs).collect()}
+    assert set(s_rows) == set(b_rows)  # a verdict row per document
+
+    for doc_id, s in s_rows.items():
+        b = b_rows[doc_id]
+        assert s["quality_score"] == b["quality_score"], doc_id
+        assert s["predicted_lang"] == b["predicted_lang"], doc_id
+        # non-dedup reasons agree exactly (stateless signals)
+        if b["drop_reason"] in ("non_english", "low_quality"):
+            assert s["drop_reason"] == b["drop_reason"], doc_id
+
+    # dedup: same number of exact-dup drops, possibly different
+    # representatives (arrival order vs min doc_id)
+    s_dups = sum(1 for r in s_rows.values() if r["drop_reason"] == "exact_duplicate")
+    b_dups = sum(1 for r in b_rows.values() if r["drop_reason"] == "exact_duplicate")
+    assert s_dups == b_dups
