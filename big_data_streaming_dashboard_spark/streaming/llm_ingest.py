@@ -13,11 +13,11 @@ min-doc_id (same kept-set cardinality, possibly different
 representative; the documented delta mirrors D1's batch/streaming
 split in streaming/pipeline.py).
 
-Near-dup exclusion is deliberately absent here: banded LSH needs a
-corpus-wide self-join (an offline index); the streaming analog --
-probing each arrival against a maintained band index -- is a lookup
-join against the OFFLINE near-dup index refreshed by the batch job,
-not a per-stream recomputation.
+Near-dup exclusion is NOT recomputed per stream: banded LSH needs a
+corpus-wide self-join, which is an offline artifact. The streaming
+analog is `neardup_probe_stream`: each arrival probes the
+batch-refreshed band index (`write_neardup_index`) with a
+stream-static join, then exact-verifies candidates.
 """
 
 from __future__ import annotations
@@ -120,4 +120,92 @@ def curation_stream(
         "n_tokens",
         drop_reason.alias("drop_reason"),
         drop_reason.isNull().alias("kept"),
+    )
+
+
+def write_neardup_index(docs: DataFrame, path: str) -> str:
+    """Persist the batch-built LSH band index + shingle sets: the
+    OFFLINE artifact the streaming probe joins against.
+
+    Layout: one row per (doc_id, band_idx, band_hash) plus the doc's
+    shingle array for the exact-verify step. At scale this is written
+    partitioned/bucketed by (band_idx, band_hash) so a probe touches
+    one bucket; the band explode is the same plan as the batch
+    neardup_pairs index side (llmdata/dedup._banded_sigs, cap column
+    included so probes skip degenerate buckets too)."""
+    from ..llmdata.dedup import DEFAULT_BAND_ROWS, DEFAULT_K, _banded_sigs, shingles
+
+    banded = _banded_sigs(docs, DEFAULT_K, DEFAULT_BAND_ROWS)
+    sh = docs.select("doc_id", shingles(F.col("text")).alias("shingles"))
+    (
+        banded.join(sh, "doc_id")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    return path
+
+
+def neardup_probe_stream(
+    docs: DataFrame,
+    index: DataFrame,
+    threshold: float = 0.2,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Streaming near-dup detection: each arriving document probes the
+    static band index (stream-STATIC join -- natively supported, no
+    stream state) and verifies candidates with exact shingle Jaccard.
+
+    Output: (doc_id, index_doc_id, jaccard) per verified hit. A doc
+    colliding with an indexed doc in ANY band is a candidate;
+    candidate pairs dedup BEFORE the Jaccard verify via streaming
+    ``dropDuplicates`` -- cross-batch state, one entry per distinct
+    candidate pair, which also makes each emitted pair exactly-once
+    across the stream's lifetime. State grows with the candidate-pair
+    count (band-collision-rate bounded); at scale put an ingest-time
+    watermark on the stream and use ``dropDuplicatesWithinWatermark``
+    to TTL it. Degenerate index buckets above the cap are skipped,
+    mirroring the batch guard."""
+    from ..llmdata.dedup import DEFAULT_BAND_ROWS, DEFAULT_K, minhash_signature, shingles
+
+    n_bands = DEFAULT_K // DEFAULT_BAND_ROWS
+    sigs = minhash_signature(docs, DEFAULT_K)
+    band_struct = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[
+                            F.col(f"sig_{b * DEFAULT_BAND_ROWS + r}")
+                            for r in range(DEFAULT_BAND_ROWS)
+                        ],
+                    )
+                ).alias("band_hash"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    probe = sigs.select(
+        "doc_id", F.explode(band_struct).alias("band")
+    ).select("doc_id", "band.band_idx", "band.band_hash")
+    idx = index.filter(F.col("_bucket_n") <= max_bucket_size).select(
+        F.col("doc_id").alias("index_doc_id"),
+        "band_idx",
+        "band_hash",
+        F.col("shingles").alias("index_shingles"),
+    )
+    cands = (
+        probe.join(idx, ["band_idx", "band_hash"])
+        .filter(F.col("doc_id") != F.col("index_doc_id"))
+        .select("doc_id", "index_doc_id", "index_shingles")
+        .dropDuplicates(["doc_id", "index_doc_id"])
+    )
+    sh = docs.select("doc_id", shingles(F.col("text")).alias("sh"))
+    pair = cands.join(sh, "doc_id")
+    inter = F.size(F.array_intersect("sh", "index_shingles")).cast("double")
+    union = (F.size("sh") + F.size("index_shingles")).cast("double") - inter
+    jac = F.round(inter / union, 6)
+    return pair.select("doc_id", "index_doc_id", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
     )

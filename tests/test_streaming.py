@@ -556,3 +556,40 @@ def test_streaming_curation_matches_batch(spark, tmp_path):
     s_dups = sum(1 for r in s_rows.values() if r["drop_reason"] == "exact_duplicate")
     b_dups = sum(1 for r in b_rows.values() if r["drop_reason"] == "exact_duplicate")
     assert s_dups == b_dups
+
+
+def test_streaming_neardup_probe_matches_batch(spark, tmp_path):
+    """Stream-static near-dup: streaming the corpus against its own
+    batch-built band index finds exactly the batch neardup_pairs set
+    (each undirected pair surfaces in both probe directions)."""
+    from big_data_streaming_dashboard_spark.llmdata.dedup import neardup_pairs
+    from big_data_streaming_dashboard_spark.streaming.llm_ingest import (
+        neardup_probe_stream,
+        stream_documents,
+        write_neardup_index,
+    )
+    from big_data_streaming_dashboard_spark.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text", "lang"
+    )
+    idx_path = str(tmp_path / "index")
+    write_neardup_index(docs, idx_path)
+    docs_dir = str(tmp_path / "docs")
+    docs.repartition(3).write.parquet(docs_dir)
+
+    stream = neardup_probe_stream(
+        stream_documents(spark, docs_dir), spark.read.parquet(idx_path)
+    )
+    got = _run_stream(spark, stream, f"t_{uuid.uuid4().hex[:8]}")
+    s_pairs = {
+        frozenset((r["doc_id"], r["index_doc_id"])): r["jaccard"]
+        for r in got.collect()
+    }
+    b_pairs = {
+        frozenset((r["doc_a"], r["doc_b"])): r["jaccard"]
+        for r in neardup_pairs(docs).collect()
+    }
+    assert set(s_pairs) == set(b_pairs)
+    for pair, jac in b_pairs.items():
+        assert s_pairs[pair] == jac, pair
