@@ -50,6 +50,15 @@ def _missing_any(df_cols: list[str]) -> Column:
     return out
 
 
+# Column-expression cache: building the validator tree costs ~0.4 s of
+# py4j round trips, and a dozen queries build it per bench run. Column
+# objects are unresolved/immutable and safely reusable across selects;
+# the cache key carries the SparkContext id (a restarted context
+# invalidates JVM-side expression objects), the schema subset the tree
+# depends on, and the config repr.
+_COLS_CACHE: dict = {}
+
+
 def validate_enrich(bronze: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG) -> DataFrame:
     """Bronze (stringly) -> silver: status/error + enriched columns.
 
@@ -57,6 +66,22 @@ def validate_enrich(bronze: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG) -> 
     (raw string), event_time (parsed), lat, lon, value (long), unit,
     level, level5, critical, dedup_key, raw_data, ingestion_timestamp.
     """
+    key = (
+        id(bronze.sparkSession.sparkContext),
+        tuple(
+            c
+            for c in ("event_id", "ingestion_timestamp", *REQUIRED_FIELDS)
+            if c in bronze.columns
+        ),
+        repr(cfg),
+    )
+    cols = _COLS_CACHE.get(key)
+    if cols is None:
+        cols = _COLS_CACHE[key] = _validator_columns(bronze.columns, cfg)
+    return bronze.select(*cols)
+
+
+def _validator_columns(bronze_columns: list[str], cfg: PipelineConfig) -> list[Column]:
     lat_d = F.col("latitude").try_cast("double")
     lon_d = F.col("longitude").try_cast("double")
     val_d = F.col("value").try_cast("double")
@@ -64,7 +89,7 @@ def validate_enrich(bronze: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG) -> 
     rval = F.bround(val_d).cast("long")
 
     error = (
-        F.when(_missing_any(bronze.columns), "Missing fields")
+        F.when(_missing_any(bronze_columns), "Missing fields")
         .when(lat_d.isNull() | lon_d.isNull() | val_d.isNull(), "Invalid numeric values")
         .when(
             (lat_d < -90) | (lat_d > 90),
@@ -82,10 +107,10 @@ def validate_enrich(bronze: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG) -> 
         .otherwise(F.lit(None).cast("string"))
     )
 
-    passthrough = [c for c in ("event_id", "ingestion_timestamp") if c in bronze.columns]
+    passthrough = [c for c in ("event_id", "ingestion_timestamp") if c in bronze_columns]
     valid = error.isNull()
-    return bronze.select(
-        *passthrough,
+    return [
+        *[F.col(c) for c in passthrough],
         F.when(valid, "valid").otherwise("invalid").alias("status"),
         error.alias("error"),
         F.when(valid, F.col("captured_time")).alias("timestamp"),
@@ -112,4 +137,4 @@ def validate_enrich(bronze: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG) -> 
                 *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in REQUIRED_FIELDS],
             ),
         ).alias("raw_data"),
-    )
+    ]
