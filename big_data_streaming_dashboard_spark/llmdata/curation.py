@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from .dedup import neardup_pairs
-from .text import predicted_lang_column, quality_columns
+from .text import predicted_lang_column, quality_columns, subword_stats
 
 DEFAULT_QUALITY_THRESHOLD = 0.3
 DEFAULT_NEARDUP_JACCARD = 0.5
@@ -133,3 +133,68 @@ def write_curated_corpus(
         "kept": stats.pop(None, 0),
         "dropped": stats,
     }
+
+
+def stratified_sample(
+    docs: DataFrame,
+    rates: dict[str, float] | None = None,
+    default_rate: float = 1.0,
+    salt: str = "sample",
+) -> DataFrame:
+    """Deterministic per-language downsampling (the temperature-
+    sampling step that rebalances over-represented languages).
+
+    Keep decision: the first 8 hex chars of md5(salt|doc_id) compare
+    LEXICOGRAPHICALLY below the language rate rendered as zero-padded
+    hex -- hex digits sort like their values, so this is an integer
+    compare both engines do identically on strings (no conv(), no RNG
+    state, stable under repartitioning, pure map stage -- unlike
+    `DataFrame.sampleBy`, whose per-partition RNG changes with the
+    split layout). 2^-32 rate granularity; rate >= 1 keeps all."""
+    rates = rates or {}
+    qc = quality_columns(F.col("text"))
+    base = docs.select(
+        "doc_id",
+        predicted_lang_column(F.col("text")).alias("predicted_lang"),
+        qc["n_tokens"].alias("n_tokens"),
+    )
+    bucket = F.substring(
+        F.md5(F.concat(F.lit(salt + "|"), F.col("doc_id").cast("string"))), 1, 8
+    )
+
+    def _keep(r: float):
+        if r >= 1.0:
+            return F.lit(True)
+        return bucket < F.lit(format(int(r * 2**32), "08x"))
+
+    kept = _keep(default_rate)
+    for lang, r in sorted(rates.items()):
+        kept = F.when(F.col("predicted_lang") == lang, _keep(r)).otherwise(kept)
+    return base.withColumn("kept", kept)
+
+
+def shard_packing(
+    docs: DataFrame, tokens_per_shard: int = 4000
+) -> DataFrame:
+    """Greedy token-budget shard assignment: docs in doc_id order
+    accumulate their estimated BPE token counts; shard_id =
+    floor(cumulative/budget) -- the sequence-packing precursor that
+    bounds per-shard token mass for training-data writers.
+
+    One global running sum = one range-partitioned window at scale.
+    Spark computes it as a single `Window.orderBy(doc_id)` cumulative
+    sum (range exchange, no skew: doc_id is unique); practical shard
+    writers parallelize by FIRST bucketing on a coarse hash then
+    packing within buckets -- this operator is the within-bucket
+    step."""
+    est = subword_stats(docs).select("doc_id", "est_bpe_tokens")
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    return est.select(
+        "doc_id",
+        "est_bpe_tokens",
+        F.sum("est_bpe_tokens").over(w).alias("cum_tokens"),
+        F.floor(
+            (F.sum("est_bpe_tokens").over(w) - F.col("est_bpe_tokens"))
+            / tokens_per_shard
+        ).cast("int").alias("shard_id"),
+    )

@@ -498,3 +498,76 @@ SELECT
     ) AS BIGINT) AS est_bpe_tokens
 FROM pt
 """
+
+
+def stratified_sample_sql(
+    rates: dict[str, float], default_rate: float = 1.0, salt: str = "sample"
+) -> str:
+    """Mirrors llmdata.curation.stratified_sample: same lang CASE,
+    same md5 hex-prefix lexicographic compare, same rate->hex mapping."""
+
+    def keep_expr(r: float) -> str:
+        if r >= 1.0:
+            return "TRUE"
+        return (
+            f"substr(md5('{salt}|' || CAST(doc_id AS VARCHAR)), 1, 8)"
+            f" < '{format(int(r * 2**32), '08x')}'"
+        )
+
+    kept = keep_expr(default_rate)
+    for lang, r in sorted(rates.items()):
+        kept = (
+            f"CASE WHEN predicted_lang = '{lang}' THEN {keep_expr(r)} "
+            f"ELSE {kept} END"
+        )
+    return rf"""
+WITH ltoks AS (
+    SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS tokens
+    FROM documents
+),
+lhits AS (
+    SELECT doc_id,
+        {_lang_hits_sql()}
+    FROM ltoks
+),
+base AS (
+    SELECT d.doc_id,
+        CASE WHEN hits_fr > greatest(hits_en, hits_es, hits_de) THEN 'fr'
+             WHEN hits_de > greatest(hits_en, hits_es) THEN 'de'
+             WHEN hits_es > hits_en THEN 'es'
+             ELSE 'en' END AS predicted_lang,
+        len(regexp_split_to_array(d.text, '\s+')) AS n_tokens
+    FROM documents d JOIN lhits ON d.doc_id = lhits.doc_id
+)
+SELECT doc_id, predicted_lang, n_tokens, {kept} AS kept
+FROM base
+"""
+
+
+# mirrors llmdata.curation.shard_packing (budget 4000): same pre-token
+# estimate, same running sum over doc_id order, shard from the
+# PRE-accumulation cumulative so a doc never splits across shards
+SHARD_PACKING_SQL = r"""
+WITH pt AS (
+    SELECT doc_id,
+        list_filter(
+            regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+'),
+            t -> regexp_matches(t, '\S')
+        ) AS toks
+    FROM documents
+),
+est AS (
+    SELECT doc_id,
+        CAST(list_aggregate(
+            list_transform(toks, t -> (length(trim(t)) + 3) // 4), 'sum'
+        ) AS BIGINT) AS est_bpe_tokens
+    FROM pt
+)
+SELECT doc_id, est_bpe_tokens,
+    SUM(est_bpe_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum_tokens,
+    CAST(FLOOR(
+        (SUM(est_bpe_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+         - est_bpe_tokens) / 4000
+    ) AS INT) AS shard_id
+FROM est
+"""

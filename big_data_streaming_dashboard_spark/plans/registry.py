@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..config import DEFAULT_CONFIG
-from ..llmdata.curation import curation_pipeline
+from ..llmdata.curation import curation_pipeline, shard_packing, stratified_sample
 from ..llmdata.dedup import exact_dedup, minhash_signature, neardup_pairs
 from ..llmdata.similarity import (
     DEFAULT_NEARDUP_BANDS,
@@ -605,6 +605,18 @@ QUERIES: dict[str, QuerySpec] = {
         lambda spark, sf: curation_pipeline(_docs(spark, sf)),
         llm_sql.CURATION_SQL,
         "training-data curation verdict: lang + quality + exact/near dedup, one plan",
+    ),
+    "doc_stratified_sample": QuerySpec(
+        lambda spark, sf: stratified_sample(
+            _docs(spark, sf), rates={"en": 0.5}, default_rate=1.0
+        ),
+        llm_sql.stratified_sample_sql({"en": 0.5}, 1.0),
+        "deterministic md5-Bernoulli per-language downsampling",
+    ),
+    "doc_shard_packing": QuerySpec(
+        lambda spark, sf: shard_packing(_docs(spark, sf)),
+        llm_sql.SHARD_PACKING_SQL,
+        "token-budget shard assignment (running-sum packing)",
     ),
     "emb_topk_cosine": QuerySpec(
         lambda spark, sf: brute_force_topk(_embs(spark, sf)),
