@@ -80,6 +80,13 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
+# bronze DataFrames are immutable logical plans -- safe to reuse across
+# queries. Building one costs ~2.5 s (parquet schema read + the
+# spread() partition probe + the dirt-injection CASE trees) and ~15
+# registry queries start from it; cache per (SparkContext, sf_dir).
+_BRONZE_CACHE: dict = {}
+
+
 def bronze_radiation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Radiation-analog bronze table derived from ``events``.
 
@@ -90,6 +97,10 @@ def bronze_radiation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Must stay in lock-step with plans/fragments.py::BRONZE_SQL.
     """
+    key = (id(spark.sparkContext), sf_dir)
+    cached = _BRONZE_CACHE.get(key)
+    if cached is not None:
+        return cached
     ev = spread(load_table(spark, sf_dir, "events"), spark)
     ts_str = F.date_format("ts", "yyyy-MM-dd HH:mm:ss")
     lat = (((F.col("user_id") * 37 + F.col("event_id")) % 18000).cast("double") / 100.0) - 90.0
@@ -127,7 +138,7 @@ def bronze_radiation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("event_id") % 97 == 0, F.lit("CPM"))  # case-normalization test
         .otherwise(F.lit("cpm"))
     )
-    return ev.select(
+    out = ev.select(
         F.col("event_id"),
         captured_time.alias("captured_time"),
         latitude.alias("latitude"),
@@ -136,3 +147,5 @@ def bronze_radiation(spark: SparkSession, sf_dir: str) -> DataFrame:
         unit.alias("unit"),
         (F.unix_timestamp("ts") * 1000).alias("ingestion_timestamp"),
     )
+    _BRONZE_CACHE[key] = out
+    return out
