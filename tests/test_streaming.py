@@ -593,3 +593,38 @@ def test_streaming_neardup_probe_matches_batch(spark, tmp_path):
     assert set(s_pairs) == set(b_pairs)
     for pair, jac in b_pairs.items():
         assert s_pairs[pair] == jac, pair
+
+
+def test_temporal_counts_checkpoint_restart_idempotent(spark, bronze_dir, tmp_path):
+    """Re-running the phase-1 count writer against the same checkpoint
+    processes nothing new: the counts directory is byte-stable, so the
+    phase-2 rejoin never sees duplicated per-second counts."""
+    from big_data_streaming_dashboard_spark.streaming.pipeline import (
+        temporal_counts_to_files,
+    )
+
+    counts_dir = str(tmp_path / "counts")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        silver = silver_stream(
+            stream_parquet_bronze(spark, bronze_dir), bounded_state=False
+        )
+        q = temporal_counts_to_files(silver, counts_dir, ckpt)
+        q.awaitTermination(120)
+
+    run()
+    first = sorted(
+        (r["timestamp_key"], r["temporal_batch_size"])
+        for r in spark.read.parquet(counts_dir).collect()
+    )
+    assert first
+    run()  # restart from the same checkpoint: backlog already consumed
+    second = sorted(
+        (r["timestamp_key"], r["temporal_batch_size"])
+        for r in spark.read.parquet(counts_dir).collect()
+    )
+    assert second == first
+    # keys are unique: no window ever emitted twice
+    keys = [k for k, _ in second]
+    assert len(keys) == len(set(keys))
