@@ -111,8 +111,21 @@ def write_curated_corpus(
       written once.
 
     Returns {"kept": n, "dropped": {reason: n}} -- the numbers a
-    curation run logs."""
-    verdict = curation_pipeline(docs, **pipeline_kwargs)
+    curation run logs. Stats ride the WRITE via ``Observation``
+    metrics (observe() adds a zero-pass CollectMetrics node), so the
+    corpus is scanned once, not once-for-write + once-for-stats."""
+    from pyspark.sql import Observation
+
+    obs = Observation("curation_stats")
+    reasons = ["non_english", "low_quality", "exact_duplicate", "near_duplicate"]
+    verdict = curation_pipeline(docs, **pipeline_kwargs).observe(
+        obs,
+        F.count(F.when(F.col("kept"), 1)).alias("kept"),
+        *[
+            F.count(F.when(F.col("drop_reason") == r, 1)).alias(r)
+            for r in reasons
+        ],
+    )
     kept = verdict.filter(F.col("kept")).select(
         "doc_id", "predicted_lang", "quality_score", "n_tokens"
     )
@@ -123,15 +136,10 @@ def write_curated_corpus(
         .partitionBy("predicted_lang")
         .parquet(path)
     )
-    stats = {
-        r["drop_reason"]: r["n"]
-        for r in verdict.groupBy("drop_reason")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    }
+    got = obs.get
     return {
-        "kept": stats.pop(None, 0),
-        "dropped": stats,
+        "kept": got["kept"],
+        "dropped": {r: got[r] for r in reasons if got[r]},
     }
 
 
