@@ -634,8 +634,18 @@ def embedding_neardup_pairs(
     DEFAULT_NEARDUP_BANDS comment. Mirrored exactly by the DuckDB
     oracle (same literal planes, same fold order)."""
     planes = gaussian_planes(bands * rows_per_band, dim, seed)
+    # fan the small single-split scan across cores first: the ordered-
+    # fold signature is ~16k interpreted ops per row (oracle-exact HOF,
+    # deliberately not the pandas kernel), and on one partition it
+    # serializes. No-op on a real multi-split corpus.
+    from ..tables import spread
+
     base = _with_planes(
-        embeddings.select("vec_id", _dvec("embedding").alias("vec")), planes
+        spread(
+            embeddings.select("vec_id", _dvec("embedding").alias("vec")),
+            embeddings.sparkSession,
+        ),
+        planes,
     )
     sigs = (
         base.select(
