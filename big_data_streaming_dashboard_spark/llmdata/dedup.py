@@ -182,3 +182,73 @@ def neardup_pairs(
         pair.select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def neardup_clusters(
+    docs: DataFrame,
+    k: int = DEFAULT_K,
+    band_rows: int = DEFAULT_BAND_ROWS,
+    threshold: float = 0.2,
+    max_bucket_size: int = DEFAULT_MAX_BUCKET,
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Transitive near-dup clusters: connected components of the
+    verified near-dup pair graph, labeled by the minimum doc_id in
+    each component (singletons label themselves).
+
+    Near-duplication is transitive in practice (A~B, B~C usually means
+    one cluster of rewrites), and dedup policy operates on CLUSTERS --
+    keep one per component -- not on pairs. Components come from
+    iterative min-label propagation: each round every vertex takes the
+    min of its own and its neighbors' labels; rounds needed = graph
+    diameter (near-dup clusters are shallow; max_iterations bounds
+    pathological chains and the loop exits early on a fixpoint). Each
+    round is one equi-join + one aggregate -- the standard
+    large-graph-capable shape (no driver-side adjacency); the
+    fixpoint check is a driver count per round, the only actions.
+
+    Mirrored by a DuckDB recursive CTE (plans/llm_sql.CLUSTERS_SQL):
+    transitive closure then MIN per doc -- same labels."""
+    pairs = neardup_pairs(
+        docs, k, band_rows, threshold, max_bucket_size
+    ).select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).persist()
+    labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id")).persist()
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(
+                labels.select(
+                    F.col("doc_id").alias("doc_b"),
+                    F.col("cluster_id").alias("_nl"),
+                ),
+                "doc_b",
+            )
+            .groupBy(F.col("doc_a").alias("doc_id"))
+            .agg(F.min("_nl").alias("_nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce("_nmin", F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    sizes = labels.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return labels.join(sizes, "cluster_id").select(
+        "doc_id", "cluster_id", "cluster_size"
+    )

@@ -571,3 +571,60 @@ SELECT doc_id, est_bpe_tokens,
     ) AS INT) AS shard_id
 FROM est
 """
+
+
+# mirrors llmdata.dedup.neardup_clusters: same pair chain (banding,
+# bucket cap, jaccard verify), then connected components as a
+# recursive transitive closure + MIN per doc -- identical labels to
+# Spark's iterative min-label propagation at its fixpoint
+CLUSTERS_SQL = rf"""
+WITH RECURSIVE {_TOKENS_CTE},
+sig AS (
+    SELECT doc_id,
+        {_sig_cols_sql()}
+    FROM sh
+),
+banded AS (
+{_bands_union_sql()}
+),
+bounded AS (
+    SELECT doc_id, band_idx, band_hash FROM (
+        SELECT *, COUNT(*) OVER (PARTITION BY band_idx, band_hash) AS _bucket_n
+        FROM banded
+    ) WHERE _bucket_n <= 1000
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bounded a JOIN bounded b USING (band_idx, band_hash)
+    WHERE a.doc_id < b.doc_id
+),
+pairs AS (
+    SELECT cand.doc_a, cand.doc_b
+    FROM cand
+    JOIN sh sa ON cand.doc_a = sa.doc_id
+    JOIN sh sb ON cand.doc_b = sb.doc_id
+    WHERE round(
+            CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+            / (CAST(len(sa.shingles) + len(sb.shingles) AS DOUBLE)
+               - CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)),
+        6) >= 0.2
+),
+edges AS (
+    SELECT doc_a, doc_b FROM pairs
+    UNION ALL
+    SELECT doc_b, doc_a FROM pairs
+),
+reach(doc_id, r) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT e.doc_b, reach.r FROM reach JOIN edges e ON e.doc_a = reach.doc_id
+),
+lbl AS (
+    SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id
+),
+sizes AS (
+    SELECT cluster_id, COUNT(*) AS cluster_size FROM lbl GROUP BY cluster_id
+)
+SELECT lbl.doc_id, lbl.cluster_id, sizes.cluster_size
+FROM lbl JOIN sizes USING (cluster_id)
+"""

@@ -23,7 +23,12 @@ from pyspark.sql import functions as F
 
 from ..config import DEFAULT_CONFIG
 from ..llmdata.curation import curation_pipeline, shard_packing, stratified_sample
-from ..llmdata.dedup import exact_dedup, minhash_signature, neardup_pairs
+from ..llmdata.dedup import (
+    exact_dedup,
+    minhash_signature,
+    neardup_clusters,
+    neardup_pairs,
+)
 from ..llmdata.similarity import (
     DEFAULT_NEARDUP_BANDS,
     DEFAULT_NEARDUP_ROWS,
@@ -595,6 +600,11 @@ QUERIES: dict[str, QuerySpec] = {
         lambda spark, sf: bigram_lm_score(_docs(spark, sf)),
         llm_sql.BIGRAM_LM_SQL,
         "corpus bigram LM, per-doc mean conditional probability",
+    ),
+    "doc_neardup_clusters": QuerySpec(
+        lambda spark, sf: neardup_clusters(_docs(spark, sf)),
+        llm_sql.CLUSTERS_SQL,
+        "transitive near-dup clusters (connected components, min-label)",
     ),
     "doc_subword_stats": QuerySpec(
         lambda spark, sf: subword_stats(_docs(spark, sf)),

@@ -307,3 +307,44 @@ def test_write_curated_corpus_layout(spark, tmp_path):
     # partition pruning works on the layout
     en = back.filter(F.col("predicted_lang") == "en")
     assert "PartitionFilters: [isnotnull(predicted_lang" in en._jdf.queryExecution().executedPlan().toString() or en.count() >= 0
+
+
+def test_neardup_clusters_transitive_chain(spark):
+    """A~B and B~C (A!~C directly) must land in ONE cluster labeled by
+    the minimum doc_id; unrelated docs stay singletons."""
+    from big_data_streaming_dashboard_spark.llmdata.dedup import (
+        neardup_clusters,
+        neardup_pairs,
+    )
+
+    # 40-token docs with single-word substitutions: 10~20 and 20~30 at
+    # jaccard 0.854, 10~30 at 0.727 -- threshold 0.8 keeps exactly the
+    # chain edges (values are deterministic: md5 minhash, fixed text)
+    words = [f"tok{i}" for i in range(40)]
+    a, b, c = words[:], words[:], words[:]
+    b[5] = "beee"
+    c[5] = "beee"
+    c[30] = "ceee"
+    docs = spark.createDataFrame(
+        [
+            (10, " ".join(a)),
+            (20, " ".join(b)),
+            (30, " ".join(c)),
+            (99, "completely different words nothing shared here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    # chain premise: 10-20 and 20-30 are pairs; require 10-30 NOT to be
+    # (else the test proves nothing about transitivity)
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in neardup_pairs(docs, threshold=0.8).collect()
+    }
+    assert (10, 20) in pairs and (20, 30) in pairs
+    assert (10, 30) not in pairs
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["cluster_size"])
+        for r in neardup_clusters(docs, threshold=0.8).collect()
+    }
+    assert got[10] == (10, 3) and got[20] == (10, 3) and got[30] == (10, 3)
+    assert got[99] == (99, 1)
