@@ -201,3 +201,34 @@ def test_neardup_bucket_cap_bounds_degenerate_band(spark):
     }
     assert (1000, 1001) in pairs
     assert all(a >= 1000 for a, _ in pairs)  # no boilerplate pairs
+
+
+def test_sql_surface_matches_dataframe_plans(spark):
+    """The engine's SQL surface: register_views exposes every fixture
+    table to spark.sql, and ANSI SQL text produces the same results as
+    the DataFrame registry plans."""
+    from big_data_streaming_dashboard_spark.plans import QUERIES
+    from big_data_streaming_dashboard_spark.tables import TABLE_NAMES, register_views
+
+    sf = "/root/testdata/sf0.01"
+    register_views(spark, sf)
+    for t in TABLE_NAMES:
+        assert spark.table(t).count() >= 0, t
+
+    sql_rows = spark.sql("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE) AS sum_qty,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1999-12-01'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """).collect()
+    df_rows = {
+        (r["l_returnflag"], r["l_linestatus"]): (r["sum_qty"], r["count_order"])
+        for r in QUERIES["pricing_summary"].fn(spark, sf).collect()
+    }
+    assert len(sql_rows) == len(df_rows)
+    for r in sql_rows:
+        got = df_rows[(r["l_returnflag"], r["l_linestatus"])]
+        assert (r["sum_qty"], r["count_order"]) == got
