@@ -182,27 +182,50 @@ def stratified_sample(
 
 
 def shard_packing(
-    docs: DataFrame, tokens_per_shard: int = 4000
+    docs: DataFrame,
+    tokens_per_shard: int = 4000,
+    docs_per_bucket: int = 128,
 ) -> DataFrame:
     """Greedy token-budget shard assignment: docs in doc_id order
-    accumulate their estimated BPE token counts; shard_id =
-    floor(cumulative/budget) -- the sequence-packing precursor that
-    bounds per-shard token mass for training-data writers.
+    accumulate their estimated BPE token counts; a doc never splits
+    across shards -- the sequence-packing precursor that bounds
+    per-shard token mass for training-data writers.
 
-    One global running sum = one range-partitioned window at scale.
-    Spark computes it as a single `Window.orderBy(doc_id)` cumulative
-    sum (range exchange, no skew: doc_id is unique); practical shard
-    writers parallelize by FIRST bucketing on a coarse hash then
-    packing within buckets -- this operator is the within-bucket
-    step."""
+    Two-level pack so the running sum never serializes the corpus
+    through one task: docs first land in coarse `doc_id`-range
+    buckets (`doc_id // docs_per_bucket`), the cumulative sum runs
+    PER BUCKET (parallel window, one exchange on pack_bucket), and
+    shards are then renumbered globally by a window over the DISTINCT
+    (bucket, local_shard) keys -- a ~total_tokens/budget-row frame,
+    broadcast-joined back. At 100 TB the heavy per-doc window fans
+    out across executors; only shard *keys* pass through the single
+    ordered task."""
     est = subword_stats(docs).select("doc_id", "est_bpe_tokens")
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
-    return est.select(
+    bucketed = est.withColumn(
+        "pack_bucket", F.floor(F.col("doc_id") / F.lit(docs_per_bucket))
+    )
+    w = (
+        Window.partitionBy("pack_bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = F.sum("est_bpe_tokens").over(w)
+    local = bucketed.select(
         "doc_id",
         "est_bpe_tokens",
-        F.sum("est_bpe_tokens").over(w).alias("cum_tokens"),
-        F.floor(
-            (F.sum("est_bpe_tokens").over(w) - F.col("est_bpe_tokens"))
-            / tokens_per_shard
-        ).cast("int").alias("shard_id"),
+        "pack_bucket",
+        cum.alias("cum_tokens"),
+        F.floor((cum - F.col("est_bpe_tokens")) / tokens_per_shard)
+        .cast("int")
+        .alias("local_shard"),
     )
+    shard_keys = local.select("pack_bucket", "local_shard").distinct()
+    wk = Window.orderBy("pack_bucket", "local_shard")
+    numbered = shard_keys.select(
+        "pack_bucket",
+        "local_shard",
+        (F.row_number().over(wk) - 1).cast("int").alias("shard_id"),
+    )
+    return local.join(
+        F.broadcast(numbered), ["pack_bucket", "local_shard"]
+    ).select("doc_id", "est_bpe_tokens", "cum_tokens", "shard_id")

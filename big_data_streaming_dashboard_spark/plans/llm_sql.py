@@ -544,9 +544,13 @@ FROM base
 """
 
 
-# mirrors llmdata.curation.shard_packing (budget 4000): same pre-token
-# estimate, same running sum over doc_id order, shard from the
-# PRE-accumulation cumulative so a doc never splits across shards
+# mirrors llmdata.curation.shard_packing (budget 4000, bucket 128):
+# same pre-token estimate, per-bucket running sum over doc_id order,
+# shard from the PRE-accumulation cumulative so a doc never splits
+# across shards, then dense global renumbering over (bucket, local)
+# -- identical to Spark's distinct-keys row_number + broadcast join.
+# cum_tokens is CAST to BIGINT: DuckDB's windowed SUM(BIGINT) yields
+# HUGEINT, which the driver hashes differently from Spark's BIGINT.
 SHARD_PACKING_SQL = r"""
 WITH pt AS (
     SELECT doc_id,
@@ -562,14 +566,25 @@ est AS (
             list_transform(toks, t -> (length(trim(t)) + 3) // 4), 'sum'
         ) AS BIGINT) AS est_bpe_tokens
     FROM pt
+),
+local AS (
+    SELECT doc_id, est_bpe_tokens,
+        doc_id // 128 AS pack_bucket,
+        CAST(SUM(est_bpe_tokens) OVER (
+            PARTITION BY doc_id // 128 ORDER BY doc_id
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+        CAST(FLOOR(
+            (SUM(est_bpe_tokens) OVER (
+                PARTITION BY doc_id // 128 ORDER BY doc_id
+                ROWS UNBOUNDED PRECEDING)
+             - est_bpe_tokens) / 4000
+        ) AS INT) AS local_shard
+    FROM est
 )
-SELECT doc_id, est_bpe_tokens,
-    SUM(est_bpe_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum_tokens,
-    CAST(FLOOR(
-        (SUM(est_bpe_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
-         - est_bpe_tokens) / 4000
-    ) AS INT) AS shard_id
-FROM est
+SELECT doc_id, est_bpe_tokens, cum_tokens,
+    CAST(DENSE_RANK() OVER (ORDER BY pack_bucket, local_shard) - 1 AS INT)
+        AS shard_id
+FROM local
 """
 
 

@@ -35,8 +35,16 @@ def duck():
 
 def normalize(rows, columns):
     """Order-insensitive canonical form: sort columns by name, stringify
-    values (timestamps -> isoformat, floats -> repr), sort rows."""
+    values (timestamps -> isoformat, floats -> repr), sort rows.
+
+    Type-preserving on purpose: int `44`, float `44.0`, and Decimal
+    `44` all canonicalize DIFFERENTLY. The r2 driver flagged
+    `doc_shard_packing` because DuckDB's windowed SUM(BIGINT) returns
+    HUGEINT where Spark returns BIGINT; the old fetchall()-based
+    comparison collapsed both to Python int and passed locally. The
+    local harness must fail exactly where the driver fails."""
     import datetime
+    import decimal
     import math
 
     order = sorted(range(len(columns)), key=lambda i: columns[i])
@@ -50,6 +58,8 @@ def normalize(rows, columns):
             if math.isnan(v):
                 return "nan"
             return repr(v)
+        if isinstance(v, decimal.Decimal):
+            return f"dec:{v}"
         if isinstance(v, datetime.datetime):
             return v.isoformat(sep=" ")
         return str(v)
@@ -59,12 +69,19 @@ def normalize(rows, columns):
 
 def compare_spark_duck(spark_df, duck_con, sql, limit_diff=8):
     """Replicates the driver's check: row count + sorted-column value
-    multiset equality. Returns (ok, message)."""
+    multiset equality. Returns (ok, message).
+
+    DuckDB results are fetched through Arrow, not fetchall():
+    fetchall() coerces HUGEINT to Python int (masking engine type
+    drift the driver detects), while Arrow keeps HUGEINT as
+    decimal128 the way the driver's materialization does."""
     s_cols = spark_df.columns
     s_rows = [tuple(r) for r in spark_df.collect()]
     res = duck_con.execute(sql)
     d_cols = [d[0] for d in res.description]
-    d_rows = res.fetchall()
+    d_rows = [
+        tuple(row[c] for c in d_cols) for row in res.arrow().to_pylist()
+    ]
     if sorted(s_cols) != sorted(d_cols):
         return False, f"schema mismatch: spark={sorted(s_cols)} duck={sorted(d_cols)}"
     if len(s_rows) != len(d_rows):

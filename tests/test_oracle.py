@@ -26,3 +26,20 @@ def test_rows_only_queries_run(spark):
         if spec.oracle is None:
             df = spec.fn(spark, SF_ORACLE)
             assert df.count() >= 0, name
+
+
+def test_harness_flags_hugeint_vs_bigint(spark, duck):
+    """Regression for the r2 doc_shard_packing driver failure: DuckDB's
+    windowed SUM(BIGINT) yields HUGEINT; an oracle that forgets the
+    BIGINT cast must FAIL locally even though every value is equal."""
+    from pyspark.sql import functions as F
+
+    sdf = spark.range(1).select(F.lit(44).cast("long").alias("s"))
+    uncast = "SELECT SUM(x) OVER () AS s FROM (VALUES (44)) t(x)"
+    ok, _ = compare_spark_duck(sdf, duck, uncast)
+    assert not ok, "uncast HUGEINT oracle must mismatch a BIGINT column"
+    cast = (
+        "SELECT CAST(SUM(x) OVER () AS BIGINT) AS s FROM (VALUES (44)) t(x)"
+    )
+    ok, msg = compare_spark_duck(sdf, duck, cast)
+    assert ok, msg
