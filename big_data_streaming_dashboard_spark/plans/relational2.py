@@ -462,6 +462,39 @@ def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def exact_distinct_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic exact twin of approx_aggregates: COUNT(DISTINCT)
+    + interpolated exact quantiles over the same columns, so the
+    distinct/quantile surface gets an oracle-checked driver row while
+    the sketch variant stays rows-only (error-bounded in tests).
+
+    Exact distinct + exact percentile both shuffle on the group key
+    only; percentile's per-group sort is bounded by group size (6
+    return-flag groups), not corpus size."""
+    li = _load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 6).alias(
+            "median_price"
+        ),
+        F.round(F.percentile("l_extendedprice", F.lit(0.95)), 6).alias(
+            "p95_price"
+        ),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+EXACT_DISTINCT_QUANTILES_SQL = """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_orderkey) AS exact_orders,
+       round(quantile_cont(l_extendedprice, 0.5), 6) AS median_price,
+       round(quantile_cont(l_extendedprice, 0.95), 6) AS p95_price,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
 def asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each event matched to the user's latest order at or
     before the event time (union + carry-forward window)."""
