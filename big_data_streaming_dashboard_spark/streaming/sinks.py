@@ -43,16 +43,27 @@ def route_foreach_batch(
     return fn
 
 
+def kafka_wire(df: DataFrame) -> DataFrame:
+    """The routed-topic wire shape (S6/S10): key = composite dedup key
+    (D3 partition alignment + downstream idempotence,
+    data_provider/data_provider.py:134-150), value = the full record
+    as one JSON object (to_json drops null fields; from_json restores
+    absent fields as null, so null round-trips hold). Pure projection
+    shared by the Kafka writer and the brokerless contract test so the
+    test pins the EXACT bytes shape the writer ships."""
+    return df.select(
+        F.col("dedup_key").alias("key"),
+        F.to_json(F.struct(*df.columns)).alias("value"),
+    )
+
+
 def kafka_route_writer(bootstrap_servers: str, topic_by_route: dict[str, str]):
     """Route writer for Kafka: value = to_json(struct(*)), key = dedup
     key for idempotent downstream consumption. Needs the kafka jar."""
 
     def write_route(name: str, df: DataFrame, epoch_id: int) -> None:
         (
-            df.select(
-                F.col("dedup_key").alias("key"),
-                F.to_json(F.struct(*df.columns)).alias("value"),
-            )
+            kafka_wire(df)
             .write.format("kafka")
             .option("kafka.bootstrap.servers", bootstrap_servers)
             .option("topic", topic_by_route[name])

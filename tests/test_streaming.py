@@ -628,3 +628,124 @@ def test_temporal_counts_checkpoint_restart_idempotent(spark, bronze_dir, tmp_pa
     # keys are unique: no window ever emitted twice
     keys = [k for k, _ in second]
     assert len(keys) == len(set(keys))
+
+
+def test_routed_sink_wire_contract(spark):
+    """S10/S12 wire contract, brokerless: the exact kafka_wire
+    projection the routed Kafka writer ships (key = dedup_key, value =
+    to_json(struct(*)), streaming/sinks.py) parsed back through
+    from_json restores every routed record -- schema, null fields on
+    dirty rows, and S5 key formatting (composite key recomputed from
+    the raw bronze fields, INVALID_KEY fallback, never null;
+    data_provider/data_provider.py:134-150)."""
+    from collections import Counter
+
+    from big_data_streaming_dashboard_spark.functions.keys import dedup_key
+    from big_data_streaming_dashboard_spark.operators.route import route
+    from big_data_streaming_dashboard_spark.streaming.sinks import kafka_wire
+
+    from .conftest import SF_SMOKE
+
+    bronze = bronze_radiation(spark, SF_SMOKE)
+    routed = route(
+        first_occurrence_dedup(validate_enrich(bronze), "dedup_key", "event_id")
+    )
+    wire = kafka_wire(routed)
+    back = wire.select(
+        F.col("key").cast("string").alias("kafka_key"),
+        F.from_json(F.col("value").cast("string"), routed.schema).alias("r"),
+    ).select("kafka_key", "r.*")
+
+    # schema survives the JSON boundary: same names and types (the
+    # boundary widens nullability -- JSON can't carry non-null
+    # guarantees, so only name/type parity is contractual)
+    assert [
+        (f.name, f.dataType) for f in back.drop("kafka_key").schema.fields
+    ] == [(f.name, f.dataType) for f in routed.schema.fields]
+
+    cols = routed.columns
+
+    def canon(rows):
+        return Counter(tuple(str(r[c]) for c in cols) for r in rows)
+
+    assert canon(back.collect()) == canon(routed.collect())
+
+    # null-field handling: to_json drops null fields, from_json restores
+    # absent ones as null -- every dirty record's enrichment fields must
+    # come back null, not vanish or coerce
+    dirty = back.filter(F.col("route") == "dirty")
+    n_dirty = dirty.count()
+    assert n_dirty > 0
+    for c in ("timestamp", "event_time", "lat", "lon", "level"):
+        assert dirty.filter(F.col(c).isNull()).count() == n_dirty, c
+
+    # S5 key parity: wire key == composite key recomputed from raw
+    # bronze; never null (D3: unparseable rows share INVALID_KEY)
+    rejoined = back.select("kafka_key", "event_id").join(
+        bronze.select(
+            "event_id",
+            dedup_key(
+                F.col("latitude"),
+                F.col("longitude"),
+                F.col("value"),
+                F.col("captured_time"),
+                F.col("unit"),
+            ).alias("expect_key"),
+        ),
+        "event_id",
+    )
+    assert rejoined.count() == routed.count()
+    assert rejoined.filter(F.col("kafka_key").isNull()).count() == 0
+    assert rejoined.filter(F.col("kafka_key") != F.col("expect_key")).count() == 0
+
+
+def test_replay_epoch_downstream_dedup_restores_effective_once(spark, tmp_path):
+    """Closes the documented EOS delta (SURVEY.md section 7.4) with
+    proof: Spark's Kafka sink is at-least-once, so a retried
+    micro-batch can deliver a whole epoch twice (the reference uses
+    transactional EOS sinks, flink_process/flink_process.py:354-390).
+    Replay the same epoch through the routed foreachBatch sink into an
+    append store, consume with the documented dedup-on-key, and the
+    result equals the exactly-once delivery -- per route."""
+    from collections import Counter
+
+    from big_data_streaming_dashboard_spark.operators.route import route
+    from big_data_streaming_dashboard_spark.streaming.sinks import (
+        kafka_wire,
+        route_foreach_batch,
+    )
+
+    from .conftest import SF_SMOKE
+
+    silver = first_occurrence_dedup(
+        validate_enrich(bronze_radiation(spark, SF_SMOKE)),
+        "dedup_key",
+        "event_id",
+    ).persist()
+    sink = tmp_path / "routed"
+
+    def write_route(name, df, epoch_id):
+        kafka_wire(df).write.mode("append").parquet(str(sink / name))
+
+    fn = route_foreach_batch(write_route)
+    fn(silver, 0)
+    fn(silver, 0)  # duplicate delivery of the same epoch (at-least-once)
+
+    routed = route(silver)
+    for name in ROUTES:
+        exact_once = Counter(
+            (r["key"], r["value"])
+            for r in kafka_wire(
+                routed.filter(F.col("route") == name)
+            ).collect()
+        )
+        delivered = spark.read.parquet(str(sink / name))
+        # duplicates genuinely reached the sink ...
+        assert delivered.count() == 2 * sum(exact_once.values()), name
+        # ... and the idempotent consumer removes exactly them
+        consumed = Counter(
+            (r["key"], r["value"])
+            for r in delivered.dropDuplicates(["key"]).collect()
+        )
+        assert consumed == exact_once, name
+    silver.unpersist()
