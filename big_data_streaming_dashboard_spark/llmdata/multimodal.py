@@ -194,26 +194,73 @@ _RESIZE_SCHEMA = T.StructType(
 )
 
 
+def synthetic_raw_images(spark: Any, n: int = 8, max_side: int = 48) -> DataFrame:
+    """Deterministic RAW-RGB image table: payload is the uncompressed
+    width*height*3 RGB888 buffer (pixel(y,x) = (x%256, y%256,
+    (x+y)%256)) -- the post-decode representation the resize kernel
+    contract operates on, producible without any codec."""
+    rows = []
+    for i in range(n):
+        w = 4 + (5 * i) % (max_side - 3)
+        h = 4 + (7 * i) % (max_side - 3)
+        payload = bytes(
+            c
+            for y in range(h)
+            for x in range(w)
+            for c in (x % 256, y % 256, (x + y) % 256)
+        )
+        rows.append((i, "image", payload, (w, h, None, None, "image/x-raw-rgb")))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
 def resize_images(
     media: DataFrame,
     width: int = 64,
     height: int = 64,
+    payload_format: str = "encoded",
     decode_stub: bool = True,
 ) -> DataFrame:
     """Image resize as an Arrow-batched mapInPandas stage.
 
-    Output ``pixels`` is the decoded+resized RGB buffer (width*height*3
-    bytes -- the contract a real PIL/torchvision kernel honors). The
-    stub synthesizes it deterministically from sha256(payload) so batch
-    shape, byte length, and partition behavior are testable without
-    codecs; ``decode_stub=False`` raises where the real kernel plugs
-    in. The kind filter runs BEFORE the Python stage (JVM-side, pushed
-    to the scan), so non-image payloads never cross the Arrow boundary.
+    Output ``pixels`` is the resized RGB888 buffer (width*height*3
+    bytes -- the contract a real PIL/torchvision kernel honors). Two
+    payload formats:
+
+    - ``payload_format="raw_rgb"``: REAL kernel. The payload is an
+      uncompressed src_width*src_height*3 RGB buffer (meta carries the
+      dims) and the resize is a pure-numpy nearest-neighbor gather
+      (``src_idx = dst_idx * src // dst``, the classic NN mapping) --
+      actual pixel output, no codec needed, vectorized per image.
+    - ``payload_format="encoded"``: the payload is JPEG/PNG bytes. The
+      decode step needs PIL/torchvision (absent from this container),
+      so the stub synthesizes a deterministic buffer from
+      sha256(payload); ``decode_stub=False`` raises where the real
+      codec plugs in.
+
+    The kind filter runs BEFORE the Python stage (JVM-side, pushed to
+    the scan), so non-image payloads never cross the Arrow boundary.
     """
     out_len = width * height * 3
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib as _hl
+
+        import numpy as np
+
+        def nn_resize(payload, m):
+            if payload is None:
+                return None
+            sw, sh = int(m["width"]), int(m["height"])
+            buf = np.frombuffer(bytes(payload), dtype=np.uint8)
+            if buf.size != sw * sh * 3:
+                raise ValueError(
+                    f"raw_rgb payload is {buf.size} bytes, expected "
+                    f"{sw}x{sh}x3={sw * sh * 3}"
+                )
+            img = buf.reshape(sh, sw, 3)
+            ys = (np.arange(height, dtype=np.int64) * sh) // height
+            xs = (np.arange(width, dtype=np.int64) * sw) // width
+            return img[ys][:, xs].tobytes()
 
         def stub_resize(payload):
             if payload is None:
@@ -222,11 +269,18 @@ def resize_images(
             return (h * (out_len // len(h) + 1))[:out_len]
 
         for pdf in batches:
-            if not decode_stub:
+            if payload_format == "raw_rgb":
+                pixels = [
+                    nn_resize(p, m) for p, m in zip(pdf["payload"], pdf["meta"])
+                ]
+            elif not decode_stub:
                 raise NotImplementedError(
                     "real image codecs (PIL/torchvision) are not installed "
-                    "in this container; pass decode_stub=True"
+                    "in this container; pass decode_stub=True or feed "
+                    "payload_format='raw_rgb' buffers"
                 )
+            else:
+                pixels = pdf["payload"].map(stub_resize)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -234,7 +288,7 @@ def resize_images(
                     "src_height": pdf["meta"].map(lambda m: m["height"]),
                     "width": width,
                     "height": height,
-                    "pixels": pdf["payload"].map(stub_resize),
+                    "pixels": pixels,
                 }
             )
 

@@ -217,3 +217,82 @@ def test_audio_window_features_slice_dependent(spark):
     assert again == sorted(
         (r["media_id"], r["start_sample"], tuple(r["feature"])) for r in feats
     )
+
+
+def test_resize_raw_rgb_real_pixels(spark):
+    """The raw-RGB resize kernel is REAL: nearest-neighbor pixel
+    output verified against an independent per-pixel computation, not
+    a stub shape check."""
+    from big_data_streaming_dashboard_spark.llmdata.multimodal import (
+        resize_images,
+        synthetic_raw_images,
+    )
+
+    media = synthetic_raw_images(spark, n=6)
+    dims = {
+        r["media_id"]: (r["meta"]["width"], r["meta"]["height"])
+        for r in media.select("media_id", "meta").collect()
+    }
+    got = {
+        r["media_id"]: r
+        for r in resize_images(
+            media, width=5, height=3, payload_format="raw_rgb"
+        ).collect()
+    }
+    assert set(got) == set(dims)
+    for media_id, (sw, sh) in dims.items():
+        r = got[media_id]
+        assert (r["src_width"], r["src_height"]) == (sw, sh)
+        assert len(r["pixels"]) == 5 * 3 * 3
+        # independent nearest-neighbor expectation: dst (y,x) samples
+        # src (y*sh//3, x*sw//5); source pixel (y,x) = (x%256, y%256,
+        # (x+y)%256) by construction
+        expect = bytes(
+            c
+            for y in range(3)
+            for x in range(5)
+            for sx, sy in [((x * sw) // 5, (y * sh) // 3)]
+            for c in (sx % 256, sy % 256, (sx + sy) % 256)
+        )
+        assert bytes(r["pixels"]) == expect, media_id
+
+
+def test_resize_raw_rgb_upscale_and_identity(spark):
+    """Upscale duplicates source pixels via the same NN mapping;
+    same-size resize is the identity."""
+    from big_data_streaming_dashboard_spark.llmdata.multimodal import (
+        resize_images,
+        synthetic_raw_images,
+    )
+
+    media = synthetic_raw_images(spark, n=1)  # media 0: 4x4
+    [orig] = media.select("payload", "meta").collect()
+    w, h = orig["meta"]["width"], orig["meta"]["height"]
+    [same] = resize_images(
+        media, width=w, height=h, payload_format="raw_rgb"
+    ).collect()
+    assert bytes(same["pixels"]) == bytes(orig["payload"])
+    [up] = resize_images(
+        media, width=2 * w, height=h, payload_format="raw_rgb"
+    ).collect()
+    # each source column appears exactly twice, in order
+    src = bytes(orig["payload"])
+    row0_src = [src[3 * x : 3 * x + 3] for x in range(w)]
+    row0_up = [bytes(up["pixels"][3 * x : 3 * x + 3]) for x in range(2 * w)]
+    assert row0_up == [row0_src[x // 2] for x in range(2 * w)]
+
+
+def test_resize_raw_rgb_rejects_malformed_buffer(spark):
+    """A payload whose length disagrees with meta dims fails loudly
+    (the kernel must not silently mis-stride pixels)."""
+    from big_data_streaming_dashboard_spark.llmdata.multimodal import (
+        MEDIA_SCHEMA,
+        resize_images,
+    )
+
+    bad = spark.createDataFrame(
+        [(0, "image", b"\x00" * 10, (4, 4, None, None, "image/x-raw-rgb"))],
+        MEDIA_SCHEMA,
+    )
+    with pytest.raises(Exception, match="expected"):
+        resize_images(bad, width=2, height=2, payload_format="raw_rgb").collect()
