@@ -199,7 +199,15 @@ def shard_packing(
     (bucket, local_shard) keys -- a ~total_tokens/budget-row frame,
     broadcast-joined back. At 100 TB the heavy per-doc window fans
     out across executors; only shard *keys* pass through the single
-    ordered task."""
+    ordered task.
+
+    The packed projection is persisted: both the output and the
+    shard-key branch consume it, and Spark does not reuse the
+    exchange under the subword HOF expressions (lambda expr-ids
+    defeat canonicalization -- verified on the executed plan), so
+    without the cache the corpus would be scanned + tokenized twice.
+    The cached footprint is ~40 B/doc (5 numeric columns), spilling
+    to disk if needed."""
     est = subword_stats(docs).select("doc_id", "est_bpe_tokens")
     bucketed = est.withColumn(
         "pack_bucket", F.floor(F.col("doc_id") / F.lit(docs_per_bucket))
@@ -218,7 +226,7 @@ def shard_packing(
         F.floor((cum - F.col("est_bpe_tokens")) / tokens_per_shard)
         .cast("int")
         .alias("local_shard"),
-    )
+    ).persist()
     shard_keys = local.select("pack_bucket", "local_shard").distinct()
     wk = Window.orderBy("pack_bucket", "local_shard")
     numbered = shard_keys.select(
