@@ -367,3 +367,52 @@ def subword_stats(docs: DataFrame) -> DataFrame:
         n_class(r"^ ?[^A-Za-z0-9\s]+$").alias("n_punct_tokens"),
         est.alias("est_bpe_tokens"),
     )
+
+
+def contamination_check(
+    docs: DataFrame,
+    eval_source: str = "src0",
+    window: int = RK_WINDOW,
+) -> DataFrame:
+    """Benchmark-contamination scan -- the train/eval n-gram-overlap
+    check a training-data pipeline runs before a release: the docs of
+    ``eval_source`` play the held-out benchmark, and every OTHER doc
+    is scored by how many of its ``window``-token passages (Rabin-
+    Karp rolling hashes, same machinery as `repeated_passages`) also
+    occur anywhere in the benchmark.
+
+    Shape: the benchmark's DISTINCT passage-hash set is small (eval
+    suites are tiny next to the corpus) -- build it once, broadcast
+    it, count hits per train doc with one hash-join, left-join the
+    counts back so clean docs keep an explicit 0. The corpus-side
+    scan stays a map stage; nothing about the corpus shuffles except
+    (doc_id, hit) pairs.
+    """
+    wh = _window_hashes(_token_codes(F.col("text")), window)
+    eval_hashes = (
+        docs.filter(F.col("source") == eval_source)
+        .select(F.explode(wh).alias("passage_hash"))
+        .distinct()
+    )
+    train = docs.filter(F.col("source") != eval_source)
+    hits = (
+        train.select("doc_id", F.explode(wh).alias("passage_hash"))
+        .join(F.broadcast(eval_hashes), "passage_hash")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    base = train.select("doc_id", F.size(wh).cast("long").alias("n_windows"))
+    n_cont = F.coalesce(F.col("n_contaminated"), F.lit(0).cast("long"))
+    return base.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "n_windows",
+        n_cont.alias("n_contaminated"),
+        F.round(
+            F.when(
+                F.col("n_windows") > 0,
+                n_cont.cast("double") / F.col("n_windows").cast("double"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("contamination_rate"),
+        (n_cont > 0).alias("is_contaminated"),
+    )

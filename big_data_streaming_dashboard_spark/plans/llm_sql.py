@@ -178,6 +178,40 @@ pairs AS (
 SELECT * FROM pairs WHERE jaccard >= 0.2
 """
 
+# mirrors llmdata.dedup.ngram_jaccard_pairs: inverted shingle index,
+# df cap 1000, exact list_intersect Jaccard verify at >= 0.5
+NGRAM_JACCARD_SQL = rf"""
+WITH {_TOKENS_CTE},
+postings AS (
+    SELECT doc_id, md5(s) AS sh_hash
+    FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)
+),
+bounded AS (
+    SELECT doc_id, sh_hash FROM (
+        SELECT *, COUNT(*) OVER (PARTITION BY sh_hash) AS df FROM postings
+    ) WHERE df <= 1000
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bounded a JOIN bounded b USING (sh_hash)
+    WHERE a.doc_id < b.doc_id
+),
+pairs AS (
+    SELECT
+        cand.doc_a, cand.doc_b,
+        round(
+            CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+            / (CAST(len(sa.shingles) + len(sb.shingles) AS DOUBLE)
+               - CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)),
+        6) AS jaccard
+    FROM cand
+    JOIN sh sa ON cand.doc_a = sa.doc_id
+    JOIN sh sb ON cand.doc_b = sb.doc_id
+)
+SELECT * FROM pairs WHERE jaccard >= 0.5
+"""
+
+
 def _simhash_bits_sql() -> str:
     terms = []
     for j in range(8):
@@ -279,6 +313,36 @@ SELECT passage_hash, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occurrences
 FROM (SELECT doc_id, unnest(wh) AS passage_hash FROM win)
 GROUP BY passage_hash
 HAVING COUNT(DISTINCT doc_id) >= 2
+"""
+
+
+# mirrors llmdata.text.contamination_check (eval source 'src0',
+# window 8): distinct benchmark passage-hash set, per-train-doc hit
+# count, clean docs keep explicit zero
+CONTAMINATION_SQL = rf"""
+WITH {_RK_CODES},
+tagged AS (
+    SELECT w.doc_id, w.wh, d.source FROM win w JOIN documents d USING (doc_id)
+),
+eval_set AS (
+    SELECT DISTINCT unnest(wh) AS passage_hash FROM tagged WHERE source = 'src0'
+),
+train AS (SELECT doc_id, wh FROM tagged WHERE source <> 'src0'),
+hits AS (
+    SELECT t.doc_id, COUNT(*) AS n_contaminated
+    FROM (SELECT doc_id, unnest(wh) AS passage_hash FROM train) t
+    JOIN eval_set USING (passage_hash)
+    GROUP BY t.doc_id
+)
+SELECT train.doc_id,
+    CAST(len(train.wh) AS BIGINT) AS n_windows,
+    CAST(COALESCE(hits.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+    round(CASE WHEN len(train.wh) > 0
+          THEN CAST(COALESCE(hits.n_contaminated, 0) AS DOUBLE)
+               / CAST(len(train.wh) AS DOUBLE)
+          ELSE 0.0 END, 6) AS contamination_rate,
+    COALESCE(hits.n_contaminated, 0) > 0 AS is_contaminated
+FROM train LEFT JOIN hits USING (doc_id)
 """
 
 KNN_VOTE_SQL = """

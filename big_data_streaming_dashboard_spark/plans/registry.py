@@ -28,6 +28,7 @@ from ..llmdata.dedup import (
     minhash_signature,
     neardup_clusters,
     neardup_pairs,
+    ngram_jaccard_pairs,
 )
 from ..llmdata.similarity import (
     DEFAULT_NEARDUP_BANDS,
@@ -46,6 +47,7 @@ from ..llmdata.similarity import (
 from ..llmdata.multimodal import media_feature_census
 from ..llmdata.text import (
     bigram_lm_score,
+    contamination_check,
     language_id,
     quality_score,
     repeated_passages,
@@ -567,16 +569,6 @@ QUERIES: dict[str, QuerySpec] = {
         llm_sql.QUALITY_SQL,
         "quality scoring (length/punct/stopword)",
     ),
-    "doc_langid": QuerySpec(
-        lambda spark, sf: language_id(_docs(spark, sf)),
-        llm_sql.LANGID_SQL,
-        "lexicon-hit language ID",
-    ),
-    "doc_exact_dedup": QuerySpec(
-        lambda spark, sf: exact_dedup(_docs(spark, sf)),
-        llm_sql.EXACT_DEDUP_SQL,
-        "exact dedup via md5 hash groups",
-    ),
     "doc_minhash_signature": QuerySpec(
         lambda spark, sf: minhash_signature(_docs(spark, sf)),
         llm_sql.MINHASH_SQL,
@@ -586,6 +578,16 @@ QUERIES: dict[str, QuerySpec] = {
         lambda spark, sf: neardup_pairs(_docs(spark, sf)),
         llm_sql.NEARDUP_SQL,
         "LSH-banded near-dup candidate pairs + exact Jaccard",
+    ),
+    "doc_ngram_jaccard": QuerySpec(
+        lambda spark, sf: ngram_jaccard_pairs(_docs(spark, sf)),
+        llm_sql.NGRAM_JACCARD_SQL,
+        "signature-free exact n-gram Jaccard pairs (inverted shingle index)",
+    ),
+    "doc_contamination": QuerySpec(
+        lambda spark, sf: contamination_check(_docs(spark, sf)),
+        llm_sql.CONTAMINATION_SQL,
+        "train/eval benchmark-contamination scan (rolling-hash overlap)",
     ),
     "doc_neardup_clusters": QuerySpec(
         lambda spark, sf: neardup_clusters(_docs(spark, sf)),
@@ -687,6 +689,16 @@ QUERIES: dict[str, QuerySpec] = {
             || '"}}}}' AS feature
         FROM points""",
         "P13 GeoJSON Feature<Point> construction",
+    ),
+    "doc_langid": QuerySpec(
+        lambda spark, sf: language_id(_docs(spark, sf)),
+        llm_sql.LANGID_SQL,
+        "lexicon-hit language ID",
+    ),
+    "doc_exact_dedup": QuerySpec(
+        lambda spark, sf: exact_dedup(_docs(spark, sf)),
+        llm_sql.EXACT_DEDUP_SQL,
+        "exact dedup via md5 hash groups",
     ),
     "doc_rolling_fingerprint": QuerySpec(
         lambda spark, sf: rolling_fingerprint(_docs(spark, sf)),

@@ -348,3 +348,50 @@ def test_neardup_clusters_transitive_chain(spark):
     }
     assert got[10] == (10, 3) and got[20] == (10, 3) and got[30] == (10, 3)
     assert got[99] == (99, 1)
+
+
+def test_ngram_jaccard_exact_value_and_cap(spark):
+    """Inverted-index Jaccard: hand-computable trigram sets.
+    A='a b c d e' -> {abc,bcd,cde}, B='a b c d f' -> {abc,bcd,cdf}:
+    intersection 2, union 4 -> jaccard exactly 0.5. C shares nothing.
+    A tight document-frequency cap suppresses the only shared
+    shingles and with them the pair."""
+    from big_data_streaming_dashboard_spark.llmdata.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d f"), (3, "x y z w v")],
+        ["doc_id", "text"],
+    )
+    got = ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    assert [(r["doc_a"], r["doc_b"], r["jaccard"]) for r in got] == [(1, 2, 0.5)]
+    # both shared shingles ('a b c', 'b c d') have df=2 -> a cap of 1
+    # drops them and no candidate pair survives
+    assert ngram_jaccard_pairs(docs, threshold=0.0, max_postings=1).count() == 0
+
+
+def test_contamination_check_flags_shared_passage(spark):
+    """An 8-token run copied from the eval doc marks the train doc
+    contaminated; a clean train doc keeps an explicit zero; eval docs
+    never appear in the output."""
+    from big_data_streaming_dashboard_spark.llmdata.text import (
+        contamination_check,
+    )
+
+    leak = "q w e r t y u i"  # 8 tokens = exactly one window
+    docs = spark.createDataFrame(
+        [
+            (0, f"intro {leak} outro", "bench"),
+            (1, f"stolen {leak} words here", "web"),
+            (2, "totally clean text with no overlap at all", "web"),
+        ],
+        ["doc_id", "text", "source"],
+    )
+    got = {r["doc_id"]: r for r in contamination_check(docs, eval_source="bench").collect()}
+    assert set(got) == {1, 2}
+    assert got[1]["is_contaminated"] and got[1]["n_contaminated"] >= 1
+    assert not got[2]["is_contaminated"] and got[2]["n_contaminated"] == 0
+    assert got[2]["contamination_rate"] == 0.0
+    # rate denominator is the doc's own window count
+    assert got[1]["n_windows"] == len(f"stolen {leak} words here".split()) - 7
