@@ -237,3 +237,42 @@ def shard_packing(
     return local.join(
         F.broadcast(numbered), ["pack_bucket", "local_shard"]
     ).select("doc_id", "est_bpe_tokens", "cum_tokens", "shard_id")
+
+
+def corpus_mixture(docs: DataFrame) -> DataFrame:
+    """Language-mixture weights with sqrt temperature (alpha = 0.5):
+    per predicted language, document count, token mass, token share
+    p_l, and sampling weight w_l = sqrt(p_l) / sum_m sqrt(p_m) -- the
+    rebalancing knob multilingual training mixes apply so head
+    languages stop drowning the tail. sqrt, not pow: IEEE-754
+    requires sqrt correctly rounded, so both engines produce the
+    identical double, while pow varies by libm.
+
+    Shape: one token-count map stage, a 5-group aggregate, then two
+    full-frame windows over the tiny language table (share + weight
+    normalizers) -- nothing beyond the per-doc scan touches the
+    corpus."""
+    qc = quality_columns(F.col("text"))
+    base = docs.select(
+        predicted_lang_column(F.col("text")).alias("predicted_lang"),
+        qc["n_tokens"].alias("n_tokens"),
+    )
+    per = base.groupBy("predicted_lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("lang_tokens"),
+    )
+    w = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    p = F.col("lang_tokens").cast("double") / F.sum("lang_tokens").over(w).cast(
+        "double"
+    )
+    staged = per.select("predicted_lang", "n_docs", "lang_tokens", p.alias("p"))
+    sq = F.sqrt(F.col("p"))
+    return staged.select(
+        "predicted_lang",
+        "n_docs",
+        "lang_tokens",
+        F.round("p", 6).alias("token_share"),
+        F.round(sq / F.sum(sq).over(w), 6).alias("mixture_weight"),
+    )

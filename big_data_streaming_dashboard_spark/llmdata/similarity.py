@@ -757,3 +757,54 @@ def cross_encoder_rerank(
             F.round("rerank_score", 6).alias("rerank_score"),
         )
     )
+
+
+def quantize_int8(embeddings: DataFrame) -> DataFrame:
+    """Per-vector symmetric int8 quantization -- the embedding-
+    compression step ANN serving applies before indexing (4x memory
+    cut; integer-SIMD dot products): scale = max|x| / 127,
+    q_i = bround(x_i / scale) (banker's rounding = DuckDB round_even,
+    identical at .5).
+
+    Returns scalar stats instead of the raw int8 array so the driver
+    hash stays scalar-typed: the exact-integer checksum
+    q_l1 = sum|q_i|, plus max/mean absolute reconstruction error
+    (ordered folds -- bit-stable in both engines).
+
+    Shape: pure map stage, no shuffle. amax/scale are materialized as
+    their own projection BEFORE the per-element lambdas reference
+    them -- higher-order functions are CodegenFallback, so an inlined
+    amax would be re-evaluated once per element (the minhash
+    two-stage-projection lesson, dedup.py:80).
+    """
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    staged = embeddings.select("vec_id", v.alias("v")).select(
+        "vec_id",
+        "v",
+        F.array_max(F.transform("v", lambda x: F.abs(x))).alias("amax"),
+    )
+    scale = (F.col("amax") / F.lit(127.0)).alias("scale")
+    qv = F.when(
+        F.col("scale") > 0,
+        F.transform("v", lambda x: F.bround(x / F.col("scale")).cast("int")),
+    ).otherwise(F.transform("v", lambda x: F.lit(0)))
+    staged = staged.select("vec_id", "v", scale).select(
+        "vec_id", "v", "scale", qv.alias("qv")
+    )
+    err = F.zip_with("v", "qv", lambda x, q: F.abs(x - q * F.col("scale")))
+    staged = staged.select("vec_id", "scale", "qv", err.alias("err"))
+    q_l1 = F.aggregate(
+        F.transform("qv", lambda q: F.abs(q).cast("long")),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    mean_err = F.aggregate(
+        F.col("err"), F.lit(0.0), lambda a, e: a + e
+    ) / F.size("err").cast("double")
+    return staged.select(
+        "vec_id",
+        F.round("scale", 9).alias("scale"),
+        q_l1.alias("q_l1"),
+        F.round(F.array_max("err"), 6).alias("max_abs_err"),
+        F.round(mean_err, 6).alias("mean_abs_err"),
+    )

@@ -564,6 +564,83 @@ FROM pt
 """
 
 
+# mirrors llmdata.similarity.quantize_int8: scale = max|x|/127,
+# round_even quantize (Spark bround), integer L1 checksum, ordered
+# error folds
+QUANTIZE_INT8_SQL = """
+WITH dv AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+),
+s AS (
+    SELECT vec_id, v,
+        list_max(list_transform(v, x -> abs(x))) AS amax
+    FROM dv
+),
+q AS (
+    SELECT vec_id, v, amax / 127.0 AS scale,
+        CASE WHEN amax > 0 THEN
+            list_transform(v, x -> CAST(round_even(x / (amax / 127.0), 0) AS INTEGER))
+        ELSE list_transform(v, x -> 0) END AS qv
+    FROM s
+),
+e AS (
+    SELECT vec_id, scale, qv,
+        list_transform(list_zip(v, qv), p -> abs(p[1] - p[2] * scale)) AS err
+    FROM q
+)
+SELECT vec_id,
+    round(scale, 9) AS scale,
+    CAST(list_aggregate(list_transform(qv, x -> CAST(abs(x) AS BIGINT)), 'sum')
+         AS BIGINT) AS q_l1,
+    round(list_max(err), 6) AS max_abs_err,
+    round(list_reduce(list_prepend(CAST(0 AS DOUBLE), err), (a, x) -> a + x)
+          / len(err), 6) AS mean_abs_err
+FROM e
+"""
+
+
+# mirrors llmdata.curation.corpus_mixture: per-language token mass,
+# share, and sqrt-temperature sampling weight (sqrt is IEEE-correctly
+# rounded in both engines; pow is not)
+MIXTURE_SQL = rf"""
+WITH ltoks AS (
+    SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS tokens
+    FROM documents
+),
+lhits AS (
+    SELECT doc_id,
+        {{lang_hits}}
+    FROM ltoks
+),
+base AS (
+    SELECT d.doc_id,
+        CASE WHEN hits_fr > greatest(hits_en, hits_es, hits_de) THEN 'fr'
+             WHEN hits_de > greatest(hits_en, hits_es) THEN 'de'
+             WHEN hits_es > hits_en THEN 'es'
+             ELSE 'en' END AS predicted_lang,
+        len(regexp_split_to_array(d.text, '\s+')) AS n_tokens
+    FROM documents d JOIN lhits ON d.doc_id = lhits.doc_id
+),
+per AS (
+    SELECT predicted_lang, COUNT(*) AS n_docs,
+        CAST(SUM(n_tokens) AS BIGINT) AS lang_tokens
+    FROM base GROUP BY predicted_lang
+),
+shared AS (
+    SELECT predicted_lang, n_docs, lang_tokens,
+        CAST(lang_tokens AS DOUBLE)
+            / CAST(CAST(SUM(lang_tokens) OVER () AS BIGINT) AS DOUBLE) AS p
+    FROM per
+),
+sq AS (SELECT *, sqrt(p) AS s FROM shared)
+SELECT predicted_lang, n_docs, lang_tokens,
+    round(p, 6) AS token_share,
+    round(s / SUM(s) OVER (), 6) AS mixture_weight
+FROM sq
+""".replace("{lang_hits}", _lang_hits_sql())
+
+
 def stratified_sample_sql(
     rates: dict[str, float], default_rate: float = 1.0, salt: str = "sample"
 ) -> str:

@@ -22,7 +22,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..config import DEFAULT_CONFIG
-from ..llmdata.curation import curation_pipeline, shard_packing, stratified_sample
+from ..llmdata.curation import (
+    corpus_mixture,
+    curation_pipeline,
+    shard_packing,
+    stratified_sample,
+)
 from ..llmdata.dedup import (
     exact_dedup,
     minhash_signature,
@@ -42,6 +47,7 @@ from ..llmdata.similarity import (
     kmeans_assign,
     knn_label_vote,
     lsh_banded_topk,
+    quantize_int8,
     simhash_hamming_topk,
 )
 from ..llmdata.multimodal import media_feature_census
@@ -559,15 +565,15 @@ QUERIES: dict[str, QuerySpec] = {
         "exact COUNT(DISTINCT) + interpolated quantiles (sketch twin)",
     ),
     # -- llmdata (SURVEY.md section 7.6) --
-    "doc_token_stats": QuerySpec(
-        lambda spark, sf: token_stats(_docs(spark, sf)),
-        llm_sql.TOKEN_STATS_SQL,
-        "token counting + fingerprint",
+    "doc_corpus_mixture": QuerySpec(
+        lambda spark, sf: corpus_mixture(_docs(spark, sf)),
+        llm_sql.MIXTURE_SQL,
+        "per-language token shares + sqrt-temperature mixture weights",
     ),
-    "doc_quality": QuerySpec(
-        lambda spark, sf: quality_score(_docs(spark, sf)),
-        llm_sql.QUALITY_SQL,
-        "quality scoring (length/punct/stopword)",
+    "emb_quantize_int8": QuerySpec(
+        lambda spark, sf: quantize_int8(_embs(spark, sf)),
+        llm_sql.QUANTIZE_INT8_SQL,
+        "symmetric int8 embedding quantization + reconstruction error",
     ),
     "doc_minhash_signature": QuerySpec(
         lambda spark, sf: minhash_signature(_docs(spark, sf)),
@@ -689,6 +695,16 @@ QUERIES: dict[str, QuerySpec] = {
             || '"}}}}' AS feature
         FROM points""",
         "P13 GeoJSON Feature<Point> construction",
+    ),
+    "doc_token_stats": QuerySpec(
+        lambda spark, sf: token_stats(_docs(spark, sf)),
+        llm_sql.TOKEN_STATS_SQL,
+        "token counting + fingerprint",
+    ),
+    "doc_quality": QuerySpec(
+        lambda spark, sf: quality_score(_docs(spark, sf)),
+        llm_sql.QUALITY_SQL,
+        "quality scoring (length/punct/stopword)",
     ),
     "doc_langid": QuerySpec(
         lambda spark, sf: language_id(_docs(spark, sf)),

@@ -395,3 +395,47 @@ def test_contamination_check_flags_shared_passage(spark):
     assert got[2]["contamination_rate"] == 0.0
     # rate denominator is the doc's own window count
     assert got[1]["n_windows"] == len(f"stolen {leak} words here".split()) - 7
+
+
+def test_quantize_int8_known_vector(spark):
+    """Hand-computable quantization: v=[127,-63.5,0] -> amax=127,
+    scale=1.0, q=[127,-64,0] (banker's: -63.5 -> -64), L1=191,
+    max err 0.5, mean err 0.5/3."""
+    from big_data_streaming_dashboard_spark.llmdata.similarity import (
+        quantize_int8,
+    )
+
+    embs = spark.createDataFrame(
+        [(0, [127.0, -63.5, 0.0])], ["vec_id", "embedding"]
+    )
+    [r] = quantize_int8(embs).collect()
+    assert r["scale"] == 1.0
+    assert r["q_l1"] == 191
+    assert r["max_abs_err"] == 0.5
+    assert r["mean_abs_err"] == round(0.5 / 3, 6)
+
+
+def test_corpus_mixture_flattens_shares(spark):
+    """Hand-computable two-language mixture: en doc 8 tokens, fr doc
+    2 tokens -> shares (0.8, 0.2); sqrt temperature gives weights
+    sqrt(0.8)/(sqrt(0.8)+sqrt(0.2)) = 2/3 and 1/3 exactly -- the head
+    language drops below its share, the tail rises above."""
+    from big_data_streaming_dashboard_spark.llmdata.curation import (
+        corpus_mixture,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the a and of is to in the"),  # 8 en function words
+            (1, "le les"),  # 2 fr function words
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["predicted_lang"]: r for r in corpus_mixture(docs).collect()}
+    assert set(rows) == {"en", "fr"}
+    assert rows["en"]["token_share"] == 0.8
+    assert rows["fr"]["token_share"] == 0.2
+    assert rows["en"]["mixture_weight"] == round(2 / 3, 6)
+    assert rows["fr"]["mixture_weight"] == round(1 / 3, 6)
+    assert rows["en"]["mixture_weight"] < rows["en"]["token_share"]
+    assert rows["fr"]["mixture_weight"] > rows["fr"]["token_share"]
