@@ -209,3 +209,78 @@ def neardup_probe_stream(
     return pair.select("doc_id", "index_doc_id", jac.alias("jaccard")).filter(
         F.col("jaccard") >= threshold
     )
+
+
+def write_eval_passage_index(
+    docs: DataFrame, path: str, eval_source: str = "src0"
+) -> str:
+    """Persist the benchmark's distinct passage-hash set -- the OFFLINE
+    artifact the streaming contamination probe joins against (eval
+    suites change rarely; rebuild on benchmark refresh, like the
+    near-dup band index)."""
+    from ..llmdata.text import RK_WINDOW, _token_codes, _window_hashes
+
+    wh = _window_hashes(_token_codes(F.col("text")), RK_WINDOW)
+    (
+        docs.filter(F.col("source") == eval_source)
+        .select(F.explode(wh).alias("passage_hash"))
+        .distinct()
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    return path
+
+
+def contamination_probe_stream(docs: DataFrame, eval_index: DataFrame) -> DataFrame:
+    """Streaming contamination gate: every arriving document is scored
+    against the eval passage-hash set before it can enter the
+    training corpus.
+
+    Deliberately STATELESS: an explode + stream-side groupBy would
+    park every doc_id in the state store forever, so the eval set
+    (small -- benchmarks are tiny next to the corpus) is collected
+    once at plan-build time and shipped to an Arrow-batched
+    membership kernel; the whole probe is a map stage in append mode
+    with no shuffle and no state. At real scale the set rides a
+    broadcast variable or degrades gracefully to a Bloom filter
+    (false positives quarantine a few extra docs for exact recheck).
+
+    Per-doc output matches the batch `contamination_check` columns,
+    so downstream routing (quarantine vs ingest) is the same
+    expression in both modes."""
+    from pyspark.sql.functions import pandas_udf
+
+    from ..llmdata.text import RK_WINDOW, _token_codes, _window_hashes
+
+    eval_hashes = frozenset(r["passage_hash"] for r in eval_index.collect())
+
+    @pandas_udf("long")
+    def n_hits(whs: pd.Series) -> pd.Series:
+        s = eval_hashes
+        return whs.map(
+            lambda arr: 0 if arr is None else sum(1 for h in arr if h in s)
+        ).astype("int64")
+
+    wh = _window_hashes(_token_codes(F.col("text")), RK_WINDOW)
+    base = docs.select(
+        "doc_id",
+        F.size(wh).cast("long").alias("n_windows"),
+        wh.alias("_wh"),
+    )
+    scored = base.select(
+        "doc_id", "n_windows", n_hits("_wh").alias("n_contaminated")
+    )
+    return scored.select(
+        "doc_id",
+        "n_windows",
+        "n_contaminated",
+        F.round(
+            F.when(
+                F.col("n_windows") > 0,
+                F.col("n_contaminated").cast("double")
+                / F.col("n_windows").cast("double"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("contamination_rate"),
+        (F.col("n_contaminated") > 0).alias("is_contaminated"),
+    )

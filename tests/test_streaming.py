@@ -749,3 +749,51 @@ def test_replay_epoch_downstream_dedup_restores_effective_once(spark, tmp_path):
         )
         assert consumed == exact_once, name
     silver.unpersist()
+
+
+def test_streaming_contamination_probe_matches_batch(spark, tmp_path):
+    """The stateless streaming contamination gate scores arriving
+    docs identically to the batch contamination_check run over the
+    same train/eval split."""
+    from big_data_streaming_dashboard_spark.llmdata.text import (
+        contamination_check,
+    )
+    from big_data_streaming_dashboard_spark.streaming.llm_ingest import (
+        contamination_probe_stream,
+        stream_documents,
+        write_eval_passage_index,
+    )
+    from big_data_streaming_dashboard_spark.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    idx_path = str(tmp_path / "eval_idx")
+    write_eval_passage_index(docs, idx_path, eval_source="src0")
+
+    train = docs.filter(F.col("source") != "src0").select(
+        "doc_id", "text", "lang"
+    )
+    docs_dir = str(tmp_path / "train_docs")
+    train.repartition(4).write.parquet(docs_dir)
+
+    got = _run_stream(
+        spark,
+        contamination_probe_stream(
+            stream_documents(spark, docs_dir), spark.read.parquet(idx_path)
+        ),
+        f"t_{uuid.uuid4().hex[:8]}",
+    )
+    cols = [
+        "n_windows",
+        "n_contaminated",
+        "contamination_rate",
+        "is_contaminated",
+    ]
+    s_rows = {r["doc_id"]: tuple(r[c] for c in cols) for r in got.collect()}
+    b_rows = {
+        r["doc_id"]: tuple(r[c] for c in cols)
+        for r in contamination_check(docs, eval_source="src0").collect()
+    }
+    assert s_rows == b_rows
+    # the fixture really plants cross-source duplicates: at least one
+    # contaminated doc flows through the gate
+    assert any(r[-1] for r in s_rows.values())
