@@ -1,0 +1,146 @@
+"""Push-serving fan-out: the reference backend's Kafka->WebSocket
+broadcast (backend/main.py:65-106) as a foreachBatch sink.
+
+Transport is Server-Sent Events over plain HTTP (stdlib only -- no
+websocket library in this container): the reference's broadcast is
+strictly server->client push, which SSE covers one-for-one, including
+the copy-on-iterate fan-out that drops broken sockets
+(backend/main.py:65-71), the heartbeat frames the frontend filters
+out (F7, useWebsocket.js:42-44), and the S14 health shape
+{status, connected_clients} (backend/main.py:112-114).
+
+Scale note: this is the LAST hop -- everything upstream is Spark; the
+per-batch collect() ships only the routed/alert serving stream (the
+reference ships every record to every browser; our gold views are
+bounded by construction, e.g. W8's 2000-point cap). A production
+deployment would put N broadcaster replicas behind a balancer and
+feed them from the routed Kafka topics; the foreachBatch shape is
+identical.
+"""
+
+from __future__ import annotations
+
+import json
+import queue
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+class SSEBroadcaster:
+    """Stdlib server-push hub: GET /events streams `data: <json>`
+    frames to every connected client; GET /health returns the S14
+    gauge. Each client owns a queue; `broadcast` enqueues to a
+    snapshot of the client list so disconnects during fan-out never
+    stall the loop (the reference's copy-on-iterate)."""
+
+    def __init__(self, host: str = "127.0.0.1", port: int = 0) -> None:
+        self._clients: dict[int, queue.Queue] = {}
+        self._lock = threading.Lock()
+        self._next_id = 0
+        hub = self
+
+        class Handler(BaseHTTPRequestHandler):
+            protocol_version = "HTTP/1.1"
+
+            def log_message(self, *args: Any) -> None:
+                pass
+
+            def do_GET(self) -> None:
+                if self.path == "/health":
+                    body = json.dumps(hub.health()).encode()
+                    self.send_response(200)
+                    self.send_header("Content-Type", "application/json")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                    return
+                if self.path != "/events":
+                    self.send_response(404)
+                    self.send_header("Content-Length", "0")
+                    self.end_headers()
+                    return
+                q: queue.Queue = queue.Queue()
+                with hub._lock:
+                    cid = hub._next_id
+                    hub._next_id += 1
+                    hub._clients[cid] = q
+                try:
+                    self.send_response(200)
+                    self.send_header("Content-Type", "text/event-stream")
+                    self.send_header("Cache-Control", "no-cache")
+                    self.send_header("Connection", "close")
+                    self.end_headers()
+                    while True:
+                        frame = q.get()
+                        if frame is None:
+                            break
+                        self.wfile.write(frame)
+                        self.wfile.flush()
+                except (BrokenPipeError, ConnectionResetError):
+                    pass
+                finally:
+                    with hub._lock:
+                        hub._clients.pop(cid, None)
+
+        self._server = ThreadingHTTPServer((host, port), Handler)
+        self._thread = threading.Thread(
+            target=self._server.serve_forever, daemon=True
+        )
+
+    def start(self) -> tuple[str, int]:
+        self._thread.start()
+        host, port = self._server.server_address[:2]
+        return str(host), int(port)
+
+    @property
+    def n_clients(self) -> int:
+        with self._lock:
+            return len(self._clients)
+
+    def health(self) -> dict[str, Any]:
+        # S14 shape (backend/main.py:112-114)
+        return {"status": "healthy", "connected_clients": self.n_clients}
+
+    def broadcast(self, payloads: list[str]) -> None:
+        if not payloads:
+            return
+        frames = b"".join(f"data: {p}\n\n".encode() for p in payloads)
+        with self._lock:
+            targets = list(self._clients.values())
+        for q in targets:
+            q.put(frames)
+
+    def heartbeat(self) -> None:
+        """The keep-alive frame clients drop (F7)."""
+        self.broadcast([json.dumps({"type": "heartbeat"})])
+
+    def stop(self) -> None:
+        with self._lock:
+            targets = list(self._clients.values())
+            self._clients.clear()
+        for q in targets:
+            q.put(None)
+        self._server.shutdown()
+        self._server.server_close()
+
+
+def sse_foreach_batch(broadcaster: SSEBroadcaster, tag_priority: bool = True):
+    """S12 sink: each micro-batch of the serving stream is serialized
+    to one JSON object per record (`data_priority` tagged like
+    backend/main.py:92-97) and fanned out to every connected client."""
+    from .serving import priority_tag
+
+    def fn(batch: DataFrame, epoch_id: int) -> None:
+        df = batch
+        if tag_priority and "critical" in batch.columns:
+            df = priority_tag(batch)
+        rows = df.select(
+            F.to_json(F.struct(*df.columns)).alias("j")
+        ).collect()
+        broadcaster.broadcast([r["j"] for r in rows])
+
+    return fn

@@ -101,3 +101,87 @@ def test_csv_bronze_source(spark, tmp_path):
     silver = validate_enrich(bronze.withColumn("event_id", F.monotonically_increasing_id()))
     got = sorted((r["status"], r["error"]) for r in silver.collect())
     assert got == [("invalid", "Invalid latitude: 95.0"), ("valid", None)]
+
+
+def test_sse_push_foreach_batch_end_to_end(spark, tmp_path):
+    """S12 push serving, end to end: a real streaming query fans each
+    micro-batch out to two connected SSE clients; both receive every
+    routed record as JSON with the data_priority tag, the health
+    gauge counts them (S14), and heartbeats arrive as droppable
+    type-frames (F7)."""
+    import http.client
+    import json as _json
+    import threading
+    import time
+
+    from big_data_streaming_dashboard_spark.streaming.push import (
+        SSEBroadcaster,
+        sse_foreach_batch,
+    )
+    from big_data_streaming_dashboard_spark.tables import bronze_radiation
+
+    bronze = bronze_radiation(spark, "/root/testdata/sf0.001").limit(80)
+    src = str(tmp_path / "bronze")
+    bronze.coalesce(2).write.parquet(src)
+    expected = (
+        validate_enrich(spark.read.parquet(src))
+        .filter(F.col("status") == "valid")
+        .count()
+    )
+    assert expected > 0
+
+    hub = SSEBroadcaster()
+    host, port = hub.start()
+
+    def reader(out):
+        conn = http.client.HTTPConnection(host, port, timeout=30)
+        conn.request("GET", "/events")
+        resp = conn.getresponse()
+        while len([m for m in out if m.get("type") != "heartbeat"]) < expected:
+            line = resp.fp.readline()
+            if not line:
+                break
+            if line.startswith(b"data: "):
+                out.append(_json.loads(line[6:].decode()))
+        conn.close()
+
+    got_a, got_b = [], []
+    threads = [
+        threading.Thread(target=reader, args=(buf,), daemon=True)
+        for buf in (got_a, got_b)
+    ]
+    for t in threads:
+        t.start()
+    deadline = time.time() + 10
+    while hub.n_clients < 2 and time.time() < deadline:
+        time.sleep(0.05)
+    assert hub.health() == {"status": "healthy", "connected_clients": 2}
+
+    hub.heartbeat()  # F7: a droppable type-frame before real data
+    silver = validate_enrich(stream_parquet_bronze(spark, src)).filter(
+        F.col("status") == "valid"
+    )
+    q = (
+        silver.writeStream.foreachBatch(sse_foreach_batch(hub))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    for t in threads:
+        t.join(timeout=30)
+
+    for got in (got_a, got_b):
+        data = [m for m in got if m.get("type") != "heartbeat"]
+        assert len(data) == expected
+        # S12 tag + payload fields survive the JSON hop
+        assert all(m["data_priority"] in ("critical", "normal") for m in data)
+        assert all("value" in m and "level" in m for m in data)
+    # both clients saw the heartbeat frame the frontend drops
+    assert any(m.get("type") == "heartbeat" for m in got_a)
+
+    hub.stop()
+    deadline = time.time() + 5
+    while hub.n_clients and time.time() < deadline:
+        time.sleep(0.05)
+    assert hub.n_clients == 0
