@@ -20,7 +20,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from big_data_streaming_dashboard_spark.plans import QUERIES
+from big_data_streaming_dashboard_spark.plans import queries_dict
 from big_data_streaming_dashboard_spark.session import get_spark
 
 HEADLINE = [
@@ -58,8 +58,9 @@ def main() -> None:
     # and cache materialization; the min is the steady-state number and
     # is far less sensitive to machine noise
     timings: dict[str, float] = {}
+    fns = queries_dict()
     for name in HEADLINE:
-        fn = QUERIES[name].fn
+        fn = fns[name]
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
