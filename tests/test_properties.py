@@ -96,3 +96,80 @@ def test_dedup_idempotent_and_minimal(spark, raw_rows):
         groups.setdefault(r["dedup_key"], []).append(r["event_id"])
     expected = sorted(min(v) for v in groups.values())
     assert got_once == expected
+
+
+# -- llmdata properties ------------------------------------------------------
+
+_word = st.sampled_from(["alpha", "beta", "gamma", "delta", "eps", "zeta"])
+_doc = st.lists(_word, min_size=1, max_size=12).map(" ".join)
+_corpus = st.lists(_doc, min_size=2, max_size=8)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_corpus)
+def test_ngram_jaccard_matches_brute_force(spark, texts):
+    """With the df cap out of reach, the inverted-index pairs are
+    EXACTLY the brute-force shingle-Jaccard pairs above threshold --
+    the op's exact-recall claim, over arbitrary small corpora."""
+    from big_data_streaming_dashboard_spark.llmdata.dedup import (
+        ngram_jaccard_pairs,
+        shingles,
+    )
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), ["doc_id", "text"]
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.3).collect()
+    }
+    sh = {
+        r["doc_id"]: set(r["sh"])
+        for r in docs.select(
+            "doc_id", shingles(F.col("text")).alias("sh")
+        ).collect()
+    }
+    expect = {}
+    ids = sorted(sh)
+    for i in ids:
+        for j in ids:
+            if i >= j:
+                continue
+            inter = len(sh[i] & sh[j])
+            if inter == 0:
+                continue  # no shared shingle -> no posting collision
+            jac = round(inter / (len(sh[i]) + len(sh[j]) - inter), 6)
+            if jac >= 0.3:
+                expect[(i, j)] = jac
+    assert got == expect
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.lists(
+            st.floats(-100, 100, allow_nan=False, allow_infinity=False),
+            min_size=4,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_quantize_int8_error_bound(spark, vecs):
+    """Symmetric int8 quantization invariant: every element's
+    reconstruction error is bounded by scale/2 (round-to-nearest), so
+    max_abs_err <= scale/2 within rounding slack; scale reconstructs
+    max|x|/127."""
+    from big_data_streaming_dashboard_spark.llmdata.similarity import (
+        quantize_int8,
+    )
+
+    embs = spark.createDataFrame(
+        list(enumerate(vecs)), ["vec_id", "embedding"]
+    )
+    for r in quantize_int8(embs).collect():
+        amax = max(abs(x) for x in vecs[r["vec_id"]])
+        assert abs(r["scale"] - amax / 127.0) < 1e-9 + 1e-9 * amax
+        assert r["max_abs_err"] <= r["scale"] / 2 + 1e-6
+        assert r["mean_abs_err"] <= r["max_abs_err"] + 1e-9
