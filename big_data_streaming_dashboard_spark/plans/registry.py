@@ -486,6 +486,11 @@ QUERIES: dict[str, QuerySpec] = {
     "top_customers": QuerySpec(
         relational.top_customers, relational.TOP_CUSTOMERS_SQL, "top-k by exact revenue"
     ),
+    "brand_supplier_margin": QuerySpec(
+        relational.brand_supplier_margin,
+        relational.BRAND_SUPPLIER_MARGIN_SQL,
+        "Q9-style margin star over part/supplier/nation (all-broadcast dims)",
+    ),
     "user_sessions": QuerySpec(
         relational.user_sessions, relational.USER_SESSIONS_SQL, "sessionization (lag+cumsum)"
     ),
@@ -498,11 +503,6 @@ QUERIES: dict[str, QuerySpec] = {
         relational2.segment_semi_anti,
         relational2.SEGMENT_SEMI_ANTI_SQL,
         "left_semi / left_anti join census",
-    ),
-    "pivot_event_counts": QuerySpec(
-        relational2.pivot_event_counts,
-        relational2.PIVOT_EVENT_COUNTS_SQL,
-        "pivot users x event_type",
     ),
     "grouping_sets_shipping": QuerySpec(
         relational2.grouping_sets_shipping,
@@ -657,6 +657,11 @@ QUERIES: dict[str, QuerySpec] = {
     # re-checked locally every suite run (tests/test_oracle.py) --
     # rotated out so never-driver-checked oracle queries fit in-window.
     # ------------------------------------------------------------------
+    "pivot_event_counts": QuerySpec(
+        relational2.pivot_event_counts,
+        relational2.PIVOT_EVENT_COUNTS_SQL,
+        "pivot users x event_type",
+    ),
     "level_filter_high": QuerySpec(
         q_level_filter_high,
         f"{_PIPE_CTE} SELECT * FROM points WHERE level5 IN ('very-high', 'high')",

@@ -222,3 +222,59 @@ SELECT
 FROM flagged
 GROUP BY user_id
 """
+
+
+def brand_supplier_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9-style star over the remaining dimension tables: lineitem
+    joined to part + supplier + nation, margin (revenue minus retail
+    cost) aggregated by supplier nation x part brand.
+
+    Join strategy at scale: part/supplier/nation are the SMALL side
+    everywhere (O(100)-O(100k) rows vs the fact table) -> all three
+    broadcast, so the only data movement is the post-aggregation
+    exchange on the ~nations x brands group key. Decimal-cast sums
+    keep the oracle hash exact (double SUM reassociates)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    revenue = _dec("l_extendedprice") * _one_minus("l_discount")
+    cost = _dec("p_retailprice") * _dec("l_quantity")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("supp_nation"), F.col("p_brand").alias("brand")
+        )
+        .agg(
+            F.sum(revenue).cast("double").alias("revenue"),
+            F.sum(cost).cast("double").alias("retail_cost"),
+            (F.sum(revenue) - F.sum(cost)).cast("double").alias("margin"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+        )
+    )
+
+
+BRAND_SUPPLIER_MARGIN_SQL = """
+SELECT
+    n_name AS supp_nation,
+    p_brand AS brand,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+             * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+        AS revenue,
+    CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))
+             * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS retail_cost,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+             * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))))
+         - SUM(CAST(p_retailprice AS DECIMAL(12,2))
+               * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS margin,
+    COUNT(*) AS n_lineitems,
+    COUNT(DISTINCT l_suppkey) AS n_suppliers
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name, p_brand
+"""
