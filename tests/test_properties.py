@@ -173,3 +173,44 @@ def test_quantize_int8_error_bound(spark, vecs):
         assert abs(r["scale"] - amax / 127.0) < 1e-9 + 1e-9 * amax
         assert r["max_abs_err"] <= r["scale"] / 2 + 1e-6
         assert r["mean_abs_err"] <= r["max_abs_err"] + 1e-9
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(_doc, min_size=1, max_size=20))
+def test_shard_packing_invariants(spark, texts):
+    """Greedy pack invariants over arbitrary corpora: shard ids are
+    dense from 0 and non-decreasing in (bucket, doc_id) order; no doc
+    splits; every shard's token mass stays below budget + its largest
+    doc (the greedy bound); and the result is identical under a
+    different input partitioning."""
+    from big_data_streaming_dashboard_spark.llmdata.curation import (
+        shard_packing,
+    )
+
+    docs = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    budget, bucket = 10, 4
+    rows = sorted(
+        shard_packing(docs, tokens_per_shard=budget, docs_per_bucket=bucket).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    assert len(rows) == len(texts)
+
+    ids = sorted({r["shard_id"] for r in rows})
+    assert ids == list(range(len(ids)))
+    # non-decreasing along (bucket, doc_id) = plain doc_id order here
+    assert all(a["shard_id"] <= b["shard_id"] for a, b in zip(rows, rows[1:]))
+
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        by_shard.setdefault(r["shard_id"], []).append(r)
+    for members in by_shard.values():
+        mass = sum(r["est_bpe_tokens"] for r in members)
+        assert mass < budget + max(r["est_bpe_tokens"] for r in members)
+
+    again = sorted(
+        shard_packing(
+            docs.repartition(7), tokens_per_shard=budget, docs_per_bucket=bucket
+        ).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    assert [tuple(r) for r in again] == [tuple(r) for r in rows]
