@@ -50,6 +50,10 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # machine state at start: a loaded box inflates every number (the
+    # r2 lesson -- see STATE.md's contention A/B); recording the load
+    # makes a contaminated run self-evident in the archived JSON
+    load1, load5, _ = os.getloadavg()
     spark = get_spark(app_name="bench")
     # warm the JVM/codegen once so per-query numbers measure the plans
     spark.range(1000).selectExpr("sum(id)").collect()
@@ -77,6 +81,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "load_avg_at_start": [round(load1, 2), round(load5, 2)],
             }
         )
     )
