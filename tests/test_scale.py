@@ -232,3 +232,43 @@ def test_sql_surface_matches_dataframe_plans(spark):
     for r in sql_rows:
         got = df_rows[(r["l_returnflag"], r["l_linestatus"])]
         assert (r["sum_qty"], r["count_order"]) == got
+
+
+def test_ngram_jaccard_df_cap_bounds_template_shingles(spark):
+    """Inverted-index analog of the LSH bucket-cap guard: 200
+    identical boilerplate docs share every shingle, so uncapped
+    postings would self-join into ~19,900 pairs per shingle. With the
+    document-frequency cap the template cluster generates no
+    candidates, while a genuine near-dup pair in the tail (whose
+    shingles are rare) still comes through with its exact Jaccard."""
+    from big_data_streaming_dashboard_spark.llmdata.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    boiler = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same boilerplate template text repeated everywhere").alias(
+            "text"
+        ),
+    )
+    assert (
+        ngram_jaccard_pairs(boiler, threshold=0.0, max_postings=50).count() == 0
+    )
+
+    mixed = boiler.unionByName(
+        spark.createDataFrame(
+            [
+                (1000, "alpha beta gamma delta epsilon zeta eta theta"),
+                (1001, "alpha beta gamma delta epsilon zeta eta iota"),
+            ],
+            "doc_id long, text string",
+        )
+    )
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            mixed, threshold=0.3, max_postings=50
+        ).collect()
+    }
+    # 8 tokens -> 6 trigrams each, 5 shared -> jaccard 5/7
+    assert pairs == {(1000, 1001): round(5 / 7, 6)}
