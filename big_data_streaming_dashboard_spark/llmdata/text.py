@@ -416,3 +416,34 @@ def contamination_check(
         ).alias("contamination_rate"),
         (n_cont > 0).alias("is_contaminated"),
     )
+
+
+def repetition_score(docs: DataFrame, window: int = RK_WINDOW) -> DataFrame:
+    """Within-doc repetition signal (the Gopher-style repetitious-text
+    filter): fraction of a doc's ``window``-token passages that are
+    repeats of an earlier passage in the SAME doc -- 1 - distinct/total
+    over the rolling hashes. Template pages and looping generations
+    score high; clean prose scores ~0.
+
+    Pure map stage over the already-built rolling-hash machinery: no
+    shuffle, no UDF, linear in input splits at any scale."""
+    wh = _window_hashes(_token_codes(F.col("text")), window)
+    base = docs.select(
+        "doc_id",
+        F.size(wh).cast("long").alias("n_windows"),
+        F.size(F.array_distinct(wh)).cast("long").alias("n_distinct_windows"),
+    )
+    return base.select(
+        "doc_id",
+        "n_windows",
+        "n_distinct_windows",
+        F.round(
+            F.when(
+                F.col("n_windows") > 0,
+                1.0
+                - F.col("n_distinct_windows").cast("double")
+                / F.col("n_windows").cast("double"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("repetition_rate"),
+    )

@@ -784,3 +784,18 @@ sizes AS (
 SELECT lbl.doc_id, lbl.cluster_id, sizes.cluster_size
 FROM lbl JOIN sizes USING (cluster_id)
 """
+
+
+# mirrors llmdata.text.repetition_score: distinct/total rolling-hash
+# windows per doc
+REPETITION_SQL = rf"""
+WITH {_RK_CODES}
+SELECT doc_id,
+    CAST(len(wh) AS BIGINT) AS n_windows,
+    CAST(len(list_distinct(wh)) AS BIGINT) AS n_distinct_windows,
+    round(CASE WHEN len(wh) > 0
+          THEN 1.0 - CAST(len(list_distinct(wh)) AS DOUBLE)
+               / CAST(len(wh) AS DOUBLE)
+          ELSE 0.0 END, 6) AS repetition_rate
+FROM win
+"""

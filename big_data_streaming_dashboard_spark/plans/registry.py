@@ -57,6 +57,7 @@ from ..llmdata.text import (
     language_id,
     quality_score,
     repeated_passages,
+    repetition_score,
     rolling_fingerprint,
     simhash8,
     subword_stats,
@@ -504,11 +505,6 @@ QUERIES: dict[str, QuerySpec] = {
         relational2.SEGMENT_SEMI_ANTI_SQL,
         "left_semi / left_anti join census",
     ),
-    "grouping_sets_shipping": QuerySpec(
-        relational2.grouping_sets_shipping,
-        relational2.GROUPING_SETS_SHIPPING_SQL,
-        "GROUPING SETS with heterogeneous sets (beyond cube/rollup)",
-    ),
     "asof_latest_order": QuerySpec(
         relational2.asof_latest_order,
         relational2.ASOF_LATEST_ORDER_SQL,
@@ -595,6 +591,11 @@ QUERIES: dict[str, QuerySpec] = {
         llm_sql.CONTAMINATION_SQL,
         "train/eval benchmark-contamination scan (rolling-hash overlap)",
     ),
+    "doc_repetition": QuerySpec(
+        lambda spark, sf: repetition_score(_docs(spark, sf)),
+        llm_sql.REPETITION_SQL,
+        "within-doc repetition rate (Gopher-style repetitious-text signal)",
+    ),
     "doc_neardup_clusters": QuerySpec(
         lambda spark, sf: neardup_clusters(_docs(spark, sf)),
         llm_sql.CLUSTERS_SQL,
@@ -661,6 +662,11 @@ QUERIES: dict[str, QuerySpec] = {
         relational2.pivot_event_counts,
         relational2.PIVOT_EVENT_COUNTS_SQL,
         "pivot users x event_type",
+    ),
+    "grouping_sets_shipping": QuerySpec(
+        relational2.grouping_sets_shipping,
+        relational2.GROUPING_SETS_SHIPPING_SQL,
+        "GROUPING SETS with heterogeneous sets (beyond cube/rollup)",
     ),
     "level_filter_high": QuerySpec(
         q_level_filter_high,

@@ -439,3 +439,23 @@ def test_corpus_mixture_flattens_shares(spark):
     assert rows["fr"]["mixture_weight"] == round(1 / 3, 6)
     assert rows["en"]["mixture_weight"] < rows["en"]["token_share"]
     assert rows["fr"]["mixture_weight"] > rows["fr"]["token_share"]
+
+
+def test_repetition_score_periodic_text(spark):
+    """A doc whose 8-token block repeats 3x has 24 tokens -> 17
+    rolling windows but only 8 distinct patterns: rate 1 - 8/17. A
+    non-repeating doc scores 0."""
+    from big_data_streaming_dashboard_spark.llmdata.text import (
+        repetition_score,
+    )
+
+    block = "a b c d e f g h"
+    docs = spark.createDataFrame(
+        [(0, " ".join([block] * 3)), (1, "one two three four five six seven eight nine")],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in repetition_score(docs).collect()}
+    assert got[0]["n_windows"] == 17
+    assert got[0]["n_distinct_windows"] == 8
+    assert got[0]["repetition_rate"] == round(1 - 8 / 17, 6)
+    assert got[1]["repetition_rate"] == 0.0
