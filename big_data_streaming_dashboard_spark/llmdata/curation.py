@@ -276,3 +276,58 @@ def corpus_mixture(docs: DataFrame) -> DataFrame:
         F.round("p", 6).alias("token_share"),
         F.round(sq / F.sum(sq).over(w), 6).alias("mixture_weight"),
     )
+
+
+def curation_pipeline_extended(
+    docs: DataFrame,
+    quality_threshold: float = DEFAULT_QUALITY_THRESHOLD,
+    neardup_threshold: float = DEFAULT_NEARDUP_JACCARD,
+    keep_lang: str = DEFAULT_KEEP_LANG,
+    max_repetition: float = 0.2,
+    eval_source: str = "src0",
+) -> DataFrame:
+    """The full corpus-hygiene verdict: the base curation signals plus
+    the round-3 ones, with one fixed precedence --
+    eval_holdout > contaminated > non_english > low_quality >
+    repetitious > exact_duplicate > near_duplicate.
+
+    eval-source docs are the held-out benchmark and never enter the
+    training set; contaminated docs leaked an eval passage; repetitious
+    docs exceed the within-doc repeated-window rate. Composition stays
+    the independent-shuffle-trees shape of the base pipeline (each
+    signal is corpus-wide; no filter cascades into another's candidate
+    generation), so AQE schedules the trees freely and the whole
+    verdict remains one oracle-checkable plan."""
+    from .text import contamination_check, repetition_score
+
+    base = curation_pipeline(docs, quality_threshold, neardup_threshold, keep_lang)
+    rep = repetition_score(docs).select("doc_id", "repetition_rate")
+    cont = contamination_check(docs, eval_source=eval_source).select(
+        "doc_id", "is_contaminated"
+    )
+    joined = (
+        base.drop("kept")
+        .join(rep, "doc_id")
+        .join(cont, "doc_id", "left")
+        .join(docs.select("doc_id", "source"), "doc_id")
+    )
+    is_cont = F.coalesce(F.col("is_contaminated"), F.lit(False))
+    reason = (
+        F.when(F.col("source") == eval_source, "eval_holdout")
+        .when(is_cont, "contaminated")
+        .when(F.col("drop_reason") == "non_english", "non_english")
+        .when(F.col("drop_reason") == "low_quality", "low_quality")
+        .when(F.col("repetition_rate") > max_repetition, "repetitious")
+        .when(F.col("drop_reason") == "exact_duplicate", "exact_duplicate")
+        .when(F.col("drop_reason") == "near_duplicate", "near_duplicate")
+    )
+    return joined.select(
+        "doc_id",
+        "predicted_lang",
+        "quality_score",
+        "n_tokens",
+        "repetition_rate",
+        is_cont.alias("is_contaminated"),
+        reason.alias("drop_reason"),
+        reason.isNull().alias("kept"),
+    )

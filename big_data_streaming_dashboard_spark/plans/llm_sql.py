@@ -799,3 +799,28 @@ SELECT doc_id,
           ELSE 0.0 END, 6) AS repetition_rate
 FROM win
 """
+
+
+# mirrors llmdata.curation.curation_pipeline_extended: base verdict +
+# round-3 hygiene signals, fixed precedence (eval_holdout >
+# contaminated > non_english > low_quality > repetitious >
+# exact_duplicate > near_duplicate)
+CURATION_EXTENDED_SQL = rf"""
+SELECT *, drop_reason IS NULL AS kept FROM (
+    SELECT b.doc_id, b.predicted_lang, b.quality_score, b.n_tokens,
+        r.repetition_rate,
+        COALESCE(c.is_contaminated, FALSE) AS is_contaminated,
+        CASE WHEN d.source = 'src0' THEN 'eval_holdout'
+             WHEN COALESCE(c.is_contaminated, FALSE) THEN 'contaminated'
+             WHEN b.drop_reason = 'non_english' THEN 'non_english'
+             WHEN b.drop_reason = 'low_quality' THEN 'low_quality'
+             WHEN r.repetition_rate > 0.2 THEN 'repetitious'
+             WHEN b.drop_reason = 'exact_duplicate' THEN 'exact_duplicate'
+             WHEN b.drop_reason = 'near_duplicate' THEN 'near_duplicate'
+             END AS drop_reason
+    FROM ({CURATION_SQL}) b
+    JOIN ({REPETITION_SQL}) r USING (doc_id)
+    LEFT JOIN ({CONTAMINATION_SQL}) c USING (doc_id)
+    JOIN documents d USING (doc_id)
+)
+"""

@@ -25,6 +25,7 @@ from ..config import DEFAULT_CONFIG
 from ..llmdata.curation import (
     corpus_mixture,
     curation_pipeline,
+    curation_pipeline_extended,
     shard_packing,
     stratified_sample,
 )
@@ -495,11 +496,6 @@ QUERIES: dict[str, QuerySpec] = {
     "user_sessions": QuerySpec(
         relational.user_sessions, relational.USER_SESSIONS_SQL, "sessionization (lag+cumsum)"
     ),
-    "rollup_pricing": QuerySpec(
-        relational2.rollup_pricing,
-        relational2.ROLLUP_PRICING_SQL,
-        "ROLLUP subtotals + grand total",
-    ),
     "segment_semi_anti": QuerySpec(
         relational2.segment_semi_anti,
         relational2.SEGMENT_SEMI_ANTI_SQL,
@@ -611,6 +607,11 @@ QUERIES: dict[str, QuerySpec] = {
         llm_sql.CURATION_SQL,
         "training-data curation verdict: lang + quality + exact/near dedup, one plan",
     ),
+    "doc_curation_extended": QuerySpec(
+        lambda spark, sf: curation_pipeline_extended(_docs(spark, sf)),
+        llm_sql.CURATION_EXTENDED_SQL,
+        "full hygiene verdict: + eval holdout, contamination, repetition",
+    ),
     "doc_stratified_sample": QuerySpec(
         lambda spark, sf: stratified_sample(
             _docs(spark, sf), rates={"en": 0.5}, default_rate=1.0
@@ -667,6 +668,11 @@ QUERIES: dict[str, QuerySpec] = {
         relational2.grouping_sets_shipping,
         relational2.GROUPING_SETS_SHIPPING_SQL,
         "GROUPING SETS with heterogeneous sets (beyond cube/rollup)",
+    ),
+    "rollup_pricing": QuerySpec(
+        relational2.rollup_pricing,
+        relational2.ROLLUP_PRICING_SQL,
+        "ROLLUP subtotals + grand total",
     ),
     "level_filter_high": QuerySpec(
         q_level_filter_high,

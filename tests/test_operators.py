@@ -459,3 +459,39 @@ def test_repetition_score_periodic_text(spark):
     assert got[0]["n_distinct_windows"] == 8
     assert got[0]["repetition_rate"] == round(1 - 8 / 17, 6)
     assert got[1]["repetition_rate"] == 0.0
+
+
+def test_curation_extended_precedence(spark):
+    """Verdict precedence of the extended pipeline: eval_holdout >
+    contaminated > non_english > repetitious > exact_duplicate >
+    kept (quality disabled to isolate the round-3 signals)."""
+    from big_data_streaming_dashboard_spark.llmdata.curation import (
+        curation_pipeline_extended,
+    )
+
+    leak = "q w e r t y u i"
+    clean = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [
+            (0, leak, "bench"),  # the benchmark doc itself
+            (1, f"intro {leak} and varied tail words here", "web"),  # leaked
+            (2, "le la les et des le la les et des", "web"),  # french
+            (3, " ".join(["a b c d e f g h"] * 3), "web"),  # repetitious
+            (4, clean, "web"),
+            (5, clean, "web"),  # exact duplicate of 4
+        ],
+        ["doc_id", "text", "source"],
+    )
+    got = {
+        r["doc_id"]: r
+        for r in curation_pipeline_extended(
+            docs, quality_threshold=0.0, eval_source="bench"
+        ).collect()
+    }
+    assert got[0]["drop_reason"] == "eval_holdout"
+    assert got[1]["drop_reason"] == "contaminated" and got[1]["is_contaminated"]
+    assert got[2]["drop_reason"] == "non_english"
+    assert got[3]["drop_reason"] == "repetitious"
+    assert got[3]["repetition_rate"] > 0.2
+    assert got[4]["drop_reason"] is None and got[4]["kept"]
+    assert got[5]["drop_reason"] == "exact_duplicate"
