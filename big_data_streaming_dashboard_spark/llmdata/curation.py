@@ -331,3 +331,31 @@ def curation_pipeline_extended(
         reason.alias("drop_reason"),
         reason.isNull().alias("kept"),
     )
+
+
+def write_training_shards(
+    docs: DataFrame,
+    path: str,
+    tokens_per_shard: int = 4000,
+    docs_per_bucket: int = 128,
+) -> str:
+    """Materialize the packed training shards: `shard_packing`'s
+    assignment joined back to the text, one parquet directory per
+    shard_id -- the layout a sequence-packing tokenizer consumes
+    shard-by-shard.
+
+    `repartition(shard_id)` before `partitionBy(shard_id)` keeps the
+    write one-file-per-shard instead of one-fragment-per-task-per-
+    shard; shard ids are dense integers so the hash repartition is
+    balanced by construction (each shard carries ~tokens_per_shard of
+    text). The text column is read once and moves through exactly one
+    exchange."""
+    packed = shard_packing(docs, tokens_per_shard, docs_per_bucket)
+    out = packed.join(docs.select("doc_id", "text"), "doc_id")
+    (
+        out.repartition(F.col("shard_id"))
+        .write.mode("overwrite")
+        .partitionBy("shard_id")
+        .parquet(path)
+    )
+    return path

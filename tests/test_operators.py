@@ -495,3 +495,46 @@ def test_curation_extended_precedence(spark):
     assert got[3]["repetition_rate"] > 0.2
     assert got[4]["drop_reason"] is None and got[4]["kept"]
     assert got[5]["drop_reason"] == "exact_duplicate"
+
+
+def test_write_training_shards_layout(spark, tmp_path):
+    """The shard writer round-trips every doc exactly once, each
+    shard's token mass respects the greedy bound, and the on-disk
+    layout is one partition directory per dense shard id."""
+    import os
+
+    from big_data_streaming_dashboard_spark.llmdata.curation import (
+        shard_packing,
+        write_training_shards,
+    )
+    from big_data_streaming_dashboard_spark.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    out = str(tmp_path / "shards")
+    write_training_shards(docs, out, tokens_per_shard=2000)
+
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+    assert sorted(r["doc_id"] for r in back.select("doc_id").collect()) == sorted(
+        r["doc_id"] for r in docs.select("doc_id").collect()
+    )
+
+    expect = {
+        r["doc_id"]: r["shard_id"]
+        for r in shard_packing(docs, tokens_per_shard=2000).collect()
+    }
+    got = {r["doc_id"]: r["shard_id"] for r in back.select("doc_id", "shard_id").collect()}
+    assert got == expect
+
+    shard_dirs = sorted(
+        int(d.split("=")[1])
+        for d in os.listdir(out)
+        if d.startswith("shard_id=")
+    )
+    assert shard_dirs == list(range(len(shard_dirs)))
+    per_shard = (
+        back.groupBy("shard_id")
+        .agg(F.sum("est_bpe_tokens").alias("mass"), F.max("est_bpe_tokens").alias("biggest"))
+        .collect()
+    )
+    assert all(r["mass"] < 2000 + r["biggest"] for r in per_shard)
