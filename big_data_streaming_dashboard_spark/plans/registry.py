@@ -48,6 +48,7 @@ from ..llmdata.similarity import (
     kmeans_assign,
     knn_label_vote,
     lsh_banded_topk,
+    pq_topk,
     quantize_int8,
     simhash_hamming_topk,
 )
@@ -773,6 +774,11 @@ QUERIES: dict[str, QuerySpec] = {
         lambda spark, sf: simhash_hamming_topk(_embs(spark, sf)),
         None,
         "256-bit SimHash Hamming-radius ANN top-k (recall 0.96 @ 1/8 candidates)",
+    ),
+    "emb_pq_topk": QuerySpec(
+        lambda spark, sf: pq_topk(_embs(spark, sf)),
+        None,
+        "product-quantization ADC shortlist + exact rerank (8 B/vec codes; recall 0.84 @ 1/8)",
     ),
     # sketches differ across engines by design -> rows-only; tests
     # bound the error vs exact (exact twin: exact_distinct_quantiles)

@@ -142,3 +142,31 @@ def test_cross_encoder_rerank(spark):
     assert again == sorted(map(tuple, got))
     with pytest.raises(Exception, match="NotImplementedError|no cross-encoder"):
         cross_encoder_rerank(embs, n_queries=1, model_stub=False).collect()
+
+
+def test_pq_topk_recall(spark):
+    """PQ/ADC shortlist-then-rerank: recall@5 vs exact cosine pinned
+    at >= 0.8 with the default corpus/8 shortlist (the same candidate
+    budget the Hamming path is measured at); deterministic across
+    runs; k rows per query, ranks dense."""
+    from big_data_streaming_dashboard_spark.llmdata.similarity import (
+        brute_force_topk,
+        pq_topk,
+    )
+
+    embs = load_table(spark, SF, "embeddings")
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in brute_force_topk(embs, k=5).collect()
+    }
+    got = pq_topk(embs, k=5).collect()
+    per_q = {}
+    for r in got:
+        per_q.setdefault(r["query_id"], []).append(r)
+    assert set(per_q) == {0, 1, 2, 3, 4}
+    for rows in per_q.values():
+        assert sorted(r["rank"] for r in rows) == [1, 2, 3, 4, 5]
+    approx = {(r["query_id"], r["vec_id"]) for r in got}
+    assert len(exact & approx) / len(exact) >= 0.8
+    again = {(r["query_id"], r["vec_id"]) for r in pq_topk(embs, k=5).collect()}
+    assert again == approx
