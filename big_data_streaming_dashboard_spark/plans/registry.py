@@ -497,11 +497,6 @@ QUERIES: dict[str, QuerySpec] = {
     "user_sessions": QuerySpec(
         relational.user_sessions, relational.USER_SESSIONS_SQL, "sessionization (lag+cumsum)"
     ),
-    "segment_semi_anti": QuerySpec(
-        relational2.segment_semi_anti,
-        relational2.SEGMENT_SEMI_ANTI_SQL,
-        "left_semi / left_anti join census",
-    ),
     "asof_latest_order": QuerySpec(
         relational2.asof_latest_order,
         relational2.ASOF_LATEST_ORDER_SQL,
@@ -541,6 +536,11 @@ QUERIES: dict[str, QuerySpec] = {
         relational2.downsample_5min,
         relational2.DOWNSAMPLE_SQL,
         "5-min continuous-aggregate rollup (first/last/min/max)",
+    ),
+    "gapfill_5min": QuerySpec(
+        relational2.gapfill_5min,
+        relational2.GAPFILL_5MIN_SQL,
+        "gap-filled 5-min series: dense grid + LOCF (time_bucket_gapfill shape)",
     ),
     "cube_order_stats": QuerySpec(
         relational2.cube_order_stats,
@@ -674,6 +674,11 @@ QUERIES: dict[str, QuerySpec] = {
         relational2.rollup_pricing,
         relational2.ROLLUP_PRICING_SQL,
         "ROLLUP subtotals + grand total",
+    ),
+    "segment_semi_anti": QuerySpec(
+        relational2.segment_semi_anti,
+        relational2.SEGMENT_SEMI_ANTI_SQL,
+        "left_semi / left_anti join census",
     ),
     "level_filter_high": QuerySpec(
         q_level_filter_high,

@@ -548,3 +548,77 @@ SELECT e.event_id, e.user_id, e.ts,
 FROM events e
 ASOF LEFT JOIN od ON e.user_id = od.o_custkey AND od.o_orderdate <= e.ts
 """
+
+
+def gapfill_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled 5-minute series per event_type: the
+    time_bucket_gapfill + locf() shape of timeseries DBs. A dense
+    bucket grid (min..max per type) left-joins the observed rollup;
+    empty buckets keep an explicit zero count, an is_gap marker, and
+    the last observed average carried forward.
+
+    Scale shape: the heavy table passes only through the 5-min hash
+    aggregate; the grid is sequence(min, max, 300) per type --
+    span/300 rows, independent of event count. LOCF is a
+    last(ignorenulls) running window PARTITIONED by type, so no
+    global serial task. Average = decimal-cast sum / count (double
+    SUM reassociates; decimal does not)."""
+    ev = _load(spark, sf_dir, "events")
+    bucket = F.expr("(unix_timestamp(ts) div 300) * 300")
+    agg = ev.groupBy("event_type", bucket.alias("bucket_sec")).agg(
+        F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_v"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    span = agg.groupBy("event_type").agg(
+        F.min("bucket_sec").alias("mn"), F.max("bucket_sec").alias("mx")
+    )
+    grid = span.select(
+        "event_type",
+        F.explode(F.sequence("mn", "mx", F.lit(300))).alias("bucket_sec"),
+    )
+    joined = grid.join(agg, ["event_type", "bucket_sec"], "left").select(
+        "event_type",
+        "bucket_sec",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.col("sum_v").isNull().alias("is_gap"),
+        F.round(F.col("sum_v") / F.col("n_events"), 6).alias("avg_value"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket_sec")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.withColumn(
+        "filled_avg",
+        F.round(F.last("avg_value", ignorenulls=True).over(w), 6),
+    )
+
+
+GAPFILL_5MIN_SQL = """
+WITH agg AS (
+    SELECT event_type,
+        (CAST(floor(epoch(ts)) AS BIGINT) // 300) * 300 AS bucket_sec,
+        CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_v,
+        COUNT(*) AS n_events
+    FROM events GROUP BY 1, 2
+),
+grid AS (
+    SELECT event_type, unnest(generate_series(mn, mx, 300)) AS bucket_sec
+    FROM (
+        SELECT event_type, MIN(bucket_sec) AS mn, MAX(bucket_sec) AS mx
+        FROM agg GROUP BY 1
+    )
+),
+joined AS (
+    SELECT g.event_type, g.bucket_sec,
+        COALESCE(a.n_events, 0) AS n_events,
+        a.sum_v IS NULL AS is_gap,
+        round(a.sum_v / a.n_events, 6) AS avg_value
+    FROM grid g LEFT JOIN agg a USING (event_type, bucket_sec)
+)
+SELECT event_type, bucket_sec, n_events, is_gap, avg_value,
+    round(last_value(avg_value IGNORE NULLS) OVER (
+        PARTITION BY event_type ORDER BY bucket_sec
+        ROWS UNBOUNDED PRECEDING), 6) AS filled_avg
+FROM joined
+"""
