@@ -309,3 +309,39 @@ def ngram_jaccard_pairs(
     return pair.select("doc_a", "doc_b", jac.alias("jaccard")).filter(
         F.col("jaccard") >= threshold
     )
+
+
+def semantic_neardup(
+    docs: DataFrame, embeddings: DataFrame, threshold: float = 0.5
+) -> DataFrame:
+    """SemDeDup-style semantic dedup verdict over documents.
+
+    Unifies the text- and vector-dedup families (the last LLM-pipeline
+    dedup shape, per SemDeDup -- Abbas et al. 2023, arXiv:2303.09540):
+    each document row is paired with its embedding by id
+    (doc_id == vec_id), near-duplicate pairs come from the banded-LSH
+    + exact-cosine-verify path (similarity.embedding_neardup_pairs,
+    deterministic seeded planes -> SQL-expressible oracle), and every
+    doc gets a keep/drop verdict: the LOWEST doc_id of a duplicate
+    pair is canonical, higher ids are dropped with ``dup_of``
+    pointing at the smallest duplicate partner.
+
+    At 100 TB: pair generation is the banded (band, sig) equi-join --
+    never all-pairs; the drops aggregation shuffles only two longs per
+    pair; the final verdict join is a plain hash join on doc_id with
+    NO broadcast assumption (in a template-heavy crawl the dropped
+    set is corpus-sized, not dim-sized).
+    """
+    from .similarity import embedding_neardup_pairs
+
+    pairs = embedding_neardup_pairs(embeddings, threshold=threshold)
+    drops = pairs.groupBy(F.col("vec_b").alias("doc_id")).agg(
+        F.min("vec_a").alias("dup_of")
+    )
+    return docs.join(drops, "doc_id", "left").select(
+        "doc_id",
+        "lang",
+        "source",
+        F.col("dup_of").isNull().alias("keep"),
+        "dup_of",
+    )

@@ -824,3 +824,22 @@ SELECT *, drop_reason IS NULL AS kept FROM (
     JOIN documents d USING (doc_id)
 )
 """
+
+
+def semantic_neardup_sql(
+    planes: tuple, bands: int, rows_per_band: int, threshold: float = 0.5
+) -> str:
+    """Oracle for llmdata.dedup.semantic_neardup: the embedding
+    near-dup pair query (same literal planes) aggregated to a per-doc
+    keep/drop verdict joined back onto documents."""
+    pairs = neardup_emb_sql(planes, bands, rows_per_band, threshold)
+    return f"""
+WITH pairs AS ({pairs}),
+drops AS (
+    SELECT vec_b AS doc_id, MIN(vec_a) AS dup_of FROM pairs GROUP BY vec_b
+)
+SELECT d.doc_id, d.lang, d.source,
+       (drops.doc_id IS NULL) AS keep,
+       drops.dup_of AS dup_of
+FROM documents d LEFT JOIN drops ON d.doc_id = drops.doc_id
+"""

@@ -35,6 +35,7 @@ from ..llmdata.dedup import (
     neardup_clusters,
     neardup_pairs,
     ngram_jaccard_pairs,
+    semantic_neardup,
 )
 from ..llmdata.similarity import (
     DEFAULT_NEARDUP_BANDS,
@@ -99,16 +100,28 @@ class QuerySpec:
 
 
 # --- shared pipeline stages (batch) ---------------------------------------
-# Memoized per (session, sf_dir): DataFrames are immutable plans, and
+# Memoized per (application, sf_dir): DataFrames are immutable plans, and
 # rebuilding the silver expression tree costs ~2s of Py4J round-trips --
-# pure construction overhead the bench would otherwise pay per query.
+# pure construction overhead every downstream gold query would pay again.
+# Memoization is SHARED-STAGE ONLY (silver/deduped/points/docs/embs);
+# driver-contract query callables are NOT memoized, so every queries()
+# call pays its own plan construction (honest bench/driver timings).
+#
+# Keyed on sparkContext.applicationId, not id(spark): a Python id can be
+# reused after a stopped session is GC'd, which would hand back frames
+# bound to a dead JVM. On the first miss for a new application, entries
+# from other applications are purged (their sessions are gone -- this
+# also bounds cache growth across test sessions).
 
-_STAGE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+_STAGE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
 def _cached(stage: str, spark: SparkSession, sf_dir: str, build) -> DataFrame:
-    key = (id(spark), sf_dir, stage)
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir, stage)
     if key not in _STAGE_CACHE:
+        for stale in [k for k in _STAGE_CACHE if k[0] != app_id]:
+            del _STAGE_CACHE[stale]
         _STAGE_CACHE[key] = build()
     return _STAGE_CACHE[key]
 
@@ -646,6 +659,17 @@ QUERIES: dict[str, QuerySpec] = {
         ),
         "embedding-cosine near-dup pairs (banded LSH + exact verify)",
     ),
+    "doc_semantic_neardup": QuerySpec(
+        lambda spark, sf: semantic_neardup(_docs(spark, sf), _embs(spark, sf)),
+        llm_sql.semantic_neardup_sql(
+            gaussian_planes(
+                DEFAULT_NEARDUP_BANDS * DEFAULT_NEARDUP_ROWS, EMBEDDING_DIM
+            ),
+            DEFAULT_NEARDUP_BANDS,
+            DEFAULT_NEARDUP_ROWS,
+        ),
+        "SemDeDup-style per-doc verdict from embedding near-dup pairs",
+    ),
     # model-dependent scoring (deterministic stub kernel) -> rows-only
     "emb_rerank_topk": QuerySpec(
         lambda spark, sf: cross_encoder_rerank(_embs(spark, sf)),
@@ -822,22 +846,96 @@ QUERIES: dict[str, QuerySpec] = {
 }
 
 
+# ---------------------------------------------------------------------------
+# Externally-checked subset (the driver verifies the FIRST 50 entries of
+# queries()). This is an EXPLICIT contract list -- dict insertion order
+# above is documentation order only and is NOT load-bearing.
+#
+# Rotation policy (round 4): every rows-only (no-oracle) query stays in
+# the checked set permanently (per round-3 advice -- they are otherwise
+# never externally exercised); the 17 oracle-paired queries parked since
+# r1/r2 rotate IN; 27 queries green in r3 (and re-checked locally every
+# suite run by tests/test_oracle.py) rotate OUT. Next round, swap the
+# retained r3 block for the rotated-out block so no oracle-paired query
+# goes more than two rounds without a fresh driver row.
+# ---------------------------------------------------------------------------
+
+DRIVER_WINDOW: list[str] = [
+    # oracle-paired, parked since r1/r2 -- rotated in this round
+    "pivot_event_counts",
+    "grouping_sets_shipping",
+    "rollup_pricing",
+    "segment_semi_anti",
+    "level_filter_high",
+    "severity_ws_counts",
+    "alerts_ws_messages",
+    "geojson_features",
+    "doc_token_stats",
+    "doc_quality",
+    "doc_langid",
+    "doc_exact_dedup",
+    "doc_rolling_fingerprint",
+    "doc_repeated_passages",
+    "doc_simhash",
+    "doc_tfidf_top_terms",
+    "doc_bigram_lm",
+    # rows-only by design -- permanently in-window per r3 advice
+    "emb_rerank_topk",
+    "emb_ivf_topk",
+    "emb_ivf_topk_tuned",
+    "emb_lsh_topk",
+    "emb_hamming_topk",
+    "emb_pq_topk",
+    "approx_aggregates",
+    "emb_kmeans",
+    "alerts_cooldown_exact",
+    "media_feature_census",
+    # retained from the r3 window (complex / recently-landed plans)
+    "full_pipeline",
+    "silver_validate",
+    "dedup_first_occurrence",
+    "temporal_batch_annotate",
+    "temporal_union",
+    "alerts_cooldown",
+    "alerts_active",
+    "grid_cluster",
+    "recent_points",
+    "pricing_summary",
+    "revenue_by_nation",
+    "top_customers",
+    "asof_latest_order",
+    "session_window_events",
+    "moving_avg_events",
+    "gapfill_5min",
+    "doc_minhash_signature",
+    "doc_neardup_pairs",
+    "doc_neardup_clusters",
+    "doc_curation_extended",
+    "doc_shard_packing",
+    "emb_neardup_pairs",
+    # new this round (never driver-checked)
+    "doc_semantic_neardup",
+]
+
+
+def _window_ordered() -> list[str]:
+    """DRIVER_WINDOW first (externally checked), then the remainder in
+    documentation order -- still callable, still locally oracle-checked."""
+    rest = [n for n in QUERIES if n not in set(DRIVER_WINDOW)]
+    return DRIVER_WINDOW + rest
+
+
 def queries_dict() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Driver-contract callables with plan memoization: a DataFrame is
-    an immutable logical plan, and rebuilding one costs 0.15-0.4 s of
-    py4j round trips on the join-heavy queries (measured; ~20% of
-    their sf0.1 wall time). Repeat calls with the same (session,
-    sf_dir) return the SAME plan object -- execution still runs fully
-    each time."""
-
-    def memo(name: str, fn: Callable) -> Callable:
-        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
-            return _cached(f"q:{name}", spark, sf_dir, lambda: fn(spark, sf_dir))
-
-        return wrapped
-
-    return {name: memo(name, spec.fn) for name, spec in QUERIES.items()}
+    """Driver-contract callables. NOT memoized: each call rebuilds the
+    full plan so driver/bench timings include plan construction (shared
+    stages like silver/docs are still memoized + persisted -- the batch
+    analog of a materialized silver layer, see _cached)."""
+    return {name: QUERIES[name].fn for name in _window_ordered()}
 
 
 def oracle_sql_dict() -> dict[str, str]:
-    return {name: spec.oracle for name, spec in QUERIES.items() if spec.oracle}
+    return {
+        name: QUERIES[name].oracle
+        for name in _window_ordered()
+        if QUERIES[name].oracle
+    }
