@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -231,19 +232,150 @@ def write_eval_passage_index(
     return path
 
 
-def contamination_probe_stream(docs: DataFrame, eval_index: DataFrame) -> DataFrame:
+# --- Bloom filter (streaming contamination gate's membership structure) ----
+# Pure-numpy, double-hashing (Kirsch-Mitzenmacher: pos_i = h1 + i*h2),
+# splitmix64-style mixing of the already-integer rolling hashes. Built
+# DISTRIBUTEDLY: each partition ORs its bits locally (mapInPandas emits
+# only the nonzero words), a bit_or aggregation merges them, and the
+# driver materializes just the m/8-byte bitmap -- driver memory is the
+# Bloom size, NOT the eval-set cardinality.
+
+def _bloom_positions_kernel():
+    """Self-contained position kernel (cloudpickled BY VALUE into
+    worker closures -- executors do not have the repo on PYTHONPATH,
+    so worker code must not reference this module by name)."""
+    import numpy as np
+
+    C1 = np.uint64(0xBF58476D1CE4E5B9)
+    C2 = np.uint64(0x94D049BB133111EB)
+    SALT = np.uint64(0x9E3779B97F4A7C15)
+
+    def mix(x):
+        x = x ^ (x >> np.uint64(30))
+        x = x * C1
+        x = x ^ (x >> np.uint64(27))
+        x = x * C2
+        return x ^ (x >> np.uint64(31))
+
+    def positions(h, k, m_bits):
+        """(k, n) bit positions for int64 hashes h (double hashing)."""
+        x = np.asarray(h, dtype=np.int64).view(np.uint64)
+        h1 = mix(x)
+        h2 = mix(x ^ SALT) | np.uint64(1)
+        i = np.arange(k, dtype=np.uint64).reshape(k, 1)
+        return ((h1 + i * h2) % np.uint64(m_bits)).astype(np.int64)
+
+    return positions
+
+
+def _bloom_positions(h: np.ndarray, k: int, m_bits: int) -> np.ndarray:
+    return _bloom_positions_kernel()(h, k, m_bits)
+
+
+def bloom_params(n_items: int, fpp: float) -> tuple[int, int]:
+    """Standard sizing: m = -n ln(p)/ln(2)^2 bits, k = m/n ln(2)."""
+    import math
+
+    n = max(1, n_items)
+    m_bits = max(64, int(math.ceil(-n * math.log(fpp) / math.log(2) ** 2)))
+    m_bits = ((m_bits + 63) // 64) * 64
+    k = max(1, round(m_bits / n * math.log(2)))
+    return m_bits, k
+
+
+def build_eval_bloom(
+    eval_index: DataFrame, fpp: float = 1e-4, n_items: int | None = None
+) -> dict:
+    """Distributed Bloom build over the eval passage-hash set.
+
+    Two jobs: a count (sizes the filter) and the bitmap aggregation.
+    The aggregation ships only each partition's NONZERO words through
+    one bit_or groupBy, so the exchange and the driver result are both
+    bounded by m/8 bytes (~12 KB per 10k passages at fpp=1e-4) no
+    matter how many passage hashes the benchmark suite holds."""
+    if n_items is None:
+        n_items = eval_index.count()
+    m_bits, k = bloom_params(n_items, fpp)
+    n_words = m_bits // 64
+    positions = _bloom_positions_kernel()  # by-value for the workers
+
+    def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        import pandas as pd
+
+        bits = np.zeros(n_words, dtype=np.uint64)
+        for b in batches:
+            h = b["passage_hash"].to_numpy(np.int64)
+            if len(h):
+                pos = positions(h, k, m_bits).ravel()
+                np.bitwise_or.at(
+                    bits, pos >> 6, np.uint64(1) << (pos & 63).astype(np.uint64)
+                )
+        nz = np.nonzero(bits)[0]
+        yield pd.DataFrame(
+            {"idx": nz.astype("int64"), "word": bits[nz].view(np.int64)}
+        )
+
+    rows = (
+        eval_index.select("passage_hash")
+        .mapInPandas(part, "idx long, word long")
+        .groupBy("idx")
+        .agg(F.bit_or("word").alias("word"))
+        .collect()
+    )
+    words = np.zeros(n_words, dtype=np.int64)
+    for r in rows:
+        words[r["idx"]] = r["word"]
+    return {"words": words, "m_bits": m_bits, "k": k, "n_items": n_items}
+
+
+def _bloom_contain_kernel():
+    """Self-contained membership kernel (by-value, worker-safe)."""
+    import numpy as np
+
+    positions = _bloom_positions_kernel()
+
+    def might_contain(bloom, h):
+        """True iff all k bits set (no false negatives; FPs at ~fpp)."""
+        if len(h) == 0:
+            return np.zeros(0, dtype=bool)
+        words = bloom["words"].view(np.uint64)
+        pos = positions(np.asarray(h, dtype=np.int64), bloom["k"], bloom["m_bits"])
+        hit = (words[pos >> 6] >> (pos & 63).astype(np.uint64)) & np.uint64(1)
+        return hit.all(axis=0)
+
+    return might_contain
+
+
+def bloom_might_contain(bloom: dict, h: np.ndarray) -> np.ndarray:
+    return _bloom_contain_kernel()(bloom, h)
+
+
+def contamination_probe_stream(
+    docs: DataFrame,
+    eval_index: DataFrame,
+    mode: str = "bloom",
+    fpp: float = 1e-4,
+) -> DataFrame:
     """Streaming contamination gate: every arriving document is scored
     against the eval passage-hash set before it can enter the
     training corpus.
 
     Deliberately STATELESS: an explode + stream-side groupBy would
-    park every doc_id in the state store forever, so the eval set
-    (small -- benchmarks are tiny next to the corpus) is collected
-    once at plan-build time and shipped to an Arrow-batched
-    membership kernel; the whole probe is a map stage in append mode
-    with no shuffle and no state. At real scale the set rides a
-    broadcast variable or degrades gracefully to a Bloom filter
-    (false positives quarantine a few extra docs for exact recheck).
+    park every doc_id in the state store forever, so the membership
+    structure is built once at plan-build time and shipped to an
+    Arrow-batched kernel; the whole probe is a map stage in append
+    mode with no shuffle and no state.
+
+    ``mode="bloom"`` (default -- the shipped scale path): a
+    distributed-built Bloom filter whose driver/executor footprint is
+    the m/8-byte bitmap regardless of eval-set cardinality, shipped
+    as a broadcast variable. Conservative-approximate: NEVER misses a
+    real contaminated window, overcounts at ~fpp -- a flagged doc is
+    quarantined for exact recheck (the batch contamination_check),
+    so a false positive costs one recheck, never a dropped-clean or
+    kept-contaminated doc. ``mode="exact"``: the collected hash set
+    (bounded eval suites / parity tests with the batch path).
 
     Per-doc output matches the batch `contamination_check` columns,
     so downstream routing (quarantine vs ingest) is the same
@@ -252,14 +384,34 @@ def contamination_probe_stream(docs: DataFrame, eval_index: DataFrame) -> DataFr
 
     from ..llmdata.text import RK_WINDOW, _token_codes, _window_hashes
 
-    eval_hashes = frozenset(r["passage_hash"] for r in eval_index.collect())
+    if mode == "bloom":
+        bloom = build_eval_bloom(eval_index, fpp=fpp)
+        bc = docs.sparkSession.sparkContext.broadcast(bloom)
+        might_contain = _bloom_contain_kernel()  # by-value for the workers
 
-    @pandas_udf("long")
-    def n_hits(whs: pd.Series) -> pd.Series:
-        s = eval_hashes
-        return whs.map(
-            lambda arr: 0 if arr is None else sum(1 for h in arr if h in s)
-        ).astype("int64")
+        @pandas_udf("long")
+        def n_hits(whs: pd.Series) -> pd.Series:
+            import numpy as np
+
+            b = bc.value
+            return whs.map(
+                lambda arr: 0
+                if arr is None
+                else int(might_contain(b, np.asarray(arr, dtype=np.int64)).sum())
+            ).astype("int64")
+
+    elif mode == "exact":
+        eval_hashes = frozenset(r["passage_hash"] for r in eval_index.collect())
+
+        @pandas_udf("long")
+        def n_hits(whs: pd.Series) -> pd.Series:
+            s = eval_hashes
+            return whs.map(
+                lambda arr: 0 if arr is None else sum(1 for h in arr if h in s)
+            ).astype("int64")
+
+    else:
+        raise ValueError(f"unknown mode {mode!r} (use 'bloom' or 'exact')")
 
     wh = _window_hashes(_token_codes(F.col("text")), RK_WINDOW)
     base = docs.select(

@@ -12,7 +12,11 @@ out (F7, useWebsocket.js:42-44), and the S14 health shape
 Scale note: this is the LAST hop -- everything upstream is Spark; the
 per-batch collect() ships only the routed/alert serving stream (the
 reference ships every record to every browser; our gold views are
-bounded by construction, e.g. W8's 2000-point cap). A production
+bounded by construction, e.g. W8's 2000-point cap) AND is itself
+capped at the W8 retention size (sse_foreach_batch.max_rows_per_batch
+-- a catch-up batch after downtime would otherwise be an unbounded
+driver materialization). Per-client queues are bounded drop-oldest,
+so one stalled browser can't hold the hub's memory. A production
 deployment would put N broadcaster replicas behind a balancer and
 feed them from the routed Kafka topics; the foreachBatch shape is
 identical.
@@ -37,10 +41,27 @@ class SSEBroadcaster:
     snapshot of the client list so disconnects during fan-out never
     stall the loop (the reference's copy-on-iterate)."""
 
-    def __init__(self, host: str = "127.0.0.1", port: int = 0) -> None:
+    def __init__(
+        self,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        max_queue_frames: int = 256,
+        client_idle_timeout: float = 60.0,
+    ) -> None:
+        # Bounded per-client queues with drop-oldest: a stalled client
+        # (blocked wfile.write) can hold at most max_queue_frames of
+        # backlog -- newer frames evict the oldest (a live dashboard
+        # wants the newest state, same reason W8 keeps the newest
+        # 2000). dropped_frames counts evictions for observability.
+        # client_idle_timeout evicts a client whose queue stays empty
+        # that long -- with pipeline heartbeats flowing, an empty queue
+        # means the hub stopped serving this client.
         self._clients: dict[int, queue.Queue] = {}
         self._lock = threading.Lock()
         self._next_id = 0
+        self._max_queue_frames = max_queue_frames
+        self._client_idle_timeout = client_idle_timeout
+        self.dropped_frames = 0
         hub = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -63,7 +84,7 @@ class SSEBroadcaster:
                     self.send_header("Content-Length", "0")
                     self.end_headers()
                     return
-                q: queue.Queue = queue.Queue()
+                q: queue.Queue = queue.Queue(maxsize=hub._max_queue_frames)
                 with hub._lock:
                     cid = hub._next_id
                     hub._next_id += 1
@@ -75,7 +96,10 @@ class SSEBroadcaster:
                     self.send_header("Connection", "close")
                     self.end_headers()
                     while True:
-                        frame = q.get()
+                        try:
+                            frame = q.get(timeout=hub._client_idle_timeout)
+                        except queue.Empty:
+                            break  # idle past the heartbeat cadence -> evict
                         if frame is None:
                             break
                         self.wfile.write(frame)
@@ -112,7 +136,16 @@ class SSEBroadcaster:
         with self._lock:
             targets = list(self._clients.values())
         for q in targets:
-            q.put(frames)
+            while True:
+                try:
+                    q.put_nowait(frames)
+                    break
+                except queue.Full:  # drop-oldest, never block the hub
+                    try:
+                        q.get_nowait()
+                        self.dropped_frames += 1
+                    except queue.Empty:
+                        pass
 
     def heartbeat(self) -> None:
         """The keep-alive frame clients drop (F7)."""
@@ -128,16 +161,42 @@ class SSEBroadcaster:
         self._server.server_close()
 
 
-def sse_foreach_batch(broadcaster: SSEBroadcaster, tag_priority: bool = True):
+def sse_foreach_batch(
+    broadcaster: SSEBroadcaster,
+    tag_priority: bool = True,
+    max_rows_per_batch: int = 2000,
+):
     """S12 sink: each micro-batch of the serving stream is serialized
     to one JSON object per record (`data_priority` tagged like
-    backend/main.py:92-97) and fanned out to every connected client."""
+    backend/main.py:92-97) and fanned out to every connected client.
+
+    The driver-side materialization is CAPPED at max_rows_per_batch
+    (default = W8's 2000-point retention): a steady-state trigger
+    batch is far smaller, but a catch-up batch after downtime is
+    unbounded, and an unbounded collect() is a driver OOM. The cap
+    keeps the NEWEST rows by event time (TakeOrderedAndProject --
+    per-partition heaps, no global sort), matching what a live
+    dashboard can display anyway; older catch-up rows are superseded
+    state, same semantics as recent_points. Pair with
+    maxOffsetsPerTrigger / maxFilesPerTrigger on the source to bound
+    the batch before it reaches the sink. Pass None to disable.
+    """
     from .serving import priority_tag
 
     def fn(batch: DataFrame, epoch_id: int) -> None:
         df = batch
         if tag_priority and "critical" in batch.columns:
             df = priority_tag(batch)
+        if max_rows_per_batch is not None:
+            order = [
+                F.col(c).desc()
+                for c in ("timestamp", "event_id")
+                if c in df.columns
+            ]
+            if order:
+                df = df.orderBy(*order).limit(max_rows_per_batch)
+            else:
+                df = df.limit(max_rows_per_batch)
         rows = df.select(
             F.to_json(F.struct(*df.columns)).alias("j")
         ).collect()

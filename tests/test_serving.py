@@ -185,3 +185,84 @@ def test_sse_push_foreach_batch_end_to_end(spark, tmp_path):
     while hub.n_clients and time.time() < deadline:
         time.sleep(0.05)
     assert hub.n_clients == 0
+
+
+def test_sse_batch_collect_capped(spark):
+    """An oversized (catch-up) micro-batch must not materialize fully
+    on the driver: the sink caps at max_rows_per_batch keeping the
+    NEWEST rows by (timestamp, event_id) -- the W8 retention shape."""
+    from big_data_streaming_dashboard_spark.streaming.push import (
+        sse_foreach_batch,
+    )
+
+    class FakeHub:
+        def __init__(self):
+            self.payloads = []
+
+        def broadcast(self, payloads):
+            self.payloads.extend(payloads)
+
+    big = spark.range(5000).select(
+        F.col("id").alias("event_id"),
+        F.date_format(
+            F.timestamp_seconds(F.lit(1700000000) + F.col("id")),
+            "yyyy-MM-dd HH:mm:ss",
+        ).alias("timestamp"),
+        F.lit(1.0).alias("value"),
+    )
+    hub = FakeHub()
+    sse_foreach_batch(hub, tag_priority=False, max_rows_per_batch=100)(big, 0)
+    assert len(hub.payloads) == 100
+    import json as _json
+
+    ids = sorted(_json.loads(p)["event_id"] for p in hub.payloads)
+    assert ids == list(range(4900, 5000))  # newest 100 survive the cap
+
+
+def test_sse_client_queue_drop_oldest():
+    """A stalled client's queue is bounded: newer frames evict the
+    oldest (dropped_frames counts them) instead of growing without
+    bound or blocking the broadcast loop."""
+    import queue as _queue
+
+    from big_data_streaming_dashboard_spark.streaming.push import (
+        SSEBroadcaster,
+    )
+
+    hub = SSEBroadcaster(max_queue_frames=4)
+    q = _queue.Queue(maxsize=4)
+    hub._clients[0] = q  # stalled client: nothing drains the queue
+    for i in range(10):
+        hub.broadcast([f'{{"i": {i}}}'])
+    assert q.qsize() == 4
+    assert hub.dropped_frames == 6
+    kept = [q.get_nowait() for _ in range(4)]
+    assert kept[-1] == b'data: {"i": 9}\n\n'  # newest survive
+    assert kept[0] == b'data: {"i": 6}\n\n'
+
+
+def test_sse_idle_client_evicted():
+    """A client whose queue stays empty past client_idle_timeout is
+    disconnected (heartbeats keep live pipelines under the timeout)."""
+    import http.client
+    import time
+
+    from big_data_streaming_dashboard_spark.streaming.push import (
+        SSEBroadcaster,
+    )
+
+    hub = SSEBroadcaster(client_idle_timeout=0.3)
+    host, port = hub.start()
+    conn = http.client.HTTPConnection(host, port, timeout=10)
+    conn.request("GET", "/events")
+    conn.getresponse()
+    deadline = time.time() + 5
+    while hub.n_clients < 1 and time.time() < deadline:
+        time.sleep(0.02)
+    assert hub.n_clients == 1
+    deadline = time.time() + 5
+    while hub.n_clients and time.time() < deadline:
+        time.sleep(0.05)
+    assert hub.n_clients == 0  # evicted without any broadcast traffic
+    conn.close()
+    hub.stop()

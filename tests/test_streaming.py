@@ -778,7 +778,9 @@ def test_streaming_contamination_probe_matches_batch(spark, tmp_path):
     got = _run_stream(
         spark,
         contamination_probe_stream(
-            stream_documents(spark, docs_dir), spark.read.parquet(idx_path)
+            stream_documents(spark, docs_dir),
+            spark.read.parquet(idx_path),
+            mode="exact",
         ),
         f"t_{uuid.uuid4().hex[:8]}",
     )
@@ -797,3 +799,89 @@ def test_streaming_contamination_probe_matches_batch(spark, tmp_path):
     # the fixture really plants cross-source duplicates: at least one
     # contaminated doc flows through the gate
     assert any(r[-1] for r in s_rows.values())
+
+
+def test_bloom_filter_bounded_and_error_pinned(spark):
+    """The Bloom structure behind the streaming contamination gate:
+    built distributedly (bit_or merge of per-partition bitmaps), no
+    false negatives ever, false-positive rate within 3x the configured
+    fpp, and a driver footprint of exactly m/8 bytes."""
+    import numpy as np
+
+    from big_data_streaming_dashboard_spark.streaming.llm_ingest import (
+        bloom_might_contain,
+        bloom_params,
+        build_eval_bloom,
+    )
+
+    rng = np.random.RandomState(7)
+    inserted = rng.randint(-(2**62), 2**62, size=5000).astype("int64")
+    clean = rng.randint(-(2**62), 2**62, size=50000).astype("int64")
+    clean = np.setdiff1d(clean, inserted)
+
+    idx = spark.createDataFrame(
+        [(int(h),) for h in inserted], "passage_hash long"
+    ).repartition(8)
+    fpp = 1e-3
+    bloom = build_eval_bloom(idx, fpp=fpp)
+    m_bits, k = bloom_params(len(inserted), fpp)
+    assert bloom["m_bits"] == m_bits and bloom["k"] == k
+    assert bloom["words"].nbytes == m_bits // 8  # driver holds the bitmap only
+
+    assert bloom_might_contain(bloom, inserted).all()  # zero false negatives
+    fpr = bloom_might_contain(bloom, clean).mean()
+    assert fpr <= 3 * fpp, f"measured fpr {fpr} vs configured {fpp}"
+
+
+def test_streaming_contamination_bloom_gate(spark, tmp_path):
+    """The default (bloom) streaming gate is conservative-approximate:
+    per-doc window counts are >= the exact gate's (never misses a
+    contaminated window), flags are a superset of the exact flags, and
+    at fpp=1e-6 on this corpus the outputs coincide exactly."""
+    from big_data_streaming_dashboard_spark.llmdata.text import (
+        contamination_check,
+    )
+    from big_data_streaming_dashboard_spark.streaming.llm_ingest import (
+        contamination_probe_stream,
+        stream_documents,
+        write_eval_passage_index,
+    )
+    from big_data_streaming_dashboard_spark.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    idx_path = str(tmp_path / "eval_idx_b")
+    write_eval_passage_index(docs, idx_path, eval_source="src0")
+    train = docs.filter(F.col("source") != "src0").select(
+        "doc_id", "text", "lang"
+    )
+    docs_dir = str(tmp_path / "train_docs_b")
+    train.repartition(4).write.parquet(docs_dir)
+
+    got = _run_stream(
+        spark,
+        contamination_probe_stream(
+            stream_documents(spark, docs_dir),
+            spark.read.parquet(idx_path),
+            mode="bloom",
+            fpp=1e-6,
+        ),
+        f"t_{uuid.uuid4().hex[:8]}",
+    )
+    s_rows = {r["doc_id"]: r for r in got.collect()}
+    b_rows = {
+        r["doc_id"]: r
+        for r in contamination_check(docs, eval_source="src0").collect()
+        if r["doc_id"] in s_rows
+    }
+    assert set(s_rows) == set(b_rows)
+    for did, b in b_rows.items():
+        s = s_rows[did]
+        assert s["n_windows"] == b["n_windows"]
+        assert s["n_contaminated"] >= b["n_contaminated"]  # conservative
+        assert s["is_contaminated"] or not b["is_contaminated"]  # superset
+    # fpp=1e-6 on a ~1e4-window corpus: exact coincidence expected
+    assert all(
+        s_rows[d]["n_contaminated"] == b_rows[d]["n_contaminated"]
+        for d in b_rows
+    )
+    assert any(r["is_contaminated"] for r in s_rows.values())
