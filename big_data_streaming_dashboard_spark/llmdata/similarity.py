@@ -865,7 +865,15 @@ def pq_encode(
         )
         return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
-    seed_rows = vecs.filter(F.col("vec_id") < n_codes).orderBy("vec_id").collect()
+    # seed = first n_codes rows by vec_id -- limit(), NOT a
+    # `vec_id < n_codes` filter, so sparse / non-0-based id spaces
+    # still seed correctly; with fewer vectors than codes the
+    # codebook shrinks to the corpus size (every later codebooks[s][c]
+    # fallback indexes within range)
+    seed_rows = vecs.orderBy("vec_id").limit(n_codes).collect()
+    if not seed_rows:
+        raise ValueError("pq_encode: empty embeddings input")
+    n_codes = min(n_codes, len(seed_rows))
     codebooks = [
         [list(r["v"])[s * d_sub : (s + 1) * d_sub] for r in seed_rows]
         for s in range(n_subspaces)
@@ -960,7 +968,7 @@ def pq_topk(
         shortlist = max(8 * k, encoded.count() // 8)
     queries = {
         r["vec_id"]: list(r["v"])
-        for r in encoded.filter(F.col("vec_id") < n_queries).collect()
+        for r in encoded.orderBy("vec_id").limit(n_queries).collect()
     }
 
     def lut_expr(qv: list[float]) -> Column:

@@ -170,3 +170,33 @@ def test_pq_topk_recall(spark):
     assert len(exact & approx) / len(exact) >= 0.8
     again = {(r["query_id"], r["vec_id"]) for r in pq_topk(embs, k=5).collect()}
     assert again == approx
+
+
+def test_pq_sparse_ids_and_tiny_corpus(spark):
+    """pq_encode seeds from the first n_codes rows BY ORDER, not by a
+    dense `vec_id < n_codes` assumption: sparse/offset id spaces and
+    corpora smaller than the codebook must encode without IndexError
+    (codebook shrinks to the corpus size)."""
+    from big_data_streaming_dashboard_spark.llmdata.similarity import (
+        pq_encode,
+        pq_topk,
+    )
+
+    embs = load_table(spark, SF, "embeddings")
+    # sparse, non-0-based ids: only multiples of 7, shifted by 1000
+    sparse = embs.filter(F.col("vec_id") % 7 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 1000
+    )
+    encoded, codebooks = pq_encode(sparse, n_subspaces=8, n_codes=16)
+    assert encoded.count() == sparse.count()
+    assert all(len(cb) == 16 for cb in codebooks)
+    # corpus smaller than n_codes: codebook clamps, encoding still works
+    tiny = embs.orderBy("vec_id").limit(5)
+    encoded_t, codebooks_t = pq_encode(tiny, n_subspaces=8, n_codes=16)
+    assert all(len(cb) == 5 for cb in codebooks_t)
+    codes = [r["codes"] for r in encoded_t.collect()]
+    assert all(all(0 <= c < 5 for c in cs) for cs in codes)
+    # end-to-end on the sparse corpus: valid ranks, no crash
+    got = pq_topk(sparse, n_queries=2, k=3).collect()
+    qids = {r["query_id"] for r in got}
+    assert qids == {1000, 1007}  # first two by order, not `< n_queries`
