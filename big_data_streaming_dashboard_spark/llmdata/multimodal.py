@@ -1,10 +1,15 @@
 """Multimodal (image/audio/video) column plumbing.
 
 Media are opaque ``binary`` columns with a typed metadata struct; the
-decode/feature steps run as Arrow-batched ``mapInPandas`` stages. The
-image/audio codecs are NOT in this container, so the decode kernel is
+decode/feature steps run as Arrow-batched ``mapInPandas`` stages.
+
+Codecs: PNG (8-bit RGB/RGBA, all five scanline filters) is decoded
+FOR REAL with a pure stdlib-zlib + numpy kernel -- no PIL needed --
+and an encoder exists for fixtures/sinks, so the image path is
+exercised end-to-end on genuinely encoded payloads. JPEG and audio
+codecs are NOT in this container, so those decode slots remain
 stubbed: ``decode_stub=True`` (default) produces a deterministic fake
-feature vector from the bytes; with ``decode_stub=False`` it raises
+feature vector from the bytes; with ``decode_stub=False`` they raise
 ``NotImplementedError`` where a real codec (PIL/librosa/av) would
 plug in. The Spark-side plumbing -- schema, batch iteration, partition
 behavior -- is real and tested (tests/test_multimodal.py).
@@ -48,6 +53,161 @@ MEDIA_SCHEMA = T.StructType(
 
 FEATURE_DIM = 16
 
+PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_codec_kernel():
+    """Self-contained PNG codec (stdlib zlib + numpy -- cloudpickled
+    BY VALUE into worker closures; executors lack this repo on their
+    PYTHONPATH). Decoder: 8-bit RGB (color type 2) and RGBA (6,
+    alpha dropped), non-interlaced, ALL five scanline filters (None/
+    Sub/Up/Average/Paeth per RFC 2083 section 6). Encoder: truecolor
+    RGB with a selectable per-row filter (0 default; 0-4 cycling used
+    by the round-trip tests to pin every decoder filter branch).
+
+    Returns (decode, encode): decode(bytes) -> (h, w, 3) uint8 array,
+    encode(arr, filter_type=0) -> bytes.
+    """
+    import struct
+    import zlib
+
+    import numpy as np
+
+    SIG = PNG_SIGNATURE
+
+    def decode(data):
+        data = bytes(data)
+        if data[:8] != SIG:
+            raise ValueError("not a PNG (bad signature)")
+        pos, ihdr, idat = 8, None, []
+        while pos + 8 <= len(data):
+            ln = int.from_bytes(data[pos : pos + 4], "big")
+            typ = data[pos + 4 : pos + 8]
+            chunk = data[pos + 8 : pos + 8 + ln]
+            pos += 12 + ln  # 4 len + 4 type + data + 4 crc
+            if typ == b"IHDR":
+                ihdr = chunk
+            elif typ == b"IDAT":
+                idat.append(chunk)
+            elif typ == b"IEND":
+                break
+        if ihdr is None or not idat:
+            raise ValueError("PNG missing IHDR/IDAT")
+        w, h, depth, color, _comp, _filt, interlace = struct.unpack(
+            ">IIBBBBB", ihdr
+        )
+        if depth != 8 or color not in (2, 6) or interlace != 0:
+            raise ValueError(
+                f"unsupported PNG variant (depth={depth} color={color} "
+                f"interlace={interlace}); kernel handles 8-bit RGB/RGBA"
+            )
+        nch = 3 if color == 2 else 4
+        stride = w * nch
+        raw = zlib.decompress(b"".join(idat))
+        if len(raw) != h * (stride + 1):
+            raise ValueError("PNG IDAT length mismatch")
+        rows = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
+        out = np.zeros((h, stride), dtype=np.uint8)
+        prev = np.zeros(stride, dtype=np.uint8)
+        for y in range(h):
+            ft, cur = int(rows[y, 0]), rows[y, 1:].copy()
+            if ft == 0:
+                rec = cur
+            elif ft == 1:  # Sub: + recon left -> prefix sum per channel lane
+                rec = (
+                    np.cumsum(cur.reshape(w, nch), axis=0, dtype=np.uint8)
+                    .reshape(stride)
+                )
+            elif ft == 2:  # Up
+                rec = cur + prev
+            elif ft == 3:  # Average: sequential in x (left is recon)
+                rec = np.zeros(stride, dtype=np.uint8)
+                for i in range(stride):
+                    left = int(rec[i - nch]) if i >= nch else 0
+                    rec[i] = (int(cur[i]) + (left + int(prev[i])) // 2) & 0xFF
+            elif ft == 4:  # Paeth: sequential in x
+                rec = np.zeros(stride, dtype=np.uint8)
+                for i in range(stride):
+                    a = int(rec[i - nch]) if i >= nch else 0
+                    b = int(prev[i])
+                    c = int(prev[i - nch]) if i >= nch else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    rec[i] = (int(cur[i]) + pred) & 0xFF
+            else:
+                raise ValueError(f"bad PNG filter type {ft}")
+            out[y] = rec
+            prev = rec
+        img = out.reshape(h, w, nch)
+        return img[:, :, :3].copy() if nch == 4 else img
+
+    def encode(arr, filter_type=0):
+        arr = np.ascontiguousarray(arr, dtype=np.uint8)
+        h, w, nch = arr.shape
+        if nch != 3:
+            raise ValueError("encoder writes RGB888 only")
+        lines = []
+        prev = np.zeros(w * nch, dtype=np.uint8)
+        for y in range(h):
+            row = arr[y].reshape(-1)
+            ft = filter_type if filter_type != -1 else y % 5
+            if ft == 0:
+                filt = row
+            elif ft == 1:
+                left = np.concatenate([np.zeros(nch, np.uint8), row[:-nch]])
+                filt = row - left
+            elif ft == 2:
+                filt = row - prev
+            elif ft == 3:
+                left = np.concatenate([np.zeros(nch, np.uint8), row[:-nch]])
+                filt = row - (
+                    (left.astype(np.int32) + prev.astype(np.int32)) // 2
+                ).astype(np.uint8)
+            elif ft == 4:
+                left = np.concatenate([np.zeros(nch, np.uint8), row[:-nch]])
+                up = prev
+                ul = np.concatenate([np.zeros(nch, np.uint8), prev[:-nch]])
+                a, b, c = (
+                    left.astype(np.int32),
+                    up.astype(np.int32),
+                    ul.astype(np.int32),
+                )
+                p = a + b - c
+                pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)
+                ).astype(np.uint8)
+                filt = row - pred
+            else:
+                raise ValueError(f"bad filter type {ft}")
+            lines.append(bytes([ft]) + filt.tobytes())
+            prev = row
+        comp = zlib.compress(b"".join(lines), 9)
+
+        def chunk(typ, payload):
+            return (
+                len(payload).to_bytes(4, "big")
+                + typ
+                + payload
+                + zlib.crc32(typ + payload).to_bytes(4, "big")
+            )
+
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        return SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", comp) + chunk(b"IEND", b"")
+
+    return decode, encode
+
+
+def decode_png(data: bytes):
+    """Driver-side convenience over the worker kernel."""
+    return _png_codec_kernel()[0](data)
+
+
+def encode_png(arr, filter_type: int = 0) -> bytes:
+    """RGB888 array -> PNG bytes (filter_type=-1 cycles 0-4 per row)."""
+    return _png_codec_kernel()[1](arr, filter_type)
+
 _FEATURE_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
@@ -59,19 +219,34 @@ _FEATURE_SCHEMA = T.StructType(
 
 
 def synthetic_media(spark: Any, n: int = 64) -> DataFrame:
-    """Deterministic fake media table for plumbing tests."""
+    """Deterministic media table: IMAGE payloads are REAL encoded PNGs
+    (deterministic gradient pattern, encoded by the stdlib codec) so
+    the decode path downstream is genuine; audio/video payloads remain
+    opaque fakes (those codecs aren't in the container)."""
+    import numpy as np
+
+    _, encode = _png_codec_kernel()
     rows = []
     kinds = ["image", "audio", "video"]
     for i in range(n):
         kind = kinds[i % 3]
-        payload = hashlib.sha256(f"media-{i}".encode()).digest() * (4 + i % 8)
-        meta = (
-            64 + i % 512 if kind == "image" else None,
-            64 + (i * 7) % 512 if kind == "image" else None,
-            16000 if kind == "audio" else None,
-            30 * (1 + i % 10) if kind == "video" else None,
-            f"application/x-fake-{kind}",
-        )
+        if kind == "image":
+            w, h = 4 + (5 * i) % 45, 4 + (7 * i) % 45
+            ys, xs = np.mgrid[0:h, 0:w]
+            img = np.stack(
+                [xs % 256, ys % 256, (xs + ys + i) % 256], axis=-1
+            ).astype(np.uint8)
+            payload = encode(img, filter_type=i % 5)
+            meta = (w, h, None, None, "image/png")
+        else:
+            payload = hashlib.sha256(f"media-{i}".encode()).digest() * (4 + i % 8)
+            meta = (
+                None,
+                None,
+                16000 if kind == "audio" else None,
+                30 * (1 + i % 10) if kind == "video" else None,
+                f"application/x-fake-{kind}",
+            )
         rows.append((i, kind, payload, meta))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
@@ -115,31 +290,63 @@ def read_media(spark: Any, path: str) -> DataFrame:
 def extract_features(media: DataFrame, decode_stub: bool = True) -> DataFrame:
     """mapInPandas feature extraction; Arrow-batched, map-only.
 
+    PNG payloads (detected by signature) are REALLY decoded and get
+    pixel-statistic features: [width, height, per-channel mean (3),
+    per-channel std (3), per-channel min (3), per-channel max (3),
+    luma mean, luma std] = FEATURE_DIM doubles, all deterministic.
+    Non-PNG payloads fall back to the sha256 stub (``decode_stub=True``)
+    or raise where the JPEG/audio codec would plug in.
+
     The closure is self-contained (no module-global references): Spark
     Python workers may not have this repo on their PYTHONPATH.
     """
     dim = FEATURE_DIM
+    png_decode, _ = _png_codec_kernel()  # by-value for the workers
+    sig = PNG_SIGNATURE
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib as _hl
+
+        import numpy as np
+
+        def png_features(payload):
+            img = png_decode(payload).astype(np.float64)
+            h, w, _ = img.shape
+            luma = img @ np.array([0.299, 0.587, 0.114])
+            return [
+                float(w),
+                float(h),
+                *(float(x) for x in img.mean(axis=(0, 1))),
+                *(float(x) for x in img.std(axis=(0, 1))),
+                *(float(x) for x in img.min(axis=(0, 1))),
+                *(float(x) for x in img.max(axis=(0, 1))),
+                float(luma.mean()),
+                float(luma.std()),
+            ][:dim]
 
         def stub_decode(payload):
             # deterministic fake 'decode': bytes -> dim doubles
             h = _hl.sha256(payload or b"").digest()
             return [h[i] / 255.0 for i in range(dim)]
 
-        for pdf in batches:
+        def feat(payload):
+            if payload is not None and bytes(payload[:8]) == sig:
+                return png_features(payload)
             if not decode_stub:
                 raise NotImplementedError(
-                    "real media codecs (PIL/librosa/av) are not installed in "
-                    "this container; pass decode_stub=True"
+                    "only the PNG codec is real; JPEG/audio codecs "
+                    "(PIL/librosa/av) are not installed in this container -- "
+                    "pass decode_stub=True for non-PNG payloads"
                 )
+            return stub_decode(payload)
+
+        for pdf in batches:
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
                     "n_bytes": pdf["payload"].map(lambda b: len(b) if b is not None else 0),
-                    "feature": pdf["payload"].map(stub_decode),
+                    "feature": pdf["payload"].map(feat),
                 }
             )
 
@@ -231,21 +438,30 @@ def resize_images(
       dims) and the resize is a pure-numpy nearest-neighbor gather
       (``src_idx = dst_idx * src // dst``, the classic NN mapping) --
       actual pixel output, no codec needed, vectorized per image.
-    - ``payload_format="encoded"``: the payload is JPEG/PNG bytes. The
-      decode step needs PIL/torchvision (absent from this container),
-      so the stub synthesizes a deterministic buffer from
-      sha256(payload); ``decode_stub=False`` raises where the real
-      codec plugs in.
+    - ``payload_format="encoded"``: PNG payloads (by signature) are
+      REALLY decoded by the stdlib codec and resized by the same NN
+      gather -- true pixels out, no PIL. Other encodings (JPEG...)
+      still need PIL/torchvision (absent from this container): the
+      stub synthesizes a deterministic buffer from sha256(payload);
+      ``decode_stub=False`` raises where the real codec plugs in.
 
     The kind filter runs BEFORE the Python stage (JVM-side, pushed to
     the scan), so non-image payloads never cross the Arrow boundary.
     """
     out_len = width * height * 3
+    png_decode, _ = _png_codec_kernel()  # by-value for the workers
+    sig = PNG_SIGNATURE
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib as _hl
 
         import numpy as np
+
+        def nn_gather(img):
+            sh, sw = img.shape[:2]
+            ys = (np.arange(height, dtype=np.int64) * sh) // height
+            xs = (np.arange(width, dtype=np.int64) * sw) // width
+            return img[ys][:, xs].tobytes()
 
         def nn_resize(payload, m):
             if payload is None:
@@ -257,10 +473,7 @@ def resize_images(
                     f"raw_rgb payload is {buf.size} bytes, expected "
                     f"{sw}x{sh}x3={sw * sh * 3}"
                 )
-            img = buf.reshape(sh, sw, 3)
-            ys = (np.arange(height, dtype=np.int64) * sh) // height
-            xs = (np.arange(width, dtype=np.int64) * sw) // width
-            return img[ys][:, xs].tobytes()
+            return nn_gather(buf.reshape(sh, sw, 3))
 
         def stub_resize(payload):
             if payload is None:
@@ -268,19 +481,26 @@ def resize_images(
             h = _hl.sha256(payload).digest()
             return (h * (out_len // len(h) + 1))[:out_len]
 
+        def decode_resize(payload):
+            if payload is None:
+                return None
+            if bytes(payload[:8]) == sig:
+                return nn_gather(png_decode(payload))
+            if not decode_stub:
+                raise NotImplementedError(
+                    "only the PNG codec is real; other image codecs "
+                    "(PIL/torchvision) are not installed in this container "
+                    "-- pass decode_stub=True or feed PNG / raw_rgb payloads"
+                )
+            return stub_resize(payload)
+
         for pdf in batches:
             if payload_format == "raw_rgb":
                 pixels = [
                     nn_resize(p, m) for p, m in zip(pdf["payload"], pdf["meta"])
                 ]
-            elif not decode_stub:
-                raise NotImplementedError(
-                    "real image codecs (PIL/torchvision) are not installed "
-                    "in this container; pass decode_stub=True or feed "
-                    "payload_format='raw_rgb' buffers"
-                )
             else:
-                pixels = pdf["payload"].map(stub_resize)
+                pixels = pdf["payload"].map(decode_resize)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
