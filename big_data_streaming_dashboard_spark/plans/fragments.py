@@ -70,6 +70,12 @@ FROM events
 # the validator CASE chain in the reference's check order
 # (flink_process/flink_process.py:105-176).
 
+def silver_sql_over(bronze_sql: str) -> str:
+    """SILVER over an arbitrary bronze relation (property-fuzz tests
+    feed generated dirty records instead of the events derivation)."""
+    return SILVER_SQL.replace(BRONZE_SQL, bronze_sql)
+
+
 SILVER_SQL = f"""
 WITH bronze AS ({BRONZE_SQL}),
 typed AS (
