@@ -1,0 +1,127 @@
+"""10x scale fixture builder (round-4 scale-stress harness).
+
+Derives a ~10x variant of the sf0.1 driver fixtures by replicating
+each table REPS times with perturbed keys, plus a deliberately skewed
+(template-heavy) documents variant. Written once to a cache directory
+laid out like an sf dir ({table}.parquet), so `tables.load_table` and
+every registry query run on it unchanged. The cache lives inside the
+repo tree (gitignored) and is rebuilt only when missing.
+
+Perturbation choices keep each table's semantics:
+- events: event_id/user_id get a rep suffix (event_id*10+rep), ts is
+  unchanged -- per-second density grows 10x, so W4 temporal batches
+  genuinely get hotter, and the modulus-based dirt lattice still hits
+  every rejection class.
+- documents: doc_id*10+rep; each replica appends a tiny rep marker to
+  the text, so replicas are NEAR-duplicates (high-Jaccard pairs, the
+  realistic crawl shape) rather than exact copies.
+- documents_skew: 30% of docs share ONE boilerplate text -- the
+  degenerate band-bucket corpus the LSH cap must survive.
+- embeddings: vec_id*10+rep with a tiny deterministic per-rep jitter
+  (cluster structure preserved).
+- lineitem: l_orderkey*10+rep (pricing_summary is lineitem-only; the
+  other star tables are not scaled).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+REPS = 10
+SCALE_DIR = os.environ.get(
+    "SPARK_GRAFT_SCALE10X_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scale_fixture"),
+)
+_SRC_SF = "/root/testdata/sf0.1"
+_MARKER = "_ALL_TABLES_OK"
+
+BOILERPLATE = (
+    "terms of service privacy policy cookie settings all rights reserved "
+    "subscribe to our newsletter follow us on social media "
+) * 4
+
+
+def _rep(df, id_cols: list[str]):
+    """Cross with a REPS-row dim; id columns become id*REPS+rep."""
+    out = df.withColumn("_rep", F.explode(F.sequence(F.lit(0), F.lit(REPS - 1))))
+    for c in id_cols:
+        out = out.withColumn(c, F.col(c) * REPS + F.col("_rep"))
+    return out
+
+
+def ensure_scale_fixture(spark: SparkSession) -> str:
+    if os.path.exists(os.path.join(SCALE_DIR, _MARKER)):
+        return SCALE_DIR
+    os.makedirs(SCALE_DIR, exist_ok=True)
+    from big_data_streaming_dashboard_spark.tables import load_table
+
+    ev = load_table(spark, _SRC_SF, "events")
+    (
+        _rep(ev, ["event_id", "user_id"])
+        .drop("_rep")
+        .repartition(16)
+        .write.mode("overwrite")
+        .parquet(os.path.join(SCALE_DIR, "events.parquet"))
+    )
+
+    docs = load_table(spark, _SRC_SF, "documents")
+    (
+        _rep(docs, ["doc_id"])
+        .withColumn(
+            "text",
+            F.concat(F.col("text"), F.lit(" rep"), F.col("_rep").cast("string")),
+        )
+        .drop("_rep")
+        .repartition(16)
+        .write.mode("overwrite")
+        .parquet(os.path.join(SCALE_DIR, "documents.parquet"))
+    )
+
+    # skewed corpus: 30% boilerplate (ONE shared text -> one degenerate
+    # band bucket), 70% organic -- 4x the base corpus. The boilerplate
+    # choice keys on the ORIGINAL doc_id (before replication) so the
+    # fraction holds exactly.
+    skew_base = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 10 < 3, F.lit(BOILERPLATE)).otherwise(
+            F.col("text")
+        ),
+    )
+    (
+        _rep(skew_base, ["doc_id"])
+        .filter(F.col("_rep") < 4)
+        .drop("_rep")
+        .repartition(16)
+        .write.mode("overwrite")
+        .parquet(os.path.join(SCALE_DIR, "documents_skew.parquet"))
+    )
+
+    embs = load_table(spark, _SRC_SF, "embeddings")
+    jitter = F.transform(
+        "embedding",
+        lambda x: x + (F.col("_rep").cast("float") - 4.5) * F.lit(0.001),
+    ).cast("array<float>")
+    (
+        _rep(embs, ["vec_id"])
+        .withColumn("embedding", jitter)
+        .drop("_rep")
+        .repartition(16)
+        .write.mode("overwrite")
+        .parquet(os.path.join(SCALE_DIR, "embeddings.parquet"))
+    )
+
+    li = load_table(spark, _SRC_SF, "lineitem")
+    (
+        _rep(li, ["l_orderkey"])
+        .drop("_rep")
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(os.path.join(SCALE_DIR, "lineitem.parquet"))
+    )
+
+    with open(os.path.join(SCALE_DIR, _MARKER), "w") as f:
+        f.write("ok\n")
+    return SCALE_DIR
