@@ -43,7 +43,21 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 _NANO_TS_COLUMNS = {"events": ["ts"]}
 
 
+# table-handle cache: what a real engine's CATALOG does -- the scan
+# DataFrame is an immutable plan, and re-deriving it costs a parquet
+# schema-inference round trip per call (a star query touches 5 tables).
+# Keyed on applicationId (never id(): Python ids are reused after a
+# stopped session is GC'd); entries from other applications are purged
+# on first miss, bounding growth across test sessions.
+_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir, name)
+    hit = _TABLE_CACHE.get(key)
+    if hit is not None:
+        return hit
     if name in _NANO_TS_COLUMNS:
         # runtime-set so it also holds on a caller-provided session (the
         # driver builds its own SparkSession without our factory config)
@@ -52,6 +66,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for col in _NANO_TS_COLUMNS.get(name, []):
         if dict(df.dtypes).get(col) == "bigint":
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    for stale in [k for k in _TABLE_CACHE if k[0] != app_id]:
+        del _TABLE_CACHE[stale]
+    _TABLE_CACHE[key] = df
     return df
 
 
@@ -97,7 +114,7 @@ def bronze_radiation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Must stay in lock-step with plans/fragments.py::BRONZE_SQL.
     """
-    key = (id(spark.sparkContext), sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
     cached = _BRONZE_CACHE.get(key)
     if cached is not None:
         return cached
