@@ -447,3 +447,64 @@ def repetition_score(docs: DataFrame, window: int = RK_WINDOW) -> DataFrame:
             6,
         ).alias("repetition_rate"),
     )
+
+
+# --- PII redaction (training-data scrubbing stage) -------------------------
+# Patterns are deliberately portable between Java regex (Spark) and RE2
+# (DuckDB): ASCII classes, bounded quantifiers, \b word boundaries --
+# no lookarounds (RE2 has none). Replacement order matters and is
+# fixed: emails first (their domains contain dots that IP/phone
+# patterns could nibble), then phones, then IPv4.
+
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b"
+PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def pii_redact(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc PII scrub: emails / phone numbers / IPv4 literals are
+    counted and replaced by typed tokens, sequentially (each count
+    runs over the PREVIOUS stage's output so a redacted span is never
+    double-counted). Returns doc_id, per-category counts, pii_total,
+    has_pii, redacted_text -- the filter/repair columns a curation
+    pipeline routes on. Pure map stage: codegen regex per row, no
+    shuffle, linear at any corpus size."""
+    t0 = F.col(text_col)
+    n_emails = F.regexp_count(t0, F.lit(PII_EMAIL_RE))
+    t1 = F.regexp_replace(t0, PII_EMAIL_RE, "<EMAIL>")
+    n_phones = F.regexp_count(t1, F.lit(PII_PHONE_RE))
+    t2 = F.regexp_replace(t1, PII_PHONE_RE, "<PHONE>")
+    n_ips = F.regexp_count(t2, F.lit(PII_IPV4_RE))
+    t3 = F.regexp_replace(t2, PII_IPV4_RE, "<IP>")
+    total = (n_emails + n_phones + n_ips).cast("long")
+    return docs.select(
+        "doc_id",
+        n_emails.cast("long").alias("n_emails"),
+        n_phones.cast("long").alias("n_phones"),
+        n_ips.cast("long").alias("n_ips"),
+        total.alias("pii_total"),
+        (total > 0).alias("has_pii"),
+        t3.alias("redacted_text"),
+    )
+
+
+def pii_decorate(docs: DataFrame) -> DataFrame:
+    """Deterministic PII injection for fixture corpora (the driver
+    fixture text has no digits at all): by doc_id modulus, append an
+    email, two phone formats, or an IPv4 -- mirrored literally by
+    plans/llm_sql.PII_REDACT_SQL so the redaction oracle exercises
+    nonzero counts on every pattern."""
+    d = F.col("doc_id")
+    suffix = (
+        F.when(
+            d % 3 == 0,
+            F.concat(
+                F.lit(" contact user"), d.cast("string"), F.lit("@example.com for details")
+            ),
+        )
+        .when(d % 3 == 1, F.lit(" call 555-867-5309 or 555.123.4567 today"))
+        .otherwise(
+            F.concat(F.lit(" server 10.0."), (d % 256).cast("string"), F.lit(".7 responded"))
+        )
+    )
+    return docs.withColumn("text", F.concat(F.col("text"), suffix))

@@ -843,3 +843,44 @@ SELECT d.doc_id, d.lang, d.source,
        drops.dup_of AS dup_of
 FROM documents d LEFT JOIN drops ON d.doc_id = drops.doc_id
 """
+
+
+# mirrors llmdata.text.pii_decorate + pii_redact: same decoration
+# moduli, same portable regexes, same fixed replacement order (emails
+# -> phones -> IPv4), each count over the previous stage's output.
+# DuckDB regexp_replace needs the 'g' flag to match Spark's
+# replace-all default.
+PII_REDACT_SQL = r"""
+WITH decorated AS (
+    SELECT doc_id,
+        text || CASE
+            WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com for details'
+            WHEN doc_id % 3 = 1 THEN ' call 555-867-5309 or 555.123.4567 today'
+            ELSE ' server 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7 responded'
+        END AS text
+    FROM documents
+),
+s1 AS (
+    SELECT doc_id,
+        CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+    FROM decorated
+),
+s2 AS (
+    SELECT doc_id, n_emails,
+        CAST(len(regexp_extract_all(t1, '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b')) AS BIGINT) AS n_phones,
+        regexp_replace(t1, '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g') AS t2
+    FROM s1
+),
+s3 AS (
+    SELECT doc_id, n_emails, n_phones,
+        CAST(len(regexp_extract_all(t2, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+        regexp_replace(t2, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS t3
+    FROM s2
+)
+SELECT doc_id, n_emails, n_phones, n_ips,
+    n_emails + n_phones + n_ips AS pii_total,
+    (n_emails + n_phones + n_ips) > 0 AS has_pii,
+    t3 AS redacted_text
+FROM s3
+"""

@@ -58,6 +58,8 @@ from ..llmdata.text import (
     bigram_lm_score,
     contamination_check,
     language_id,
+    pii_decorate,
+    pii_redact,
     quality_score,
     repeated_passages,
     repetition_score,
@@ -659,6 +661,11 @@ QUERIES: dict[str, QuerySpec] = {
         ),
         "embedding-cosine near-dup pairs (banded LSH + exact verify)",
     ),
+    "doc_pii_redact": QuerySpec(
+        lambda spark, sf: pii_redact(pii_decorate(_docs(spark, sf))),
+        llm_sql.PII_REDACT_SQL,
+        "PII scrub: email/phone/IPv4 counts + typed-token redaction",
+    ),
     "doc_semantic_neardup": QuerySpec(
         lambda spark, sf: semantic_neardup(_docs(spark, sf), _embs(spark, sf)),
         llm_sql.semantic_neardup_sql(
@@ -905,7 +912,6 @@ DRIVER_WINDOW: list[str] = [
     "top_customers",
     "asof_latest_order",
     "session_window_events",
-    "moving_avg_events",
     "gapfill_5min",
     "doc_minhash_signature",
     "doc_neardup_pairs",
@@ -915,6 +921,7 @@ DRIVER_WINDOW: list[str] = [
     "emb_neardup_pairs",
     # new this round (never driver-checked)
     "doc_semantic_neardup",
+    "doc_pii_redact",
 ]
 
 

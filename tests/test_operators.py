@@ -538,3 +538,32 @@ def test_write_training_shards_layout(spark, tmp_path):
         .collect()
     )
     assert all(r["mass"] < 2000 + r["biggest"] for r in per_shard)
+
+
+def test_pii_redact_counts_and_order(spark):
+    """PII scrub: fixed email->phone->IPv4 order, no double counting
+    (an email's dotted domain is gone before the IP pattern runs),
+    exact redacted output."""
+    from big_data_streaming_dashboard_spark.llmdata.text import pii_redact
+
+    docs = spark.createDataFrame(
+        [
+            (0, "mail a.b_c%x+1@sub.example.co now", ""),
+            (1, "call 555-867-5309 or 555.123.4567", ""),
+            (2, "host 192.168.0.1 and 10.0.255.7 up", ""),
+            (3, "x@y.io then 555 123 4567 then 8.8.8.8", ""),
+            (4, "clean text, no identifiers here", ""),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    got = {r["doc_id"]: r for r in pii_redact(docs).collect()}
+    assert got[0]["n_emails"] == 1 and got[0]["n_phones"] == 0 and got[0]["n_ips"] == 0
+    assert got[0]["redacted_text"] == "mail <EMAIL> now"
+    assert got[1]["n_phones"] == 2
+    assert got[1]["redacted_text"] == "call <PHONE> or <PHONE>"
+    assert got[2]["n_ips"] == 2
+    assert got[2]["redacted_text"] == "host <IP> and <IP> up"
+    assert (got[3]["n_emails"], got[3]["n_phones"], got[3]["n_ips"]) == (1, 1, 1)
+    assert got[3]["redacted_text"] == "<EMAIL> then <PHONE> then <IP>"
+    assert got[4]["pii_total"] == 0 and not got[4]["has_pii"]
+    assert got[4]["redacted_text"] == "clean text, no identifiers here"
