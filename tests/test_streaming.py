@@ -885,3 +885,34 @@ def test_streaming_contamination_bloom_gate(spark, tmp_path):
         for d in b_rows
     )
     assert any(r["is_contaminated"] for r in s_rows.values())
+
+
+def test_streaming_pii_redact_matches_batch(spark, tmp_path):
+    """PII scrubbing is a stateless per-row map, so the batch
+    expression applies to a document STREAM unchanged -- same counts
+    and redacted text per doc as the batch run, no state operator in
+    the plan."""
+    from big_data_streaming_dashboard_spark.llmdata.text import (
+        pii_decorate,
+        pii_redact,
+    )
+    from big_data_streaming_dashboard_spark.streaming.llm_ingest import (
+        stream_documents,
+    )
+    from big_data_streaming_dashboard_spark.tables import load_table
+
+    docs = pii_decorate(
+        load_table(spark, "/root/testdata/sf0.001", "documents").select(
+            "doc_id", "text", "lang"
+        )
+    )
+    ddir = str(tmp_path / "pii_docs")
+    docs.repartition(4).write.parquet(ddir)
+
+    stream = pii_redact(stream_documents(spark, ddir))
+    assert "stateful" not in stream._jdf.queryExecution().analyzed().toString().lower()
+    got = _run_stream(spark, stream, f"t_{uuid.uuid4().hex[:8]}")
+    s = {r["doc_id"]: tuple(r) for r in got.collect()}
+    b = {r["doc_id"]: tuple(r) for r in pii_redact(docs).collect()}
+    assert s == b
+    assert any(r["has_pii"] for r in got.collect())
