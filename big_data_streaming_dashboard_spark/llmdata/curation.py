@@ -359,3 +359,58 @@ def write_training_shards(
         .parquet(path)
     )
     return path
+
+
+def curation_pipeline_full(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    quality_threshold: float = DEFAULT_QUALITY_THRESHOLD,
+    neardup_threshold: float = DEFAULT_NEARDUP_JACCARD,
+    keep_lang: str = DEFAULT_KEEP_LANG,
+    max_repetition: float = 0.2,
+    eval_source: str = "src0",
+    semantic_threshold: float = 0.5,
+) -> DataFrame:
+    """Capstone hygiene verdict: the extended precedence ladder plus
+    SEMANTIC dedup as the lowest-precedence drop reason --
+    eval_holdout > contaminated > non_english > low_quality >
+    repetitious > exact_duplicate > near_duplicate >
+    semantic_duplicate.
+
+    Semantic drops come from `dedup.semantic_neardup` (embedding
+    near-dup pairs, SemDeDup shape): a doc already dropped by a text
+    signal keeps that reason; an otherwise-clean doc whose embedding
+    duplicates a lower doc_id picks up `semantic_duplicate` with
+    ``dup_of`` naming its canonical. Text signals and the vector
+    signal are independent shuffle trees joined once on doc_id, so
+    the whole verdict stays one oracle-checkable plan."""
+    from .dedup import semantic_neardup
+
+    base = curation_pipeline_extended(
+        docs,
+        quality_threshold,
+        neardup_threshold,
+        keep_lang,
+        max_repetition,
+        eval_source,
+    )
+    sem = semantic_neardup(docs, embeddings, semantic_threshold).select(
+        "doc_id", F.col("keep").alias("_sem_keep"), "dup_of"
+    )
+    joined = base.drop("kept").join(sem, "doc_id", "left")
+    reason = F.coalesce(
+        F.col("drop_reason"),
+        F.when(~F.col("_sem_keep"), F.lit("semantic_duplicate")),
+    )
+    return joined.select(
+        "doc_id",
+        "predicted_lang",
+        "quality_score",
+        "n_tokens",
+        "repetition_rate",
+        "is_contaminated",
+        (~F.col("_sem_keep")).alias("is_semantic_dup"),
+        "dup_of",
+        reason.alias("drop_reason"),
+        reason.isNull().alias("kept"),
+    )

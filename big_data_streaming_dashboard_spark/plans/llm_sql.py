@@ -884,3 +884,25 @@ SELECT doc_id, n_emails, n_phones, n_ips,
     t3 AS redacted_text
 FROM s3
 """
+
+
+def curation_full_sql(
+    planes: tuple, bands: int, rows_per_band: int, threshold: float = 0.5
+) -> str:
+    """Oracle for curation.curation_pipeline_full: the extended
+    verdict left-joined to the semantic-neardup verdict (same literal
+    planes), semantic_duplicate as the lowest-precedence reason."""
+    sem = semantic_neardup_sql(planes, bands, rows_per_band, threshold)
+    return f"""
+SELECT *, drop_reason IS NULL AS kept FROM (
+    SELECT e.doc_id, e.predicted_lang, e.quality_score, e.n_tokens,
+        e.repetition_rate, e.is_contaminated,
+        (NOT s.keep) AS is_semantic_dup,
+        s.dup_of,
+        COALESCE(e.drop_reason,
+                 CASE WHEN NOT s.keep THEN 'semantic_duplicate' END)
+            AS drop_reason
+    FROM ({CURATION_EXTENDED_SQL}) e
+    LEFT JOIN ({sem}) s ON e.doc_id = s.doc_id
+)
+"""

@@ -26,6 +26,7 @@ from ..llmdata.curation import (
     corpus_mixture,
     curation_pipeline,
     curation_pipeline_extended,
+    curation_pipeline_full,
     shard_packing,
     stratified_sample,
 )
@@ -628,6 +629,17 @@ QUERIES: dict[str, QuerySpec] = {
         llm_sql.CURATION_EXTENDED_SQL,
         "full hygiene verdict: + eval holdout, contamination, repetition",
     ),
+    "doc_curation_full": QuerySpec(
+        lambda spark, sf: curation_pipeline_full(_docs(spark, sf), _embs(spark, sf)),
+        llm_sql.curation_full_sql(
+            gaussian_planes(
+                DEFAULT_NEARDUP_BANDS * DEFAULT_NEARDUP_ROWS, EMBEDDING_DIM
+            ),
+            DEFAULT_NEARDUP_BANDS,
+            DEFAULT_NEARDUP_ROWS,
+        ),
+        "capstone verdict: extended ladder + semantic_duplicate (SemDeDup)",
+    ),
     "doc_stratified_sample": QuerySpec(
         lambda spark, sf: stratified_sample(
             _docs(spark, sf), rates={"en": 0.5}, default_rate=1.0
@@ -906,7 +918,6 @@ DRIVER_WINDOW: list[str] = [
     "alerts_cooldown",
     "alerts_active",
     "grid_cluster",
-    "recent_points",
     "pricing_summary",
     "revenue_by_nation",
     "top_customers",
@@ -922,6 +933,7 @@ DRIVER_WINDOW: list[str] = [
     # new this round (never driver-checked)
     "doc_semantic_neardup",
     "doc_pii_redact",
+    "doc_curation_full",
 ]
 
 
