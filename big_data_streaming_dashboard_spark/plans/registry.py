@@ -958,3 +958,31 @@ def oracle_sql_dict() -> dict[str, str]:
         for name in _window_ordered()
         if QUERIES[name].oracle
     }
+
+
+def clear_engine_caches(unpersist: bool = True) -> int:
+    """Drop every engine-level plan cache (shared stages, table
+    handles, bronze derivation, LSH band index), optionally
+    unpersisting cached DataFrames first. For long-lived sessions that
+    switch datasets or want executor storage back; the per-application
+    purge in each cache handles the session-restart case
+    automatically. Returns the number of evicted entries."""
+    from ..llmdata import dedup as _dedup
+    from .. import tables as _tables
+
+    n = 0
+    for cache in (
+        _STAGE_CACHE,
+        _tables._TABLE_CACHE,
+        _tables._BRONZE_CACHE,
+        _dedup._BANDED_CACHE,
+    ):
+        for key in list(cache):
+            df = cache.pop(key)
+            n += 1
+            if unpersist:
+                try:
+                    df.unpersist()
+                except Exception:
+                    pass  # session already stopped -- JVM cache is gone
+    return n

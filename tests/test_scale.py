@@ -272,3 +272,24 @@ def test_ngram_jaccard_df_cap_bounds_template_shingles(spark):
     }
     # 8 tokens -> 6 trigrams each, 5 shared -> jaccard 5/7
     assert pairs == {(1000, 1001): round(5 / 7, 6)}
+
+
+def test_clear_engine_caches(spark):
+    """Cache hygiene: after clearing, every engine-level cache is
+    empty and persisted stages are released; queries rebuild cleanly."""
+    from big_data_streaming_dashboard_spark.llmdata import dedup as _dedup
+    from big_data_streaming_dashboard_spark.plans import registry as _reg
+    from big_data_streaming_dashboard_spark import tables as _tables
+
+    # populate: a stage-cached query + a table load + the band index
+    _reg.QUERIES["silver_validate"].fn(spark, "/root/testdata/sf0.001").count()
+    _tables.load_table(spark, "/root/testdata/sf0.001", "events")
+    assert _reg._STAGE_CACHE or _tables._TABLE_CACHE
+    n = _reg.clear_engine_caches()
+    assert n > 0
+    assert not _reg._STAGE_CACHE
+    assert not _tables._TABLE_CACHE
+    assert not _tables._BRONZE_CACHE
+    assert not _dedup._BANDED_CACHE
+    # rebuild works after the purge
+    assert _reg.QUERIES["silver_validate"].fn(spark, "/root/testdata/sf0.001").count() > 0
