@@ -573,6 +573,11 @@ QUERIES: dict[str, QuerySpec] = {
         relational2.EXACT_DISTINCT_QUANTILES_SQL,
         "exact COUNT(DISTINCT) + interpolated quantiles (sketch twin)",
     ),
+    "window_zoo": QuerySpec(
+        relational2.window_zoo,
+        relational2.WINDOW_ZOO_SQL,
+        "all ranking/navigation/frame window functions in one Window chain",
+    ),
     # -- llmdata (SURVEY.md section 7.6) --
     "doc_corpus_mixture": QuerySpec(
         lambda spark, sf: corpus_mixture(_docs(spark, sf)),
@@ -922,7 +927,6 @@ DRIVER_WINDOW: list[str] = [
     "revenue_by_nation",
     "top_customers",
     "asof_latest_order",
-    "session_window_events",
     "gapfill_5min",
     "doc_minhash_signature",
     "doc_neardup_pairs",
@@ -934,6 +938,7 @@ DRIVER_WINDOW: list[str] = [
     "doc_semantic_neardup",
     "doc_pii_redact",
     "doc_curation_full",
+    "window_zoo",
 ]
 
 

@@ -622,3 +622,51 @@ SELECT event_type, bucket_sec, n_events, is_gap, avg_value,
         ROWS UNBOUNDED PRECEDING), 6) AS filled_avg
 FROM joined
 """
+
+
+def window_zoo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every ranking/navigation/frame window function in one plan over
+    a single (user_id) partitioning: rank, dense_rank, percent_rank,
+    cume_dist, ntile, lag, lead, first_value and a ROWS-frame average.
+    One exchange on user_id feeds ALL ten functions (one Window spec
+    family -> Catalyst plans a single Window operator chain, no
+    re-shuffle between functions). Frame sums run over <= 3 doubles in
+    deterministic frame order, so cross-engine doubles agree exactly;
+    percent_rank/cume_dist are single divisions of the same operands.
+    """
+    ev = _load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = w.rowsBetween(-2, 0)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).alias("prank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.ntile(4).over(w).alias("tile4"),
+        F.lag("value", 1).over(w).alias("prev_value"),
+        F.lead("value", 1).over(w).alias("next_value"),
+        F.first("value").over(wf).alias("first_in_frame"),
+        F.round(F.avg("value").over(wf), 6).alias("avg_in_frame"),
+    )
+
+
+WINDOW_ZOO_SQL = """
+SELECT
+    user_id,
+    event_id,
+    rank() OVER w AS rnk,
+    dense_rank() OVER w AS drnk,
+    round(percent_rank() OVER w, 6) AS prank,
+    round(cume_dist() OVER w, 6) AS cdist,
+    ntile(4) OVER w AS tile4,
+    lag(value, 1) OVER w AS prev_value,
+    lead(value, 1) OVER w AS next_value,
+    first_value(value) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        AS first_in_frame,
+    round(avg(value) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6)
+        AS avg_in_frame
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
