@@ -36,7 +36,7 @@ SCALE_DIR = os.environ.get(
     os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scale_fixture"),
 )
 _SRC_SF = "/root/testdata/sf0.1"
-_MARKER = "_ALL_TABLES_OK"
+_MARKER = "_ALL_TABLES_OK_v2"  # bump to force a rebuild on fixture changes
 
 BOILERPLATE = (
     "terms of service privacy policy cookie settings all rights reserved "
@@ -113,6 +113,10 @@ def ensure_scale_fixture(spark: SparkSession) -> str:
         .parquet(os.path.join(SCALE_DIR, "embeddings.parquet"))
     )
 
+    # lineitem AND orders replicate with the SAME orderkey mapping
+    # (k -> k*REPS+rep), so the star join stays coherent at 10x: every
+    # replicated lineitem row matches exactly one replicated order row,
+    # o_custkey untouched -> 10x orders per customer.
     li = load_table(spark, _SRC_SF, "lineitem")
     (
         _rep(li, ["l_orderkey"])
@@ -121,6 +125,19 @@ def ensure_scale_fixture(spark: SparkSession) -> str:
         .write.mode("overwrite")
         .parquet(os.path.join(SCALE_DIR, "lineitem.parquet"))
     )
+    orders = load_table(spark, _SRC_SF, "orders")
+    (
+        _rep(orders, ["o_orderkey"])
+        .drop("_rep")
+        .repartition(16)
+        .write.mode("overwrite")
+        .parquet(os.path.join(SCALE_DIR, "orders.parquet"))
+    )
+    # unscaled dims the star queries read alongside the scaled facts
+    for dim in ("customer", "nation", "region"):
+        load_table(spark, _SRC_SF, dim).write.mode("overwrite").parquet(
+            os.path.join(SCALE_DIR, f"{dim}.parquet")
+        )
 
     with open(os.path.join(SCALE_DIR, _MARKER), "w") as f:
         f.write("ok\n")

@@ -159,9 +159,14 @@ def test_headline_queries_scale_linearly(spark, scale_dir):
             best = min(best, time.perf_counter() - t0)
         return best, n
 
+    from big_data_streaming_dashboard_spark.plans.relational import (
+        revenue_by_nation,
+    )
+
     cases = {
         "full_pipeline": lambda sf: batch_pipeline(bronze_radiation(spark, sf)),
         "pricing_summary": lambda sf: pricing_summary(spark, sf),
+        "revenue_by_nation": lambda sf: revenue_by_nation(spark, sf),
         "doc_minhash": lambda sf: minhash_signature(
             spread(load_table(spark, sf, "documents"), spark)
         ),
@@ -173,6 +178,22 @@ def test_headline_queries_scale_linearly(spark, scale_dir):
         report[name] = (t_small, t_big, n_small, n_big)
         if name == "doc_minhash":  # one signature row per doc, exact
             assert n_big == REPS * n_small, (name, n_small, n_big)
+        elif name == "revenue_by_nation":
+            # coherent star at 10x: same 25 groups, each with exactly
+            # REPS x the lineitems and REPS x the exact decimal revenue
+            small = {
+                (r["n_name"], r["r_name"]): (r["revenue"], r["n_lineitems"])
+                for r in make(SF01).collect()
+            }
+            big = {
+                (r["n_name"], r["r_name"]): (r["revenue"], r["n_lineitems"])
+                for r in make(scale_dir).collect()
+            }
+            assert set(small) == set(big) and len(big) == 25
+            for key, (rev_s, n_s) in small.items():
+                rev_b, n_b = big[key]
+                assert n_b == REPS * n_s, key
+                assert abs(rev_b - REPS * rev_s) < 1e-6 * abs(rev_b), key
         elif name == "full_pipeline":
             # dedup_key collisions across replicas and the shifted dirt
             # moduli (event_id*10+rep) make exact 10x impossible by
