@@ -206,16 +206,31 @@ def neardup_pairs(
     )
     a = banded.alias("a")
     b = banded.alias("b")
+    # SHUFFLE_HASH everywhere: the band index, the candidate set and
+    # the shingle table are all corpus-sized (the shingle table's
+    # array<string> payload especially -- its size ESTIMATE reads
+    # broadcast-small while its real footprint OOMs a default-memory
+    # driver already at 50k docs; found by the 10x fixture)
     cand = (
-        a.join(b, ["band_idx", "band_hash"])
+        a.join(b.hint("shuffle_hash"), ["band_idx", "band_hash"])
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
     sh = _shingle_table(docs)
     pair = (
-        cand.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
-        .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
+        cand.join(
+            sh.withColumnRenamed("doc_id", "doc_a")
+            .withColumnRenamed("sh", "sh_a")
+            .hint("shuffle_hash"),
+            "doc_a",
+        )
+        .join(
+            sh.withColumnRenamed("doc_id", "doc_b")
+            .withColumnRenamed("sh", "sh_b")
+            .hint("shuffle_hash"),
+            "doc_b",
+        )
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
@@ -250,7 +265,15 @@ def neardup_clusters(
     fixpoint check is a driver count per round, the only actions.
 
     Mirrored by a DuckDB recursive CTE (plans/llm_sql.CLUSTERS_SQL):
-    transitive closure then MIN per doc -- same labels."""
+    transitive closure then MIN per doc -- same labels.
+
+    Every join in the loop carries a SHUFFLE_HASH hint: labels,
+    neighbor-min and sizes are CORPUS-sized relations, but their
+    per-round size estimates look broadcast-small to Catalyst, and an
+    auto-broadcast of the label table OOMs the driver already at a
+    50k-doc corpus on a default-memory session (found by the 10x
+    fixture) -- at real scale it would be fatal every round. Shuffled
+    hash joins on doc_id are the correct shape at any size."""
     pairs = neardup_pairs(
         docs, k, band_rows, threshold, max_bucket_size
     ).select("doc_a", "doc_b")
@@ -264,14 +287,14 @@ def neardup_clusters(
                 labels.select(
                     F.col("doc_id").alias("doc_b"),
                     F.col("cluster_id").alias("_nl"),
-                ),
+                ).hint("shuffle_hash"),
                 "doc_b",
             )
             .groupBy(F.col("doc_a").alias("doc_id"))
             .agg(F.min("_nl").alias("_nmin"))
         )
         new_labels = (
-            labels.join(neighbor_min, "doc_id", "left")
+            labels.join(neighbor_min.hint("shuffle_hash"), "doc_id", "left")
             .select(
                 "doc_id",
                 F.least(
@@ -282,7 +305,7 @@ def neardup_clusters(
         )
         changed = (
             new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
+            .join(labels.alias("o").hint("shuffle_hash"), "doc_id")
             .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
             .count()
         )
@@ -291,7 +314,7 @@ def neardup_clusters(
         if changed == 0:
             break
     sizes = labels.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
-    return labels.join(sizes, "cluster_id").select(
+    return labels.join(sizes.hint("shuffle_hash"), "cluster_id").select(
         "doc_id", "cluster_id", "cluster_size"
     )
 

@@ -313,3 +313,29 @@ def test_w4_hot_second_rejoin_rocksdb(spark, tmp_path):
             spark.conf.unset(provider_key)
         else:
             spark.conf.set(provider_key, old)
+
+
+def test_neardup_clusters_at_10x_no_driver_broadcast(spark, scale_dir):
+    """Connected components at 50k docs: the iterative min-label loop
+    must never let Catalyst auto-broadcast the corpus-sized label /
+    shingle tables (it OOMed a default-memory driver before the
+    SHUFFLE_HASH hints -- the 10x fixture caught it). Also pins the
+    expected structure: every 10-replica group collapses into one
+    cluster, so all cluster sizes are multiples of 10."""
+    from collections import Counter
+
+    from big_data_streaming_dashboard_spark.llmdata.dedup import (
+        neardup_clusters,
+    )
+    from big_data_streaming_dashboard_spark.tables import spread
+
+    docs = spread(spark.read.parquet(f"{scale_dir}/documents.parquet"), spark)
+    rows = neardup_clusters(docs).collect()
+    assert len(rows) == 50_000
+    sizes = Counter(r["cluster_id"] for r in rows)
+    assert all(n % REPS == 0 for n in sizes.values()), Counter(
+        sizes.values()
+    )
+    assert max(sizes.values()) >= REPS  # replicas really did cluster
+    # no monolithic blob: the biggest cluster stays a small multiple
+    assert max(sizes.values()) <= 10 * REPS
