@@ -355,17 +355,23 @@ def ngram_jaccard_pairs(
     )
     a = bounded.alias("a")
     b = bounded.alias("b")
+    # SHUFFLE_HASH: postings and shingle tables are corpus-sized with
+    # broadcast-small size ESTIMATES (see neardup_pairs)
     cand = (
-        a.join(b, "sh_hash")
+        a.join(b.hint("shuffle_hash"), "sh_hash")
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
     pair = cand.join(
-        sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")),
+        sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")).hint(
+            "shuffle_hash"
+        ),
         "doc_a",
     ).join(
-        sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")),
+        sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")).hint(
+            "shuffle_hash"
+        ),
         "doc_b",
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
@@ -403,7 +409,9 @@ def semantic_neardup(
     drops = pairs.groupBy(F.col("vec_b").alias("doc_id")).agg(
         F.min("vec_a").alias("dup_of")
     )
-    return docs.join(drops, "doc_id", "left").select(
+    # SHUFFLE_HASH: in a template-heavy crawl the drops side is
+    # corpus-sized; never let a small size estimate broadcast it
+    return docs.join(drops.hint("shuffle_hash"), "doc_id", "left").select(
         "doc_id",
         "lang",
         "source",

@@ -343,6 +343,15 @@ DEFAULT_HAMMING_RADIUS = 112
 # (p = 0.685) is 1-(1-p^8)^32 ~ 0.79 vs the old single-3-bit-bucket's
 # p^3 ~ 0.32 -- ~2.5x the recall at the same join size; >= 0.97 at
 # cos 0.7, ~1.0 at cos >= 0.85 (real dup territory).
+#
+# SCALE KNOB: the candidate budget is bands * N^2 / 2^rows_per_band --
+# rows_per_band (bits per band) must GROW with log2(N) or the join goes
+# quadratic. The defaults suit ~10^3-10^4 vectors; at 20k vectors the
+# 10x fixture measured 32x8 at ~25M candidates (heap-killing on a small
+# executor) vs 16x16 at ~90k candidates with 100% recall on true
+# near-identical pairs (tests/test_scale10x.py pins this). Real dups
+# (cos ~ 1) collide on every band regardless of width, so widening
+# bands trades recall only in the soft cos 0.5-0.7 tail.
 DEFAULT_NEARDUP_BANDS = 32
 DEFAULT_NEARDUP_ROWS = 8
 
@@ -659,10 +668,14 @@ def embedding_neardup_pairs(
         .persist()
     )
     bands_df = sigs.select("vec_id", F.posexplode("sigs").alias("band", "sig"))
+    # SHUFFLE_HASH: the band table and the vector tables are
+    # corpus-sized; their derived size ESTIMATES read broadcast-small
+    # (same failure mode the 10x fixture caught in the text family --
+    # an auto-broadcast of a corpus-sized side OOMs the driver)
     pairs = (
         bands_df.alias("a")
         .join(
-            bands_df.alias("b"),
+            bands_df.alias("b").hint("shuffle_hash"),
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.sig") == F.col("b.sig"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
@@ -675,8 +688,8 @@ def embedding_neardup_pairs(
     va = sigs.select(F.col("vec_id").alias("vec_a"), F.col("vec").alias("va"))
     vb = sigs.select(F.col("vec_id").alias("vec_b"), F.col("vec").alias("vb"))
     return (
-        pairs.join(va, "vec_a")
-        .join(vb, "vec_b")
+        pairs.join(va.hint("shuffle_hash"), "vec_a")
+        .join(vb.hint("shuffle_hash"), "vec_b")
         .select(
             "vec_a",
             "vec_b",

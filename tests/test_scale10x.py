@@ -339,3 +339,31 @@ def test_neardup_clusters_at_10x_no_driver_broadcast(spark, scale_dir):
     assert max(sizes.values()) >= REPS  # replicas really did cluster
     # no monolithic blob: the biggest cluster stays a small multiple
     assert max(sizes.values()) <= 10 * REPS
+
+
+def test_embedding_neardup_band_width_scales(spark, scale_dir):
+    """The vector near-dup scale knob, measured: at 20k embeddings the
+    default 8-bit bands yield a ~N^2/8 candidate join (~25M pairs --
+    heap-killing on a small executor); 16-bit bands (same 256 planes)
+    cut candidates ~250x while keeping 100% recall on the true
+    replica pairs (near-identical vectors collide on every band
+    regardless of width). Pins the documented knob: rows_per_band
+    grows with log2(N)."""
+    from big_data_streaming_dashboard_spark.llmdata.similarity import (
+        embedding_neardup_pairs,
+    )
+    from big_data_streaming_dashboard_spark.tables import spread
+
+    embs = spread(spark.read.parquet(f"{scale_dir}/embeddings.parquet"), spark)
+    n_vecs = embs.count()
+    assert n_vecs == 20_000
+    pairs = embedding_neardup_pairs(embs, bands=16, rows_per_band=16)
+    rows = pairs.collect()
+    # ground truth: replicas of one base vector differ only by the
+    # deterministic +/-0.0045 jitter -> every same-group pair is a
+    # true near-dup; groups are vec_id // REPS
+    same_group = [r for r in rows if r["vec_a"] // REPS == r["vec_b"] // REPS]
+    expected = (n_vecs // REPS) * (REPS * (REPS - 1) // 2)
+    assert len(same_group) == expected  # 100% recall on true pairs
+    # and the widened bands keep the join sub-quadratic: few spurious
+    assert len(rows) < expected * 1.2, len(rows)
