@@ -3,16 +3,19 @@
 Media are opaque ``binary`` columns with a typed metadata struct; the
 decode/feature steps run as Arrow-batched ``mapInPandas`` stages.
 
-Codecs: PNG (8-bit RGB/RGBA, all five scanline filters) is decoded
-FOR REAL with a pure stdlib-zlib + numpy kernel -- no PIL needed --
-and an encoder exists for fixtures/sinks, so the image path is
-exercised end-to-end on genuinely encoded payloads. JPEG and audio
-codecs are NOT in this container, so those decode slots remain
-stubbed: ``decode_stub=True`` (default) produces a deterministic fake
-feature vector from the bytes; with ``decode_stub=False`` they raise
-``NotImplementedError`` where a real codec (PIL/librosa/av) would
-plug in. The Spark-side plumbing -- schema, batch iteration, partition
-behavior -- is real and tested (tests/test_multimodal.py).
+Codecs: PNG (8-bit RGB/RGBA, all five scanline filters) and WAV
+(RIFF/PCM16, any channel count) are decoded FOR REAL with pure
+stdlib(+numpy) kernels -- no PIL/librosa needed -- and encoders exist
+for fixtures/sinks, so the image AND audio paths are exercised
+end-to-end on genuinely encoded payloads (`decode_audio` decodes once
+at the edge; windowing + feature kernels then run on raw PCM). JPEG,
+compressed audio (mp3/flac) and video codecs are NOT in this
+container, so those decode slots remain stubbed: ``decode_stub=True``
+(default) produces a deterministic fake from the bytes; with
+``decode_stub=False`` they raise ``NotImplementedError`` where a real
+codec (PIL/librosa/av) would plug in. The Spark-side plumbing --
+schema, batch iteration, partition behavior -- is real and tested
+(tests/test_multimodal.py).
 
 Scale notes: binary payloads never shuffle -- decode is a map-only
 stage; `spark.sql.files.maxPartitionBytes` bounds the per-task batch
@@ -208,6 +211,138 @@ def encode_png(arr, filter_type: int = 0) -> bytes:
     """RGB888 array -> PNG bytes (filter_type=-1 cycles 0-4 per row)."""
     return _png_codec_kernel()[1](arr, filter_type)
 
+
+def _wav_codec_kernel():
+    """Self-contained WAV (RIFF/PCM16) codec -- stdlib struct + numpy,
+    cloudpickled by value into worker closures like the PNG kernel.
+
+    Decoder walks RIFF chunks (word-aligned per the spec), accepts
+    canonical and non-canonical chunk orders (LIST/fact chunks before
+    ``data`` are skipped), and handles any channel count; only format
+    1 (integer PCM) at 16 bits is supported -- that is the universal
+    interchange layout; compressed variants (mp3/flac/ADPCM) stay in
+    the documented codec-stub slot.
+
+    Returns (decode, encode):
+      decode(bytes) -> ((n_frames, n_channels) int16 array, sample_rate)
+      encode(samples, sample_rate) -> bytes (mono 1-D or (n, ch) 2-D in)
+    """
+    import struct
+
+    import numpy as np
+
+    def decode(data):
+        b = bytes(data)
+        if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+            raise ValueError("not a WAV (bad RIFF/WAVE signature)")
+        pos, fmt, pcm = 12, None, None
+        while pos + 8 <= len(b):
+            cid = b[pos : pos + 4]
+            (size,) = struct.unpack_from("<I", b, pos + 4)
+            body = b[pos + 8 : pos + 8 + size]
+            if cid == b"fmt ":
+                fmt = struct.unpack_from("<HHIIHH", body, 0)
+            elif cid == b"data":
+                pcm = body
+            pos += 8 + size + (size & 1)  # chunks are 2-byte aligned
+        if fmt is None or pcm is None:
+            raise ValueError("WAV missing fmt /data chunk")
+        audio_format, n_ch, sr, _brate, _align, bits = fmt
+        if audio_format != 1 or bits != 16 or n_ch < 1:
+            raise ValueError(
+                f"unsupported WAV variant (format={audio_format} "
+                f"bits={bits} channels={n_ch}); kernel handles 16-bit PCM"
+            )
+        frame = 2 * n_ch
+        usable = (len(pcm) // frame) * frame
+        samples = np.frombuffer(pcm[:usable], dtype="<i2").reshape(-1, n_ch)
+        return samples, int(sr)
+
+    def encode(samples, sample_rate):
+        arr = np.asarray(samples, dtype="<i2")
+        if arr.ndim == 1:
+            arr = arr[:, None]
+        n_ch = arr.shape[1]
+        pcm = arr.tobytes()
+        block = 2 * n_ch
+        fmt = struct.pack(
+            "<HHIIHH", 1, n_ch, sample_rate, sample_rate * block, block, 16
+        )
+        body = (
+            b"WAVE"
+            + b"fmt "
+            + struct.pack("<I", len(fmt))
+            + fmt
+            + b"data"
+            + struct.pack("<I", len(pcm))
+            + pcm
+        )
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    return decode, encode
+
+
+def decode_wav(data: bytes):
+    """Driver-side convenience: bytes -> (int16 (n, ch) array, rate)."""
+    return _wav_codec_kernel()[0](data)
+
+
+def encode_wav(samples, sample_rate: int) -> bytes:
+    """PCM16 array (1-D mono or (n, ch)) -> WAV bytes."""
+    return _wav_codec_kernel()[1](samples, sample_rate)
+
+
+def _make_is_wav():
+    """Factory so worker closures capture the checker BY VALUE
+    (a module-global function pickles by reference -- executors lack
+    this repo on PYTHONPATH)."""
+
+    def is_wav(payload) -> bool:
+        b = bytes(payload[:12]) if payload is not None else b""
+        return len(b) >= 12 and b[:4] == b"RIFF" and b[8:12] == b"WAVE"
+
+    return is_wav
+
+
+_is_wav = _make_is_wav()  # driver-side convenience
+
+
+def _pcm_feature_kernel():
+    """Self-contained PCM feature extractor (the real fbank-lite slot):
+    int16 mono samples -> 15 doubles [mean, std, rms, min, max, peak,
+    zcr] + 8 log10(1+energy) rFFT band energies. Amplitudes are
+    normalized to [-1, 1] (/32768) so features are codec-independent.
+    Deterministic: fixed-size numpy ops, no randomness.
+    """
+    import numpy as np
+
+    def feat(x_i16):
+        x = np.asarray(x_i16, dtype=np.float64) / 32768.0
+        n = x.size
+        if n == 0:
+            return [0.0] * 15
+        zcr = (
+            float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1])))
+            if n > 1
+            else 0.0
+        )
+        stats = [
+            float(x.mean()),
+            float(x.std()),
+            float(np.sqrt(np.mean(x * x))),
+            float(x.min()),
+            float(x.max()),
+            float(np.abs(x).max()),
+            zcr,
+        ]
+        mag2 = np.abs(np.fft.rfft(x)) ** 2
+        bands = [
+            float(np.log10(1.0 + b.sum())) for b in np.array_split(mag2, 8)
+        ]
+        return stats + bands
+
+    return feat
+
 _FEATURE_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
@@ -220,12 +355,15 @@ _FEATURE_SCHEMA = T.StructType(
 
 def synthetic_media(spark: Any, n: int = 64) -> DataFrame:
     """Deterministic media table: IMAGE payloads are REAL encoded PNGs
-    (deterministic gradient pattern, encoded by the stdlib codec) so
-    the decode path downstream is genuine; audio/video payloads remain
-    opaque fakes (those codecs aren't in the container)."""
+    (deterministic gradient pattern) and AUDIO payloads are REAL WAV
+    files (deterministic integer-triangle PCM16 waves, encoded by the
+    stdlib RIFF codec), so both decode paths downstream are genuine;
+    video payloads remain opaque fakes (no video codec in the
+    container -- the documented stub slot)."""
     import numpy as np
 
-    _, encode = _png_codec_kernel()
+    _, png_encode = _png_codec_kernel()
+    _, wav_encode = _wav_codec_kernel()
     rows = []
     kinds = ["image", "audio", "video"]
     for i in range(n):
@@ -236,17 +374,21 @@ def synthetic_media(spark: Any, n: int = 64) -> DataFrame:
             img = np.stack(
                 [xs % 256, ys % 256, (xs + ys + i) % 256], axis=-1
             ).astype(np.uint8)
-            payload = encode(img, filter_type=i % 5)
+            payload = png_encode(img, filter_type=i % 5)
             meta = (w, h, None, None, "image/png")
+        elif kind == "audio":
+            # integer triangle wave: period/amplitude vary by id;
+            # pure integer arithmetic -> bit-exact across platforms
+            n_samp = 160 * (4 + i % 8)
+            period = 32 + 8 * (i % 5)
+            t = np.arange(n_samp, dtype=np.int64)
+            tri = np.abs((t * 2) % (2 * period) - period) - period // 2
+            wave = (tri * (20000 // period)).astype(np.int16)
+            payload = wav_encode(wave, 16000)
+            meta = (None, None, 16000, None, "audio/wav")
         else:
             payload = hashlib.sha256(f"media-{i}".encode()).digest() * (4 + i % 8)
-            meta = (
-                None,
-                None,
-                16000 if kind == "audio" else None,
-                30 * (1 + i % 10) if kind == "video" else None,
-                f"application/x-fake-{kind}",
-            )
+            meta = (None, None, None, 30 * (1 + i % 10), "application/x-fake-video")
         rows.append((i, kind, payload, meta))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
@@ -294,20 +436,33 @@ def extract_features(media: DataFrame, decode_stub: bool = True) -> DataFrame:
     pixel-statistic features: [width, height, per-channel mean (3),
     per-channel std (3), per-channel min (3), per-channel max (3),
     luma mean, luma std] = FEATURE_DIM doubles, all deterministic.
-    Non-PNG payloads fall back to the sha256 stub (``decode_stub=True``)
-    or raise where the JPEG/audio codec would plug in.
+    WAV payloads (RIFF signature) are REALLY decoded too: [sample_rate]
+    + the 15 PCM stats/band energies from `_pcm_feature_kernel` (mono
+    downmix = floor-mean across channels). Other payloads fall back to
+    the sha256 stub (``decode_stub=True``) or raise where the
+    JPEG/compressed-audio/video codec would plug in.
 
     The closure is self-contained (no module-global references): Spark
     Python workers may not have this repo on their PYTHONPATH.
     """
     dim = FEATURE_DIM
     png_decode, _ = _png_codec_kernel()  # by-value for the workers
+    wav_decode, _ = _wav_codec_kernel()
+    pcm_feat = _pcm_feature_kernel()
+    is_wav = _make_is_wav()  # by-value for the workers
     sig = PNG_SIGNATURE
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib as _hl
 
         import numpy as np
+
+        def wav_features(payload):
+            samples, sr = wav_decode(payload)
+            mono = np.floor_divide(
+                samples.astype(np.int32).sum(axis=1), samples.shape[1]
+            )
+            return [float(sr), *pcm_feat(mono)][:dim]
 
         def png_features(payload):
             img = png_decode(payload).astype(np.float64)
@@ -332,11 +487,14 @@ def extract_features(media: DataFrame, decode_stub: bool = True) -> DataFrame:
         def feat(payload):
             if payload is not None and bytes(payload[:8]) == sig:
                 return png_features(payload)
+            if payload is not None and is_wav(payload):
+                return wav_features(payload)
             if not decode_stub:
                 raise NotImplementedError(
-                    "only the PNG codec is real; JPEG/audio codecs "
-                    "(PIL/librosa/av) are not installed in this container -- "
-                    "pass decode_stub=True for non-PNG payloads"
+                    "only the PNG and WAV codecs are real; JPEG/"
+                    "compressed-audio/video codecs (PIL/librosa/av) are "
+                    "not installed in this container -- pass "
+                    "decode_stub=True for such payloads"
                 )
             return stub_decode(payload)
 
@@ -356,10 +514,12 @@ def extract_features(media: DataFrame, decode_stub: bool = True) -> DataFrame:
 def media_feature_census(spark: Any, sf_dir: str = "") -> DataFrame:
     """Driver-contract query: the full multimodal plumbing end-to-end.
 
-    synthetic media -> mapInPandas feature extraction -> frame-sample
-    explode -> per-kind census. Deterministic by construction (sha256
-    stub decode; min/max over doubles, integer sums -- never a
-    reassociable double sum), so the rows-only check is stable.
+    synthetic media -> mapInPandas feature extraction (REAL PNG and
+    WAV decodes; sha256 stub only for video) -> frame-sample explode
+    -> per-kind census. Deterministic by construction (per-payload
+    features are map-side; the aggregation is min/max over doubles
+    and integer sums -- never a reassociable double sum), so the
+    rows-only check is stable.
     ``sf_dir`` is ignored: media payloads are generated, not a fixture
     table (TESTDATA.md has no binary column).
     """
@@ -517,6 +677,58 @@ def resize_images(
     )
 
 
+def decode_audio(media: DataFrame, decode_stub: bool = True) -> DataFrame:
+    """Decode-at-the-edge audio stage: encoded WAV payloads -> raw
+    mono PCM16 payloads (the contract `audio_windows` and the feature
+    kernels operate on), mirroring how a real pipeline decodes ONCE at
+    ingest and windows over raw samples thereafter.
+
+    WAV payloads (RIFF signature) are genuinely decoded by the stdlib
+    codec; multi-channel audio is downmixed to mono by floor-mean;
+    ``meta.sample_rate`` is taken from the WAV header (overriding any
+    stale metadata) and ``meta.mime`` becomes ``audio/x-raw-pcm16``.
+    Non-WAV audio payloads pass through unchanged as opaque PCM
+    (``decode_stub=True``, the pre-existing fake contract) or raise
+    where an mp3/flac codec would plug in. Non-audio rows pass through
+    untouched. Map-only: payloads never shuffle.
+    """
+    wav_decode, _ = _wav_codec_kernel()
+    is_wav = _make_is_wav()  # by-value for the workers
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def one(row):
+            payload, meta = row["payload"], dict(row["meta"])
+            if row["kind"] != "audio" or payload is None:
+                return payload, meta
+            if is_wav(payload):
+                samples, sr = wav_decode(payload)
+                mono = np.floor_divide(
+                    samples.astype(np.int32).sum(axis=1), samples.shape[1]
+                ).astype("<i2")
+                meta["sample_rate"] = sr
+                meta["mime"] = "audio/x-raw-pcm16"
+                return mono.tobytes(), meta
+            if not decode_stub:
+                raise NotImplementedError(
+                    "only the WAV codec is real; compressed audio "
+                    "(mp3/flac) needs librosa/av -- absent from this "
+                    "container; pass decode_stub=True to treat the "
+                    "payload as already-raw PCM"
+                )
+            return payload, meta
+
+        for pdf in batches:
+            decoded = [one(r) for _, r in pdf.iterrows()]
+            out = pdf.copy()
+            out["payload"] = [d[0] for d in decoded]
+            out["meta"] = [d[1] for d in decoded]
+            yield out
+
+    return media.mapInPandas(op, schema=MEDIA_SCHEMA)
+
+
 def audio_windows(
     media: DataFrame,
     window_ms: int = 1000,
@@ -574,37 +786,36 @@ _AUDIO_FEATURE_SCHEMA = T.StructType(
 def audio_window_features(
     windows: DataFrame,
     bytes_per_sample: int = 2,
-    decode_stub: bool = True,
 ) -> DataFrame:
-    """Per-window feature kernel (the MFCC/fbank slot) over
-    `audio_windows` output: Arrow-batched, stub = deterministic sha256
-    of the window's byte slice -> FEATURE_DIM doubles."""
+    """Per-window feature kernel (the fbank-lite slot) over
+    `audio_windows` output -- REAL, no stub: the payload is raw mono
+    PCM16 (`decode_audio` upstream guarantees this for WAV inputs),
+    the window's sample slice is taken per row, and features are
+    [n_window_samples] + the 15 stats/rFFT band energies from
+    `_pcm_feature_kernel` = FEATURE_DIM doubles. Arrow-batched,
+    map-only."""
     dim = FEATURE_DIM
+    pcm_feat = _pcm_feature_kernel()
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import hashlib as _hl
+        import numpy as np
 
-        def stub_feat(row):
+        def feat(row):
             payload = row["payload"]
             if payload is None:
                 return None
             lo = int(row["start_sample"]) * bytes_per_sample
             hi = int(row["end_sample"]) * bytes_per_sample
-            h = _hl.sha256(payload[lo:hi]).digest()
-            return [h[i] / 255.0 for i in range(dim)]
+            x = np.frombuffer(bytes(payload[lo:hi]), dtype="<i2")
+            return [float(x.size), *pcm_feat(x)][:dim]
 
         for pdf in batches:
-            if not decode_stub:
-                raise NotImplementedError(
-                    "real audio codecs (librosa/torchaudio) are not installed "
-                    "in this container; pass decode_stub=True"
-                )
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "start_sample": pdf["start_sample"],
                     "end_sample": pdf["end_sample"],
-                    "feature": pdf.apply(stub_feat, axis=1),
+                    "feature": pdf.apply(feat, axis=1),
                 }
             )
 
