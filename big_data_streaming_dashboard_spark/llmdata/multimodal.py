@@ -241,8 +241,14 @@ def _wav_codec_kernel():
             (size,) = struct.unpack_from("<I", b, pos + 4)
             body = b[pos + 8 : pos + 8 + size]
             if cid == b"fmt ":
+                if len(body) < 16:
+                    raise ValueError("truncated WAV chunk (fmt < 16 bytes)")
                 fmt = struct.unpack_from("<HHIIHH", body, 0)
             elif cid == b"data":
+                if len(body) != size:
+                    raise ValueError(
+                        "truncated WAV chunk (data shorter than declared)"
+                    )
                 pcm = body
             pos += 8 + size + (size & 1)  # chunks are 2-byte aligned
         if fmt is None or pcm is None:
@@ -488,7 +494,12 @@ def extract_features(media: DataFrame, decode_stub: bool = True) -> DataFrame:
             if payload is not None and bytes(payload[:8]) == sig:
                 return png_features(payload)
             if payload is not None and is_wav(payload):
-                return wav_features(payload)
+                try:
+                    return wav_features(payload)
+                except ValueError:
+                    # RIFF-signed but unsupported variant (float/24-bit/
+                    # ADPCM/truncated) -> same codec-stub slot as non-WAV
+                    pass
             if not decode_stub:
                 raise NotImplementedError(
                     "only the PNG and WAV codecs are real; JPEG/"
@@ -698,29 +709,40 @@ def decode_audio(media: DataFrame, decode_stub: bool = True) -> DataFrame:
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
-        def one(row):
-            payload, meta = row["payload"], dict(row["meta"])
-            if row["kind"] != "audio" or payload is None:
+        def one(kind, payload, meta):
+            if kind != "audio" or payload is None:
                 return payload, meta
             if is_wav(payload):
-                samples, sr = wav_decode(payload)
-                mono = np.floor_divide(
-                    samples.astype(np.int32).sum(axis=1), samples.shape[1]
-                ).astype("<i2")
-                meta["sample_rate"] = sr
-                meta["mime"] = "audio/x-raw-pcm16"
-                return mono.tobytes(), meta
+                try:
+                    samples, sr = wav_decode(payload)
+                except ValueError:
+                    # RIFF-signed but not 16-bit integer PCM (IEEE
+                    # float, 24-bit, ADPCM, mp3-in-WAV, truncated):
+                    # exactly the codec-stub slot, same as non-WAV.
+                    samples = None
+                if samples is not None:
+                    mono = np.floor_divide(
+                        samples.astype(np.int32).sum(axis=1), samples.shape[1]
+                    ).astype("<i2")
+                    meta = dict(meta) if meta is not None else {}
+                    meta["sample_rate"] = sr
+                    meta["mime"] = "audio/x-raw-pcm16"
+                    return mono.tobytes(), meta
             if not decode_stub:
                 raise NotImplementedError(
-                    "only the WAV codec is real; compressed audio "
-                    "(mp3/flac) needs librosa/av -- absent from this "
-                    "container; pass decode_stub=True to treat the "
-                    "payload as already-raw PCM"
+                    "only 16-bit PCM WAV decode is real; compressed "
+                    "audio (mp3/flac/ADPCM/float-WAV) needs librosa/av "
+                    "-- absent from this container; pass "
+                    "decode_stub=True to treat the payload as "
+                    "already-raw PCM"
                 )
             return payload, meta
 
         for pdf in batches:
-            decoded = [one(r) for _, r in pdf.iterrows()]
+            decoded = [
+                one(k, p, m)
+                for k, p, m in zip(pdf["kind"], pdf["payload"], pdf["meta"])
+            ]
             out = pdf.copy()
             out["payload"] = [d[0] for d in decoded]
             out["meta"] = [d[1] for d in decoded]

@@ -634,3 +634,99 @@ def test_wav_end_to_end_window_features(spark):
         samples, _ = decode_wav(wav_payloads[r["media_id"]])
         x = samples[r["start_sample"] : r["end_sample"], 0].astype(np.float64) / 32768.0
         assert r["feature"][3] == float(np.sqrt(np.mean(x * x)))
+
+
+def test_wav_variant_payloads_route_to_stub_slot(spark):
+    """ADVICE r4: RIFF-signed but unsupported WAV variants (IEEE-float
+    format 3, truncated chunks) must NOT crash the mapInPandas stage --
+    with decode_stub=True they take the stub/passthrough slot; with
+    decode_stub=False they raise the documented NotImplementedError."""
+    import struct
+
+    import numpy as np
+
+    from big_data_streaming_dashboard_spark.llmdata.multimodal import (
+        MEDIA_SCHEMA,
+        decode_audio,
+        encode_wav,
+        extract_features,
+    )
+
+    good = encode_wav(np.array([1, 2, 3, 4], dtype=np.int16), 16000)
+    floaty = bytearray(good)
+    struct.pack_into("<H", floaty, 20, 3)  # audio_format=3 (IEEE float)
+    truncated = good[: len(good) - 3]  # data chunk shorter than declared
+    media = spark.createDataFrame(
+        [
+            (0, "audio", bytes(floaty), (None, None, 16000, None, "audio/wav")),
+            (1, "audio", bytes(truncated), (None, None, 16000, None, "audio/wav")),
+            (2, "audio", good, (None, None, 999, None, "audio/wav")),
+        ],
+        MEDIA_SCHEMA,
+    )
+    # decode_audio stub mode: variants pass through unchanged, the
+    # good WAV still decodes (header rate wins)
+    rows = {r["media_id"]: r for r in decode_audio(media).collect()}
+    assert bytes(rows[0]["payload"]) == bytes(floaty)
+    assert bytes(rows[1]["payload"]) == bytes(truncated)
+    assert rows[2]["meta"]["sample_rate"] == 16000
+    assert rows[2]["meta"]["mime"] == "audio/x-raw-pcm16"
+    # extract_features stub mode: variants get the sha256 stub
+    feats = {r["media_id"]: r for r in extract_features(media).collect()}
+    assert all(0.0 <= x <= 1.0 for x in feats[0]["feature"])
+    assert feats[2]["feature"][0] == 16000.0  # good WAV stays real
+    # stub disabled: variants raise loudly
+    with pytest.raises(Exception, match="NotImplementedError|decode_stub"):
+        decode_audio(media, decode_stub=False).collect()
+
+
+def test_decode_audio_null_meta_passthrough(spark):
+    """ADVICE r4: a null meta struct must not crash the stage -- the
+    row passes through (non-audio) or decodes with a fresh meta dict
+    (audio WAV)."""
+    import numpy as np
+
+    from big_data_streaming_dashboard_spark.llmdata.multimodal import (
+        MEDIA_SCHEMA,
+        decode_audio,
+        encode_wav,
+    )
+
+    wav = encode_wav(np.array([5, 6, 7, 8], dtype=np.int16), 8000)
+    media = spark.createDataFrame(
+        [
+            (0, "video", b"\x00\x01", None),
+            (1, "audio", wav, None),
+            (2, "audio", b"\xff\xfbopaque", None),
+        ],
+        MEDIA_SCHEMA,
+    )
+    rows = {r["media_id"]: r for r in decode_audio(media).collect()}
+    assert bytes(rows[0]["payload"]) == b"\x00\x01" and rows[0]["meta"] is None
+    assert rows[1]["meta"]["sample_rate"] == 8000  # fresh meta built
+    assert bytes(rows[2]["payload"]) == b"\xff\xfbopaque"
+
+
+def test_wav_chunk_walker_truncation_errors():
+    """ADVICE r4: truncated fmt/data chunks raise the documented
+    ValueError, never a raw struct.error or silent short PCM."""
+    import struct
+
+    import numpy as np
+
+    from big_data_streaming_dashboard_spark.llmdata.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    good = encode_wav(np.array([1, 2, 3, 4], dtype=np.int16), 16000)
+    # fmt chunk with declared size 16 but only 4 body bytes present
+    short_fmt = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + 4) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16) + b"\x01\x00\x01\x00"
+    )
+    with pytest.raises(ValueError, match="truncated WAV chunk"):
+        decode_wav(short_fmt)
+    # data chunk shorter than its declared size
+    with pytest.raises(ValueError, match="truncated WAV chunk"):
+        decode_wav(good[:-2])
