@@ -448,6 +448,127 @@ FROM ranked WHERE rank <= 10
 """
 
 
+_DOT = (
+    "list_reduce(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]),"
+    " (x, y) -> x + y)"
+)
+
+
+def _cos_expr(a: str, b: str) -> str:
+    return (
+        f"{_DOT.format(a=a, b=b)} / "
+        f"(sqrt({_DOT.format(a=a, b=a)}) * sqrt({_DOT.format(a=b, b=b)}))"
+    )
+
+
+def hamming_topk_sql(
+    planes: tuple, radius: int, n_queries: int = 5, k: int = 10
+) -> str:
+    """SimHash Hamming-radius ANN oracle (mirrors
+    llmdata.similarity.simhash_hamming_topk): per-vector sign bits
+    from the SAME literal planes (sign margins on the fixture are
+    >=3e-6 -- ten orders above float64 fold noise, so the engine's
+    BLAS-batched signs and this left-fold agree bit-for-bit; pinned by
+    tests), Hamming distance as the bit-difference fold, radius
+    prefilter, exact cosine re-rank. Deterministic end-to-end -- the
+    'approximation' is a fixed function of the planes, shared by both
+    engines, so the pairing is exact."""
+    bit_exprs = ", ".join(
+        f"(CASE WHEN {_DOT.format(a='v', b=_plane_literal(list(p)))} >= 0"
+        " THEN 1 ELSE 0 END)"
+        for p in planes
+    )
+    ham = (
+        "list_reduce(list_transform(list_zip(s.bits, q.qbits),"
+        " p -> CASE WHEN p[1] <> p[2] THEN 1 ELSE 0 END), (x, y) -> x + y)"
+    )
+    return f"""
+WITH dv AS (
+    SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+),
+sigs AS (
+    SELECT vec_id, label, v, [{bit_exprs}] AS bits FROM dv
+),
+q AS (
+    SELECT vec_id AS query_id, v AS qv, bits AS qbits
+    FROM sigs WHERE vec_id < {n_queries}
+),
+cand AS (
+    SELECT q.query_id, s.vec_id, s.label, q.qv, s.v
+    FROM sigs s CROSS JOIN q
+    WHERE s.vec_id <> q.query_id AND {ham} <= {radius}
+),
+scored AS (
+    SELECT query_id, vec_id, label, {_cos_expr('qv', 'v')} AS _cos FROM cand
+),
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY _cos DESC, vec_id) AS rank
+    FROM scored
+)
+SELECT query_id, vec_id, label, rank, round(_cos, 6) AS cos_sim
+FROM ranked WHERE rank <= {k}
+"""
+
+
+def lsh_topk_sql(
+    planes: tuple,
+    bands: int,
+    rows_per_band: int,
+    n_queries: int = 5,
+    k: int = 10,
+) -> str:
+    """Banded multi-bit LSH ANN oracle (mirrors
+    llmdata.similarity.lsh_banded_topk with multiprobe=True): per-band
+    signatures via the same s = s*2 + bit fold over the SAME literal
+    planes; the engine's probe set {{qsig}} U {{qsig XOR (1<<j)}} is
+    exactly 'band-signature Hamming distance <= 1', expressed here as
+    bit_count(xor(sig, qsig)) <= 1 on ANY band; candidates dedup then
+    exact cosine re-rank. Deterministic for the same reason as
+    `hamming_topk_sql`."""
+    sig_cols, qsig_cols = [], []
+    for band in range(bands):
+        sig = "0"
+        for plane in planes[band * rows_per_band : (band + 1) * rows_per_band]:
+            d = _DOT.format(a="v", b=_plane_literal(list(plane)))
+            sig = f"({sig}) * 2 + (CASE WHEN {d} >= 0 THEN 1 ELSE 0 END)"
+        sig_cols.append(f"{sig} AS s{band}")
+        qsig_cols.append(f"s{band} AS qs{band}")
+    any_band = " OR ".join(
+        f"bit_count(xor(s.s{b}, q.qs{b})) <= 1" for b in range(bands)
+    )
+    return f"""
+WITH dv AS (
+    SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+),
+sigs AS (
+    SELECT vec_id, label, v, {", ".join(sig_cols)} FROM dv
+),
+q AS (
+    SELECT vec_id AS query_id, v AS qv, {", ".join(qsig_cols)}
+    FROM sigs WHERE vec_id < {n_queries}
+),
+cand AS (
+    SELECT DISTINCT q.query_id, s.vec_id
+    FROM sigs s CROSS JOIN q
+    WHERE s.vec_id <> q.query_id AND ({any_band})
+),
+scored AS (
+    SELECT c.query_id, c.vec_id, s.label, {_cos_expr('q.qv', 's.v')} AS _cos
+    FROM cand c
+    JOIN sigs s ON s.vec_id = c.vec_id
+    JOIN q ON q.query_id = c.query_id
+),
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY _cos DESC, vec_id) AS rank
+    FROM scored
+)
+SELECT query_id, vec_id, label, rank, round(_cos, 6) AS cos_sim
+FROM ranked WHERE rank <= {k}
+"""
+
+
 # mirrors llmdata.curation.curation_pipeline: same quality formula,
 # same langid argmax CASE, same exact-dedup window, same banded
 # near-dup chain (incl. the 1000 bucket cap) at jaccard >= 0.5,

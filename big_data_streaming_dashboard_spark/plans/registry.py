@@ -39,8 +39,10 @@ from ..llmdata.dedup import (
     semantic_neardup,
 )
 from ..llmdata.similarity import (
+    DEFAULT_HAMMING_RADIUS,
     DEFAULT_NEARDUP_BANDS,
     DEFAULT_NEARDUP_ROWS,
+    DEFAULT_SIG_BITS,
     EMBEDDING_DIM,
     brute_force_topk,
     cross_encoder_rerank,
@@ -818,14 +820,21 @@ QUERIES: dict[str, QuerySpec] = {
         None,
         "IVF ANN with multi-probe (nprobe=2 of 16 lists; ~0.8 recall @ 1/8 candidates)",
     ),
+    # the banded/Hamming prefilters are deterministic functions of the
+    # shared literal planes -> oracle-paired since r5 (the
+    # 'approximation' is vs exact kNN, not vs the oracle; sign margins
+    # >= 3e-6 on the fixture make BLAS-vs-fold signs bit-identical)
     "emb_lsh_topk": QuerySpec(
         lambda spark, sf: lsh_banded_topk(_embs(spark, sf)),
-        None,
+        llm_sql.lsh_topk_sql(gaussian_planes(32 * 10, EMBEDDING_DIM), 32, 10),
         "banded multi-bit LSH approximate top-k (equi-join scale path)",
     ),
     "emb_hamming_topk": QuerySpec(
         lambda spark, sf: simhash_hamming_topk(_embs(spark, sf)),
-        None,
+        llm_sql.hamming_topk_sql(
+            gaussian_planes(DEFAULT_SIG_BITS, EMBEDDING_DIM),
+            DEFAULT_HAMMING_RADIUS,
+        ),
         "256-bit SimHash Hamming-radius ANN top-k (recall 0.96 @ 1/8 candidates)",
     ),
     "emb_pq_topk": QuerySpec(
@@ -875,70 +884,71 @@ QUERIES: dict[str, QuerySpec] = {
 # queries()). This is an EXPLICIT contract list -- dict insertion order
 # above is documentation order only and is NOT load-bearing.
 #
-# Rotation policy (round 4): every rows-only (no-oracle) query stays in
-# the checked set permanently (per round-3 advice -- they are otherwise
-# never externally exercised); the 17 oracle-paired queries parked since
-# r1/r2 rotate IN; 27 queries green in r3 (and re-checked locally every
-# suite run by tests/test_oracle.py) rotate OUT. Next round, swap the
-# retained r3 block for the rotated-out block so no oracle-paired query
-# goes more than two rounds without a fresh driver row.
+# Rotation policy (executed round 5, per the r4 verdict): every
+# rows-only (no-oracle) query stays in the checked set permanently (per
+# round-3 advice -- they are otherwise never externally exercised); the
+# 30 oracle-paired queries whose newest driver row was r3 or older all
+# rotate IN; queries green in r4 rotate OUT (still re-checked locally
+# every suite run by tests/test_oracle.py) EXCEPT (a) queries whose
+# PLAN changes this round (the near-dup family's size-conditional join
+# hints) and (b) the flagship full_pipeline. Remaining slots go to
+# queries newly added or newly oracle-paired in round 5. After r5,
+# every oracle-paired query's newest driver row is r4 or r5.
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW: list[str] = [
-    # oracle-paired, parked since r1/r2 -- rotated in this round
-    "pivot_event_counts",
-    "grouping_sets_shipping",
-    "rollup_pricing",
-    "segment_semi_anti",
-    "level_filter_high",
-    "severity_ws_counts",
-    "alerts_ws_messages",
-    "geojson_features",
-    "doc_token_stats",
-    "doc_quality",
-    "doc_langid",
-    "doc_exact_dedup",
-    "doc_rolling_fingerprint",
-    "doc_repeated_passages",
-    "doc_simhash",
-    "doc_tfidf_top_terms",
-    "doc_bigram_lm",
+    # oracle-paired, last driver-checked r3 or earlier -- all rotate in
+    "bronze_radiation",
+    "silver_error_breakdown",
+    "routed_records",
+    "route_counts",
+    "rolling_stats",
+    "recent_points",
+    "flagship_event_stats",
+    "value_percentiles",
+    "brand_supplier_margin",
+    "user_sessions",
+    "unpivot_event_metrics",
+    "user_set_ops",
+    "events_by_hour",
+    "range_join_events_orders",
+    "session_window_events",
+    "moving_avg_events",
+    "downsample_5min",
+    "cube_order_stats",
+    "above_user_avg",
+    "exact_distinct_quantiles",
+    "doc_corpus_mixture",
+    "emb_quantize_int8",
+    "doc_ngram_jaccard",
+    "doc_contamination",
+    "doc_repetition",
+    "doc_subword_stats",
+    "doc_curation",
+    "doc_stratified_sample",
+    "emb_topk_cosine",
+    "emb_knn_label_vote",
     # rows-only by design -- permanently in-window per r3 advice
     "emb_rerank_topk",
     "emb_ivf_topk",
     "emb_ivf_topk_tuned",
+    # oracle-paired as of r5 (was rows-only; deterministic prefilters)
     "emb_lsh_topk",
     "emb_hamming_topk",
+    # rows-only by design (continued)
     "emb_pq_topk",
     "approx_aggregates",
     "emb_kmeans",
     "alerts_cooldown_exact",
     "media_feature_census",
-    # retained from the r3 window (complex / recently-landed plans)
-    "full_pipeline",
-    "silver_validate",
-    "dedup_first_occurrence",
-    "temporal_batch_annotate",
-    "temporal_union",
-    "alerts_cooldown",
-    "alerts_active",
-    "grid_cluster",
-    "pricing_summary",
-    "revenue_by_nation",
-    "top_customers",
-    "asof_latest_order",
-    "gapfill_5min",
-    "doc_minhash_signature",
+    # retained: plans change this round (size-conditional join hints)
     "doc_neardup_pairs",
     "doc_neardup_clusters",
-    "doc_curation_extended",
-    "doc_shard_packing",
-    "emb_neardup_pairs",
-    # new this round (never driver-checked)
     "doc_semantic_neardup",
-    "doc_pii_redact",
-    "doc_curation_full",
-    "window_zoo",
+    "emb_neardup_pairs",
+    # retained: flagship
+    "full_pipeline",
+    # new / newly oracle-paired in round 5 (slots fill as they land)
 ]
 
 

@@ -200,3 +200,35 @@ def test_pq_sparse_ids_and_tiny_corpus(spark):
     got = pq_topk(sparse, n_queries=2, k=3).collect()
     qids = {r["query_id"] for r in got}
     assert qids == {1000, 1007}  # first two by order, not `< n_queries`
+
+
+def test_sign_margin_blas_vs_fold_parity():
+    """The r5 oracle pairing of emb_hamming_topk / emb_lsh_topk rests
+    on the engine's BLAS-batched plane signs agreeing with the
+    oracle's left-fold signs. They can only disagree when |dot| is
+    within float64 fold noise (~1e-12 on O(1) dots); pin that the
+    fixture's smallest margin is orders of magnitude above that, and
+    that the signs agree exactly on the tightest cases."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from big_data_streaming_dashboard_spark.llmdata.similarity import (
+        DEFAULT_SIG_BITS,
+        EMBEDDING_DIM,
+        gaussian_planes,
+    )
+
+    from .conftest import SF_ORACLE
+
+    t = pq.read_table(f"{SF_ORACLE}/embeddings.parquet", columns=["embedding"])
+    V = np.array([np.asarray(v, dtype=np.float64) for v in t["embedding"].to_pylist()])
+    for n_planes in (DEFAULT_SIG_BITS, 32 * 10):
+        P = np.array([list(p) for p in gaussian_planes(n_planes, EMBEDDING_DIM, 42)])
+        D = V @ P.T
+        assert np.abs(D).min() > 1e-9, "sign margin collapsed; oracle pairing unsafe"
+        idx = np.unravel_index(np.argsort(np.abs(D), axis=None)[:50], D.shape)
+        for i, j in zip(*idx):
+            fold = 0.0
+            for x, y in zip(V[i], P[j]):
+                fold += x * y
+            assert (fold >= 0) == (D[i, j] >= 0)
