@@ -60,16 +60,29 @@ def main() -> None:
 
     # min of 3 runs per query: the first run includes JIT/codegen warmup
     # and cache materialization; the min is the steady-state number and
-    # is far less sensitive to machine noise
+    # is far less sensitive to machine noise. Each rep is split into
+    # plan construction (the py4j/Catalyst cost of building the
+    # DataFrame -- real, per the r3 advice that dropped memoization)
+    # and execution (noop write forces every column); the headline
+    # number stays plan+exec, the split makes accounting-only deltas
+    # between rounds self-explaining (r4 verdict item 5).
     timings: dict[str, float] = {}
+    plan_s: dict[str, float] = {}
+    exec_s: dict[str, float] = {}
     fns = queries_dict()
     for name in HEADLINE:
         fn = fns[name]
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
+            df = fn(spark, sf_dir)
+            t1 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            t2 = time.perf_counter()
+            if t2 - t0 < best:
+                best = t2 - t0
+                plan_s[name] = round(t1 - t0, 4)
+                exec_s[name] = round(t2 - t1, 4)
         timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
@@ -80,6 +93,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "plan_s": plan_s,
+                "exec_s": exec_s,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "load_avg_at_start": [round(load1, 2), round(load5, 2)],
             }

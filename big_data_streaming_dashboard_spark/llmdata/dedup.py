@@ -120,6 +120,45 @@ def _plan_cached(docs: DataFrame, tag: str, build) -> DataFrame:
     return hit
 
 
+# Size-conditional join hints (r4 verdict item 3). The SHUFFLE_HASH
+# hints exist because the corpus-sized sides of the near-dup joins
+# (shingle arrays, band tables, label tables) carry broadcast-SMALL
+# size ESTIMATES -- Catalyst auto-broadcasts them and the driver OOMs
+# already at a 50k-doc corpus (found by the 10x fixture). But below
+# that scale the auto-planned broadcast is both safe and measurably
+# faster (sf0.1 doc_neardup_pairs: 0.57 s auto vs 0.87 s hinted), so
+# the hint is gated on a one-job cached count of the corpus: small
+# corpus -> let Catalyst plan; big corpus -> force shuffled hash. At
+# 100 TB every corpus is far past the threshold, so the scale path is
+# always the hinted one (pinned by tests/test_scale10x.py).
+BROADCAST_SAFE_ROWS = 10_000
+
+_COUNT_CACHE: dict[tuple, int] = {}
+
+
+def corpus_count(df: DataFrame) -> int:
+    """Cached row count of a corpus-shaped input (same keying as
+    `_plan_cached`: one count job per (app, logical-plan) ever)."""
+    app_id = df.sparkSession.sparkContext.applicationId
+    try:
+        sem = df._jdf.queryExecution().analyzed().semanticHash()
+    except Exception:
+        return df.count()
+    key = (app_id, sem)
+    hit = _COUNT_CACHE.get(key)
+    if hit is None:
+        for stale in [sk for sk in _COUNT_CACHE if sk[0] != app_id]:
+            del _COUNT_CACHE[stale]
+        hit = _COUNT_CACHE[key] = df.count()
+    return hit
+
+
+def scale_hint(df: DataFrame, n_rows: int) -> DataFrame:
+    """SHUFFLE_HASH above the broadcast-safety threshold, untouched
+    (Catalyst-planned) below it."""
+    return df.hint("shuffle_hash") if n_rows > BROADCAST_SAFE_ROWS else df
+
+
 def _shingle_table(docs: DataFrame) -> DataFrame:
     """(doc_id, sh): the persisted distinct-shingle table every exact
     verify joins against."""
@@ -206,13 +245,15 @@ def neardup_pairs(
     )
     a = banded.alias("a")
     b = banded.alias("b")
-    # SHUFFLE_HASH everywhere: the band index, the candidate set and
-    # the shingle table are all corpus-sized (the shingle table's
-    # array<string> payload especially -- its size ESTIMATE reads
-    # broadcast-small while its real footprint OOMs a default-memory
-    # driver already at 50k docs; found by the 10x fixture)
+    # size-gated SHUFFLE_HASH (see BROADCAST_SAFE_ROWS): the band
+    # index, the candidate set and the shingle table are all
+    # corpus-sized (the shingle table's array<string> payload
+    # especially -- its size ESTIMATE reads broadcast-small while its
+    # real footprint OOMs a default-memory driver already at 50k docs;
+    # found by the 10x fixture)
+    n = corpus_count(docs)
     cand = (
-        a.join(b.hint("shuffle_hash"), ["band_idx", "band_hash"])
+        a.join(scale_hint(b, n), ["band_idx", "band_hash"])
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
@@ -220,15 +261,21 @@ def neardup_pairs(
     sh = _shingle_table(docs)
     pair = (
         cand.join(
-            sh.withColumnRenamed("doc_id", "doc_a")
-            .withColumnRenamed("sh", "sh_a")
-            .hint("shuffle_hash"),
+            scale_hint(
+                sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
+                    "sh", "sh_a"
+                ),
+                n,
+            ),
             "doc_a",
         )
         .join(
-            sh.withColumnRenamed("doc_id", "doc_b")
-            .withColumnRenamed("sh", "sh_b")
-            .hint("shuffle_hash"),
+            scale_hint(
+                sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+                    "sh", "sh_b"
+                ),
+                n,
+            ),
             "doc_b",
         )
     )
@@ -267,13 +314,15 @@ def neardup_clusters(
     Mirrored by a DuckDB recursive CTE (plans/llm_sql.CLUSTERS_SQL):
     transitive closure then MIN per doc -- same labels.
 
-    Every join in the loop carries a SHUFFLE_HASH hint: labels,
-    neighbor-min and sizes are CORPUS-sized relations, but their
-    per-round size estimates look broadcast-small to Catalyst, and an
-    auto-broadcast of the label table OOMs the driver already at a
-    50k-doc corpus on a default-memory session (found by the 10x
-    fixture) -- at real scale it would be fatal every round. Shuffled
-    hash joins on doc_id are the correct shape at any size."""
+    Every join in the loop carries a size-gated SHUFFLE_HASH hint
+    (see BROADCAST_SAFE_ROWS): labels, neighbor-min and sizes are
+    CORPUS-sized relations, but their per-round size estimates look
+    broadcast-small to Catalyst, and an auto-broadcast of the label
+    table OOMs the driver already at a 50k-doc corpus on a
+    default-memory session (found by the 10x fixture) -- at real
+    scale it would be fatal every round. Shuffled hash joins on
+    doc_id are the correct shape past the threshold."""
+    n = corpus_count(docs)
     pairs = neardup_pairs(
         docs, k, band_rows, threshold, max_bucket_size
     ).select("doc_a", "doc_b")
@@ -284,17 +333,20 @@ def neardup_clusters(
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(
-                labels.select(
-                    F.col("doc_id").alias("doc_b"),
-                    F.col("cluster_id").alias("_nl"),
-                ).hint("shuffle_hash"),
+                scale_hint(
+                    labels.select(
+                        F.col("doc_id").alias("doc_b"),
+                        F.col("cluster_id").alias("_nl"),
+                    ),
+                    n,
+                ),
                 "doc_b",
             )
             .groupBy(F.col("doc_a").alias("doc_id"))
             .agg(F.min("_nl").alias("_nmin"))
         )
         new_labels = (
-            labels.join(neighbor_min.hint("shuffle_hash"), "doc_id", "left")
+            labels.join(scale_hint(neighbor_min, n), "doc_id", "left")
             .select(
                 "doc_id",
                 F.least(
@@ -305,7 +357,7 @@ def neardup_clusters(
         )
         changed = (
             new_labels.alias("n")
-            .join(labels.alias("o").hint("shuffle_hash"), "doc_id")
+            .join(scale_hint(labels.alias("o"), n), "doc_id")
             .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
             .count()
         )
@@ -314,7 +366,7 @@ def neardup_clusters(
         if changed == 0:
             break
     sizes = labels.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
-    return labels.join(sizes.hint("shuffle_hash"), "cluster_id").select(
+    return labels.join(scale_hint(sizes, n), "cluster_id").select(
         "doc_id", "cluster_id", "cluster_size"
     )
 
@@ -355,22 +407,24 @@ def ngram_jaccard_pairs(
     )
     a = bounded.alias("a")
     b = bounded.alias("b")
-    # SHUFFLE_HASH: postings and shingle tables are corpus-sized with
-    # broadcast-small size ESTIMATES (see neardup_pairs)
+    # size-gated SHUFFLE_HASH: postings and shingle tables are
+    # corpus-sized with broadcast-small size ESTIMATES (see
+    # neardup_pairs / BROADCAST_SAFE_ROWS)
+    n = corpus_count(docs)
     cand = (
-        a.join(b.hint("shuffle_hash"), "sh_hash")
+        a.join(scale_hint(b, n), "sh_hash")
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
     pair = cand.join(
-        sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")).hint(
-            "shuffle_hash"
+        scale_hint(
+            sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")), n
         ),
         "doc_a",
     ).join(
-        sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")).hint(
-            "shuffle_hash"
+        scale_hint(
+            sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")), n
         ),
         "doc_b",
     )
@@ -409,9 +463,10 @@ def semantic_neardup(
     drops = pairs.groupBy(F.col("vec_b").alias("doc_id")).agg(
         F.min("vec_a").alias("dup_of")
     )
-    # SHUFFLE_HASH: in a template-heavy crawl the drops side is
-    # corpus-sized; never let a small size estimate broadcast it
-    return docs.join(drops.hint("shuffle_hash"), "doc_id", "left").select(
+    # size-gated SHUFFLE_HASH: in a template-heavy crawl the drops
+    # side is corpus-sized; past the broadcast-safety threshold never
+    # let a small size estimate broadcast it
+    return docs.join(scale_hint(drops, corpus_count(docs)), "doc_id", "left").select(
         "doc_id",
         "lang",
         "source",

@@ -668,14 +668,19 @@ def embedding_neardup_pairs(
         .persist()
     )
     bands_df = sigs.select("vec_id", F.posexplode("sigs").alias("band", "sig"))
-    # SHUFFLE_HASH: the band table and the vector tables are
-    # corpus-sized; their derived size ESTIMATES read broadcast-small
-    # (same failure mode the 10x fixture caught in the text family --
-    # an auto-broadcast of a corpus-sized side OOMs the driver)
+    # size-gated SHUFFLE_HASH (dedup.BROADCAST_SAFE_ROWS): the band
+    # table and the vector tables are corpus-sized; their derived size
+    # ESTIMATES read broadcast-small (same failure mode the 10x
+    # fixture caught in the text family -- an auto-broadcast of a
+    # corpus-sized side OOMs the driver); below the threshold the
+    # Catalyst-planned broadcast is safe and faster
+    from .dedup import corpus_count, scale_hint
+
+    n = corpus_count(embeddings)
     pairs = (
         bands_df.alias("a")
         .join(
-            bands_df.alias("b").hint("shuffle_hash"),
+            scale_hint(bands_df.alias("b"), n),
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.sig") == F.col("b.sig"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
@@ -688,8 +693,8 @@ def embedding_neardup_pairs(
     va = sigs.select(F.col("vec_id").alias("vec_a"), F.col("vec").alias("va"))
     vb = sigs.select(F.col("vec_id").alias("vec_b"), F.col("vec").alias("vb"))
     return (
-        pairs.join(va.hint("shuffle_hash"), "vec_a")
-        .join(vb.hint("shuffle_hash"), "vec_b")
+        pairs.join(scale_hint(va, n), "vec_a")
+        .join(scale_hint(vb, n), "vec_b")
         .select(
             "vec_a",
             "vec_b",

@@ -567,3 +567,31 @@ def test_pii_redact_counts_and_order(spark):
     assert got[3]["redacted_text"] == "<EMAIL> then <PHONE> then <IP>"
     assert got[4]["pii_total"] == 0 and not got[4]["has_pii"]
     assert got[4]["redacted_text"] == "clean text, no identifiers here"
+
+
+def test_neardup_join_hints_size_gated(spark):
+    """r4 verdict item 3: the near-dup SHUFFLE_HASH hints are gated on
+    a corpus-size probe. Below BROADCAST_SAFE_ROWS Catalyst plans
+    freely (no hint in the analyzed plan); above it every corpus-sized
+    join side is pinned to shuffled-hash (driver-broadcast OOM guard,
+    proven at 50k docs by the 10x fixture)."""
+    from pyspark.sql import functions as F
+
+    from big_data_streaming_dashboard_spark.llmdata.dedup import (
+        BROADCAST_SAFE_ROWS,
+        neardup_pairs,
+    )
+
+    def analyzed(df):
+        return df._jdf.queryExecution().analyzed().toString()
+
+    small = spark.range(50).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("alpha beta gamma delta text "), F.col("id")).alias("text"),
+    )
+    assert "shuffle_hash" not in analyzed(neardup_pairs(small))
+    big = spark.range(BROADCAST_SAFE_ROWS + 1).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("alpha beta gamma delta text "), F.col("id")).alias("text"),
+    )
+    assert "shuffle_hash" in analyzed(neardup_pairs(big))
