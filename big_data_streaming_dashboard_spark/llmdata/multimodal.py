@@ -360,15 +360,20 @@ _FEATURE_SCHEMA = T.StructType(
 
 
 def synthetic_media(spark: Any, n: int = 64) -> DataFrame:
-    """Deterministic media table: IMAGE payloads are REAL encoded PNGs
-    (deterministic gradient pattern) and AUDIO payloads are REAL WAV
+    """Deterministic media table: IMAGE payloads alternate between
+    REAL encoded PNGs and REAL baseline JPEGs (deterministic gradient
+    pattern; JPEG via the numpy JFIF codec in llmdata/jpeg.py, odd
+    image rows 4:2:0-subsampled) and AUDIO payloads are REAL WAV
     files (deterministic integer-triangle PCM16 waves, encoded by the
-    stdlib RIFF codec), so both decode paths downstream are genuine;
-    video payloads remain opaque fakes (no video codec in the
-    container -- the documented stub slot)."""
+    stdlib RIFF codec), so all three decode paths downstream are
+    genuine; video payloads remain opaque fakes (no video codec in
+    the container -- the documented stub slot)."""
     import numpy as np
 
+    from .jpeg import jpeg_codec_kernel
+
     _, png_encode = _png_codec_kernel()
+    _, jpeg_encode = jpeg_codec_kernel()
     _, wav_encode = _wav_codec_kernel()
     rows = []
     kinds = ["image", "audio", "video"]
@@ -380,8 +385,14 @@ def synthetic_media(spark: Any, n: int = 64) -> DataFrame:
             img = np.stack(
                 [xs % 256, ys % 256, (xs + ys + i) % 256], axis=-1
             ).astype(np.uint8)
-            payload = png_encode(img, filter_type=i % 5)
-            meta = (w, h, None, None, "image/png")
+            if (i // 3) % 2 == 0:
+                payload = png_encode(img, filter_type=i % 5)
+                meta = (w, h, None, None, "image/png")
+            else:
+                payload = jpeg_encode(
+                    img, quality=95, subsample=bool((i // 6) % 2)
+                )
+                meta = (w, h, None, None, "image/jpeg")
         elif kind == "audio":
             # integer triangle wave: period/amplitude vary by id;
             # pure integer arithmetic -> bit-exact across platforms
@@ -438,21 +449,27 @@ def read_media(spark: Any, path: str) -> DataFrame:
 def extract_features(media: DataFrame, decode_stub: bool = True) -> DataFrame:
     """mapInPandas feature extraction; Arrow-batched, map-only.
 
-    PNG payloads (detected by signature) are REALLY decoded and get
-    pixel-statistic features: [width, height, per-channel mean (3),
-    per-channel std (3), per-channel min (3), per-channel max (3),
-    luma mean, luma std] = FEATURE_DIM doubles, all deterministic.
-    WAV payloads (RIFF signature) are REALLY decoded too: [sample_rate]
-    + the 15 PCM stats/band energies from `_pcm_feature_kernel` (mono
-    downmix = floor-mean across channels). Other payloads fall back to
-    the sha256 stub (``decode_stub=True``) or raise where the
-    JPEG/compressed-audio/video codec would plug in.
+    PNG payloads (detected by signature) and baseline JPEG payloads
+    (SOI signature, numpy JFIF codec -- llmdata/jpeg.py) are REALLY
+    decoded and get pixel-statistic features: [width, height,
+    per-channel mean (3), per-channel std (3), per-channel min (3),
+    per-channel max (3), luma mean, luma std] = FEATURE_DIM doubles,
+    all deterministic. WAV payloads (RIFF signature) are REALLY
+    decoded too: [sample_rate] + the 15 PCM stats/band energies from
+    `_pcm_feature_kernel` (mono downmix = floor-mean across channels).
+    Other payloads fall back to the sha256 stub (``decode_stub=True``)
+    or raise where the progressive-JPEG/compressed-audio/video codec
+    would plug in.
 
     The closure is self-contained (no module-global references): Spark
     Python workers may not have this repo on their PYTHONPATH.
     """
+    from .jpeg import jpeg_codec_kernel, make_is_jpeg
+
     dim = FEATURE_DIM
     png_decode, _ = _png_codec_kernel()  # by-value for the workers
+    jpeg_decode, _ = jpeg_codec_kernel()
+    is_jpeg = make_is_jpeg()
     wav_decode, _ = _wav_codec_kernel()
     pcm_feat = _pcm_feature_kernel()
     is_wav = _make_is_wav()  # by-value for the workers
@@ -470,8 +487,8 @@ def extract_features(media: DataFrame, decode_stub: bool = True) -> DataFrame:
             )
             return [float(sr), *pcm_feat(mono)][:dim]
 
-        def png_features(payload):
-            img = png_decode(payload).astype(np.float64)
+        def pixel_features(img):
+            img = img.astype(np.float64)
             h, w, _ = img.shape
             luma = img @ np.array([0.299, 0.587, 0.114])
             return [
@@ -492,7 +509,15 @@ def extract_features(media: DataFrame, decode_stub: bool = True) -> DataFrame:
 
         def feat(payload):
             if payload is not None and bytes(payload[:8]) == sig:
-                return png_features(payload)
+                return pixel_features(png_decode(payload))
+            if payload is not None and is_jpeg(payload):
+                try:
+                    return pixel_features(jpeg_decode(payload))
+                except Exception:
+                    # progressive/arithmetic JPEG or SOI-signed
+                    # garbage/truncation -> codec-stub slot (see
+                    # resize_images for the rationale)
+                    pass
             if payload is not None and is_wav(payload):
                 try:
                     return wav_features(payload)
@@ -502,10 +527,10 @@ def extract_features(media: DataFrame, decode_stub: bool = True) -> DataFrame:
                     pass
             if not decode_stub:
                 raise NotImplementedError(
-                    "only the PNG and WAV codecs are real; JPEG/"
-                    "compressed-audio/video codecs (PIL/librosa/av) are "
-                    "not installed in this container -- pass "
-                    "decode_stub=True for such payloads"
+                    "only the PNG, baseline-JPEG and WAV codecs are "
+                    "real; progressive-JPEG/compressed-audio/video "
+                    "codecs (PIL/librosa/av) are not installed in this "
+                    "container -- pass decode_stub=True for such payloads"
                 )
             return stub_decode(payload)
 
@@ -610,17 +635,23 @@ def resize_images(
       (``src_idx = dst_idx * src // dst``, the classic NN mapping) --
       actual pixel output, no codec needed, vectorized per image.
     - ``payload_format="encoded"``: PNG payloads (by signature) are
-      REALLY decoded by the stdlib codec and resized by the same NN
-      gather -- true pixels out, no PIL. Other encodings (JPEG...)
-      still need PIL/torchvision (absent from this container): the
-      stub synthesizes a deterministic buffer from sha256(payload);
+      REALLY decoded by the stdlib codec, and baseline JPEG payloads
+      (SOI signature) by the numpy JFIF codec (llmdata/jpeg.py); both
+      are resized by the same NN gather -- true pixels out, no PIL.
+      Remaining encodings (progressive JPEG, WebP...) still need
+      PIL/torchvision (absent from this container): the stub
+      synthesizes a deterministic buffer from sha256(payload);
       ``decode_stub=False`` raises where the real codec plugs in.
 
     The kind filter runs BEFORE the Python stage (JVM-side, pushed to
     the scan), so non-image payloads never cross the Arrow boundary.
     """
+    from .jpeg import jpeg_codec_kernel, make_is_jpeg
+
     out_len = width * height * 3
     png_decode, _ = _png_codec_kernel()  # by-value for the workers
+    jpeg_decode, _ = jpeg_codec_kernel()
+    is_jpeg = make_is_jpeg()
     sig = PNG_SIGNATURE
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -657,11 +688,22 @@ def resize_images(
                 return None
             if bytes(payload[:8]) == sig:
                 return nn_gather(png_decode(payload))
+            if is_jpeg(payload):
+                try:
+                    return nn_gather(jpeg_decode(payload))
+                except Exception:
+                    # progressive/arithmetic JPEG (NotImplementedError)
+                    # or SOI-signed garbage/truncation (ValueError,
+                    # struct.error, index errors from a corrupt entropy
+                    # stream) -> documented stub slot; never crash the
+                    # whole stage on one bad payload
+                    pass
             if not decode_stub:
                 raise NotImplementedError(
-                    "only the PNG codec is real; other image codecs "
+                    "only the PNG and baseline-JPEG codecs are real; "
+                    "progressive JPEG / other image codecs "
                     "(PIL/torchvision) are not installed in this container "
-                    "-- pass decode_stub=True or feed PNG / raw_rgb payloads"
+                    "-- pass decode_stub=True or feed supported payloads"
                 )
             return stub_resize(payload)
 

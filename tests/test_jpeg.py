@@ -1,0 +1,123 @@
+"""Baseline JFIF codec tests (llmdata/jpeg.py): per-pixel round trips
+against the hand-built encoder, subsampling, restart markers, and the
+documented failure modes (progressive -> NotImplementedError,
+truncation/garbage -> ValueError)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from big_data_streaming_dashboard_spark.llmdata.jpeg import (
+    jpeg_codec_kernel,
+    make_is_jpeg,
+)
+
+decode, encode = jpeg_codec_kernel()
+is_jpeg = make_is_jpeg()
+
+
+def _gradient(h, w, seed=0):
+    ys, xs = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [(xs * 3 + seed) % 256, (ys * 5) % 256, (xs + ys) % 256], axis=-1
+    ).astype(np.uint8)
+
+
+def test_q100_roundtrip_near_exact_all_shapes():
+    """quality=100 (all-ones quant tables): encode->decode error is
+    bounded by float DCT/color rounding alone (<= 2 per channel),
+    including non-multiple-of-8 dims and the 1x1 edge case."""
+    rng = np.random.default_rng(7)
+    for h, w in [(8, 8), (16, 24), (13, 19), (1, 1), (9, 7), (64, 33)]:
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        enc = encode(img, quality=100)
+        assert is_jpeg(enc)
+        dec = decode(enc)
+        assert dec.shape == (h, w, 3) and dec.dtype == np.uint8
+        assert np.abs(dec.astype(int) - img.astype(int)).max() <= 2, (h, w)
+
+
+def test_lossy_quality_ladder_smooth_image():
+    """On a smooth (no mod-256 wrap) gradient, error grows with
+    compression but stays small in the mean -- codec behaves like a
+    real quantizing JPEG, not a pass-through."""
+    img = _gradient(40, 56)
+    sizes, prev_mean = [], -1.0
+    for q in (100, 95, 75, 50):
+        enc = encode(img, quality=q)
+        dec = decode(enc)
+        err = np.abs(dec.astype(int) - img.astype(int))
+        sizes.append(len(enc))
+        assert err.mean() >= prev_mean - 0.05  # monotone-ish degradation
+        prev_mean = err.mean()
+        assert err.mean() <= 4.0, q
+    assert sizes[0] > sizes[-1]  # harsher quant really compresses
+
+
+def test_subsampled_420_roundtrip():
+    img = _gradient(24, 40, seed=3)
+    dec = decode(encode(img, quality=95, subsample=True))
+    assert dec.shape == img.shape
+    # luma is full-res; chroma is box-averaged + replicated -> small err
+    assert np.abs(dec.astype(int) - img.astype(int)).mean() <= 4.0
+
+
+def test_restart_markers_roundtrip_and_reset():
+    """DRI/RSTn path: predictors reset per interval, stream re-aligns
+    at byte boundaries; q100 keeps the round trip near-exact for
+    every interval that divides the MCU count unevenly too."""
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(24, 40, 3), dtype=np.uint8)  # 15 MCUs
+    for ri in (1, 2, 4, 7):
+        enc = encode(img, quality=100, restart_interval=ri)
+        assert b"\xff\xdd" in enc  # DRI segment present
+        dec = decode(enc)
+        assert np.abs(dec.astype(int) - img.astype(int)).max() <= 2, ri
+
+
+def test_progressive_rejected_loudly():
+    """A SOF2 (progressive) frame header raises NotImplementedError --
+    the documented remaining stub slot, never a wrong decode."""
+    enc = bytearray(encode(_gradient(8, 8), quality=95))
+    i = enc.find(b"\xff\xc0")
+    enc[i + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="baseline"):
+        decode(bytes(enc))
+
+
+def test_garbage_and_truncation_raise_valueerror():
+    with pytest.raises(ValueError, match="SOI"):
+        decode(b"\x89PNG\r\n\x1a\nnot jpeg")
+    enc = encode(_gradient(16, 16), quality=95)
+    with pytest.raises(ValueError):
+        decode(enc[:20])  # cut inside the header segments
+
+
+def test_is_jpeg_sniff():
+    assert is_jpeg(encode(_gradient(8, 8)))
+    assert not is_jpeg(b"\x89PNG\r\n\x1a\n")
+    assert not is_jpeg(b"\xff\xd8")  # too short
+    assert not is_jpeg(None)
+
+
+def test_jpeg_features_through_spark_worker(spark):
+    """The kernel ships by value into a plain mapInPandas worker: JPEG
+    media rows get REAL pixel-stat features (f0/f1 = width/height),
+    bit-identical across two runs."""
+    from big_data_streaming_dashboard_spark.llmdata.multimodal import (
+        extract_features,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, n=12).filter("media_id in (3, 9)")
+    rows = {r["media_id"]: r for r in extract_features(media, decode_stub=False).collect()}
+    assert set(rows) == {3, 9}
+    for i, r in rows.items():
+        sw, sh = 4 + (5 * i) % 45, 4 + (7 * i) % 45
+        assert r["feature"][:2] == [float(sw), float(sh)], i
+    again = {
+        r["media_id"]: r["feature"]
+        for r in extract_features(media, decode_stub=False).collect()
+    }
+    assert again == {i: r["feature"] for i, r in rows.items()}

@@ -416,9 +416,11 @@ def test_png_decode_rejects_unsupported():
 
 
 def test_resize_images_encoded_png_real_pixels(spark):
-    """payload_format='encoded' with PNG payloads: the resized buffer
-    equals the NN gather of the genuinely decoded source pixels --
-    verified per-pixel against an independent numpy reconstruction."""
+    """payload_format='encoded': PNG payloads (ids 0, 6) resize to the
+    EXACT NN gather of the genuinely decoded source pixels; JPEG
+    payloads (ids 3, 9 -- lossy q95, id 9 4:2:0-subsampled) resize to
+    within codec tolerance of the same gather -- both verified against
+    an independent numpy reconstruction."""
     import numpy as np
 
     from big_data_streaming_dashboard_spark.llmdata.multimodal import (
@@ -426,7 +428,7 @@ def test_resize_images_encoded_png_real_pixels(spark):
         synthetic_media,
     )
 
-    media = synthetic_media(spark, n=12)  # ids 0,3,6,9 are PNG images
+    media = synthetic_media(spark, n=12)  # images: 0,6 PNG; 3,9 JPEG
     out = {
         r["media_id"]: r
         for r in resize_images(media, width=8, height=6).collect()
@@ -442,7 +444,11 @@ def test_resize_images_encoded_png_real_pixels(spark):
         gx = (np.arange(8) * sw) // 8
         expect = src[gy][:, gx]
         got = np.frombuffer(bytes(r["pixels"]), np.uint8).reshape(6, 8, 3)
-        assert (got == expect).all(), i
+        if i in (0, 6):  # PNG: lossless, bit-exact
+            assert (got == expect).all(), i
+        else:  # JPEG: smooth gradient, small quantization error only
+            err = np.abs(got.astype(int) - expect.astype(int)).max()
+            assert err <= 24, (i, err)
         assert (r["src_width"], r["src_height"]) == (sw, sh)
 
 
