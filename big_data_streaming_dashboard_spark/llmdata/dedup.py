@@ -303,34 +303,63 @@ def neardup_clusters(
     Near-duplication is transitive in practice (A~B, B~C usually means
     one cluster of rewrites), and dedup policy operates on CLUSTERS --
     keep one per component -- not on pairs. Components come from
-    iterative min-label propagation: each round every vertex takes the
-    min of its own and its neighbors' labels; rounds needed = graph
-    diameter (near-dup clusters are shallow; max_iterations bounds
-    pathological chains and the loop exits early on a fixpoint). Each
-    round is one equi-join + one aggregate -- the standard
-    large-graph-capable shape (no driver-side adjacency); the
-    fixpoint check is a driver count per round, the only actions.
+    `_label_components` (min-label propagation + per-round pointer
+    jumping: O(log diameter) rounds, see its docstring).
 
     Mirrored by a DuckDB recursive CTE (plans/llm_sql.CLUSTERS_SQL):
-    transitive closure then MIN per doc -- same labels.
-
-    Every join in the loop carries a size-gated SHUFFLE_HASH hint
-    (see BROADCAST_SAFE_ROWS): labels, neighbor-min and sizes are
-    CORPUS-sized relations, but their per-round size estimates look
-    broadcast-small to Catalyst, and an auto-broadcast of the label
-    table OOMs the driver already at a 50k-doc corpus on a
-    default-memory session (found by the 10x fixture) -- at real
-    scale it would be fatal every round. Shuffled hash joins on
-    doc_id are the correct shape past the threshold."""
+    transitive closure then MIN per doc -- same labels."""
     n = corpus_count(docs)
     pairs = neardup_pairs(
         docs, k, band_rows, threshold, max_bucket_size
     ).select("doc_a", "doc_b")
+    vertices = docs.select("doc_id")
+    labels, _rounds = _label_components(vertices, pairs, n, max_iterations)
+    sizes = labels.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return labels.join(scale_hint(sizes, n), "cluster_id").select(
+        "doc_id", "cluster_id", "cluster_size"
+    )
+
+
+def _label_components(
+    vertices: DataFrame,
+    pairs: DataFrame,
+    n: int,
+    max_iterations: int = 20,
+) -> tuple[DataFrame, int]:
+    """Connected components by min-label propagation WITH pointer
+    jumping; returns (labels DataFrame (doc_id, cluster_id), rounds).
+
+    Each round does (1) neighbor-min -- every vertex takes the min of
+    its own and its neighbors' labels (one equi-join + one aggregate)
+    -- then (2) pointer jumping -- label(v) <- label(label(v)) (one
+    self-join on the label table; labels are doc_ids, so a label's
+    label is well-defined and always within the same component).
+    Plain neighbor-min needs diameter rounds -- fatal on pathological
+    chain-shaped corpora (version histories, boilerplate series, the
+    r4-verdict long-chain concern); the jump step halves the distance
+    to the component minimum every round, so convergence is
+    O(log diameter) (the label-doubling idea behind
+    large-star/small-star -- Kiveris et al., "Connected Components in
+    MapReduce and Beyond"). Pinned by tests/test_scale10x.py on a
+    256-chain: <= ceil(log2(255)) + 2 rounds vs 255 for plain
+    propagation. Monotonicity argument: labels only decrease, always
+    name a member of the component, and a fixpoint of neighbor-min
+    has equal labels across every edge -- same fixpoint as plain
+    propagation, reached exponentially faster.
+
+    All joins are size-gated SHUFFLE_HASH (see BROADCAST_SAFE_ROWS):
+    labels/neighbor-min are corpus-sized with broadcast-small per-round
+    size ESTIMATES; an auto-broadcast of the label table OOMs the
+    driver already at 50k docs (found by the 10x fixture) -- at real
+    scale it would be fatal every round. The fixpoint check is a
+    driver count per round, the only action."""
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).persist()
-    labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id")).persist()
+    labels = vertices.select("doc_id", F.col("doc_id").alias("cluster_id")).persist()
+    rounds = 0
     for _ in range(max_iterations):
+        rounds += 1
         neighbor_min = (
             edges.join(
                 scale_hint(
@@ -345,15 +374,37 @@ def neardup_clusters(
             .groupBy(F.col("doc_a").alias("doc_id"))
             .agg(F.min("_nl").alias("_nmin"))
         )
+        stepped = labels.join(scale_hint(neighbor_min, n), "doc_id", "left").select(
+            "doc_id",
+            F.least(
+                F.col("cluster_id"), F.coalesce("_nmin", F.col("cluster_id"))
+            ).alias("cluster_id"),
+        )
+        # pointer jump: label(v) <- label(label(v)). Left join: every
+        # label IS a doc_id, so the match always exists; coalesce only
+        # guards degenerate vertex sets. localCheckpoint (eager)
+        # truncates the lineage each round -- the jump references
+        # `stepped` twice, so without truncation the logical plan
+        # grows geometrically per round and analysis itself OOMs (the
+        # standard iterative-algorithm discipline, same reason
+        # GraphFrames checkpoints its CC loop).
         new_labels = (
-            labels.join(scale_hint(neighbor_min, n), "doc_id", "left")
+            stepped.join(
+                scale_hint(
+                    stepped.select(
+                        F.col("doc_id").alias("cluster_id"),
+                        F.col("cluster_id").alias("_ll"),
+                    ),
+                    n,
+                ),
+                "cluster_id",
+                "left",
+            )
             .select(
                 "doc_id",
-                F.least(
-                    F.col("cluster_id"), F.coalesce("_nmin", F.col("cluster_id"))
-                ).alias("cluster_id"),
+                F.coalesce("_ll", F.col("cluster_id")).alias("cluster_id"),
             )
-            .persist()
+            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")
@@ -365,10 +416,8 @@ def neardup_clusters(
         labels = new_labels
         if changed == 0:
             break
-    sizes = labels.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
-    return labels.join(scale_hint(sizes, n), "cluster_id").select(
-        "doc_id", "cluster_id", "cluster_size"
-    )
+    edges.unpersist()
+    return labels, rounds
 
 
 def ngram_jaccard_pairs(
