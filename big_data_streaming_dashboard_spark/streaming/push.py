@@ -156,7 +156,19 @@ class SSEBroadcaster:
             targets = list(self._clients.values())
             self._clients.clear()
         for q in targets:
-            q.put(None)
+            # non-blocking sentinel (drop-oldest to make room): a
+            # stalled client's full queue would deadlock a blocking
+            # put -- same fix as WebSocketBroadcaster.stop, found by
+            # the WS backpressure soak test
+            while True:
+                try:
+                    q.put_nowait(None)
+                    break
+                except queue.Full:
+                    try:
+                        q.get_nowait()
+                    except queue.Empty:
+                        pass
         self._server.shutdown()
         self._server.server_close()
 

@@ -184,6 +184,20 @@ class WebSocketBroadcaster:
             targets = list(self._clients.values())
             self._clients.clear()
         for q in targets:
-            q.put(None)
+            # NON-blocking sentinel delivery: a stalled client's queue
+            # is full and never drains (its handler is wedged in a
+            # socket write), so a blocking put(None) deadlocks
+            # shutdown -- found by the backpressure soak test. Evict
+            # oldest frames until the sentinel fits, same drop-oldest
+            # contract as broadcast().
+            while True:
+                try:
+                    q.put_nowait(None)
+                    break
+                except queue.Full:
+                    try:
+                        q.get_nowait()
+                    except queue.Empty:
+                        pass
         self._server.shutdown()
         self._server.server_close()
