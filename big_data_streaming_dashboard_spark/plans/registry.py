@@ -93,7 +93,7 @@ from ..operators.validate import validate_enrich
 from ..functions.levels import severity_ws
 from ..streaming.stateful import exact_cooldown_batch
 from ..tables import bronze_radiation, load_table, spread
-from . import llm_sql, relational, relational2
+from . import llm_sql, relational, relational2, relational3
 from .fragments import BRONZE_SQL, SILVER_SQL
 
 
@@ -876,6 +876,34 @@ QUERIES: dict[str, QuerySpec] = {
         None,
         "multimodal decode->feature census (mapInPandas plumbing)",
     ),
+    # ------------------------------------------------------------------
+    # New in round 5 (fill the rotated window's open slots)
+    # ------------------------------------------------------------------
+    "promo_revenue_share": QuerySpec(
+        relational3.promo_revenue_share,
+        relational3.PROMO_REVENUE_SHARE_SQL,
+        "Q14 promo revenue share (conditional agg over a projected join)",
+    ),
+    "returned_top_customers": QuerySpec(
+        relational3.returned_top_customers,
+        relational3.RETURNED_TOP_CUSTOMERS_SQL,
+        "Q10 returned-items top customers (agg-then-join + top-k)",
+    ),
+    "brand_supplier_variety": QuerySpec(
+        relational3.brand_supplier_variety,
+        relational3.BRAND_SUPPLIER_VARIETY_SQL,
+        "Q16 multi-count-distinct per brand (Expand two-phase distinct)",
+    ),
+    "doc_domain_cap": QuerySpec(
+        lambda spark, sf: relational3.domain_cap(_docs(spark, sf)),
+        relational3.DOMAIN_CAP_SQL,
+        "per-source document cap (crawl domain-quota policy)",
+    ),
+    "emb_label_centroids": QuerySpec(
+        lambda spark, sf: relational3.label_centroids(_embs(spark, sf)),
+        relational3.LABEL_CENTROIDS_SQL,
+        "exact per-label centroids (decimal sums; IVF/k-means seed table)",
+    ),
 }
 
 
@@ -948,7 +976,12 @@ DRIVER_WINDOW: list[str] = [
     "emb_neardup_pairs",
     # retained: flagship
     "full_pipeline",
-    # new / newly oracle-paired in round 5 (slots fill as they land)
+    # new in round 5 (never driver-checked)
+    "promo_revenue_share",
+    "returned_top_customers",
+    "brand_supplier_variety",
+    "doc_domain_cap",
+    "emb_label_centroids",
 ]
 
 
