@@ -643,29 +643,42 @@ def embedding_neardup_pairs(
     DEFAULT_NEARDUP_BANDS comment. Mirrored exactly by the DuckDB
     oracle (same literal planes, same fold order)."""
     planes = gaussian_planes(bands * rows_per_band, dim, seed)
+
     # fan the small single-split scan across cores first: the ordered-
     # fold signature is ~16k interpreted ops per row (oracle-exact HOF,
     # deliberately not the pandas kernel), and on one partition it
     # serializes. No-op on a real multi-split corpus.
     from ..tables import spread
+    from .dedup import _plan_cached
 
-    base = _with_planes(
-        spread(
-            embeddings.select("vec_id", _dvec("embedding").alias("vec")),
-            embeddings.sparkSession,
-        ),
-        planes,
-    )
-    sigs = (
-        base.select(
-            "vec_id", "vec", _sign_bits(F.col("vec"), F.col("planes")).alias("bits")
+    def _build_sigs():
+        base = _with_planes(
+            spread(
+                embeddings.select("vec_id", _dvec("embedding").alias("vec")),
+                embeddings.sparkSession,
+            ),
+            planes,
         )
-        .select(
-            "vec_id",
-            "vec",
-            _band_sigs(F.col("bits"), bands, rows_per_band).alias("sigs"),
+        return (
+            base.select(
+                "vec_id",
+                "vec",
+                _sign_bits(F.col("vec"), F.col("planes")).alias("bits"),
+            )
+            .select(
+                "vec_id",
+                "vec",
+                _band_sigs(F.col("bits"), bands, rows_per_band).alias("sigs"),
+            )
+            .persist()
         )
-        .persist()
+
+    # the signature table is the offline LSH index of the VECTOR
+    # family -- build-once-probe-many across emb_neardup_pairs,
+    # doc_semantic_neardup and doc_curation_full (same keying
+    # discipline as the doc-side band index: app + input plan + knobs)
+    sigs = _plan_cached(
+        embeddings, f"vecsigs:{bands}:{rows_per_band}:{seed}", _build_sigs
     )
     bands_df = sigs.select("vec_id", F.posexplode("sigs").alias("band", "sig"))
     # size-gated SHUFFLE_HASH (dedup.BROADCAST_SAFE_ROWS): the band

@@ -145,3 +145,50 @@ def test_rocksdb_state_store_dedup(spark, tmp_path):
         assert got == list(range(75))  # each id exactly once across batches
     finally:
         spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_jsonl_bronze_source(spark, tmp_path):
+    """JSONL batch source: explicit schema, malformed lines become
+    all-null bronze rows (-> F1 'Missing fields' in silver), empty
+    objects dropped, and the happy path validates end-to-end."""
+    import json
+
+    from big_data_streaming_dashboard_spark.operators.validate import (
+        validate_enrich,
+    )
+    from big_data_streaming_dashboard_spark.sources.batch import (
+        read_jsonl_bronze,
+    )
+
+    p = tmp_path / "bronze.jsonl"
+    lines = [
+        json.dumps(
+            {
+                "captured_time": "2023-11-15 06:33:19",
+                "latitude": "35.00",
+                "longitude": "139.00",
+                "value": "42.00",
+                "unit": "cpm",
+            }
+        ),
+        "{not valid json at all",
+        "{}",  # empty object -> dropped (S3)
+        json.dumps({"captured_time": "2023-11-15 06:33:20"}),  # partial
+    ]
+    p.write_text("\n".join(lines) + "\n")
+    bronze = read_jsonl_bronze(spark, str(p))
+    rows = bronze.collect()
+    assert len(rows) == 3  # empty object dropped
+    assert set(bronze.columns) == {
+        "captured_time", "latitude", "longitude", "value", "unit",
+        "ingestion_timestamp",
+    }
+    silver = validate_enrich(bronze).collect()
+    by_status = {}
+    for r in silver:
+        by_status.setdefault(r["status"], []).append(r)
+    assert len(by_status["valid"]) == 1
+    assert by_status["valid"][0]["value"] == 42.0
+    # corrupt line and partial record both land in Missing fields
+    assert len(by_status["invalid"]) == 2
+    assert all(r["error"] == "Missing fields" for r in by_status["invalid"])
