@@ -226,6 +226,21 @@ def jpeg_codec_kernel():
         return v - (1 << s) + 1 if s and v < (1 << (s - 1)) else v
 
     def decode(data):
+        """Public decode: malformed input ALWAYS fails with the
+        documented ValueError (or NotImplementedError for non-baseline
+        frames) -- raw struct/index/key errors from corrupt segment
+        tables are normalized at this boundary (pinned by the fuzz
+        test: SOI-signed garbage, truncations, bit flips)."""
+        try:
+            return _decode(data)
+        except (ValueError, NotImplementedError):
+            raise
+        except Exception as e:
+            raise ValueError(
+                f"malformed JPEG ({type(e).__name__}: {e})"
+            ) from e
+
+    def _decode(data):
         b = bytes(data)
         if len(b) < 4 or b[0:2] != b"\xff\xd8":
             raise ValueError("not a JPEG (missing SOI)")

@@ -508,3 +508,48 @@ def pii_decorate(docs: DataFrame) -> DataFrame:
         )
     )
     return docs.withColumn("text", F.concat(F.col("text"), suffix))
+
+
+def chunk_spans(
+    docs: DataFrame, chunk_tokens: int = 64, overlap: int = 16
+) -> DataFrame:
+    """Context-window chunk spans: one row per (doc, chunk) with token
+    offsets -- the pretraining chunker that slices documents into
+    model-context windows with overlap (stride = chunk - overlap).
+
+    Pure JVM-side arithmetic: token count from the split, starts from
+    `sequence`, one explode -- no Python stage, no UDF. Degenerate
+    tail chunks that add no tokens beyond the overlap are dropped
+    (start > 0 AND end - start <= overlap), the standard sliding-
+    window stop rule, expressed identically in the DuckDB oracle.
+
+    At 100 TB: map-only (explode is pipelined into the scan), output
+    rows ~ n_tokens/stride per doc; the heavy `text` column never
+    leaves the map side -- downstream materialization joins spans
+    back by doc_id only when slices are actually needed."""
+    stride = chunk_tokens - overlap
+    n = F.size(tokens(F.col("text")))
+    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride))
+    out = docs.select(
+        "doc_id",
+        n.alias("_n"),
+        F.explode(starts).alias("start_token"),
+    ).select(
+        "doc_id",
+        (F.col("start_token") / stride).cast("int").alias("chunk_idx"),
+        "start_token",
+        F.least(F.col("start_token") + chunk_tokens, F.col("_n")).alias(
+            "end_token"
+        ),
+        "_n",
+    )
+    return out.filter(
+        (F.col("start_token") == 0)
+        | (F.col("end_token") - F.col("start_token") > overlap)
+    ).select(
+        "doc_id",
+        "chunk_idx",
+        "start_token",
+        "end_token",
+        (F.col("end_token") - F.col("start_token")).alias("n_chunk_tokens"),
+    )

@@ -1027,3 +1027,22 @@ SELECT *, drop_reason IS NULL AS kept FROM (
     LEFT JOIN ({sem}) s ON e.doc_id = s.doc_id
 )
 """
+
+
+CHUNK_SPANS_SQL = r"""
+WITH t AS (
+    SELECT doc_id, len(regexp_split_to_array(text, '\s+')) AS _n
+    FROM documents
+),
+spans AS (
+    SELECT doc_id,
+           CAST(s / 48 AS INTEGER) AS chunk_idx,
+           s AS start_token,
+           least(s + 64, _n) AS end_token
+    FROM t, unnest(generate_series(0, greatest(_n - 1, 0), 48)) AS u(s)
+)
+SELECT doc_id, chunk_idx, start_token, end_token,
+       end_token - start_token AS n_chunk_tokens
+FROM spans
+WHERE start_token = 0 OR end_token - start_token > 16
+"""

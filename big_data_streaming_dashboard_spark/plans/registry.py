@@ -59,6 +59,7 @@ from ..llmdata.similarity import (
 from ..llmdata.multimodal import media_feature_census
 from ..llmdata.text import (
     bigram_lm_score,
+    chunk_spans,
     contamination_check,
     language_id,
     pii_decorate,
@@ -903,6 +904,12 @@ QUERIES: dict[str, QuerySpec] = {
         lambda spark, sf: relational3.label_centroids(_embs(spark, sf)),
         relational3.LABEL_CENTROIDS_SQL,
         "exact per-label centroids (decimal sums; IVF/k-means seed table)",
+    ),
+    # past-window (locally oracle-checked every suite run)
+    "doc_chunk_spans": QuerySpec(
+        lambda spark, sf: chunk_spans(_docs(spark, sf)),
+        llm_sql.CHUNK_SPANS_SQL,
+        "context-window chunker: overlapping token spans (map-only explode)",
     ),
 }
 

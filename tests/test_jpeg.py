@@ -121,3 +121,38 @@ def test_jpeg_features_through_spark_worker(spark):
         for r in extract_features(media, decode_stub=False).collect()
     }
     assert again == {i: r["feature"] for i, r in rows.items()}
+
+
+def test_fuzz_decoder_never_hangs_or_segfaults():
+    """Robustness: SOI-signed garbage, random truncations of a valid
+    stream, and bit-flipped entropy data must terminate quickly with
+    ValueError/NotImplementedError (or decode to SOME image for
+    benign entropy flips) -- never hang, loop, or crash the
+    interpreter. Deterministic seeds; bounded corpus."""
+    rng = np.random.default_rng(99)
+    good = encode(_gradient(24, 24, seed=1), quality=75)
+    corpus = []
+    # random SOI-prefixed garbage
+    for _ in range(20):
+        n = int(rng.integers(4, 400))
+        corpus.append(b"\xff\xd8\xff" + bytes(rng.integers(0, 256, n, dtype=np.uint8)))
+    # truncations of a real stream at every region
+    for frac in (0.05, 0.2, 0.5, 0.9, 0.99):
+        corpus.append(good[: int(len(good) * frac)])
+    # single-bit flips inside the entropy segment
+    sos = good.find(b"\xff\xda")
+    for _ in range(20):
+        b = bytearray(good)
+        i = int(rng.integers(sos + 14, len(good) - 2))
+        b[i] ^= 1 << int(rng.integers(0, 8))
+        corpus.append(bytes(b))
+    decoded, rejected = 0, 0
+    for payload in corpus:
+        try:
+            img = decode(payload)
+            assert img.dtype == np.uint8 and img.ndim == 3
+            decoded += 1
+        except (ValueError, NotImplementedError):
+            rejected += 1
+    assert decoded + rejected == len(corpus)
+    assert rejected >= 20  # garbage and truncation really are rejected
