@@ -363,17 +363,21 @@ def synthetic_media(spark: Any, n: int = 64) -> DataFrame:
     """Deterministic media table: IMAGE payloads alternate between
     REAL encoded PNGs and REAL baseline JPEGs (deterministic gradient
     pattern; JPEG via the numpy JFIF codec in llmdata/jpeg.py, odd
-    image rows 4:2:0-subsampled) and AUDIO payloads are REAL WAV
-    files (deterministic integer-triangle PCM16 waves, encoded by the
-    stdlib RIFF codec), so all three decode paths downstream are
-    genuine; video payloads remain opaque fakes (no video codec in
-    the container -- the documented stub slot)."""
+    image rows 4:2:0-subsampled), AUDIO payloads are REAL WAV files
+    (deterministic integer-triangle PCM16 waves, stdlib RIFF codec),
+    and VIDEO payloads are REAL animated GIFs (llmdata/gif.py:
+    LZW-compressed moving gradient, meta.n_frames == actual frame
+    count), so every decode path downstream is genuine; only
+    external-library codecs (H.264/VP9, mp3/flac, progressive JPEG)
+    remain documented stubs."""
     import numpy as np
 
+    from .gif import gif_codec_kernel
     from .jpeg import jpeg_codec_kernel
 
     _, png_encode = _png_codec_kernel()
     _, jpeg_encode = jpeg_codec_kernel()
+    _, gif_encode = gif_codec_kernel()
     _, wav_encode = _wav_codec_kernel()
     rows = []
     kinds = ["image", "audio", "video"]
@@ -404,8 +408,23 @@ def synthetic_media(spark: Any, n: int = 64) -> DataFrame:
             payload = wav_encode(wave, 16000)
             meta = (None, None, 16000, None, "audio/wav")
         else:
-            payload = hashlib.sha256(f"media-{i}".encode()).digest() * (4 + i % 8)
-            meta = (None, None, None, 30 * (1 + i % 10), "application/x-fake-video")
+            # real animated GIF: 16x16 moving-bar gradient, frame count
+            # mirrors the old meta so frame-sampling tests keep shape
+            n_frames = 30 * (1 + i % 10)
+            pal = np.stack(
+                [
+                    (np.arange(16) * 16 + i) % 256,
+                    (np.arange(16) * 8) % 256,
+                    np.full(16, (i * 7) % 256),
+                ],
+                axis=1,
+            ).astype(np.uint8)
+            base = (np.add.outer(np.arange(16), np.arange(16)) + i) % 16
+            frames = [
+                ((base + f) % 16).astype(np.uint8) for f in range(n_frames)
+            ]
+            payload = gif_encode(frames, pal, delays_cs=[4] * n_frames)
+            meta = (16, 16, None, n_frames, "image/gif")
         rows.append((i, kind, payload, meta))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
@@ -464,12 +483,15 @@ def extract_features(media: DataFrame, decode_stub: bool = True) -> DataFrame:
     The closure is self-contained (no module-global references): Spark
     Python workers may not have this repo on their PYTHONPATH.
     """
+    from .gif import gif_codec_kernel, make_is_gif
     from .jpeg import jpeg_codec_kernel, make_is_jpeg
 
     dim = FEATURE_DIM
     png_decode, _ = _png_codec_kernel()  # by-value for the workers
     jpeg_decode, _ = jpeg_codec_kernel()
+    gif_decode, _ = gif_codec_kernel()
     is_jpeg = make_is_jpeg()
+    is_gif = make_is_gif()
     wav_decode, _ = _wav_codec_kernel()
     pcm_feat = _pcm_feature_kernel()
     is_wav = _make_is_wav()  # by-value for the workers
@@ -510,6 +532,17 @@ def extract_features(media: DataFrame, decode_stub: bool = True) -> DataFrame:
         def feat(payload):
             if payload is not None and bytes(payload[:8]) == sig:
                 return pixel_features(png_decode(payload))
+            if payload is not None and is_gif(payload):
+                try:
+                    frames, _ = gif_decode(payload)
+                    # video features: pixel stats over the FULL frame
+                    # volume (stacked along height) -- deterministic
+                    return pixel_features(
+                        np.concatenate(frames, axis=0)
+                    )[:dim]
+                except ValueError:
+                    # GIF-signed garbage -> codec-stub slot
+                    pass
             if payload is not None and is_jpeg(payload):
                 try:
                     return pixel_features(jpeg_decode(payload))
@@ -527,10 +560,11 @@ def extract_features(media: DataFrame, decode_stub: bool = True) -> DataFrame:
                     pass
             if not decode_stub:
                 raise NotImplementedError(
-                    "only the PNG, baseline-JPEG and WAV codecs are "
-                    "real; progressive-JPEG/compressed-audio/video "
-                    "codecs (PIL/librosa/av) are not installed in this "
-                    "container -- pass decode_stub=True for such payloads"
+                    "only the PNG, baseline-JPEG, animated-GIF and WAV "
+                    "codecs are real; progressive-JPEG/compressed-audio/"
+                    "H.264-class codecs (PIL/librosa/av) are not "
+                    "installed in this container -- pass "
+                    "decode_stub=True for such payloads"
                 )
             return stub_decode(payload)
 
@@ -574,14 +608,97 @@ def media_feature_census(spark: Any, sf_dir: str = "") -> DataFrame:
 
 
 def frame_sample(media: DataFrame, every_n: int = 30) -> DataFrame:
-    """Video frame-sampling plumbing: one output row per sampled frame
-    index (real decoder would attach the frame tensor)."""
+    """Video frame-sampling INDEX plumbing: one output row per sampled
+    frame index -- pure JVM-side sequence/explode from metadata, no
+    decode (the cheap planning pass; `extract_video_frames` is the
+    decode pass that attaches real pixels)."""
     frames = F.when(
         (F.col("kind") == "video") & F.col("meta.n_frames").isNotNull(),
         F.sequence(F.lit(0), F.col("meta.n_frames") - 1, F.lit(every_n)),
     ).otherwise(F.array(F.lit(0)))
     return media.select(
         "media_id", "kind", F.explode(frames).alias("frame_idx")
+    )
+
+
+_VIDEO_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("n_frames", T.IntegerType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("delay_cs", T.IntegerType(), True),
+        T.StructField("pixels", T.BinaryType(), True),
+    ]
+)
+
+
+def extract_video_frames(
+    media: DataFrame, every_n: int = 30, decode_stub: bool = True
+) -> DataFrame:
+    """REAL frame extraction: animated-GIF payloads (llmdata/gif.py)
+    are decoded and every ``every_n``-th composited frame is emitted
+    with its raw RGB888 buffer + delay -- the decode counterpart of
+    `frame_sample`'s index pass.
+
+    Non-GIF video payloads (H.264-class -- no codec in container)
+    fall back to a deterministic sha256 stub buffer per sampled frame
+    (``decode_stub=True``, frame count from meta) or raise. The kind
+    filter runs JVM-side BEFORE the Python stage. Arrow-batched,
+    map-only: payloads never shuffle; output rows carry one frame
+    each, so downstream per-frame ops (resize, features) parallelize
+    by row regardless of how many frames one video has.
+    """
+    from .gif import gif_codec_kernel, make_is_gif
+
+    gif_decode, _ = gif_codec_kernel()
+    is_gif = make_is_gif()
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hl
+
+        import numpy as np  # noqa: F401  (kernel deps ship by value)
+
+        def rows_for(media_id, payload, meta):
+            if payload is not None and is_gif(payload):
+                try:
+                    frames, delays = gif_decode(payload)
+                except ValueError:
+                    frames = None
+                if frames is not None:
+                    n = len(frames)
+                    for fi in range(0, n, every_n):
+                        h, w = frames[fi].shape[:2]
+                        yield (
+                            media_id, fi, n, w, h, delays[fi],
+                            frames[fi].tobytes(),
+                        )
+                    return
+            if not decode_stub:
+                raise NotImplementedError(
+                    "only the animated-GIF video codec is real; "
+                    "H.264/VP9-class containers need av/ffmpeg -- "
+                    "absent from this container; pass decode_stub=True"
+                )
+            n = (meta["n_frames"] if meta is not None else None) or 1
+            for fi in range(0, n, every_n):
+                h = _hl.sha256(bytes(payload or b"") + fi.to_bytes(4, "big"))
+                yield media_id, fi, n, None, None, None, h.digest()
+
+        for pdf in batches:
+            out = [
+                row
+                for m, p, meta in zip(pdf["media_id"], pdf["payload"], pdf["meta"])
+                for row in rows_for(m, p, meta)
+            ]
+            yield pd.DataFrame(
+                out,
+                columns=[f.name for f in _VIDEO_FRAME_SCHEMA.fields],
+            )
+
+    return media.filter(F.col("kind") == "video").mapInPandas(
+        op, schema=_VIDEO_FRAME_SCHEMA
     )
 
 

@@ -25,26 +25,30 @@ def test_extract_features_stub(spark):
     assert by_id[0]["feature"][:2] == [4.0, 4.0]
     # audio payloads are real WAVs now: f0 = header sample rate
     assert by_id[1]["feature"][0] == 16000.0
-    # video payloads stay on the sha256 stub: unit-interval doubles
-    assert all(0.0 <= x <= 1.0 for x in by_id[2]["feature"])
+    # video payloads are real animated GIFs now: stats over the frame
+    # volume -> f0 = width (16), f1 = n_frames * height
+    assert by_id[2]["feature"][0] == 16.0
+    assert by_id[2]["feature"][1] == 90 * 16.0  # id 2: 90 frames of 16px
     # deterministic: same payload -> same feature
     again = {r["media_id"]: r["feature"] for r in extract_features(media).collect()}
     assert again == {k: r["feature"] for k, r in by_id.items()}
 
 
 def test_extract_features_real_codec_unimplemented(spark):
-    # n=3 -> ids 0 (image: PNG decodes for real), 1 (audio: WAV
-    # decodes for real), 2 (video); with the stub disabled the VIDEO
-    # slot is what raises
+    # every synthetic kind decodes for real now (PNG/JPEG, WAV, GIF)
     media = synthetic_media(spark, n=3)
-    with pytest.raises(Exception, match="NotImplementedError|not installed"):
-        extract_features(media, decode_stub=False).collect()
-    # PNG + WAV subset decodes fine with the stub disabled
-    real = media.filter("kind in ('image', 'audio')")
-    got = {r["media_id"]: r for r in extract_features(real, decode_stub=False).collect()}
-    assert set(got) == {0, 1}
+    got = {r["media_id"]: r for r in extract_features(media, decode_stub=False).collect()}
+    assert set(got) == {0, 1, 2}
     assert got[0]["feature"][:2] == [4.0, 4.0]
     assert got[1]["feature"][0] == 16000.0
+    assert got[2]["feature"][0] == 16.0
+    # an H.264-class payload (no real codec) still raises loudly
+    fake = spark.createDataFrame(
+        [(9, "video", b"\x00\x00\x00\x18ftypmp42 fake", (None, None, None, 30, "video/mp4"))],
+        media.schema,
+    )
+    with pytest.raises(Exception, match="NotImplementedError|not installed"):
+        extract_features(fake, decode_stub=False).collect()
 
 
 def test_frame_sample(spark):
@@ -102,10 +106,10 @@ def test_media_fixture_inflation_byte_exact(spark, tmp_path):
         r["media_id"]: bytes(r["payload"])
         for r in synthetic_media(spark, 6).collect()
     }
-    for i in (2, 5):  # video: sha256 fakes with invalid UTF-8
-        base = hashlib.sha256(f"media-{i}".encode()).digest() * (4 + i % 8)
-        assert orig[i] == base
-    for i in range(6):  # PNG and WAV bytes survive repeat too
+    for i in (2, 5):  # video payloads are real GIFs now (binary LZW)
+        assert orig[i][:6] in (b"GIF87a", b"GIF89a")
+    assert hashlib  # non-UTF-8 coverage now comes from the codecs' bytes
+    for i in range(6):  # PNG/JPEG, WAV and GIF bytes survive repeat too
         assert back[i] == orig[i] * reps, f"media_id={i} mangled"
 
 
@@ -148,8 +152,8 @@ def test_media_feature_census_query(spark):
             # real WAV decode: f0 = header sample rate
             assert r["min_f0"] == r["max_f0"] == 16000.0
         else:
-            # sha256 stub: unit-interval doubles
-            assert 0.0 <= r["min_f0"] <= r["max_f0"] <= 1.0
+            # real GIF decode: f0 = frame width (synthetic videos 16px)
+            assert r["min_f0"] == r["max_f0"] == 16.0
     # twice -> identical (rows-only check must be stable)
     again = {r["kind"]: r for r in media_feature_census(spark).collect()}
     assert {k: tuple(v) for k, v in rows.items()} == {
