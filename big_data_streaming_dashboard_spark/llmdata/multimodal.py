@@ -598,13 +598,27 @@ def media_feature_census(spark: Any, sf_dir: str = "") -> DataFrame:
     frames = frame_sample(media).groupBy("kind").agg(
         F.count(F.lit(1)).alias("n_frames_sampled")
     )
+    # the REAL decode pass: sampled GIF frames with composited pixels;
+    # integer sum over decoded bytes is deterministic
+    decoded = (
+        extract_video_frames(media)
+        .agg(
+            F.count(F.lit(1)).alias("n_frames_decoded"),
+            F.sum(F.length("pixels")).alias("decoded_pixel_bytes"),
+        )
+        .select(F.lit("video").alias("kind"), "n_frames_decoded", "decoded_pixel_bytes")
+    )
     census = feats.groupBy("kind").agg(
         F.count(F.lit(1)).alias("n_media"),
         F.sum("n_bytes").alias("total_bytes"),
         F.min(F.element_at("feature", 1)).alias("min_f0"),
         F.max(F.element_at("feature", 1)).alias("max_f0"),
     )
-    return census.join(frames, "kind").orderBy("kind")
+    return (
+        census.join(frames, "kind")
+        .join(decoded, "kind", "left")
+        .orderBy("kind")
+    )
 
 
 def frame_sample(media: DataFrame, every_n: int = 30) -> DataFrame:
