@@ -54,6 +54,7 @@ def _rep(df, id_cols: list[str]):
 
 def ensure_scale_fixture(spark: SparkSession) -> str:
     if os.path.exists(os.path.join(SCALE_DIR, _MARKER)):
+        _ensure_extra_dims(spark)
         return SCALE_DIR
     os.makedirs(SCALE_DIR, exist_ok=True)
     from big_data_streaming_dashboard_spark.tables import load_table
@@ -141,4 +142,17 @@ def ensure_scale_fixture(spark: SparkSession) -> str:
 
     with open(os.path.join(SCALE_DIR, _MARKER), "w") as f:
         f.write("ok\n")
+    _ensure_extra_dims(spark)
     return SCALE_DIR
+
+
+def _ensure_extra_dims(spark: SparkSession) -> None:
+    """Dims added after the fixture first shipped (r5: part/supplier
+    for the Q14/Q16-shape queries) -- written additively so an
+    existing cached fixture upgrades without a full rebuild."""
+    from big_data_streaming_dashboard_spark.tables import load_table
+
+    for dim in ("part", "supplier"):
+        path = os.path.join(SCALE_DIR, f"{dim}.parquet")
+        if not os.path.exists(path):
+            load_table(spark, _SRC_SF, dim).write.mode("overwrite").parquet(path)

@@ -407,3 +407,42 @@ def test_label_components_log_rounds_on_long_chain(spark):
     got = {r["doc_id"]: r["cluster_id"] for r in labels.collect()}
     assert all(got[i] == (i // k) * k for i in range(n))
     assert rounds <= 3
+
+
+def test_new_relational_queries_exact_at_10x(spark, scale_dir):
+    """The r5 relational queries at 10x facts, pinned by EXACT
+    relationships (decimal sums make them bit-checkable): lineitem
+    rows replicate 10x with part/supp keys untouched and orders
+    replicate on the same orderkey mapping, so promo revenue and
+    per-customer lost revenue scale exactly 10x (share percentage
+    IDENTICAL), while Q16's DISTINCT supplier/part counts are
+    UNCHANGED and only the plain row count scales."""
+    from big_data_streaming_dashboard_spark.plans.relational3 import (
+        brand_supplier_variety,
+        promo_revenue_share,
+        returned_top_customers,
+    )
+
+    sf = "/root/testdata/sf0.1"
+
+    [p_small] = promo_revenue_share(spark, sf).collect()
+    [p_big] = promo_revenue_share(spark, scale_dir).collect()
+    assert p_big["n_lineitems"] == 10 * p_small["n_lineitems"]
+    assert p_big["promo_revenue"] == 10 * p_small["promo_revenue"]
+    assert p_big["total_revenue"] == 10 * p_small["total_revenue"]
+    assert p_big["promo_share_pct"] == p_small["promo_share_pct"]
+
+    small = {r["custkey"]: r for r in returned_top_customers(spark, sf).collect()}
+    big = {r["custkey"]: r for r in returned_top_customers(spark, scale_dir).collect()}
+    assert set(big) == set(small)  # same top-10 customers
+    for k, r in big.items():
+        assert r["lost_revenue"] == 10 * small[k]["lost_revenue"]
+        assert r["n_returned_items"] == 10 * small[k]["n_returned_items"]
+
+    vs = {r["p_brand"]: r for r in brand_supplier_variety(spark, sf).collect()}
+    vb = {r["p_brand"]: r for r in brand_supplier_variety(spark, scale_dir).collect()}
+    assert set(vb) == set(vs)
+    for b, r in vb.items():
+        assert r["n_suppliers"] == vs[b]["n_suppliers"]  # distinct: unchanged
+        assert r["n_parts"] == vs[b]["n_parts"]
+        assert r["n_lineitems"] == 10 * vs[b]["n_lineitems"]
