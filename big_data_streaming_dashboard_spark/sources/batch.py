@@ -104,3 +104,20 @@ def read_jsonl_bronze(spark: SparkSession, path: str) -> DataFrame:
         ],
         F.unix_millis(F.current_timestamp()).alias("ingestion_timestamp"),
     )
+
+
+def write_bronze_orc(bronze: DataFrame, path: str) -> None:
+    """Columnar ORC sink for the bronze layer -- Spark-native (no
+    extra jars), same predicate-pushdown + column-pruning contract as
+    parquet; the interchange format when the downstream warehouse is
+    Hive/Trino-flavored. (Avro would need the external spark-avro
+    package -- absent from this container, so it stays a documented
+    env-gated slot, like the Kafka jars.)"""
+    bronze.write.mode("overwrite").orc(path)
+
+
+def read_orc_bronze(spark: SparkSession, path: str) -> DataFrame:
+    """ORC -> bronze: schema travels with the files; filters and
+    column selection push into the ORC scan exactly like parquet
+    (pinned by tests/test_sources.py::test_orc_bronze_roundtrip)."""
+    return spark.read.orc(path)

@@ -192,3 +192,38 @@ def test_jsonl_bronze_source(spark, tmp_path):
     # corrupt line and partial record both land in Missing fields
     assert len(by_status["invalid"]) == 2
     assert all(r["error"] == "Missing fields" for r in by_status["invalid"])
+
+
+def test_orc_bronze_roundtrip_and_pushdown(spark, tmp_path):
+    """ORC source/sink: byte-faithful bronze round trip and the same
+    scan-level optimization contract as parquet (PushedFilters +
+    pruned ReadSchema visible in the executed plan)."""
+    from big_data_streaming_dashboard_spark.sources.batch import (
+        read_orc_bronze,
+        write_bronze_orc,
+    )
+    from big_data_streaming_dashboard_spark.tables import bronze_radiation
+
+    from .conftest import SF_ORACLE
+
+    bronze = bronze_radiation(spark, SF_ORACLE).limit(500)
+    path = str(tmp_path / "bronze_orc")
+    write_bronze_orc(bronze, path)
+    back = read_orc_bronze(spark, path)
+    assert sorted(back.columns) == sorted(bronze.columns)
+    assert back.count() == 500
+    # filter + projection reach the ORC scan
+    q = back.filter(F.col("unit") == "cpm").select("event_id", "unit")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(unit), EqualTo(unit,cpm)]" in plan
+    assert "ReadSchema: struct<event_id:bigint,unit:string>" in plan
+    # values survive the round trip (same validation results)
+    from big_data_streaming_dashboard_spark.operators.validate import (
+        validate_enrich,
+    )
+
+    a = {r["event_id"]: r for r in validate_enrich(bronze).collect()}
+    b = {r["event_id"]: r for r in validate_enrich(back).collect()}
+    assert set(a) == set(b)
+    mismatches = [k for k in a if a[k]["status"] != b[k]["status"]]
+    assert not mismatches
