@@ -728,6 +728,62 @@ _RESIZE_SCHEMA = T.StructType(
 )
 
 
+_FRAME_RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("pixels", T.BinaryType(), True),
+    ]
+)
+
+
+def resize_frames(
+    frames: DataFrame, width: int = 32, height: int = 32
+) -> DataFrame:
+    """Resize `extract_video_frames` output to a fixed shape -- the
+    tail of the video training pipeline (sample -> decode -> resize to
+    model input). Same nearest-neighbor gather as `resize_images`,
+    over the already-decoded raw RGB buffers; rows without real
+    dimensions (stub frames from codec-less containers) pass through
+    with null pixels. Arrow-batched, map-only, one row per frame, so
+    resize parallelism is per-frame regardless of per-video frame
+    counts (the skew that kills per-video kernels)."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def nn(payload, sw, sh):
+            # nullable int columns arrive as floats (NaN = null) in
+            # the Arrow -> pandas conversion
+            if payload is None or sw is None or sh is None or sw != sw or sh != sh:
+                return None
+            sw, sh = int(sw), int(sh)
+            img = np.frombuffer(bytes(payload), np.uint8).reshape(sh, sw, 3)
+            ys = (np.arange(height, dtype=np.int64) * sh) // height
+            xs = (np.arange(width, dtype=np.int64) * sw) // width
+            return img[ys][:, xs].tobytes()
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "frame_idx": pdf["frame_idx"],
+                    "width": width,
+                    "height": height,
+                    "pixels": [
+                        nn(p, w, h)
+                        for p, w, h in zip(
+                            pdf["pixels"], pdf["width"], pdf["height"]
+                        )
+                    ],
+                }
+            )
+
+    return frames.mapInPandas(op, schema=_FRAME_RESIZE_SCHEMA)
+
+
 def synthetic_raw_images(spark: Any, n: int = 8, max_side: int = 48) -> DataFrame:
     """Deterministic RAW-RGB image table: payload is the uncompressed
     width*height*3 RGB888 buffer (pixel(y,x) = (x%256, y%256,

@@ -929,6 +929,22 @@ QUERIES: dict[str, QuerySpec] = {
 # hints) and (b) the flagship full_pipeline. Remaining slots go to
 # queries newly added or newly oracle-paired in round 5. After r5,
 # every oracle-paired query's newest driver row is r4 or r5.
+#
+# Round-6 rotation (to execute next round): rows-only block stays; the
+# 30 r5-rotated-in queries swap OUT for the r4-green block that sat
+# out this round (silver_validate, dedup_first_occurrence,
+# temporal_batch_annotate, temporal_union, alerts_cooldown,
+# alerts_active, grid_cluster, pricing_summary, revenue_by_nation,
+# top_customers, asof_latest_order, gapfill_5min,
+# doc_minhash_signature, doc_curation_extended, doc_shard_packing,
+# doc_pii_redact, doc_curation_full, window_zoo, level_filter_high,
+# severity_ws_counts, alerts_ws_messages, geojson_features,
+# doc_token_stats, doc_quality, doc_langid, doc_exact_dedup,
+# doc_rolling_fingerprint, doc_repeated_passages, doc_simhash,
+# doc_tfidf_top_terms, doc_bigram_lm, pivot_event_counts,
+# grouping_sets_shipping, rollup_pricing, segment_semi_anti) -- plus
+# doc_chunk_spans (added past-window in r5, never driver-checked) and
+# anything new in r6; retain any query whose plan r6 changes.
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW: list[str] = [

@@ -140,3 +140,41 @@ def test_extract_video_frames_real_pixels(spark):
     assert all(r["width"] is None for r in stub_rows)
     with pytest.raises(Exception, match="NotImplementedError|decode_stub"):
         extract_video_frames(fake, decode_stub=False).collect()
+
+
+def test_resize_frames_pipeline_tail(spark):
+    """sample -> decode -> resize: resized frames equal the NN gather
+    of independently decoded source frames; stub rows pass through
+    with null pixels."""
+    from big_data_streaming_dashboard_spark.llmdata.multimodal import (
+        extract_video_frames,
+        resize_frames,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, n=6)  # videos: ids 2, 5
+    frames = extract_video_frames(media, every_n=30)
+    out = {
+        (r["media_id"], r["frame_idx"]): r
+        for r in resize_frames(frames, width=8, height=4).collect()
+    }
+    payloads = {
+        r["media_id"]: bytes(r["payload"])
+        for r in media.filter("kind = 'video'").collect()
+    }
+    assert len(out) > 0
+    for (m, fi), r in out.items():
+        src, _ = decode(payloads[m])
+        img = src[fi]
+        ys = (np.arange(4) * 16) // 4
+        xs = (np.arange(8) * 16) // 8
+        expect = img[ys][:, xs]
+        got = np.frombuffer(bytes(r["pixels"]), np.uint8).reshape(4, 8, 3)
+        assert (got == expect).all(), (m, fi)
+    # stub rows (no real dims) -> null pixels, never a crash
+    fake = spark.createDataFrame(
+        [(7, "video", b"\x00\x00\x00\x18ftypmp42", (None, None, None, 60, "video/mp4"))],
+        media.schema,
+    )
+    stub = resize_frames(extract_video_frames(fake, every_n=30)).collect()
+    assert len(stub) == 2 and all(r["pixels"] is None for r in stub)

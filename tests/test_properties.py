@@ -214,3 +214,45 @@ def test_shard_packing_invariants(spark, texts):
         key=lambda r: r["doc_id"],
     )
     assert [tuple(r) for r in again] == [tuple(r) for r in rows]
+
+
+def test_chunk_spans_invariants(spark):
+    """Chunker invariants on varied doc lengths: spans tile the token
+    range with exact stride/overlap, chunk 0 always exists, every
+    token is covered, consecutive spans overlap by exactly `overlap`
+    (except a shorter final chunk), and no kept chunk is degenerate."""
+    from pyspark.sql import functions as F
+
+    from big_data_streaming_dashboard_spark.llmdata.text import chunk_spans
+
+    chunk, overlap = 64, 16
+    stride = chunk - overlap
+    # doc i has i+1 tokens -> covers empty-ish, < chunk, == chunk,
+    # stride boundaries, and multi-chunk lengths
+    docs = spark.range(150).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ", F.transform(F.sequence(F.lit(0), F.col("id")), lambda x: x.cast("string"))
+        ).alias("text"),
+    )
+    rows = chunk_spans(docs, chunk_tokens=chunk, overlap=overlap).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(range(150))
+    for doc_id, spans in by_doc.items():
+        n = doc_id + 1
+        spans.sort(key=lambda r: r["start_token"])
+        assert spans[0]["start_token"] == 0
+        assert spans[-1]["end_token"] == n  # full coverage to the end
+        for i, r in enumerate(spans):
+            assert r["chunk_idx"] == i
+            assert r["start_token"] == i * stride
+            assert r["end_token"] - r["start_token"] == r["n_chunk_tokens"]
+            assert r["n_chunk_tokens"] <= chunk
+            if r["start_token"] > 0:
+                assert r["n_chunk_tokens"] > overlap  # no degenerate tail
+        for a, b in zip(spans, spans[1:]):
+            assert a["end_token"] - b["start_token"] in (overlap, a["end_token"] - b["start_token"])
+            if a["n_chunk_tokens"] == chunk:
+                assert a["end_token"] - b["start_token"] == overlap
