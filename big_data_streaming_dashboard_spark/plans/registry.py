@@ -1056,4 +1056,7 @@ def clear_engine_caches(unpersist: bool = True) -> int:
                     df.unpersist()
                 except Exception:
                     pass  # session already stopped -- JVM cache is gone
+    # the corpus-size probe cache holds plain ints (no JVM state)
+    n += len(_dedup._COUNT_CACHE)
+    _dedup._COUNT_CACHE.clear()
     return n
