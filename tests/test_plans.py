@@ -1,0 +1,113 @@
+"""Physical-plan regression tests: the plan SHAPES the engine's scale
+story depends on (PLANS.md evidence), pinned so they cannot silently
+regress -- pushdown reaching the scan, pruned ReadSchema, top-k as
+TakeOrderedAndProject, multi-distinct via Expand, no Python stage in
+JVM-only operators."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .conftest import SF_ORACLE
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_promo_q14_pushdown_and_projected_part(spark):
+    from big_data_streaming_dashboard_spark.plans.relational3 import (
+        promo_revenue_share,
+    )
+
+    p = _plan(promo_revenue_share(spark, SF_ORACLE))
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in p  # date at the scan
+    # part scan pruned to the 2 columns the join needs
+    assert "ReadSchema: struct<p_partkey:bigint,p_type:string>" in p
+
+
+def test_returned_q10_takeordered_and_pushed_flag(spark):
+    from big_data_streaming_dashboard_spark.plans.relational3 import (
+        returned_top_customers,
+    )
+
+    p = _plan(returned_top_customers(spark, SF_ORACLE))
+    assert "TakeOrderedAndProject" in p  # per-partition heaps, no sort
+    assert "EqualTo(l_returnflag,R)" in p  # filter at the fact scan
+
+
+def test_brand_q16_expand_two_phase_distinct(spark):
+    from big_data_streaming_dashboard_spark.plans.relational3 import (
+        brand_supplier_variety,
+    )
+
+    p = _plan(brand_supplier_variety(spark, SF_ORACLE))
+    assert "Expand" in p  # multi-count-distinct partial de-dup shape
+
+
+def test_pricing_summary_scan_pruning(spark):
+    from big_data_streaming_dashboard_spark.plans.relational import (
+        pricing_summary,
+    )
+
+    p = _plan(pricing_summary(spark, SF_ORACLE))
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in p
+    # 7-of-11 column projection reaches the parquet scan (the dump
+    # truncates long schemas -- assert the untruncated prefix and the
+    # absence of a pruned-away column)
+    assert (
+        "ReadSchema: struct<l_quantity:double,l_extendedprice:double,"
+        "l_discount:double,l_tax:double" in p
+    )
+    assert "l_orderkey" not in p.split("ReadSchema", 1)[1][:200]
+
+
+def test_revenue_star_broadcasts_dims_only(spark):
+    from big_data_streaming_dashboard_spark.plans.relational import (
+        revenue_by_nation,
+    )
+
+    p = _plan(revenue_by_nation(spark, SF_ORACLE))
+    # O(100)-row dims broadcast; the fact join is NOT a broadcast of a
+    # fact-sized side (nation/region appear under BroadcastExchange)
+    assert p.count("BroadcastExchange") >= 2
+    assert "nation" in p and "region" in p
+
+
+def test_jvm_only_operators_have_no_python_stage(spark):
+    """chunk_spans, domain_cap, audio_windows and frame_sample are
+    declared JVM-only (docstrings say no Python stage) -- pin it: no
+    Arrow/Python eval nodes in their plans."""
+    from big_data_streaming_dashboard_spark.llmdata.multimodal import (
+        audio_windows,
+        frame_sample,
+        synthetic_media,
+    )
+    from big_data_streaming_dashboard_spark.llmdata.text import chunk_spans
+    from big_data_streaming_dashboard_spark.plans.registry import _docs
+    from big_data_streaming_dashboard_spark.plans.relational3 import domain_cap
+
+    docs = _docs(spark, SF_ORACLE)
+    media = synthetic_media(spark, n=6)
+    for df in (
+        chunk_spans(docs),
+        domain_cap(docs),
+        audio_windows(media),
+        frame_sample(media),
+    ):
+        p = _plan(df)
+        assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+        assert "MapInPandas" not in p
+
+
+def test_recent_points_takeordered(spark):
+    """W8 recency retention compiles to TakeOrderedAndProject (the
+    serving cap shape), not a global Sort."""
+    from big_data_streaming_dashboard_spark.plans.registry import (
+        _points,
+        q_recent_points,
+    )
+
+    _points(spark, SF_ORACLE)  # warm shared stage
+    p = _plan(q_recent_points(spark, SF_ORACLE))
+    assert "TakeOrderedAndProject" in p
