@@ -8,6 +8,7 @@ whole-stage codegen.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -552,4 +553,79 @@ def chunk_spans(
         "start_token",
         "end_token",
         (F.col("end_token") - F.col("start_token")).alias("n_chunk_tokens"),
+    )
+
+
+def normalize_text(docs: DataFrame) -> DataFrame:
+    """Text normalization -- the cleanup pass a crawl corpus gets
+    before tokenization: Unicode NFC composition (combining sequences
+    -> precomposed, the mojibake-adjacent fix), control-character
+    strip (C0 except tab/newline, DEL, C1), whitespace-run collapse,
+    and trim. Returns (doc_id, norm_text, n_chars_before,
+    n_chars_after, changed).
+
+    NFC is the one step Spark has no built-in for -- it runs as an
+    Arrow-vectorized pandas UDF (stdlib unicodedata; self-contained
+    closure); the regex steps stay JVM-side. Order is pinned (NFC ->
+    strip -> collapse -> trim) and mirrored exactly by the DuckDB
+    oracle (`nfc_normalize` + identical RE2-portable regexes), which
+    cross-checks that Python's and DuckDB's Unicode tables agree on
+    the fixture.
+
+    At 100 TB: map-only; the UDF is the only Python hop and processes
+    Arrow batches of one string column."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def nfc(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(
+            lambda t: unicodedata.normalize("NFC", t) if t is not None else None
+        )
+
+    cleaned = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                nfc(F.col("text")),
+                "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f-\\x9f]",
+                "",
+            ),
+            "\\s+",
+            " ",
+        )
+    )
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars_before"),
+        cleaned.alias("norm_text"),
+    ).select(
+        "doc_id",
+        "norm_text",
+        "n_chars_before",
+        F.length("norm_text").alias("n_chars_after"),
+        (F.col("n_chars_before") != F.col("n_chars_after")).alias("changed"),
+    )
+
+
+# deterministic dirt for the (ASCII-only) fixture: an NFD combining
+# sequence + double space, a control char + tab run, or untouched.
+# The SAME Python constants are embedded into the oracle SQL literal,
+# so both engines decorate identically.
+DIRT_NFD = " cafe\u0301  fin"
+DIRT_CTRL = " end\u0007\t\there"
+
+
+def normalize_decorate(docs: DataFrame) -> DataFrame:
+    """Deterministically dirty the fixture text so the normalization
+    path has real work (doc_id % 3 picks the dirt kind)."""
+    return docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 3 == 0, F.concat(F.col("text"), F.lit(DIRT_NFD))
+        )
+        .when(
+            F.col("doc_id") % 3 == 1, F.concat(F.col("text"), F.lit(DIRT_CTRL))
+        )
+        .otherwise(F.col("text")),
     )

@@ -1046,3 +1046,58 @@ SELECT doc_id, chunk_idx, start_token, end_token,
 FROM spans
 WHERE start_token = 0 OR end_token - start_token > 16
 """
+
+
+def _sql_text_literal(s: str) -> str:
+    """Render a Python string as a DuckDB expression: printable-ASCII
+    runs as quoted literals, everything else as chr(codepoint) -- so
+    control/combining characters never appear raw in the SQL text."""
+    parts, run = [], []
+
+    def flush():
+        if run:
+            lit = "".join(run).replace("'", "''")
+            parts.append(f"'{lit}'")
+            run.clear()
+
+    for ch in s:
+        if 32 <= ord(ch) < 127:
+            run.append(ch)
+        else:
+            flush()
+            parts.append(f"chr({ord(ch)})")
+    flush()
+    return "(" + " || ".join(parts) + ")" if parts else "''"
+
+
+def normalize_sql() -> str:
+    """Oracle for doc_normalize (mirrors llmdata.text.normalize_text
+    over normalize_decorate): same dirt constants, NFC via DuckDB
+    nfc_normalize (cross-engine Unicode-table check), identical
+    RE2-portable regexes with the 'g' flag (DuckDB replaces only the
+    first match by default -- Spark replaces all)."""
+    from ..llmdata.text import DIRT_CTRL, DIRT_NFD
+
+    nfd = _sql_text_literal(DIRT_NFD)
+    ctrl = _sql_text_literal(DIRT_CTRL)
+    return rf"""
+WITH dirty AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN text || {nfd}
+                WHEN doc_id % 3 = 1 THEN text || {ctrl}
+                ELSE text END AS text
+    FROM documents
+),
+norm AS (
+    SELECT doc_id,
+           length(text) AS n_chars_before,
+           trim(regexp_replace(regexp_replace(nfc_normalize(text),
+                '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f-\x9f]', '', 'g'),
+                '\s+', ' ', 'g')) AS norm_text
+    FROM dirty
+)
+SELECT doc_id, norm_text, n_chars_before,
+       length(norm_text) AS n_chars_after,
+       n_chars_before <> length(norm_text) AS changed
+FROM norm
+"""

@@ -60,6 +60,8 @@ from ..llmdata.multimodal import media_feature_census
 from ..llmdata.text import (
     bigram_lm_score,
     chunk_spans,
+    normalize_decorate,
+    normalize_text,
     contamination_check,
     language_id,
     pii_decorate,
@@ -910,6 +912,12 @@ QUERIES: dict[str, QuerySpec] = {
         lambda spark, sf: chunk_spans(_docs(spark, sf)),
         llm_sql.CHUNK_SPANS_SQL,
         "context-window chunker: overlapping token spans (map-only explode)",
+    ),
+    "doc_normalize": QuerySpec(
+        lambda spark, sf: normalize_text(normalize_decorate(_docs(spark, sf))),
+        llm_sql.normalize_sql(),
+        "text cleanup: NFC + control strip + whitespace collapse "
+        "(cross-engine Unicode-table check)",
     ),
 }
 
