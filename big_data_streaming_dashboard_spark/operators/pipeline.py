@@ -23,10 +23,23 @@ from .validate import validate_enrich
 def batch_pipeline(
     bronze: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG
 ) -> DataFrame:
-    """Full bronze -> routed-gold pipeline; W6 flag picks the plan."""
+    """Full bronze -> routed-gold pipeline; W6 flag picks the plan.
+
+    The deduped stage feeds THREE consumers (temporal count agg, its
+    join-back, and the invalid bypass); Catalyst does not reuse the
+    exchange across them (HOF lambda expr-ids in the silver tree
+    defeat plan canonicalization -- the round-3 gotcha), so without
+    materialization the scan+validator executes three times. A lazy
+    localCheckpoint materializes dedup ONCE on first action and
+    truncates the lineage (measured at sf0.1: 1.7-2.0 s -> 1.3-1.5 s
+    warm). At cluster scale the same boundary is where a medallion
+    pipeline writes the silver/deduped table to storage; local
+    checkpoint is the single-process analog (executor-loss caveat
+    does not apply to local mode)."""
     silver = validate_enrich(bronze, cfg)
     deduped = first_occurrence_dedup(silver, "dedup_key", "event_id")
     if cfg.enable_temporal_ordering:
+        deduped = deduped.localCheckpoint(eager=False)
         valid = temporal_batch(deduped.filter(F.col("status") == "valid"))
         merged = union_with_invalid(valid, deduped.filter(F.col("status") == "invalid"))
     else:
