@@ -916,3 +916,39 @@ def test_streaming_pii_redact_matches_batch(spark, tmp_path):
     b = {r["doc_id"]: tuple(r) for r in pii_redact(docs).collect()}
     assert s == b
     assert any(r["has_pii"] for r in got.collect())
+
+
+def test_text_ops_streaming_batch_parity(spark, tmp_path):
+    """The r5 text operators are map-only DataFrame functions, so the
+    SAME code runs under Structured Streaming: chunk_spans and
+    normalize_text over a streamed documents table produce exactly the
+    batch result (availableNow + memory sink)."""
+    import uuid
+
+    from big_data_streaming_dashboard_spark.llmdata.text import (
+        chunk_spans,
+        normalize_decorate,
+        normalize_text,
+    )
+    from big_data_streaming_dashboard_spark.streaming.sinks import run_to_memory
+
+    docs_batch = spark.read.parquet("/root/testdata/sf0.01/documents.parquet").limit(
+        120
+    )
+    src = str(tmp_path / "docs_stream")
+    docs_batch.coalesce(3).write.parquet(src)
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).parquet(src)
+
+    for opname, op in (
+        ("chunks", chunk_spans),
+        ("norm", lambda d: normalize_text(normalize_decorate(d))),
+    ):
+        name = f"{opname}_{uuid.uuid4().hex[:8]}"
+        run_to_memory(op(stream), name)
+        got = {
+            tuple(r) for r in spark.sql(f"SELECT * FROM {name}").collect()
+        }
+        expect = {tuple(r) for r in op(spark.read.parquet(src)).collect()}
+        assert got == expect, opname
