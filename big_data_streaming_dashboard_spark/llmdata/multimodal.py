@@ -24,7 +24,6 @@ footprint; Arrow batches bound Python memory.
 
 from __future__ import annotations
 
-import hashlib
 from collections.abc import Iterator
 from typing import Any
 

@@ -14,14 +14,12 @@ flink_process/flink_process.py:245-351):
 
 from __future__ import annotations
 
-import os
 from collections.abc import Callable
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..config import DEFAULT_CONFIG
 from ..llmdata.curation import (
     corpus_mixture,
     curation_pipeline,

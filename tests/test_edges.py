@@ -3,7 +3,6 @@ strings -- the shapes a 100 TB pipeline hits in stray partitions."""
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
 
 DOCS_SCHEMA = "doc_id long, text string, lang string"
 EMB_SCHEMA = "vec_id long, embedding array<float>, label string"

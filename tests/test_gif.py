@@ -64,8 +64,6 @@ def test_transparency_and_disposal_compositing():
 def test_interlaced_frame_decodes():
     """Hand-build an interlaced frame: rows stored in the 8/8, 8/4,
     4/2, 2/1 pass order must come back in display order."""
-    import struct
-
     pal = _pal(8, 4)
     h, w = 16, 4
     img = (np.arange(h, dtype=np.uint8) % 8)[:, None].repeat(w, axis=1)

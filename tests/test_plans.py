@@ -6,8 +6,6 @@ JVM-only operators."""
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
-
 from .conftest import SF_ORACLE
 
 
