@@ -85,6 +85,26 @@ def main() -> None:
                 exec_s[name] = round(t2 - t1, 4)
         timings[name] = round(best, 4)
 
+    # round-5 additions, timed OUTSIDE the headline total so r1-r5
+    # totals stay comparable; min-of-2 (these are secondary signals)
+    extra = {}
+    for name in (
+        "promo_revenue_share",
+        "returned_top_customers",
+        "brand_supplier_variety",
+        "doc_domain_cap",
+        "emb_label_centroids",
+        "doc_chunk_spans",
+        "doc_normalize",
+    ):
+        fn = fns[name]
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        extra[name] = round(best, 4)
+
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(
@@ -95,6 +115,7 @@ def main() -> None:
                 "queries": timings,
                 "plan_s": plan_s,
                 "exec_s": exec_s,
+                "extra_queries": extra,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "load_avg_at_start": [round(load1, 2), round(load5, 2)],
             }
