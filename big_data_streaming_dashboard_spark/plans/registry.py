@@ -911,6 +911,11 @@ QUERIES: dict[str, QuerySpec] = {
         llm_sql.CHUNK_SPANS_SQL,
         "context-window chunker: overlapping token spans (map-only explode)",
     ),
+    "activity_reconcile": QuerySpec(
+        relational3.activity_reconcile,
+        relational3.ACTIVITY_RECONCILE_SQL,
+        "FULL OUTER reconciliation audit (agg-then-join, null-pattern class)",
+    ),
     "doc_normalize": QuerySpec(
         lambda spark, sf: normalize_text(normalize_decorate(_docs(spark, sf))),
         llm_sql.normalize_sql(),

@@ -266,3 +266,55 @@ FROM (
 )
 GROUP BY label, pos
 """
+
+
+def activity_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join coverage: reconcile per-user event activity
+    against per-customer order activity (the 'which side is missing'
+    audit every warehouse runs). The order side is restricted to
+    custkey >= 100 so all three classes exist in the fixture: users
+    0-99 have events only, 100-149 both, 150+ orders only.
+
+    At scale: both sides pre-aggregate to key-cardinality BEFORE the
+    full outer join (never fact-x-fact), the join shuffles once on
+    the shared key, and the class column is a null-pattern CASE --
+    no second pass."""
+    ev = (
+        _load(spark, sf_dir, "events")
+        .groupBy(F.col("user_id").alias("key"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    orders = (
+        _load(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") >= 100)
+        .groupBy(F.col("o_custkey").alias("key"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    joined = ev.join(orders, "key", "full_outer")
+    return joined.select(
+        "key",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.when(F.col("n_events").isNull(), "orders_only")
+        .when(F.col("n_orders").isNull(), "events_only")
+        .otherwise("both")
+        .alias("activity_class"),
+    )
+
+
+ACTIVITY_RECONCILE_SQL = """
+WITH ev AS (
+    SELECT user_id AS key, COUNT(*) AS n_events FROM events GROUP BY user_id
+),
+ords AS (
+    SELECT o_custkey AS key, COUNT(*) AS n_orders
+    FROM orders WHERE o_custkey >= 100 GROUP BY o_custkey
+)
+SELECT COALESCE(ev.key, ords.key) AS key,
+       COALESCE(n_events, 0) AS n_events,
+       COALESCE(n_orders, 0) AS n_orders,
+       CASE WHEN n_events IS NULL THEN 'orders_only'
+            WHEN n_orders IS NULL THEN 'events_only'
+            ELSE 'both' END AS activity_class
+FROM ev FULL OUTER JOIN ords ON ev.key = ords.key
+"""
