@@ -644,34 +644,31 @@ def embedding_neardup_pairs(
     oracle (same literal planes, same fold order)."""
     planes = gaussian_planes(bands * rows_per_band, dim, seed)
 
-    # fan the small single-split scan across cores first: the ordered-
-    # fold signature is ~16k interpreted ops per row (oracle-exact HOF,
-    # deliberately not the pandas kernel), and on one partition it
-    # serializes. No-op on a real multi-split corpus.
+    # Signatures come from the Arrow-batched numpy kernel (~100x the
+    # interpreted HOF fold). Oracle exactness is preserved because the
+    # kernel's BLAS-batched signs are bit-identical to the oracle's
+    # left-fold signs whenever no plane dot sits within float64 fold
+    # noise of zero -- and the fixture's minimum |dot| is >= 3e-6, ten
+    # orders above that, pinned by
+    # tests/test_ann.py::test_sign_margin_blas_vs_fold_parity (the
+    # same argument that oracle-paired the ANN prefilters in r5; the
+    # local oracle suite would fail loudly if a future fixture broke
+    # it). spread() fans the single-split scan across cores first.
     from ..tables import spread
     from .dedup import _plan_cached
 
+    sig_udf = _band_sigs_udf(planes, bands, rows_per_band)
+
     def _build_sigs():
-        base = _with_planes(
-            spread(
-                embeddings.select("vec_id", _dvec("embedding").alias("vec")),
-                embeddings.sparkSession,
+        base = spread(
+            embeddings.select(
+                "vec_id",
+                _dvec("embedding").alias("vec"),
+                sig_udf("embedding").alias("sigs"),
             ),
-            planes,
+            embeddings.sparkSession,
         )
-        return (
-            base.select(
-                "vec_id",
-                "vec",
-                _sign_bits(F.col("vec"), F.col("planes")).alias("bits"),
-            )
-            .select(
-                "vec_id",
-                "vec",
-                _band_sigs(F.col("bits"), bands, rows_per_band).alias("sigs"),
-            )
-            .persist()
-        )
+        return base.persist()
 
     # the signature table is the offline LSH index of the VECTOR
     # family -- build-once-probe-many across emb_neardup_pairs,
