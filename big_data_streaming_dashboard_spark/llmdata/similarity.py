@@ -356,47 +356,13 @@ DEFAULT_NEARDUP_BANDS = 32
 DEFAULT_NEARDUP_ROWS = 8
 
 
-def _with_planes(df: DataFrame, planes: tuple) -> DataFrame:
-    """Attach the hyperplanes as a one-row broadcast ``planes`` column.
-
-    A nested-literal expression tree (n*dim F.lit nodes, 16k for the
-    256x64 default) costs seconds of py4j plan construction; a one-row
-    crossJoin ships the same doubles through Arrow once and keeps the
-    Catalyst tree tiny."""
-    spark = df.sparkSession
-    pdf = spark.createDataFrame(
-        [([list(p) for p in planes],)], "planes: array<array<double>>"
-    )
-    return df.crossJoin(F.broadcast(pdf))
-
-
-def _sign_bits(vec: Column, planes_col: Column) -> Column:
-    """Per-plane sign bits (array<int>) of ``vec`` against each plane.
-
-    Ordered left-fold dot (bit-exact vs the DuckDB oracle's
-    list_reduce; BLAS matmul would reassociate and could flip a
-    near-zero sign). Evaluated once per row -- callers materialize the
-    result before fanning out into words/band signatures (HOFs are
-    CodegenFallback; inlining a non-cheap HOF into k output columns
-    evaluates it k times -- same CSE trap measured in minhash/simhash)."""
-    return F.transform(
-        planes_col,
-        lambda p: F.when(dot(vec, p) >= 0, F.lit(1)).otherwise(F.lit(0)),
-    )
-
-
-def _band_sigs(bits: Column, bands: int, rows_per_band: int) -> Column:
-    """Per-band multi-bit signatures (array<int> of length ``bands``)."""
-    return F.array(
-        *[
-            F.aggregate(
-                F.slice(bits, band * rows_per_band + 1, rows_per_band),
-                F.lit(0),
-                lambda acc, b: acc * 2 + b,
-            )
-            for band in range(bands)
-        ]
-    )
+# NB: the interpreted HOF-fold signature path (_with_planes /
+# _sign_bits / _band_sigs, see git history) was removed in r5 -- every
+# signature now comes from the Arrow-batched numpy kernels below, with
+# oracle exactness guaranteed by the measured sign margins
+# (tests/test_ann.py::test_sign_margin_blas_vs_fold_parity) instead of
+# fold-order mirroring. The ~16k interpreted ops/row it cost dominated
+# the vector near-dup family's wall time.
 
 
 def hamming(a_words: Column, b_words: Column, n_words: int) -> Column:
@@ -411,9 +377,10 @@ def hamming(a_words: Column, b_words: Column, n_words: int) -> Column:
 def _packed_words_udf(planes: tuple):
     """Arrow-vectorized signature kernel: embedding batch -> packed
     int64 words. numpy matmul signs the whole batch at once (~100x an
-    interpreted HOF fold per plane). Only used on the rows-only ANN
-    paths -- BLAS reassociation could flip a sign exactly at 0, so the
-    oracle-checked near-dup path keeps the ordered-fold `_sign_bits`.
+    interpreted HOF fold per plane). BLAS reassociation could in
+    principle flip a sign exactly at 0, but the fixture's sign margins
+    are ten orders above fold noise (pinned by test_ann's sign-margin
+    test), so the oracle-paired paths use these kernels too (r5).
     Closure is self-contained (workers lack the repo PYTHONPATH)."""
     from pyspark.sql.functions import pandas_udf
 
