@@ -81,7 +81,7 @@ def _png_codec_kernel():
         data = bytes(data)
         if data[:8] != SIG:
             raise ValueError("not a PNG (bad signature)")
-        pos, ihdr, idat = 8, None, []
+        pos, ihdr, idat, plte = 8, None, [], None
         while pos + 8 <= len(data):
             ln = int.from_bytes(data[pos : pos + 4], "big")
             typ = data[pos + 4 : pos + 8]
@@ -89,6 +89,8 @@ def _png_codec_kernel():
             pos += 12 + ln  # 4 len + 4 type + data + 4 crc
             if typ == b"IHDR":
                 ihdr = chunk
+            elif typ == b"PLTE":
+                plte = chunk
             elif typ == b"IDAT":
                 idat.append(chunk)
             elif typ == b"IEND":
@@ -98,12 +100,18 @@ def _png_codec_kernel():
         w, h, depth, color, _comp, _filt, interlace = struct.unpack(
             ">IIBBBBB", ihdr
         )
-        if depth != 8 or color not in (2, 6) or interlace != 0:
+        # color types: 0 grayscale, 2 RGB, 3 palette, 6 RGBA (8-bit)
+        if depth != 8 or color not in (0, 2, 3, 6) or interlace != 0:
             raise ValueError(
                 f"unsupported PNG variant (depth={depth} color={color} "
-                f"interlace={interlace}); kernel handles 8-bit RGB/RGBA"
+                f"interlace={interlace}); kernel handles 8-bit "
+                "gray/RGB/palette/RGBA, non-interlaced"
             )
-        nch = 3 if color == 2 else 4
+        if color == 3:
+            if plte is None or len(plte) % 3 or not plte:
+                raise ValueError("palette PNG missing/truncated PLTE")
+            palette = np.frombuffer(plte, np.uint8).reshape(-1, 3)
+        nch = {0: 1, 2: 3, 3: 1, 6: 4}[color]
         stride = w * nch
         raw = zlib.decompress(b"".join(idat))
         if len(raw) != h * (stride + 1):
@@ -142,6 +150,13 @@ def _png_codec_kernel():
             out[y] = rec
             prev = rec
         img = out.reshape(h, w, nch)
+        if color == 0:  # grayscale -> replicate
+            return np.repeat(img, 3, axis=2)
+        if color == 3:  # palette lookup
+            idx = img.reshape(h, w)
+            if int(idx.max(initial=0)) >= len(palette):
+                raise ValueError("PNG palette index out of range")
+            return palette[idx]
         return img[:, :, :3].copy() if nch == 4 else img
 
     def encode(arr, filter_type=0):

@@ -740,3 +740,70 @@ def test_wav_chunk_walker_truncation_errors():
     # data chunk shorter than its declared size
     with pytest.raises(ValueError, match="truncated WAV chunk"):
         decode_wav(good[:-2])
+
+
+def test_png_decode_grayscale_and_palette():
+    """r5: color types 0 (grayscale -> replicated RGB) and 3 (palette
+    lookup) decode correctly from independently hand-built PNGs (raw
+    chunk construction + stdlib zlib, not our encoder)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from big_data_streaming_dashboard_spark.llmdata.multimodal import (
+        decode_png,
+    )
+
+    def chunk(typ, body):
+        import zlib as _z
+
+        return (
+            struct.pack(">I", len(body))
+            + typ
+            + body
+            + struct.pack(">I", _z.crc32(typ + body) & 0xFFFFFFFF)
+        )
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    h, w = 5, 7
+    # grayscale (color 0): value = (3x + 5y) % 256, filter 0 rows
+    gray = ((3 * np.arange(w)[None, :] + 5 * np.arange(h)[:, None]) % 256).astype(
+        np.uint8
+    )
+    raw = b"".join(b"\x00" + gray[y].tobytes() for y in range(h))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    png = sig + chunk(b"IHDR", ihdr) + chunk(b"IDAT", zlib.compress(raw)) + chunk(
+        b"IEND", b""
+    )
+    img = decode_png(png)
+    assert img.shape == (h, w, 3)
+    assert (img == np.repeat(gray[:, :, None], 3, axis=2)).all()
+
+    # palette (color 3): 4-entry palette, index = (x + y) % 4
+    pal = np.array(
+        [[255, 0, 0], [0, 255, 0], [0, 0, 255], [7, 8, 9]], dtype=np.uint8
+    )
+    idx = ((np.arange(w)[None, :] + np.arange(h)[:, None]) % 4).astype(np.uint8)
+    raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(h))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    png = (
+        sig
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"PLTE", pal.tobytes())
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    img = decode_png(png)
+    assert (img == pal[idx]).all()
+
+    # out-of-range palette index fails loudly
+    bad = (
+        sig
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"PLTE", pal[:2].tobytes())
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="palette"):
+        decode_png(bad)

@@ -256,3 +256,41 @@ def test_chunk_spans_invariants(spark):
             assert a["end_token"] - b["start_token"] in (overlap, a["end_token"] - b["start_token"])
             if a["n_chunk_tokens"] == chunk:
                 assert a["end_token"] - b["start_token"] == overlap
+
+
+def test_codec_roundtrips_property():
+    """Property-style sweep over random shapes/contents: PNG and GIF
+    round-trip bit-exactly (lossless), JPEG q100 within the float-DCT
+    bound, WAV sample-exact -- 20 random cases per codec,
+    deterministic seed."""
+    import numpy as np
+
+    from big_data_streaming_dashboard_spark.llmdata.gif import gif_codec_kernel
+    from big_data_streaming_dashboard_spark.llmdata.jpeg import jpeg_codec_kernel
+    from big_data_streaming_dashboard_spark.llmdata.multimodal import (
+        decode_png,
+        decode_wav,
+        encode_png,
+        encode_wav,
+    )
+
+    gdec, genc = gif_codec_kernel()
+    jdec, jenc = jpeg_codec_kernel()
+    rng = np.random.default_rng(2024)
+    for _ in range(20):
+        h = int(rng.integers(1, 40))
+        w = int(rng.integers(1, 40))
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert (decode_png(encode_png(img, filter_type=int(rng.integers(0, 5)))) == img).all()
+        err = np.abs(jdec(jenc(img, quality=100)).astype(int) - img.astype(int))
+        assert err.max() <= 2, (h, w)
+        npal = int(rng.integers(2, 256))
+        pal = rng.integers(0, 256, size=(npal, 3), dtype=np.uint8)
+        idx = rng.integers(0, npal, size=(h, w), dtype=np.uint8)
+        frames, _ = gdec(genc([idx], pal))
+        assert (frames[0] == pal[idx]).all(), (h, w, npal)
+        n = int(rng.integers(1, 2000))
+        ch = int(rng.integers(1, 3))
+        pcm = rng.integers(-32768, 32768, size=(n, ch)).astype(np.int16)
+        back, sr = decode_wav(encode_wav(pcm, 8000 * ch))
+        assert sr == 8000 * ch and (back == pcm).all()
