@@ -522,3 +522,84 @@ def semantic_neardup(
         F.col("dup_of").isNull().alias("keep"),
         "dup_of",
     )
+
+
+def containment_decorate(docs: DataFrame) -> DataFrame:
+    """Append derived 'excerpt' docs (id + 100000, first half of the
+    tokens re-joined) so the fixture contains true containment pairs
+    -- an excerpt's trigram shingles are a subset of its source's, so
+    containment(excerpt -> source) == 1.0 by construction. Mirrored
+    literally in the oracle SQL."""
+    toks = tokens(F.col("text"))
+    half = F.slice(toks, 1, F.greatest((F.size(toks) / 2).cast("int"), F.lit(3)))
+    excerpts = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.array_join(half, " ").alias("text"),
+    )
+    return docs.select("doc_id", "text").unionByName(excerpts)
+
+
+def containment_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    max_postings: int = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """DIRECTED near-dup containment: C(a -> b) = |sh_a ∩ sh_b| /
+    |sh_a| -- catches a document CONTAINED in a larger one (excerpts,
+    quotes, page aggregations), which symmetric Jaccard misses: a
+    short excerpt of a long page has tiny Jaccard but containment 1.
+
+    Candidates come from the same bounded inverted shingle index as
+    `ngram_jaccard_pairs` (shared cached shingle table, df cap for
+    boilerplate shingles); each undirected candidate pair is scored in
+    both directions and rows above threshold are emitted as
+    (contained_doc, container_doc, containment). Same 100 TB shape:
+    hash-shuffled postings join, verify joins ship shingles only for
+    candidates."""
+    sh = _shingle_table(docs)
+    postings = sh.select("doc_id", F.explode("sh").alias("shingle")).select(
+        "doc_id", F.md5("shingle").alias("sh_hash")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("sh_hash")
+    bounded = postings.withColumn("df", F.count(F.lit(1)).over(w)).filter(
+        F.col("df") <= max_postings
+    )
+    n = corpus_count(docs)
+    cand = (
+        bounded.alias("a")
+        .join(scale_hint(bounded.alias("b"), n), "sh_hash")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    pair = cand.join(
+        scale_hint(
+            sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")), n
+        ),
+        "doc_a",
+    ).join(
+        scale_hint(
+            sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")), n
+        ),
+        "doc_b",
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    scored = pair.select(
+        "doc_a",
+        "doc_b",
+        F.round(inter / F.size("sh_a"), 6).alias("_c_ab"),
+        F.round(inter / F.size("sh_b"), 6).alias("_c_ba"),
+    )
+    ab = scored.filter(F.col("_c_ab") >= threshold).select(
+        F.col("doc_a").alias("contained_doc"),
+        F.col("doc_b").alias("container_doc"),
+        F.col("_c_ab").alias("containment"),
+    )
+    ba = scored.filter(F.col("_c_ba") >= threshold).select(
+        F.col("doc_b").alias("contained_doc"),
+        F.col("doc_a").alias("container_doc"),
+        F.col("_c_ba").alias("containment"),
+    )
+    return ab.unionByName(ba)

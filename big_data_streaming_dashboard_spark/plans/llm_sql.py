@@ -1101,3 +1101,67 @@ SELECT doc_id, norm_text, n_chars_before,
        n_chars_before <> length(norm_text) AS changed
 FROM norm
 """
+
+
+# mirrors llmdata.dedup.containment_pairs over containment_decorate:
+# same excerpt derivation (first max(n/2, 3) tokens), same bounded
+# inverted shingle index, DIRECTED containment inter/|sh_a| at >= 0.8
+CONTAINMENT_SQL = rf"""
+WITH base AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 100000 AS doc_id,
+           array_to_string(
+               list_slice(regexp_split_to_array(text, '\s+'), 1,
+                   greatest(CAST(len(regexp_split_to_array(text, '\s+')) // 2 AS INTEGER), 3)),
+               ' ') AS text
+    FROM documents
+),
+toks AS (
+    SELECT doc_id, text, regexp_split_to_array(text, '\s+') AS tokens FROM base
+),
+sh AS (
+    SELECT doc_id, text,
+        CASE WHEN len(tokens) >= 3 THEN
+            list_distinct(list_filter(
+                list_transform(
+                    list_zip(
+                        list_transform(list_zip(tokens, tokens[2:]), x -> x[1] || ' ' || x[2]),
+                        tokens[3:]
+                    ),
+                    y -> y[1] || ' ' || y[2]
+                ),
+                z -> z IS NOT NULL))
+        ELSE [text] END AS shingles
+    FROM toks
+),
+postings AS (
+    SELECT doc_id, md5(s) AS sh_hash
+    FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)
+),
+bounded AS (
+    SELECT doc_id, sh_hash FROM (
+        SELECT *, COUNT(*) OVER (PARTITION BY sh_hash) AS df FROM postings
+    ) WHERE df <= 1000
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bounded a JOIN bounded b USING (sh_hash)
+    WHERE a.doc_id < b.doc_id
+),
+scored AS (
+    SELECT cand.doc_a, cand.doc_b,
+        round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+              / CAST(len(sa.shingles) AS DOUBLE), 6) AS _c_ab,
+        round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+              / CAST(len(sb.shingles) AS DOUBLE), 6) AS _c_ba
+    FROM cand
+    JOIN sh sa ON cand.doc_a = sa.doc_id
+    JOIN sh sb ON cand.doc_b = sb.doc_id
+)
+SELECT doc_a AS contained_doc, doc_b AS container_doc, _c_ab AS containment
+FROM scored WHERE _c_ab >= 0.8
+UNION ALL
+SELECT doc_b AS contained_doc, doc_a AS container_doc, _c_ba AS containment
+FROM scored WHERE _c_ba >= 0.8
+"""

@@ -29,6 +29,8 @@ from ..llmdata.curation import (
     stratified_sample,
 )
 from ..llmdata.dedup import (
+    containment_decorate,
+    containment_pairs,
     exact_dedup,
     minhash_signature,
     neardup_clusters,
@@ -910,6 +912,11 @@ QUERIES: dict[str, QuerySpec] = {
         lambda spark, sf: chunk_spans(_docs(spark, sf)),
         llm_sql.CHUNK_SPANS_SQL,
         "context-window chunker: overlapping token spans (map-only explode)",
+    ),
+    "doc_containment_pairs": QuerySpec(
+        lambda spark, sf: containment_pairs(containment_decorate(_docs(spark, sf))),
+        llm_sql.CONTAINMENT_SQL,
+        "directed containment dedup (excerpt-in-page detection)",
     ),
     "activity_reconcile": QuerySpec(
         relational3.activity_reconcile,
