@@ -1165,3 +1165,52 @@ UNION ALL
 SELECT doc_b AS contained_doc, doc_a AS container_doc, _c_ba AS containment
 FROM scored WHERE _c_ba >= 0.8
 """
+
+
+# mirrors llmdata.text.gopher_rules: same metrics, same thresholds,
+# ratios rounded at 6 before comparison
+GOPHER_SQL = rf"""
+WITH toks AS (
+    SELECT doc_id, text, regexp_split_to_array(text, '\s+') AS tokens
+    FROM documents
+),
+m AS (
+    SELECT
+        doc_id,
+        len(tokens) AS n_words,
+        round(CAST(list_aggregate(list_transform(tokens, t -> CAST(length(t) AS BIGINT)), 'sum') AS DOUBLE)
+              / len(tokens), 6) AS mean_word_len,
+        round(CAST(len(regexp_split_to_array(text, '#')) - 1
+                   + len(regexp_split_to_array(text, '\.\.\.')) - 1 AS DOUBLE)
+              / len(tokens), 6) AS symbol_word_ratio,
+        round(CAST(len(list_filter(regexp_split_to_array(text, '\n'),
+                                   ln -> regexp_matches(ln, '^\s*[-*' || chr(8226) || ']')))
+                   AS DOUBLE) / len(regexp_split_to_array(text, '\n')), 6)
+            AS frac_bullet_lines,
+        round(CAST(len(list_filter(regexp_split_to_array(text, '\n'),
+                                   ln -> regexp_matches(ln, '\.\.\.\s*$')))
+                   AS DOUBLE) / len(regexp_split_to_array(text, '\n')), 6)
+            AS frac_ellipsis_lines,
+        round(CAST(len(list_filter(tokens, t -> regexp_matches(t, '[A-Za-z]')))
+                   AS DOUBLE) / len(tokens), 6) AS frac_alpha_words,
+        len(list_distinct(list_filter(list_transform(tokens, t -> lower(t)),
+                                      t -> t IN ({_STOP_LIST})))) AS n_distinct_stopwords
+    FROM toks
+)
+SELECT *,
+    n_words >= 50 AND n_words <= 100000 AS r1_word_count,
+    mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS r2_mean_word_len,
+    symbol_word_ratio <= 0.1 AS r3_symbol_ratio,
+    frac_bullet_lines <= 0.9 AS r4_bullet_lines,
+    frac_ellipsis_lines <= 0.3 AS r5_ellipsis_lines,
+    frac_alpha_words >= 0.8 AS r6_alpha_words,
+    n_distinct_stopwords >= 2 AS r7_stopwords,
+    (n_words >= 50 AND n_words <= 100000)
+        AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+        AND symbol_word_ratio <= 0.1
+        AND frac_bullet_lines <= 0.9
+        AND frac_ellipsis_lines <= 0.3
+        AND frac_alpha_words >= 0.8
+        AND n_distinct_stopwords >= 2 AS keep
+FROM m
+"""

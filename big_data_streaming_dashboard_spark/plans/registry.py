@@ -60,6 +60,7 @@ from ..llmdata.multimodal import media_feature_census
 from ..llmdata.text import (
     bigram_lm_score,
     chunk_spans,
+    gopher_rules,
     normalize_decorate,
     normalize_text,
     contamination_check,
@@ -912,6 +913,11 @@ QUERIES: dict[str, QuerySpec] = {
         lambda spark, sf: chunk_spans(_docs(spark, sf)),
         llm_sql.CHUNK_SPANS_SQL,
         "context-window chunker: overlapping token spans (map-only explode)",
+    ),
+    "doc_gopher_rules": QuerySpec(
+        lambda spark, sf: gopher_rules(_docs(spark, sf)),
+        llm_sql.GOPHER_SQL,
+        "Gopher quality-rule battery (7 per-doc verdicts + keep)",
     ),
     "doc_containment_pairs": QuerySpec(
         lambda spark, sf: containment_pairs(containment_decorate(_docs(spark, sf))),
