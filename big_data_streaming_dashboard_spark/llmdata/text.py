@@ -714,3 +714,40 @@ def gopher_rules(docs: DataFrame) -> DataFrame:
     for k in rules:
         keep = F.col(k) if keep is None else keep & F.col(k)
     return out.withColumn("keep", keep)
+
+
+def line_decorate(docs: DataFrame) -> DataFrame:
+    """Append deterministic boilerplate lines (doubled on even doc
+    ids) so the single-line fixture exercises the line-dedup path;
+    mirrored literally in the oracle SQL."""
+    tail2 = F.lit("\nEND-BOILERPLATE\nEND-BOILERPLATE\nvisit example dot test")
+    tail1 = F.lit("\nEND-BOILERPLATE\nvisit example dot test")
+    return docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"), F.when(F.col("doc_id") % 2 == 0, tail2).otherwise(tail1)
+        ),
+    )
+
+
+def dedupe_lines(docs: DataFrame) -> DataFrame:
+    """Within-document duplicate-LINE removal (order-preserving first
+    occurrence) -- the boilerplate scrub for repeated footers/menus a
+    crawl page carries, complementing the cross-doc `repeated_passages`
+    detector. Map-only, no UDF: the kept set is a two-parameter HOF
+    lambda (element + index) where a line survives iff its FIRST
+    array_position equals its own index -- the same predicate the
+    DuckDB oracle writes with its 1-based (x, i) list_filter. The line
+    array is materialized once in its own projection (HOFs are
+    CodegenFallback -- no codegen CSE, so inlining the split into the
+    filter would re-split per line)."""
+    with_lines = docs.withColumn("_lines", F.split(F.col("text"), "\n", -1))
+    ln = F.col("_lines")
+    kept = F.filter(ln, lambda x, i: F.array_position(ln, x) == i + 1)
+    return with_lines.select(
+        "doc_id",
+        F.size(ln).alias("n_lines"),
+        F.size(kept).alias("n_unique_lines"),
+        F.array_join(kept, "\n").alias("clean_text"),
+        (F.size(ln) != F.size(kept)).alias("changed"),
+    )

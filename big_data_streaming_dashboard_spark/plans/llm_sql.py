@@ -1214,3 +1214,31 @@ SELECT *,
         AND n_distinct_stopwords >= 2 AS keep
 FROM m
 """
+
+
+# mirrors llmdata.text.dedupe_lines over line_decorate: DuckDB's
+# two-param list_filter index is 1-BASED (Spark's is 0-based, hence
+# the i+1 on the Spark side)
+DEDUPE_LINES_SQL = r"""
+WITH dirty AS (
+    SELECT doc_id,
+           text || CASE WHEN doc_id % 2 = 0
+               THEN chr(10) || 'END-BOILERPLATE' || chr(10) || 'END-BOILERPLATE' || chr(10) || 'visit example dot test'
+               ELSE chr(10) || 'END-BOILERPLATE' || chr(10) || 'visit example dot test' END AS text
+    FROM documents
+),
+l AS (
+    SELECT doc_id, regexp_split_to_array(text, chr(10)) AS lines FROM dirty
+),
+k AS (
+    SELECT doc_id, lines,
+           list_filter(lines, (x, i) -> list_position(lines, x) = i) AS kept
+    FROM l
+)
+SELECT doc_id,
+       len(lines) AS n_lines,
+       len(kept) AS n_unique_lines,
+       array_to_string(kept, chr(10)) AS clean_text,
+       len(lines) <> len(kept) AS changed
+FROM k
+"""

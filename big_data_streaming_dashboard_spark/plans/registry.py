@@ -60,7 +60,9 @@ from ..llmdata.multimodal import media_feature_census
 from ..llmdata.text import (
     bigram_lm_score,
     chunk_spans,
+    dedupe_lines,
     gopher_rules,
+    line_decorate,
     normalize_decorate,
     normalize_text,
     contamination_check,
@@ -913,6 +915,11 @@ QUERIES: dict[str, QuerySpec] = {
         lambda spark, sf: chunk_spans(_docs(spark, sf)),
         llm_sql.CHUNK_SPANS_SQL,
         "context-window chunker: overlapping token spans (map-only explode)",
+    ),
+    "doc_dedupe_lines": QuerySpec(
+        lambda spark, sf: dedupe_lines(line_decorate(_docs(spark, sf))),
+        llm_sql.DEDUPE_LINES_SQL,
+        "within-doc duplicate-line scrub (order-preserving, HOF-only)",
     ),
     "doc_gopher_rules": QuerySpec(
         lambda spark, sf: gopher_rules(_docs(spark, sf)),
