@@ -751,3 +751,39 @@ def dedupe_lines(docs: DataFrame) -> DataFrame:
         F.array_join(kept, "\n").alias("clean_text"),
         (F.size(ln) != F.size(kept)).alias("changed"),
     )
+
+
+def vocab_coverage(docs: DataFrame, top_k: int = 100) -> DataFrame:
+    """Corpus vocabulary head: the ``top_k`` most frequent tokens with
+    rank and CUMULATIVE corpus coverage -- the table a tokenizer-vocab
+    build or a stopword audit starts from.
+
+    Coverage is exact integer arithmetic (cumulative count / total
+    count, rounded at 6) -- no floats accumulate. Deterministic order:
+    count desc, then token asc (ties must break identically in both
+    engines). At 100 TB: one shuffle to count tokens (map-side
+    partials on a hash key), the ordered window runs over the
+    vocabulary (token-cardinality, not corpus-cardinality), and top_k
+    bounds the output."""
+    from pyspark.sql import Window
+
+    counts = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = counts.agg(F.sum("n").alias("_t"))
+    w = Window.orderBy(F.col("n").desc(), F.col("token"))
+    ranked = (
+        counts.withColumn("rank", F.row_number().over(w))
+        .withColumn("cum_n", F.sum("n").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .filter(F.col("rank") <= top_k)
+    )
+    return ranked.crossJoin(total).select(
+        "rank",
+        "token",
+        "n",
+        F.round(F.col("cum_n").cast("double") / F.col("_t"), 6).alias(
+            "cum_coverage"
+        ),
+    )

@@ -1242,3 +1242,24 @@ SELECT doc_id,
        len(lines) <> len(kept) AS changed
 FROM k
 """
+
+
+VOCAB_COVERAGE_SQL = r"""
+WITH term AS (
+    SELECT unnest(regexp_split_to_array(text, '\s+')) AS token FROM documents
+),
+counts AS (
+    SELECT token, COUNT(*) AS n FROM term GROUP BY token
+),
+ranked AS (
+    SELECT token, n,
+           row_number() OVER (ORDER BY n DESC, token) AS rank,
+           CAST(SUM(n) OVER (ORDER BY n DESC, token
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n
+    FROM counts
+)
+SELECT rank, token, n,
+       round(CAST(cum_n AS DOUBLE) / (SELECT CAST(SUM(n) AS DOUBLE) FROM counts), 6)
+           AS cum_coverage
+FROM ranked WHERE rank <= 100
+"""

@@ -77,6 +77,7 @@ from ..llmdata.text import (
     subword_stats,
     tfidf_top_terms,
     token_stats,
+    vocab_coverage,
 )
 from ..operators.alerts import (
     active_alerts,
@@ -915,6 +916,11 @@ QUERIES: dict[str, QuerySpec] = {
         lambda spark, sf: chunk_spans(_docs(spark, sf)),
         llm_sql.CHUNK_SPANS_SQL,
         "context-window chunker: overlapping token spans (map-only explode)",
+    ),
+    "doc_vocab_coverage": QuerySpec(
+        lambda spark, sf: vocab_coverage(_docs(spark, sf)),
+        llm_sql.VOCAB_COVERAGE_SQL,
+        "vocabulary head with cumulative coverage (tokenizer seed table)",
     ),
     "doc_dedupe_lines": QuerySpec(
         lambda spark, sf: dedupe_lines(line_decorate(_docs(spark, sf))),
