@@ -762,9 +762,12 @@ def vocab_coverage(docs: DataFrame, top_k: int = 100) -> DataFrame:
     count, rounded at 6) -- no floats accumulate. Deterministic order:
     count desc, then token asc (ties must break identically in both
     engines). At 100 TB: one shuffle to count tokens (map-side
-    partials on a hash key), the ordered window runs over the
-    vocabulary (token-cardinality, not corpus-cardinality), and top_k
-    bounds the output."""
+    partials on a hash key), then the TOP-K BOUND COMES FIRST --
+    `orderBy().limit(k)` compiles to TakeOrderedAndProject
+    (per-partition heaps over the vocabulary, no global sort) and the
+    cumulative window then runs over only k rows, never a
+    single-partition pass over the full vocabulary (the cumsum at rank
+    r only needs rows ranked above r, all inside the top-k set)."""
     from pyspark.sql import Window
 
     counts = (
@@ -773,11 +776,10 @@ def vocab_coverage(docs: DataFrame, top_k: int = 100) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
     )
     total = counts.agg(F.sum("n").alias("_t"))
+    head = counts.orderBy(F.col("n").desc(), F.col("token")).limit(top_k)
     w = Window.orderBy(F.col("n").desc(), F.col("token"))
-    ranked = (
-        counts.withColumn("rank", F.row_number().over(w))
-        .withColumn("cum_n", F.sum("n").over(w.rowsBetween(Window.unboundedPreceding, 0)))
-        .filter(F.col("rank") <= top_k)
+    ranked = head.withColumn("rank", F.row_number().over(w)).withColumn(
+        "cum_n", F.sum("n").over(w.rowsBetween(Window.unboundedPreceding, 0))
     )
     return ranked.crossJoin(total).select(
         "rank",

@@ -109,3 +109,17 @@ def test_recent_points_takeordered(spark):
     _points(spark, SF_ORACLE)  # warm shared stage
     p = _plan(q_recent_points(spark, SF_ORACLE))
     assert "TakeOrderedAndProject" in p
+
+
+def test_vocab_coverage_takeordered_before_window(spark):
+    """The vocab head is bounded by TakeOrderedAndProject BEFORE the
+    cumulative window -- never a single-partition window over the full
+    vocabulary."""
+    from big_data_streaming_dashboard_spark.llmdata.text import vocab_coverage
+    from big_data_streaming_dashboard_spark.plans.registry import _docs
+
+    p = _plan(vocab_coverage(_docs(spark, SF_ORACLE)))
+    assert "TakeOrderedAndProject" in p
+    # the window input is the k-row head, so its sort is trivial; the
+    # full-vocab relation reaches only the count aggregate
+    assert p.index("TakeOrderedAndProject") > p.index("Window")
