@@ -96,6 +96,11 @@ def main() -> None:
         "emb_label_centroids",
         "doc_chunk_spans",
         "doc_normalize",
+        "activity_reconcile",
+        "doc_containment_pairs",
+        "doc_gopher_rules",
+        "doc_dedupe_lines",
+        "doc_vocab_coverage",
     ):
         fn = fns[name]
         best = float("inf")
