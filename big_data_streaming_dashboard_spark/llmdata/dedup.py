@@ -566,15 +566,14 @@ def containment_pairs(
     both directions and rows above threshold are emitted as
     (contained_doc, container_doc, containment).
 
-    100 TB shape -- verify WITHOUT shipping shingle arrays: the exact
-    intersection size is the count of UNCAPPED postings the candidate
-    pair shares (per-doc shingles are distinct, so the postings
-    equi-join counts exactly |sh_a n sh_b|), and the denominators are
-    per-doc shingle counts. Every exchange carries (id, hash) or
-    (id, count) rows only (the previous array-shipping verify OOMed a
-    small-heap executor at 10x; this one never carries that width),
-    and the verify joins are sort-merge (spillable) past the
-    broadcast-safety threshold.
+    Verify shape: each candidate pair joins back to the two shingle
+    arrays (sort-merge -- spillable -- past the broadcast-safety
+    threshold) and the exact intersect runs per pair. An alternative
+    narrow-row verify (count shared postings per pair, no arrays
+    shipped) was measured 3x SLOWER on the fixture (17 s vs 5.7 s at
+    sf0.1): the cand x postings intermediate multiplies every pair by
+    its shingle count, which dwarfs shipping two arrays once per
+    pair whenever candidates have substantial overlap.
 
     APPLICABILITY BOUNDARY (measured, not hypothetical): posting-index
     candidate generation assumes a heavy-tailed NATURAL shingle
@@ -582,10 +581,11 @@ def containment_pairs(
     fan-out small. On a low-entropy corpus (tiny vocabulary, template
     soup -- e.g. the synthetic 10x fixture, where the average trigram
     df is ~175 across 100k docs) candidate pairs grow ~sum_sh C(df,2)
-    and the verify join spills tens of GB. That corpus class is what
-    the BANDED path (`neardup_pairs`) is for: its per-bucket cap
-    excludes degenerate neighborhoods outright. Same documented
-    tradeoff as `ngram_jaccard_pairs`."""
+    and NO verify shape survives (the narrow variant spilled ~78 GB
+    before dying). That corpus class is what the BANDED path
+    (`neardup_pairs`) is for: its per-bucket cap excludes degenerate
+    neighborhoods outright. Same documented tradeoff as
+    `ngram_jaccard_pairs`."""
     sh = _shingle_table(docs)
     postings = sh.select("doc_id", F.explode("sh").alias("shingle")).select(
         "doc_id", F.md5("shingle").alias("sh_hash")
@@ -604,47 +604,23 @@ def containment_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    # exact |sh_a n sh_b| from the UNCAPPED postings (the cap only
-    # bounds candidate GENERATION): join candidate pairs back to both
-    # docs' postings and count matching hashes
-    inter_counts = (
-        cand.join(
-            scale_hint_merge(
-                postings.select(F.col("doc_id").alias("doc_a"), "sh_hash"), n
-            ),
-            "doc_a",
-        )
-        .join(
-            scale_hint_merge(
-                postings.select(F.col("doc_id").alias("doc_b"), "sh_hash"), n
-            ),
-            ["doc_b", "sh_hash"],  # hash equality INSIDE the join
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("_inter"))
+    pair = cand.join(
+        scale_hint_merge(
+            sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")), n
+        ),
+        "doc_a",
+    ).join(
+        scale_hint_merge(
+            sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")), n
+        ),
+        "doc_b",
     )
-    sizes = sh.select("doc_id", F.size("sh").alias("_n_sh"))
-    scored = (
-        inter_counts.join(
-            scale_hint(
-                sizes.select(F.col("doc_id").alias("doc_a"), F.col("_n_sh").alias("_na")),
-                n,
-            ),
-            "doc_a",
-        )
-        .join(
-            scale_hint(
-                sizes.select(F.col("doc_id").alias("doc_b"), F.col("_n_sh").alias("_nb")),
-                n,
-            ),
-            "doc_b",
-        )
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(F.col("_inter").cast("double") / F.col("_na"), 6).alias("_c_ab"),
-            F.round(F.col("_inter").cast("double") / F.col("_nb"), 6).alias("_c_ba"),
-        )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    scored = pair.select(
+        "doc_a",
+        "doc_b",
+        F.round(inter / F.size("sh_a"), 6).alias("_c_ab"),
+        F.round(inter / F.size("sh_b"), 6).alias("_c_ba"),
     )
     ab = scored.filter(F.col("_c_ab") >= threshold).select(
         F.col("doc_a").alias("contained_doc"),
