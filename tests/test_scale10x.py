@@ -446,3 +446,43 @@ def test_new_relational_queries_exact_at_10x(spark, scale_dir):
         assert r["n_suppliers"] == vs[b]["n_suppliers"]  # distinct: unchanged
         assert r["n_parts"] == vs[b]["n_parts"]
         assert r["n_lineitems"] == 10 * vs[b]["n_lineitems"]
+
+
+def test_r5_text_ops_scale_at_10x(spark, scale_dir):
+    """The round-5 per-doc operators at 50k docs: map-only ops
+    (chunker, normalizer incl. its Arrow NFC hop, Gopher battery,
+    line scrub) emit exactly one verdict per doc (or tile every doc's
+    tokens), and the domain cap holds exactly at 10x scale."""
+    from pyspark.sql import functions as F
+
+    from big_data_streaming_dashboard_spark.llmdata.text import (
+        chunk_spans,
+        dedupe_lines,
+        gopher_rules,
+        line_decorate,
+        normalize_decorate,
+        normalize_text,
+    )
+    from big_data_streaming_dashboard_spark.plans.relational3 import domain_cap
+    from big_data_streaming_dashboard_spark.tables import spread
+
+    docs = spread(spark.read.parquet(f"{scale_dir}/documents.parquet"), spark)
+    n_docs = docs.count()
+    assert n_docs == 50_000
+
+    assert gopher_rules(docs).count() == n_docs
+    norm = normalize_text(normalize_decorate(docs))
+    agg = norm.agg(
+        F.count(F.lit(1)).alias("n"), F.sum(F.col("changed").cast("int")).alias("c")
+    ).collect()[0]
+    # decorator dirties doc_id % 3 in (0, 1); % 3 == 2 stays clean
+    n_dirty = docs.filter("doc_id % 3 != 2").count()
+    assert agg["n"] == n_docs and agg["c"] == n_dirty
+    scrub = dedupe_lines(line_decorate(docs))
+    assert scrub.filter("n_unique_lines < n_lines").count() == n_docs // 2
+    spans = chunk_spans(docs)
+    per_doc = spans.groupBy("doc_id").agg(F.max("end_token").alias("m"))
+    assert per_doc.count() == n_docs  # every doc fully tiled
+    capped = domain_cap(docs)
+    kept = capped.filter("kept").groupBy("source").count().collect()
+    assert all(r["count"] == 10 for r in kept)  # cap exact at 10x
