@@ -6,6 +6,14 @@ Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
 line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
+The driver captures only the TAIL of stdout (last ~2000 chars), so the
+final printed line MUST stay compact -- r5's single line outgrew the
+capture and the round's headline number was never machine-recorded
+(r5 verdict, "What's wrong"). Contract now: the LAST stdout line is a
+compact {metric, value, unit, queries, sf, ...} line; everything bulky
+(plan/exec split, extra-query timings, the 10x block detail) goes to
+the sidecar `BENCH_DETAIL.json` next to this script.
+
 Each query is materialized with the noop writer (forces full
 computation of every column; a bare count() would let Catalyst prune
 the projections we are trying to measure).
@@ -46,6 +54,51 @@ HEADLINE = [
     "emb_topk_cosine",
 ]
 
+# post-r4 additions, timed OUTSIDE the headline total so r1..rN totals
+# stay comparable; min-of-2 (secondary signals)
+EXTRA = [
+    "promo_revenue_share",
+    "returned_top_customers",
+    "brand_supplier_variety",
+    "doc_domain_cap",
+    "emb_label_centroids",
+    "doc_chunk_spans",
+    "doc_normalize",
+    "activity_reconcile",
+    "doc_containment_pairs",
+    "doc_gopher_rules",
+    "doc_dedupe_lines",
+    "doc_vocab_coverage",
+]
+
+# scaling-regression canaries (r5 verdict item 4): a small subset
+# re-run on the cached ~10x fixture so per-round BENCH records scaling
+# behavior, not just sf0.1. Single rep (these are minutes-scale-budget
+# guards, not microbenchmarks; run-to-run noise is swamped by a 10x
+# regression, which is what they exist to catch).
+TENX = [
+    "full_pipeline",
+    "doc_neardup_pairs",
+    "revenue_by_nation",
+]
+
+
+def _time_query(fn, spark, sf_dir, reps):
+    """(best_total, plan_s, exec_s) over `reps` runs; min is the
+    steady-state number (first rep pays JIT/codegen + cache
+    materialization)."""
+    best = float("inf")
+    plan = exc = 0.0
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        t1 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        t2 = time.perf_counter()
+        if t2 - t0 < best:
+            best, plan, exc = t2 - t0, t1 - t0, t2 - t1
+    return round(best, 4), round(plan, 4), round(exc, 4)
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -54,78 +107,76 @@ def main() -> None:
     # r2 lesson -- see STATE.md's contention A/B); recording the load
     # makes a contaminated run self-evident in the archived JSON
     load1, load5, _ = os.getloadavg()
-    spark = get_spark(app_name="bench")
+    # no console progress bars: the driver's tail capture is a COMBINED
+    # stdout+stderr window of ~2000 chars, and stage-progress \r spam
+    # competes with the one JSON line for it (r4/r5 tails were mostly
+    # progress bars)
+    spark = get_spark(
+        app_name="bench",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
     # warm the JVM/codegen once so per-query numbers measure the plans
     spark.range(1000).selectExpr("sum(id)").collect()
 
-    # min of 3 runs per query: the first run includes JIT/codegen warmup
-    # and cache materialization; the min is the steady-state number and
-    # is far less sensitive to machine noise. Each rep is split into
-    # plan construction (the py4j/Catalyst cost of building the
-    # DataFrame -- real, per the r3 advice that dropped memoization)
-    # and execution (noop write forces every column); the headline
-    # number stays plan+exec, the split makes accounting-only deltas
-    # between rounds self-explaining (r4 verdict item 5).
     timings: dict[str, float] = {}
     plan_s: dict[str, float] = {}
     exec_s: dict[str, float] = {}
     fns = queries_dict()
     for name in HEADLINE:
-        fn = fns[name]
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            df = fn(spark, sf_dir)
-            t1 = time.perf_counter()
-            df.write.format("noop").mode("overwrite").save()
-            t2 = time.perf_counter()
-            if t2 - t0 < best:
-                best = t2 - t0
-                plan_s[name] = round(t1 - t0, 4)
-                exec_s[name] = round(t2 - t1, 4)
-        timings[name] = round(best, 4)
+        timings[name], plan_s[name], exec_s[name] = _time_query(
+            fns[name], spark, sf_dir, reps=3
+        )
 
-    # round-5 additions, timed OUTSIDE the headline total so r1-r5
-    # totals stay comparable; min-of-2 (these are secondary signals)
     extra = {}
-    for name in (
-        "promo_revenue_share",
-        "returned_top_customers",
-        "brand_supplier_variety",
-        "doc_domain_cap",
-        "emb_label_centroids",
-        "doc_chunk_spans",
-        "doc_normalize",
-        "activity_reconcile",
-        "doc_containment_pairs",
-        "doc_gopher_rules",
-        "doc_dedupe_lines",
-        "doc_vocab_coverage",
-    ):
-        fn = fns[name]
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        extra[name] = round(best, 4)
+    for name in EXTRA:
+        extra[name], _, _ = _time_query(fns[name], spark, sf_dir, reps=2)
+
+    # 10x block: reuses (or builds once -- cached, gitignored) the
+    # test-suite scale fixture. Skippable for constrained runs.
+    tenx: dict[str, float] = {}
+    tenx_err = None
+    if os.environ.get("SPARK_GRAFT_SKIP_10X", "") != "1":
+        try:
+            sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
+            from scale10x import ensure_scale_fixture
+
+            scale_dir = ensure_scale_fixture(spark)
+            for name in TENX:
+                tenx[name], _, _ = _time_query(fns[name], spark, scale_dir, reps=1)
+        except Exception as e:  # never let the canary sink the headline line
+            tenx_err = f"{type(e).__name__}: {e}"
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "plan_s": plan_s,
-                "exec_s": exec_s,
-                "extra_queries": extra,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "load_avg_at_start": [round(load1, 2), round(load5, 2)],
-            }
-        )
+    compact = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "sf10x": tenx,
+        "load_avg_at_start": [round(load1, 2), round(load5, 2)],
+    }
+    detail = dict(
+        compact,
+        plan_s=plan_s,
+        exec_s=exec_s,
+        extra_queries=extra,
+        sf10x_error=tenx_err,
     )
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"), "w"
+    ) as f:
+        json.dump(detail, f, indent=1)
+    line = json.dumps(compact)
+    # tail-capture guard: the driver keeps the last ~2000 chars of
+    # stdout; a final line longer than that loses its head and the
+    # round's number (the r5 failure). Degrade to metric/value only
+    # rather than ever print an unparseable line.
+    if len(line) > 1800:
+        line = json.dumps(
+            {"metric": compact["metric"], "value": total, "unit": "sec", "sf": compact["sf"]}
+        )
+    print(line)
     spark.stop()
 
 

@@ -560,10 +560,13 @@ def extract_features(media: DataFrame, decode_stub: bool = True) -> DataFrame:
             if payload is not None and is_jpeg(payload):
                 try:
                     return pixel_features(jpeg_decode(payload))
-                except Exception:
-                    # progressive/arithmetic JPEG or SOI-signed
-                    # garbage/truncation -> codec-stub slot (see
-                    # resize_images for the rationale)
+                except (ValueError, NotImplementedError):
+                    # jpeg.decode normalizes every malformed-input
+                    # failure to ValueError at its boundary and raises
+                    # NotImplementedError for non-baseline frames; a
+                    # narrower catch means a genuine kernel regression
+                    # on a VALID baseline JPEG still surfaces instead
+                    # of being masked as stub output (r5 advice)
                     pass
             if payload is not None and is_wav(payload):
                 try:
@@ -892,12 +895,14 @@ def resize_images(
             if is_jpeg(payload):
                 try:
                     return nn_gather(jpeg_decode(payload))
-                except Exception:
-                    # progressive/arithmetic JPEG (NotImplementedError)
-                    # or SOI-signed garbage/truncation (ValueError,
-                    # struct.error, index errors from a corrupt entropy
-                    # stream) -> documented stub slot; never crash the
-                    # whole stage on one bad payload
+                except (ValueError, NotImplementedError):
+                    # jpeg.decode normalizes SOI-signed garbage /
+                    # truncation / corrupt entropy streams to ValueError
+                    # at its boundary and raises NotImplementedError for
+                    # non-baseline frames -> documented stub slot. The
+                    # catch is deliberately NO wider: a kernel bug on a
+                    # valid baseline JPEG must surface, not silently
+                    # degrade to stub output (r5 advice)
                     pass
             if not decode_stub:
                 raise NotImplementedError(

@@ -956,92 +956,80 @@ QUERIES: dict[str, QuerySpec] = {
 # queries()). This is an EXPLICIT contract list -- dict insertion order
 # above is documentation order only and is NOT load-bearing.
 #
-# Rotation policy (executed round 5, per the r4 verdict): every
-# rows-only (no-oracle) query stays in the checked set permanently (per
-# round-3 advice -- they are otherwise never externally exercised); the
-# 30 oracle-paired queries whose newest driver row was r3 or older all
-# rotate IN; queries green in r4 rotate OUT (still re-checked locally
-# every suite run by tests/test_oracle.py) EXCEPT (a) queries whose
-# PLAN changes this round (the near-dup family's size-conditional join
-# hints) and (b) the flagship full_pipeline. Remaining slots go to
-# queries newly added or newly oracle-paired in round 5. After r5,
-# every oracle-paired query's newest driver row is r4 or r5.
-#
-# Round-6 rotation (to execute next round): rows-only block stays; the
-# 30 r5-rotated-in queries swap OUT for the r4-green block that sat
-# out this round (silver_validate, dedup_first_occurrence,
-# temporal_batch_annotate, temporal_union, alerts_cooldown,
-# alerts_active, grid_cluster, pricing_summary, revenue_by_nation,
-# top_customers, asof_latest_order, gapfill_5min,
-# doc_minhash_signature, doc_curation_extended, doc_shard_packing,
-# doc_pii_redact, doc_curation_full, window_zoo, level_filter_high,
-# severity_ws_counts, alerts_ws_messages, geojson_features,
-# doc_token_stats, doc_quality, doc_langid, doc_exact_dedup,
-# doc_rolling_fingerprint, doc_repeated_passages, doc_simhash,
-# doc_tfidf_top_terms, doc_bigram_lm, pivot_event_counts,
-# grouping_sets_shipping, rollup_pricing, segment_semi_anti) -- plus
-# doc_chunk_spans (added past-window in r5, never driver-checked) and
-# anything new in r6; retain any query whose plan r6 changes.
+# Rotation policy (executed round 6, per the r5 verdict item 1; the
+# r5 policy text is in git history): every rows-only (no-oracle) query
+# stays in the checked set permanently (round-3 advice -- they are
+# otherwise never externally exercised); the 30 r5-rotated-in queries
+# swap OUT for the r4-green block that sat out r5; the 7 queries added
+# past-window in r5 (never driver-checked) all rotate IN for their
+# first driver rows; retained regardless: full_pipeline (flagship) and
+# doc_ngram_jaccard + doc_containment_pairs (their candidate
+# generation changed to prefix filtering this round -- provably
+# output-identical, but a changed plan re-earns its driver row). To
+# stay at 50, the two most-validated r4-green queries whose operators
+# full_pipeline also exercises end-to-end (silver_validate,
+# dedup_first_occurrence -- 4 green driver rows each, r1-r4) sit out;
+# both remain locally oracle-checked every suite run
+# (tests/test_oracle.py). After r6, every oracle-paired query's newest
+# driver row is r4 or r6.
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW: list[str] = [
-    # oracle-paired, last driver-checked r3 or earlier -- all rotate in
-    "bronze_radiation",
-    "silver_error_breakdown",
-    "routed_records",
-    "route_counts",
-    "rolling_stats",
-    "recent_points",
-    "flagship_event_stats",
-    "value_percentiles",
-    "brand_supplier_margin",
-    "user_sessions",
-    "unpivot_event_metrics",
-    "user_set_ops",
-    "events_by_hour",
-    "range_join_events_orders",
-    "session_window_events",
-    "moving_avg_events",
-    "downsample_5min",
-    "cube_order_stats",
-    "above_user_avg",
-    "exact_distinct_quantiles",
-    "doc_corpus_mixture",
-    "emb_quantize_int8",
+    # r4-green block rotating back in (driver history in CORRECTNESS_r0*)
+    "temporal_batch_annotate",
+    "temporal_union",
+    "alerts_cooldown",
+    "alerts_active",
+    "grid_cluster",
+    "pricing_summary",
+    "revenue_by_nation",
+    "top_customers",
+    "asof_latest_order",
+    "gapfill_5min",
+    "doc_minhash_signature",
+    "doc_curation_extended",
+    "doc_shard_packing",
+    "doc_pii_redact",
+    "doc_curation_full",
+    "window_zoo",
+    "level_filter_high",
+    "severity_ws_counts",
+    "alerts_ws_messages",
+    "geojson_features",
+    "doc_token_stats",
+    "doc_quality",
+    "doc_langid",
+    "doc_exact_dedup",
+    "doc_rolling_fingerprint",
+    "doc_repeated_passages",
+    "doc_simhash",
+    "doc_tfidf_top_terms",
+    "doc_bigram_lm",
+    "pivot_event_counts",
+    "grouping_sets_shipping",
+    "rollup_pricing",
+    "segment_semi_anti",
+    # r5 past-window additions: first-ever driver rows (r5 verdict item 1)
+    "doc_containment_pairs",
+    "doc_gopher_rules",
+    "doc_dedupe_lines",
+    "doc_vocab_coverage",
+    "doc_normalize",
+    "doc_chunk_spans",
+    "activity_reconcile",
+    # retained: flagship
+    "full_pipeline",
+    # retained: plan changed r6 (prefix-filtered candidates, int-hash verify)
     "doc_ngram_jaccard",
-    "doc_contamination",
-    "doc_repetition",
-    "doc_subword_stats",
-    "doc_curation",
-    "doc_stratified_sample",
-    "emb_topk_cosine",
-    "emb_knn_label_vote",
     # rows-only by design -- permanently in-window per r3 advice
     "emb_rerank_topk",
     "emb_ivf_topk",
     "emb_ivf_topk_tuned",
-    # oracle-paired as of r5 (was rows-only; deterministic prefilters)
-    "emb_lsh_topk",
-    "emb_hamming_topk",
-    # rows-only by design (continued)
     "emb_pq_topk",
     "approx_aggregates",
     "emb_kmeans",
     "alerts_cooldown_exact",
     "media_feature_census",
-    # retained: plans change this round (size-conditional join hints)
-    "doc_neardup_pairs",
-    "doc_neardup_clusters",
-    "doc_semantic_neardup",
-    "emb_neardup_pairs",
-    # retained: flagship
-    "full_pipeline",
-    # new in round 5 (never driver-checked)
-    "promo_revenue_share",
-    "returned_top_customers",
-    "brand_supplier_variety",
-    "doc_domain_cap",
-    "emb_label_centroids",
 ]
 
 

@@ -486,3 +486,64 @@ def test_r5_text_ops_scale_at_10x(spark, scale_dir):
     capped = domain_cap(docs)
     kept = capped.filter("kept").groupBy("source").count().collect()
     assert all(r["count"] == 10 for r in kept)  # cap exact at 10x
+
+
+def test_containment_prefix_bounded_on_low_entropy_corpus(spark, scale_dir):
+    """r6 fix for the r5-measured scale boundary: on the 10x corpus
+    (10 near-identical replicas per base doc -- every trigram's df is
+    inflated ~10x, the low-entropy shape) the raw postings self-join
+    generated candidates as Σ_sh C(df, 2) and its verify spilled
+    ~78 GB before dying. The prefix-filtered path
+    (`_prefix_candidates`, AllPairs/PPJoin) must (a) complete in
+    bounded time, (b) generate an order of magnitude fewer candidate
+    pairs than the old path's candidate-row volume, and (c) lose NO
+    recall -- every intra-replica-group containment pair (true
+    containment ~m/(m+1) >= 0.8) is found, per the exactness proof."""
+    from big_data_streaming_dashboard_spark.llmdata.dedup import (
+        _bounded_postings,
+        _prefix_candidates,
+        containment_pairs,
+        corpus_count,
+        scale_hint_merge,
+    )
+    from big_data_streaming_dashboard_spark.tables import spread
+
+    docs = spread(
+        spark.read.parquet(f"{scale_dir}/documents.parquet"), spark
+    ).select("doc_id", "text")
+    n = corpus_count(docs)
+    assert n == 50_000
+
+    # (b) candidate volume: old path = Σ C(df,2) over capped shingles
+    # (measured 138M on this corpus); prefix path must be way under
+    old_volume = (
+        _bounded_postings(docs, 1000)
+        .groupBy("sh_hash")
+        .agg(F.first("df").alias("df"))
+        .agg(F.sum(F.expr("df * (df - 1) / 2")).alias("v"))
+        .first()["v"]
+    )
+    cand = _prefix_candidates(
+        docs, 0.8, 1000, n, scale_hint_merge, symmetric=False
+    )
+    n_cand = cand.count()
+    assert n_cand < old_volume / 5, (n_cand, old_volume)
+
+    # (a) the full query completes in bounded time (old path: died)
+    t0 = time.perf_counter()
+    pairs = containment_pairs(docs, threshold=0.8).persist()
+    n_pairs = pairs.count()
+    wall = time.perf_counter() - t0
+    assert wall < 300, f"containment at 10x took {wall:.0f}s"
+    assert n_pairs > 100_000  # replica groups really do pair up
+
+    # (c) recall pin on one full replica group (base doc 4719, 101
+    # tokens -> 99 shingles; replicas differ by one trailing " repN"
+    # token, so pairwise containment = 99/100 >= 0.8): all
+    # 2 * C(10,2) = 90 directed pairs must be present
+    group = [47190 + r for r in range(10)]
+    got = pairs.filter(
+        F.col("contained_doc").isin(group) & F.col("container_doc").isin(group)
+    ).count()
+    assert got == 90, got
+    pairs.unpersist()
