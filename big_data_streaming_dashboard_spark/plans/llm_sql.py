@@ -1263,3 +1263,101 @@ SELECT rank, token, n,
            AS cum_coverage
 FROM ranked WHERE rank <= 100
 """
+
+
+def ivf_topk_sql(
+    n_lists: int = 8,
+    iterations: int = 3,
+    n_queries: int = 5,
+    k: int = 10,
+) -> str:
+    """IVF ANN oracle (mirrors llmdata.similarity.ivf_topk at
+    n_probe=1): the Lloyd k-means loop is deterministic given the
+    seeded init (first n_lists vectors by vec_id) and unrolls into
+    `iterations` assign+means CTE pairs; with n_probe=1 the probe
+    cell is simply the query's own final assignment, and the rerank
+    is the exact left-fold cosine every other paired ANN query uses.
+
+    Cross-engine stability: squared distances mirror the engine's
+    left fold exactly (0.0 + d0 == d0, same association). Per-cluster
+    MEANS are each engine's own avg() -- reassociation puts them
+    within ~1e-13 of each other -- so assignments agree as long as
+    every vector's best-vs-second-best centroid margin is orders of
+    magnitude above that; pinned per embeddings fixture by
+    tests/test_ann.py::test_ivf_assignment_margins. Ties break to the
+    lowest cluster index on both sides (array_position-first vs
+    ORDER BY d2, cluster). The cosine rerank reads RAW vectors, so
+    once candidate sets agree the scores are bit-identical."""
+    d2 = (
+        "list_reduce(list_transform(list_zip(a.v, c.cent),"
+        " p -> (p[1] - p[2]) * (p[1] - p[2])), (x, y) -> x + y)"
+    )
+    # one assign CTE (against centroid table {src}) + one means CTE
+    # (empty clusters keep their previous centroid, as the engine does)
+    assign = (
+        "{name} AS (\n"
+        "    SELECT a.vec_id, a.v, c.cluster,\n"
+        "           row_number() OVER (PARTITION BY a.vec_id\n"
+        f"               ORDER BY {d2}, c.cluster) AS _r\n"
+        "    FROM dv a CROSS JOIN {src} c\n"
+        "    QUALIFY _r = 1\n"
+        ")"
+    )
+    means = (
+        "{name} AS (\n"
+        "    SELECT p.cluster, coalesce(m.cent, p.cent) AS cent\n"
+        "    FROM {prev} p LEFT JOIN (\n"
+        "        SELECT cluster, list(m ORDER BY pos) AS cent FROM (\n"
+        "            SELECT cluster, pos, avg(x) AS m FROM (\n"
+        "                SELECT cluster, unnest(v) AS x,\n"
+        "                       unnest(range(len(v))) AS pos\n"
+        "                FROM {assigned}\n"
+        "            ) GROUP BY cluster, pos\n"
+        "        ) GROUP BY cluster\n"
+        "    ) m USING (cluster)\n"
+        ")"
+    )
+    ctes = [
+        "dv AS (\n"
+        "    SELECT vec_id, label,\n"
+        "           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v\n"
+        "    FROM embeddings\n"
+        ")",
+        # init: cluster index = rank of vec_id among the first n_lists
+        "c0 AS (\n"
+        "    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, v AS cent\n"
+        f"    FROM dv WHERE vec_id < {n_lists}\n"
+        ")",
+    ]
+    for i in range(iterations):
+        ctes.append(assign.format(name=f"a{i + 1}", src=f"c{i}"))
+        if i < iterations - 1:  # the last means feeds nothing
+            ctes.append(
+                means.format(name=f"c{i + 1}", prev=f"c{i}", assigned=f"a{i + 1}")
+            )
+    final = f"a{iterations}"
+    cos = _cos_expr("q.v", "cand.v")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+q AS (
+    SELECT vec_id AS query_id, v, cluster FROM {final}
+    WHERE vec_id < {n_queries}
+),
+scored AS (
+    SELECT q.query_id, cand.vec_id, dv.label, {cos} AS _cos
+    FROM q
+    JOIN {final} cand ON cand.cluster = q.cluster
+                     AND cand.vec_id <> q.query_id
+    JOIN dv ON dv.vec_id = cand.vec_id
+),
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+        ORDER BY _cos DESC, vec_id) AS rank
+    FROM scored
+)
+SELECT query_id, vec_id, label, rank, round(_cos, 6) AS cos_sim
+FROM ranked WHERE rank <= {k}
+"""
+    )

@@ -856,10 +856,18 @@ QUERIES: dict[str, QuerySpec] = {
         None,
         "HLL distinct + approx quantile (error-bounded in tests)",
     ),
-    # IVF probes only the query's k-means cell -> approximate -> rows-only
+    # oracle-paired as of r6: the Lloyd loop is deterministic given
+    # the seeded init, so it unrolls into assign+means CTEs; with
+    # n_probe=1 the probe cell is the query's own assignment and the
+    # rerank is the shared left-fold cosine. Cross-engine assignment
+    # stability rests on best-vs-second centroid margins >> avg()
+    # reassociation noise (pinned per fixture by
+    # test_ann.test_ivf_assignment_margins). The tuned variant
+    # (multi-probe) stays rows-only: its probe ranking adds a
+    # second margin surface with no extra oracle value.
     "emb_ivf_topk": QuerySpec(
         lambda spark, sf: ivf_topk(_embs(spark, sf)),
-        None,
+        llm_sql.ivf_topk_sql(),
         "IVF approximate top-k (k-means inverted lists)",
     ),
     # iterative algorithm -> rows-only check
@@ -1022,6 +1030,8 @@ DRIVER_WINDOW: list[str] = [
     # retained: plan changed r6 (prefix-filtered candidates, int-hash verify)
     "doc_ngram_jaccard",
     # rows-only by design -- permanently in-window per r3 advice
+    # (emb_ivf_topk oracle-paired as of r6, stays in-window for its
+    # first hash-checked driver row)
     "emb_rerank_topk",
     "emb_ivf_topk",
     "emb_ivf_topk_tuned",

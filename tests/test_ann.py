@@ -252,3 +252,42 @@ def test_sign_margin_blas_vs_fold_parity(fixture_dir):
             for x, y in zip(V[i], P[j]):
                 fold += x * y
             assert (fold >= 0) == (D[i, j] >= 0)
+
+
+@pytest.mark.parametrize("fixture_dir", _embedding_fixture_dirs())
+def test_ivf_assignment_margins(fixture_dir):
+    """The r6 oracle pairing of emb_ivf_topk unrolls the Lloyd loop in
+    DuckDB; per-cluster means are each engine's own avg(), whose
+    reassociation puts the two engines' centroids within ~1e-13.
+    Assignments (and therefore the probe cell and candidate set) agree
+    as long as every vector's best-vs-second-best squared-distance
+    margin dwarfs that noise, at every iteration. Pin the margin per
+    embeddings fixture with a numpy mirror of the engine's loop."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{fixture_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = np.array(t["vec_id"].to_pylist())
+    V = np.array([np.asarray(v, dtype=np.float64) for v in t["embedding"].to_pylist()])
+    order = np.argsort(ids)
+    ids, V = ids[order], V[order]
+    n_lists, iterations = 8, 3
+    cents = V[ids < n_lists][np.argsort(ids[ids < n_lists])].copy()
+    min_margin = np.inf
+    for _ in range(iterations):
+        d2 = ((V[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        part = np.sort(d2, axis=1)
+        min_margin = min(min_margin, float((part[:, 1] - part[:, 0]).min()))
+        assign = d2.argmin(axis=1)
+        for c in range(n_lists):
+            m = V[assign == c]
+            if len(m):
+                cents[c] = m.mean(axis=0)
+    # propagated bound on the engines' d2 disagreement: centroid
+    # components differ by avg() reassociation (~1e-13 on O(1)
+    # doubles), so |d2_A - d2_B| <= dim * dc * 2*max|v-c| ~ 6e-12.
+    # The tightest fixture (10x, deliberately jittered replicas)
+    # measures 7.2e-9 -- three orders above the bound; floor at 1e-9
+    # keeps >100x headroom and still fails loudly on a genuinely
+    # ambiguous fixture
+    assert min_margin > 1e-9, f"IVF assignment margin {min_margin} too tight"
