@@ -1,24 +1,29 @@
-"""Baseline JFIF (JPEG) codec -- numpy + stdlib only, no third-party
-image libraries (none are installed in this container).
+"""JFIF (JPEG) codec -- numpy + stdlib only, no third-party image
+libraries (none are installed in this container).
 
-Closes the last real image-codec stub in the multimodal path
+Closes the image-codec stubs in the multimodal path
 (multimodal.extract_features / resize_images): baseline sequential
-DCT JPEGs -- the overwhelming majority of crawl images -- now decode
-for real; only progressive/arithmetic/lossless JPEG variants remain
-in the documented stub slot.
+AND progressive DCT JPEGs -- together virtually all crawl images --
+decode for real; only arithmetic-coded/lossless variants remain in
+the documented stub slot.
 
-Decoder coverage: baseline sequential (SOF0), 8-bit, 1 or 3
-components, any sampling factors in {1, 2} (4:4:4, 4:2:2, 4:2:0),
-byte-stuffed entropy data, restart markers (DRI), multiple DQT/DHT
-segments. Chroma upsampling is nearest-neighbor replication (the
-libjpeg "fancy upsampling off" behavior) -- deterministic and exactly
-invertible for the 4:4:4 fixtures the tests round-trip per-pixel.
+Decoder coverage: baseline sequential (SOF0) and progressive (SOF2,
+T.81 Annex G: spectral selection, successive approximation for DC and
+AC, EOB runs, interleaved DC / single-component AC scans), 8-bit, 1
+or 3 components, any sampling factors in {1, 2} (4:4:4, 4:2:2,
+4:2:0), byte-stuffed entropy data, restart markers (DRI), multiple
+DQT/DHT segments. Chroma upsampling is nearest-neighbor replication
+(the libjpeg "fancy upsampling off" behavior) -- deterministic and
+exactly invertible for the 4:4:4 fixtures the tests round-trip
+per-pixel.
 
-Encoder (test/fixture side): baseline sequential, 4:4:4 or 4:2:0,
-Annex-K standard Huffman tables, caller-supplied quality. With
-all-ones quantization tables the encode->decode round trip is exact
-to +/-1 per channel (float DCT rounding only), which is what the
-per-pixel tests pin.
+Encoder (test/fixture side): baseline sequential or progressive
+(``progressive=True``; libjpeg's standard 10-scan script by default,
+custom scan scripts via ``scans``), 4:4:4 or 4:2:0, Annex-K standard
+Huffman tables (plus a flat custom AC table for progressive scans --
+Annex K has no EOBn symbols), caller-supplied quality. Progressive
+and baseline encode the SAME quantized coefficients, so their decodes
+are bit-identical -- the per-pixel round-trip tests pin exactly that.
 
 Everything is built inside `jpeg_codec_kernel()` and shipped to Spark
 workers BY VALUE (cloudpickle serializes nested functions): executors
@@ -37,10 +42,14 @@ from __future__ import annotations
 def jpeg_codec_kernel():
     """Build (decode, encode) as self-contained closures.
 
-    decode(bytes) -> (H, W, 3) uint8 RGB array (grayscale replicated)
-    encode(img, quality=95, subsample=False) -> baseline JFIF bytes
+    decode(bytes) -> (H, W, 3) uint8 RGB array (grayscale replicated);
+        handles baseline (SOF0) and progressive (SOF2) streams
+    encode(img, quality=95, subsample=False, restart_interval=0,
+           progressive=False, scans=None) -> JFIF bytes
         (img: (H, W, 3) uint8; quality 1..100, 100 = all-ones tables;
-         subsample=True -> 4:2:0, else 4:4:4)
+         subsample=True -> 4:2:0, else 4:4:4; progressive=True emits
+         SOF2 with the default 10-scan script or a custom `scans`
+         list of (kind, comp_indices, ss, se, ah, al) tuples)
     """
     import struct
 
@@ -249,6 +258,8 @@ def jpeg_codec_kernel():
         comps = None  # list of dicts: id, h, v, tq (SOF order)
         H = W = 0
         restart_interval = 0
+        progressive = False
+        pstate = None  # progressive coefficient state, built at first SOS
         pos = 2
         while pos + 4 <= len(b):
             if b[pos] != 0xFF:
@@ -257,7 +268,7 @@ def jpeg_codec_kernel():
             if marker == 0xD8:  # stray SOI
                 pos += 2
                 continue
-            if marker == 0xD9:  # EOI before SOS
+            if marker == 0xD9:  # EOI: progressive frames finish here
                 break
             (seglen,) = struct.unpack_from(">H", b, pos + 2)
             seg = b[pos + 4 : pos + 2 + seglen]
@@ -278,7 +289,8 @@ def jpeg_codec_kernel():
                         )
                         i += 128
                     qt[tq] = tbl  # kept in ZIGZAG order (as stored)
-            elif marker == 0xC0:  # SOF0 baseline
+            elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+                progressive = marker == 0xC2
                 _prec, H, W, nc = struct.unpack_from(">BHHB", seg, 0)
                 comps = []
                 for c in range(nc):
@@ -286,11 +298,12 @@ def jpeg_codec_kernel():
                     comps.append(
                         {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq}
                     )
-            elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+            elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                             0xCB, 0xCD, 0xCE, 0xCF):
                 raise NotImplementedError(
-                    f"non-baseline JPEG (SOF{marker - 0xC0}) -- only "
-                    "baseline sequential (SOF0) is implemented"
+                    f"unsupported JPEG frame (SOF{marker - 0xC0}) -- "
+                    "baseline sequential (SOF0) and progressive (SOF2) "
+                    "are implemented"
                 )
             elif marker == 0xC4:  # DHT
                 i = 0
@@ -308,17 +321,222 @@ def jpeg_codec_kernel():
                 scan = []
                 for c in range(ns):
                     cid, tdta = struct.unpack_from(">BB", seg, 1 + 2 * c)
-                    comp = next(cc for cc in comps if cc["id"] == cid)
-                    scan.append(
-                        {**comp, "dc": tdta >> 4, "ac": tdta & 0x0F}
+                    ci = next(
+                        i for i, cc in enumerate(comps) if cc["id"] == cid
                     )
-                return _decode_scan(
-                    b, pos + 2 + seglen, scan, qt, huff_dc, huff_ac,
-                    H, W, restart_interval,
+                    scan.append(
+                        {**comps[ci], "ci": ci,
+                         "dc": tdta >> 4, "ac": tdta & 0x0F}
+                    )
+                if not progressive:
+                    return _decode_scan(
+                        b, pos + 2 + seglen, scan, qt, huff_dc, huff_ac,
+                        H, W, restart_interval,
+                    )
+                ss, se, ahal = struct.unpack_from(
+                    ">BBB", seg, 1 + 2 * ns
                 )
+                if pstate is None:
+                    pstate = _init_progressive(comps, H, W)
+                pos = _progressive_scan(
+                    b, pos + 2 + seglen, scan, pstate,
+                    huff_dc, huff_ac, ss, se, ahal >> 4, ahal & 0x0F,
+                    restart_interval,
+                )
+                continue
             # APPn / COM / others: skip
             pos += 2 + seglen
+        if progressive and pstate is not None:
+            return _assemble_progressive(pstate, comps, qt, H, W)
         raise ValueError("truncated JPEG (no SOS)")
+
+    def _init_progressive(comps, H, W):
+        """Per-component coefficient planes (zigzag order), sized to
+        the MCU-padded grid so interleaved DC scans fit; also the real
+        (unpadded) block grid non-interleaved scans iterate."""
+        hmax = max(c["h"] for c in comps)
+        vmax = max(c["v"] for c in comps)
+        mcux = -(-W // (8 * hmax))
+        mcuy = -(-H // (8 * vmax))
+        state = {
+            "hmax": hmax, "vmax": vmax, "mcux": mcux, "mcuy": mcuy,
+            "coef": [], "grid": [],
+        }
+        for c in comps:
+            cw = -(-(W * c["h"]) // hmax)
+            ch = -(-(H * c["v"]) // vmax)
+            state["coef"].append(
+                np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int32)
+            )
+            state["grid"].append((-(-ch // 8), -(-cw // 8)))
+        return state
+
+    def _next_marker(b, p):
+        """Position of the next real (non-stuffed, non-restart) marker
+        at or after p -- where the post-scan segment loop resumes."""
+        while p + 1 < len(b):
+            if (
+                b[p] == 0xFF
+                and b[p + 1] != 0x00
+                and not (0xD0 <= b[p + 1] <= 0xD7)
+            ):
+                return p
+            p += 1
+        return len(b)
+
+    def _progressive_scan(
+        b, pos, scan, state, huff_dc, huff_ac, ss, se, ah, al, dri
+    ):
+        """One SOS of a progressive frame: updates the coefficient
+        planes in place, returns the stream position of the next
+        marker. T.81 Annex G semantics: DC scans may be interleaved
+        (se == 0); AC scans are single-component with spectral band
+        [ss, se] and successive-approximation bit position al (ah = 0
+        on the first pass, ah = al + 1 on refinements)."""
+        reader = _BitReader(b, pos)
+        if ss == 0:
+            if se != 0:
+                raise ValueError("progressive DC scan with se != 0")
+            _dc_scan(reader, scan, state, ah, al, dri, huff_dc)
+        else:
+            if len(scan) != 1:
+                raise ValueError("progressive AC scan must be single-component")
+            _ac_scan(reader, scan[0], state, ss, se, ah, al, dri, huff_ac)
+        return _next_marker(b, reader.pos)
+
+    def _dc_scan(reader, scan, state, ah, al, dri, huff_dc):
+        interleaved = len(scan) > 1
+        if interleaved:
+            nx, ny = state["mcux"], state["mcuy"]
+        else:
+            ny, nx = state["grid"][scan[0]["ci"]]
+        pred = [0] * len(scan)
+        mcu_i = 0
+        for my in range(ny):
+            for mx in range(nx):
+                if dri and mcu_i and mcu_i % dri == 0:
+                    reader.align_restart()
+                    pred = [0] * len(scan)
+                for si, c in enumerate(scan):
+                    coef = state["coef"][c["ci"]]
+                    blocks = (
+                        [(my * c["v"] + by, mx * c["h"] + bx)
+                         for by in range(c["v"]) for bx in range(c["h"])]
+                        if interleaved
+                        else [(my, mx)]
+                    )
+                    for by, bx in blocks:
+                        if ah == 0:
+                            s = reader.huff(huff_dc[c["dc"]])
+                            pred[si] += extend(reader.read(s), s)
+                            coef[by, bx, 0] = pred[si] << al
+                        elif reader.read(1):
+                            coef[by, bx, 0] |= 1 << al
+                mcu_i += 1
+
+    def _ac_scan(reader, c, state, ss, se, ah, al, dri, huff_ac):
+        coef = state["coef"][c["ci"]]
+        bh, bw = state["grid"][c["ci"]]
+        ac_lut = huff_ac[c["ac"]]
+        eobrun = 0
+        blk_i = 0
+        for by in range(bh):
+            for bx in range(bw):
+                if dri and blk_i and blk_i % dri == 0:
+                    reader.align_restart()
+                    eobrun = 0
+                zz = coef[by, bx]
+                if ah == 0:
+                    eobrun = _ac_first_block(
+                        reader, ac_lut, zz, ss, se, al, eobrun
+                    )
+                else:
+                    eobrun = _ac_refine_block(
+                        reader, ac_lut, zz, ss, se, al, eobrun
+                    )
+                blk_i += 1
+
+    def _ac_first_block(reader, ac_lut, zz, ss, se, al, eobrun):
+        if eobrun > 0:
+            return eobrun - 1
+        k = ss
+        while k <= se:
+            rs = reader.huff(ac_lut)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r == 15:  # ZRL
+                    k += 16
+                    continue
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += reader.read(r)
+                return eobrun
+            k += r
+            if k > se:
+                raise ValueError("JPEG AC band overflow")
+            zz[k] = extend(reader.read(s), s) << al
+            k += 1
+        return 0
+
+    def _ac_refine_block(reader, ac_lut, zz, ss, se, al, eobrun):
+        # T.81 G.1.2.3 correction-bit pass (the libjpeg refinement
+        # control flow, re-derived from the spec)
+        p1, m1 = 1 << al, -1 << al
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                rs = reader.huff(ac_lut)
+                r, s = rs >> 4, rs & 0x0F
+                newval = 0
+                if s:
+                    if s != 1:
+                        raise ValueError("bad progressive AC refinement")
+                    newval = p1 if reader.read(1) else m1
+                elif r != 15:
+                    # EOBn COUNTS THE CURRENT BLOCK: even EOB0 must
+                    # run the correction pass below over k..se before
+                    # the run is spent (libjpeg's EOBRUN = 1 << r)
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.read(r)
+                    break  # remaining band refined in the EOB pass
+                # advance past r zero-history coefficients, emitting a
+                # correction bit for every already-nonzero one
+                while k <= se:
+                    if zz[k] != 0:
+                        if reader.read(1) and (zz[k] & p1) == 0:
+                            zz[k] += p1 if zz[k] >= 0 else m1
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if newval and k <= se:
+                    zz[k] = newval
+                k += 1
+        if eobrun > 0:
+            while k <= se:
+                if zz[k] != 0 and reader.read(1) and (zz[k] & p1) == 0:
+                    zz[k] += p1 if zz[k] >= 0 else m1
+                k += 1
+            eobrun -= 1
+        return eobrun
+
+    def _assemble_progressive(state, comps, qt, H, W):
+        """Dequantize + IDCT every (padded-grid) block, stitch planes,
+        then reuse the baseline upsample/color tail."""
+        planes = []
+        for ci, c in enumerate(comps):
+            cz = state["coef"][ci].astype(np.float64)
+            deq = cz * qt[c["tq"]][None, None, :]
+            blocks = deq[:, :, UNZIGZAG].reshape(cz.shape[0], cz.shape[1], 8, 8)
+            pix = np.einsum("ij,yxjk,kl->yxil", D.T, blocks, D) + 128.0
+            planes.append(
+                pix.transpose(0, 2, 1, 3).reshape(
+                    cz.shape[0] * 8, cz.shape[1] * 8
+                )
+            )
+        return _compose(planes, comps, state["hmax"], state["vmax"], H, W)
 
     def _decode_scan(b, pos, scan, qt, huff_dc, huff_ac, H, W, dri):
         hmax = max(c["h"] for c in scan)
@@ -367,9 +585,13 @@ def jpeg_codec_kernel():
                             x0 = (mx * c["h"] + bx) * 8
                             planes[ci][y0 : y0 + 8, x0 : x0 + 8] = pix
                 mcu_i += 1
-        # upsample to full resolution (nearest replication) + crop
+        return _compose(planes, scan, hmax, vmax, H, W)
+
+    def _compose(planes, comps, hmax, vmax, H, W):
+        """Upsample to full resolution (nearest replication), crop,
+        color-convert -- shared by the baseline and progressive paths."""
         full = []
-        for ci, c in enumerate(scan):
+        for ci, c in enumerate(comps):
             p = planes[ci]
             if c["h"] != hmax or c["v"] != vmax:
                 p = np.repeat(
@@ -408,6 +630,13 @@ def jpeg_codec_kernel():
             if self.nacc:
                 pad = 8 - self.nacc
                 self.write((1 << pad) - 1, pad)  # 1-pad per spec
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    def dht(tc, th, table):
+        bits, values = table
+        return seg(0xC4, bytes([tc << 4 | th]) + bytes(bits) + bytes(values))
 
     def _quant_tables(quality):
         if quality >= 100:
@@ -451,7 +680,10 @@ def jpeg_codec_kernel():
             w.write(code, ln)
         return int(zz[0])
 
-    def encode(img, quality=95, subsample=False, restart_interval=0):
+    def encode(
+        img, quality=95, subsample=False, restart_interval=0,
+        progressive=False, scans=None,
+    ):
         img = np.asarray(img, dtype=np.float64)
         if img.ndim != 3 or img.shape[2] != 3:
             raise ValueError("encode expects (H, W, 3) RGB")
@@ -487,6 +719,13 @@ def jpeg_codec_kernel():
             Cbp = pad(Cb, mcuy * 8, mcux * 8)
             Crp = pad(Cr, mcuy * 8, mcux * 8)
 
+        if progressive:
+            return _encode_progressive(
+                (Yp, Cbp, Crp), ql, qc, ql_nat, qc_nat,
+                H, W, hY, vY, mcux, mcuy, restart_interval,
+                scans if scans is not None else _PROG_SCANS,
+            )
+
         dc_l, dc_c = build_codes(*DC_L), build_codes(*DC_C)
         ac_l, ac_c = build_codes(*AC_L), build_codes(*AC_C)
         w = _BitWriter()
@@ -516,15 +755,6 @@ def jpeg_codec_kernel():
                     )
         w.flush()
 
-        def seg(marker, body):
-            return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
-
-        def dht(tc, th, table):
-            bits, values = table
-            return seg(
-                0xC4, bytes([tc << 4 | th]) + bytes(bits) + bytes(values)
-            )
-
         out = bytearray(b"\xff\xd8")
         out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
         out += seg(0xDB, bytes([0x00]) + bytes(ql.tolist()))
@@ -540,6 +770,253 @@ def jpeg_codec_kernel():
             out += seg(0xDD, struct.pack(">H", restart_interval))
         out += seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
         out += w.out
+        out += b"\xff\xd9"
+        return bytes(out)
+
+    # ---- progressive encoder (T.81 Annex G) -------------------------------
+    # Flat custom AC Huffman table: the Annex K baseline AC tables have
+    # no EOBn (n > 0) symbols, which progressive AC scans need for
+    # multi-block end-of-band runs. 255 nine-bit codes + 1 ten-bit code
+    # cover all 256 RS values with a valid canonical table (the all-1s
+    # prefix stays reserved). Costs compression, not correctness -- the
+    # decoder round-trip is what this encoder exists for.
+    PROG_AC = ([0] * 8 + [255, 1] + [0] * 6, list(range(256)))
+
+    # libjpeg's standard 10-scan script (DC with one successive-
+    # approximation level, luma AC split into two spectral bands, all
+    # AC refined 2 -> 1 -> 0): exercises every progressive decode path
+    _PROG_SCANS = [
+        ("dc_first", (0, 1, 2), 0, 0, 0, 1),
+        ("ac_first", (0,), 1, 5, 0, 2),
+        ("ac_first", (2,), 1, 63, 0, 1),
+        ("ac_first", (1,), 1, 63, 0, 1),
+        ("ac_first", (0,), 6, 63, 0, 2),
+        ("ac_refine", (0,), 1, 63, 2, 1),
+        ("dc_refine", (0, 1, 2), 0, 0, 1, 0),
+        ("ac_refine", (2,), 1, 63, 1, 0),
+        ("ac_refine", (1,), 1, 63, 1, 0),
+        ("ac_refine", (0,), 1, 63, 1, 0),
+    ]
+
+    def _zz_blocks(plane, q_nat):
+        """Quantized zigzag coefficients for every 8x8 block of a
+        padded plane: int64[bh, bw, 64] (same rounding as the baseline
+        `_encode_block`)."""
+        bh, bw = plane.shape[0] // 8, plane.shape[1] // 8
+        blocks = plane.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3) - 128.0
+        coeffs = np.round(
+            np.einsum("ij,yxjk,kl->yxil", D, blocks, D.T)
+            / q_nat.reshape(8, 8)[None, None]
+        ).astype(np.int64)
+        return coeffs.reshape(bh, bw, 64)[:, :, ZIGZAG]
+
+    def _encode_progressive(
+        planes, ql, qc, ql_nat, qc_nat, H, W, hY, vY, mcux, mcuy, dri, script
+    ):
+        cz = [
+            _zz_blocks(planes[0], ql_nat),
+            _zz_blocks(planes[1], qc_nat),
+            _zz_blocks(planes[2], qc_nat),
+        ]
+        comps_hv = [(hY, vY), (1, 1), (1, 1)]
+        # real (unpadded) per-component block grids for AC scans
+        grids = []
+        for h, v in comps_hv:
+            cw = -(-(W * h) // hY)
+            ch = -(-(H * v) // vY)
+            grids.append((-(-ch // 8), -(-cw // 8)))
+        dc_codes = [build_codes(*DC_L), build_codes(*DC_C), build_codes(*DC_C)]
+        ac_codes = build_codes(*PROG_AC)
+
+        def emit_rst(w, n):
+            w.flush()
+            w.out += bytes([0xFF, 0xD0 + (n % 8)])
+
+        def dc_bits(w, codes, diff):
+            s = _cat(diff)
+            code, ln = codes[s]
+            w.write(code, ln)
+            if s:
+                w.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+
+        def scan_dc_first(w, cis, al):
+            pred = [0] * len(cis)
+            mcu_i = rst = 0
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    if dri and mcu_i and mcu_i % dri == 0:
+                        emit_rst(w, rst)
+                        rst += 1
+                        pred = [0] * len(cis)
+                    for si, ci in enumerate(cis):
+                        h, v = comps_hv[ci]
+                        for by in range(v):
+                            for bx in range(h):
+                                dc = int(cz[ci][my * v + by, mx * h + bx, 0]) >> al
+                                dc_bits(w, dc_codes[ci], dc - pred[si])
+                                pred[si] = dc
+                    mcu_i += 1
+
+        def scan_dc_refine(w, cis, al):
+            mcu_i = rst = 0
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    if dri and mcu_i and mcu_i % dri == 0:
+                        emit_rst(w, rst)
+                        rst += 1
+                    for ci in cis:
+                        h, v = comps_hv[ci]
+                        for by in range(v):
+                            for bx in range(h):
+                                w.write(
+                                    (int(cz[ci][my * v + by, mx * h + bx, 0])
+                                     >> al) & 1,
+                                    1,
+                                )
+                    mcu_i += 1
+
+        def scan_ac_first(w, ci, ss, se, al):
+            bh, bw = grids[ci]
+            state = {"eob": 0}
+
+            def flush_eob():
+                if state["eob"]:
+                    rb = state["eob"].bit_length() - 1
+                    code, ln = ac_codes[rb << 4]
+                    w.write(code, ln)
+                    if rb:
+                        w.write(state["eob"] - (1 << rb), rb)
+                    state["eob"] = 0
+
+            blk = rst = 0
+            for by in range(bh):
+                for bx in range(bw):
+                    if dri and blk and blk % dri == 0:
+                        flush_eob()
+                        emit_rst(w, rst)
+                        rst += 1
+                    zz = cz[ci][by, bx]
+                    r = 0
+                    for k in range(ss, se + 1):
+                        t = int(zz[k])
+                        t2 = (t if t >= 0 else -t) >> al
+                        if t2 == 0:
+                            r += 1
+                            continue
+                        flush_eob()
+                        while r > 15:
+                            code, ln = ac_codes[0xF0]
+                            w.write(code, ln)
+                            r -= 16
+                        s = t2.bit_length()
+                        code, ln = ac_codes[(r << 4) | s]
+                        w.write(code, ln)
+                        w.write(t2 if t > 0 else (1 << s) - 1 - t2, s)
+                        r = 0
+                    if r:
+                        state["eob"] += 1
+                        if state["eob"] == 0x7FFF:
+                            flush_eob()
+                    blk += 1
+            flush_eob()
+
+        def scan_ac_refine(w, ci, ss, se, al):
+            bh, bw = grids[ci]
+            state = {"eob": 0, "be": []}
+
+            def flush_eob():
+                if state["eob"]:
+                    rb = state["eob"].bit_length() - 1
+                    code, ln = ac_codes[rb << 4]
+                    w.write(code, ln)
+                    if rb:
+                        w.write(state["eob"] - (1 << rb), rb)
+                    for bit in state["be"]:
+                        w.write(bit, 1)
+                    state["eob"] = 0
+                    state["be"] = []
+
+            blk = rst = 0
+            for by in range(bh):
+                for bx in range(bw):
+                    if dri and blk and blk % dri == 0:
+                        flush_eob()
+                        emit_rst(w, rst)
+                        rst += 1
+                    zz = cz[ci][by, bx]
+                    absv = [
+                        (int(zz[k]) if zz[k] >= 0 else -int(zz[k])) >> al
+                        for k in range(ss, se + 1)
+                    ]
+                    eob_idx = ss - 1
+                    for k in range(ss, se + 1):
+                        if absv[k - ss] == 1:
+                            eob_idx = k
+                    r = 0
+                    br = []
+                    for k in range(ss, se + 1):
+                        t = absv[k - ss]
+                        if t == 0:
+                            r += 1
+                            continue
+                        while r > 15 and k <= eob_idx:
+                            flush_eob()
+                            code, ln = ac_codes[0xF0]
+                            w.write(code, ln)
+                            r -= 16
+                            for bit in br:
+                                w.write(bit, 1)
+                            br = []
+                        if t > 1:  # history coefficient: correction bit
+                            br.append(t & 1)
+                            continue
+                        flush_eob()
+                        code, ln = ac_codes[(r << 4) | 1]
+                        w.write(code, ln)
+                        w.write(1 if int(zz[k]) > 0 else 0, 1)
+                        for bit in br:
+                            w.write(bit, 1)
+                        br = []
+                        r = 0
+                    if r or br:
+                        state["eob"] += 1
+                        state["be"].extend(br)
+                        if state["eob"] == 0x7FFF:
+                            flush_eob()
+                    blk += 1
+            flush_eob()
+
+        out = bytearray(b"\xff\xd8")
+        out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+        out += seg(0xDB, bytes([0x00]) + bytes(ql.tolist()))
+        out += seg(0xDB, bytes([0x01]) + bytes(qc.tolist()))
+        out += seg(
+            0xC2,
+            struct.pack(">BHHB", 8, H, W, 3)
+            + bytes([1, hY << 4 | vY, 0, 2, 0x11, 1, 3, 0x11, 1]),
+        )
+        out += dht(0, 0, DC_L) + dht(0, 1, DC_C)
+        out += dht(1, 0, PROG_AC) + dht(1, 1, PROG_AC)
+        if dri:
+            out += seg(0xDD, struct.pack(">H", dri))
+        for kind, cis, ss, se, ah, al in script:
+            body = bytes([len(cis)])
+            for ci in cis:
+                tbl = 0 if ci == 0 else 1
+                body += bytes([ci + 1, (tbl << 4) | tbl])
+            body += bytes([ss, se, (ah << 4) | al])
+            out += seg(0xDA, body)
+            w = _BitWriter()
+            if kind == "dc_first":
+                scan_dc_first(w, cis, al)
+            elif kind == "dc_refine":
+                scan_dc_refine(w, cis, al)
+            elif kind == "ac_first":
+                scan_ac_first(w, cis[0], ss, se, al)
+            else:
+                scan_ac_refine(w, cis[0], ss, se, al)
+            w.flush()
+            out += w.out
         out += b"\xff\xd9"
         return bytes(out)
 

@@ -3,17 +3,19 @@
 Media are opaque ``binary`` columns with a typed metadata struct; the
 decode/feature steps run as Arrow-batched ``mapInPandas`` stages.
 
-Codecs: PNG (8-bit RGB/RGBA, all five scanline filters) and WAV
-(RIFF/PCM16, any channel count) are decoded FOR REAL with pure
-stdlib(+numpy) kernels -- no PIL/librosa needed -- and encoders exist
-for fixtures/sinks, so the image AND audio paths are exercised
-end-to-end on genuinely encoded payloads (`decode_audio` decodes once
-at the edge; windowing + feature kernels then run on raw PCM). JPEG,
-compressed audio (mp3/flac) and video codecs are NOT in this
-container, so those decode slots remain stubbed: ``decode_stub=True``
-(default) produces a deterministic fake from the bytes; with
-``decode_stub=False`` they raise ``NotImplementedError`` where a real
-codec (PIL/librosa/av) would plug in. The Spark-side plumbing --
+Codecs: PNG (8-bit gray/RGB/palette/RGBA, all five scanline
+filters), JPEG (baseline SOF0 AND progressive SOF2, llmdata/jpeg.py),
+animated GIF (llmdata/gif.py) and WAV (RIFF/PCM16, any channel count)
+are decoded FOR REAL with pure stdlib(+numpy) kernels -- no
+PIL/librosa needed -- and encoders exist for fixtures/sinks, so the
+image, video AND audio paths are exercised end-to-end on genuinely
+encoded payloads (`decode_audio` decodes once at the edge; windowing +
+feature kernels then run on raw PCM). Compressed audio (mp3/flac) and
+real video codecs (H.264/VP9) are NOT in this container, so those
+decode slots remain stubbed: ``decode_stub=True`` (default) produces a
+deterministic fake from the bytes; with ``decode_stub=False`` they
+raise ``NotImplementedError`` where a real codec (librosa/av) would
+plug in. The Spark-side plumbing --
 schema, batch iteration, partition behavior -- is real and tested
 (tests/test_multimodal.py).
 
@@ -382,8 +384,8 @@ def synthetic_media(spark: Any, n: int = 64) -> DataFrame:
     and VIDEO payloads are REAL animated GIFs (llmdata/gif.py:
     LZW-compressed moving gradient, meta.n_frames == actual frame
     count), so every decode path downstream is genuine; only
-    external-library codecs (H.264/VP9, mp3/flac, progressive JPEG)
-    remain documented stubs."""
+    external-library codecs (H.264/VP9, mp3/flac) remain documented
+    stubs."""
     import numpy as np
 
     from .gif import gif_codec_kernel
@@ -407,8 +409,13 @@ def synthetic_media(spark: Any, n: int = 64) -> DataFrame:
                 payload = png_encode(img, filter_type=i % 5)
                 meta = (w, h, None, None, "image/png")
             else:
+                # alternate baseline / progressive so the census and
+                # resize paths exercise both real JPEG decode modes
                 payload = jpeg_encode(
-                    img, quality=95, subsample=bool((i // 6) % 2)
+                    img,
+                    quality=95,
+                    subsample=bool((i // 6) % 2),
+                    progressive=bool((i // 12) % 2),
                 )
                 meta = (w, h, None, None, "image/jpeg")
         elif kind == "audio":
@@ -491,8 +498,7 @@ def extract_features(media: DataFrame, decode_stub: bool = True) -> DataFrame:
     decoded too: [sample_rate] + the 15 PCM stats/band energies from
     `_pcm_feature_kernel` (mono downmix = floor-mean across channels).
     Other payloads fall back to the sha256 stub (``decode_stub=True``)
-    or raise where the progressive-JPEG/compressed-audio/video codec
-    would plug in.
+    or raise where the compressed-audio/video codec would plug in.
 
     The closure is self-contained (no module-global references): Spark
     Python workers may not have this repo on their PYTHONPATH.
@@ -563,7 +569,7 @@ def extract_features(media: DataFrame, decode_stub: bool = True) -> DataFrame:
                 except (ValueError, NotImplementedError):
                     # jpeg.decode normalizes every malformed-input
                     # failure to ValueError at its boundary and raises
-                    # NotImplementedError for non-baseline frames; a
+                    # NotImplementedError for arithmetic/lossless frames; a
                     # narrower catch means a genuine kernel regression
                     # on a VALID baseline JPEG still surfaces instead
                     # of being masked as stub output (r5 advice)
@@ -577,10 +583,10 @@ def extract_features(media: DataFrame, decode_stub: bool = True) -> DataFrame:
                     pass
             if not decode_stub:
                 raise NotImplementedError(
-                    "only the PNG, baseline-JPEG, animated-GIF and WAV "
-                    "codecs are real; progressive-JPEG/compressed-audio/"
-                    "H.264-class codecs (PIL/librosa/av) are not "
-                    "installed in this container -- pass "
+                    "only the PNG, baseline+progressive-JPEG, "
+                    "animated-GIF and WAV codecs are real; "
+                    "compressed-audio/H.264-class codecs (librosa/av) "
+                    "are not installed in this container -- pass "
                     "decode_stub=True for such payloads"
                 )
             return stub_decode(payload)
@@ -839,10 +845,11 @@ def resize_images(
       (``src_idx = dst_idx * src // dst``, the classic NN mapping) --
       actual pixel output, no codec needed, vectorized per image.
     - ``payload_format="encoded"``: PNG payloads (by signature) are
-      REALLY decoded by the stdlib codec, and baseline JPEG payloads
-      (SOI signature) by the numpy JFIF codec (llmdata/jpeg.py); both
-      are resized by the same NN gather -- true pixels out, no PIL.
-      Remaining encodings (progressive JPEG, WebP...) still need
+      REALLY decoded by the stdlib codec, and baseline + progressive
+      JPEG payloads (SOI signature) by the numpy JFIF codec
+      (llmdata/jpeg.py); both are resized by the same NN gather --
+      true pixels out, no PIL.
+      Remaining encodings (WebP, AVIF...) still need
       PIL/torchvision (absent from this container): the stub
       synthesizes a deterministic buffer from sha256(payload);
       ``decode_stub=False`` raises where the real codec plugs in.
@@ -899,17 +906,17 @@ def resize_images(
                     # jpeg.decode normalizes SOI-signed garbage /
                     # truncation / corrupt entropy streams to ValueError
                     # at its boundary and raises NotImplementedError for
-                    # non-baseline frames -> documented stub slot. The
+                    # arithmetic/lossless frames -> documented stub slot. The
                     # catch is deliberately NO wider: a kernel bug on a
                     # valid baseline JPEG must surface, not silently
                     # degrade to stub output (r5 advice)
                     pass
             if not decode_stub:
                 raise NotImplementedError(
-                    "only the PNG and baseline-JPEG codecs are real; "
-                    "progressive JPEG / other image codecs "
-                    "(PIL/torchvision) are not installed in this container "
-                    "-- pass decode_stub=True or feed supported payloads"
+                    "only the PNG and baseline+progressive-JPEG codecs "
+                    "are real; other image codecs (PIL/torchvision) are "
+                    "not installed in this container -- pass "
+                    "decode_stub=True or feed supported payloads"
                 )
             return stub_resize(payload)
 

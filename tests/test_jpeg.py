@@ -76,14 +76,91 @@ def test_restart_markers_roundtrip_and_reset():
         assert np.abs(dec.astype(int) - img.astype(int)).max() <= 2, ri
 
 
-def test_progressive_rejected_loudly():
-    """A SOF2 (progressive) frame header raises NotImplementedError --
-    the documented remaining stub slot, never a wrong decode."""
+def test_arithmetic_rejected_loudly():
+    """Arithmetic-coded frames (SOF9) raise NotImplementedError -- the
+    documented remaining stub slot, never a wrong decode."""
     enc = bytearray(encode(_gradient(8, 8), quality=95))
     i = enc.find(b"\xff\xc0")
-    enc[i + 1] = 0xC2
-    with pytest.raises(NotImplementedError, match="baseline"):
+    enc[i + 1] = 0xC9
+    with pytest.raises(NotImplementedError, match="SOF9"):
         decode(bytes(enc))
+
+
+def test_progressive_roundtrip_matches_baseline():
+    """Progressive (SOF2) decode is bit-identical to the baseline
+    decode of the same image at the same quality -- both entropy-code
+    the SAME quantized coefficients, so any pixel difference is a scan
+    bug. Covers successive approximation (DC and AC), spectral
+    selection, EOB runs, 4:2:0, and restart markers."""
+    rng = np.random.default_rng(11)
+    imgs = [
+        _gradient(40, 56),
+        rng.integers(0, 256, size=(33, 47, 3), dtype=np.uint8),
+        np.full((16, 24, 3), 130, dtype=np.uint8),
+    ]
+    for img in imgs:
+        for q in (95, 75, 50):
+            for sub in (False, True):
+                for dri in (0, 3):
+                    base = decode(encode(img, quality=q, subsample=sub))
+                    prog = decode(
+                        encode(
+                            img, quality=q, subsample=sub,
+                            progressive=True, restart_interval=dri,
+                        )
+                    )
+                    assert np.array_equal(base, prog), (q, sub, dri)
+
+
+def test_progressive_custom_scan_scripts():
+    """Alternative scan scripts -- spectral-selection-only and
+    DC-successive-approximation-only -- land on the same pixels as the
+    default 10-scan script (script choice is presentation order, not
+    content)."""
+    img = _gradient(24, 24, seed=5)
+    want = decode(encode(img, quality=90, progressive=True))
+    scripts = [
+        [  # spectral selection only, no successive approximation
+            ("dc_first", (0, 1, 2), 0, 0, 0, 0),
+            ("ac_first", (0,), 1, 63, 0, 0),
+            ("ac_first", (1,), 1, 63, 0, 0),
+            ("ac_first", (2,), 1, 63, 0, 0),
+        ],
+        [  # DC successive approximation + single AC band per comp
+            ("dc_first", (0, 1, 2), 0, 0, 0, 2),
+            ("dc_refine", (0, 1, 2), 0, 0, 2, 1),
+            ("dc_refine", (0, 1, 2), 0, 0, 1, 0),
+            ("ac_first", (0,), 1, 63, 0, 0),
+            ("ac_first", (1,), 1, 63, 0, 0),
+            ("ac_first", (2,), 1, 63, 0, 0),
+        ],
+    ]
+    for script in scripts:
+        got = decode(encode(img, quality=90, progressive=True, scans=script))
+        assert np.array_equal(got, want)
+
+
+def test_progressive_partial_scan_decodes():
+    """A progressive stream truncated after its DC scan still decodes
+    (the whole point of progressive rendering): right shape, and the
+    per-8x8-block mean matches the full decode's block mean closely
+    (AC coefficients only redistribute within a block)."""
+    img = _gradient(16, 16, seed=9)
+    dc_only = [("dc_first", (0, 1, 2), 0, 0, 0, 0)]
+    got = decode(encode(img, quality=95, progressive=True, scans=dc_only))
+    assert got.shape == (16, 16, 3)
+    full = decode(encode(img, quality=95, progressive=True))
+    for by in range(2):
+        for bx in range(2):
+            a = got[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8].mean()
+            b = full[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8].mean()
+            assert abs(a - b) < 4.0, (by, bx, a, b)
+
+
+def test_progressive_truncation_raises():
+    enc = encode(_gradient(16, 16), quality=95, progressive=True)
+    with pytest.raises(ValueError):
+        decode(enc[:40])  # cut inside the header segments
 
 
 def test_garbage_and_truncation_raise_valueerror():
