@@ -17,7 +17,12 @@ Near-dup exclusion is NOT recomputed per stream: banded LSH needs a
 corpus-wide self-join, which is an offline artifact. The streaming
 analog is `neardup_probe_stream`: each arrival probes the
 batch-refreshed band index (`write_neardup_index`) with a
-stream-static join, then exact-verifies candidates.
+stream-static join, then exact-verifies candidates. Directed
+containment (excerpt-in-page) follows the same split as of r6:
+`write_containment_index` persists the df-capped posting index +
+hashed shingle arrays, `containment_probe_stream` probes it and
+scores both directions exactly (batch-parity pinned in
+tests/test_streaming.py).
 """
 
 from __future__ import annotations
@@ -210,6 +215,113 @@ def neardup_probe_stream(
     return pair.select("doc_id", "index_doc_id", jac.alias("jaccard")).filter(
         F.col("jaccard") >= threshold
     )
+
+
+def write_containment_index(docs: DataFrame, path: str) -> str:
+    """Persist the directed-containment artifacts the streaming probe
+    joins against (r6; mirrors the batch `containment_pairs` fix):
+
+    - ``{path}/postings``: the df-capped inverted shingle index
+      (doc_id, sh_hash) from `dedup._bounded_postings` -- candidate
+      generation side. At scale written bucketed by sh_hash so a
+      probe's equi-join touches one bucket.
+    - ``{path}/docs``: (doc_id, shi, n_sh) -- the xxhash64 shingle
+      arrays + full distinct-shingle counts for the exact verify.
+
+    The df cap is computed over the INDEXED corpus (a stream cannot
+    know future document frequencies); on corpora where no shingle
+    crosses the cap -- the non-template case -- stream and batch
+    candidate rules coincide exactly (pinned by the parity test)."""
+    from ..llmdata.dedup import (
+        DEFAULT_MAX_BUCKET,
+        _bounded_postings,
+        _shingle_ints,
+        _shingle_table,
+    )
+
+    _bounded_postings(docs, DEFAULT_MAX_BUCKET).select(
+        "doc_id", "sh_hash"
+    ).write.mode("overwrite").parquet(f"{path}/postings")
+    (
+        _shingle_ints(docs)
+        .join(
+            _shingle_table(docs).select("doc_id", F.size("sh").alias("n_sh")),
+            "doc_id",
+        )
+        .write.mode("overwrite")
+        .parquet(f"{path}/docs")
+    )
+    return path
+
+
+def containment_probe_stream(
+    docs: DataFrame,
+    postings: DataFrame,
+    doc_index: DataFrame,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Streaming directed containment against a static corpus: each
+    arriving document's shingle hashes probe the capped posting index
+    (stream-STATIC equi-join, no stream state in candidate
+    generation), candidates dedup exactly-once via cross-batch
+    ``dropDuplicates``, and the exact verify scores BOTH directions --
+    (arriving ⊂ indexed): an excerpt/quote of a known page, and
+    (indexed ⊂ arriving): an arriving page that swallows a known doc.
+
+    Output rows mirror the batch `containment_pairs` shape:
+    (contained_doc, container_doc, containment) with containment =
+    |sh_a ∩ sh_b| / |sh_a| rounded to 6, thresholded. Assumes the
+    stream and index id spaces are disjoint (the caller's contract,
+    same as any cross-corpus join). Per-arrival work is bounded by
+    n_sh x df_cap candidate rows -- a stream probe never needs the
+    batch path's prefix filter, whose job is taming the corpus x
+    corpus self-join."""
+    from ..llmdata.dedup import shingles
+
+    probe = docs.select(
+        "doc_id", F.explode(shingles(F.col("text"))).alias("_s")
+    ).select("doc_id", F.md5("_s").alias("sh_hash"))
+    cands = (
+        probe.join(
+            postings.select(
+                F.col("doc_id").alias("index_doc_id"), "sh_hash"
+            ),
+            "sh_hash",
+        )
+        .select("doc_id", "index_doc_id")
+        .dropDuplicates(["doc_id", "index_doc_id"])
+    )
+    stream_sh = docs.select(
+        "doc_id",
+        F.transform(shingles(F.col("text")), lambda s: F.xxhash64(s)).alias(
+            "_shi_s"
+        ),
+    )
+    pair = cands.join(stream_sh, "doc_id").join(
+        doc_index.select(
+            F.col("doc_id").alias("index_doc_id"),
+            F.col("shi").alias("_shi_i"),
+        ),
+        "index_doc_id",
+    )
+    inter = F.size(F.array_intersect("_shi_s", "_shi_i")).cast("double")
+    both = pair.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("doc_id").alias("contained_doc"),
+                    F.col("index_doc_id").alias("container_doc"),
+                    F.round(inter / F.size("_shi_s"), 6).alias("containment"),
+                ),
+                F.struct(
+                    F.col("index_doc_id").alias("contained_doc"),
+                    F.col("doc_id").alias("container_doc"),
+                    F.round(inter / F.size("_shi_i"), 6).alias("containment"),
+                ),
+            )
+        ).alias("_dir")
+    ).select("_dir.*")
+    return both.filter(F.col("containment") >= threshold)
 
 
 def write_eval_passage_index(

@@ -595,6 +595,70 @@ def test_streaming_neardup_probe_matches_batch(spark, tmp_path):
         assert s_pairs[pair] == jac, pair
 
 
+def test_streaming_containment_probe_matches_batch(spark, tmp_path):
+    """Stream-static directed containment (r6): streaming the derived
+    excerpts against the batch-built posting index of the base corpus
+    finds exactly the batch containment_pairs cross-pairs -- same
+    directed (contained, container) rows, same scores. The base corpus
+    has no shingle near the df cap, so the batch (union-df) and stream
+    (index-df) candidate rules provably coincide here."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from big_data_streaming_dashboard_spark.llmdata.dedup import (
+        containment_decorate,
+        containment_pairs,
+        tokens,
+    )
+    from big_data_streaming_dashboard_spark.streaming.llm_ingest import (
+        containment_probe_stream,
+        stream_documents,
+        write_containment_index,
+    )
+    from big_data_streaming_dashboard_spark.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    idx_path = str(tmp_path / "cindex")
+    write_containment_index(docs, idx_path)
+
+    # the stream: the same excerpt derivation the batch fixture uses
+    toks = tokens(F.col("text"))
+    half = F.slice(
+        toks, 1, F.greatest((F.size(toks) / 2).cast("int"), F.lit(3))
+    )
+    excerpts = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.array_join(half, " ").alias("text"),
+        F.lit("en").alias("lang"),
+        F.lit("src0").alias("source"),
+    )
+    ex_dir = str(tmp_path / "excerpts")
+    excerpts.repartition(3).write.parquet(ex_dir)
+
+    stream = containment_probe_stream(
+        stream_documents(spark, ex_dir),
+        spark.read.parquet(f"{idx_path}/postings"),
+        spark.read.parquet(f"{idx_path}/docs"),
+    )
+    got = _run_stream(spark, stream, f"t_{uuid.uuid4().hex[:8]}")
+    s_rows = {
+        (r["contained_doc"], r["container_doc"]): r["containment"]
+        for r in got.collect()
+    }
+
+    batch = containment_pairs(containment_decorate(docs), 0.8).collect()
+    cross = {
+        (r["contained_doc"], r["container_doc"]): r["containment"]
+        for r in batch
+        if (r["contained_doc"] >= 100000) != (r["container_doc"] >= 100000)
+    }
+    assert s_rows == cross
+    assert cross, "fixture lost its containment pairs"
+
+
 def test_temporal_counts_checkpoint_restart_idempotent(spark, bronze_dir, tmp_path):
     """Re-running the phase-1 count writer against the same checkpoint
     processes nothing new: the counts directory is byte-stable, so the
