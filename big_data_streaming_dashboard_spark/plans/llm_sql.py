@@ -1265,29 +1265,11 @@ FROM ranked WHERE rank <= 100
 """
 
 
-def ivf_topk_sql(
-    n_lists: int = 8,
-    iterations: int = 3,
-    n_queries: int = 5,
-    k: int = 10,
-) -> str:
-    """IVF ANN oracle (mirrors llmdata.similarity.ivf_topk at
-    n_probe=1): the Lloyd k-means loop is deterministic given the
-    seeded init (first n_lists vectors by vec_id) and unrolls into
-    `iterations` assign+means CTE pairs; with n_probe=1 the probe
-    cell is simply the query's own final assignment, and the rerank
-    is the exact left-fold cosine every other paired ANN query uses.
-
-    Cross-engine stability: squared distances mirror the engine's
-    left fold exactly (0.0 + d0 == d0, same association). Per-cluster
-    MEANS are each engine's own avg() -- reassociation puts them
-    within ~1e-13 of each other -- so assignments agree as long as
-    every vector's best-vs-second-best centroid margin is orders of
-    magnitude above that; pinned per embeddings fixture by
-    tests/test_ann.py::test_ivf_assignment_margins. Ties break to the
-    lowest cluster index on both sides (array_position-first vs
-    ORDER BY d2, cluster). The cosine rerank reads RAW vectors, so
-    once candidate sets agree the scores are bit-identical."""
+def _lloyd_ctes(n_lists: int, iterations: int) -> tuple[list, str]:
+    """Shared unrolled-Lloyd CTE builder for the k-means-based oracles
+    (ivf_topk_sql, kmeans_assign_sql): dv + c0 init + one assign CTE
+    per iteration with a means CTE between them. Returns (ctes,
+    final_assignment_cte_name)."""
     d2 = (
         "list_reduce(list_transform(list_zip(a.v, c.cent),"
         " p -> (p[1] - p[2]) * (p[1] - p[2])), (x, y) -> x + y)"
@@ -1335,7 +1317,33 @@ def ivf_topk_sql(
             ctes.append(
                 means.format(name=f"c{i + 1}", prev=f"c{i}", assigned=f"a{i + 1}")
             )
-    final = f"a{iterations}"
+    return ctes, f"a{iterations}"
+
+
+def ivf_topk_sql(
+    n_lists: int = 8,
+    iterations: int = 3,
+    n_queries: int = 5,
+    k: int = 10,
+) -> str:
+    """IVF ANN oracle (mirrors llmdata.similarity.ivf_topk at
+    n_probe=1): the Lloyd k-means loop is deterministic given the
+    seeded init (first n_lists vectors by vec_id) and unrolls into
+    `iterations` assign+means CTE pairs; with n_probe=1 the probe
+    cell is simply the query's own final assignment, and the rerank
+    is the exact left-fold cosine every other paired ANN query uses.
+
+    Cross-engine stability: squared distances mirror the engine's
+    left fold exactly (0.0 + d0 == d0, same association). Per-cluster
+    MEANS are each engine's own avg() -- reassociation puts them
+    within ~1e-13 of each other -- so assignments agree as long as
+    every vector's best-vs-second-best centroid margin is orders of
+    magnitude above that; pinned per embeddings fixture by
+    tests/test_ann.py::test_ivf_assignment_margins. Ties break to the
+    lowest cluster index on both sides (array_position-first vs
+    ORDER BY d2, cluster). The cosine rerank reads RAW vectors, so
+    once candidate sets agree the scores are bit-identical."""
+    ctes, final = _lloyd_ctes(n_lists, iterations)
     cos = _cos_expr("q.v", "cand.v")
     return (
         "WITH "
@@ -1360,4 +1368,21 @@ ranked AS (
 SELECT query_id, vec_id, label, rank, round(_cos, 6) AS cos_sim
 FROM ranked WHERE rank <= {k}
 """
+    )
+
+
+def kmeans_assign_sql(k: int = 8, iterations: int = 5) -> str:
+    """Lloyd k-means assignment oracle (mirrors
+    llmdata.similarity.kmeans_assign): the same unrolled loop as
+    `ivf_topk_sql` -- deterministic seeded init, left-fold squared
+    distances, ties to the lowest cluster -- selecting the final
+    assignment directly. Same cross-engine stability argument
+    (best-vs-second-best margins pinned per fixture by
+    tests/test_ann.py::test_ivf_assignment_margins, which covers this
+    (k, iterations) configuration too)."""
+    ctes, final = _lloyd_ctes(k, iterations)
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT vec_id, CAST(cluster AS INTEGER) AS cluster FROM {final}\n"
     )

@@ -870,17 +870,45 @@ QUERIES: dict[str, QuerySpec] = {
         llm_sql.ivf_topk_sql(),
         "IVF approximate top-k (k-means inverted lists)",
     ),
-    # iterative algorithm -> rows-only check
+    # oracle-paired as of r6 (same unrolled-Lloyd argument as
+    # emb_ivf_topk; margins for (8, 5) pinned in test_ann)
     "emb_kmeans": QuerySpec(
         lambda spark, sf: kmeans_assign(_embs(spark, sf)),
-        None,
+        llm_sql.kmeans_assign_sql(),
         "Lloyd k-means cluster assignment (iterative, k=8, 5 iters)",
     ),
-    # last-EMITTED-alert dependency is sequential per key -> not
-    # SQL-expressible with plain window functions -> rows-only check
+    # oracle-paired as of r6: the last-EMITTED-alert dependency is
+    # sequential per key -- beyond plain window functions, but exactly
+    # a row-at-a-time RECURSIVE CTE (state = (last_emit, row_index)
+    # advanced one candidate per iteration). Bit-exact cross-engine:
+    # the engine's pandas epoch (int64 ns / 1e9) and DuckDB's
+    # epoch(TIMESTAMP) (us / 1e6) are the same correctly-rounded
+    # double of the same rational, so every >= 30 s decision matches
+    # exactly -- no margin argument needed.
     "alerts_cooldown_exact": QuerySpec(
         lambda spark, sf: exact_cooldown_batch(alert_candidates(_points(spark, sf))),
-        None,
+        f"""{_CAND_CTE.replace("WITH ", "WITH RECURSIVE ", 1)},
+seq AS (
+    SELECT cooldown_key, event_id, event_time, lat, lon, value, severity,
+           alert_message, epoch(event_time) AS _ts,
+           row_number() OVER (PARTITION BY cooldown_key
+               ORDER BY event_time, event_id) AS _rn
+    FROM cand
+),
+scan AS (
+    SELECT cooldown_key, _rn, TRUE AS _emit, _ts AS _last
+    FROM seq WHERE _rn = 1
+    UNION ALL
+    SELECT r.cooldown_key, r._rn,
+           (r._ts - s._last >= 30.0) AS _emit,
+           CASE WHEN r._ts - s._last >= 30.0 THEN r._ts ELSE s._last END AS _last
+    FROM scan s JOIN seq r
+      ON r.cooldown_key = s.cooldown_key AND r._rn = s._rn + 1
+)
+SELECT q.cooldown_key, q.event_id, q.event_time, q.lat, q.lon, q.value,
+       q.severity, q.alert_message
+FROM scan s JOIN seq q ON q.cooldown_key = s.cooldown_key AND q._rn = s._rn
+WHERE s._emit""",
         "D2 exact sequential cooldown (applyInPandas keyed scan)",
     ),
     # binary-payload decode runs through mapInPandas (codec stubbed:
@@ -1030,8 +1058,10 @@ DRIVER_WINDOW: list[str] = [
     # retained: plan changed r6 (prefix-filtered candidates, int-hash verify)
     "doc_ngram_jaccard",
     # rows-only by design -- permanently in-window per r3 advice
-    # (emb_ivf_topk oracle-paired as of r6, stays in-window for its
-    # first hash-checked driver row)
+    # (emb_ivf_topk, emb_kmeans and alerts_cooldown_exact
+    # oracle-paired as of r6 -- unrolled-Lloyd SQL / recursive-CTE
+    # sequential scan -- and stay in-window for their first
+    # hash-checked driver rows)
     "emb_rerank_topk",
     "emb_ivf_topk",
     "emb_ivf_topk_tuned",

@@ -271,18 +271,19 @@ def test_ivf_assignment_margins(fixture_dir):
     V = np.array([np.asarray(v, dtype=np.float64) for v in t["embedding"].to_pylist()])
     order = np.argsort(ids)
     ids, V = ids[order], V[order]
-    n_lists, iterations = 8, 3
-    cents = V[ids < n_lists][np.argsort(ids[ids < n_lists])].copy()
     min_margin = np.inf
-    for _ in range(iterations):
-        d2 = ((V[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
-        part = np.sort(d2, axis=1)
-        min_margin = min(min_margin, float((part[:, 1] - part[:, 0]).min()))
-        assign = d2.argmin(axis=1)
-        for c in range(n_lists):
-            m = V[assign == c]
-            if len(m):
-                cents[c] = m.mean(axis=0)
+    # (8, 3) = emb_ivf_topk's config; (8, 5) = emb_kmeans's
+    for n_lists, iterations in ((8, 3), (8, 5)):
+        cents = V[ids < n_lists][np.argsort(ids[ids < n_lists])].copy()
+        for _ in range(iterations):
+            d2 = ((V[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            part = np.sort(d2, axis=1)
+            min_margin = min(min_margin, float((part[:, 1] - part[:, 0]).min()))
+            assign = d2.argmin(axis=1)
+            for c in range(n_lists):
+                m = V[assign == c]
+                if len(m):
+                    cents[c] = m.mean(axis=0)
     # propagated bound on the engines' d2 disagreement: centroid
     # components differ by avg() reassociation (~1e-13 on O(1)
     # doubles), so |d2_A - d2_B| <= dim * dc * 2*max|v-c| ~ 6e-12.
