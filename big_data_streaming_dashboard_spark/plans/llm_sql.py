@@ -1386,3 +1386,83 @@ def kmeans_assign_sql(k: int = 8, iterations: int = 5) -> str:
         + ",\n".join(ctes)
         + f"\nSELECT vec_id, CAST(cluster AS INTEGER) AS cluster FROM {final}\n"
     )
+
+
+def ivf_topk_tuned_sql(
+    n_lists: int = 16,
+    iterations: int = 3,
+    n_probe: int = 2,
+    n_queries: int = 5,
+    k: int = 10,
+) -> str:
+    """Multi-probe IVF ANN oracle (mirrors llmdata.similarity.ivf_topk
+    at n_probe>1): the same unrolled Lloyd loop as `ivf_topk_sql`,
+    plus the one thing multi-probe adds -- rank every FINAL-assignment
+    centroid by squared distance to the query and probe the n_probe
+    nearest cells.
+
+    The engine's probe centroids (similarity.py `cents`) are the
+    per-dimension means of the final assignment, computed ONLY for
+    clusters that actually appear in it -- an empty cluster cannot be
+    probed. Mirrored here with a plain GROUP BY over the final
+    assignment (no coalesce-with-previous, unlike the Lloyd means
+    CTEs, where the engine's kmeans_assign keeps an empty cluster's
+    old centroid).
+
+    Cross-engine stability adds ONE new margin surface on top of the
+    assignment margins: the query's n_probe-th vs (n_probe+1)-th
+    nearest-centroid squared-distance gap must dwarf avg()
+    reassociation noise (~6e-12 propagated bound) -- pinned per
+    embeddings fixture by
+    tests/test_ann.py::test_ivf_probe_rank_margins. Ties break to the
+    lowest cluster index on both sides (ORDER BY _d2, cluster). Each
+    candidate lives in exactly one cluster and the probed cells are
+    distinct, so no cross-probe duplicate handling is needed; once
+    candidate sets agree the raw-vector cosine rerank is
+    bit-identical."""
+    ctes, final = _lloyd_ctes(n_lists, iterations)
+    d2q = (
+        "list_reduce(list_transform(list_zip(q.v, c.cent),"
+        " p -> (p[1] - p[2]) * (p[1] - p[2])), (x, y) -> x + y)"
+    )
+    cos = _cos_expr("p.v", "cand.v")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+fcent AS (
+    SELECT cluster, list(m ORDER BY pos) AS cent FROM (
+        SELECT cluster, pos, avg(x) AS m FROM (
+            SELECT cluster, unnest(v) AS x,
+                   unnest(range(len(v))) AS pos
+            FROM {final}
+        ) GROUP BY cluster, pos
+    ) GROUP BY cluster
+),
+q AS (
+    SELECT vec_id AS query_id, v FROM {final}
+    WHERE vec_id < {n_queries}
+),
+probe AS (
+    SELECT q.query_id, q.v, c.cluster AS probe_cluster,
+           row_number() OVER (PARTITION BY q.query_id
+               ORDER BY {d2q}, c.cluster) AS _pr
+    FROM q CROSS JOIN fcent c
+    QUALIFY _pr <= {n_probe}
+),
+scored AS (
+    SELECT p.query_id, cand.vec_id, dv.label, {cos} AS _cos
+    FROM probe p
+    JOIN {final} cand ON cand.cluster = p.probe_cluster
+                     AND cand.vec_id <> p.query_id
+    JOIN dv ON dv.vec_id = cand.vec_id
+),
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+        ORDER BY _cos DESC, vec_id) AS rank
+    FROM scored
+)
+SELECT query_id, vec_id, label, rank, round(_cos, 6) AS cos_sim
+FROM ranked WHERE rank <= {k}
+"""
+    )

@@ -821,10 +821,16 @@ QUERIES: dict[str, QuerySpec] = {
         llm_sql.BIGRAM_LM_SQL,
         "corpus bigram LM, per-doc mean conditional probability",
     ),
-    # ANN is approximate by design -> rows-only check (no oracle)
+    # oracle-paired as of r7 (r6 verdict item 1): the same
+    # unrolled-Lloyd argument as emb_ivf_topk, plus a top-n_probe cell
+    # selection over the final-assignment centroids. Cross-engine
+    # stability needs assignment margins ((16, 3) added to
+    # test_ann.test_ivf_assignment_margins) AND the probe-rank margin
+    # (n_probe-th vs (n_probe+1)-th nearest centroid gap, pinned by
+    # test_ann.test_ivf_probe_rank_margins).
     "emb_ivf_topk_tuned": QuerySpec(
         lambda spark, sf: ivf_topk(_embs(spark, sf), n_lists=16, n_probe=2),
-        None,
+        llm_sql.ivf_topk_tuned_sql(),
         "IVF ANN with multi-probe (nprobe=2 of 16 lists; ~0.8 recall @ 1/8 candidates)",
     ),
     # the banded/Hamming prefilters are deterministic functions of the

@@ -272,8 +272,9 @@ def test_ivf_assignment_margins(fixture_dir):
     order = np.argsort(ids)
     ids, V = ids[order], V[order]
     min_margin = np.inf
-    # (8, 3) = emb_ivf_topk's config; (8, 5) = emb_kmeans's
-    for n_lists, iterations in ((8, 3), (8, 5)):
+    # (8, 3) = emb_ivf_topk's; (8, 5) = emb_kmeans's; (16, 3) =
+    # emb_ivf_topk_tuned's (r7 oracle pairing)
+    for n_lists, iterations in ((8, 3), (8, 5), (16, 3)):
         cents = V[ids < n_lists][np.argsort(ids[ids < n_lists])].copy()
         for _ in range(iterations):
             d2 = ((V[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
@@ -292,3 +293,45 @@ def test_ivf_assignment_margins(fixture_dir):
     # keeps >100x headroom and still fails loudly on a genuinely
     # ambiguous fixture
     assert min_margin > 1e-9, f"IVF assignment margin {min_margin} too tight"
+
+
+@pytest.mark.parametrize("fixture_dir", _embedding_fixture_dirs())
+def test_ivf_probe_rank_margins(fixture_dir):
+    """The r7 oracle pairing of emb_ivf_topk_tuned (multi-probe IVF)
+    adds one margin surface beyond assignment: each query ranks the
+    FINAL-assignment centroids by squared distance and probes the
+    n_probe nearest, so the n_probe-th vs (n_probe+1)-th gap must
+    dwarf avg() reassociation noise (~6e-12 propagated bound, see
+    test_ivf_assignment_margins) for the two engines to probe the
+    same cells. Numpy mirror of similarity.ivf_topk's multi-probe
+    branch at its registered config (n_lists=16, iterations=3,
+    n_probe=2, n_queries=5)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    n_lists, iterations, n_probe, n_queries = 16, 3, 2, 5
+    t = pq.read_table(
+        f"{fixture_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    ids = np.array(t["vec_id"].to_pylist())
+    V = np.array([np.asarray(v, dtype=np.float64) for v in t["embedding"].to_pylist()])
+    order = np.argsort(ids)
+    ids, V = ids[order], V[order]
+    cents = V[ids < n_lists][np.argsort(ids[ids < n_lists])].copy()
+    assign = None
+    for _ in range(iterations):
+        d2 = ((V[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(n_lists):
+            m = V[assign == c]
+            if len(m):
+                cents[c] = m.mean(axis=0)
+    # probe centroids = means of the FINAL assignment, only clusters
+    # that appear in it (an empty cluster cannot be probed)
+    live = sorted(set(assign.tolist()))
+    fcents = np.array([V[assign == c].mean(axis=0) for c in live])
+    Q = V[ids < n_queries]
+    d2q = ((Q[:, None, :] - fcents[None, :, :]) ** 2).sum(axis=2)
+    part = np.sort(d2q, axis=1)
+    margin = float((part[:, n_probe] - part[:, n_probe - 1]).min())
+    assert margin > 1e-9, f"IVF probe-rank margin {margin} too tight"
