@@ -1388,6 +1388,163 @@ def kmeans_assign_sql(k: int = 8, iterations: int = 5) -> str:
     )
 
 
+def pq_topk_sql(
+    n_queries: int = 5,
+    k: int = 5,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    iterations: int = 3,
+    dim: int = 64,
+) -> str:
+    """Product-quantization ANN oracle (mirrors
+    llmdata.similarity.pq_topk): per-subspace Lloyd codebook training
+    unrolled into assign+means CTE chains (one independent chain per
+    subspace -- the engine's iteration x subspace loop factors, since
+    each subspace's update reads only its own codebook), ADC scoring
+    as an s-ordered fold of query-to-candidate-centroid squared
+    distances, shortlist by (ADC, vec_id), exact unit-vector-dot
+    rerank rounded to 6 BEFORE ranking (as the engine does).
+
+    Unlike the IVF pairing, NO margin argument is needed: every step
+    is a bit-identical IEEE sequence on both engines -- the seeds are
+    the same parquet doubles through the same normalize fold
+    (0.0 + x0^2 == x0^2), the means are sorted-ascending left folds
+    divided by the count (Spark array_sort(collect_list) == DuckDB
+    list_sort(list)), assignment ties break to the lowest code on
+    both sides (array_position-first-min vs ORDER BY d2, code), the
+    engine's driver-side Python LUT entries are sum((a-b)^2) left
+    folds re-entering the plan via repr round-trip (exact), and the
+    ADC accumulation is left-associated in subspace order on both
+    sides. Identical codebooks -> identical codes -> identical ADC
+    bits -> identical shortlist -> bit-identical rerank."""
+    d_sub = dim // n_subspaces
+
+    def d2(a: str, b: str) -> str:
+        return (
+            f"list_reduce(list_transform(list_zip({a}, {b}),"
+            " p -> (p[1] - p[2]) * (p[1] - p[2])), (x, y) -> x + y)"
+        )
+
+    ctes = [
+        "dvv AS (\n"
+        "    SELECT vec_id, label,\n"
+        "           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS d\n"
+        "    FROM embeddings\n"
+        ")",
+        # unit-normalize exactly as the engine: norm = left-fold sum of
+        # squares from 0.0 (== plain fold from x0^2), then x / norm
+        "nv AS (\n"
+        "    SELECT vec_id, label,\n"
+        "           list_transform(d, x -> x / sqrt(\n"
+        "               list_reduce(list_transform(d, y -> y * y),"
+        " (a, b) -> a + b))) AS v\n"
+        "    FROM dvv\n"
+        ")",
+        "seed AS (\n"
+        "    SELECT v, row_number() OVER (ORDER BY vec_id) AS rn FROM nv\n"
+        f"    QUALIFY rn <= {n_codes}\n"
+        ")",
+    ]
+    for s in range(n_subspaces):
+        lo, hi = s * d_sub + 1, (s + 1) * d_sub
+        ctes.append(
+            f"sub{s} AS (SELECT vec_id, v[{lo}:{hi}] AS sub FROM nv)"
+        )
+        ctes.append(
+            f"cb{s}_0 AS (SELECT rn - 1 AS code, v[{lo}:{hi}] AS cent FROM seed)"
+        )
+        # iterations assign+means rounds, then one final assign under
+        # the trained codebook (the engine encodes AFTER the loop)
+        for i in range(1, iterations + 1):
+            ctes.append(
+                f"a{s}_{i} AS (\n"
+                f"    SELECT d.vec_id, d.sub, c.code,\n"
+                f"           row_number() OVER (PARTITION BY d.vec_id\n"
+                f"               ORDER BY {d2('d.sub', 'c.cent')}, c.code) AS _r\n"
+                f"    FROM sub{s} d CROSS JOIN cb{s}_{i - 1} c\n"
+                f"    QUALIFY _r = 1\n"
+                f")"
+            )
+            ctes.append(
+                f"cb{s}_{i} AS (\n"
+                f"    SELECT p.code, coalesce(m.cent, p.cent) AS cent\n"
+                f"    FROM cb{s}_{i - 1} p LEFT JOIN (\n"
+                f"        SELECT code, list(m ORDER BY pos) AS cent FROM (\n"
+                f"            SELECT code, pos,\n"
+                f"                   list_reduce(list_sort(list(x)),"
+                f" (a, b) -> a + b) / count(x) AS m\n"
+                f"            FROM (SELECT code, unnest(sub) AS x,\n"
+                f"                         unnest(range(len(sub))) AS pos\n"
+                f"                  FROM a{s}_{i})\n"
+                f"            GROUP BY code, pos\n"
+                f"        ) GROUP BY code\n"
+                f"    ) m USING (code)\n"
+                f")"
+            )
+        ctes.append(
+            f"f{s} AS (\n"
+            f"    SELECT d.vec_id, c.code,\n"
+            f"           row_number() OVER (PARTITION BY d.vec_id\n"
+            f"               ORDER BY {d2('d.sub', 'c.cent')}, c.code) AS _r\n"
+            f"    FROM sub{s} d CROSS JOIN cb{s}_{iterations} c\n"
+            f"    QUALIFY _r = 1\n"
+            f")"
+        )
+    ctes.append(
+        "q AS (\n"
+        "    SELECT vec_id AS query_id, v,\n"
+        "           row_number() OVER (ORDER BY vec_id) AS _qr\n"
+        f"    FROM nv QUALIFY _qr <= {n_queries}\n"
+        ")"
+    )
+    term_selects = []
+    for s in range(n_subspaces):
+        lo, hi = s * d_sub + 1, (s + 1) * d_sub
+        term_selects.append(
+            f"    SELECT q.query_id, a.vec_id, {s} AS s,\n"
+            f"           {d2(f'q.v[{lo}:{hi}]', 'c.cent')} AS term\n"
+            f"    FROM q CROSS JOIN f{s} a\n"
+            f"    JOIN cb{s}_{iterations} c ON c.code = a.code\n"
+            f"    WHERE a.vec_id <> q.query_id"
+        )
+    ctes.append("terms AS (\n" + "\n    UNION ALL\n".join(term_selects) + "\n)")
+    shortlist = (
+        f"greatest({8 * k}, (SELECT count(*) // 8 FROM nv))"
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+adc AS (
+    SELECT query_id, vec_id,
+           list_reduce(list(term ORDER BY s), (a, b) -> a + b) AS _adc
+    FROM terms GROUP BY query_id, vec_id
+),
+short AS (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+               ORDER BY _adc, vec_id) AS _r
+    FROM adc
+    QUALIFY _r <= {shortlist}
+),
+rr AS (
+    SELECT s.query_id, s.vec_id, cv.label,
+           round({_DOT.format(a='q.v', b='cv.v')}, 6) AS cos_sim
+    FROM short s
+    JOIN q ON q.query_id = s.query_id
+    JOIN nv cv ON cv.vec_id = s.vec_id
+),
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+        ORDER BY cos_sim DESC, vec_id) AS rank
+    FROM rr
+)
+SELECT query_id, vec_id, label, rank, cos_sim
+FROM ranked WHERE rank <= {k}
+"""
+    )
+
+
 def ivf_topk_tuned_sql(
     n_lists: int = 16,
     iterations: int = 3,

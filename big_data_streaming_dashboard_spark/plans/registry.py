@@ -850,9 +850,16 @@ QUERIES: dict[str, QuerySpec] = {
         ),
         "256-bit SimHash Hamming-radius ANN top-k (recall 0.96 @ 1/8 candidates)",
     ),
+    # oracle-paired as of r7 (r6 verdict item 1): per-subspace Lloyd
+    # codebook training unrolls into independent assign+means CTE
+    # chains; ADC is an s-ordered fold of query-to-centroid squared
+    # distances. NO margin argument needed (unlike IVF): every step is
+    # a bit-identical IEEE sequence on both engines -- sorted-fold
+    # means, repr-round-tripped LUT literals, left-associated ADC
+    # accumulation (see llm_sql.pq_topk_sql docstring).
     "emb_pq_topk": QuerySpec(
         lambda spark, sf: pq_topk(_embs(spark, sf)),
-        None,
+        llm_sql.pq_topk_sql(),
         "product-quantization ADC shortlist + exact rerank (8 B/vec codes; recall 0.84 @ 1/8)",
     ),
     # sketches differ across engines by design -> rows-only; tests
