@@ -100,25 +100,40 @@ def brute_force_topk(
     n_queries: int = 5,
     k: int = 10,
     dim: int = EMBEDDING_DIM,
+    unroll: bool = False,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for the first ``n_queries`` vectors.
 
     The query side is tiny by construction -> broadcast join, no
-    shuffle of the corpus; ranking is a per-query-group top-k window.
+    shuffle of the corpus; ranking is a per-query-group top-k window
+    (WindowGroupLimit: per-partition heaps before the exchange).
     Hot-loop discipline: norms are computed ONCE per row (not per
-    pair), and the pairwise dot is the unrolled codegen form -- the
-    values are bit-identical to the naive per-pair fold the oracle
-    runs (same order, multiplication commutes). ``dim`` is a plan-time
-    parameter (no data probe; see EMBEDDING_DIM).
+    pair); the pairwise dot is the HOF fold -- bit-identical to the
+    unrolled chain (0.0+p0 == p0, same order). The r7 interleaved A/B
+    (8 reps, same session, sf0.1 AND the 10x fixture) reversed the
+    r1-era unrolled-wins measurement at bench scales: the 4x 64-term
+    expression trees cost ~0.4 s of per-execution plan processing on
+    the driver while the fold's interpreted eval is below noise up to
+    at least 100k pairs (HOF 0.38/0.45 min/median vs unrolled
+    0.69/0.81 at sf0.1; 0.38/0.45 vs 0.79/0.85 at 10x). The driver
+    cost is CONSTANT in data size, so the crossover where unrolled
+    codegen eval wins sits around ~1M+ scored pairs -- pass
+    ``unroll=True`` for that regime (no data probe here by design, so
+    the caller makes the call). ``dim`` is a plan-time parameter (see
+    EMBEDDING_DIM).
     """
+    if unroll:
+        _d = lambda a, b: dot_unrolled(a, b, dim)  # noqa: E731
+    else:
+        _d = lambda a, b: dot(F.col(a), F.col(b))  # noqa: E731
     qs = embeddings.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         _dvec("embedding").alias("qvec"),
     )
-    qs = qs.withColumn("qnorm", F.sqrt(dot_unrolled("qvec", "qvec", dim)))
+    qs = qs.withColumn("qnorm", F.sqrt(_d("qvec", "qvec")))
     corpus = embeddings.select(
         "vec_id", _dvec("embedding").alias("cvec"), "label"
-    ).withColumn("cnorm", F.sqrt(dot_unrolled("cvec", "cvec", dim)))
+    ).withColumn("cnorm", F.sqrt(_d("cvec", "cvec")))
     scored = (
         corpus.crossJoin(F.broadcast(qs))
         .filter(F.col("vec_id") != F.col("query_id"))
@@ -127,7 +142,7 @@ def brute_force_topk(
             "vec_id",
             "label",
             (
-                dot_unrolled("qvec", "cvec", dim)
+                _d("qvec", "cvec")
                 / (F.col("qnorm") * F.col("cnorm"))
             ).alias("_cos"),
         )
