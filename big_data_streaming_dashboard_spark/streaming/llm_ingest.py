@@ -278,9 +278,11 @@ def containment_probe_stream(
     corpus self-join."""
     from ..llmdata.dedup import shingles
 
+    # xxhash64, matching the persisted index's key (r7: was md5 --
+    # the batch index switched to int64 keys, see _bounded_postings)
     probe = docs.select(
         "doc_id", F.explode(shingles(F.col("text"))).alias("_s")
-    ).select("doc_id", F.md5("_s").alias("sh_hash"))
+    ).select("doc_id", F.xxhash64("_s").alias("sh_hash"))
     cands = (
         probe.join(
             postings.select(
