@@ -382,19 +382,31 @@ def curation_pipeline_full(
     semantic_threshold: float = 0.5,
 ) -> DataFrame:
     """Capstone hygiene verdict: the extended precedence ladder plus
-    SEMANTIC dedup as the lowest-precedence drop reason --
+    the Gopher rule battery (r7; the real pretraining order applies
+    document-shape filters BEFORE any dedup spends shuffles on docs
+    that will not survive anyway) and SEMANTIC dedup as the
+    lowest-precedence drop reason --
     eval_holdout > contaminated > non_english > low_quality >
-    repetitious > exact_duplicate > near_duplicate >
+    gopher_fail > repetitious > exact_duplicate > near_duplicate >
     semantic_duplicate.
+
+    `gopher_fail` is `text.gopher_rules`' 7-rule conjunction (Rae et
+    al. 2021 A1.1): it outranks the dedup reasons (shape filters run
+    first in a real pipeline) but sits below the scalar quality gate
+    that predates it in the ladder, so every pre-r7 reason is
+    unchanged on docs the battery passes.
 
     Semantic drops come from `dedup.semantic_neardup` (embedding
     near-dup pairs, SemDeDup shape): a doc already dropped by a text
     signal keeps that reason; an otherwise-clean doc whose embedding
     duplicates a lower doc_id picks up `semantic_duplicate` with
-    ``dup_of`` naming its canonical. Text signals and the vector
-    signal are independent shuffle trees joined once on doc_id, so
-    the whole verdict stays one oracle-checkable plan."""
+    ``dup_of`` naming its canonical. Text signals (including the
+    gopher battery -- one more narrow map over the same cached docs
+    scan) and the vector signal are independent shuffle trees joined
+    once on doc_id, so the whole verdict stays one oracle-checkable
+    plan."""
     from .dedup import semantic_neardup
+    from .text import gopher_rules
 
     base = curation_pipeline_extended(
         docs,
@@ -407,8 +419,18 @@ def curation_pipeline_full(
     sem = semantic_neardup(docs, embeddings, semantic_threshold).select(
         "doc_id", F.col("keep").alias("_sem_keep"), "dup_of"
     )
-    joined = base.drop("kept").join(sem, "doc_id", "left")
+    gop = gopher_rules(docs).select(
+        "doc_id", F.col("keep").alias("_gopher_keep")
+    )
+    joined = base.drop("kept").join(sem, "doc_id", "left").join(gop, "doc_id")
     reason = F.coalesce(
+        F.when(
+            F.col("drop_reason").isin(
+                "eval_holdout", "contaminated", "non_english", "low_quality"
+            ),
+            F.col("drop_reason"),
+        ),
+        F.when(~F.col("_gopher_keep"), F.lit("gopher_fail")),
         F.col("drop_reason"),
         F.when(~F.col("_sem_keep"), F.lit("semantic_duplicate")),
     )
@@ -419,6 +441,7 @@ def curation_pipeline_full(
         "n_tokens",
         "repetition_rate",
         "is_contaminated",
+        (~F.col("_gopher_keep")).alias("is_gopher_fail"),
         (~F.col("_sem_keep")).alias("is_semantic_dup"),
         "dup_of",
         reason.alias("drop_reason"),

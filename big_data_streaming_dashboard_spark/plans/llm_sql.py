@@ -1011,19 +1011,29 @@ def curation_full_sql(
     planes: tuple, bands: int, rows_per_band: int, threshold: float = 0.5
 ) -> str:
     """Oracle for curation.curation_pipeline_full: the extended
-    verdict left-joined to the semantic-neardup verdict (same literal
+    verdict joined to the gopher battery (gopher_fail outranks the
+    dedup reasons, sits below the scalar quality gate -- r7) and
+    left-joined to the semantic-neardup verdict (same literal
     planes), semantic_duplicate as the lowest-precedence reason."""
     sem = semantic_neardup_sql(planes, bands, rows_per_band, threshold)
     return f"""
 SELECT *, drop_reason IS NULL AS kept FROM (
     SELECT e.doc_id, e.predicted_lang, e.quality_score, e.n_tokens,
         e.repetition_rate, e.is_contaminated,
+        (NOT g.keep) AS is_gopher_fail,
         (NOT s.keep) AS is_semantic_dup,
         s.dup_of,
-        COALESCE(e.drop_reason,
-                 CASE WHEN NOT s.keep THEN 'semantic_duplicate' END)
+        COALESCE(
+            CASE WHEN e.drop_reason IN ('eval_holdout', 'contaminated',
+                                        'non_english', 'low_quality')
+                 THEN e.drop_reason END,
+            CASE WHEN NOT g.keep THEN 'gopher_fail' END,
+            e.drop_reason,
+            CASE WHEN NOT s.keep THEN 'semantic_duplicate' END)
             AS drop_reason
     FROM ({CURATION_EXTENDED_SQL}) e
+    JOIN (SELECT doc_id, keep FROM ({GOPHER_SQL}) _g) g
+        ON e.doc_id = g.doc_id
     LEFT JOIN ({sem}) s ON e.doc_id = s.doc_id
 )
 """
