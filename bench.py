@@ -80,6 +80,13 @@ TENX = [
     "full_pipeline",
     "doc_neardup_pairs",
     "revenue_by_nation",
+    # r7 additions (r6 verdict item 4): the two queries whose scale
+    # behavior changed in r6/r7 (prefix-filtered candidates, int64
+    # posting keys) plus one ANN path -- per-round regression
+    # tripwires for exactly the paths whose 10x shape was re-earned
+    "doc_containment_pairs",
+    "doc_ngram_jaccard",
+    "emb_lsh_topk",
 ]
 
 

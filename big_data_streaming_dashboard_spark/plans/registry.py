@@ -1005,83 +1005,85 @@ WHERE s._emit""",
 # queries()). This is an EXPLICIT contract list -- dict insertion order
 # above is documentation order only and is NOT load-bearing.
 #
-# Rotation policy (executed round 6, per the r5 verdict item 1; the
-# r5 policy text is in git history): every rows-only (no-oracle) query
-# stays in the checked set permanently (round-3 advice -- they are
-# otherwise never externally exercised); the 30 r5-rotated-in queries
-# swap OUT for the r4-green block that sat out r5; the 7 queries added
-# past-window in r5 (never driver-checked) all rotate IN for their
-# first driver rows; retained regardless: full_pipeline (flagship) and
-# doc_ngram_jaccard + doc_containment_pairs (their candidate
-# generation changed to prefix filtering this round -- provably
-# output-identical, but a changed plan re-earns its driver row). To
-# stay at 50, the two most-validated r4-green queries whose operators
-# full_pipeline also exercises end-to-end (silver_validate,
-# dedup_first_occurrence -- 4 green driver rows each, r1-r4) sit out;
-# both remain locally oracle-checked every suite run
-# (tests/test_oracle.py). After r6, every oracle-paired query's newest
-# driver row is r4 or r6.
+# Rotation policy (executed round 7, per the r6 verdict item 2; prior
+# rounds' policy text is in git history): every rows-only (no-oracle)
+# query stays in the checked set permanently (round-3 advice); the 42
+# queries that sat out r6 -- including the verdict-named anchors
+# silver_validate, dedup_first_occurrence, route_counts,
+# rolling_stats, recent_points -- rotate back IN, except
+# routed_records (sat out to make room, per the r6 precedent: its
+# routing split is exercised end-to-end by full_pipeline and
+# route_counts stays in; 4 green rows r1-r4, locally oracle-checked
+# every suite run); retained from r6: full_pipeline (flagship),
+# emb_ivf_topk_tuned + emb_pq_topk (oracle-paired THIS round -- first
+# hash-checked rows), and the three r7 plan changes that re-earn
+# their rows (doc_containment_pairs + doc_ngram_jaccard: int64
+# posting keys; doc_curation_full: gopher_fail wired into the
+# ladder). doc_vocab_coverage / doc_shard_packing also changed in r7
+# but only by an explicit constant window-partition key (plan
+# cosmetic, values untouched) -- they stay rotated out, locally
+# green. emb_ivf_topk, emb_kmeans, alerts_cooldown_exact got their
+# first hash-checked rows in r6 and rotate out as ordinary paired
+# queries. After r7, every oracle-paired query's newest driver row is
+# r6 or r7.
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW: list[str] = [
-    # r4-green block rotating back in (driver history in CORRECTNESS_r0*)
-    "temporal_batch_annotate",
-    "temporal_union",
-    "alerts_cooldown",
-    "alerts_active",
-    "grid_cluster",
-    "pricing_summary",
-    "revenue_by_nation",
-    "top_customers",
-    "asof_latest_order",
-    "gapfill_5min",
-    "doc_minhash_signature",
-    "doc_curation_extended",
-    "doc_shard_packing",
-    "doc_pii_redact",
-    "doc_curation_full",
-    "window_zoo",
-    "level_filter_high",
-    "severity_ws_counts",
-    "alerts_ws_messages",
-    "geojson_features",
-    "doc_token_stats",
-    "doc_quality",
-    "doc_langid",
-    "doc_exact_dedup",
-    "doc_rolling_fingerprint",
-    "doc_repeated_passages",
-    "doc_simhash",
-    "doc_tfidf_top_terms",
-    "doc_bigram_lm",
-    "pivot_event_counts",
-    "grouping_sets_shipping",
-    "rollup_pricing",
-    "segment_semi_anti",
-    # r5 past-window additions: first-ever driver rows (r5 verdict item 1)
-    "doc_containment_pairs",
-    "doc_gopher_rules",
-    "doc_dedupe_lines",
-    "doc_vocab_coverage",
-    "doc_normalize",
-    "doc_chunk_spans",
-    "activity_reconcile",
+    # r5-green block rotating back in (driver history in CORRECTNESS_r0*)
+    "bronze_radiation",
+    "silver_validate",
+    "silver_error_breakdown",
+    "dedup_first_occurrence",
+    "route_counts",
+    "rolling_stats",
+    "recent_points",
+    "flagship_event_stats",
+    "value_percentiles",
+    "brand_supplier_margin",
+    "user_sessions",
+    "unpivot_event_metrics",
+    "user_set_ops",
+    "events_by_hour",
+    "range_join_events_orders",
+    "session_window_events",
+    "moving_avg_events",
+    "downsample_5min",
+    "cube_order_stats",
+    "above_user_avg",
+    "exact_distinct_quantiles",
+    "doc_corpus_mixture",
+    "emb_quantize_int8",
+    "doc_neardup_pairs",
+    "doc_contamination",
+    "doc_repetition",
+    "doc_neardup_clusters",
+    "doc_subword_stats",
+    "doc_curation",
+    "doc_stratified_sample",
+    "emb_topk_cosine",
+    "emb_knn_label_vote",
+    "emb_neardup_pairs",
+    "doc_semantic_neardup",
+    "emb_lsh_topk",
+    "emb_hamming_topk",
+    "promo_revenue_share",
+    "returned_top_customers",
+    "brand_supplier_variety",
+    "doc_domain_cap",
+    "emb_label_centroids",
     # retained: flagship
     "full_pipeline",
-    # retained: plan changed r6 (prefix-filtered candidates, int-hash verify)
+    # retained: plans changed r7 (int64 posting keys; gopher ladder)
+    "doc_containment_pairs",
     "doc_ngram_jaccard",
-    # rows-only by design -- permanently in-window per r3 advice
-    # (emb_ivf_topk, emb_kmeans and alerts_cooldown_exact
-    # oracle-paired as of r6 -- unrolled-Lloyd SQL / recursive-CTE
-    # sequential scan -- and stay in-window for their first
-    # hash-checked driver rows)
-    "emb_rerank_topk",
-    "emb_ivf_topk",
+    "doc_curation_full",
+    # oracle-paired THIS round (r6 verdict item 1) -- first
+    # hash-checked driver rows
     "emb_ivf_topk_tuned",
     "emb_pq_topk",
+    # rows-only by design -- permanently in-window per r3 advice
+    "emb_rerank_topk",
     "approx_aggregates",
-    "emb_kmeans",
-    "alerts_cooldown_exact",
     "media_feature_census",
 ]
 
