@@ -107,6 +107,37 @@ def _time_query(fn, spark, sf_dir, reps):
     return round(best, 4), round(plan, 4), round(exc, 4)
 
 
+def _containment_ledger(spark, sf_dir: str, full_s: float) -> dict:
+    """Per-stage ledger for doc_containment_pairs (r7 verdict item 1):
+    candidate-stage seconds, verify+emit seconds (full minus
+    candidates -- both stages share the warm persisted index, so the
+    subtraction isolates the verify tree), and the candidate/output
+    pair counts that make the scaling shape self-evident. Counts come
+    from one CollectMetrics-instrumented execution (no extra jobs)."""
+    from big_data_streaming_dashboard_spark.llmdata import dedup as dd
+
+    docs = dd.containment_decorate(
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    )
+    n = dd.corpus_count(docs)
+    cand = dd._prefix_candidates(
+        docs, 0.8, dd.DEFAULT_MAX_BUCKET, n, dd.scale_hint_merge, symmetric=False
+    )
+    cand_s = float("inf")
+    for _ in range(2):  # min-of-2, like the number it is split from
+        t0 = time.perf_counter()
+        cand.write.format("noop").mode("overwrite").save()
+        cand_s = min(cand_s, round(time.perf_counter() - t0, 4))
+    df, cand_obs, out_obs = dd.containment_pairs_observed(docs)
+    df.write.format("noop").mode("overwrite").save()
+    return {
+        "candidates_s": cand_s,
+        "verify_emit_s": round(max(full_s - cand_s, 0.0), 4),
+        "n_candidates": cand_obs.get["n"],
+        "n_pairs": out_obs.get["n"],
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -138,6 +169,16 @@ def main() -> None:
     for name in EXTRA:
         extra[name], _, _ = _time_query(fns[name], spark, sf_dir, reps=2)
 
+    # containment per-stage ledger (r7 verdict item 1): ran AFTER the
+    # EXTRA loop so the persisted posting index is warm and the stage
+    # split reflects steady state, like the min-of-2 number beside it
+    try:
+        contain_detail = _containment_ledger(
+            spark, sf_dir, extra.get("doc_containment_pairs", 0.0)
+        )
+    except Exception as e:
+        contain_detail = {"error": f"{type(e).__name__}: {e}"}
+
     # 10x block: reuses (or builds once -- cached, gitignored) the
     # test-suite scale fixture. Skippable for constrained runs.
     tenx: dict[str, float] = {}
@@ -150,6 +191,21 @@ def main() -> None:
             scale_dir = ensure_scale_fixture(spark)
             for name in TENX:
                 tenx[name], _, _ = _time_query(fns[name], spark, scale_dir, reps=1)
+            # candidate/output pair counts beside the containment 10x
+            # time (r7 verdict: the 10x fixture makes each doc a
+            # near-dup of its replicas, so TRUE output pairs grow ~45x
+            # per replica group -- the wall number is output-bound, and
+            # these counts are what make that self-evident in the JSON).
+            # One instrumented re-execution on the warm index.
+            from big_data_streaming_dashboard_spark.llmdata import dedup as dd
+
+            docs10 = dd.containment_decorate(
+                spark.read.parquet(os.path.join(scale_dir, "documents.parquet"))
+            )
+            df10, c_obs, o_obs = dd.containment_pairs_observed(docs10)
+            df10.write.format("noop").mode("overwrite").save()
+            tenx["doc_containment_pairs_n_candidates"] = c_obs.get["n"]
+            tenx["doc_containment_pairs_n_pairs"] = o_obs.get["n"]
         except Exception as e:  # never let the canary sink the headline line
             tenx_err = f"{type(e).__name__}: {e}"
 
@@ -168,6 +224,7 @@ def main() -> None:
         plan_s=plan_s,
         exec_s=exec_s,
         extra_queries=extra,
+        containment_stages=contain_detail,
         sf10x_error=tenx_err,
     )
     with open(
