@@ -27,6 +27,13 @@ from pyspark.sql.window import Window
 from .dedup import neardup_pairs
 from .text import predicted_lang_column, quality_columns, subword_stats
 
+# Drop reasons that OUTRANK gopher_fail in the full precedence ladder
+# (curation_pipeline_full). Single source of truth shared with the
+# generated oracle (plans/llm_sql.curation_full_sql) -- r7 advice: the
+# list was duplicated as string literals in both places, so a renamed
+# or inserted pre-gopher reason could silently diverge the two ladders.
+PRE_GOPHER_REASONS = ("eval_holdout", "contaminated", "non_english", "low_quality")
+
 DEFAULT_QUALITY_THRESHOLD = 0.3
 DEFAULT_NEARDUP_JACCARD = 0.5
 DEFAULT_KEEP_LANG = "en"
@@ -425,9 +432,7 @@ def curation_pipeline_full(
     joined = base.drop("kept").join(sem, "doc_id", "left").join(gop, "doc_id")
     reason = F.coalesce(
         F.when(
-            F.col("drop_reason").isin(
-                "eval_holdout", "contaminated", "non_english", "low_quality"
-            ),
+            F.col("drop_reason").isin(*PRE_GOPHER_REASONS),
             F.col("drop_reason"),
         ),
         F.when(~F.col("_gopher_keep"), F.lit("gopher_fail")),

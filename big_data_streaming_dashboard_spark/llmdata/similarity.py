@@ -849,7 +849,18 @@ def pq_encode(
     assignment projections and a posexplode mean aggregation; ONLY the
     codebooks (n_subspaces * n_codes * d_sub doubles -- KBs) ever
     reach the driver. Encoded vectors cost n_subspaces bytes-ish per
-    row vs dim * 8 raw: the RAM-bound billion-vector regime's codec."""
+    row vs dim * 8 raw: the RAM-bound billion-vector regime's codec.
+
+    Param contract (r7 advice): ``dim`` must divide evenly into
+    ``n_subspaces`` (asserted -- a ragged split would silently drop
+    the tail dimensions engine-side while the oracle's slice SQL kept
+    them), and the oracle pairing additionally assumes the corpus has
+    at least ``n_codes`` rows (the engine shrinks the codebook on a
+    tiny corpus; `plans/llm_sql.pq_topk_sql` does not)."""
+    if dim % n_subspaces != 0:
+        raise ValueError(
+            f"pq_encode: dim {dim} not divisible by n_subspaces {n_subspaces}"
+        )
     d_sub = dim // n_subspaces
     vecs = embeddings.select(
         "vec_id", "label", _normalize(_dvec(F.col("embedding"))).alias("v")

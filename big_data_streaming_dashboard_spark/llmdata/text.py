@@ -631,23 +631,12 @@ def normalize_decorate(docs: DataFrame) -> DataFrame:
     )
 
 
-def gopher_rules(docs: DataFrame) -> DataFrame:
-    """The Gopher quality-rule battery (Rae et al. 2021, arXiv
-    2112.11446 A1.1) -- the classic pretraining document filter,
-    complementing `quality_score`'s scalar with per-rule verdicts:
-
-      R1 word count in [50, 100000]
-      R2 mean word length in [3, 10]
-      R3 symbol-to-word ratio (# and ellipsis) <= 0.1
-      R4 <= 90% of lines start with a bullet
-      R5 <= 30% of lines end with an ellipsis
-      R6 >= 80% of words contain an alphabetic character
-      R7 at least 2 distinct stop words
-
-    All metrics are built-in array/regex expressions (one narrow map
-    stage, no UDF, whole-stage codegen); ratios are rounded at 6 for
-    cross-engine stability. ``keep`` is the conjunction."""
-    toks = tokens(F.col("text"))
+def _gopher_metrics(text: Column) -> dict[str, Column]:
+    """The 7 Gopher metric expressions over a text column, rounded at
+    6 for cross-engine stability -- shared by the batch battery
+    (`gopher_rules`) and the stream-side conjunction
+    (`gopher_keep_column`) so both sides threshold IDENTICAL values."""
+    toks = tokens(text)
     n = F.size(toks)
     mean_len = F.round(
         _sum_long(F.transform(toks, lambda t: F.length(t).cast("long"))).cast(
@@ -657,12 +646,12 @@ def gopher_rules(docs: DataFrame) -> DataFrame:
         6,
     )
     n_symbols = (
-        F.size(F.split(F.col("text"), "#", -1))
+        F.size(F.split(text, "#", -1))
         - 1
-        + F.size(F.split(F.col("text"), r"\.\.\.", -1))
+        + F.size(F.split(text, r"\.\.\.", -1))
         - 1
     )
-    lines = F.split(F.col("text"), "\n", -1)
+    lines = F.split(text, "\n", -1)
     n_lines = F.size(lines)
     frac_bullet = F.round(
         F.size(F.filter(lines, lambda ln: ln.rlike("^\\s*[-*•]")))
@@ -689,26 +678,65 @@ def gopher_rules(docs: DataFrame) -> DataFrame:
             )
         )
     )
-    m = docs.select(
-        "doc_id",
-        n.alias("n_words"),
-        mean_len.alias("mean_word_len"),
-        F.round(n_symbols.cast("double") / n, 6).alias("symbol_word_ratio"),
-        frac_bullet.alias("frac_bullet_lines"),
-        frac_ellipsis.alias("frac_ellipsis_lines"),
-        frac_alpha.alias("frac_alpha_words"),
-        n_stop.alias("n_distinct_stopwords"),
-    )
-    rules = {
-        "r1_word_count": (F.col("n_words") >= 50) & (F.col("n_words") <= 100000),
-        "r2_mean_word_len": (F.col("mean_word_len") >= 3.0)
-        & (F.col("mean_word_len") <= 10.0),
-        "r3_symbol_ratio": F.col("symbol_word_ratio") <= 0.1,
-        "r4_bullet_lines": F.col("frac_bullet_lines") <= 0.9,
-        "r5_ellipsis_lines": F.col("frac_ellipsis_lines") <= 0.3,
-        "r6_alpha_words": F.col("frac_alpha_words") >= 0.8,
-        "r7_stopwords": F.col("n_distinct_stopwords") >= 2,
+    return {
+        "n_words": n,
+        "mean_word_len": mean_len,
+        "symbol_word_ratio": F.round(n_symbols.cast("double") / n, 6),
+        "frac_bullet_lines": frac_bullet,
+        "frac_ellipsis_lines": frac_ellipsis,
+        "frac_alpha_words": frac_alpha,
+        "n_distinct_stopwords": n_stop,
     }
+
+
+def _gopher_rule_preds(m: dict[str, Column]) -> dict[str, Column]:
+    """Rule name -> predicate over the named metric expressions."""
+    return {
+        "r1_word_count": (m["n_words"] >= 50) & (m["n_words"] <= 100000),
+        "r2_mean_word_len": (m["mean_word_len"] >= 3.0)
+        & (m["mean_word_len"] <= 10.0),
+        "r3_symbol_ratio": m["symbol_word_ratio"] <= 0.1,
+        "r4_bullet_lines": m["frac_bullet_lines"] <= 0.9,
+        "r5_ellipsis_lines": m["frac_ellipsis_lines"] <= 0.3,
+        "r6_alpha_words": m["frac_alpha_words"] >= 0.8,
+        "r7_stopwords": m["n_distinct_stopwords"] >= 2,
+    }
+
+
+def gopher_keep_column(text: Column) -> Column:
+    """Single-Column conjunction of all 7 Gopher rules -- the
+    stream-side form (streaming/llm_ingest.curation_stream gates on
+    it, r8): stateless, per-row, whole-stage-codegen'd, thresholding
+    the SAME rounded metric expressions as the batch battery, so a
+    document reaches the identical verdict in either mode."""
+    preds = _gopher_rule_preds(_gopher_metrics(text))
+    keep = None
+    for p in preds.values():
+        keep = p if keep is None else keep & p
+    return keep
+
+
+def gopher_rules(docs: DataFrame) -> DataFrame:
+    """The Gopher quality-rule battery (Rae et al. 2021, arXiv
+    2112.11446 A1.1) -- the classic pretraining document filter,
+    complementing `quality_score`'s scalar with per-rule verdicts:
+
+      R1 word count in [50, 100000]
+      R2 mean word length in [3, 10]
+      R3 symbol-to-word ratio (# and ellipsis) <= 0.1
+      R4 <= 90% of lines start with a bullet
+      R5 <= 30% of lines end with an ellipsis
+      R6 >= 80% of words contain an alphabetic character
+      R7 at least 2 distinct stop words
+
+    All metrics are built-in array/regex expressions (one narrow map
+    stage, no UDF, whole-stage codegen); ratios are rounded at 6 for
+    cross-engine stability. ``keep`` is the conjunction."""
+    metrics = _gopher_metrics(F.col("text"))
+    m = docs.select(
+        "doc_id", *[v.alias(k) for k, v in metrics.items()]
+    )
+    rules = _gopher_rule_preds({k: F.col(k) for k in metrics})
     out = m.select("*", *[v.alias(k) for k, v in rules.items()])
     keep = None
     for k in rules:

@@ -8,6 +8,7 @@ products, distinct-set sizes for Jaccard (element order never matters).
 
 from __future__ import annotations
 
+from ..llmdata.curation import PRE_GOPHER_REASONS
 from ..llmdata.dedup import DEFAULT_BAND_ROWS, DEFAULT_K
 from ..llmdata.text import LANG_LEXICONS, STOPWORDS
 
@@ -1007,6 +1008,13 @@ FROM s3
 """
 
 
+def _pre_gopher_list() -> str:
+    """The shared PRE_GOPHER_REASONS tuple as a SQL IN-list -- the
+    engine ladder and this oracle interpolate the SAME constant (r7
+    advice: duplicated literals could silently drift)."""
+    return ", ".join(f"'{r}'" for r in PRE_GOPHER_REASONS)
+
+
 def curation_full_sql(
     planes: tuple, bands: int, rows_per_band: int, threshold: float = 0.5
 ) -> str:
@@ -1024,8 +1032,7 @@ SELECT *, drop_reason IS NULL AS kept FROM (
         (NOT s.keep) AS is_semantic_dup,
         s.dup_of,
         COALESCE(
-            CASE WHEN e.drop_reason IN ('eval_holdout', 'contaminated',
-                                        'non_english', 'low_quality')
+            CASE WHEN e.drop_reason IN ({_pre_gopher_list()})
                  THEN e.drop_reason END,
             CASE WHEN NOT g.keep THEN 'gopher_fail' END,
             e.drop_reason,

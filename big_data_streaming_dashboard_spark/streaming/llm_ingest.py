@@ -2,8 +2,9 @@
 STREAM.
 
 The curation signals that are per-row functions of ``text`` (quality,
-language, exact-dup hash) are stateless, so the batch expressions from
-llmdata/text.py apply to a streaming DataFrame unchanged -- same fused
+language, the Gopher rule battery, exact-dup hash) are stateless, so
+the batch expressions from llmdata/text.py apply to a streaming
+DataFrame unchanged -- same fused
 single-projection plan as llmdata/curation.py. Exact dedup is a keyed
 seen-flag in the state store (``applyInPandasWithState`` on the text
 hash) so every arrival still gets a verdict row -- ``dropDuplicates``
@@ -40,7 +41,11 @@ from ..llmdata.curation import (
     DEFAULT_KEEP_LANG,
     DEFAULT_QUALITY_THRESHOLD,
 )
-from ..llmdata.text import predicted_lang_column, quality_columns
+from ..llmdata.text import (
+    gopher_keep_column,
+    predicted_lang_column,
+    quality_columns,
+)
 
 DOCUMENTS_STREAM_SCHEMA = "doc_id long, text string, lang string"
 
@@ -50,6 +55,7 @@ _FLAGGED_SCHEMA = T.StructType(
         T.StructField("n_tokens", T.IntegerType()),
         T.StructField("quality_score", T.DoubleType()),
         T.StructField("predicted_lang", T.StringType()),
+        T.StructField("gopher_keep", T.BooleanType()),
         T.StructField("is_duplicate", T.BooleanType()),
     ]
 )
@@ -71,10 +77,16 @@ def curation_stream(
     keep_lang: str = DEFAULT_KEEP_LANG,
 ) -> DataFrame:
     """Streaming curation verdict: (doc_id, predicted_lang,
-    quality_score, n_tokens, drop_reason, kept).
+    quality_score, n_tokens, is_gopher_fail, drop_reason, kept).
 
-    Same drop_reason precedence as the batch pipeline minus
-    near_duplicate (see module docstring); exact_duplicate = stateful
+    Same drop_reason precedence as the batch FULL ladder
+    (curation.curation_pipeline_full) restricted to its stateless +
+    exact-dup reasons: non_english > low_quality > gopher_fail >
+    exact_duplicate (r8 closes the r7 batch/stream verdict gap -- the
+    Gopher battery is all built-in per-row expressions, so the
+    stream gates on the same `gopher_keep_column` conjunction the
+    batch battery thresholds; parity pinned in
+    tests/test_streaming.py). exact_duplicate = stateful
     first-arrival dedup on md5(text). State is one boolean per
     distinct text hash -- unbounded ValueState semantics (the
     reference's D1 mode); at scale bound it with a state TTL
@@ -85,6 +97,7 @@ def curation_stream(
         qc["n_tokens"].alias("n_tokens"),
         qc["quality_score"].alias("quality_score"),
         predicted_lang_column(F.col("text")).alias("predicted_lang"),
+        gopher_keep_column(F.col("text")).alias("gopher_keep"),
         F.md5(F.col("text")).alias("_text_hash"),
     )
 
@@ -102,7 +115,7 @@ def curation_stream(
             dup[0] = False
             state.update((True,))
         out = batch[
-            ["doc_id", "n_tokens", "quality_score", "predicted_lang"]
+            ["doc_id", "n_tokens", "quality_score", "predicted_lang", "gopher_keep"]
         ].copy()
         out["is_duplicate"] = dup
         yield out
@@ -114,9 +127,13 @@ def curation_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+    # gopher_fail sits exactly where the batch full ladder puts it:
+    # below the scalar quality gate, above the dedup reasons
+    # (curation.curation_pipeline_full)
     drop_reason = (
         F.when(F.col("predicted_lang") != keep_lang, "non_english")
         .when(F.col("quality_score") < quality_threshold, "low_quality")
+        .when(~F.col("gopher_keep"), "gopher_fail")
         .when(F.col("is_duplicate"), "exact_duplicate")
     )
     return flagged.select(
@@ -124,6 +141,7 @@ def curation_stream(
         "predicted_lang",
         "quality_score",
         "n_tokens",
+        (~F.col("gopher_keep")).alias("is_gopher_fail"),
         drop_reason.alias("drop_reason"),
         drop_reason.isNull().alias("kept"),
     )
@@ -278,8 +296,18 @@ def containment_probe_stream(
     corpus self-join."""
     from ..llmdata.dedup import shingles
 
-    # xxhash64, matching the persisted index's key (r7: was md5 --
-    # the batch index switched to int64 keys, see _bounded_postings)
+    # Key-format guard (r7 advice): the persisted index key switched
+    # md5 hex (string) -> xxhash64 (int64) in r7. Probing a
+    # pre-switch index would join bigint against string and silently
+    # yield ZERO candidates; fail loudly instead of drifting.
+    key_type = postings.schema["sh_hash"].dataType
+    if not isinstance(key_type, T.LongType):
+        raise TypeError(
+            f"containment_probe_stream: postings.sh_hash is {key_type}; "
+            "expected bigint (xxhash64). The index at this path predates "
+            "the r7 int64 key format -- rebuild it with "
+            "write_containment_index."
+        )
     probe = docs.select(
         "doc_id", F.explode(shingles(F.col("text"))).alias("_s")
     ).select("doc_id", F.xxhash64("_s").alias("sh_hash"))

@@ -516,12 +516,15 @@ def test_dynamic_config_changes_replay_rate_across_restart(
 
 
 def test_streaming_curation_matches_batch(spark, tmp_path):
-    """Streaming curation verdict agrees with the batch pipeline on
-    every non-dedup reason; exact-dup flagging keeps exactly one doc
-    per distinct text (arrival-order canonical, batch uses min-id)."""
+    """Streaming curation verdict agrees with the batch FULL ladder on
+    every stateless reason it implements -- non_english, low_quality,
+    and (r8) gopher_fail at the same precedence slot -- and exact-dup
+    flagging drops the same NUMBER of docs per distinct text
+    (arrival-order canonical, batch uses min-id)."""
     from big_data_streaming_dashboard_spark.llmdata.curation import (
         curation_pipeline,
     )
+    from big_data_streaming_dashboard_spark.llmdata.text import gopher_rules
     from big_data_streaming_dashboard_spark.streaming.llm_ingest import (
         curation_stream,
         stream_documents,
@@ -541,21 +544,38 @@ def test_streaming_curation_matches_batch(spark, tmp_path):
     )
     s_rows = {r["doc_id"]: r for r in got.collect()}
     b_rows = {r["doc_id"]: r for r in curation_pipeline(docs).collect()}
+    g_keep = {r["doc_id"]: r["keep"] for r in gopher_rules(docs).collect()}
     assert set(s_rows) == set(b_rows)  # a verdict row per document
 
     for doc_id, s in s_rows.items():
         b = b_rows[doc_id]
         assert s["quality_score"] == b["quality_score"], doc_id
         assert s["predicted_lang"] == b["predicted_lang"], doc_id
-        # non-dedup reasons agree exactly (stateless signals)
+        # the streaming gopher gate thresholds the same rounded
+        # metrics as the batch battery -- bit-identical verdict
+        assert s["is_gopher_fail"] == (not g_keep[doc_id]), doc_id
+        # stateless reasons agree exactly with the full-ladder
+        # precedence: lang > quality > gopher
         if b["drop_reason"] in ("non_english", "low_quality"):
             assert s["drop_reason"] == b["drop_reason"], doc_id
+        elif not g_keep[doc_id]:
+            assert s["drop_reason"] == "gopher_fail", doc_id
 
     # dedup: same number of exact-dup drops, possibly different
-    # representatives (arrival order vs min doc_id)
+    # representatives (arrival order vs min doc_id). Expected count is
+    # derived from the stateless gates the stream applies upstream of
+    # its dedup state: among gate-passing docs, every repeat of a
+    # distinct text is a drop.
+    passing = [
+        r
+        for r in b_rows.values()
+        if r["drop_reason"] not in ("non_english", "low_quality")
+        and g_keep[r["doc_id"]]
+    ]
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    distinct = len({texts[r["doc_id"]] for r in passing})
     s_dups = sum(1 for r in s_rows.values() if r["drop_reason"] == "exact_duplicate")
-    b_dups = sum(1 for r in b_rows.values() if r["drop_reason"] == "exact_duplicate")
-    assert s_dups == b_dups
+    assert s_dups == len(passing) - distinct
 
 
 def test_streaming_neardup_probe_matches_batch(spark, tmp_path):
@@ -657,6 +677,31 @@ def test_streaming_containment_probe_matches_batch(spark, tmp_path):
     }
     assert s_rows == cross
     assert cross, "fixture lost its containment pairs"
+
+
+def test_containment_probe_rejects_pre_r7_string_index(spark, tmp_path):
+    """The persisted containment-index key switched md5 hex (string)
+    -> xxhash64 (int64) in r7; probing an old-format index would join
+    bigint against string and silently yield zero candidates. The
+    probe must refuse loudly instead (r7 advice)."""
+    import pytest
+
+    from big_data_streaming_dashboard_spark.streaming.llm_ingest import (
+        containment_probe_stream,
+        stream_documents,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "a" * 32)], "doc_id long, sh_hash string"
+    )
+    docs_dir = tmp_path / "docs"
+    docs_dir.mkdir()
+    with pytest.raises(TypeError, match="predates the r7 int64 key format"):
+        containment_probe_stream(
+            stream_documents(spark, str(docs_dir)),
+            old,
+            spark.createDataFrame([], "doc_id long, shi array<long>, n_sh int"),
+        )
 
 
 def test_temporal_counts_checkpoint_restart_idempotent(spark, bronze_dir, tmp_path):
