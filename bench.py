@@ -87,6 +87,12 @@ TENX = [
     "doc_containment_pairs",
     "doc_ngram_jaccard",
     "emb_lsh_topk",
+    # r8 (r7 verdict item 7): the W4 anchor -- the 10x fixture was
+    # built to make its seconds hotter, which is where the
+    # count-agg + broadcast-join-back plan's premise actually holds
+    # (the sf0.1 fixture is ~1 Hz, so its per-second dim degenerates
+    # to row-per-row; see operators/temporal.py docstring)
+    "temporal_batch_annotate",
 ]
 
 

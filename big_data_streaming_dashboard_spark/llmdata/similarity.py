@@ -697,6 +697,20 @@ def embedding_neardup_pairs(
     )
 
 
+@lru_cache(maxsize=4)
+def cross_encoder_weights(dim: int = EMBEDDING_DIM, seed: int = 42) -> tuple:
+    """The default re-rank scorer's bilinear weight matrix W
+    (dim x dim, seeded standard normal / dim) as nested tuples --
+    same sharing discipline as `gaussian_planes`: the engine kernel
+    closes over these EXACT float64 values and the oracle
+    (plans/llm_sql.rerank_topk_sql) embeds their reprs as literals,
+    so both engines evaluate the same fixed function."""
+    import numpy as np
+
+    W = np.random.RandomState(seed).standard_normal((dim, dim)) / dim
+    return tuple(tuple(float(x) for x in row) for row in W)
+
+
 def _cross_encoder_udf(dim: int, seed: int, model_stub: bool):
     """Pairwise 'cross-encoder' scoring kernel (the re-rank model
     slot). Stub = sigmoid of a seeded random bilinear form q.W.c --
@@ -704,8 +718,11 @@ def _cross_encoder_udf(dim: int, seed: int, model_stub: bool):
     interaction shape (the score is NOT a function of the two vectors'
     cosine alone). ``model_stub=False`` raises where a real ONNX /
     torch cross-encoder forward pass plugs in. Self-contained closure
-    (workers lack the repo PYTHONPATH)."""
+    (workers lack the repo PYTHONPATH); W ships by value so the
+    worker uses the same literals the oracle embeds."""
     from pyspark.sql.functions import pandas_udf
+
+    W_rows = [list(r) for r in cross_encoder_weights(dim, seed)]
 
     @pandas_udf("double")
     def score(qvec: pd.Series, cvec: pd.Series) -> pd.Series:
@@ -715,7 +732,7 @@ def _cross_encoder_udf(dim: int, seed: int, model_stub: bool):
             raise NotImplementedError(
                 "no cross-encoder model in this container; pass model_stub=True"
             )
-        W = np.random.RandomState(seed).standard_normal((dim, dim)) / dim
+        W = np.array(W_rows, dtype=np.float64)
         Q = np.array([np.asarray(v, dtype=np.float64) for v in qvec])
         C = np.array([np.asarray(v, dtype=np.float64) for v in cvec])
         z = np.einsum("bi,ij,bj->b", Q, W, C)
@@ -742,8 +759,19 @@ def cross_encoder_rerank(
     At 100 TB the expensive model forward pass is the cost driver --
     this plan runs it on |queries| x ~N/8 pairs instead of |queries| x
     N, and the kernel is Arrow-batched so a GPU-backed scorer slots in
-    without plan changes. Approximate + model-dependent -> rows-only
-    driver check."""
+    without plan changes.
+
+    Oracle pairing (r8, r7 verdict item 6): the DEFAULT scorer is a
+    deterministic bilinear kernel over `cross_encoder_weights` -- a
+    fixed function of literals both engines share, exactly like the
+    plane-literal ANN pairings -- so the default config is
+    hash-checked against `plans/llm_sql.rerank_topk_sql`. Ranking is
+    over the ROUNDED score (round 6, ties to lowest vec_id): the
+    6-decimal quantization absorbs the ~1e-14 einsum-vs-SQL-fold
+    reassociation noise, and the rounding-boundary margin on the
+    fixture is pinned by tests/test_ann.py
+    (test_rerank_rounding_margins). The injectable-model path
+    (``model_stub=False``) remains rows-only by nature."""
     score = _cross_encoder_udf(dim, seed, model_stub)
     scored = hamming_candidates(
         embeddings, n_queries, n_bits, radius, dim, seed
@@ -751,7 +779,7 @@ def cross_encoder_rerank(
         "query_id",
         "vec_id",
         "label",
-        score(F.col("qvec"), F.col("vec")).alias("rerank_score"),
+        F.round(score(F.col("qvec"), F.col("vec")), 6).alias("rerank_score"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("rerank_score").desc(), F.col("vec_id")
@@ -759,13 +787,7 @@ def cross_encoder_rerank(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select(
-            "query_id",
-            "vec_id",
-            "label",
-            "rank",
-            F.round("rerank_score", 6).alias("rerank_score"),
-        )
+        .select("query_id", "vec_id", "label", "rank", "rerank_score")
     )
 
 

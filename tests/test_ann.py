@@ -335,3 +335,56 @@ def test_ivf_probe_rank_margins(fixture_dir):
     part = np.sort(d2q, axis=1)
     margin = float((part[:, n_probe] - part[:, n_probe - 1]).min())
     assert margin > 1e-9, f"IVF probe-rank margin {margin} too tight"
+
+
+@pytest.mark.parametrize("fixture_dir", _embedding_fixture_dirs())
+def test_rerank_rounding_margins(fixture_dir):
+    """The r8 oracle pairing of emb_rerank_topk's DEFAULT scorer
+    quantizes sigmoid(q.W.c) at 6 decimals BEFORE ranking, so the two
+    engines agree as long as no candidate's score sits within
+    cross-engine noise (~1e-14: einsum-vs-left-fold reassociation +
+    libm exp ulps) of a rounding boundary. Pin the fixture's smallest
+    distance-to-boundary with a numpy mirror of the engine path at the
+    registered config (256-bit signatures, radius 112, 5 queries)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from big_data_streaming_dashboard_spark.llmdata.similarity import (
+        DEFAULT_HAMMING_RADIUS,
+        DEFAULT_SIG_BITS,
+        EMBEDDING_DIM,
+        cross_encoder_weights,
+        gaussian_planes,
+    )
+
+    n_queries = 5
+    t = pq.read_table(
+        f"{fixture_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    ids = np.array(t["vec_id"].to_pylist())
+    V = np.array([np.asarray(v, dtype=np.float64) for v in t["embedding"].to_pylist()])
+    P = np.array(
+        [list(p) for p in gaussian_planes(DEFAULT_SIG_BITS, EMBEDDING_DIM, 42)]
+    )
+    bits = (V @ P.T >= 0)
+    W = np.array([list(r) for r in cross_encoder_weights(EMBEDDING_DIM)])
+    qmask = ids < n_queries
+    margins = []
+    for qi in np.where(qmask)[0]:
+        ham = (bits != bits[qi]).sum(axis=1)
+        cand = np.where((ham <= DEFAULT_HAMMING_RADIUS) & (ids != ids[qi]))[0]
+        if not len(cand):
+            continue
+        z = np.einsum("i,ij,bj->b", V[qi], W, V[cand])
+        s = 1.0 / (1.0 + np.exp(-z))
+        frac = np.modf(s * 1e6)[0]
+        margins.append(float(np.abs(frac - 0.5).min()))
+    assert margins, "no rerank candidates on this fixture"
+    margin = min(margins)
+    # Cross-engine noise is ~1e-14 in score units = 1e-8 in these
+    # grid units (the frac is score*1e6). Floor at 1e-6 grid units
+    # (1e-12 score) keeps 100x headroom over the noise while
+    # tolerating the uniform-min shrinkage of large candidate sets
+    # (the 10x fixture's ~30k candidates measure 3.5e-5; expected
+    # uniform min scales as 1/(2*n_candidates))
+    assert margin > 1e-6, f"rerank rounding margin {margin} too tight"
