@@ -376,10 +376,12 @@ _FEATURE_SCHEMA = T.StructType(
 
 
 def synthetic_media(spark: Any, n: int = 64) -> DataFrame:
-    """Deterministic media table: IMAGE payloads alternate between
-    REAL encoded PNGs and REAL baseline JPEGs (deterministic gradient
-    pattern; JPEG via the numpy JFIF codec in llmdata/jpeg.py, odd
-    image rows 4:2:0-subsampled), AUDIO payloads are REAL WAV files
+    """Deterministic media table: IMAGE payloads cycle through REAL
+    encoded PNGs, REAL baseline/progressive JPEGs and REAL lossless
+    WebPs (deterministic gradient pattern; JPEG via the numpy JFIF
+    codec in llmdata/jpeg.py, odd image rows 4:2:0-subsampled; WebP
+    via the VP8L codec in llmdata/webp.py, alternating plain /
+    subtract-green modes), AUDIO payloads are REAL WAV files
     (deterministic integer-triangle PCM16 waves, stdlib RIFF codec),
     and VIDEO payloads are REAL animated GIFs (llmdata/gif.py:
     LZW-compressed moving gradient, meta.n_frames == actual frame
@@ -390,11 +392,13 @@ def synthetic_media(spark: Any, n: int = 64) -> DataFrame:
 
     from .gif import gif_codec_kernel
     from .jpeg import jpeg_codec_kernel
+    from .webp import webp_codec_kernel
 
     _, png_encode = _png_codec_kernel()
     _, jpeg_encode = jpeg_codec_kernel()
     _, gif_encode = gif_codec_kernel()
     _, wav_encode = _wav_codec_kernel()
+    _, webp_encode = webp_codec_kernel()
     rows = []
     kinds = ["image", "audio", "video"]
     for i in range(n):
@@ -405,10 +409,11 @@ def synthetic_media(spark: Any, n: int = 64) -> DataFrame:
             img = np.stack(
                 [xs % 256, ys % 256, (xs + ys + i) % 256], axis=-1
             ).astype(np.uint8)
-            if (i // 3) % 2 == 0:
+            fmt = (i // 3) % 3
+            if fmt == 0:
                 payload = png_encode(img, filter_type=i % 5)
                 meta = (w, h, None, None, "image/png")
-            else:
+            elif fmt == 1:
                 # alternate baseline / progressive so the census and
                 # resize paths exercise both real JPEG decode modes
                 payload = jpeg_encode(
@@ -418,6 +423,12 @@ def synthetic_media(spark: Any, n: int = 64) -> DataFrame:
                     progressive=bool((i // 12) % 2),
                 )
                 meta = (w, h, None, None, "image/jpeg")
+            else:
+                # lossless VP8L, alternating plain / subtract-green
+                payload = webp_encode(
+                    img, subtract_green=bool((i // 9) % 2)
+                )
+                meta = (w, h, None, None, "image/webp")
         elif kind == "audio":
             # integer triangle wave: period/amplitude vary by id;
             # pure integer arithmetic -> bit-exact across platforms
@@ -505,13 +516,16 @@ def extract_features(media: DataFrame, decode_stub: bool = True) -> DataFrame:
     """
     from .gif import gif_codec_kernel, make_is_gif
     from .jpeg import jpeg_codec_kernel, make_is_jpeg
+    from .webp import make_is_webp, webp_codec_kernel
 
     dim = FEATURE_DIM
     png_decode, _ = _png_codec_kernel()  # by-value for the workers
     jpeg_decode, _ = jpeg_codec_kernel()
     gif_decode, _ = gif_codec_kernel()
+    webp_decode, _ = webp_codec_kernel()
     is_jpeg = make_is_jpeg()
     is_gif = make_is_gif()
+    is_webp = make_is_webp()
     wav_decode, _ = _wav_codec_kernel()
     pcm_feat = _pcm_feature_kernel()
     is_wav = _make_is_wav()  # by-value for the workers
@@ -573,6 +587,15 @@ def extract_features(media: DataFrame, decode_stub: bool = True) -> DataFrame:
                     # narrower catch means a genuine kernel regression
                     # on a VALID baseline JPEG still surfaces instead
                     # of being masked as stub output (r5 advice)
+                    pass
+            if payload is not None and is_webp(payload):
+                try:
+                    # lossless VP8L decode (llmdata/webp.py); RGB
+                    # features over the decoded pixels, like PNG
+                    return pixel_features(webp_decode(payload)[:, :, :3])
+                except ValueError:
+                    # RIFF/WEBP-signed but lossy-VP8 or malformed ->
+                    # the documented codec-stub slot
                     pass
             if payload is not None and is_wav(payload):
                 try:
@@ -858,11 +881,14 @@ def resize_images(
     the scan), so non-image payloads never cross the Arrow boundary.
     """
     from .jpeg import jpeg_codec_kernel, make_is_jpeg
+    from .webp import make_is_webp, webp_codec_kernel
 
     out_len = width * height * 3
     png_decode, _ = _png_codec_kernel()  # by-value for the workers
     jpeg_decode, _ = jpeg_codec_kernel()
+    webp_decode, _ = webp_codec_kernel()
     is_jpeg = make_is_jpeg()
+    is_webp = make_is_webp()
     sig = PNG_SIGNATURE
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -911,12 +937,19 @@ def resize_images(
                     # valid baseline JPEG must surface, not silently
                     # degrade to stub output (r5 advice)
                     pass
+            if is_webp(payload):
+                try:
+                    return nn_gather(webp_decode(payload)[:, :, :3])
+                except ValueError:
+                    # lossy VP8 / malformed RIFF -> documented stub slot
+                    pass
             if not decode_stub:
                 raise NotImplementedError(
-                    "only the PNG and baseline+progressive-JPEG codecs "
-                    "are real; other image codecs (PIL/torchvision) are "
-                    "not installed in this container -- pass "
-                    "decode_stub=True or feed supported payloads"
+                    "only the PNG, baseline+progressive-JPEG and "
+                    "lossless-WebP (VP8L) codecs are real; other image "
+                    "codecs (PIL/torchvision) are not installed in this "
+                    "container -- pass decode_stub=True or feed "
+                    "supported payloads"
                 )
             return stub_resize(payload)
 

@@ -420,11 +420,11 @@ def test_png_decode_rejects_unsupported():
 
 
 def test_resize_images_encoded_png_real_pixels(spark):
-    """payload_format='encoded': PNG payloads (ids 0, 6) resize to the
-    EXACT NN gather of the genuinely decoded source pixels; JPEG
-    payloads (ids 3, 9 -- lossy q95, id 9 4:2:0-subsampled) resize to
-    within codec tolerance of the same gather -- both verified against
-    an independent numpy reconstruction."""
+    """payload_format='encoded': lossless payloads -- PNG (ids 0, 9)
+    and WebP/VP8L (id 6, r8) -- resize to the EXACT NN gather of the
+    genuinely decoded source pixels; the JPEG payload (id 3, lossy
+    q95) resizes to within codec tolerance of the same gather -- all
+    verified against an independent numpy reconstruction."""
     import numpy as np
 
     from big_data_streaming_dashboard_spark.llmdata.multimodal import (
@@ -432,7 +432,7 @@ def test_resize_images_encoded_png_real_pixels(spark):
         synthetic_media,
     )
 
-    media = synthetic_media(spark, n=12)  # images: 0,6 PNG; 3,9 JPEG
+    media = synthetic_media(spark, n=12)  # images: 0,9 PNG; 3 JPEG; 6 WEBP
     out = {
         r["media_id"]: r
         for r in resize_images(media, width=8, height=6).collect()
@@ -448,7 +448,7 @@ def test_resize_images_encoded_png_real_pixels(spark):
         gx = (np.arange(8) * sw) // 8
         expect = src[gy][:, gx]
         got = np.frombuffer(bytes(r["pixels"]), np.uint8).reshape(6, 8, 3)
-        if i in (0, 6):  # PNG: lossless, bit-exact
+        if i in (0, 6, 9):  # PNG / WebP-VP8L: lossless, bit-exact
             assert (got == expect).all(), i
         else:  # JPEG: smooth gradient, small quantization error only
             err = np.abs(got.astype(int) - expect.astype(int)).max()
