@@ -452,3 +452,80 @@ def curation_pipeline_full(
         reason.alias("drop_reason"),
         reason.isNull().alias("kept"),
     )
+
+
+def importance_weights(docs: DataFrame, target_source: str = "src1") -> DataFrame:
+    """DSIR-style hashed-n-gram importance weights (Data Selection via
+    Importance Resampling -- Xie et al. 2023, arXiv:2302.03169): score
+    every document by how much its hashed unigram+bigram feature
+    distribution resembles a TARGET slice of the corpus (here: the
+    docs whose ``source`` equals ``target_source``, standing in for
+    the high-quality reference corpus) relative to the raw pool.
+
+    weight(x) = sum_b c_b(x) * r_b, where c_b counts x's features in
+    hash bucket b and r_b is the Laplace-smoothed log-probability
+    ratio  ln(((ct_b+1) * (S+B)) / ((cs_b+1) * (T+B)))  of target vs
+    pool bucket frequencies (B = 256 buckets; ct/cs = target/pool
+    bucket counts, T/S their totals).
+
+    Cross-engine exactness discipline: the bucket key is the first two
+    hex chars of md5 (string equality, both engines); each r_b is
+    QUANTIZED to 6 decimals BEFORE the per-doc sum and the sum runs in
+    DECIMAL, so the only float step is one ln() per bucket -- 256
+    values whose distance to the rounding boundary is pinned by
+    tests/test_properties.py::test_importance_rate_rounding_margins
+    (the same quantize-before-aggregate pattern as the rerank/IVF
+    pairings). The ratio is formed as one double division of two
+    exactly-representable integer products, identical in both engines
+    at fixture scale; at 100 TB-scale counts the product form would
+    overflow 2^53 and the log-sum form replaces it (same semantics,
+    noted here because the oracle pairing is fixture-bound).
+
+    Scale shape: two map-only passes over a narrow (doc_id, source,
+    fkey) feature projection -- one folding to the 256-row bucket
+    stats (partial aggs make the exchange 256 rows x partitions), one
+    to per-(doc, bucket) counts; the stats join back via an explicit
+    256-row broadcast; the final agg shuffles one narrow row per
+    (doc, bucket). No corpus-sized build sides, no skew (md5 buckets
+    are uniform)."""
+    from .text import tokens
+
+    toks = tokens(F.col("text"))
+    t2 = F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(1)))
+    bigrams = F.filter(
+        F.zip_with(toks, t2, lambda a, b: F.concat(a, F.lit(" "), b)),
+        lambda x: x.isNotNull(),
+    )
+    feats = docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.concat(toks, bigrams)).alias("_f"),
+    ).select(
+        "doc_id", "source", F.substring(F.md5("_f"), 1, 2).alias("fkey")
+    )
+    is_t = (F.col("source") == target_source).cast("long")
+    stats = feats.groupBy("fkey").agg(
+        F.count(F.lit(1)).alias("cs"), F.sum(is_t).alias("ct")
+    )
+    totals = feats.agg(
+        F.count(F.lit(1)).alias("s_total"), F.sum(is_t).alias("t_total")
+    )
+    ratio = ((F.col("ct") + 1.0) * (F.col("s_total") + 256.0)) / (
+        (F.col("cs") + 1.0) * (F.col("t_total") + 256.0)
+    )
+    rates = stats.crossJoin(F.broadcast(totals)).select(
+        "fkey", F.round(F.log(ratio), 6).cast("decimal(18,6)").alias("r")
+    )
+    per_bucket = feats.groupBy("doc_id", "fkey").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return (
+        per_bucket.join(F.broadcast(rates), "fkey")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_features"),
+            F.sum(F.col("c").cast("decimal(18,0)") * F.col("r"))
+            .cast("double")
+            .alias("importance_weight"),
+        )
+    )

@@ -1690,3 +1690,60 @@ SELECT query_id, vec_id, label, rank, round(_cos, 6) AS cos_sim
 FROM ranked WHERE rank <= {k}
 """
     )
+
+
+def importance_weights_sql(target_source: str = "src1") -> str:
+    """Oracle for curation.importance_weights (DSIR hashed-n-gram
+    importance weights): same md5-prefix bucket key, the same
+    one-double-division smoothed ratio, ln quantized at 6 BEFORE the
+    DECIMAL per-doc sum (boundary margins pinned per fixture by
+    test_properties.test_importance_rate_rounding_margins). Bigrams
+    mirror the engine's zip_with null propagation: DuckDB list_zip
+    pads the shorter slice with NULL and || propagates it, so the
+    tail entries filter out identically."""
+    return f"""
+WITH toks AS (
+    SELECT doc_id, source, regexp_split_to_array(text, '\\s+') AS t
+    FROM documents
+),
+feats AS (
+    SELECT doc_id, source, u.f
+    FROM toks, UNNEST(
+        list_concat(
+            t,
+            list_filter(
+                list_transform(list_zip(t, t[2:]), x -> x[1] || ' ' || x[2]),
+                y -> y IS NOT NULL)
+        )
+    ) AS u(f)
+),
+hashed AS (
+    SELECT doc_id, source, substr(md5(f), 1, 2) AS fkey FROM feats
+),
+stats AS (
+    SELECT fkey, COUNT(*) AS cs,
+           COUNT(*) FILTER (WHERE source = '{target_source}') AS ct
+    FROM hashed GROUP BY fkey
+),
+tot AS (
+    SELECT COUNT(*) AS s_total,
+           COUNT(*) FILTER (WHERE source = '{target_source}') AS t_total
+    FROM hashed
+),
+rates AS (
+    SELECT fkey,
+        CAST(round(ln(((ct + 1.0) * (s_total + 256.0)) /
+                      ((cs + 1.0) * (t_total + 256.0))), 6)
+             AS DECIMAL(18,6)) AS r
+    FROM stats CROSS JOIN tot
+),
+db AS (
+    SELECT doc_id, fkey, COUNT(*) AS c FROM hashed GROUP BY doc_id, fkey
+)
+SELECT db.doc_id,
+    CAST(SUM(db.c) AS BIGINT) AS n_features,
+    CAST(SUM(CAST(db.c AS DECIMAL(18,0)) * rates.r) AS DOUBLE)
+        AS importance_weight
+FROM db JOIN rates USING (fkey)
+GROUP BY db.doc_id
+"""

@@ -25,6 +25,7 @@ from ..llmdata.curation import (
     curation_pipeline,
     curation_pipeline_extended,
     curation_pipeline_full,
+    importance_weights,
     shard_packing,
     stratified_sample,
 )
@@ -997,6 +998,14 @@ WHERE s._emit""",
         llm_sql.CONTAINMENT_SQL,
         "directed containment dedup (excerpt-in-page detection)",
     ),
+    # new in round 8: DSIR-style data selection (hashed-ngram
+    # importance weights; quantize-before-aggregate exactness, margin
+    # test in test_properties)
+    "doc_importance_weights": QuerySpec(
+        lambda spark, sf: importance_weights(_docs(spark, sf)),
+        llm_sql.importance_weights_sql(),
+        "DSIR hashed-ngram importance weights (target-vs-pool log ratios)",
+    ),
     "activity_reconcile": QuerySpec(
         relational3.activity_reconcile,
         relational3.ACTIVITY_RECONCILE_SQL,
@@ -1047,7 +1056,6 @@ DRIVER_WINDOW: list[str] = [
     "recent_points",
     "flagship_event_stats",
     "value_percentiles",
-    "brand_supplier_margin",
     "user_sessions",
     "events_by_hour",
     "range_join_events_orders",
@@ -1081,6 +1089,8 @@ DRIVER_WINDOW: list[str] = [
     # row was r5) + the r8 gopher-refactor re-earn
     "routed_records",
     "doc_gopher_rules",
+    # NEW in r8 (first driver row): DSIR importance weights
+    "doc_importance_weights",
     # retained: flagship
     "full_pipeline",
     # retained: plans changed r8 (containment/jaccard perf rework;

@@ -294,3 +294,46 @@ def test_codec_roundtrips_property():
         pcm = rng.integers(-32768, 32768, size=(n, ch)).astype(np.int16)
         back, sr = decode_wav(encode_wav(pcm, 8000 * ch))
         assert sr == 8000 * ch and (back == pcm).all()
+
+
+def test_importance_rate_rounding_margins():
+    """The r8 oracle pairing of doc_importance_weights quantizes each
+    bucket's smoothed log-ratio at 6 decimals BEFORE the exact DECIMAL
+    per-doc sum, so the engines agree iff no bucket's ln() value sits
+    within cross-engine libm noise (~1e-15) of a rounding boundary.
+    Pin the margin per documents fixture with a pure-Python mirror of
+    the bucket pipeline (md5-prefix buckets, unigram+bigram features,
+    one double division of exact integer products)."""
+    import hashlib
+    import math
+    import re
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    for fixture in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        t = pq.read_table(
+            f"{fixture}/documents.parquet", columns=["text", "source"]
+        )
+        cs: Counter = Counter()
+        ct: Counter = Counter()
+        for text, source in zip(t["text"].to_pylist(), t["source"].to_pylist()):
+            toks = re.split(r"\s+", text)
+            feats = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+            for f in feats:
+                k = hashlib.md5(f.encode()).hexdigest()[:2]
+                cs[k] += 1
+                if source == "src1":
+                    ct[k] += 1
+        S, T = sum(cs.values()), sum(ct.values())
+        min_margin = 1.0
+        for k in cs:
+            ratio = ((ct.get(k, 0) + 1.0) * (S + 256.0)) / (
+                (cs[k] + 1.0) * (T + 256.0)
+            )
+            v = math.log(ratio) * 1e6
+            frac = abs(v - math.floor(v) - 0.5)
+            min_margin = min(min_margin, frac)
+        # noise is ~1e-15 in score units = 1e-9 grid units; require
+        # 100x headroom (grid 1e-7 = 1e-13 score)
+        assert min_margin > 1e-7, (fixture, min_margin)
