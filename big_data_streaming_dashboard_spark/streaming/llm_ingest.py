@@ -578,3 +578,108 @@ def contamination_probe_stream(
         ).alias("contamination_rate"),
         (F.col("n_contaminated") > 0).alias("is_contaminated"),
     )
+
+
+def write_importance_index(docs: DataFrame, path: str) -> str:
+    """Persist the DSIR rate table the streaming probe consumes
+    (r8; mirrors the batch `curation.importance_weights` pipeline):
+    one row per md5-prefix bucket with its quantized log-ratio, plus a
+    1-row totals sidecar carrying (s_total, t_total) so the probe can
+    derive the UNSEEN-bucket rate (a stream doc can hash features into
+    buckets the index corpus never produced; Laplace smoothing gives
+    those ln((S+256)/(T+256)), the ct=cs=0 case)."""
+    from ..llmdata.curation import importance_weights  # noqa: F401  (doc link)
+    from ..llmdata.text import tokens
+
+    toks = tokens(F.col("text"))
+    t2 = F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(1)))
+    bigrams = F.filter(
+        F.zip_with(toks, t2, lambda a, b: F.concat(a, F.lit(" "), b)),
+        lambda x: x.isNotNull(),
+    )
+    feats = docs.select(
+        "source", F.explode(F.concat(toks, bigrams)).alias("_f")
+    ).select("source", F.substring(F.md5("_f"), 1, 2).alias("fkey"))
+    is_t = (F.col("source") == "src1").cast("long")
+    stats = feats.groupBy("fkey").agg(
+        F.count(F.lit(1)).alias("cs"), F.sum(is_t).alias("ct")
+    )
+    totals = feats.agg(
+        F.count(F.lit(1)).alias("s_total"), F.sum(is_t).alias("t_total")
+    )
+    ratio = ((F.col("ct") + 1.0) * (F.col("s_total") + 256.0)) / (
+        (F.col("cs") + 1.0) * (F.col("t_total") + 256.0)
+    )
+    (
+        stats.crossJoin(F.broadcast(totals))
+        .select("fkey", F.round(F.log(ratio), 6).cast("decimal(18,6)").alias("r"))
+        .write.mode("overwrite")
+        .parquet(f"{path}/rates")
+    )
+    totals.write.mode("overwrite").parquet(f"{path}/totals")
+    return path
+
+
+def importance_probe_stream(docs: DataFrame, rates: DataFrame, totals: DataFrame) -> DataFrame:
+    """Streaming DSIR scoring: every arriving document gets its
+    importance weight against the batch-built rate table -- the
+    data-selection gate a streaming corpus builder applies at ingest.
+
+    Shape: the 256-row rate table collapses to a MAP literal in the
+    plan (a driver collect bounded at 256 rows by construction --
+    the md5-prefix key space), so scoring is a PURE per-row
+    expression: features -> bucket keys -> ordered DECIMAL fold of
+    map lookups. No explode, no streaming aggregation, no state, no
+    watermark -- append-mode-safe and identical in cost shape to the
+    batch verify (at 100 TB/day this is a map-only stream). Unseen
+    buckets fall back to the smoothed ct=cs=0 rate derived from the
+    totals sidecar. Batch parity pinned in tests/test_streaming.py."""
+    from decimal import Decimal
+
+    from ..llmdata.text import tokens
+
+    rate_rows = rates.collect()
+    if len(rate_rows) > 256:
+        raise ValueError("importance index has more than 256 buckets")
+    tot = totals.collect()[0]
+    import math
+
+    default_r = Decimal(
+        str(
+            round(
+                math.log(
+                    (tot["s_total"] + 256.0) / (tot["t_total"] + 256.0)
+                ),
+                6,
+            )
+        )
+    )
+    pairs = []
+    for row in rate_rows:
+        pairs.append(F.lit(row["fkey"]))
+        pairs.append(F.lit(row["r"]).cast("decimal(18,6)"))
+    rate_map = F.create_map(*pairs)
+    toks = tokens(F.col("text"))
+    t2 = F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(1)))
+    bigrams = F.filter(
+        F.zip_with(toks, t2, lambda a, b: F.concat(a, F.lit(" "), b)),
+        lambda x: x.isNotNull(),
+    )
+    feats = F.concat(toks, bigrams)
+    lookup = lambda f: F.coalesce(  # noqa: E731
+        F.element_at(rate_map, F.substring(F.md5(f), 1, 2)),
+        F.lit(default_r).cast("decimal(18,6)"),
+    )
+    # decimal addition widens precision (28,6)+(18,6) -> (29,6); the
+    # fold's accumulator type is fixed, so cast back each step (exact:
+    # |r| < 20, features/doc < 1e6 -- far inside 28,6)
+    weight = F.aggregate(
+        feats,
+        F.lit(Decimal("0")).cast("decimal(28,6)"),
+        lambda acc, f: (acc + lookup(f)).cast("decimal(28,6)"),
+    )
+    return docs.select(
+        "doc_id",
+        F.size(feats).cast("long").alias("n_features"),
+        weight.cast("double").alias("importance_weight"),
+    )

@@ -1061,3 +1061,44 @@ def test_text_ops_streaming_batch_parity(spark, tmp_path):
         }
         expect = {tuple(r) for r in op(spark.read.parquet(src)).collect()}
         assert got == expect, opname
+
+
+def test_streaming_importance_probe_matches_batch(spark, tmp_path):
+    """Streaming DSIR scoring (r8): streaming the corpus against its
+    own batch-built rate table reproduces the batch
+    importance_weights rows exactly -- the quantized rates are shared
+    literals and both sides fold them in DECIMAL, so weights are
+    bit-identical, not approximately equal."""
+    import uuid
+
+    from big_data_streaming_dashboard_spark.llmdata.curation import (
+        importance_weights,
+    )
+    from big_data_streaming_dashboard_spark.streaming.llm_ingest import (
+        importance_probe_stream,
+        stream_documents,
+        write_importance_index,
+    )
+    from big_data_streaming_dashboard_spark.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    idx_path = str(tmp_path / "iidx")
+    write_importance_index(docs, idx_path)
+    docs_dir = str(tmp_path / "docs")
+    docs.drop("source").repartition(3).write.parquet(docs_dir)
+
+    stream = importance_probe_stream(
+        stream_documents(spark, docs_dir),
+        spark.read.parquet(f"{idx_path}/rates"),
+        spark.read.parquet(f"{idx_path}/totals"),
+    )
+    got = _run_stream(spark, stream, f"t_{uuid.uuid4().hex[:8]}")
+    s_rows = {r["doc_id"]: r for r in got.collect()}
+    b_rows = {r["doc_id"]: r for r in importance_weights(docs).collect()}
+    assert set(s_rows) == set(b_rows)
+    for doc_id, b in b_rows.items():
+        s = s_rows[doc_id]
+        assert s["n_features"] == b["n_features"], doc_id
+        assert s["importance_weight"] == b["importance_weight"], doc_id
