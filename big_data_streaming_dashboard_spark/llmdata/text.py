@@ -827,3 +827,94 @@ def vocab_coverage(docs: DataFrame, top_k: int = 100) -> DataFrame:
             "cum_coverage"
         ),
     )
+
+
+# BPE symbol separator: every symbol in the working encoding is
+# wrapped \x1f<sym>\x1f, so the merge of (a, b) is a LITERAL
+# replace('\x1fa\x1f\x1fb\x1f' -> '\x1fab\x1f') -- left-to-right
+# non-overlapping in both engines, which IS greedy leftmost BPE merge
+# application. The double separator at symbol joints means a match
+# consumes no character of the following symbol, so consecutive
+# occurrences ('aaaa' under merge (a,a)) resolve identically
+# everywhere.
+_BPE_SEP = "\x1f"
+
+
+def bpe_train(docs: DataFrame, n_merges: int = 8) -> DataFrame:
+    """Distributed BPE merge training (Sennrich et al. 2016,
+    arXiv:1508.07909) -- learn the top ``n_merges`` byte-pair merges
+    over the corpus: (rank, left, right, pair_count).
+
+    Round structure (the classic algorithm, cluster-shaped):
+      1. ONE corpus pass folds to the (word, freq) vocabulary table --
+         all later rounds run over the vocab, which is dimension-sized
+         relative to the corpus (Zipf: distinct words << tokens).
+      2. Each round: explode adjacent symbol pairs weighted by word
+         freq -> one partial-agged shuffle on the pair key -> the
+         argmax pair by (count DESC, left ASC, right ASC) -- a total,
+         deterministic order on exact integers, so the engine and the
+         DuckDB oracle pick the SAME merge every round and the pairing
+         is exact end-to-end (no float anywhere).
+      3. Merge application is a literal string replace on the wrapped
+         encoding (see _BPE_SEP) -- a map-only projection, no shuffle.
+
+    The per-round argmax is a 1-row collect (the k-means-centroid
+    pattern: k bounded driver decisions, never corpus-sized); the
+    oracle keeps the same decision inside SQL as a 1-row CTE joined
+    with LEFT JOIN ON TRUE so an exhausted pair space (tiny corpus,
+    n_merges too large) degrades to a no-op round in both engines.
+
+    At 100 TB: the vocab fold is the only corpus-sized shuffle; each
+    round shuffles one narrow (pair, count) row per distinct
+    (word, pair) -- bounded by vocab size x word length -- and the
+    merge itself never moves data."""
+    toks = tokens(F.col("text"))
+    words = (
+        docs.select(F.explode(toks).alias("w"))
+        # a token containing the separator would corrupt the wrapped
+        # encoding; both engines drop them identically (none in the
+        # fixtures -- \x1f is a control char)
+        .filter(~F.col("w").contains(_BPE_SEP) & (F.length("w") > 0))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .withColumn(
+            "enc", F.regexp_replace(F.col("w"), "(.)", _BPE_SEP + "$1" + _BPE_SEP)
+        )
+        .select("enc", "freq")
+        .persist()
+    )
+    spark = docs.sparkSession
+    merges = []
+    cur = words
+    for rank in range(1, n_merges + 1):
+        syms = F.transform(
+            F.split(F.col("enc"), _BPE_SEP + _BPE_SEP),
+            lambda s: F.replace(s, F.lit(_BPE_SEP), F.lit("")),
+        )
+        t2 = F.slice(syms, 2, F.greatest(F.size(syms) - 1, F.lit(1)))
+        pair_structs = F.filter(
+            F.zip_with(
+                syms, t2, lambda a, b: F.when(b.isNotNull(), F.struct(a.alias("l"), b.alias("r")))
+            ),
+            lambda p: p.isNotNull(),
+        )
+        best = (
+            cur.select(F.explode(pair_structs).alias("p"), "freq")
+            .groupBy("p")
+            .agg(F.sum("freq").alias("n"))
+            .orderBy(F.col("n").desc(), F.col("p.l").asc(), F.col("p.r").asc())
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        left, right, n = best[0]["p"]["l"], best[0]["p"]["r"], best[0]["n"]
+        merges.append((rank, left, right, n))
+        pat = _BPE_SEP + left + _BPE_SEP + _BPE_SEP + right + _BPE_SEP
+        rep = _BPE_SEP + left + right + _BPE_SEP
+        cur = cur.select(
+            F.replace(F.col("enc"), F.lit(pat), F.lit(rep)).alias("enc"), "freq"
+        )
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, pair_count bigint"
+    )

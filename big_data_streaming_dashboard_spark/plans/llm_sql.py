@@ -1747,3 +1747,65 @@ SELECT db.doc_id,
 FROM db JOIN rates USING (fkey)
 GROUP BY db.doc_id
 """
+
+
+def bpe_train_sql(n_merges: int = 8) -> str:
+    """Oracle for text.bpe_train: the k merge rounds unroll into k CTE
+    triples (pairs -> best -> re-encoded vocab). Every step is exact
+    integer/string work -- counts are integers, the argmax order
+    (n DESC, left ASC, right ASC) is total, and merge application is
+    the same literal wrapped-separator replace -- so the engine's
+    per-round collected decision and this in-SQL decision coincide
+    with no margin argument. LEFT JOIN ON TRUE keeps an exhausted
+    pair space a no-op round instead of emptying the vocab."""
+    sep = "chr(31)"
+    sep2 = f"{sep} || {sep}"
+    parts = [
+        f"""
+WITH vocab AS (
+    SELECT w, COUNT(*) AS freq FROM (
+        SELECT unnest(regexp_split_to_array(text, '\\s+')) AS w FROM documents
+    ) WHERE len(w) > 0 AND NOT contains(w, {sep})
+    GROUP BY w
+),
+enc0 AS (
+    SELECT regexp_replace(w, '(.)', {sep} || '\\1' || {sep}, 'g') AS enc, freq
+    FROM vocab
+)"""
+    ]
+    for r in range(1, n_merges + 1):
+        parts.append(
+            f""",
+pairs{r} AS (
+    SELECT p[1] AS l, p[2] AS rr, SUM(freq) AS n
+    FROM (
+        SELECT freq, list_filter(
+            list_transform(list_zip(syms, syms[2:]),
+                x -> CASE WHEN x[2] IS NULL THEN NULL ELSE [x[1], x[2]] END),
+            y -> y IS NOT NULL) AS ps
+        FROM (
+            SELECT freq, list_transform(string_split(enc, {sep2}),
+                                        s -> replace(s, {sep}, '')) AS syms
+            FROM enc{r - 1}
+        )
+    ), UNNEST(ps) AS u(p)
+    GROUP BY 1, 2
+),
+best{r} AS (
+    SELECT l, rr, n FROM pairs{r} ORDER BY n DESC, l ASC, rr ASC LIMIT 1
+),
+enc{r} AS (
+    SELECT CASE WHEN b.l IS NULL THEN e.enc
+           ELSE replace(e.enc,
+                        {sep} || b.l || {sep} || {sep} || b.rr || {sep},
+                        {sep} || b.l || b.rr || {sep}) END AS enc,
+           e.freq
+    FROM enc{r - 1} e LEFT JOIN best{r} b ON TRUE
+)"""
+        )
+    union = "\nUNION ALL\n".join(
+        f'SELECT {r} AS rank, l AS "left", rr AS "right", '
+        f"CAST(n AS BIGINT) AS pair_count FROM best{r}"
+        for r in range(1, n_merges + 1)
+    )
+    return "".join(parts) + "\n" + union

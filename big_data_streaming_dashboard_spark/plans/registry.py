@@ -61,6 +61,7 @@ from ..llmdata.similarity import (
 from ..llmdata.multimodal import media_feature_census
 from ..llmdata.text import (
     bigram_lm_score,
+    bpe_train,
     chunk_spans,
     dedupe_lines,
     gopher_rules,
@@ -1007,6 +1008,14 @@ WHERE s._emit""",
         llm_sql.CONTAINMENT_SQL,
         "directed containment dedup (excerpt-in-page detection)",
     ),
+    # new in round 8: distributed BPE merge training -- exact pairing
+    # (integer counts, total argmax order, literal-replace merges; the
+    # oracle unrolls the rounds into CTE triples)
+    "doc_bpe_merges": QuerySpec(
+        lambda spark, sf: bpe_train(_docs(spark, sf)),
+        llm_sql.bpe_train_sql(),
+        "BPE merge training (top-8 merges; per-round argmax + greedy re-encode)",
+    ),
     # new in round 8: DSIR-style data selection (hashed-ngram
     # importance weights; quantize-before-aggregate exactness, margin
     # test in test_properties)
@@ -1064,7 +1073,6 @@ DRIVER_WINDOW: list[str] = [
     "rolling_stats",
     "recent_points",
     "flagship_event_stats",
-    "value_percentiles",
     "user_sessions",
     "events_by_hour",
     "range_join_events_orders",
@@ -1098,8 +1106,9 @@ DRIVER_WINDOW: list[str] = [
     # row was r5) + the r8 gopher-refactor re-earn
     "routed_records",
     "doc_gopher_rules",
-    # NEW in r8 (first driver row): DSIR importance weights
+    # NEW in r8 (first driver rows): DSIR importance weights + BPE
     "doc_importance_weights",
+    "doc_bpe_merges",
     # retained: flagship
     "full_pipeline",
     # retained: plans changed r8 (containment/jaccard perf rework;

@@ -595,3 +595,53 @@ def test_neardup_join_hints_size_gated(spark):
         F.concat(F.lit("alpha beta gamma delta text "), F.col("id")).alias("text"),
     )
     assert "shuffle_hash" in analyzed(neardup_pairs(big))
+
+
+def test_bpe_train_matches_classic_reference(spark):
+    """Distributed BPE (r8) against an independent dict-based
+    implementation of Sennrich et al.'s algorithm: same merges, same
+    ranks, same counts -- including the (count DESC, pair ASC)
+    tie-break and greedy leftmost merge application ('aaaa' under
+    (a,a) -> [aa, aa])."""
+    from collections import Counter
+
+    from big_data_streaming_dashboard_spark.llmdata.text import bpe_train
+
+    texts = [
+        "low low low low low lower lower newest newest newest",
+        "newest newest newest widest widest widest low lower newest widest",
+        "aaaa aaaa baaa",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = [tuple(r) for r in bpe_train(docs, n_merges=7).collect()]
+
+    words = Counter(w for t in texts for w in t.split())
+    vocab = Counter()
+    for w, f in words.items():
+        vocab[tuple(w)] += f
+    ref = []
+    for rank in range(1, 8):
+        pc = Counter()
+        for syms, f in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += f
+        if not pc:
+            break
+        m = max(pc.values())
+        pair = sorted(p for p, n in pc.items() if n == m)[0]
+        ref.append((rank, pair[0], pair[1], m))
+        nxt = Counter()
+        for syms, f in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and (syms[i], syms[i + 1]) == pair:
+                    out.append(syms[i] + syms[i + 1])
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            nxt[tuple(out)] += f
+        vocab = nxt
+    assert got == ref
