@@ -69,6 +69,10 @@ EXTRA = [
     "doc_gopher_rules",
     "doc_dedupe_lines",
     "doc_vocab_coverage",
+    # r8 additions: the three new LLM-pipeline ops
+    "doc_importance_weights",
+    "doc_bpe_merges",
+    "doc_bpe_encode",
 ]
 
 # scaling-regression canaries (r5 verdict item 4): a small subset

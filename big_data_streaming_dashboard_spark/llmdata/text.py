@@ -868,6 +868,18 @@ def bpe_train(docs: DataFrame, n_merges: int = 8) -> DataFrame:
     round shuffles one narrow (pair, count) row per distinct
     (word, pair) -- bounded by vocab size x word length -- and the
     merge itself never moves data."""
+    merges, _ = _bpe_state(docs, n_merges)
+    return docs.sparkSession.createDataFrame(
+        merges, "rank int, left string, right string, pair_count bigint"
+    )
+
+
+def _bpe_state(docs: DataFrame, n_merges: int):
+    """Shared BPE training loop: returns (merges, final_vocab) where
+    merges is [(rank, left, right, count), ...] and final_vocab the
+    (w, enc, freq) DataFrame after ALL merges applied -- consumed by
+    `bpe_train` (merge table) and `bpe_encode_stats` (tokenizer
+    application)."""
     toks = tokens(F.col("text"))
     words = (
         docs.select(F.explode(toks).alias("w"))
@@ -880,10 +892,9 @@ def bpe_train(docs: DataFrame, n_merges: int = 8) -> DataFrame:
         .withColumn(
             "enc", F.regexp_replace(F.col("w"), "(.)", _BPE_SEP + "$1" + _BPE_SEP)
         )
-        .select("enc", "freq")
+        .select("w", "enc", "freq")
         .persist()
     )
-    spark = docs.sparkSession
     merges = []
     cur = words
     for rank in range(1, n_merges + 1):
@@ -913,8 +924,44 @@ def bpe_train(docs: DataFrame, n_merges: int = 8) -> DataFrame:
         pat = _BPE_SEP + left + _BPE_SEP + _BPE_SEP + right + _BPE_SEP
         rep = _BPE_SEP + left + right + _BPE_SEP
         cur = cur.select(
-            F.replace(F.col("enc"), F.lit(pat), F.lit(rep)).alias("enc"), "freq"
+            "w", F.replace(F.col("enc"), F.lit(pat), F.lit(rep)).alias("enc"), "freq"
         )
-    return spark.createDataFrame(
-        merges, "rank int, left string, right string, pair_count bigint"
+    return merges, cur
+
+
+def bpe_encode_stats(docs: DataFrame, n_merges: int = 8) -> DataFrame:
+    """Apply the corpus-trained BPE tokenizer back to the documents
+    (the encode half of the tokenizer story): per doc,
+    (doc_id, n_words, n_subwords, avg_subwords_per_word).
+
+    The final vocabulary encoding from `_bpe_state` maps every
+    distinct word to its post-merge segment count; documents join
+    their exploded words against it -- at 100 TB the vocab is
+    dimension-sized (Zipf) and broadcasts, so the encode pass is one
+    map + one broadcast join + one per-doc agg, never a per-word
+    re-derivation. Integer counts end-to-end; the single rational
+    (avg) divides two small ints, whose 1/n_words granularity cannot
+    land on a .5e-6 rounding boundary for any doc under ~2M words --
+    exact cross-engine with no margin argument."""
+    _, vocab = _bpe_state(docs, n_merges)
+    n_sub = F.size(F.split(F.col("enc"), _BPE_SEP + _BPE_SEP))
+    seg = F.broadcast(vocab.select("w", n_sub.alias("_n_sub")))
+    doc_words = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("w")
+    ).filter(~F.col("w").contains(_BPE_SEP) & (F.length("w") > 0))
+    return (
+        doc_words.join(seg, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("_n_sub").alias("n_subwords"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_subwords",
+            F.round(
+                F.col("n_subwords").cast("double") / F.col("n_words"), 6
+            ).alias("avg_subwords_per_word"),
+        )
     )

@@ -1749,17 +1749,12 @@ GROUP BY db.doc_id
 """
 
 
-def bpe_train_sql(n_merges: int = 8) -> str:
-    """Oracle for text.bpe_train: the k merge rounds unroll into k CTE
-    triples (pairs -> best -> re-encoded vocab). Every step is exact
-    integer/string work -- counts are integers, the argmax order
-    (n DESC, left ASC, right ASC) is total, and merge application is
-    the same literal wrapped-separator replace -- so the engine's
-    per-round collected decision and this in-SQL decision coincide
-    with no margin argument. LEFT JOIN ON TRUE keeps an exhausted
-    pair space a no-op round instead of emptying the vocab."""
+def _bpe_cte_prefix(n_merges: int) -> str:
+    """The shared BPE training CTE chain (vocab -> enc0 -> k rounds of
+    pairs/best/enc), each enc carrying the original word ``w`` so the
+    encode oracle can join documents back to their final
+    segmentation."""
     sep = "chr(31)"
-    sep2 = f"{sep} || {sep}"
     parts = [
         f"""
 WITH vocab AS (
@@ -1769,7 +1764,7 @@ WITH vocab AS (
     GROUP BY w
 ),
 enc0 AS (
-    SELECT regexp_replace(w, '(.)', {sep} || '\\1' || {sep}, 'g') AS enc, freq
+    SELECT w, regexp_replace(w, '(.)', {sep} || '\\1' || {sep}, 'g') AS enc, freq
     FROM vocab
 )"""
     ]
@@ -1784,7 +1779,7 @@ pairs{r} AS (
                 x -> CASE WHEN x[2] IS NULL THEN NULL ELSE [x[1], x[2]] END),
             y -> y IS NOT NULL) AS ps
         FROM (
-            SELECT freq, list_transform(string_split(enc, {sep2}),
+            SELECT freq, list_transform(string_split(enc, {sep} || {sep}),
                                         s -> replace(s, {sep}, '')) AS syms
             FROM enc{r - 1}
         )
@@ -1795,7 +1790,8 @@ best{r} AS (
     SELECT l, rr, n FROM pairs{r} ORDER BY n DESC, l ASC, rr ASC LIMIT 1
 ),
 enc{r} AS (
-    SELECT CASE WHEN b.l IS NULL THEN e.enc
+    SELECT e.w,
+           CASE WHEN b.l IS NULL THEN e.enc
            ELSE replace(e.enc,
                         {sep} || b.l || {sep} || {sep} || b.rr || {sep},
                         {sep} || b.l || b.rr || {sep}) END AS enc,
@@ -1803,9 +1799,48 @@ enc{r} AS (
     FROM enc{r - 1} e LEFT JOIN best{r} b ON TRUE
 )"""
         )
+    return "".join(parts)
+
+
+def bpe_train_sql(n_merges: int = 8) -> str:
+    """Oracle for text.bpe_train: the k merge rounds unroll into k CTE
+    triples (pairs -> best -> re-encoded vocab). Every step is exact
+    integer/string work -- counts are integers, the argmax order
+    (n DESC, left ASC, right ASC) is total, and merge application is
+    the same literal wrapped-separator replace -- so the engine's
+    per-round collected decision and this in-SQL decision coincide
+    with no margin argument. LEFT JOIN ON TRUE keeps an exhausted
+    pair space a no-op round instead of emptying the vocab."""
     union = "\nUNION ALL\n".join(
         f'SELECT {r} AS rank, l AS "left", rr AS "right", '
         f"CAST(n AS BIGINT) AS pair_count FROM best{r}"
         for r in range(1, n_merges + 1)
     )
-    return "".join(parts) + "\n" + union
+    return _bpe_cte_prefix(n_merges) + "\n" + union
+
+
+def bpe_encode_sql(n_merges: int = 8) -> str:
+    """Oracle for text.bpe_encode_stats: the same training prefix,
+    then documents join their exploded words against the FINAL
+    vocabulary segmentation (segment count = wrapped-separator split
+    length). SUM over BIGINT is HUGEINT in DuckDB -> cast back (the
+    r3 Arrow-type gotcha)."""
+    sep = "chr(31)"
+    k = n_merges
+    return f"""{_bpe_cte_prefix(n_merges)},
+doc_words AS (
+    SELECT doc_id, w FROM (
+        SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS w
+        FROM documents
+    ) WHERE len(w) > 0 AND NOT contains(w, {sep})
+),
+seg AS (
+    SELECT w, len(string_split(enc, {sep} || {sep})) AS n_sub FROM enc{k}
+)
+SELECT d.doc_id,
+    CAST(COUNT(*) AS BIGINT) AS n_words,
+    CAST(SUM(s.n_sub) AS BIGINT) AS n_subwords,
+    round(CAST(SUM(s.n_sub) AS DOUBLE) / COUNT(*), 6) AS avg_subwords_per_word
+FROM doc_words d JOIN seg s USING (w)
+GROUP BY d.doc_id
+"""

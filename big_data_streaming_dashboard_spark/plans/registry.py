@@ -61,6 +61,7 @@ from ..llmdata.similarity import (
 from ..llmdata.multimodal import media_feature_census
 from ..llmdata.text import (
     bigram_lm_score,
+    bpe_encode_stats,
     bpe_train,
     chunk_spans,
     dedupe_lines,
@@ -1016,6 +1017,11 @@ WHERE s._emit""",
         llm_sql.bpe_train_sql(),
         "BPE merge training (top-8 merges; per-round argmax + greedy re-encode)",
     ),
+    "doc_bpe_encode": QuerySpec(
+        lambda spark, sf: bpe_encode_stats(_docs(spark, sf)),
+        llm_sql.bpe_encode_sql(),
+        "BPE tokenizer application (per-doc subword counts via vocab broadcast)",
+    ),
     # new in round 8: DSIR-style data selection (hashed-ngram
     # importance weights; quantize-before-aggregate exactness, margin
     # test in test_properties)
@@ -1051,10 +1057,15 @@ WHERE s._emit""",
 # and doc_gopher_rules rotates IN to re-earn its row after the r8
 # metric-expression refactor (gopher_keep_column extraction; values
 # identical by construction, but a plan-touching change re-earns its
-# row by policy). Making room, two stable double-green r5-block
-# queries rotate OUT with newest rows r7: user_set_ops and
-# unpivot_event_metrics (both green r1-r5 + r7, locally
-# oracle-checked every suite run). Retained: full_pipeline
+# row by policy). Three NEW r8 queries take their first driver rows:
+# doc_importance_weights (DSIR), doc_bpe_merges, doc_bpe_encode.
+# Making room, five stable double-green r5-block queries rotate OUT
+# with newest rows r7: user_set_ops, unpivot_event_metrics,
+# brand_supplier_margin, value_percentiles, exact_distinct_quantiles
+# (all green r1-r5 + r7, locally oracle-checked every suite run;
+# exact_distinct_quantiles remains approx_aggregates' error-bound
+# twin in the slow tests regardless of window membership).
+# Retained: full_pipeline
 # (flagship); doc_containment_pairs + doc_ngram_jaccard (r8 plan
 # changes: probe-side broadcast below the safety gate + memoized
 # plan handles + in-plan decorate guard); doc_curation_full (r8:
@@ -1081,7 +1092,6 @@ DRIVER_WINDOW: list[str] = [
     "downsample_5min",
     "cube_order_stats",
     "above_user_avg",
-    "exact_distinct_quantiles",
     "doc_corpus_mixture",
     "emb_quantize_int8",
     "doc_neardup_pairs",
@@ -1109,6 +1119,7 @@ DRIVER_WINDOW: list[str] = [
     # NEW in r8 (first driver rows): DSIR importance weights + BPE
     "doc_importance_weights",
     "doc_bpe_merges",
+    "doc_bpe_encode",
     # retained: flagship
     "full_pipeline",
     # retained: plans changed r8 (containment/jaccard perf rework;
