@@ -503,12 +503,35 @@ def importance_weights(docs: DataFrame, target_source: str = "src1") -> DataFram
     ).select(
         "doc_id", "source", F.substring(F.md5("_f"), 1, 2).alias("fkey")
     )
-    is_t = (F.col("source") == target_source).cast("long")
-    stats = feats.groupBy("fkey").agg(
-        F.count(F.lit(1)).alias("cs"), F.sum(is_t).alias("ct")
+    # ONE pass over the heavy feature explode: per-(doc, bucket)
+    # counts first (source rides along -- doc -> source is
+    # functional, so the extra key does not change the groups), then
+    # the 256-row bucket stats and the grand totals FOLD FROM the
+    # per-bucket counts instead of re-scanning the tokenize+md5 tree
+    # (r8 perf pass: the first draft computed the explode twice --
+    # 1.94 -> ~1.2 s at sf0.1; identical values, so the oracle is
+    # untouched). per_bucket feeds BOTH the stats and the final score
+    # trees, and the zip_with lambdas upstream defeat exchange-reuse
+    # canonicalization (the r3 ReusedExchange gotcha), so it is
+    # persisted via the index-cache keying -- ~docs x 256 narrow rows,
+    # bounded
+    from .dedup import _plan_cached
+
+    per_bucket = _plan_cached(
+        docs,
+        f"dsir_bucket:{target_source}",
+        lambda: feats.groupBy("doc_id", "source", "fkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist(),
     )
-    totals = feats.agg(
-        F.count(F.lit(1)).alias("s_total"), F.sum(is_t).alias("t_total")
+    is_t = F.when(F.col("source") == target_source, F.col("c")).otherwise(
+        F.lit(0)
+    )
+    stats = per_bucket.groupBy("fkey").agg(
+        F.sum("c").alias("cs"), F.sum(is_t).alias("ct")
+    )
+    totals = stats.agg(
+        F.sum("cs").alias("s_total"), F.sum("ct").alias("t_total")
     )
     ratio = ((F.col("ct") + 1.0) * (F.col("s_total") + 256.0)) / (
         (F.col("cs") + 1.0) * (F.col("t_total") + 256.0)
@@ -516,11 +539,9 @@ def importance_weights(docs: DataFrame, target_source: str = "src1") -> DataFram
     rates = stats.crossJoin(F.broadcast(totals)).select(
         "fkey", F.round(F.log(ratio), 6).cast("decimal(18,6)").alias("r")
     )
-    per_bucket = feats.groupBy("doc_id", "fkey").agg(
-        F.count(F.lit(1)).alias("c")
-    )
     return (
-        per_bucket.join(F.broadcast(rates), "fkey")
+        per_bucket.drop("source")
+        .join(F.broadcast(rates), "fkey")
         .groupBy("doc_id")
         .agg(
             F.sum("c").alias("n_features"),
