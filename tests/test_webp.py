@@ -234,3 +234,22 @@ def test_truncated_and_garbage_inputs_fail_loudly():
         decode_webp(b"RIFF\x00\x00\x00\x00NOPE")
     with pytest.raises(ValueError):
         decode_webp(b"")
+
+
+def test_vp8x_extended_container_walking():
+    """A VP8L chunk inside a VP8X extended container (the layout
+    feature-flagged files use) decodes identically: the RIFF walker
+    skips unknown chunks (incl. odd-size padding) to find VP8L."""
+    import struct
+
+    img = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+    plain = encode_webp_lossless(img)
+    # rebuild: RIFF [VP8X (10 bytes)] [XYZ odd-size chunk] [VP8L ...]
+    (vp8l_size,) = struct.unpack("<I", plain[16:20])
+    vp8l = plain[12 : 20 + vp8l_size + (vp8l_size & 1)]
+    vp8x = b"VP8X" + struct.pack("<I", 10) + b"\x00" * 10
+    odd = b"XYZ " + struct.pack("<I", 3) + b"abc\x00"  # padded to even
+    body = b"WEBP" + vp8x + odd + vp8l
+    data = b"RIFF" + struct.pack("<I", len(body)) + body
+    assert (decode_webp(data) == decode_webp(plain)).all()
+    assert make_is_webp()(data)
