@@ -683,3 +683,62 @@ def importance_probe_stream(docs: DataFrame, rates: DataFrame, totals: DataFrame
         F.size(feats).cast("long").alias("n_features"),
         weight.cast("double").alias("importance_weight"),
     )
+
+
+def write_bpe_merges(docs: DataFrame, path: str, n_merges: int = 8) -> str:
+    """Persist the corpus-trained BPE merge table (rank, left, right,
+    pair_count) -- the tokenizer artifact the streaming encoder
+    applies (r8; the batch trainer is text.bpe_train)."""
+    from ..llmdata.text import bpe_train
+
+    bpe_train(docs, n_merges).write.mode("overwrite").parquet(path)
+    return path
+
+
+def bpe_encode_stream(docs: DataFrame, merges: DataFrame) -> DataFrame:
+    """Streaming BPE tokenizer application: every arriving document is
+    encoded against the persisted merge table -- the token-accounting
+    gate a streaming corpus builder runs at ingest.
+
+    Classic BPE encode of a single word IS the rank-ordered chain of
+    its merge replaces, so the collected merge list (<= n_merges rows,
+    a bounded driver decision like the probe map in
+    `importance_probe_stream`) compiles into ONE per-token expression:
+    wrap the word in the separator encoding, apply each merge as a
+    literal replace in rank order, count the surviving segments.
+    Stateless, join-free, append-mode-safe -- and byte-for-byte the
+    same greedy leftmost application the batch trainer used, so
+    batch<->stream parity is exact (pinned in tests/test_streaming.py
+    against text.bpe_encode_stats)."""
+    from ..llmdata.text import _BPE_SEP, tokens
+
+    merge_rows = sorted(
+        ((r["rank"], r["left"], r["right"]) for r in merges.collect())
+    )
+
+    def encode_one(tok):
+        enc = F.regexp_replace(tok, "(.)", _BPE_SEP + "$1" + _BPE_SEP)
+        for _, left, right in merge_rows:
+            pat = _BPE_SEP + left + _BPE_SEP + _BPE_SEP + right + _BPE_SEP
+            rep = _BPE_SEP + left + right + _BPE_SEP
+            enc = F.replace(enc, F.lit(pat), F.lit(rep))
+        return F.size(F.split(enc, _BPE_SEP + _BPE_SEP))
+
+    toks = F.filter(
+        tokens(F.col("text")),
+        lambda w: ~w.contains(_BPE_SEP) & (F.length(w) > 0),
+    )
+    n_sub = F.aggregate(
+        F.transform(toks, lambda w: encode_one(w).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    n_words = F.size(toks).cast("long")
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_sub.alias("n_subwords"),
+        F.round(n_sub.cast("double") / n_words, 6).alias(
+            "avg_subwords_per_word"
+        ),
+    )

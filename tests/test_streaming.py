@@ -1102,3 +1102,38 @@ def test_streaming_importance_probe_matches_batch(spark, tmp_path):
         s = s_rows[doc_id]
         assert s["n_features"] == b["n_features"], doc_id
         assert s["importance_weight"] == b["importance_weight"], doc_id
+
+
+def test_streaming_bpe_encode_matches_batch(spark, tmp_path):
+    """Streaming BPE application (r8): encoding the corpus stream
+    against its own persisted merge table reproduces the batch
+    bpe_encode_stats rows exactly -- the chained literal replaces ARE
+    the greedy leftmost merge application, so counts are identical,
+    not approximately equal."""
+    import uuid
+
+    from big_data_streaming_dashboard_spark.llmdata.text import (
+        bpe_encode_stats,
+    )
+    from big_data_streaming_dashboard_spark.streaming.llm_ingest import (
+        bpe_encode_stream,
+        stream_documents,
+        write_bpe_merges,
+    )
+    from big_data_streaming_dashboard_spark.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text", "lang"
+    )
+    merges_path = str(tmp_path / "merges")
+    write_bpe_merges(docs, merges_path)
+    docs_dir = str(tmp_path / "docs")
+    docs.repartition(3).write.parquet(docs_dir)
+
+    stream = bpe_encode_stream(
+        stream_documents(spark, docs_dir), spark.read.parquet(merges_path)
+    )
+    got = _run_stream(spark, stream, f"t_{uuid.uuid4().hex[:8]}")
+    s_rows = {r["doc_id"]: tuple(r)[1:] for r in got.collect()}
+    b_rows = {r["doc_id"]: tuple(r)[1:] for r in bpe_encode_stats(docs).collect()}
+    assert s_rows == b_rows
