@@ -337,3 +337,60 @@ def test_importance_rate_rounding_margins():
         # noise is ~1e-15 in score units = 1e-9 grid units; require
         # 100x headroom (grid 1e-7 = 1e-13 score)
         assert min_margin > 1e-7, (fixture, min_margin)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.sampled_from("abcdeé 日"),
+            min_size=1,
+            max_size=24,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_bpe_train_fuzz_matches_classic(spark, texts):
+    """Property fuzz for the distributed BPE trainer (r8): random
+    small corpora (incl. repeats, multi-codepoint chars, runs that
+    force overlap handling and count ties) against the independent
+    dict-based classic algorithm -- merges, tie-breaks and counts must
+    agree exactly."""
+    from collections import Counter
+
+    from big_data_streaming_dashboard_spark.llmdata.text import bpe_train
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = [tuple(r) for r in bpe_train(docs, n_merges=4).collect()]
+
+    words = Counter(w for t in texts for w in t.split() if w)
+    vocab = Counter()
+    for w, f in words.items():
+        vocab[tuple(w)] += f
+    ref = []
+    for rank in range(1, 5):
+        pc = Counter()
+        for syms, f in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += f
+        if not pc:
+            break
+        m = max(pc.values())
+        pair = sorted(p for p, n in pc.items() if n == m)[0]
+        ref.append((rank, pair[0], pair[1], m))
+        nxt = Counter()
+        for syms, f in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and (syms[i], syms[i + 1]) == pair:
+                    out.append(syms[i] + syms[i + 1])
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            nxt[tuple(out)] += f
+        vocab = nxt
+    assert got == ref
