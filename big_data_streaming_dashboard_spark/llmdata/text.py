@@ -879,7 +879,20 @@ def _bpe_state(docs: DataFrame, n_merges: int):
     merges is [(rank, left, right, count), ...] and final_vocab the
     (w, enc, freq) DataFrame after ALL merges applied -- consumed by
     `bpe_train` (merge table) and `bpe_encode_stats` (tokenizer
-    application)."""
+    application). Memoized like the posting/banded indexes
+    (dedup._plan_cached keying): a trained tokenizer is THE canonical
+    build-once-apply-many artifact -- training it again for the same
+    logical corpus and merge count answers nothing new -- and the
+    result is k driver-side literals plus the final vocab handle."""
+    from .dedup import _plan_cached
+
+    holder = _plan_cached(
+        docs, f"bpe_state:{n_merges}", lambda: [_bpe_state_build(docs, n_merges)]
+    )
+    return holder[0]
+
+
+def _bpe_state_build(docs: DataFrame, n_merges: int):
     toks = tokens(F.col("text"))
     words = (
         docs.select(F.explode(toks).alias("w"))
