@@ -108,16 +108,30 @@ _BANDED_CACHE: dict[tuple, DataFrame] = {}
 
 
 def _plan_cached(docs: DataFrame, tag: str, build) -> DataFrame:
+    """Keyed on (app, plan semanticHash, INPUT-FILE fingerprint, tag).
+    The fingerprint term (r8; same fix corpus_count got from the r5
+    advice) matters because an overwrite at the same path keeps the
+    same analyzed plan: without it, a rewritten corpus would keep
+    serving the PREVIOUS corpus's persisted index/plan handle."""
     app_id = docs.sparkSession.sparkContext.applicationId
     try:
         sem = docs._jdf.queryExecution().analyzed().semanticHash()
+        fp = _input_fingerprint(docs)
     except Exception:  # non-classic backends: fall back to no caching
         return build()
-    key = (app_id, sem, tag)
+    key = (app_id, sem, fp, tag)
     hit = _BANDED_CACHE.get(key)
     if hit is None:
-        for stale in [sk for sk in _BANDED_CACHE if sk[0] != app_id]:
-            del _BANDED_CACHE[stale]
+        for stale in [
+            sk
+            for sk in _BANDED_CACHE
+            if sk[0] != app_id or (sk[1] == sem and sk[3] == tag)
+        ]:
+            old = _BANDED_CACHE.pop(stale)
+            if isinstance(old, DataFrame) and stale[0] == app_id:
+                # superseded by a rewrite: release the stale persist
+                # (no-op for plain plan handles)
+                old.unpersist()
         hit = _BANDED_CACHE[key] = build()
     return hit
 

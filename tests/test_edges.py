@@ -76,3 +76,30 @@ def test_curation_stream_empty_batch_dir(spark, tmp_path):
         curation_stream(stream_documents(spark, str(docs_dir))), name
     )
     assert spark.table(name).count() == 0
+
+
+def test_index_cache_sees_in_place_corpus_rewrite(spark, tmp_path):
+    """The derived-index cache (dedup._plan_cached) must key on the
+    input FILES, not just the logical plan: an overwrite at the same
+    path keeps the same analyzed plan, and before r8 the cache would
+    keep serving the previous corpus's persisted index (the same
+    staleness the r5 advice fixed in corpus_count)."""
+    from big_data_streaming_dashboard_spark.llmdata.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    path = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon"), (2, "alpha beta gamma delta epsilon")],
+        "doc_id long, text string",
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+    first = ngram_jaccard_pairs(spark.read.parquet(path), threshold=0.5).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in first} == {(1, 2)}
+
+    # rewrite IN PLACE with a disjoint corpus -> the old pair must die
+    spark.createDataFrame(
+        [(1, "one two three four five"), (3, "six seven eight nine ten")],
+        "doc_id long, text string",
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+    second = ngram_jaccard_pairs(spark.read.parquet(path), threshold=0.5).collect()
+    assert second == []
