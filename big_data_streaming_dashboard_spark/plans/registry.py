@@ -732,12 +732,13 @@ QUERIES: dict[str, QuerySpec] = {
         "retrieve-then-rerank: Hamming ANN candidates + cross-encoder-slot scoring",
     ),
     # ------------------------------------------------------------------
-    # Entries below sit PAST the driver's 50-query correctness window.
-    # Everything here is either rows-only by design (ANN, sketches,
-    # iterative, stateful-sequential, stubbed codecs) or an
-    # oracle-paired query already driver-green in BOTH r1 and r2 and
-    # re-checked locally every suite run (tests/test_oracle.py) --
-    # rotated out so never-driver-checked oracle queries fit in-window.
+    # Entries below sit PAST the driver's 50-query correctness window
+    # THIS round: every one is an oracle-paired query with at least one
+    # green driver row in history, re-checked locally every suite run
+    # (tests/test_oracle.py). (The original r2-era wording said "rows-
+    # only by design" lived down here too; since r5-r8 the ANN family,
+    # k-means and the exact cooldown are all paired, and the two
+    # genuinely unpairable queries sit permanently IN-window.)
     # ------------------------------------------------------------------
     "pivot_event_counts": QuerySpec(
         relational2.pivot_event_counts,
