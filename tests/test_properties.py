@@ -259,9 +259,10 @@ def test_chunk_spans_invariants(spark):
 
 
 def test_codec_roundtrips_property():
-    """Property-style sweep over random shapes/contents: PNG and GIF
-    round-trip bit-exactly (lossless), JPEG q100 within the float-DCT
-    bound, WAV sample-exact -- 20 random cases per codec,
+    """Property-style sweep over random shapes/contents: PNG, GIF and
+    WebP/VP8L round-trip bit-exactly (lossless; WebP cycles its
+    literal / subtract-green / palette modes), JPEG q100 within the
+    float-DCT bound, WAV sample-exact -- 20 random cases per codec,
     deterministic seed."""
     import numpy as np
 
@@ -273,9 +274,11 @@ def test_codec_roundtrips_property():
         encode_png,
         encode_wav,
     )
+    from big_data_streaming_dashboard_spark.llmdata.webp import webp_codec_kernel
 
     gdec, genc = gif_codec_kernel()
     jdec, jenc = jpeg_codec_kernel()
+    wpdec, wpenc = webp_codec_kernel()
     rng = np.random.default_rng(2024)
     for _ in range(20):
         h = int(rng.integers(1, 40))
@@ -294,6 +297,17 @@ def test_codec_roundtrips_property():
         pcm = rng.integers(-32768, 32768, size=(n, ch)).astype(np.int16)
         back, sr = decode_wav(encode_wav(pcm, 8000 * ch))
         assert sr == 8000 * ch and (back == pcm).all()
+        mode = int(rng.integers(0, 3))
+        if mode == 2:
+            ncol = int(rng.integers(2, 40))
+            wimg = rng.integers(0, 256, size=(ncol, 3)).astype(np.uint8)[
+                rng.integers(0, ncol, size=(h, w))
+            ]
+            wdata = wpenc(wimg, palette=True)
+        else:
+            wimg = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            wdata = wpenc(wimg, subtract_green=bool(mode))
+        assert (wpdec(wdata)[:, :, :3] == wimg).all(), (h, w, mode)
 
 
 def test_importance_rate_rounding_margins():
