@@ -97,6 +97,10 @@ TENX = [
     # (the sf0.1 fixture is ~1 Hz, so its per-second dim degenerates
     # to row-per-row; see operators/temporal.py docstring)
     "temporal_batch_annotate",
+    # r8: scale evidence for the two new multi-shuffle LLM ops (BPE is
+    # vocab-bounded by Zipf; DSIR folds to docs x 256 buckets)
+    "doc_importance_weights",
+    "doc_bpe_merges",
 ]
 
 
