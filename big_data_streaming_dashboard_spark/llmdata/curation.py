@@ -454,6 +454,52 @@ def curation_pipeline_full(
     )
 
 
+def dsir_features(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, fkey): every word unigram+bigram of every doc
+    hashed to its md5-prefix bucket -- the single source of the DSIR
+    feature definition, shared by the batch scorer
+    (`importance_weights`) and the streaming index builder
+    (streaming/llm_ingest.write_importance_index) so the two cannot
+    drift (the PRE_GOPHER_REASONS lesson, applied preemptively)."""
+    from .text import tokens
+
+    toks = tokens(F.col("text"))
+    t2 = F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(1)))
+    bigrams = F.filter(
+        F.zip_with(toks, t2, lambda a, b: F.concat(a, F.lit(" "), b)),
+        lambda x: x.isNotNull(),
+    )
+    return docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.concat(toks, bigrams)).alias("_f"),
+    ).select(
+        "doc_id", "source", F.substring(F.md5("_f"), 1, 2).alias("fkey")
+    )
+
+
+def dsir_rates(per_bucket: DataFrame, target_source: str):
+    """(rates, totals) from per-(doc, source, bucket) counts: the
+    256-row quantized log-ratio table (fkey, r) plus the 1-row totals
+    (s_total, t_total). Shared with the streaming index builder."""
+    is_t = F.when(F.col("source") == target_source, F.col("c")).otherwise(
+        F.lit(0)
+    )
+    stats = per_bucket.groupBy("fkey").agg(
+        F.sum("c").alias("cs"), F.sum(is_t).alias("ct")
+    )
+    totals = stats.agg(
+        F.sum("cs").alias("s_total"), F.sum("ct").alias("t_total")
+    )
+    ratio = ((F.col("ct") + 1.0) * (F.col("s_total") + 256.0)) / (
+        (F.col("cs") + 1.0) * (F.col("t_total") + 256.0)
+    )
+    rates = stats.crossJoin(F.broadcast(totals)).select(
+        "fkey", F.round(F.log(ratio), 6).cast("decimal(18,6)").alias("r")
+    )
+    return rates, totals
+
+
 def importance_weights(docs: DataFrame, target_source: str = "src1") -> DataFrame:
     """DSIR-style hashed-n-gram importance weights (Data Selection via
     Importance Resampling -- Xie et al. 2023, arXiv:2302.03169): score
@@ -488,21 +534,7 @@ def importance_weights(docs: DataFrame, target_source: str = "src1") -> DataFram
     256-row broadcast; the final agg shuffles one narrow row per
     (doc, bucket). No corpus-sized build sides, no skew (md5 buckets
     are uniform)."""
-    from .text import tokens
-
-    toks = tokens(F.col("text"))
-    t2 = F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(1)))
-    bigrams = F.filter(
-        F.zip_with(toks, t2, lambda a, b: F.concat(a, F.lit(" "), b)),
-        lambda x: x.isNotNull(),
-    )
-    feats = docs.select(
-        "doc_id",
-        "source",
-        F.explode(F.concat(toks, bigrams)).alias("_f"),
-    ).select(
-        "doc_id", "source", F.substring(F.md5("_f"), 1, 2).alias("fkey")
-    )
+    feats = dsir_features(docs)
     # ONE pass over the heavy feature explode: per-(doc, bucket)
     # counts first (source rides along -- doc -> source is
     # functional, so the extra key does not change the groups), then
@@ -524,21 +556,7 @@ def importance_weights(docs: DataFrame, target_source: str = "src1") -> DataFram
         .agg(F.count(F.lit(1)).alias("c"))
         .persist(),
     )
-    is_t = F.when(F.col("source") == target_source, F.col("c")).otherwise(
-        F.lit(0)
-    )
-    stats = per_bucket.groupBy("fkey").agg(
-        F.sum("c").alias("cs"), F.sum(is_t).alias("ct")
-    )
-    totals = stats.agg(
-        F.sum("cs").alias("s_total"), F.sum("ct").alias("t_total")
-    )
-    ratio = ((F.col("ct") + 1.0) * (F.col("s_total") + 256.0)) / (
-        (F.col("cs") + 1.0) * (F.col("t_total") + 256.0)
-    )
-    rates = stats.crossJoin(F.broadcast(totals)).select(
-        "fkey", F.round(F.log(ratio), 6).cast("decimal(18,6)").alias("r")
-    )
+    rates, totals = dsir_rates(per_bucket, target_source)
     return (
         per_bucket.drop("source")
         .join(F.broadcast(rates), "fkey")

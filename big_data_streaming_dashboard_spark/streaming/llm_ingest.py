@@ -588,34 +588,13 @@ def write_importance_index(docs: DataFrame, path: str) -> str:
     derive the UNSEEN-bucket rate (a stream doc can hash features into
     buckets the index corpus never produced; Laplace smoothing gives
     those ln((S+256)/(T+256)), the ct=cs=0 case)."""
-    from ..llmdata.curation import importance_weights  # noqa: F401  (doc link)
-    from ..llmdata.text import tokens
+    from ..llmdata.curation import dsir_features, dsir_rates
 
-    toks = tokens(F.col("text"))
-    t2 = F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(1)))
-    bigrams = F.filter(
-        F.zip_with(toks, t2, lambda a, b: F.concat(a, F.lit(" "), b)),
-        lambda x: x.isNotNull(),
+    per_bucket = dsir_features(docs).groupBy("doc_id", "source", "fkey").agg(
+        F.count(F.lit(1)).alias("c")
     )
-    feats = docs.select(
-        "source", F.explode(F.concat(toks, bigrams)).alias("_f")
-    ).select("source", F.substring(F.md5("_f"), 1, 2).alias("fkey"))
-    is_t = (F.col("source") == "src1").cast("long")
-    stats = feats.groupBy("fkey").agg(
-        F.count(F.lit(1)).alias("cs"), F.sum(is_t).alias("ct")
-    )
-    totals = feats.agg(
-        F.count(F.lit(1)).alias("s_total"), F.sum(is_t).alias("t_total")
-    )
-    ratio = ((F.col("ct") + 1.0) * (F.col("s_total") + 256.0)) / (
-        (F.col("cs") + 1.0) * (F.col("t_total") + 256.0)
-    )
-    (
-        stats.crossJoin(F.broadcast(totals))
-        .select("fkey", F.round(F.log(ratio), 6).cast("decimal(18,6)").alias("r"))
-        .write.mode("overwrite")
-        .parquet(f"{path}/rates")
-    )
+    rates, totals = dsir_rates(per_bucket, "src1")
+    rates.write.mode("overwrite").parquet(f"{path}/rates")
     totals.write.mode("overwrite").parquet(f"{path}/totals")
     return path
 
