@@ -580,7 +580,9 @@ def contamination_probe_stream(
     )
 
 
-def write_importance_index(docs: DataFrame, path: str) -> str:
+def write_importance_index(
+    docs: DataFrame, path: str, target_source: str = "src1"
+) -> str:
     """Persist the DSIR rate table the streaming probe consumes
     (r8; mirrors the batch `curation.importance_weights` pipeline):
     one row per md5-prefix bucket with its quantized log-ratio, plus a
@@ -593,7 +595,7 @@ def write_importance_index(docs: DataFrame, path: str) -> str:
     per_bucket = dsir_features(docs).groupBy("doc_id", "source", "fkey").agg(
         F.count(F.lit(1)).alias("c")
     )
-    rates, totals = dsir_rates(per_bucket, "src1")
+    rates, totals = dsir_rates(per_bucket, target_source)
     rates.write.mode("overwrite").parquet(f"{path}/rates")
     totals.write.mode("overwrite").parquet(f"{path}/totals")
     return path
