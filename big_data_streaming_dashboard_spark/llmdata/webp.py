@@ -527,16 +527,27 @@ def webp_codec_kernel():
         raise ValueError("webp: no VP8L chunk found")
 
     def decode(data):
-        body = find_vp8l(bytes(data))
-        if not body or body[0] != 0x2F:
-            raise ValueError("webp: bad VP8L signature byte")
-        br = Br(body[1:])
-        w = br.read(14) + 1
-        h = br.read(14) + 1
-        br.read(1)  # alpha hint
-        if br.read(3) != 0:
-            raise ValueError("webp: unsupported VP8L version")
-        img = decode_image(br, w, h, True)
+        # Boundary contract (matches the JPEG/GIF/WAV kernels): EVERY
+        # malformed-input failure surfaces as ValueError -- the
+        # downstream feat/resize kernels catch exactly that to route
+        # corrupt payloads to the documented stub slot, so a leaked
+        # IndexError/struct.error from fuzzed bytes would kill the
+        # whole Spark stage instead of degrading one row.
+        try:
+            body = find_vp8l(bytes(data))
+            if not body or body[0] != 0x2F:
+                raise ValueError("webp: bad VP8L signature byte")
+            br = Br(body[1:])
+            w = br.read(14) + 1
+            h = br.read(14) + 1
+            br.read(1)  # alpha hint
+            if br.read(3) != 0:
+                raise ValueError("webp: unsupported VP8L version")
+            img = decode_image(br, w, h, True)
+        except ValueError:
+            raise
+        except (IndexError, KeyError, OverflowError, MemoryError, struct.error) as e:
+            raise ValueError(f"webp: malformed bitstream ({type(e).__name__})") from e
         # ARGB (a, r, g, b) columns -> RGBA
         rgba = np.stack(
             [img[:, :, 1], img[:, :, 2], img[:, :, 3], img[:, :, 0]],

@@ -253,3 +253,32 @@ def test_vp8x_extended_container_walking():
     data = b"RIFF" + struct.pack("<I", len(body)) + body
     assert (decode_webp(data) == decode_webp(plain)).all()
     assert make_is_webp()(data)
+
+
+def test_corruption_fuzz_raises_only_valueerror():
+    """Byte-corruption sweep over valid streams (every position x a
+    few XOR masks): decode must either succeed (corruption in padding
+    or a don't-care bit) or raise ValueError -- NEVER leak an
+    IndexError/KeyError/struct.error, because the Spark-side
+    feat/resize kernels catch exactly ValueError to degrade a corrupt
+    payload to the stub slot instead of killing the stage."""
+    rng = np.random.RandomState(13)
+    img = rng.randint(0, 256, size=(9, 11, 3)).astype(np.uint8)
+    for kw in ({}, {"palette": False, "subtract_green": True}):
+        data = bytearray(encode_webp_lossless(img, **kw))
+        for pos in range(12, len(data)):
+            for mask in (0x01, 0x80, 0xFF):
+                corrupt = bytes(
+                    data[:pos] + bytes([data[pos] ^ mask]) + data[pos + 1 :]
+                )
+                try:
+                    decode_webp(corrupt)
+                except ValueError:
+                    pass  # the contract
+    # truncations at every length, same contract
+    data = bytes(encode_webp_lossless(img))
+    for n in range(len(data)):
+        try:
+            decode_webp(data[:n])
+        except ValueError:
+            pass
