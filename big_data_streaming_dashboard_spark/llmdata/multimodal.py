@@ -115,7 +115,15 @@ def _png_codec_kernel():
             palette = np.frombuffer(plte, np.uint8).reshape(-1, 3)
         nch = {0: 1, 2: 3, 3: 1, 6: 4}[color]
         stride = w * nch
-        raw = zlib.decompress(b"".join(idat))
+        try:
+            raw = zlib.decompress(b"".join(idat))
+        except zlib.error as e:
+            # boundary contract (same as the JPEG/GIF/WAV/WebP
+            # kernels): malformed input surfaces as ValueError -- the
+            # feat/resize kernels catch exactly that; a leaked
+            # zlib.error from a corrupt IDAT would kill the stage
+            # (found by the r8 corruption sweep)
+            raise ValueError(f"PNG IDAT inflate failed: {e}") from e
         if len(raw) != h * (stride + 1):
             raise ValueError("PNG IDAT length mismatch")
         rows = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
@@ -565,7 +573,13 @@ def extract_features(media: DataFrame, decode_stub: bool = True) -> DataFrame:
 
         def feat(payload):
             if payload is not None and bytes(payload[:8]) == sig:
-                return pixel_features(png_decode(payload))
+                try:
+                    return pixel_features(png_decode(payload))
+                except ValueError:
+                    # PNG-signed garbage / corrupt IDAT -> codec-stub
+                    # slot (r8: the corruption sweep found this branch
+                    # had no net, unlike its JPEG/GIF/WAV siblings)
+                    pass
             if payload is not None and is_gif(payload):
                 try:
                     frames, _ = gif_decode(payload)
@@ -924,7 +938,11 @@ def resize_images(
             if payload is None:
                 return None
             if bytes(payload[:8]) == sig:
-                return nn_gather(png_decode(payload))
+                try:
+                    return nn_gather(png_decode(payload))
+                except ValueError:
+                    # PNG-signed garbage -> documented stub slot (r8)
+                    pass
             if is_jpeg(payload):
                 try:
                     return nn_gather(jpeg_decode(payload))

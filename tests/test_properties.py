@@ -408,3 +408,56 @@ def test_bpe_train_fuzz_matches_classic(spark, texts):
             nxt[tuple(out)] += f
         vocab = nxt
     assert got == ref
+
+
+def test_codec_boundaries_never_leak_non_valueerror():
+    """Byte-corruption + truncation sweep across ALL real codecs: the
+    decode boundary must surface every malformed-input failure as
+    ValueError (or the documented NotImplementedError for real-codec
+    slots) -- the Spark-side feat/resize kernels catch exactly those,
+    so any other exception type would kill a stage on one bad payload.
+    The r8 sweep found PNG leaking zlib.error from corrupt IDAT; this
+    pins the fix and the contract for the other four."""
+    import numpy as np
+
+    from big_data_streaming_dashboard_spark.llmdata.gif import gif_codec_kernel
+    from big_data_streaming_dashboard_spark.llmdata.jpeg import jpeg_codec_kernel
+    from big_data_streaming_dashboard_spark.llmdata.multimodal import (
+        decode_png,
+        decode_wav,
+        encode_png,
+        encode_wav,
+    )
+    from big_data_streaming_dashboard_spark.llmdata.webp import (
+        decode_webp,
+        encode_webp_lossless,
+    )
+
+    rng = np.random.RandomState(5)
+    img = rng.randint(0, 256, size=(9, 11, 3)).astype(np.uint8)
+    gdec, genc = gif_codec_kernel()
+    jdec, jenc = jpeg_codec_kernel()
+    pal = rng.randint(0, 256, size=(8, 3)).astype(np.uint8)
+    frames = [rng.randint(0, 8, size=(9, 11)).astype(np.uint8) for _ in range(2)]
+    pcm = rng.randint(-32768, 32768, size=(300,)).astype(np.int16)
+    cases = {
+        "png": (bytes(encode_png(img)), decode_png),
+        "jpeg": (bytes(jenc(img, quality=95)), jdec),
+        "gif": (bytes(genc(frames, pal)), gdec),
+        "wav": (bytes(encode_wav(pcm, 8000)), decode_wav),
+        "webp": (bytes(encode_webp_lossless(img)), decode_webp),
+    }
+    for name, (data, dec) in cases.items():
+        arr = bytearray(data)
+        for pos in range(len(arr)):
+            for mask in (0x01, 0x80, 0xFF):
+                c = bytes(arr[:pos] + bytes([arr[pos] ^ mask]) + arr[pos + 1 :])
+                try:
+                    dec(c)
+                except (ValueError, NotImplementedError):
+                    pass  # the contract
+        for n in range(len(arr)):
+            try:
+                dec(data[:n])
+            except (ValueError, NotImplementedError):
+                pass
