@@ -978,3 +978,58 @@ def bpe_encode_stats(docs: DataFrame, n_merges: int = 8) -> DataFrame:
             ).alias("avg_subwords_per_word"),
         )
     )
+
+
+def repeated_passages_exact(docs: DataFrame, window: int = RK_WINDOW) -> DataFrame:
+    """Hash-prefiltered EXACT cross-doc repeated passages -- the
+    collision-proof upgrade of `repeated_passages` (Lee et al. 2022,
+    arXiv:2107.06499 motivates exact substring dedup): candidate
+    window positions come from the rolling-hash groups seen in >= 2
+    distinct docs (LOSSLESS: equal text => equal hash, so every truly
+    repeated passage's hash qualifies), then the actual window TEXT is
+    reconstructed for candidate positions only and the final grouping
+    runs on the text itself -- a colliding hash can no longer conflate
+    two different passages. Output: (passage, n_docs, n_occurrences)
+    for passages appearing in >= 2 docs.
+
+    Scale shape (the candidates->verify discipline of the near-dup
+    family): the first aggregation shuffles only (doc_id, pos, hash)
+    -- 8 bytes of key per window, never text; the verify join back to
+    the token arrays touches only candidate rows (collided hashes),
+    and the final exchange carries one short passage string per
+    candidate occurrence. At 100 TB the hash prefilter is what keeps
+    the text shuffle proportional to the REPEATED volume, not the
+    corpus."""
+    toks = tokens(F.col("text"))
+    codes = _token_codes(F.col("text"))
+    narrow = docs.select(
+        "doc_id",
+        F.posexplode(_window_hashes(codes, window)).alias(
+            "pos", "passage_hash"
+        ),
+    )
+    cand = (
+        narrow.groupBy("passage_hash")
+        .agg(F.countDistinct("doc_id").alias("_nd"))
+        .filter(F.col("_nd") >= 2)
+        .select("passage_hash")
+    )
+    toks_tbl = docs.select("doc_id", toks.alias("_t"))
+    verified = (
+        narrow.join(cand, "passage_hash")
+        .join(toks_tbl, "doc_id")
+        .select(
+            "doc_id",
+            F.array_join(
+                F.slice(F.col("_t"), F.col("pos") + 1, window), " "
+            ).alias("passage"),
+        )
+    )
+    return (
+        verified.groupBy("passage")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )

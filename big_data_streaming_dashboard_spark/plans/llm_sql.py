@@ -1844,3 +1844,30 @@ SELECT d.doc_id,
 FROM doc_words d JOIN seg s USING (w)
 GROUP BY d.doc_id
 """
+
+
+REPEATED_PASSAGES_EXACT_SQL = r"""
+WITH tw AS (
+    SELECT doc_id,
+        regexp_split_to_array(text, '\s+') AS t,
+        list_transform(regexp_split_to_array(text, '\s+'),
+                       x -> CAST(length(x) * 131 + ascii(x) AS BIGINT)) AS c
+    FROM documents
+),
+narrow AS (
+    SELECT doc_id, u.i AS pos,
+        list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(c, u.i, u.i + 7)),
+                    (a, x) -> (a * 1000003 + x) % 2147483647) AS passage_hash,
+        array_to_string(list_slice(t, u.i, u.i + 7), ' ') AS passage
+    FROM tw, UNNEST(generate_series(1, len(c) - 8 + 1)) AS u(i)
+),
+cand AS (
+    SELECT passage_hash FROM narrow
+    GROUP BY passage_hash HAVING COUNT(DISTINCT doc_id) >= 2
+)
+SELECT passage,
+    CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+    CAST(COUNT(*) AS BIGINT) AS n_occurrences
+FROM narrow JOIN cand USING (passage_hash)
+GROUP BY passage HAVING COUNT(DISTINCT doc_id) >= 2
+"""

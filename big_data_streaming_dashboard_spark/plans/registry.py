@@ -75,6 +75,7 @@ from ..llmdata.text import (
     pii_redact,
     quality_score,
     repeated_passages,
+    repeated_passages_exact,
     repetition_score,
     rolling_fingerprint,
     simhash8,
@@ -824,6 +825,11 @@ QUERIES: dict[str, QuerySpec] = {
         llm_sql.ROLLING_FP_SQL,
         "Rabin-Karp per-doc fingerprint (integer polynomial fold)",
     ),
+    "doc_repeated_passages_exact": QuerySpec(
+        lambda spark, sf: repeated_passages_exact(_docs(spark, sf)),
+        llm_sql.REPEATED_PASSAGES_EXACT_SQL,
+        "exact repeated passages (hash-prefiltered candidates, text verify)",
+    ),
     "doc_repeated_passages": QuerySpec(
         lambda spark, sf: repeated_passages(_docs(spark, sf)),
         llm_sql.REPEATED_PASSAGES_SQL,
@@ -1058,14 +1064,15 @@ WHERE s._emit""",
 # and doc_gopher_rules rotates IN to re-earn its row after the r8
 # metric-expression refactor (gopher_keep_column extraction; values
 # identical by construction, but a plan-touching change re-earns its
-# row by policy). Three NEW r8 queries take their first driver rows:
-# doc_importance_weights (DSIR), doc_bpe_merges, doc_bpe_encode.
-# Making room, five stable double-green r5-block queries rotate OUT
-# with newest rows r7: user_set_ops, unpivot_event_metrics,
-# brand_supplier_margin, value_percentiles, exact_distinct_quantiles
-# (all green r1-r5 + r7, locally oracle-checked every suite run;
-# exact_distinct_quantiles remains approx_aggregates' error-bound
-# twin in the slow tests regardless of window membership).
+# row by policy). Four NEW r8 queries take their first driver rows:
+# doc_importance_weights (DSIR), doc_bpe_merges, doc_bpe_encode,
+# doc_repeated_passages_exact. Making room, six stable double-green
+# r5-block queries rotate OUT with newest rows r7: user_set_ops,
+# unpivot_event_metrics, brand_supplier_margin, value_percentiles,
+# exact_distinct_quantiles, events_by_hour (all green r1-r5 + r7,
+# locally oracle-checked every suite run; exact_distinct_quantiles
+# remains approx_aggregates' error-bound twin in the slow tests
+# regardless of window membership).
 # Retained: full_pipeline
 # (flagship); doc_containment_pairs + doc_ngram_jaccard (r8 plan
 # changes: probe-side broadcast below the safety gate + memoized
@@ -1086,7 +1093,6 @@ DRIVER_WINDOW: list[str] = [
     "recent_points",
     "flagship_event_stats",
     "user_sessions",
-    "events_by_hour",
     "range_join_events_orders",
     "session_window_events",
     "moving_avg_events",
@@ -1121,6 +1127,7 @@ DRIVER_WINDOW: list[str] = [
     "doc_importance_weights",
     "doc_bpe_merges",
     "doc_bpe_encode",
+    "doc_repeated_passages_exact",
     # retained: flagship
     "full_pipeline",
     # retained: plans changed r8 (containment/jaccard perf rework;
