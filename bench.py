@@ -69,10 +69,11 @@ EXTRA = [
     "doc_gopher_rules",
     "doc_dedupe_lines",
     "doc_vocab_coverage",
-    # r8 additions: the three new LLM-pipeline ops
+    # r8 additions: the four new LLM-pipeline ops
     "doc_importance_weights",
     "doc_bpe_merges",
     "doc_bpe_encode",
+    "doc_repeated_passages_exact",
 ]
 
 # scaling-regression canaries (r5 verdict item 4): a small subset

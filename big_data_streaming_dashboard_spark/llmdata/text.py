@@ -1000,13 +1000,23 @@ def repeated_passages_exact(docs: DataFrame, window: int = RK_WINDOW) -> DataFra
     candidate occurrence. At 100 TB the hash prefilter is what keeps
     the text shuffle proportional to the REPEATED volume, not the
     corpus."""
+    from .dedup import _plan_cached
+
     toks = tokens(F.col("text"))
     codes = _token_codes(F.col("text"))
-    narrow = docs.select(
-        "doc_id",
-        F.posexplode(_window_hashes(codes, window)).alias(
-            "pos", "passage_hash"
-        ),
+    # the (doc_id, pos, hash) position index feeds BOTH the candidate
+    # aggregation and the verify join, and the rolling-hash HOFs defeat
+    # exchange-reuse canonicalization (the r3 ReusedExchange gotcha) --
+    # persist it once per corpus like the other probe indexes
+    narrow = _plan_cached(
+        docs,
+        f"passage_pos:{window}",
+        lambda: docs.select(
+            "doc_id",
+            F.posexplode(_window_hashes(codes, window)).alias(
+                "pos", "passage_hash"
+            ),
+        ).persist(),
     )
     cand = (
         narrow.groupBy("passage_hash")
