@@ -354,7 +354,12 @@ def webp_codec_kernel():
             ty = tiles[y >> size_bits]
             for x in range(w):
                 cte = ty[x >> size_bits]
-                g2r, g2b, r2b = int(cte[1]), int(cte[2]), int(cte[3])
+                # ColorTransformElement packing (verified against
+                # libwebp by the crafted-transform harness, which
+                # caught a swapped first draft): green_to_red lives in
+                # the BLUE byte, green_to_blue in GREEN, red_to_blue
+                # in RED -- i.e. argb = ff | r2b<<16 | g2b<<8 | g2r
+                g2r, g2b, r2b = int(cte[3]), int(cte[2]), int(cte[1])
                 g = int(img[y, x, 2])
                 r = (int(img[y, x, 1]) + color_delta(g2r, g)) & 0xFF
                 b = (int(img[y, x, 3]) + color_delta(g2b, g)) & 0xFF
@@ -887,7 +892,38 @@ def webp_codec_kernel():
                 if db:
                     bw.write(dv, db)
 
+    def craft_transform_stream(kind, tiles, residuals, size_bits=2):
+        """Test-support: a VP8L stream carrying ONE transform --
+        ``kind`` 'predictor' or 'color' -- with explicit per-tile
+        parameters over a literal-coded residual image. ``tiles`` is a
+        2D list of tile pixels: for 'predictor', green = mode 0..13;
+        for 'color', (255, green_to_red, green_to_blue, red_to_blue).
+        ``residuals`` is the (h x w) ARGB residual image. Decoding the
+        crafted stream with BOTH this decoder and libwebp pins the
+        inverse-transform implementations bit-for-bit for every mode
+        (tests/test_webp.py), beyond whatever modes the libwebp
+        ENCODER happens to pick on natural fixtures."""
+        h = len(residuals)
+        w = len(residuals[0])
+        bw = Bw()
+        bw.write(w - 1, 14)
+        bw.write(h - 1, 14)
+        bw.write(0, 1)
+        bw.write(0, 3)
+        bw.write(1, 1)  # transform present
+        bw.write(0 if kind == "predictor" else 1, 2)
+        bw.write(size_bits - 2, 3)
+        tw = -(-w // (1 << size_bits))
+        th = -(-h // (1 << size_bits))
+        if len(tiles) != th or len(tiles[0]) != tw:
+            raise ValueError(f"tiles must be {th}x{tw} for {w}x{h}@{size_bits}")
+        write_pixel_body(bw, tiles, lz77=False)
+        bw.write(0, 1)  # end of transforms
+        write_pixel_body(bw, residuals, lz77=False, coded_w=w)
+        return wrap_container(b"\x2f" + bw.done())
+
     encode.craft_backref_stream = craft_backref_stream
+    encode.craft_transform_stream = craft_transform_stream
     return decode, encode
 
 

@@ -282,3 +282,53 @@ def test_corruption_fuzz_raises_only_valueerror():
             decode_webp(data[:n])
         except ValueError:
             pass
+
+
+@needs_libwebp
+def test_crafted_predictor_transform_all_modes_match_libwebp():
+    """Crafted streams carrying an explicit predictor transform pin
+    ALL 14 modes bit-for-bit against libwebp (the natural-image
+    cross-checks only exercise whatever modes the libwebp encoder
+    happens to pick)."""
+    _, encode = webp_codec_kernel()
+    rng = np.random.RandomState(4)
+    res = [
+        [(255, int(rng.randint(256)), int(rng.randint(256)), int(rng.randint(256))) for _ in range(8)]
+        for _ in range(8)
+    ]
+    for m0 in range(14):
+        tiles = [
+            [(255, 0, m0, 0), (255, 0, (m0 + 7) % 14, 0)],
+            [(255, 0, (m0 + 3) % 14, 0), (255, 0, (m0 + 11) % 14, 0)],
+        ]
+        data = encode.craft_transform_stream("predictor", tiles, res)
+        assert (decode_webp(data) == _lib_decode(data)).all(), m0
+
+
+@needs_libwebp
+def test_crafted_color_transform_matches_libwebp():
+    """Crafted streams with explicit ColorTransformElement values
+    across the signed-delta range pin the inverse color transform
+    bit-for-bit against libwebp. This harness caught a REAL first-draft
+    bug: the CTE channel packing is green_to_red in the BLUE byte and
+    red_to_blue in RED (argb = ff|r2b<<16|g2b<<8|g2r) -- the swapped
+    reading decoded every nonzero-delta stream wrong while all the
+    natural-fixture cross-checks passed (the libwebp encoder had not
+    picked the transform there)."""
+    _, encode = webp_codec_kernel()
+    rng = np.random.RandomState(4)
+    res = [
+        [(255, int(rng.randint(256)), int(rng.randint(256)), int(rng.randint(256))) for _ in range(8)]
+        for _ in range(8)
+    ]
+    for g2r in (0, 1, 37, 128, 200, 255):
+        for g2b in (0, 91, 170):
+            for r2b in (0, 55, 240):
+                tiles = [
+                    [(255, r2b, g2b, g2r), (255, g2b, r2b, g2r)],
+                    [(255, g2r, r2b, g2b), (255, 0, 0, 0)],
+                ]
+                data = encode.craft_transform_stream("color", tiles, res)
+                assert (decode_webp(data) == _lib_decode(data)).all(), (
+                    g2r, g2b, r2b,
+                )
