@@ -332,3 +332,25 @@ def test_crafted_color_transform_matches_libwebp():
                 assert (decode_webp(data) == _lib_decode(data)).all(), (
                     g2r, g2b, r2b,
                 )
+
+
+@needs_libwebp
+def test_large_mixed_structure_libwebp_decode():
+    """128x128 mixed-structure images (smooth gradient + noise + flat
+    + stripes, and a varying-alpha variant) push the libwebp encoder
+    toward its full machinery -- meta-prefix groups, color cache,
+    transforms, long backrefs -- and our decoder must still be
+    pixel-exact."""
+    rng = np.random.RandomState(21)
+    yy, xx = np.mgrid[0:128, 0:128]
+    img = np.zeros((128, 128, 4), np.uint8)
+    img[:, :, 3] = 255
+    img[:64, :64, 0] = (xx[:64, :64] * 2) % 256
+    img[:64, :64, 1] = (yy[:64, :64] * 3) % 256
+    img[:64, 64:, :3] = rng.randint(0, 256, size=(64, 64, 3))
+    img[64:, :64, :3] = 77
+    img[64:, 64:, 0] = ((xx[64:, 64:] // 4) % 2) * 255
+    assert (decode_webp(_lib_encode(img)) == img).all()
+    img2 = img.copy()
+    img2[:, :, 3] = ((xx + yy) % 256).astype(np.uint8)
+    assert (decode_webp(_lib_encode(img2)) == img2).all()
