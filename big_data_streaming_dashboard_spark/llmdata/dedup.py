@@ -107,6 +107,16 @@ def minhash_signature(docs: DataFrame, k: int = DEFAULT_K) -> DataFrame:
 _BANDED_CACHE: dict[tuple, DataFrame] = {}
 
 
+def _holder_frames(obj):
+    """Yield every DataFrame inside a cached holder — the holder may be
+    the frame itself or a (nested) list/tuple wrapper."""
+    if isinstance(obj, DataFrame):
+        yield obj
+    elif isinstance(obj, (list, tuple)):
+        for item in obj:
+            yield from _holder_frames(item)
+
+
 def _plan_cached(docs: DataFrame, tag: str, build) -> DataFrame:
     """Keyed on (app, plan semanticHash, INPUT-FILE fingerprint, tag).
     The fingerprint term (r8; same fix corpus_count got from the r5
@@ -128,10 +138,13 @@ def _plan_cached(docs: DataFrame, tag: str, build) -> DataFrame:
             if sk[0] != app_id or (sk[1] == sem and sk[3] == tag)
         ]:
             old = _BANDED_CACHE.pop(stale)
-            if isinstance(old, DataFrame) and stale[0] == app_id:
+            if stale[0] == app_id:
                 # superseded by a rewrite: release the stale persist
-                # (no-op for plain plan handles)
-                old.unpersist()
+                # (no-op for plain plan handles). Holders may be
+                # list/tuple wrappers (e.g. text._bpe_state) whose
+                # persisted frames would otherwise leak on eviction.
+                for frame in _holder_frames(old):
+                    frame.unpersist()
         hit = _BANDED_CACHE[key] = build()
     return hit
 

@@ -889,7 +889,10 @@ def _bpe_state(docs: DataFrame, n_merges: int):
     holder = _plan_cached(
         docs, f"bpe_state:{n_merges}", lambda: [_bpe_state_build(docs, n_merges)]
     )
-    return holder[0]
+    # holder[0] = (merges, final_enc, persisted_words); the words frame
+    # rides in the holder so _plan_cached eviction can unpersist it
+    merges, cur, _words = holder[0]
+    return merges, cur
 
 
 def _bpe_state_build(docs: DataFrame, n_merges: int):
@@ -939,7 +942,7 @@ def _bpe_state_build(docs: DataFrame, n_merges: int):
         cur = cur.select(
             "w", F.replace(F.col("enc"), F.lit(pat), F.lit(rep)).alias("enc"), "freq"
         )
-    return merges, cur
+    return merges, cur, words
 
 
 def bpe_encode_stats(docs: DataFrame, n_merges: int = 8) -> DataFrame:

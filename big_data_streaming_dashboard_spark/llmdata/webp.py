@@ -12,7 +12,8 @@ stub slot, like H.264/mp3.
 
 Decoder coverage: RIFF walking (plain WEBP and VP8X extended
 containers), simple and normal prefix codes (code-length code with
-16/17/18 repeats, early stop on Kraft completion, trivial one-symbol
+16/17/18 repeats, stopping at the explicit max_symbol count -- VP8L
+has NO Brotli-style Kraft early stop; trivial one-symbol
 codes), color cache, LZ77 backward references with BOTH distance
 forms (the 120-entry 2D proximity map and 1D distances), meta-prefix
 (entropy-image) code selection, and all four transforms -- predictor
@@ -578,8 +579,10 @@ def webp_codec_kernel():
 
     def write_code_lengths(bw, lengths):
         """Normal-code header: code-length code + entries (17/18 zero
-        runs, stop after the last used symbol -- the reader stops at
-        Kraft completion)."""
+        runs, stop after the last used symbol). The reader is stopped
+        via the explicit max_symbol field written below -- VP8L has no
+        Kraft-based early stop (see the entry-loop comment in
+        read_code)."""
         last = max(s for s, l in enumerate(lengths) if l)
         entries = []  # (cl_symbol, extra_val, extra_bits)
         i = 0

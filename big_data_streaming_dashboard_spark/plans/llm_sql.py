@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from ..llmdata.curation import PRE_GOPHER_REASONS
 from ..llmdata.dedup import DEFAULT_BAND_ROWS, DEFAULT_K
-from ..llmdata.text import LANG_LEXICONS, STOPWORDS
+from ..llmdata.text import LANG_LEXICONS, RK_WINDOW, STOPWORDS
 
 # shared CTE: tokens + shingles (mirrors llmdata.text.tokens / dedup.shingles)
 _TOKENS_CTE = r"""
@@ -1846,7 +1846,14 @@ GROUP BY d.doc_id
 """
 
 
-REPEATED_PASSAGES_EXACT_SQL = r"""
+def repeated_passages_exact_sql(window: int = RK_WINDOW) -> str:
+    """Oracle for text.repeated_passages_exact — the slice bounds are
+    generated from the SAME window constant as the engine op (the
+    parameterized-oracle discipline of bpe_train_sql/rerank_topk_sql),
+    so a RK_WINDOW change or non-default call cannot silently diverge
+    the pair."""
+    w = int(window)
+    return rf"""
 WITH tw AS (
     SELECT doc_id,
         regexp_split_to_array(text, '\s+') AS t,
@@ -1856,10 +1863,10 @@ WITH tw AS (
 ),
 narrow AS (
     SELECT doc_id, u.i AS pos,
-        list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(c, u.i, u.i + 7)),
+        list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(c, u.i, u.i + {w - 1})),
                     (a, x) -> (a * 1000003 + x) % 2147483647) AS passage_hash,
-        array_to_string(list_slice(t, u.i, u.i + 7), ' ') AS passage
-    FROM tw, UNNEST(generate_series(1, len(c) - 8 + 1)) AS u(i)
+        array_to_string(list_slice(t, u.i, u.i + {w - 1}), ' ') AS passage
+    FROM tw, UNNEST(generate_series(1, len(c) - {w} + 1)) AS u(i)
 ),
 cand AS (
     SELECT passage_hash FROM narrow
@@ -1871,3 +1878,6 @@ SELECT passage,
 FROM narrow JOIN cand USING (passage_hash)
 GROUP BY passage HAVING COUNT(DISTINCT doc_id) >= 2
 """
+
+
+REPEATED_PASSAGES_EXACT_SQL = repeated_passages_exact_sql()
