@@ -1056,91 +1056,75 @@ WHERE s._emit""",
 # queries()). This is an EXPLICIT contract list -- dict insertion order
 # above is documentation order only and is NOT load-bearing.
 #
-# Rotation policy (executed round 8, per the r7 verdict item 4; prior
-# rounds' policy text is in git history): every rows-only (no-oracle)
-# query stays in the checked set permanently (round-3 advice).
-# r8 swaps: routed_records rotates back IN (the one query whose
-# newest driver row was r5 -- the freshness rule's sole violation)
-# and doc_gopher_rules rotates IN to re-earn its row after the r8
-# metric-expression refactor (gopher_keep_column extraction; values
-# identical by construction, but a plan-touching change re-earns its
-# row by policy). Four NEW r8 queries take their first driver rows:
-# doc_importance_weights (DSIR), doc_bpe_merges, doc_bpe_encode,
-# doc_repeated_passages_exact. Making room, six stable double-green
-# r5-block queries rotate OUT with newest rows r7: user_set_ops,
-# unpivot_event_metrics, brand_supplier_margin, value_percentiles,
-# exact_distinct_quantiles, events_by_hour (all green r1-r5 + r7,
-# locally oracle-checked every suite run; exact_distinct_quantiles
-# remains approx_aggregates' error-bound twin in the slow tests
-# regardless of window membership).
-# Retained: full_pipeline
-# (flagship); doc_containment_pairs + doc_ngram_jaccard (r8 plan
-# changes: probe-side broadcast below the safety gate + memoized
-# plan handles + in-plan decorate guard); doc_curation_full (r8:
-# oracle now interpolates the shared PRE_GOPHER_REASONS constant);
-# emb_rerank_topk (r8: default-scorer oracle pairing). After r8,
-# every registry query's newest driver row is r7 or r8.
+# Rotation policy (executed round 9; prior rounds' policy text is in
+# git history): every rows-only (no-oracle) query stays in the checked
+# set permanently (round-3 advice), and no query's newest driver row
+# may be older than the previous round (the freshness rule the r7
+# verdict enforced on routed_records).
+# r9 swaps: the freshness rule FORCES this window -- the 40 queries
+# whose newest row is r6 plus the 6 whose newest row is r7 (the r8
+# rotation's out-block) all rotate back IN (46), the two rows-only
+# entries stay (48), full_pipeline is retained as the flagship (49),
+# and the final slot takes the round's one NEW oracle-paired query,
+# emb_ann_recall (the ANN-quality evaluator composing the exact and
+# banded-LSH top-k paths). Everything checked in r8 (newest row r8)
+# rotates OUT and remains locally oracle-checked every suite run.
+# After r9, every registry query's newest driver row is r8 or r9.
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW: list[str] = [
-    # r5-green block rotating back in (driver history in CORRECTNESS_r0*)
-    "bronze_radiation",
-    "silver_validate",
-    "silver_error_breakdown",
-    "dedup_first_occurrence",
-    "route_counts",
-    "rolling_stats",
-    "recent_points",
-    "flagship_event_stats",
-    "user_sessions",
-    "range_join_events_orders",
-    "session_window_events",
-    "moving_avg_events",
-    "downsample_5min",
-    "cube_order_stats",
-    "above_user_avg",
-    "doc_corpus_mixture",
-    "emb_quantize_int8",
-    "doc_neardup_pairs",
-    "doc_contamination",
-    "doc_repetition",
-    "doc_neardup_clusters",
-    "doc_subword_stats",
-    "doc_curation",
-    "doc_stratified_sample",
-    "emb_topk_cosine",
-    "emb_knn_label_vote",
-    "emb_neardup_pairs",
-    "doc_semantic_neardup",
-    "emb_lsh_topk",
-    "emb_hamming_topk",
-    "promo_revenue_share",
-    "returned_top_customers",
-    "brand_supplier_variety",
-    "doc_domain_cap",
-    "emb_label_centroids",
-    # rotated back in r8: the freshness rule's sole violation (newest
-    # row was r5) + the r8 gopher-refactor re-earn
-    "routed_records",
-    "doc_gopher_rules",
-    # NEW in r8 (first driver rows): DSIR importance weights + BPE
-    "doc_importance_weights",
-    "doc_bpe_merges",
-    "doc_bpe_encode",
-    "doc_repeated_passages_exact",
+    # newest row r6 -- forced back in by the freshness rule
+    "temporal_batch_annotate",
+    "temporal_union",
+    "grid_cluster",
+    "level_filter_high",
+    "alerts_cooldown",
+    "alerts_ws_messages",
+    "geojson_features",
+    "alerts_active",
+    "severity_ws_counts",
+    "pricing_summary",
+    "revenue_by_nation",
+    "top_customers",
+    "rollup_pricing",
+    "segment_semi_anti",
+    "pivot_event_counts",
+    "grouping_sets_shipping",
+    "asof_latest_order",
+    "doc_token_stats",
+    "doc_quality",
+    "doc_langid",
+    "doc_exact_dedup",
+    "doc_minhash_signature",
+    "doc_rolling_fingerprint",
+    "doc_repeated_passages",
+    "doc_simhash",
+    "doc_tfidf_top_terms",
+    "doc_bigram_lm",
+    "doc_shard_packing",
+    "gapfill_5min",
+    "doc_curation_extended",
+    "emb_ivf_topk",
+    "emb_kmeans",
+    "alerts_cooldown_exact",
+    "doc_pii_redact",
+    "window_zoo",
+    "doc_dedupe_lines",
+    "doc_vocab_coverage",
+    "doc_normalize",
+    "doc_chunk_spans",
+    "activity_reconcile",
+    # newest row r7 (the r8 out-block) -- same rule
+    "value_percentiles",
+    "unpivot_event_metrics",
+    "user_set_ops",
+    "events_by_hour",
+    "brand_supplier_margin",
+    "exact_distinct_quantiles",
     # retained: flagship
     "full_pipeline",
-    # retained: plans changed r8 (containment/jaccard perf rework;
-    # curation oracle now interpolates PRE_GOPHER_REASONS)
-    "doc_containment_pairs",
-    "doc_ngram_jaccard",
-    "doc_curation_full",
-    # oracle-paired r7 -- first hash-checked rows that round
-    "emb_ivf_topk_tuned",
-    "emb_pq_topk",
-    # oracle-paired THIS round (r7 verdict item 6): first hash-checked
-    # row for the default deterministic-bilinear scorer
-    "emb_rerank_topk",
+    # NEW in r9 (first driver row): ANN recall evaluator
+    "emb_ann_recall",
     # rows-only by design -- permanently in-window per r3 advice
     "approx_aggregates",
     "media_feature_census",
