@@ -607,6 +607,65 @@ def lsh_banded_topk(
     )
 
 
+def ann_recall(
+    embeddings: DataFrame,
+    n_queries: int = 5,
+    k: int = 10,
+    bands: int = 32,
+    rows_per_band: int = 10,
+    dim: int = EMBEDDING_DIM,
+) -> DataFrame:
+    """ANN quality evaluator: per-query recall@k of the banded-LSH
+    approximate top-k against the exact brute-force cosine top-k.
+
+    Composes the two already-oracle-paired paths (`brute_force_topk`,
+    `lsh_banded_topk`) and measures agreement: per query,
+    n_hit = |approx ∩ exact| on vec_id, recall_at_k = n_hit / n_exact.
+    Both constituent rankings are deterministic (shared literal planes,
+    quantize-before-rank, (score DESC, vec_id) tie order), so the
+    intersection -- and hence the recall surface -- is exact and
+    oracle-paired, not a statistical estimate.
+
+    Scale shape: both inputs are per-query top-k's (n_queries * k rows
+    total), so everything past the two constituent plans is
+    driver-trivial; the joins are broadcast-size by construction. This
+    is the evaluator a 100 TB corpus build runs on a sampled query set
+    to pick (bands, rows_per_band) before committing to an index sweep.
+    Reference analog: the reference has no ANN evaluator; this is part
+    of the training-data-pipeline extension surface (SURVEY.md section 2b).
+    """
+    exact = brute_force_topk(embeddings, n_queries=n_queries, k=k, dim=dim)
+    approx = lsh_banded_topk(
+        embeddings,
+        n_queries=n_queries,
+        k=k,
+        bands=bands,
+        rows_per_band=rows_per_band,
+        dim=dim,
+    )
+    e = exact.select("query_id", "vec_id")
+    a = approx.select("query_id", "vec_id")
+    ne = e.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    na = a.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_approx"))
+    hits = e.join(a, ["query_id", "vec_id"]).groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    zero = F.lit(0).cast("long")
+    return (
+        ne.join(na, "query_id", "left")
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce("n_approx", zero).alias("n_approx"),
+            F.coalesce("n_hit", zero).alias("n_hit"),
+            F.round(
+                F.coalesce("n_hit", zero).cast("double") / F.col("n_exact"), 6
+            ).alias("recall_at_k"),
+        )
+    )
+
+
 def embedding_neardup_pairs(
     embeddings: DataFrame,
     bands: int = DEFAULT_NEARDUP_BANDS,

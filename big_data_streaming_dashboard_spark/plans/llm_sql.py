@@ -620,6 +620,57 @@ FROM ranked WHERE rank <= {k}
 """
 
 
+def ann_recall_sql(
+    planes: tuple,
+    bands: int,
+    rows_per_band: int,
+    n_queries: int = 5,
+    k: int = 10,
+) -> str:
+    """ANN recall@k oracle (mirrors llmdata.similarity.ann_recall):
+    composes the exact-cosine and banded-LSH top-k oracles -- each
+    already independently hash-matched (`emb_topk_cosine`,
+    `emb_lsh_topk`) -- as nested-WITH CTEs, then per-query
+    n_hit = |approx INTERSECT exact| on vec_id and
+    recall_at_k = n_hit / n_exact. Exactness inherits from the
+    constituents: both rankings are deterministic functions of the
+    SAME literal planes with quantize-before-rank and (score DESC,
+    vec_id) tie order, so the id sets -- and hence the intersection
+    counts -- are identical across engines."""
+    # TOPK_COSINE_SQL is the fixed (5, 10) exact oracle; refuse a
+    # parameterization it cannot mirror rather than silently diverge
+    assert (n_queries, k) == (5, 10), "exact-side oracle is fixed at (5, 10)"
+    approx = lsh_topk_sql(planes, bands, rows_per_band, n_queries, k)
+    return f"""
+WITH exact_topk AS (
+{TOPK_COSINE_SQL}
+),
+approx_topk AS (
+{approx}
+),
+ne AS (
+    SELECT query_id, COUNT(*) AS n_exact FROM exact_topk GROUP BY query_id
+),
+na AS (
+    SELECT query_id, COUNT(*) AS n_approx FROM approx_topk GROUP BY query_id
+),
+hits AS (
+    SELECT e.query_id, COUNT(*) AS n_hit
+    FROM exact_topk e
+    JOIN approx_topk a ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+    GROUP BY e.query_id
+)
+SELECT ne.query_id, ne.n_exact,
+       COALESCE(na.n_approx, 0) AS n_approx,
+       COALESCE(hits.n_hit, 0) AS n_hit,
+       round(CAST(COALESCE(hits.n_hit, 0) AS DOUBLE) / ne.n_exact, 6)
+           AS recall_at_k
+FROM ne
+LEFT JOIN na ON ne.query_id = na.query_id
+LEFT JOIN hits ON ne.query_id = hits.query_id
+"""
+
+
 # mirrors llmdata.curation.curation_pipeline: same quality formula,
 # same langid argmax CASE, same exact-dedup window, same banded
 # near-dup chain (incl. the 1000 bucket cap) at jaccard >= 0.5,

@@ -45,6 +45,7 @@ from ..llmdata.similarity import (
     DEFAULT_NEARDUP_ROWS,
     DEFAULT_SIG_BITS,
     EMBEDDING_DIM,
+    ann_recall,
     brute_force_topk,
     cross_encoder_rerank,
     cross_encoder_weights,
@@ -871,6 +872,14 @@ QUERIES: dict[str, QuerySpec] = {
         llm_sql.lsh_topk_sql(gaussian_planes(32 * 10, EMBEDDING_DIM), 32, 10),
         "banded multi-bit LSH approximate top-k (equi-join scale path)",
     ),
+    # new in round 10: the ANN-quality evaluator composing the exact
+    # and banded-LSH top-k paths -- recall@k is an exact pairing
+    # because both constituent rankings already hash-match
+    "emb_ann_recall": QuerySpec(
+        lambda spark, sf: ann_recall(_embs(spark, sf)),
+        llm_sql.ann_recall_sql(gaussian_planes(32 * 10, EMBEDDING_DIM), 32, 10),
+        "ANN recall@k evaluator (banded-LSH top-k vs exact cosine top-k)",
+    ),
     "emb_hamming_topk": QuerySpec(
         lambda spark, sf: simhash_hamming_topk(_embs(spark, sf)),
         llm_sql.hamming_topk_sql(
@@ -1065,11 +1074,15 @@ WHERE s._emit""",
 # whose newest row is r6 plus the 6 whose newest row is r7 (the r8
 # rotation's out-block) all rotate back IN (46), the two rows-only
 # entries stay (48), full_pipeline is retained as the flagship (49),
-# and the final slot takes the round's one NEW oracle-paired query,
-# emb_ann_recall (the ANN-quality evaluator composing the exact and
-# banded-LSH top-k paths). Everything checked in r8 (newest row r8)
-# rotates OUT and remains locally oracle-checked every suite run.
-# After r9, every registry query's newest driver row is r8 or r9.
+# and the final slot takes the NEW oracle-paired query, emb_ann_recall
+# (the ANN-quality evaluator composing the exact and banded-LSH top-k
+# paths). Everything checked in r8 (newest row r8) rotates OUT and
+# remains locally oracle-checked every suite run.
+# NOTE (r10): the r9 session listed emb_ann_recall here WITHOUT
+# implementing it, so the r9 driver run crashed (KeyError) and
+# produced no rows -- the window below therefore gets its first
+# driver rows in r10. The import-time check after DRIVER_WINDOW now
+# makes any dangling name fail at import, not at driver time.
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW: list[str] = [
@@ -1129,6 +1142,16 @@ DRIVER_WINDOW: list[str] = [
     "approx_aggregates",
     "media_feature_census",
 ]
+
+# Fail fast at import: a DRIVER_WINDOW name with no QUERIES entry would
+# otherwise surface only as a KeyError inside the driver's harness run
+# (exactly what broke round 9 -- see ADVICE.md r9).
+_dangling = [n for n in DRIVER_WINDOW if n not in QUERIES]
+if _dangling:
+    raise AssertionError(
+        f"DRIVER_WINDOW names missing from QUERIES: {_dangling}"
+    )
+del _dangling
 
 
 def _window_ordered() -> list[str]:

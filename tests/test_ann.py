@@ -14,6 +14,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from big_data_streaming_dashboard_spark.llmdata.similarity import (
+    ann_recall,
     brute_force_topk,
     embedding_neardup_pairs,
     hamming_candidates,
@@ -70,6 +71,23 @@ def test_banded_topk_recall(spark):
     exact = brute_force_topk(embs, n_queries=N_QUERIES, k=K).collect()
     approx = lsh_banded_topk(embs, n_queries=N_QUERIES, k=K).collect()
     assert _recall(exact, approx) >= 0.7
+
+
+def test_ann_recall_matches_independent_computation(spark):
+    """The r10 evaluator query must agree with this file's own
+    (collect-side, set-based) recall computation -- two independent
+    implementations of recall@k over the same two rankings."""
+    embs = load_table(spark, SF, "embeddings")
+    exact = brute_force_topk(embs, n_queries=N_QUERIES, k=K).collect()
+    approx = lsh_banded_topk(embs, n_queries=N_QUERIES, k=K).collect()
+    expected = _recall(exact, approx)
+    rows = ann_recall(embs, n_queries=N_QUERIES, k=K).collect()
+    assert len(rows) == N_QUERIES
+    got = sum(r["recall_at_k"] for r in rows) / len(rows)
+    assert abs(got - expected) < 1e-6, (got, expected)
+    for r in rows:
+        assert r["n_exact"] == K
+        assert 0 <= r["n_hit"] <= min(r["n_exact"], r["n_approx"])
 
 
 def test_hamming_topk_deterministic(spark):
