@@ -776,6 +776,53 @@ def ngram_jaccard_pairs(
     return _plan_cached(docs, f"jaccard_plan:{threshold}:{max_postings}", build)
 
 
+def neardup_recall(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Dedup-quality evaluator: per-Jaccard-bucket recall of the
+    MinHash-LSH banding path against the exact n-gram Jaccard pairs.
+
+    Truth = `ngram_jaccard_pairs(docs, threshold)` (every pair with
+    exact J >= threshold, signature-free); candidate = the pairs the
+    banded path (`neardup_pairs`) ALSO emits at the same threshold --
+    obtained by filtering its default >= 0.2 output, which is exact
+    because the threshold is only the final filter over the same
+    rounded Jaccard (and it reuses the memoized 0.2 plan / persisted
+    band index instead of building a second one). Buckets are
+    floor(J * 10): the classic banding S-curve check -- recall should
+    rise toward 1.0 with J, and a band/row misconfiguration shows up
+    as a depressed bucket, exactly what an engineer tuning
+    (k, band_rows) for a 100 TB dedup run reads first.
+
+    Exactness of the pairing: both constituents are independently
+    hash-matched (`doc_neardup_pairs`, `doc_ngram_jaccard`); both
+    engines bucket the SAME round(J, 6) double with IEEE *10/floor,
+    so bucket labels agree bit-for-bit. Everything past the two
+    constituent plans aggregates n_pairs-sized inputs -- at 100 TB the
+    evaluator runs on a sampled shard anyway (the metric, not the
+    pair list, is the product).
+    """
+    exact = ngram_jaccard_pairs(docs, threshold)
+    lsh = neardup_pairs(docs).filter(F.col("jaccard") >= threshold)
+    e = exact.select(
+        "doc_a", "doc_b", F.floor(F.col("jaccard") * 10).cast("int").alias("jbucket")
+    )
+    ne = e.groupBy("jbucket").agg(F.count(F.lit(1)).alias("n_exact"))
+    hits = e.join(lsh.select("doc_a", "doc_b"), ["doc_a", "doc_b"]).groupBy(
+        "jbucket"
+    ).agg(F.count(F.lit(1)).alias("n_hit"))
+    zero = F.lit(0).cast("long")
+    return (
+        ne.join(hits, "jbucket", "left")
+        .select(
+            "jbucket",
+            "n_exact",
+            F.coalesce("n_hit", zero).alias("n_hit"),
+            F.round(
+                F.coalesce("n_hit", zero).cast("double") / F.col("n_exact"), 6
+            ).alias("recall"),
+        )
+    )
+
+
 def semantic_neardup(
     docs: DataFrame, embeddings: DataFrame, threshold: float = 0.5
 ) -> DataFrame:

@@ -213,6 +213,39 @@ SELECT * FROM pairs WHERE jaccard >= 0.5
 """
 
 
+# Dedup-quality evaluator oracle (mirrors llmdata.dedup.neardup_recall):
+# composes the two pair oracles above -- each independently
+# hash-matched -- and buckets the SAME round(J, 6) double with IEEE
+# *10/floor, so bucket labels and counts agree bit-for-bit. The LSH
+# side filters the >= 0.2 output to >= 0.5, exactly as the engine does.
+NEARDUP_RECALL_SQL = f"""
+WITH exact_pairs AS (
+{NGRAM_JACCARD_SQL}
+),
+lsh_pairs AS (
+    SELECT * FROM (
+{NEARDUP_SQL}
+    ) WHERE jaccard >= 0.5
+),
+e AS (
+    SELECT doc_a, doc_b, CAST(floor(jaccard * 10) AS INTEGER) AS jbucket
+    FROM exact_pairs
+),
+ne AS (
+    SELECT jbucket, COUNT(*) AS n_exact FROM e GROUP BY jbucket
+),
+hits AS (
+    SELECT e.jbucket, COUNT(*) AS n_hit
+    FROM e JOIN lsh_pairs l ON e.doc_a = l.doc_a AND e.doc_b = l.doc_b
+    GROUP BY e.jbucket
+)
+SELECT ne.jbucket, ne.n_exact,
+       COALESCE(hits.n_hit, 0) AS n_hit,
+       round(CAST(COALESCE(hits.n_hit, 0) AS DOUBLE) / ne.n_exact, 6) AS recall
+FROM ne LEFT JOIN hits ON ne.jbucket = hits.jbucket
+"""
+
+
 def _simhash_bits_sql() -> str:
     terms = []
     for j in range(8):

@@ -36,6 +36,7 @@ from ..llmdata.dedup import (
     minhash_signature,
     neardup_clusters,
     neardup_pairs,
+    neardup_recall,
     ngram_jaccard_pairs,
     semantic_neardup,
 )
@@ -628,6 +629,14 @@ QUERIES: dict[str, QuerySpec] = {
         llm_sql.NGRAM_JACCARD_SQL,
         "signature-free exact n-gram Jaccard pairs (inverted shingle index)",
     ),
+    # new in round 10: dedup-quality evaluator (same composition
+    # pattern as emb_ann_recall -- recall of the probabilistic path
+    # against its exact twin, per-Jaccard-bucket S-curve)
+    "doc_neardup_recall": QuerySpec(
+        lambda spark, sf: neardup_recall(_docs(spark, sf)),
+        llm_sql.NEARDUP_RECALL_SQL,
+        "MinHash-LSH banding recall vs exact n-gram Jaccard, per J bucket",
+    ),
     "doc_contamination": QuerySpec(
         lambda spark, sf: contamination_check(_docs(spark, sf)),
         llm_sql.CONTAMINATION_SQL,
@@ -1127,8 +1136,13 @@ DRIVER_WINDOW: list[str] = [
     "doc_normalize",
     "doc_chunk_spans",
     "activity_reconcile",
-    # newest row r7 (the r8 out-block) -- same rule
-    "value_percentiles",
+    # newest row r7 (the r8 out-block) -- same rule. r10: the slot
+    # value_percentiles held goes to the round's second NEW
+    # oracle-paired query, doc_neardup_recall -- first-ever
+    # attestation outranks a third refresh of a stable single-table
+    # agg (value_percentiles stays locally oracle-checked every suite
+    # run and rotates back in next round).
+    "doc_neardup_recall",
     "unpivot_event_metrics",
     "user_set_ops",
     "events_by_hour",

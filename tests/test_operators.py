@@ -309,6 +309,38 @@ def test_write_curated_corpus_layout(spark, tmp_path):
     assert "PartitionFilters: [isnotnull(predicted_lang" in en._jdf.queryExecution().executedPlan().toString() or en.count() >= 0
 
 
+def test_neardup_recall_matches_independent_computation(spark):
+    """The r10 dedup-quality evaluator must agree with a collect-side
+    recomputation from its two constituent pair sets, and every bucket
+    must satisfy 0 <= n_hit <= n_exact with recall = n_hit/n_exact."""
+    from big_data_streaming_dashboard_spark.llmdata.dedup import (
+        neardup_pairs,
+        neardup_recall,
+        ngram_jaccard_pairs,
+    )
+    from big_data_streaming_dashboard_spark.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    exact = ngram_jaccard_pairs(docs, 0.5).collect()
+    lsh = {
+        (r["doc_a"], r["doc_b"])
+        for r in neardup_pairs(docs).collect()
+        if r["jaccard"] >= 0.5
+    }
+    expect: dict[int, list[int]] = {}
+    for r in exact:
+        b = int(r["jaccard"] * 10)
+        n, h = expect.setdefault(b, [0, 0])
+        expect[b] = [n + 1, h + ((r["doc_a"], r["doc_b"]) in lsh)]
+    got = {r["jbucket"]: r for r in neardup_recall(docs).collect()}
+    assert set(got) == set(expect), (sorted(got), sorted(expect))
+    for b, (n_exact, n_hit) in expect.items():
+        r = got[b]
+        assert (r["n_exact"], r["n_hit"]) == (n_exact, n_hit), (b, dict(r.asDict()))
+        assert 0 <= r["n_hit"] <= r["n_exact"]
+        assert abs(r["recall"] - round(n_hit / n_exact, 6)) < 1e-9
+
+
 def test_neardup_clusters_transitive_chain(spark):
     """A~B and B~C (A!~C directly) must land in ONE cluster labeled by
     the minimum doc_id; unrelated docs stay singletons."""
