@@ -23,7 +23,11 @@ containment (excerpt-in-page) follows the same split as of r6:
 `write_containment_index` persists the df-capped posting index +
 hashed shingle arrays, `containment_probe_stream` probes it and
 scores both directions exactly (batch-parity pinned in
-tests/test_streaming.py).
+tests/test_streaming.py). Streaming ANN follows the same split (r10):
+`write_ann_index` persists the banded-LSH signature + vector
+artifacts, `ann_probe_stream` probes them stream-static and
+`ann_topk_batches` finishes the per-query top-k per micro-batch
+(batch-parity vs `lsh_banded_topk` pinned likewise).
 """
 
 from __future__ import annotations
@@ -722,4 +726,186 @@ def bpe_encode_stream(docs: DataFrame, merges: DataFrame) -> DataFrame:
         F.round(n_sub.cast("double") / n_words, 6).alias(
             "avg_subwords_per_word"
         ),
+    )
+
+
+# --- streaming ANN: query vectors probing a batch-built LSH index ----------
+
+EMBEDDINGS_STREAM_SCHEMA = "vec_id long, embedding array<float>, label int"
+
+
+def stream_embeddings(spark: SparkSession, dir_path: str) -> DataFrame:
+    """File-source replay of an embeddings directory (one file per
+    micro-batch, like `stream_documents`)."""
+    return (
+        spark.readStream.schema(EMBEDDINGS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(dir_path)
+    )
+
+
+def write_ann_index(
+    embeddings: DataFrame,
+    path: str,
+    bands: int = 32,
+    rows_per_band: int = 10,
+    dim: int | None = None,
+    seed: int = 42,
+) -> str:
+    """Persist the batch-built banded-LSH ANN index: the OFFLINE
+    artifact streaming query vectors probe (same split as
+    `write_neardup_index` -- the index is corpus-wide state and is
+    batch-refreshed, never rebuilt per stream).
+
+    Two artifacts, so the vector payload is stored ONCE per corpus
+    vector instead of once per band row:
+      ``path/bands`` -- (vec_id, band, sig), the equi-join side; at
+      scale written partitioned by ``band`` and bucketed by ``sig`` so
+      a probe touches one bucket.
+      ``path/vecs`` -- (vec_id, label, vec<double>), the exact-verify
+      side, joined only for deduped candidates.
+    Signatures come from the same literal planes
+    (`similarity.gaussian_planes`, same seed) as the batch
+    `lsh_banded_topk` path, so stream and batch candidates coincide."""
+    from ..llmdata.similarity import (
+        EMBEDDING_DIM,
+        _band_sigs_udf,
+        _dvec,
+        gaussian_planes,
+    )
+
+    dim = EMBEDDING_DIM if dim is None else dim
+    planes = gaussian_planes(bands * rows_per_band, dim, seed)
+    sig_udf = _band_sigs_udf(planes, bands, rows_per_band)
+    (
+        embeddings.select("vec_id", sig_udf("embedding").alias("sigs"))
+        .select("vec_id", F.posexplode("sigs").alias("band", "sig"))
+        .write.mode("overwrite")
+        .parquet(path + "/bands")
+    )
+    (
+        embeddings.select(
+            "vec_id", "label", _dvec("embedding").alias("vec")
+        )
+        .write.mode("overwrite")
+        .parquet(path + "/vecs")
+    )
+    return path
+
+
+def ann_probe_stream(
+    queries: DataFrame,
+    index_bands: DataFrame,
+    index_vecs: DataFrame,
+    bands: int = 32,
+    rows_per_band: int = 10,
+    dim: int | None = None,
+    seed: int = 42,
+    multiprobe: bool = True,
+) -> DataFrame:
+    """Streaming ANN candidate scoring: each arriving query vector
+    probes the static band index (stream-STATIC equi-join on
+    (band, sig) -- natively supported, no stream state beyond the
+    candidate dedup) and exact-scores the deduped candidates against
+    the stored corpus vectors.
+
+    Mirrors the batch `similarity.lsh_banded_topk` candidate rule
+    exactly: band signature match OR Hamming-1 multiprobe flip on the
+    query side. Output rows are (query_id, vec_id, label, _cos) --
+    the UNROUNDED cosine, because ranking must happen on the same
+    value the batch path ranks on; `ann_topk_batches` applies the
+    per-query top-k. ``dropDuplicates`` holds one state row per
+    distinct (query, candidate) pair -- at scale, watermark the
+    stream and use ``dropDuplicatesWithinWatermark`` to TTL it (same
+    note as `neardup_probe_stream`)."""
+    from ..llmdata.similarity import (
+        EMBEDDING_DIM,
+        _band_sigs_udf,
+        _dvec,
+        dot_unrolled,
+        gaussian_planes,
+    )
+
+    dim = EMBEDDING_DIM if dim is None else dim
+    planes = gaussian_planes(bands * rows_per_band, dim, seed)
+    sig_udf = _band_sigs_udf(planes, bands, rows_per_band)
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        sig_udf("embedding").alias("sigs"),
+        _dvec("embedding").alias("qvec"),
+    )
+    probe = q.select(
+        "query_id", "qvec", F.posexplode("sigs").alias("band", "qsig")
+    )
+    if multiprobe:
+        flips = F.array(
+            *([F.col("qsig")] + [
+                F.col("qsig").bitwiseXOR(F.lit(1 << j))
+                for j in range(rows_per_band)
+            ])
+        )
+        probe = probe.select(
+            "query_id", "qvec", "band", F.explode(flips).alias("sig")
+        )
+    else:
+        probe = probe.select(
+            "query_id", "qvec", "band", F.col("qsig").alias("sig")
+        )
+    cands = (
+        probe.join(index_bands, ["band", "sig"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "qvec", "vec_id")
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    return cands.join(index_vecs, "vec_id").select(
+        "query_id",
+        "vec_id",
+        "label",
+        (
+            dot_unrolled("qvec", "vec", dim)
+            / (
+                F.sqrt(dot_unrolled("qvec", "qvec", dim))
+                * F.sqrt(dot_unrolled("vec", "vec", dim))
+            )
+        ).alias("_cos"),
+    )
+
+
+def ann_topk_batches(scored: DataFrame, out_path: str, k: int = 10):
+    """Per-micro-batch top-k writer for `ann_probe_stream` output
+    (foreachBatch, availableNow): the per-query ranking is COMPLETE
+    within the micro-batch that carries the query, because the
+    stream-static join produces every candidate of a query row in
+    that row's own batch -- so the per-batch window IS the final
+    per-query answer (window functions are not otherwise available on
+    a streaming DataFrame). Same (cos DESC, vec_id) tie order and
+    round-after-rank as the batch path. Returns the finished
+    StreamingQuery; results land in ``out_path`` as parquet."""
+    from pyspark.sql import Window
+
+    def _emit(batch: DataFrame, _epoch: int) -> None:
+        if not batch.columns:
+            return
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("_cos").desc(), F.col("vec_id")
+        )
+        (
+            batch.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(
+                "query_id",
+                "vec_id",
+                "label",
+                "rank",
+                F.round("_cos", 6).alias("cos_sim"),
+            )
+            .write.mode("append")
+            .parquet(out_path)
+        )
+
+    return (
+        scored.writeStream.foreachBatch(_emit)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
     )

@@ -615,6 +615,45 @@ def test_streaming_neardup_probe_matches_batch(spark, tmp_path):
         assert s_pairs[pair] == jac, pair
 
 
+def test_streaming_ann_probe_matches_batch(spark, tmp_path):
+    """Stream-static ANN (r10): streaming the 5 query vectors against
+    the batch-built band index yields EXACTLY the batch
+    lsh_banded_topk rows -- same candidates (band-OR + Hamming-1
+    multiprobe from the same literal planes), same cosine, same
+    (cos DESC, vec_id) rank, because the per-query ranking is
+    complete within the query's own micro-batch."""
+    from pyspark.sql import functions as F
+
+    from big_data_streaming_dashboard_spark.llmdata.similarity import (
+        lsh_banded_topk,
+    )
+    from big_data_streaming_dashboard_spark.streaming.llm_ingest import (
+        ann_probe_stream,
+        ann_topk_batches,
+        stream_embeddings,
+        write_ann_index,
+    )
+    from big_data_streaming_dashboard_spark.tables import load_table
+
+    embs = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    idx = write_ann_index(embs, str(tmp_path / "annidx"))
+    qdir = str(tmp_path / "queries")
+    embs.filter(F.col("vec_id") < 5).repartition(3).write.parquet(qdir)
+
+    scored = ann_probe_stream(
+        stream_embeddings(spark, qdir),
+        spark.read.parquet(idx + "/bands"),
+        spark.read.parquet(idx + "/vecs"),
+    )
+    out = str(tmp_path / "topk")
+    q = ann_topk_batches(scored, out, k=10)
+    q.awaitTermination(120)
+
+    got = sorted(map(tuple, spark.read.parquet(out).collect()))
+    batch = sorted(map(tuple, lsh_banded_topk(embs, n_queries=5, k=10).collect()))
+    assert got == batch
+
+
 def test_streaming_containment_probe_matches_batch(spark, tmp_path):
     """Stream-static directed containment (r6): streaming the derived
     excerpts against the batch-built posting index of the base corpus
