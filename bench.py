@@ -74,6 +74,11 @@ EXTRA = [
     "doc_bpe_merges",
     "doc_bpe_encode",
     "doc_repeated_passages_exact",
+    # r10 additions: the two quality evaluators (each composes two
+    # already-benched constituents; the marginal cost to watch is the
+    # join/agg past them)
+    "emb_ann_recall",
+    "doc_neardup_recall",
 ]
 
 # scaling-regression canaries (r5 verdict item 4): a small subset

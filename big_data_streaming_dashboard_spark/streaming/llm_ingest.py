@@ -909,3 +909,122 @@ def ann_topk_batches(scored: DataFrame, out_path: str, k: int = 10):
         .trigger(availableNow=True)
         .start()
     )
+
+
+# --- streaming semantic (embedding) dedup probe ----------------------------
+
+
+def write_semantic_index(
+    embeddings: DataFrame,
+    path: str,
+    bands: int | None = None,
+    rows_per_band: int | None = None,
+    dim: int | None = None,
+    seed: int = 42,
+) -> str:
+    """Persist the embedding near-dup band index (the VECTOR-family
+    analog of `write_neardup_index`): the offline artifact a streaming
+    corpus build probes for the capstone ladder's `semantic_duplicate`
+    verdict -- the one batch reason that had no streaming counterpart
+    before r10.
+
+    Same two-artifact layout as `write_ann_index` but with the
+    NEAR-DUP banding scheme (32 bands x 8 bits, `similarity.
+    DEFAULT_NEARDUP_BANDS/ROWS`, seed 42 -- the SAME literal planes as
+    `embedding_neardup_pairs`), so stream and batch candidates
+    provably coincide."""
+    from ..llmdata.similarity import (
+        DEFAULT_NEARDUP_BANDS,
+        DEFAULT_NEARDUP_ROWS,
+        EMBEDDING_DIM,
+        _band_sigs_udf,
+        _dvec,
+        gaussian_planes,
+    )
+
+    bands = DEFAULT_NEARDUP_BANDS if bands is None else bands
+    rows_per_band = DEFAULT_NEARDUP_ROWS if rows_per_band is None else rows_per_band
+    dim = EMBEDDING_DIM if dim is None else dim
+    planes = gaussian_planes(bands * rows_per_band, dim, seed)
+    sig_udf = _band_sigs_udf(planes, bands, rows_per_band)
+    (
+        embeddings.select("vec_id", sig_udf("embedding").alias("sigs"))
+        .select("vec_id", F.posexplode("sigs").alias("band", "sig"))
+        .write.mode("overwrite")
+        .parquet(path + "/bands")
+    )
+    (
+        embeddings.select("vec_id", _dvec("embedding").alias("vec"))
+        .write.mode("overwrite")
+        .parquet(path + "/vecs")
+    )
+    return path
+
+
+def semantic_probe_stream(
+    embeddings: DataFrame,
+    index_bands: DataFrame,
+    index_vecs: DataFrame,
+    threshold: float = 0.5,
+    bands: int | None = None,
+    rows_per_band: int | None = None,
+    dim: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Streaming semantic near-dup detection: each arriving embedding
+    probes the static band index (stream-static equi-join on
+    (band, sig) -- the SemDeDup candidate rule, NO multiprobe, exactly
+    `embedding_neardup_pairs`' collision condition) and verifies
+    candidates with the same ordered-fold cosine, rounded to 6 before
+    the threshold, so stream and batch scores are bit-identical.
+
+    Output: (vec_id, index_vec_id, cos_sim) per verified hit. The
+    capstone verdict derives downstream exactly as the batch
+    `semantic_neardup` does: a row is `semantic_duplicate` iff any hit
+    has index_vec_id < vec_id, with dup_of = min such partner (the
+    batch pair set restricted to (a < b) is this hit set with b = the
+    arriving side -- parity pinned in tests/test_streaming.py).
+    Candidate dedup state: one row per distinct (vec_id,
+    index_vec_id); watermark + dropDuplicatesWithinWatermark to TTL at
+    scale (same note as the other probes)."""
+    from ..llmdata.similarity import (
+        DEFAULT_NEARDUP_BANDS,
+        DEFAULT_NEARDUP_ROWS,
+        EMBEDDING_DIM,
+        _band_sigs_udf,
+        _dvec,
+        cosine,
+        gaussian_planes,
+    )
+
+    bands = DEFAULT_NEARDUP_BANDS if bands is None else bands
+    rows_per_band = DEFAULT_NEARDUP_ROWS if rows_per_band is None else rows_per_band
+    dim = EMBEDDING_DIM if dim is None else dim
+    planes = gaussian_planes(bands * rows_per_band, dim, seed)
+    sig_udf = _band_sigs_udf(planes, bands, rows_per_band)
+    probe = embeddings.select(
+        "vec_id",
+        _dvec("embedding").alias("qvec"),
+        sig_udf("embedding").alias("sigs"),
+    ).select("vec_id", "qvec", F.posexplode("sigs").alias("band", "sig"))
+    idx = index_bands.select(
+        F.col("vec_id").alias("index_vec_id"), "band", "sig"
+    )
+    cands = (
+        probe.join(idx, ["band", "sig"])
+        .filter(F.col("vec_id") != F.col("index_vec_id"))
+        .select("vec_id", "qvec", "index_vec_id")
+        .dropDuplicates(["vec_id", "index_vec_id"])
+    )
+    vecs = index_vecs.select(
+        F.col("vec_id").alias("index_vec_id"), "vec"
+    )
+    return (
+        cands.join(vecs, "index_vec_id")
+        .select(
+            "vec_id",
+            "index_vec_id",
+            F.round(cosine(F.col("qvec"), F.col("vec")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
