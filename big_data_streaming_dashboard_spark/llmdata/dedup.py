@@ -799,8 +799,26 @@ def neardup_recall(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     constituent plans aggregates n_pairs-sized inputs -- at 100 TB the
     evaluator runs on a sampled shard anyway (the metric, not the
     pair list, is the product).
+
+    ``threshold`` must be >= 0.2: the LSH side is a filter over
+    `neardup_pairs`' hard >= 0.2 output, so a lower threshold would
+    silently read as banding misses in the low buckets (a filter
+    artifact, not a recall measurement -- r10 advice; fail fast like
+    the sibling `ann_recall_sql` does). Thresholds >= 0.5 reuse the
+    memoized 0.5 exact-Jaccard plan (a further filter over the same
+    rounded J is exact), so the 0.8 high-tail variant shares both
+    constituent indexes with the default instead of building a
+    second posting index.
     """
-    exact = ngram_jaccard_pairs(docs, threshold)
+    if threshold < 0.2:
+        raise ValueError(
+            f"neardup_recall threshold {threshold} is below neardup_pairs' "
+            ">= 0.2 candidate floor; exact pairs with J in [threshold, 0.2) "
+            "could never be LSH hits and low buckets would mis-read as "
+            "banding misses"
+        )
+    base = min(threshold, 0.5)
+    exact = ngram_jaccard_pairs(docs, base).filter(F.col("jaccard") >= threshold)
     lsh = neardup_pairs(docs).filter(F.col("jaccard") >= threshold)
     e = exact.select(
         "doc_a", "doc_b", F.floor(F.col("jaccard") * 10).cast("int").alias("jbucket")

@@ -217,15 +217,28 @@ SELECT * FROM pairs WHERE jaccard >= 0.5
 # composes the two pair oracles above -- each independently
 # hash-matched -- and buckets the SAME round(J, 6) double with IEEE
 # *10/floor, so bucket labels and counts agree bit-for-bit. The LSH
-# side filters the >= 0.2 output to >= 0.5, exactly as the engine does.
-NEARDUP_RECALL_SQL = f"""
+# side filters the >= 0.2 output to >= threshold, exactly as the
+# engine does; the exact side filters the >= 0.5 NGRAM output the
+# same way (valid for threshold >= 0.5 only -- mirror of the engine's
+# memoized-0.5-plan reuse), so the oracle refuses lower thresholds
+# with a raise rather than silently under-reporting the exact set.
+def neardup_recall_sql(threshold: float = 0.5) -> str:
+    if threshold < 0.5:
+        raise ValueError(
+            f"neardup_recall_sql threshold {threshold} is below the fixed "
+            ">= 0.5 exact-side NGRAM oracle floor; a lower threshold would "
+            "silently truncate the exact pair set"
+        )
+    return f"""
 WITH exact_pairs AS (
+    SELECT * FROM (
 {NGRAM_JACCARD_SQL}
+    ) WHERE jaccard >= {threshold}
 ),
 lsh_pairs AS (
     SELECT * FROM (
 {NEARDUP_SQL}
-    ) WHERE jaccard >= 0.5
+    ) WHERE jaccard >= {threshold}
 ),
 e AS (
     SELECT doc_a, doc_b, CAST(floor(jaccard * 10) AS INTEGER) AS jbucket
@@ -671,8 +684,14 @@ def ann_recall_sql(
     vec_id) tie order, so the id sets -- and hence the intersection
     counts -- are identical across engines."""
     # TOPK_COSINE_SQL is the fixed (5, 10) exact oracle; refuse a
-    # parameterization it cannot mirror rather than silently diverge
-    assert (n_queries, k) == (5, 10), "exact-side oracle is fixed at (5, 10)"
+    # parameterization it cannot mirror rather than silently diverge.
+    # raise, not assert: an assert is stripped under `python -O` and
+    # the mismatch would then silently emit a diverging oracle
+    if (n_queries, k) != (5, 10):
+        raise ValueError(
+            f"ann_recall_sql exact-side oracle is fixed at (5, 10); "
+            f"got ({n_queries}, {k})"
+        )
     approx = lsh_topk_sql(planes, bands, rows_per_band, n_queries, k)
     return f"""
 WITH exact_topk AS (

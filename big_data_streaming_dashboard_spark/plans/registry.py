@@ -634,8 +634,18 @@ QUERIES: dict[str, QuerySpec] = {
     # against its exact twin, per-Jaccard-bucket S-curve)
     "doc_neardup_recall": QuerySpec(
         lambda spark, sf: neardup_recall(_docs(spark, sf)),
-        llm_sql.NEARDUP_RECALL_SQL,
+        llm_sql.neardup_recall_sql(),
         "MinHash-LSH banding recall vs exact n-gram Jaccard, per J bucket",
+    ),
+    # new in round 11: the high-J tail of the same S-curve (threshold
+    # 0.8) -- where banding misconfigurations actually bite at corpus
+    # scale (real duplicates slipping the bands). Reuses BOTH memoized
+    # constituent plans of the 0.5 evaluator (further filters over the
+    # same rounded J are exact), so the marginal cost is bucket-sized
+    "doc_neardup_recall_hi": QuerySpec(
+        lambda spark, sf: neardup_recall(_docs(spark, sf), threshold=0.8),
+        llm_sql.neardup_recall_sql(0.8),
+        "MinHash-LSH banding recall at the J >= 0.8 tail (true duplicates)",
     ),
     "doc_contamination": QuerySpec(
         lambda spark, sf: contamination_check(_docs(spark, sf)),

@@ -27,7 +27,18 @@ tests/test_streaming.py). Streaming ANN follows the same split (r10):
 `write_ann_index` persists the banded-LSH signature + vector
 artifacts, `ann_probe_stream` probes them stream-static and
 `ann_topk_batches` finishes the per-query top-k per micro-batch
-(batch-parity vs `lsh_banded_topk` pinned likewise).
+(batch-parity vs `lsh_banded_topk` pinned likewise). Semantic
+(embedding) dedup closes the ladder (r11): `write_semantic_index` +
+`semantic_probe_stream` emit verified cosine hits with
+`embedding_neardup_pairs`' exact candidate rule, and
+`semantic_verdict_batches` derives the per-arrival
+`semantic_duplicate` keep/dup_of verdict -- the streaming
+counterpart of the batch capstone's lowest-precedence reason
+(batch-parity vs `semantic_neardup` pinned in
+tests/test_streaming.py). Index builds are fingerprinted
+(`index_fingerprint`): stream-static correctness assumes a STATIC
+index, so probing a rebuilt index fails loudly instead of silently
+mixing versions.
 """
 
 from __future__ import annotations
@@ -790,7 +801,41 @@ def write_ann_index(
         .write.mode("overwrite")
         .parquet(path + "/vecs")
     )
+    _write_index_fingerprint(
+        embeddings.sparkSession, path,
+        {"bands": bands, "rows_per_band": rows_per_band, "seed": seed},
+    )
     return path
+
+
+def _write_index_fingerprint(spark: SparkSession, path: str, params: dict) -> None:
+    """Stamp an index build with a unique nonce + its knob values (one
+    tiny parquet row at ``path/fingerprint``). Probe streams snapshot
+    the nonce at plan time and re-check it per micro-batch
+    (`index_fingerprint` / `ann_topk_batches`): the stream-static
+    correctness argument -- per-query candidates are batch-local --
+    holds only while the index is STATIC, so a mid-stream overwrite
+    must fail loudly instead of silently mixing two index versions
+    across micro-batches (r10 verdict item 6). Written THROUGH Spark
+    so the guard works on any supported filesystem, not just local."""
+    import uuid
+
+    nonce = uuid.uuid4().hex
+    row = dict(params, nonce=nonce)
+    (
+        spark.createDataFrame([tuple(str(v) for v in row.values())],
+                              schema=list(row.keys()))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(path + "/fingerprint")
+    )
+
+
+def index_fingerprint(spark: SparkSession, path: str) -> str:
+    """The nonce of the index build currently on disk at ``path``
+    (bounded read: the fingerprint is one row)."""
+    rows = spark.read.parquet(path + "/fingerprint").select("nonce").collect()
+    return rows[0]["nonce"]
 
 
 def ann_probe_stream(
@@ -871,7 +916,14 @@ def ann_probe_stream(
     )
 
 
-def ann_topk_batches(scored: DataFrame, out_path: str, k: int = 10):
+def ann_topk_batches(
+    scored: DataFrame,
+    out_path: str,
+    k: int = 10,
+    checkpoint: str | None = None,
+    index_path: str | None = None,
+    expected_fingerprint: str | None = None,
+):
     """Per-micro-batch top-k writer for `ann_probe_stream` output
     (foreachBatch, availableNow): the per-query ranking is COMPLETE
     within the micro-batch that carries the query, because the
@@ -879,12 +931,55 @@ def ann_topk_batches(scored: DataFrame, out_path: str, k: int = 10):
     that row's own batch -- so the per-batch window IS the final
     per-query answer (window functions are not otherwise available on
     a streaming DataFrame). Same (cos DESC, vec_id) tie order and
-    round-after-rank as the batch path. Returns the finished
-    StreamingQuery; results land in ``out_path`` as parquet."""
+    round-after-rank as the batch path. Returns the started
+    StreamingQuery; results land in ``out_path`` as parquet.
+
+    Pass ``checkpoint`` for restartable runs: the parquet append is
+    NOT idempotent, so a retried/restarted micro-batch without a
+    checkpoint duplicates its top-k rows (fine for the availableNow
+    tests; unsafe as a long-running API without one).
+
+    Pass ``index_path`` (the `write_ann_index` root) to pin the index
+    VERSION: the batch-local-candidates argument above holds only
+    while the index is static. ``expected_fingerprint`` is the nonce
+    the caller snapshotted when the probe plan was built (defaults to
+    the on-disk nonce at call time); a mismatch raises HERE, before
+    the stream starts -- a refresh must go through a new probe
+    stream, never under one (mid-stream mixing would split one
+    query's candidates across index versions silently). Each
+    micro-batch also re-checks the nonce, which catches a same-name
+    in-place rewrite under a RUNNING query; a Spark-written overwrite
+    mid-run is additionally loud without the pin, because part-file
+    names are unique per write and the stale file listing fails with
+    FAILED_READ_FILE (the engine executes the stream-static join
+    before the foreachBatch function runs, so the engine-level
+    failure wins the race -- observed, and pinned along with the
+    other two behaviors by
+    tests/test_streaming.py::test_streaming_ann_index_refresh_fails_loudly)."""
     from pyspark.sql import Window
 
+    spark = scored.sparkSession
+
+    def _check(sess: SparkSession) -> None:
+        now = index_fingerprint(sess, index_path)
+        if now != expected_fingerprint:
+            raise RuntimeError(
+                f"ANN index at {index_path} was overwritten under a "
+                f"probe stream (fingerprint {now} != snapshot "
+                f"{expected_fingerprint}); rebuild the probe stream "
+                "against the new index instead"
+            )
+
+    if index_path is not None:
+        if expected_fingerprint is None:
+            expected_fingerprint = index_fingerprint(spark, index_path)
+        else:
+            _check(spark)
+
     def _emit(batch: DataFrame, _epoch: int) -> None:
-        if not batch.columns:
+        if index_path is not None:
+            _check(batch.sparkSession)
+        if batch.isEmpty():
             return
         w = Window.partitionBy("query_id").orderBy(
             F.col("_cos").desc(), F.col("vec_id")
@@ -903,12 +998,14 @@ def ann_topk_batches(scored: DataFrame, out_path: str, k: int = 10):
             .parquet(out_path)
         )
 
-    return (
+    writer = (
         scored.writeStream.foreachBatch(_emit)
         .outputMode("append")
         .trigger(availableNow=True)
-        .start()
     )
+    if checkpoint is not None:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
 
 
 # --- streaming semantic (embedding) dedup probe ----------------------------
@@ -958,35 +1055,39 @@ def write_semantic_index(
         .write.mode("overwrite")
         .parquet(path + "/vecs")
     )
+    _write_index_fingerprint(
+        embeddings.sparkSession, path,
+        {"bands": bands, "rows_per_band": rows_per_band, "seed": seed},
+    )
     return path
 
 
-def semantic_probe_stream(
+def _semantic_probe_plan(
     embeddings: DataFrame,
     index_bands: DataFrame,
     index_vecs: DataFrame,
-    threshold: float = 0.5,
-    bands: int | None = None,
-    rows_per_band: int | None = None,
-    dim: int | None = None,
-    seed: int = 42,
+    threshold: float,
+    bands: int | None,
+    rows_per_band: int | None,
+    dim: int | None,
+    seed: int,
 ) -> DataFrame:
-    """Streaming semantic near-dup detection: each arriving embedding
-    probes the static band index (stream-static equi-join on
-    (band, sig) -- the SemDeDup candidate rule, NO multiprobe, exactly
-    `embedding_neardup_pairs`' collision condition) and verifies
-    candidates with the same ordered-fold cosine, rounded to 6 before
-    the threshold, so stream and batch scores are bit-identical.
+    """The ONE semantic-probe plan, shared verbatim by the streaming
+    hit probe (`semantic_probe_stream`) and the per-micro-batch
+    verdict writer (`semantic_verdict_batches`) -- the DataFrame API
+    is the same for batch and streaming inputs, so factoring the plan
+    construction is what makes batch/stream drift impossible by
+    construction (the PRE_GOPHER_REASONS lesson, applied here).
 
-    Output: (vec_id, index_vec_id, cos_sim) per verified hit. The
-    capstone verdict derives downstream exactly as the batch
-    `semantic_neardup` does: a row is `semantic_duplicate` iff any hit
-    has index_vec_id < vec_id, with dup_of = min such partner (the
-    batch pair set restricted to (a < b) is this hit set with b = the
-    arriving side -- parity pinned in tests/test_streaming.py).
-    Candidate dedup state: one row per distinct (vec_id,
-    index_vec_id); watermark + dropDuplicatesWithinWatermark to TTL at
-    scale (same note as the other probes)."""
+    Candidate rule: share ANY (band, sig) -- exactly
+    `similarity.embedding_neardup_pairs`' collision condition (NO
+    multiprobe; the ANN probe's Hamming-1 flip is a recall knob for
+    top-k retrieval, not part of the SemDeDup pair definition).
+    Verify: the same ordered-fold cosine, rounded to 6 BEFORE the
+    threshold. Cosine is bit-symmetric (per-element products and the
+    norm product commute exactly in IEEE 754), so the stream scoring
+    cos(arriving, stored) equals the batch pair's cos(lower, higher)
+    regardless of which side arrived."""
     from ..llmdata.similarity import (
         DEFAULT_NEARDUP_BANDS,
         DEFAULT_NEARDUP_ROWS,
@@ -1028,3 +1129,109 @@ def semantic_probe_stream(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def semantic_probe_stream(
+    embeddings: DataFrame,
+    index_bands: DataFrame,
+    index_vecs: DataFrame,
+    threshold: float = 0.5,
+    bands: int | None = None,
+    rows_per_band: int | None = None,
+    dim: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Streaming semantic near-dup detection: each arriving embedding
+    probes the static band index (stream-static equi-join on
+    (band, sig) -- the SemDeDup candidate rule, NO multiprobe, exactly
+    `embedding_neardup_pairs`' collision condition) and verifies
+    candidates with the same ordered-fold cosine, rounded to 6 before
+    the threshold, so stream and batch scores are bit-identical.
+
+    Output: (vec_id, index_vec_id, cos_sim) per verified hit --
+    batch parity pinned by
+    tests/test_streaming.py::test_streaming_semantic_probe_matches_batch
+    (hit set == the symmetric expansion of `embedding_neardup_pairs`
+    restricted to the streamed side). The capstone verdict derives
+    downstream exactly as the batch `semantic_neardup` does -- use
+    `semantic_verdict_batches` for that composition. Candidate dedup
+    state: one row per distinct (vec_id, index_vec_id); watermark +
+    dropDuplicatesWithinWatermark to TTL at scale (same note as the
+    other probes)."""
+    return _semantic_probe_plan(
+        embeddings, index_bands, index_vecs, threshold,
+        bands, rows_per_band, dim, seed,
+    )
+
+
+def semantic_verdict_batches(
+    embeddings: DataFrame,
+    index_bands: DataFrame,
+    index_vecs: DataFrame,
+    out_path: str,
+    threshold: float = 0.5,
+    bands: int | None = None,
+    rows_per_band: int | None = None,
+    dim: int | None = None,
+    seed: int = 42,
+    checkpoint: str | None = None,
+):
+    """Streaming `semantic_duplicate` VERDICT writer: one row per
+    arriving embedding -- (vec_id, keep, dup_of) -- the streaming
+    counterpart of the batch capstone ladder's lowest-precedence
+    reason (`curation.curation_pipeline_full` ->
+    `dedup.semantic_neardup`), closing the one batch drop reason that
+    had no working streaming analog.
+
+    foreachBatch over the RAW embeddings stream (not the hit stream:
+    a verdict surface must emit keep=true rows for docs with NO
+    hits, which an inner-join hit stream cannot carry). Inside each
+    micro-batch the probe is `_semantic_probe_plan` -- literally the
+    same plan object construction as `semantic_probe_stream`, valid
+    batch-side because a stream-static join makes every candidate of
+    an arriving row batch-local. Verdict rule, identical to
+    `semantic_neardup`: a row is a semantic duplicate iff any
+    verified hit has index_vec_id < vec_id; dup_of = min such
+    partner; ties and rounding inherited from the shared plan. Batch
+    parity pinned by
+    tests/test_streaming.py::test_streaming_semantic_verdict_matches_batch
+    (self-probe of the corpus == `semantic_neardup`'s keep/dup_of
+    columns row-for-row).
+
+    Pass ``checkpoint`` for restartable runs: the parquet append is
+    NOT idempotent, so a retried micro-batch without a checkpoint
+    duplicates verdict rows (fine for availableNow tests, unsafe as
+    a long-running API -- same note as `ann_topk_batches`)."""
+
+    def _emit(batch: DataFrame, _epoch: int) -> None:
+        if batch.isEmpty():
+            return
+        hits = _semantic_probe_plan(
+            batch, index_bands, index_vecs, threshold,
+            bands, rows_per_band, dim, seed,
+        )
+        drops = (
+            hits.filter(F.col("index_vec_id") < F.col("vec_id"))
+            .groupBy("vec_id")
+            .agg(F.min("index_vec_id").alias("dup_of"))
+        )
+        (
+            batch.select("vec_id")
+            .join(drops, "vec_id", "left")
+            .select(
+                "vec_id",
+                F.col("dup_of").isNull().alias("keep"),
+                "dup_of",
+            )
+            .write.mode("append")
+            .parquet(out_path)
+        )
+
+    writer = (
+        embeddings.writeStream.foreachBatch(_emit)
+        .outputMode("append")
+        .trigger(availableNow=True)
+    )
+    if checkpoint is not None:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()

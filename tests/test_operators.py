@@ -677,3 +677,46 @@ def test_bpe_train_matches_classic_reference(spark):
             nxt[tuple(out)] += f
         vocab = nxt
     assert got == ref
+
+
+def test_neardup_recall_threshold_guards(spark):
+    """r10 advice: thresholds below neardup_pairs' >= 0.2 candidate
+    floor would silently mis-read as banding misses -- both the
+    engine evaluator and its oracle generator must refuse loudly.
+    The oracle's floor is higher (0.5, the fixed exact-side NGRAM
+    oracle), mirroring the engine's memoized-plan reuse."""
+    import pytest
+
+    from big_data_streaming_dashboard_spark.llmdata.dedup import neardup_recall
+    from big_data_streaming_dashboard_spark.plans.llm_sql import (
+        neardup_recall_sql,
+    )
+    from big_data_streaming_dashboard_spark.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    with pytest.raises(ValueError, match="candidate floor"):
+        neardup_recall(docs, threshold=0.1)
+    with pytest.raises(ValueError, match="NGRAM oracle floor"):
+        neardup_recall_sql(0.3)
+
+
+def test_neardup_recall_hi_is_tail_restriction(spark):
+    """The 0.8 variant must equal the default evaluator restricted to
+    buckets >= 8 -- it reuses the same constituent plans, so any
+    divergence means the threshold filter leaked into the plan
+    structure instead of staying a final filter."""
+    from big_data_streaming_dashboard_spark.llmdata.dedup import neardup_recall
+    from big_data_streaming_dashboard_spark.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    base = {
+        r["jbucket"]: (r["n_exact"], r["n_hit"], r["recall"])
+        for r in neardup_recall(docs).collect()
+        if r["jbucket"] >= 8
+    }
+    hi = {
+        r["jbucket"]: (r["n_exact"], r["n_hit"], r["recall"])
+        for r in neardup_recall(docs, threshold=0.8).collect()
+    }
+    assert hi == base
+    assert hi, "fixture lost its high-J pairs"

@@ -1176,3 +1176,159 @@ def test_streaming_bpe_encode_matches_batch(spark, tmp_path):
     s_rows = {r["doc_id"]: tuple(r)[1:] for r in got.collect()}
     b_rows = {r["doc_id"]: tuple(r)[1:] for r in bpe_encode_stats(docs).collect()}
     assert s_rows == b_rows
+
+
+def test_streaming_semantic_probe_matches_batch(spark, tmp_path):
+    """Stream-static semantic near-dup probe (r11): streaming the
+    corpus embeddings against the batch-built NEARDUP band index
+    yields exactly the symmetric expansion of the batch
+    `embedding_neardup_pairs` set -- same (band, sig) collision
+    candidates (same literal planes, no multiprobe), same
+    round-to-6 ordered-fold cosine, same >= threshold verify.
+    Self-probe: every arriving vec_id v must hit exactly the partners
+    u != v with {min(u,v), max(u,v)} in the batch pair set."""
+    from big_data_streaming_dashboard_spark.llmdata.similarity import (
+        embedding_neardup_pairs,
+    )
+    from big_data_streaming_dashboard_spark.streaming.llm_ingest import (
+        semantic_probe_stream,
+        stream_embeddings,
+        write_semantic_index,
+    )
+    from big_data_streaming_dashboard_spark.tables import load_table
+
+    embs = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    idx = write_semantic_index(embs, str(tmp_path / "semidx"))
+    stream_dir = str(tmp_path / "vstream")
+    embs.repartition(3).write.parquet(stream_dir)
+
+    # threshold 0.3: the sf0.001 fixture's near-dups sit below the
+    # 0.5 default (no pairs there); parity must hold at any threshold
+    hits = semantic_probe_stream(
+        stream_embeddings(spark, stream_dir),
+        spark.read.parquet(idx + "/bands"),
+        spark.read.parquet(idx + "/vecs"),
+        threshold=0.3,
+    )
+    got = _run_stream(spark, hits, f"t_{uuid.uuid4().hex[:8]}")
+    s_rows = {
+        (r["vec_id"], r["index_vec_id"]): r["cos_sim"] for r in got.collect()
+    }
+
+    batch = embedding_neardup_pairs(embs, threshold=0.3).collect()
+    # symmetric expansion: the directed hit set the stream emits
+    b_rows = {}
+    for r in batch:
+        b_rows[(r["vec_a"], r["vec_b"])] = r["cos_sim"]
+        b_rows[(r["vec_b"], r["vec_a"])] = r["cos_sim"]
+    assert s_rows == b_rows
+    assert b_rows, "fixture lost its embedding near-dup pairs"
+
+
+def test_streaming_semantic_verdict_matches_batch(spark, tmp_path):
+    """The streaming `semantic_duplicate` VERDICT equals the batch
+    capstone constituent `semantic_neardup` row-for-row on a
+    self-probe of the corpus: keep iff no verified partner with a
+    lower id, dup_of = min such partner -- the batch ladder
+    (curation_pipeline_full) and the stream now derive the reason
+    from the same rule over the same plan."""
+    from big_data_streaming_dashboard_spark.llmdata.dedup import semantic_neardup
+    from big_data_streaming_dashboard_spark.streaming.llm_ingest import (
+        semantic_verdict_batches,
+        stream_embeddings,
+        write_semantic_index,
+    )
+    from big_data_streaming_dashboard_spark.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    embs = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    idx = write_semantic_index(embs, str(tmp_path / "semidx"))
+    stream_dir = str(tmp_path / "vstream")
+    embs.repartition(3).write.parquet(stream_dir)
+
+    out = str(tmp_path / "verdicts")
+    q = semantic_verdict_batches(
+        stream_embeddings(spark, stream_dir),
+        spark.read.parquet(idx + "/bands"),
+        spark.read.parquet(idx + "/vecs"),
+        out,
+        threshold=0.3,
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+
+    s_rows = {
+        r["vec_id"]: (r["keep"], r["dup_of"])
+        for r in spark.read.parquet(out).collect()
+    }
+    b_rows = {
+        r["doc_id"]: (r["keep"], r["dup_of"])
+        for r in semantic_neardup(docs, embs, threshold=0.3).collect()
+    }
+    assert s_rows == b_rows
+    assert any(not keep for keep, _ in b_rows.values()), (
+        "fixture lost its semantic duplicates"
+    )
+
+
+def test_streaming_ann_index_refresh_fails_loudly(spark, tmp_path):
+    """The stream-static ANN correctness argument (per-query
+    candidates are batch-local) holds only while the index is STATIC
+    (r10 verdict item 6). Three pinned behaviors: (1) a consistent
+    fingerprint pin passes through untouched; (2) a stale pin --
+    probe plan built against an index that was since rebuilt --
+    raises at `ann_topk_batches` call time, before any stream starts;
+    (3) even WITHOUT the pin, running a stale probe plan is loud at
+    the engine level (unique part-file names per write -> the stale
+    file listing dies with FAILED_READ_FILE before the foreachBatch
+    function ever runs), never a silent mix of index versions."""
+    from pyspark.sql.streaming import StreamingQueryException
+
+    from big_data_streaming_dashboard_spark.streaming.llm_ingest import (
+        ann_probe_stream,
+        ann_topk_batches,
+        index_fingerprint,
+        stream_embeddings,
+        write_ann_index,
+    )
+    from big_data_streaming_dashboard_spark.tables import load_table
+
+    embs = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    idx = write_ann_index(embs, str(tmp_path / "annidx"))
+    qdir = str(tmp_path / "queries")
+    embs.filter(F.col("vec_id") < 3).write.parquet(qdir)
+
+    def probe():
+        return ann_probe_stream(
+            stream_embeddings(spark, qdir),
+            spark.read.parquet(idx + "/bands"),
+            spark.read.parquet(idx + "/vecs"),
+        )
+
+    # (1) happy path: index untouched -> pinned run completes
+    ok_out = str(tmp_path / "ok")
+    q = ann_topk_batches(probe(), ok_out, k=5, index_path=idx)
+    q.awaitTermination(120)
+    assert spark.read.parquet(ok_out).count() > 0
+
+    # the probe plan + fingerprint snapshot, then the index is rebuilt
+    stale = index_fingerprint(spark, idx)
+    scored = probe()
+    write_ann_index(embs.filter(F.col("vec_id") % 2 == 0), idx)
+    assert index_fingerprint(spark, idx) != stale
+
+    # (2) stale pin refuses at call time, before the stream starts
+    with pytest.raises(RuntimeError, match="overwritten under"):
+        ann_topk_batches(
+            scored,
+            str(tmp_path / "bad"),
+            k=5,
+            index_path=idx,
+            expected_fingerprint=stale,
+        )
+
+    # (3) unpinned stale plan: the engine itself fails loudly on the
+    # stale file listing -- never a silent read of the new index
+    q = ann_topk_batches(scored, str(tmp_path / "bad2"), k=5)
+    with pytest.raises(StreamingQueryException):
+        q.awaitTermination(120)
