@@ -85,7 +85,12 @@ EXTRA = [
 # re-run on the cached ~10x fixture so per-round BENCH records scaling
 # behavior, not just sf0.1. Single rep (these are minutes-scale-budget
 # guards, not microbenchmarks; run-to-run noise is swamped by a 10x
-# regression, which is what they exist to catch).
+# regression, which is what they exist to catch) -- EXCEPT the two
+# shingle canaries (TENX_REPS): their r10 numbers moved +62%/+37% on
+# identical candidate/pair counts and burned a round on what the
+# fresh-session slow suite says was noise/session state, so they get
+# min-of-2 (they are the only TENX entries over 10 s; the cost is
+# bounded and the comparability is what the canary exists for).
 TENX = [
     "full_pipeline",
     "doc_neardup_pairs",
@@ -108,6 +113,20 @@ TENX = [
     "doc_importance_weights",
     "doc_bpe_merges",
 ]
+
+TENX_REPS = {"doc_containment_pairs": 2, "doc_ngram_jaccard": 2}
+
+
+def _storage_bytes(spark) -> int:
+    """Executor storage memory currently held by persisted RDDs --
+    recorded around the pre-TENX cache release so a contaminated 10x
+    block (state left over from the sf0.1 HEADLINE+EXTRA session) is
+    self-evident in the archived JSON (r10 verdict item 2)."""
+    try:
+        infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        return int(sum(i.memSize() for i in infos))
+    except Exception:
+        return -1
 
 
 def _time_query(fn, spark, sf_dir, reps):
@@ -203,14 +222,34 @@ def main() -> None:
     # test-suite scale fixture. Skippable for constrained runs.
     tenx: dict[str, float] = {}
     tenx_err = None
+    storage = {}
     if os.environ.get("SPARK_GRAFT_SKIP_10X", "") != "1":
         try:
             sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
             from scale10x import ensure_scale_fixture
 
+            # release every sf0.1 persisted plan before timing the 10x
+            # block (r10 verdict item 2): by this point the session
+            # holds every HEADLINE+EXTRA index/stage cache, and the r10
+            # shingle-canary "regression" (+62% on identical counts,
+            # quieter box) tracked exactly that accumulated state --
+            # the canary must measure the plans, not session hygiene.
+            # The storage ledger before/after makes contamination
+            # self-evident in the archived JSON.
+            from big_data_streaming_dashboard_spark.plans.registry import (
+                clear_engine_caches,
+            )
+
+            storage["before_release"] = _storage_bytes(spark)
+            storage["evicted_entries"] = clear_engine_caches()
+            spark.catalog.clearCache()
+            storage["at_10x_start"] = _storage_bytes(spark)
+
             scale_dir = ensure_scale_fixture(spark)
             for name in TENX:
-                tenx[name], _, _ = _time_query(fns[name], spark, scale_dir, reps=1)
+                tenx[name], _, _ = _time_query(
+                    fns[name], spark, scale_dir, reps=TENX_REPS.get(name, 1)
+                )
             # candidate/output pair counts beside the containment 10x
             # time (r7 verdict: the 10x fixture makes each doc a
             # near-dup of its replicas, so TRUE output pairs grow ~45x
@@ -246,6 +285,7 @@ def main() -> None:
         extra_queries=extra,
         containment_stages=contain_detail,
         sf10x_error=tenx_err,
+        sf10x_storage_bytes=storage,
     )
     with open(
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"), "w"
