@@ -38,7 +38,13 @@ counterpart of the batch capstone's lowest-precedence reason
 tests/test_streaming.py). Index builds are fingerprinted
 (`index_fingerprint`): stream-static correctness assumes a STATIC
 index, so probing a rebuilt index fails loudly instead of silently
-mixing versions.
+mixing versions. The capstone composition (r11):
+`write_curation_index` persists every offline artifact under one
+fingerprinted root and `curation_verdict_batches` emits the COMPLETE
+nine-reason batch ladder per arriving document -- replaying the
+corpus the artifacts were built from reproduces
+`curation_pipeline_full` row-for-row (pinned in
+tests/test_streaming.py::test_streaming_curation_full_matches_batch).
 """
 
 from __future__ import annotations
@@ -1229,6 +1235,289 @@ def semantic_verdict_batches(
 
     writer = (
         embeddings.writeStream.foreachBatch(_emit)
+        .outputMode("append")
+        .trigger(availableNow=True)
+    )
+    if checkpoint is not None:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
+
+
+# --- streaming curation capstone: the FULL ladder over offline artifacts ---
+
+CURATION_STREAM_SCHEMA = "doc_id long, text string, lang string, source string"
+
+
+def stream_documents_full(spark: SparkSession, dir_path: str) -> DataFrame:
+    """`stream_documents` with the ``source`` column included -- the
+    capstone ladder's eval_holdout reason needs it."""
+    return (
+        spark.readStream.schema(CURATION_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(dir_path)
+    )
+
+
+def write_curation_index(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    path: str,
+    eval_source: str = "src0",
+) -> str:
+    """Persist EVERY offline artifact the full-ladder streaming
+    curation verdict probes, under one fingerprinted root -- the
+    corpus-build split taken to its conclusion: all corpus-wide
+    signals (dedup indexes, eval passages) are batch-refreshed
+    artifacts; the stream is pure probe.
+
+      ``{path}/exact``      (text_hash, min_doc_id) -- exact-dup
+                            canonical table; probing it makes the
+                            stream's exact_duplicate DETERMINISTIC
+                            (min-id rule), unlike `curation_stream`'s
+                            arrival-order state (both are real modes:
+                            this one is the corpus-rebuild shape, that
+                            one the online-ingest shape)
+      ``{path}/neardup``    the MinHash band index + shingles
+                            (`write_neardup_index` layout)
+      ``{path}/passages``   the eval passage-hash set
+                            (`write_eval_passage_index` layout)
+      ``{path}/sem``        the embedding band index + vectors
+                            (`write_semantic_index` layout, its own
+                            fingerprint)
+      ``{path}/sem/embeddings`` (vec_id, embedding) raw float
+                            vectors -- the lookup side for a document
+                            stream that does NOT carry its embedding
+                            (a stream that does skips this join)
+      ``{path}/fingerprint`` root nonce (`index_fingerprint`)
+    """
+    (
+        docs.groupBy(F.md5(F.col("text")).alias("text_hash"))
+        .agg(F.min("doc_id").alias("min_doc_id"))
+        .write.mode("overwrite")
+        .parquet(path + "/exact")
+    )
+    write_neardup_index(docs, path + "/neardup")
+    write_eval_passage_index(docs, path + "/passages", eval_source)
+    write_semantic_index(embeddings, path + "/sem")
+    (
+        embeddings.select("vec_id", "embedding")
+        .write.mode("overwrite")
+        .parquet(path + "/sem/embeddings")
+    )
+    _write_index_fingerprint(
+        docs.sparkSession, path, {"eval_source": eval_source}
+    )
+    return path
+
+
+def _curation_verdict_plan(
+    batch: DataFrame,
+    exact_idx: DataFrame,
+    neardup_idx: DataFrame,
+    passages: DataFrame,
+    sem_bands: DataFrame,
+    sem_vecs: DataFrame,
+    embeddings: DataFrame,
+    quality_threshold: float,
+    neardup_threshold: float,
+    keep_lang: str,
+    max_repetition: float,
+    eval_source: str,
+    semantic_threshold: float,
+) -> DataFrame:
+    """One micro-batch of the FULL curation ladder, schema- and
+    value-identical to `curation.curation_pipeline_full` when the
+    artifacts were built from the corpus being replayed:
+
+      eval_holdout > contaminated > non_english > low_quality >
+      gopher_fail > repetitious > exact_duplicate > near_duplicate >
+      semantic_duplicate
+
+    Every reason is either a stateless per-row expression (the same
+    Column builders the batch ladder uses) or a probe against a
+    static artifact whose batch parity is individually pinned
+    (`neardup_probe_stream`, `contamination_probe_stream`,
+    `_semantic_probe_plan`, and the exact min-id table). Valid
+    per-batch because static-side joins make every signal of an
+    arriving row batch-local -- the same argument as the other
+    probes. `is_contaminated` is gated on source != eval_source,
+    mirroring the batch scan which scores only train docs (an eval
+    doc trivially contains its own passages)."""
+    from ..llmdata.text import repetition_score
+
+    qc = quality_columns(F.col("text"))
+    sig = batch.select(
+        "doc_id",
+        "text",
+        "source",
+        qc["n_tokens"].alias("n_tokens"),
+        qc["quality_score"].alias("quality_score"),
+        predicted_lang_column(F.col("text")).alias("predicted_lang"),
+        gopher_keep_column(F.col("text")).alias("_gopher_keep"),
+        F.md5(F.col("text")).alias("text_hash"),
+    )
+    rep = repetition_score(batch).select("doc_id", "repetition_rate")
+    cont = contamination_probe_stream(batch, passages, mode="exact").select(
+        "doc_id", F.col("is_contaminated").alias("_cont_hit")
+    )
+    nd = (
+        neardup_probe_stream(batch, neardup_idx, threshold=neardup_threshold)
+        .filter(F.col("index_doc_id") < F.col("doc_id"))
+        .select("doc_id")
+        .distinct()
+        .withColumn("_is_near_dup", F.lit(True))
+    )
+    embs = embeddings.select("vec_id", "embedding")
+    sem = (
+        _semantic_probe_plan(
+            batch.select("doc_id")
+            .join(embs, F.col("doc_id") == F.col("vec_id"))
+            .select("vec_id", "embedding"),
+            sem_bands,
+            sem_vecs,
+            semantic_threshold,
+            None,
+            None,
+            None,
+            42,
+        )
+        .filter(F.col("index_vec_id") < F.col("vec_id"))
+        .groupBy(F.col("vec_id").alias("doc_id"))
+        .agg(F.min("index_vec_id").alias("dup_of"))
+    )
+    joined = (
+        sig.join(exact_idx, "text_hash", "left")
+        .join(rep, "doc_id")
+        .join(cont, "doc_id", "left")
+        .join(nd, "doc_id", "left")
+        .join(sem, "doc_id", "left")
+    )
+    is_cont = (F.col("source") != F.lit(eval_source)) & F.coalesce(
+        F.col("_cont_hit"), F.lit(False)
+    )
+    is_exact_dup = F.coalesce(
+        F.col("min_doc_id") < F.col("doc_id"), F.lit(False)
+    )
+    is_near_dup = F.coalesce(F.col("_is_near_dup"), F.lit(False))
+    is_sem_dup = F.col("dup_of").isNotNull()
+    reason = (
+        F.when(F.col("source") == eval_source, "eval_holdout")
+        .when(is_cont, "contaminated")
+        .when(F.col("predicted_lang") != keep_lang, "non_english")
+        .when(F.col("quality_score") < quality_threshold, "low_quality")
+        .when(~F.col("_gopher_keep"), "gopher_fail")
+        .when(F.col("repetition_rate") > max_repetition, "repetitious")
+        .when(is_exact_dup, "exact_duplicate")
+        .when(is_near_dup, "near_duplicate")
+        .when(is_sem_dup, "semantic_duplicate")
+    )
+    return joined.select(
+        "doc_id",
+        "predicted_lang",
+        "quality_score",
+        "n_tokens",
+        "repetition_rate",
+        is_cont.alias("is_contaminated"),
+        (~F.col("_gopher_keep")).alias("is_gopher_fail"),
+        is_sem_dup.alias("is_semantic_dup"),
+        "dup_of",
+        reason.alias("drop_reason"),
+        reason.isNull().alias("kept"),
+    )
+
+
+def curation_verdict_batches(
+    docs: DataFrame,
+    index_path: str,
+    out_path: str,
+    quality_threshold: float | None = None,
+    neardup_threshold: float | None = None,
+    keep_lang: str | None = None,
+    max_repetition: float = 0.2,
+    eval_source: str = "src0",
+    semantic_threshold: float = 0.5,
+    checkpoint: str | None = None,
+):
+    """Streaming FULL-curation capstone: every arriving document gets
+    the complete batch-ladder verdict (all nine drop reasons) by
+    probing the `write_curation_index` artifacts -- the streaming
+    counterpart of `curation.curation_pipeline_full`, closing the
+    capstone at full precedence (r10 item 1 took `semantic_duplicate`
+    streaming; this composes it into the whole ladder).
+
+    foreachBatch over the raw document stream
+    (`stream_documents_full` -- the ladder needs ``source``), one
+    verdict row per arrival via `_curation_verdict_plan`. Batch
+    parity pinned by
+    tests/test_streaming.py::test_streaming_curation_full_matches_batch
+    (replaying the corpus the artifacts were built from reproduces
+    `curation_pipeline_full` row-for-row, every column). The root
+    fingerprint is snapshotted at call time and re-checked per batch:
+    a mid-stream artifact rebuild fails loudly (`index_fingerprint`
+    rule). The exact-mode contamination set is re-collected per
+    micro-batch (eval suites are tiny); a long-running deployment
+    hoists the Bloom build outside the loop
+    (`contamination_probe_stream(mode="bloom")`) and accepts its
+    documented conservative-approximate semantics.
+
+    ``checkpoint``: same non-idempotent-append note as the other
+    foreachBatch writers."""
+    from ..llmdata.curation import (
+        DEFAULT_KEEP_LANG,
+        DEFAULT_NEARDUP_JACCARD,
+        DEFAULT_QUALITY_THRESHOLD,
+    )
+
+    quality_threshold = (
+        DEFAULT_QUALITY_THRESHOLD if quality_threshold is None else quality_threshold
+    )
+    neardup_threshold = (
+        DEFAULT_NEARDUP_JACCARD if neardup_threshold is None else neardup_threshold
+    )
+    keep_lang = DEFAULT_KEEP_LANG if keep_lang is None else keep_lang
+
+    spark = docs.sparkSession
+    expected = index_fingerprint(spark, index_path)
+    exact_idx = spark.read.parquet(index_path + "/exact")
+    neardup_idx = spark.read.parquet(index_path + "/neardup")
+    passages = spark.read.parquet(index_path + "/passages")
+    sem_bands = spark.read.parquet(index_path + "/sem/bands")
+    sem_vecs = spark.read.parquet(index_path + "/sem/vecs")
+    embeddings = spark.read.parquet(index_path + "/sem/embeddings")
+
+    def _emit(batch: DataFrame, _epoch: int) -> None:
+        now = index_fingerprint(batch.sparkSession, index_path)
+        if now != expected:
+            raise RuntimeError(
+                f"curation index at {index_path} was overwritten under a "
+                f"running verdict stream (fingerprint {now} != snapshot "
+                f"{expected}); rebuild the verdict stream against the new "
+                "artifacts instead"
+            )
+        if batch.isEmpty():
+            return
+        (
+            _curation_verdict_plan(
+                batch,
+                exact_idx,
+                neardup_idx,
+                passages,
+                sem_bands,
+                sem_vecs,
+                embeddings,
+                quality_threshold,
+                neardup_threshold,
+                keep_lang,
+                max_repetition,
+                eval_source,
+                semantic_threshold,
+            )
+            .write.mode("append")
+            .parquet(out_path)
+        )
+
+    writer = (
+        docs.writeStream.foreachBatch(_emit)
         .outputMode("append")
         .trigger(availableNow=True)
     )

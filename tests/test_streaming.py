@@ -1332,3 +1332,58 @@ def test_streaming_ann_index_refresh_fails_loudly(spark, tmp_path):
     q = ann_topk_batches(scored, str(tmp_path / "bad2"), k=5)
     with pytest.raises(StreamingQueryException):
         q.awaitTermination(120)
+
+
+def test_streaming_curation_full_matches_batch(spark, tmp_path):
+    """The streaming FULL-curation capstone: replaying the corpus the
+    artifacts were built from reproduces `curation_pipeline_full`
+    row-for-row -- every column, all nine drop reasons at the batch
+    precedence. This is the strongest batch/stream claim in the repo:
+    unlike `curation_stream` (arrival-order exact-dup state), the
+    artifact-probe mode is fully deterministic (min-id exact-dup
+    table), so equality is exact, not count-only."""
+    from big_data_streaming_dashboard_spark.llmdata.curation import (
+        curation_pipeline_full,
+    )
+    from big_data_streaming_dashboard_spark.streaming.llm_ingest import (
+        curation_verdict_batches,
+        stream_documents_full,
+        write_curation_index,
+    )
+    from big_data_streaming_dashboard_spark.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    embs = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    idx = str(tmp_path / "curidx")
+    write_curation_index(docs, embs, idx)
+    docs_dir = str(tmp_path / "docs")
+    docs.repartition(4).write.parquet(docs_dir)
+
+    out = str(tmp_path / "verdicts")
+    q = curation_verdict_batches(
+        stream_documents_full(spark, docs_dir),
+        idx,
+        out,
+        semantic_threshold=0.3,
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(240)
+
+    s_rows = {
+        r["doc_id"]: tuple(r)[1:] for r in spark.read.parquet(out).collect()
+    }
+    batch = curation_pipeline_full(docs, embs, semantic_threshold=0.3).collect()
+    b_rows = {r["doc_id"]: tuple(r)[1:] for r in batch}
+    assert set(s_rows) == set(b_rows)
+    mismatches = {
+        k: (s_rows[k], b_rows[k]) for k in b_rows if s_rows[k] != b_rows[k]
+    }
+    assert not mismatches, dict(list(mismatches.items())[:5])
+
+    # the fixture must actually exercise the ladder: multiple distinct
+    # drop reasons, including at least one probe-backed reason
+    reasons = {r["drop_reason"] for r in batch if r["drop_reason"]}
+    assert "semantic_duplicate" in reasons or "near_duplicate" in reasons, reasons
+    assert len(reasons) >= 4, reasons
