@@ -79,6 +79,11 @@ EXTRA = [
     # join/agg past them)
     "emb_ann_recall",
     "doc_neardup_recall",
+    # r11: the high-J tail variant -- shares BOTH memoized constituent
+    # plans with doc_neardup_recall, so its marginal cost should read
+    # near-zero when run after it (that near-zero IS the evidence the
+    # plan-reuse claim in llmdata/dedup.neardup_recall holds)
+    "doc_neardup_recall_hi",
 ]
 
 # scaling-regression canaries (r5 verdict item 4): a small subset

@@ -168,7 +168,7 @@ def curation_stream(
     )
 
 
-def write_neardup_index(docs: DataFrame, path: str) -> str:
+def write_neardup_index(docs: DataFrame, path: str, mode: str = "overwrite") -> str:
     """Persist the batch-built LSH band index + shingle sets: the
     OFFLINE artifact the streaming probe joins against.
 
@@ -176,15 +176,23 @@ def write_neardup_index(docs: DataFrame, path: str) -> str:
     shingle array for the exact-verify step. At scale this is written
     partitioned/bucketed by (band_idx, band_hash) so a probe touches
     one bucket; the band explode is the same plan as the batch
-    neardup_pairs index side (llmdata/dedup._banded_sigs, cap column
-    included so probes skip degenerate buckets too)."""
+    neardup_pairs index side (llmdata/dedup._banded_sigs). Every row
+    is a PER-DOC fact (signatures and shingles of one document, no
+    corpus-wide state), so a corpus delta appends exactly
+    (``mode="append"``, used by `append_curation_index`); the one
+    corpus-wide quantity -- the degenerate-bucket cap -- is
+    recomputed over the MERGED index at probe time
+    (`neardup_probe_stream`), so append-then-probe equals
+    rebuild-then-probe even when a bucket crosses the cap only
+    across increments. The stored `_bucket_n` column is the build
+    increment's local count, kept for diagnostics only."""
     from ..llmdata.dedup import DEFAULT_BAND_ROWS, DEFAULT_K, _banded_sigs, shingles
 
     banded = _banded_sigs(docs, DEFAULT_K, DEFAULT_BAND_ROWS)
     sh = docs.select("doc_id", shingles(F.col("text")).alias("shingles"))
     (
         banded.join(sh, "doc_id")
-        .write.mode("overwrite")
+        .write.mode(mode)
         .parquet(path)
     )
     return path
@@ -209,7 +217,13 @@ def neardup_probe_stream(
     count (band-collision-rate bounded); at scale put an ingest-time
     watermark on the stream and use ``dropDuplicatesWithinWatermark``
     to TTL it. Degenerate index buckets above the cap are skipped,
-    mirroring the batch guard."""
+    mirroring the batch guard; the bucket sizes are recomputed over
+    the index AT PROBE TIME (one count-agg on the static side, paid
+    once per stream start) rather than read from the stored
+    `_bucket_n` column -- identical for a one-shot index, and the
+    only correct rule for an APPENDED index, where a bucket can
+    cross the cap across build increments (r11,
+    `append_curation_index`)."""
     from ..llmdata.dedup import DEFAULT_BAND_ROWS, DEFAULT_K, minhash_signature, shingles
 
     n_bands = DEFAULT_K // DEFAULT_BAND_ROWS
@@ -234,11 +248,18 @@ def neardup_probe_stream(
     probe = sigs.select(
         "doc_id", F.explode(band_struct).alias("band")
     ).select("doc_id", "band.band_idx", "band.band_hash")
-    idx = index.filter(F.col("_bucket_n") <= max_bucket_size).select(
-        F.col("doc_id").alias("index_doc_id"),
-        "band_idx",
-        "band_hash",
-        F.col("shingles").alias("index_shingles"),
+    merged_n = index.groupBy("band_idx", "band_hash").agg(
+        F.count(F.lit(1)).alias("_merged_bucket_n")
+    )
+    idx = (
+        index.join(merged_n, ["band_idx", "band_hash"])
+        .filter(F.col("_merged_bucket_n") <= max_bucket_size)
+        .select(
+            F.col("doc_id").alias("index_doc_id"),
+            "band_idx",
+            "band_hash",
+            F.col("shingles").alias("index_shingles"),
+        )
     )
     cands = (
         probe.join(idx, ["band_idx", "band_hash"])
@@ -376,12 +397,16 @@ def containment_probe_stream(
 
 
 def write_eval_passage_index(
-    docs: DataFrame, path: str, eval_source: str = "src0"
+    docs: DataFrame, path: str, eval_source: str = "src0",
+    mode: str = "overwrite",
 ) -> str:
     """Persist the benchmark's distinct passage-hash set -- the OFFLINE
     artifact the streaming contamination probe joins against (eval
     suites change rarely; rebuild on benchmark refresh, like the
-    near-dup band index)."""
+    near-dup band index). ``mode="append"`` adds a delta's hashes
+    (distinct WITHIN the delta; cross-increment duplicates are
+    harmless because both probe modes are set-membership structures
+    -- the exact mode builds a Python set, the Bloom mode ORs bits)."""
     from ..llmdata.text import RK_WINDOW, _token_codes, _window_hashes
 
     wh = _window_hashes(_token_codes(F.col("text")), RK_WINDOW)
@@ -389,7 +414,7 @@ def write_eval_passage_index(
         docs.filter(F.col("source") == eval_source)
         .select(F.explode(wh).alias("passage_hash"))
         .distinct()
-        .write.mode("overwrite")
+        .write.mode(mode)
         .parquet(path)
     )
     return path
@@ -1024,6 +1049,7 @@ def write_semantic_index(
     rows_per_band: int | None = None,
     dim: int | None = None,
     seed: int = 42,
+    mode: str = "overwrite",
 ) -> str:
     """Persist the embedding near-dup band index (the VECTOR-family
     analog of `write_neardup_index`): the offline artifact a streaming
@@ -1035,7 +1061,11 @@ def write_semantic_index(
     NEAR-DUP banding scheme (32 bands x 8 bits, `similarity.
     DEFAULT_NEARDUP_BANDS/ROWS`, seed 42 -- the SAME literal planes as
     `embedding_neardup_pairs`), so stream and batch candidates
-    provably coincide."""
+    provably coincide. Band and vector rows are PER-VECTOR facts, so
+    a corpus delta appends exactly (``mode="append"``, used by
+    `append_curation_index`); the fingerprint is re-stamped on every
+    call (append or rebuild -- either way the index changed and a
+    pinned running probe must fail over to a new stream)."""
     from ..llmdata.similarity import (
         DEFAULT_NEARDUP_BANDS,
         DEFAULT_NEARDUP_ROWS,
@@ -1053,12 +1083,12 @@ def write_semantic_index(
     (
         embeddings.select("vec_id", sig_udf("embedding").alias("sigs"))
         .select("vec_id", F.posexplode("sigs").alias("band", "sig"))
-        .write.mode("overwrite")
+        .write.mode(mode)
         .parquet(path + "/bands")
     )
     (
         embeddings.select("vec_id", _dvec("embedding").alias("vec"))
-        .write.mode("overwrite")
+        .write.mode(mode)
         .parquet(path + "/vecs")
     )
     _write_index_fingerprint(
@@ -1310,6 +1340,63 @@ def write_curation_index(
     return path
 
 
+def append_curation_index(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    path: str,
+    eval_source: str = "src0",
+) -> str:
+    """Incremental artifact refresh: fold a corpus DELTA into an
+    existing `write_curation_index` root WITHOUT recomputing the old
+    corpus -- the refresh shape a 100 TB rolling corpus build
+    actually runs (a full rebuild re-scans every byte ever ingested;
+    the delta is what arrived since the last refresh).
+
+    Why append is EXACT here, artifact by artifact:
+      - neardup / sem bands / sem vecs / embeddings: every row is a
+        per-document fact (signatures, shingles, vectors) -- no
+        corpus-wide state -- so append IS rebuild. The one
+        corpus-wide quantity on the doc side, the degenerate-bucket
+        cap, is recomputed over the merged index at probe time
+        (`neardup_probe_stream`), so a bucket crossing the cap only
+        across increments is still skipped.
+      - exact: an append-only LOG of partial MIN aggregates (the
+        delta's (text_hash, min_doc_id) table appends; the probe
+        merges with an associative MIN at stream start) -- the LSM
+        discipline: writes are delta-sized, merge cost is paid by
+        the reader once per stream, and a periodic compaction
+        (rewrite the merged agg) is an optimization, never a
+        correctness requirement.
+      - passages: set-membership structure; duplicate hashes across
+        increments are harmless (see `write_eval_passage_index`).
+
+    The root fingerprint (and sem's) is re-stamped: an append CHANGES
+    the index, so a verdict stream pinned to the old nonce fails
+    loudly and restarts against the merged artifacts -- exactly the
+    rebuild-under-a-running-stream rule.
+
+    Equality with a one-shot build over the union corpus is pinned by
+    tests/test_streaming.py::test_streaming_curation_append_equals_rebuild."""
+    (
+        docs.groupBy(F.md5(F.col("text")).alias("text_hash"))
+        .agg(F.min("doc_id").alias("min_doc_id"))
+        .write.mode("append")
+        .parquet(path + "/exact")
+    )
+    write_neardup_index(docs, path + "/neardup", mode="append")
+    write_eval_passage_index(docs, path + "/passages", eval_source, mode="append")
+    write_semantic_index(embeddings, path + "/sem", mode="append")
+    (
+        embeddings.select("vec_id", "embedding")
+        .write.mode("append")
+        .parquet(path + "/sem/embeddings")
+    )
+    _write_index_fingerprint(
+        docs.sparkSession, path, {"eval_source": eval_source}
+    )
+    return path
+
+
 def _curation_verdict_plan(
     batch: DataFrame,
     exact_idx: DataFrame,
@@ -1385,8 +1472,16 @@ def _curation_verdict_plan(
         .groupBy(F.col("vec_id").alias("doc_id"))
         .agg(F.min("index_vec_id").alias("dup_of"))
     )
+    # LSM-style merge of the exact-dup log: the table is append-only
+    # partial MIN aggregates (one full agg per build increment), so
+    # the probe re-aggregates -- a no-op for a one-shot build, the
+    # associative MIN merge for an appended one. One agg over the
+    # static side per stream start, keyed like the join that follows.
+    exact_merged = exact_idx.groupBy("text_hash").agg(
+        F.min("min_doc_id").alias("min_doc_id")
+    )
     joined = (
-        sig.join(exact_idx, "text_hash", "left")
+        sig.join(exact_merged, "text_hash", "left")
         .join(rep, "doc_id")
         .join(cont, "doc_id", "left")
         .join(nd, "doc_id", "left")

@@ -1387,3 +1387,66 @@ def test_streaming_curation_full_matches_batch(spark, tmp_path):
     reasons = {r["drop_reason"] for r in batch if r["drop_reason"]}
     assert "semantic_duplicate" in reasons or "near_duplicate" in reasons, reasons
     assert len(reasons) >= 4, reasons
+
+
+def test_streaming_curation_append_equals_rebuild(spark, tmp_path):
+    """Incremental artifact refresh is EXACT: building the curation
+    index on a 60% prefix of the corpus and appending the remaining
+    40% as a delta yields verdicts identical to a one-shot build over
+    the whole corpus -- per-doc artifact rows append trivially, the
+    exact-dup log merges by associative MIN at probe time, and the
+    near-dup bucket cap is recomputed over the merged index. Also:
+    the append re-stamps the fingerprint, so a stream pinned to the
+    pre-append nonce refuses to start."""
+    from big_data_streaming_dashboard_spark.streaming.llm_ingest import (
+        append_curation_index,
+        curation_verdict_batches,
+        index_fingerprint,
+        stream_documents_full,
+        write_curation_index,
+    )
+    from big_data_streaming_dashboard_spark.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    embs = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cut = F.col("doc_id") < 300
+    vcut = F.col("vec_id") < 300
+
+    one_shot = str(tmp_path / "oneshot")
+    write_curation_index(docs, embs, one_shot)
+    incr = str(tmp_path / "incr")
+    write_curation_index(docs.filter(cut), embs.filter(vcut), incr)
+    pre_append = index_fingerprint(spark, incr)
+    append_curation_index(docs.filter(~cut), embs.filter(~vcut), incr)
+    assert index_fingerprint(spark, incr) != pre_append
+
+    docs_dir = str(tmp_path / "docs")
+    docs.repartition(3).write.parquet(docs_dir)
+
+    def verdicts(idx, tag):
+        out = str(tmp_path / f"verdicts_{tag}")
+        q = curation_verdict_batches(
+            stream_documents_full(spark, docs_dir),
+            idx,
+            out,
+            semantic_threshold=0.3,
+            checkpoint=str(tmp_path / f"ckpt_{tag}"),
+        )
+        q.awaitTermination(240)
+        return {
+            r["doc_id"]: tuple(r)[1:] for r in spark.read.parquet(out).collect()
+        }
+
+    got_incr = verdicts(incr, "incr")
+    got_one = verdicts(one_shot, "one")
+    assert set(got_incr) == set(got_one)
+    mismatches = {
+        k: (got_incr[k], got_one[k]) for k in got_one if got_incr[k] != got_one[k]
+    }
+    assert not mismatches, dict(list(mismatches.items())[:5])
+    # the delta must actually contribute drops: some doc in the 60%
+    # prefix must be a duplicate of / near a delta doc or vice versa
+    dropped = {k for k, v in got_one.items() if not v[-1]}
+    assert dropped & {k for k in got_one if k >= 300}, "delta contributed nothing"
