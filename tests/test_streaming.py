@@ -1450,3 +1450,60 @@ def test_streaming_curation_append_equals_rebuild(spark, tmp_path):
     # prefix must be a duplicate of / near a delta doc or vice versa
     dropped = {k for k, v in got_one.items() if not v[-1]}
     assert dropped & {k for k in got_one if k >= 300}, "delta contributed nothing"
+
+
+def test_neardup_probe_merged_bucket_cap_across_appends(spark, tmp_path):
+    """The degenerate-bucket cap must bind on the MERGED index: a
+    band bucket that stays under the cap in each build increment but
+    crosses it merged is skipped by the probe, exactly as a one-shot
+    build over the union would skip it. Under the old rule (stored
+    per-increment `_bucket_n`) the appended index would keep the
+    bucket and emit candidates the rebuild suppresses -- this test
+    fails against that behavior. Cap=5 keeps the fixture tiny; the
+    rule is cap-value-independent."""
+    from big_data_streaming_dashboard_spark.streaming.llm_ingest import (
+        neardup_probe_stream,
+        stream_documents,
+        write_neardup_index,
+    )
+
+    # 8 docs with IDENTICAL text -> identical signatures -> one bucket
+    # per band; split 4 + 4 so each increment is under cap=5 but the
+    # merged bucket (8) is over it
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    clones = spark.createDataFrame(
+        [(i, text, "en") for i in range(8)], "doc_id long, text string, lang string"
+    )
+    merged_idx = str(tmp_path / "idx")
+    write_neardup_index(clones.filter(F.col("doc_id") < 4), merged_idx)
+    write_neardup_index(
+        clones.filter(F.col("doc_id") >= 4), merged_idx, mode="append"
+    )
+    oneshot_idx = str(tmp_path / "idx1")
+    write_neardup_index(clones, oneshot_idx)
+
+    probe_doc = spark.createDataFrame(
+        [(100, text, "en")], "doc_id long, text string, lang string"
+    )
+    probe_dir = str(tmp_path / "probe")
+    probe_doc.write.parquet(probe_dir)
+
+    def hits(idx):
+        stream = neardup_probe_stream(
+            stream_documents(spark, probe_dir),
+            spark.read.parquet(idx),
+            max_bucket_size=5,
+        )
+        got = _run_stream(spark, stream, f"t_{uuid.uuid4().hex[:8]}")
+        return sorted(r["index_doc_id"] for r in got.collect())
+
+    assert hits(merged_idx) == hits(oneshot_idx) == []
+    # sanity: with the cap lifted the same probe finds all 8 clones,
+    # so the empties above are the cap binding, not a broken probe
+    stream = neardup_probe_stream(
+        stream_documents(spark, probe_dir),
+        spark.read.parquet(merged_idx),
+        max_bucket_size=1000,
+    )
+    got = _run_stream(spark, stream, f"t_{uuid.uuid4().hex[:8]}")
+    assert sorted(r["index_doc_id"] for r in got.collect()) == list(range(8))
