@@ -1397,6 +1397,52 @@ def append_curation_index(
     return path
 
 
+def compact_curation_index(spark: SparkSession, path: str) -> str:
+    """LSM compaction for the curation-artifact root: rewrite the
+    exact-dup log as its merged MIN aggregate, collapsing N build
+    increments' partial aggregates into one row per distinct text --
+    bounds the probe-start merge (and the log's file count) after
+    many `append_curation_index` calls. Pure optimization: the
+    reader-side merge in `_curation_verdict_plan` is already exact
+    without it, so compaction can run at any cadence (typically when
+    the log's increment count or small-file count crosses a
+    threshold).
+
+    Write discipline: the merged table lands in a temp dir first and
+    is swapped in with a filesystem rename (Hadoop FileSystem API, so
+    any supported storage works) -- overwriting a directory that the
+    merge plan is lazily reading would delete its own input
+    mid-write. The fingerprint is re-stamped: compaction changes the
+    on-disk fileset, and a probe stream's static plan holds the OLD
+    file listing, so pinned running streams must fail over exactly as
+    they do for appends (the band-side dirs would need the same
+    tmp+rename treatment if they ever grow a compaction; their rows
+    are per-doc facts with nothing to merge, so today only the
+    small-files motivation applies there and is left to the storage
+    layer)."""
+    (
+        spark.read.parquet(path + "/exact")
+        .groupBy("text_hash")
+        .agg(F.min("min_doc_id").alias("min_doc_id"))
+        .write.mode("overwrite")
+        .parquet(path + "/exact.compact-tmp")
+    )
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(path).getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.delete(hpath(path + "/exact"), True):
+        raise IOError(f"compact_curation_index: could not delete {path}/exact")
+    if not fs.rename(hpath(path + "/exact.compact-tmp"), hpath(path + "/exact")):
+        raise IOError(
+            f"compact_curation_index: rename failed; merged table left at "
+            f"{path}/exact.compact-tmp"
+        )
+    fp = spark.read.parquet(path + "/fingerprint").collect()[0].asDict()
+    fp.pop("nonce", None)
+    _write_index_fingerprint(spark, path, fp)
+    return path
+
+
 def _curation_verdict_plan(
     batch: DataFrame,
     exact_idx: DataFrame,

@@ -1507,3 +1507,62 @@ def test_neardup_probe_merged_bucket_cap_across_appends(spark, tmp_path):
     )
     got = _run_stream(spark, stream, f"t_{uuid.uuid4().hex[:8]}")
     assert sorted(r["index_doc_id"] for r in got.collect()) == list(range(8))
+
+
+def test_streaming_curation_compact_preserves_verdicts(spark, tmp_path):
+    """LSM compaction of the exact-dup log: after build + append, the
+    compacted root holds ONE row per distinct text (N partial
+    aggregates merged), the fingerprint is re-stamped, and the
+    capstone verdicts are unchanged."""
+    from big_data_streaming_dashboard_spark.streaming.llm_ingest import (
+        append_curation_index,
+        compact_curation_index,
+        curation_verdict_batches,
+        index_fingerprint,
+        stream_documents_full,
+        write_curation_index,
+    )
+    from big_data_streaming_dashboard_spark.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    embs = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cut = F.col("doc_id") < 300
+    idx = str(tmp_path / "idx")
+    write_curation_index(docs.filter(cut), embs.filter(F.col("vec_id") < 300), idx)
+    append_curation_index(
+        docs.filter(~cut), embs.filter(F.col("vec_id") >= 300), idx
+    )
+
+    log = spark.read.parquet(idx + "/exact")
+    n_log, n_distinct = log.count(), log.select("text_hash").distinct().count()
+    pre = index_fingerprint(spark, idx)
+    compact_curation_index(spark, idx)
+    assert index_fingerprint(spark, idx) != pre
+    compacted = spark.read.parquet(idx + "/exact")
+    assert compacted.count() == n_distinct <= n_log
+
+    docs_dir = str(tmp_path / "docs")
+    docs.repartition(2).write.parquet(docs_dir)
+    out = str(tmp_path / "verdicts")
+    q = curation_verdict_batches(
+        stream_documents_full(spark, docs_dir),
+        idx,
+        out,
+        semantic_threshold=0.3,
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(240)
+    from big_data_streaming_dashboard_spark.llmdata.curation import (
+        curation_pipeline_full,
+    )
+
+    s_rows = {
+        r["doc_id"]: tuple(r)[1:] for r in spark.read.parquet(out).collect()
+    }
+    b_rows = {
+        r["doc_id"]: tuple(r)[1:]
+        for r in curation_pipeline_full(docs, embs, semantic_threshold=0.3).collect()
+    }
+    assert s_rows == b_rows
