@@ -793,6 +793,7 @@ def write_ann_index(
     rows_per_band: int = 10,
     dim: int | None = None,
     seed: int = 42,
+    mode: str = "overwrite",
 ) -> str:
     """Persist the batch-built banded-LSH ANN index: the OFFLINE
     artifact streaming query vectors probe (same split as
@@ -808,7 +809,11 @@ def write_ann_index(
       side, joined only for deduped candidates.
     Signatures come from the same literal planes
     (`similarity.gaussian_planes`, same seed) as the batch
-    `lsh_banded_topk` path, so stream and batch candidates coincide."""
+    `lsh_banded_topk` path, so stream and batch candidates coincide.
+    Band and vector rows are per-vector facts with no corpus-wide
+    state (the ANN path has no bucket cap), so a corpus delta appends
+    exactly (``mode="append"``); the fingerprint re-stamps either way
+    and a pinned running probe fails over (`ann_topk_batches`)."""
     from ..llmdata.similarity import (
         EMBEDDING_DIM,
         _band_sigs_udf,
@@ -822,14 +827,14 @@ def write_ann_index(
     (
         embeddings.select("vec_id", sig_udf("embedding").alias("sigs"))
         .select("vec_id", F.posexplode("sigs").alias("band", "sig"))
-        .write.mode("overwrite")
+        .write.mode(mode)
         .parquet(path + "/bands")
     )
     (
         embeddings.select(
             "vec_id", "label", _dvec("embedding").alias("vec")
         )
-        .write.mode("overwrite")
+        .write.mode(mode)
         .parquet(path + "/vecs")
     )
     _write_index_fingerprint(
@@ -1306,7 +1311,11 @@ def write_curation_index(
                             (min-id rule), unlike `curation_stream`'s
                             arrival-order state (both are real modes:
                             this one is the corpus-rebuild shape, that
-                            one the online-ingest shape)
+                            one the online-ingest shape). Stored as an
+                            append-only LOG of partial MIN aggregates
+                            (`append_curation_index` appends the
+                            delta's; probes merge at stream start;
+                            `compact_curation_index` bounds the merge)
       ``{path}/neardup``    the MinHash band index + shingles
                             (`write_neardup_index` layout)
       ``{path}/passages``   the eval passage-hash set
@@ -1619,12 +1628,23 @@ def curation_verdict_batches(
 
     spark = docs.sparkSession
     expected = index_fingerprint(spark, index_path)
-    exact_idx = spark.read.parquet(index_path + "/exact")
-    neardup_idx = spark.read.parquet(index_path + "/neardup")
-    passages = spark.read.parquet(index_path + "/passages")
-    sem_bands = spark.read.parquet(index_path + "/sem/bands")
-    sem_vecs = spark.read.parquet(index_path + "/sem/vecs")
-    embeddings = spark.read.parquet(index_path + "/sem/embeddings")
+    # persist every static side ONCE: a stream-static join re-executes
+    # the static plan every micro-batch, so without this each batch
+    # re-scans the artifact parquet (and re-runs the exact-log merge).
+    # Persisted, the per-batch cost is a memory read; the artifacts are
+    # index-sized, the same storage class the batch engine persists for
+    # its build-once-probe-many indexes (dedup._plan_cached).
+    exact_idx = (
+        spark.read.parquet(index_path + "/exact")
+        .groupBy("text_hash")
+        .agg(F.min("min_doc_id").alias("min_doc_id"))
+        .persist()
+    )
+    neardup_idx = spark.read.parquet(index_path + "/neardup").persist()
+    passages = spark.read.parquet(index_path + "/passages").persist()
+    sem_bands = spark.read.parquet(index_path + "/sem/bands").persist()
+    sem_vecs = spark.read.parquet(index_path + "/sem/vecs").persist()
+    embeddings = spark.read.parquet(index_path + "/sem/embeddings").persist()
 
     def _emit(batch: DataFrame, _epoch: int) -> None:
         now = index_fingerprint(batch.sparkSession, index_path)

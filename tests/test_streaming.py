@@ -1566,3 +1566,42 @@ def test_streaming_curation_compact_preserves_verdicts(spark, tmp_path):
         for r in curation_pipeline_full(docs, embs, semantic_threshold=0.3).collect()
     }
     assert s_rows == b_rows
+
+
+def test_streaming_ann_append_equals_rebuild(spark, tmp_path):
+    """ANN index rows are per-vector facts (no bucket cap, no
+    aggregate), so building on half the corpus and appending the rest
+    yields exactly the one-shot index's top-k for every query."""
+    from big_data_streaming_dashboard_spark.llmdata.similarity import (
+        lsh_banded_topk,
+    )
+    from big_data_streaming_dashboard_spark.streaming.llm_ingest import (
+        ann_probe_stream,
+        ann_topk_batches,
+        stream_embeddings,
+        write_ann_index,
+    )
+    from big_data_streaming_dashboard_spark.tables import load_table
+
+    embs = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    incr = str(tmp_path / "incr")
+    write_ann_index(embs.filter(F.col("vec_id") < 250), incr)
+    write_ann_index(embs.filter(F.col("vec_id") >= 250), incr, mode="append")
+
+    qdir = str(tmp_path / "queries")
+    embs.filter(F.col("vec_id") < 5).repartition(2).write.parquet(qdir)
+    out = str(tmp_path / "topk")
+    q = ann_topk_batches(
+        ann_probe_stream(
+            stream_embeddings(spark, qdir),
+            spark.read.parquet(incr + "/bands"),
+            spark.read.parquet(incr + "/vecs"),
+        ),
+        out,
+        k=10,
+        index_path=incr,
+    )
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.read.parquet(out).collect()))
+    batch = sorted(map(tuple, lsh_banded_topk(embs, n_queries=5, k=10).collect()))
+    assert got == batch
