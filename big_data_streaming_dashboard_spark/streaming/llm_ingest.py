@@ -1216,6 +1216,8 @@ def semantic_verdict_batches(
     dim: int | None = None,
     seed: int = 42,
     checkpoint: str | None = None,
+    index_path: str | None = None,
+    expected_fingerprint: str | None = None,
 ):
     """Streaming `semantic_duplicate` VERDICT writer: one row per
     arriving embedding -- (vec_id, keep, dup_of) -- the streaming
@@ -1242,9 +1244,32 @@ def semantic_verdict_batches(
     Pass ``checkpoint`` for restartable runs: the parquet append is
     NOT idempotent, so a retried micro-batch without a checkpoint
     duplicates verdict rows (fine for availableNow tests, unsafe as
-    a long-running API -- same note as `ann_topk_batches`)."""
+    a long-running API -- same note as `ann_topk_batches`). Pass
+    ``index_path`` (the `write_semantic_index` root) to pin the
+    index version -- same rules as `ann_topk_batches`: stale pin
+    refuses at call time, per-batch re-check catches in-place
+    rewrites."""
+    if index_path is not None:
+        now = index_fingerprint(embeddings.sparkSession, index_path)
+        if expected_fingerprint is None:
+            expected_fingerprint = now
+        elif now != expected_fingerprint:
+            raise RuntimeError(
+                f"semantic index at {index_path} was overwritten under a "
+                f"probe stream (fingerprint {now} != snapshot "
+                f"{expected_fingerprint}); rebuild the verdict stream "
+                "against the new index instead"
+            )
 
     def _emit(batch: DataFrame, _epoch: int) -> None:
+        if index_path is not None:
+            now_b = index_fingerprint(batch.sparkSession, index_path)
+            if now_b != expected_fingerprint:
+                raise RuntimeError(
+                    f"semantic index at {index_path} was overwritten under "
+                    f"a running verdict stream (fingerprint {now_b} != "
+                    f"snapshot {expected_fingerprint})"
+                )
         if batch.isEmpty():
             return
         hits = _semantic_probe_plan(
