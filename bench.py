@@ -79,10 +79,13 @@ EXTRA = [
     # join/agg past them)
     "emb_ann_recall",
     "doc_neardup_recall",
-    # r11: the high-J tail variant -- shares BOTH memoized constituent
-    # plans with doc_neardup_recall, so its marginal cost should read
-    # near-zero when run after it (that near-zero IS the evidence the
-    # plan-reuse claim in llmdata/dedup.neardup_recall holds)
+    # r11: the high-J tail variant -- shares BOTH persisted constituent
+    # indexes with doc_neardup_recall (memoized jaccard/band plans), so
+    # running after it skips the index builds; what remains is plan
+    # construction + the pair-sized joins/aggs both evaluators pay
+    # (sf0.01 smoke: 0.78 s vs the base's 0.71 s warm -- the reuse
+    # shows at sf0.1+, where the index builds dominate the base's
+    # first run)
     "doc_neardup_recall_hi",
 ]
 
