@@ -277,7 +277,7 @@ def neardup_probe_stream(
     )
 
 
-def write_containment_index(docs: DataFrame, path: str) -> str:
+def write_containment_index(docs: DataFrame, path: str, mode: str = "overwrite") -> str:
     """Persist the directed-containment artifacts the streaming probe
     joins against (r6; mirrors the batch `containment_pairs` fix):
 
@@ -287,11 +287,24 @@ def write_containment_index(docs: DataFrame, path: str) -> str:
       probe's equi-join touches one bucket.
     - ``{path}/docs``: (doc_id, shi, n_sh) -- the xxhash64 shingle
       arrays + full distinct-shingle counts for the exact verify.
+    - ``{path}/df`` (r11): the increment's FULL (sh_hash, df) table,
+      including shingles the cap dropped from postings. This is what
+      makes ``mode="append"`` EXACT: the stored postings are capped
+      per increment (information about over-cap shingles is gone from
+      them), but the df sidecar keeps every count, so a probe can
+      apply the cap to the MERGED frequencies
+      (`containment_probe_stream(df_index=...)`). The asymmetry is
+      one-sided in exactly the safe direction: a row dropped at
+      increment-build time had in-increment df > cap, hence merged
+      df > cap, hence a one-shot rebuild drops it too -- nothing
+      droppable is ever lost, and everything over-kept is filtered
+      by the merged-df check. Sidecar is distinct-shingle-sized,
+      far smaller than postings.
 
-    The df cap is computed over the INDEXED corpus (a stream cannot
-    know future document frequencies); on corpora where no shingle
-    crosses the cap -- the non-template case -- stream and batch
-    candidate rules coincide exactly (pinned by the parity test)."""
+    Without the sidecar the df cap is computed over the indexed
+    increment only; on corpora where no shingle crosses the cap --
+    the non-template case -- stream and batch candidate rules
+    coincide exactly either way (pinned by the parity test)."""
     from ..llmdata.dedup import (
         DEFAULT_MAX_BUCKET,
         _bounded_postings,
@@ -301,16 +314,26 @@ def write_containment_index(docs: DataFrame, path: str) -> str:
 
     _bounded_postings(docs, DEFAULT_MAX_BUCKET).select(
         "doc_id", "sh_hash"
-    ).write.mode("overwrite").parquet(f"{path}/postings")
+    ).write.mode(mode).parquet(f"{path}/postings")
     (
         _shingle_ints(docs)
         .join(
             _shingle_table(docs).select("doc_id", F.size("sh").alias("n_sh")),
             "doc_id",
         )
-        .write.mode("overwrite")
+        .write.mode(mode)
         .parquet(f"{path}/docs")
     )
+    (
+        _shingle_table(docs)
+        .select(F.explode("sh").alias("_s"))
+        .select(F.xxhash64("_s").alias("sh_hash"))
+        .groupBy("sh_hash")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .write.mode(mode)
+        .parquet(f"{path}/df")
+    )
+    _write_index_fingerprint(docs.sparkSession, path, {"family": "containment"})
     return path
 
 
@@ -319,6 +342,8 @@ def containment_probe_stream(
     postings: DataFrame,
     doc_index: DataFrame,
     threshold: float = 0.8,
+    df_index: DataFrame | None = None,
+    max_postings: int | None = None,
 ) -> DataFrame:
     """Streaming directed containment against a static corpus: each
     arriving document's shingle hashes probe the capped posting index
@@ -335,8 +360,20 @@ def containment_probe_stream(
     same as any cross-corpus join). Per-arrival work is bounded by
     n_sh x df_cap candidate rows -- a stream probe never needs the
     batch path's prefix filter, whose job is taming the corpus x
-    corpus self-join."""
-    from ..llmdata.dedup import shingles
+    corpus self-join.
+
+    For an APPENDED index, pass ``df_index`` (the `{path}/df` sidecar
+    written since r11): the df cap is then applied to the MERGED
+    document frequencies (sum over increments per shingle), which
+    makes append-then-probe equal rebuild-then-probe even when a
+    shingle crosses the cap only across increments (pinned by
+    test_containment_probe_merged_df_cap_across_appends). For a
+    one-shot index the sidecar filter is a provable no-op (stored
+    rows already have true df <= cap), so passing it is always
+    safe."""
+    from ..llmdata.dedup import DEFAULT_MAX_BUCKET, shingles
+
+    max_postings = DEFAULT_MAX_BUCKET if max_postings is None else max_postings
 
     # Key-format guard (r7 advice): the persisted index key switched
     # md5 hex (string) -> xxhash64 (int64) in r7. Probing a
@@ -350,14 +387,23 @@ def containment_probe_stream(
             "the r7 int64 key format -- rebuild it with "
             "write_containment_index."
         )
+    idx_postings = postings.select(
+        F.col("doc_id").alias("index_doc_id"), "sh_hash"
+    )
+    if df_index is not None:
+        merged_df = (
+            df_index.groupBy("sh_hash")
+            .agg(F.sum("df").alias("_merged_df"))
+            .filter(F.col("_merged_df") <= max_postings)
+            .select("sh_hash")
+        )
+        idx_postings = idx_postings.join(merged_df, "sh_hash")
     probe = docs.select(
         "doc_id", F.explode(shingles(F.col("text"))).alias("_s")
     ).select("doc_id", F.xxhash64("_s").alias("sh_hash"))
     cands = (
         probe.join(
-            postings.select(
-                F.col("doc_id").alias("index_doc_id"), "sh_hash"
-            ),
+            idx_postings,
             "sh_hash",
         )
         .select("doc_id", "index_doc_id")

@@ -1605,3 +1605,54 @@ def test_streaming_ann_append_equals_rebuild(spark, tmp_path):
     got = sorted(map(tuple, spark.read.parquet(out).collect()))
     batch = sorted(map(tuple, lsh_banded_topk(embs, n_queries=5, k=10).collect()))
     assert got == batch
+
+
+def test_containment_probe_merged_df_cap_across_appends(spark, tmp_path):
+    """The containment df cap must bind on MERGED document
+    frequencies when probing an appended index with the r11 df
+    sidecar: a shingle under the cap in each increment but over it
+    merged generates no candidates, exactly as a one-shot rebuild;
+    and with the cap lifted the same probe finds the clones (the
+    empties come from the cap). Cap=5, 4+4 clones sharing every
+    shingle."""
+    from big_data_streaming_dashboard_spark.streaming.llm_ingest import (
+        containment_probe_stream,
+        stream_documents,
+        write_containment_index,
+    )
+
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    clones = spark.createDataFrame(
+        [(i, text) for i in range(8)], "doc_id long, text string"
+    )
+    merged_idx = str(tmp_path / "idx")
+    write_containment_index(clones.filter(F.col("doc_id") < 4), merged_idx)
+    write_containment_index(
+        clones.filter(F.col("doc_id") >= 4), merged_idx, mode="append"
+    )
+    oneshot_idx = str(tmp_path / "idx1")
+    write_containment_index(clones, oneshot_idx)
+
+    probe_doc = spark.createDataFrame(
+        [(100, text, "en")], "doc_id long, text string, lang string"
+    )
+    probe_dir = str(tmp_path / "probe")
+    probe_doc.write.parquet(probe_dir)
+
+    def pairs(idx, cap):
+        stream = containment_probe_stream(
+            stream_documents(spark, probe_dir),
+            spark.read.parquet(idx + "/postings"),
+            spark.read.parquet(idx + "/docs"),
+            df_index=spark.read.parquet(idx + "/df"),
+            max_postings=cap,
+        )
+        got = _run_stream(spark, stream, f"t_{uuid.uuid4().hex[:8]}")
+        return sorted(
+            (r["contained_doc"], r["container_doc"]) for r in got.collect()
+        )
+
+    assert pairs(merged_idx, 5) == pairs(oneshot_idx, 5) == []
+    found = pairs(merged_idx, 1000)
+    # identical docs contain each other both ways: 8 partners x 2 dirs
+    assert len(found) == 16 and {d for p in found for d in p} == set(range(8)) | {100}
