@@ -1756,3 +1756,233 @@ def curation_verdict_batches(
     if checkpoint is not None:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer.start()
+
+
+# --- streaming retrieve-then-rerank (the RAG serving pattern) --------------
+
+
+def write_rerank_index(
+    embeddings: DataFrame,
+    path: str,
+    n_bits: int | None = None,
+    dim: int | None = None,
+    seed: int = 42,
+    mode: str = "overwrite",
+) -> str:
+    """Persist the signed corpus the streaming rerank probe retrieves
+    from: (vec_id, label, vec, words) -- the packed wide-SimHash
+    signatures + exact vectors of `similarity._signed_corpus`, same
+    literal planes as the batch `cross_encoder_rerank` path so stream
+    and batch candidate sets coincide. Rows are per-vector facts, so
+    a corpus delta appends exactly (``mode="append"``); fingerprint
+    re-stamps either way."""
+    from ..llmdata.similarity import DEFAULT_SIG_BITS, EMBEDDING_DIM, _signed_corpus
+
+    n_bits = DEFAULT_SIG_BITS if n_bits is None else n_bits
+    dim = EMBEDDING_DIM if dim is None else dim
+    (
+        _signed_corpus(embeddings, n_bits, dim, seed)
+        .write.mode(mode)
+        .parquet(path + "/corpus")
+    )
+    _write_index_fingerprint(
+        embeddings.sparkSession, path, {"n_bits": n_bits, "seed": seed}
+    )
+    return path
+
+
+def rerank_topk_batches(
+    queries: DataFrame,
+    index_corpus: DataFrame,
+    out_path: str,
+    k: int = 5,
+    n_bits: int | None = None,
+    radius: int | None = None,
+    dim: int | None = None,
+    seed: int = 42,
+    model_stub: bool = True,
+    checkpoint: str | None = None,
+    index_path: str | None = None,
+    expected_fingerprint: str | None = None,
+):
+    """Streaming two-stage retrieve-then-rerank -- the RAG serving
+    loop as a stream: each arriving query vector retrieves its
+    Hamming-radius candidate set from the static signed corpus
+    (broadcast the tiny ARRIVING side against the corpus-sized static
+    side -- the same build-side asymmetry as the batch path, where
+    queries broadcast), then the cross-encoder kernel scores only
+    those pairs and a per-micro-batch window keeps the top k (valid
+    per batch for the usual stream-static reason: every candidate of
+    an arriving query is batch-local).
+
+    Mirrors `similarity.cross_encoder_rerank` exactly -- same planes,
+    same deterministic bilinear default scorer
+    (`cross_encoder_weights` literals), same round-6-then-rank with
+    (score DESC, vec_id) ties -- batch parity pinned by
+    tests/test_streaming.py::test_streaming_rerank_matches_batch.
+    The injectable-model slot (``model_stub=False``) raises in this
+    container, exactly like the batch path. Same ``checkpoint`` /
+    ``index_path`` pinning semantics as `ann_topk_batches`; the
+    expensive model forward pass stays Arrow-batched, so a GPU-backed
+    scorer slots in without plan changes."""
+    from pyspark.sql import Window
+
+    from ..llmdata.similarity import (
+        DEFAULT_HAMMING_RADIUS,
+        DEFAULT_SIG_BITS,
+        EMBEDDING_DIM,
+        _cross_encoder_udf,
+        _signed_corpus,
+        hamming,
+    )
+
+    n_bits = DEFAULT_SIG_BITS if n_bits is None else n_bits
+    radius = DEFAULT_HAMMING_RADIUS if radius is None else radius
+    dim = EMBEDDING_DIM if dim is None else dim
+    n_words = (n_bits + 63) // 64
+    score = _cross_encoder_udf(dim, seed, model_stub)
+    spark = queries.sparkSession
+
+    def _check(sess: SparkSession) -> None:
+        now = index_fingerprint(sess, index_path)
+        if now != expected_fingerprint:
+            raise RuntimeError(
+                f"rerank index at {index_path} was overwritten under a "
+                f"probe stream (fingerprint {now} != snapshot "
+                f"{expected_fingerprint}); rebuild the probe stream "
+                "against the new index instead"
+            )
+
+    if index_path is not None:
+        if expected_fingerprint is None:
+            expected_fingerprint = index_fingerprint(spark, index_path)
+        else:
+            _check(spark)
+
+    def _emit(batch: DataFrame, _epoch: int) -> None:
+        if index_path is not None:
+            _check(batch.sparkSession)
+        if batch.isEmpty():
+            return
+        qs = _signed_corpus(batch, n_bits, dim, seed).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("vec").alias("qvec"),
+            F.col("words").alias("qwords"),
+        )
+        scored = (
+            index_corpus.crossJoin(F.broadcast(qs))
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .filter(hamming(F.col("words"), F.col("qwords"), n_words) <= radius)
+            .select(
+                "query_id",
+                "vec_id",
+                "label",
+                F.round(score(F.col("qvec"), F.col("vec")), 6).alias(
+                    "rerank_score"
+                ),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("rerank_score").desc(), F.col("vec_id")
+        )
+        (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "vec_id", "label", "rank", "rerank_score")
+            .write.mode("append")
+            .parquet(out_path)
+        )
+
+    writer = (
+        queries.writeStream.foreachBatch(_emit)
+        .outputMode("append")
+        .trigger(availableNow=True)
+    )
+    if checkpoint is not None:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
+
+
+def knn_classify_batches(
+    queries: DataFrame,
+    index_vecs: DataFrame,
+    out_path: str,
+    k: int = 5,
+    dim: int | None = None,
+    checkpoint: str | None = None,
+):
+    """Streaming k-NN classification: each arriving query vector is
+    labeled by majority vote over its exact top-k cosine neighbors in
+    the static corpus -- the online-serving form of
+    `similarity.knn_label_vote`, same rules end to end (per-row
+    norms, HOF-fold dot, (cos DESC, vec_id) rank ties, (votes DESC,
+    label ASC) vote ties). Retrieval is the brute-force path: the
+    arriving batch broadcasts against the corpus-sized static side
+    (the `ann_probe_stream` family is the sub-linear alternative when
+    exactness of the NEIGHBOR SET can be traded). Reuses
+    `write_ann_index`'s ``vecs`` artifact -- (vec_id, label, vec) is
+    exactly the corpus this needs, no new writer. Batch parity pinned
+    by tests/test_streaming.py::test_streaming_knn_classify_matches_batch.
+
+    Output: (query_id, predicted_label, votes) per arriving query.
+    Same ``checkpoint`` append-idempotency note as the other
+    writers."""
+    from pyspark.sql import Window
+
+    from ..llmdata.similarity import EMBEDDING_DIM, _dvec, dot
+
+    dim = EMBEDDING_DIM if dim is None else dim
+
+    def _emit(batch: DataFrame, _epoch: int) -> None:
+        if batch.isEmpty():
+            return
+        qs = batch.select(
+            F.col("vec_id").alias("query_id"),
+            _dvec("embedding").alias("qvec"),
+        ).withColumn("qnorm", F.sqrt(dot(F.col("qvec"), F.col("qvec"))))
+        corpus = index_vecs.select(
+            "vec_id", F.col("vec").alias("cvec"), "label"
+        ).withColumn("cnorm", F.sqrt(dot(F.col("cvec"), F.col("cvec"))))
+        scored = (
+            corpus.crossJoin(F.broadcast(qs))
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                "vec_id",
+                "label",
+                (
+                    dot(F.col("qvec"), F.col("cvec"))
+                    / (F.col("qnorm") * F.col("cnorm"))
+                ).alias("_cos"),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("_cos").desc(), F.col("vec_id")
+        )
+        topk = scored.withColumn("rank", F.row_number().over(w)).filter(
+            F.col("rank") <= k
+        )
+        votes = topk.groupBy("query_id", "label").agg(
+            F.count(F.lit(1)).alias("votes")
+        )
+        wv = Window.partitionBy("query_id").orderBy(
+            F.col("votes").desc(), F.col("label")
+        )
+        (
+            votes.withColumn("_r", F.row_number().over(wv))
+            .filter(F.col("_r") == 1)
+            .select(
+                "query_id", F.col("label").alias("predicted_label"), "votes"
+            )
+            .write.mode("append")
+            .parquet(out_path)
+        )
+
+    writer = (
+        queries.writeStream.foreachBatch(_emit)
+        .outputMode("append")
+        .trigger(availableNow=True)
+    )
+    if checkpoint is not None:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()

@@ -1656,3 +1656,80 @@ def test_containment_probe_merged_df_cap_across_appends(spark, tmp_path):
     found = pairs(merged_idx, 1000)
     # identical docs contain each other both ways: 8 partners x 2 dirs
     assert len(found) == 16 and {d for p in found for d in p} == set(range(8)) | {100}
+
+
+def test_streaming_rerank_matches_batch(spark, tmp_path):
+    """Streaming retrieve-then-rerank: streaming the 5 query vectors
+    against the signed-corpus index reproduces the batch
+    `cross_encoder_rerank` rows exactly -- same Hamming-radius
+    retrieval (same planes), same deterministic bilinear scorer
+    literals, same round-6-then-rank tie order. Also pins append:
+    the index built in two increments gives the same answer."""
+    from big_data_streaming_dashboard_spark.llmdata.similarity import (
+        cross_encoder_rerank,
+    )
+    from big_data_streaming_dashboard_spark.streaming.llm_ingest import (
+        rerank_topk_batches,
+        stream_embeddings,
+        write_rerank_index,
+    )
+    from big_data_streaming_dashboard_spark.tables import load_table
+
+    embs = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    idx = str(tmp_path / "ridx")
+    write_rerank_index(embs.filter(F.col("vec_id") < 250), idx)
+    write_rerank_index(
+        embs.filter(F.col("vec_id") >= 250), idx, mode="append"
+    )
+    qdir = str(tmp_path / "queries")
+    embs.filter(F.col("vec_id") < 5).repartition(2).write.parquet(qdir)
+
+    out = str(tmp_path / "topk")
+    q = rerank_topk_batches(
+        stream_embeddings(spark, qdir),
+        spark.read.parquet(idx + "/corpus"),
+        out,
+        k=5,
+        index_path=idx,
+    )
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.read.parquet(out).collect()))
+    batch = sorted(
+        map(tuple, cross_encoder_rerank(embs, n_queries=5, k=5).collect())
+    )
+    assert got == batch
+    assert got, "fixture produced no rerank rows"
+
+
+def test_streaming_knn_classify_matches_batch(spark, tmp_path):
+    """Streaming k-NN classification over the static corpus equals the
+    batch `knn_label_vote` exactly for every streamed query (same
+    cosine, rank ties, and vote ties), reusing `write_ann_index`'s
+    vecs artifact as the corpus."""
+    from big_data_streaming_dashboard_spark.llmdata.similarity import (
+        knn_label_vote,
+    )
+    from big_data_streaming_dashboard_spark.streaming.llm_ingest import (
+        knn_classify_batches,
+        stream_embeddings,
+        write_ann_index,
+    )
+    from big_data_streaming_dashboard_spark.tables import load_table
+
+    embs = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    idx = write_ann_index(embs, str(tmp_path / "annidx"))
+    qdir = str(tmp_path / "queries")
+    embs.filter(F.col("vec_id") < 5).repartition(2).write.parquet(qdir)
+
+    out = str(tmp_path / "labels")
+    q = knn_classify_batches(
+        stream_embeddings(spark, qdir),
+        spark.read.parquet(idx + "/vecs"),
+        out,
+        k=5,
+    )
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.read.parquet(out).collect()))
+    batch = sorted(map(tuple, knn_label_vote(embs, n_queries=5, k=5).collect()))
+    assert got == batch
+    assert got, "no classifications produced"
