@@ -568,3 +568,29 @@ def importance_weights(docs: DataFrame, target_source: str = "src1") -> DataFram
             .alias("importance_weight"),
         )
     )
+
+
+def curation_funnel(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    **pipeline_kwargs,
+) -> DataFrame:
+    """The corpus-build funnel: docs and tokens surviving / lost per
+    drop reason -- the first dashboard a training-data run is judged
+    by (kept token count IS the training budget; a reason suddenly
+    eating 30% of tokens is the pager alert). One row per ladder
+    stage: (stage, n_docs, n_tokens), stage = drop_reason or 'kept'.
+
+    Pure aggregation over `curation_pipeline_full`'s verdict -- the
+    whole nine-reason plan runs once and folds to <= 10 rows, so the
+    funnel costs the verdict plus one tiny shuffle. Mirrored by
+    plans/llm_sql.curation_funnel_sql (GROUP BY over the same
+    generated full-ladder SQL; SUM cast to BIGINT for the
+    cross-engine type match)."""
+    verdict = curation_pipeline_full(docs, embeddings, **pipeline_kwargs)
+    return verdict.groupBy(
+        F.coalesce(F.col("drop_reason"), F.lit("kept")).alias("stage")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+    )

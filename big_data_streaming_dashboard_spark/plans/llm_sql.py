@@ -1984,3 +1984,20 @@ GROUP BY passage HAVING COUNT(DISTINCT doc_id) >= 2
 
 
 REPEATED_PASSAGES_EXACT_SQL = repeated_passages_exact_sql()
+
+
+def curation_funnel_sql(planes: tuple, bands: int, rows_per_band: int) -> str:
+    """Funnel oracle: GROUP BY over the generated full-ladder SQL
+    (same plane literals), stage = COALESCE(drop_reason, 'kept').
+    SUM(INT) is HUGEINT in DuckDB -- cast to BIGINT to match Spark's
+    long (the r3 type-drift gotcha)."""
+    return f"""
+WITH full_verdict AS (
+{curation_full_sql(planes, bands, rows_per_band)}
+)
+SELECT COALESCE(drop_reason, 'kept') AS stage,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+FROM full_verdict
+GROUP BY 1
+"""

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from ..llmdata.curation import (
     corpus_mixture,
+    curation_funnel,
     curation_pipeline,
     curation_pipeline_extended,
     curation_pipeline_full,
@@ -687,6 +688,22 @@ QUERIES: dict[str, QuerySpec] = {
             DEFAULT_NEARDUP_ROWS,
         ),
         "capstone verdict: extended ladder + semantic_duplicate (SemDeDup)",
+    ),
+    # new in round 11: the corpus-build funnel (docs + tokens per drop
+    # reason -- kept tokens ARE the training budget). Oracle-paired
+    # from day one; first driver attestation r12 with the r10 block
+    # (same slot-scarcity note as doc_neardup_recall_hi at
+    # DRIVER_WINDOW)
+    "doc_curation_funnel": QuerySpec(
+        lambda spark, sf: curation_funnel(_docs(spark, sf), _embs(spark, sf)),
+        llm_sql.curation_funnel_sql(
+            gaussian_planes(
+                DEFAULT_NEARDUP_BANDS * DEFAULT_NEARDUP_ROWS, EMBEDDING_DIM
+            ),
+            DEFAULT_NEARDUP_BANDS,
+            DEFAULT_NEARDUP_ROWS,
+        ),
+        "curation funnel: docs + tokens surviving/lost per drop reason",
     ),
     "doc_stratified_sample": QuerySpec(
         lambda spark, sf: stratified_sample(
