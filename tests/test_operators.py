@@ -720,3 +720,26 @@ def test_neardup_recall_hi_is_tail_restriction(spark):
     }
     assert hi == base
     assert hi, "fixture lost its high-J pairs"
+
+
+def test_curation_funnel_conserves_docs_and_tokens(spark):
+    """The funnel must partition the corpus exactly: stage doc counts
+    sum to the corpus size, stage token counts sum to the corpus
+    token total (the same n_tokens the verdict rows carry), and no
+    stage is negative or empty-named."""
+    from big_data_streaming_dashboard_spark.llmdata.curation import (
+        curation_funnel,
+        curation_pipeline_full,
+    )
+    from big_data_streaming_dashboard_spark.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    embs = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    rows = curation_funnel(docs, embs).collect()
+    assert sum(r["n_docs"] for r in rows) == docs.count()
+    verdict_tokens = sum(
+        r["n_tokens"] for r in curation_pipeline_full(docs, embs).collect()
+    )
+    assert sum(r["n_tokens"] for r in rows) == verdict_tokens
+    for r in rows:
+        assert r["stage"] and r["n_docs"] > 0 and r["n_tokens"] >= 0
