@@ -1682,7 +1682,12 @@ def curation_verdict_batches(
     documented conservative-approximate semantics.
 
     ``checkpoint``: same non-idempotent-append note as the other
-    foreachBatch writers."""
+    foreachBatch writers. Storage lifecycle: the persisted artifact
+    frames live until the session drops them -- a host that starts
+    many verdict streams against different roots should unpersist
+    the previous stream's frames (or `spark.catalog.clearCache()`)
+    when a stream finishes; executor storage is index-sized per
+    root."""
     from ..llmdata.curation import (
         DEFAULT_KEEP_LANG,
         DEFAULT_NEARDUP_JACCARD,
