@@ -547,3 +547,52 @@ def test_containment_prefix_bounded_on_low_entropy_corpus(spark, scale_dir):
     ).count()
     assert got == 90, got
     pairs.unpersist()
+
+
+def test_streaming_curation_full_sf01_default_thresholds(spark, tmp_path):
+    """The full-ladder verdict stream at sf0.1 with DEFAULT thresholds
+    (cosine 0.5, Jaccard 0.5 -- the sf0.001 parity test lowers them
+    because the tiny fixture has no pairs there): 5,000 docs against
+    artifacts built from the same corpus reproduce
+    `curation_pipeline_full` row-for-row, with the probe-backed dedup
+    reasons actually firing at the production thresholds."""
+    from big_data_streaming_dashboard_spark.llmdata.curation import (
+        curation_pipeline_full,
+    )
+    from big_data_streaming_dashboard_spark.streaming.llm_ingest import (
+        curation_verdict_batches,
+        stream_documents_full,
+        write_curation_index,
+    )
+    from big_data_streaming_dashboard_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.1"
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    embs = load_table(spark, sf, "embeddings")
+    idx = str(tmp_path / "curidx")
+    write_curation_index(docs, embs, idx)
+    docs_dir = str(tmp_path / "docs")
+    docs.repartition(2).write.parquet(docs_dir)
+
+    out = str(tmp_path / "verdicts")
+    q = curation_verdict_batches(
+        stream_documents_full(spark, docs_dir),
+        idx,
+        out,
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(600)
+
+    s_rows = {
+        r["doc_id"]: tuple(r)[1:] for r in spark.read.parquet(out).collect()
+    }
+    batch = curation_pipeline_full(docs, embs).collect()
+    b_rows = {r["doc_id"]: tuple(r)[1:] for r in batch}
+    assert set(s_rows) == set(b_rows)
+    mismatches = [k for k in b_rows if s_rows[k] != b_rows[k]]
+    assert not mismatches, mismatches[:5]
+    reasons = {r["drop_reason"] for r in batch if r["drop_reason"]}
+    # the default-threshold dedup reasons must actually fire here
+    assert {"near_duplicate", "exact_duplicate"} & reasons, reasons
