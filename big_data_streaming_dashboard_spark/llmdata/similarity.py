@@ -643,6 +643,14 @@ def ann_recall(
         rows_per_band=rows_per_band,
         dim=dim,
     )
+    return _recall_at_k(exact, approx)
+
+
+def _recall_at_k(exact: DataFrame, approx: DataFrame) -> DataFrame:
+    """Shared recall@k tail for the evaluator family: per query,
+    n_hit = |approx ∩ exact| on vec_id, recall = n_hit / n_exact.
+    Inputs are per-query top-k's, so everything here is
+    (n_queries x k)-sized -- driver-trivial at any corpus scale."""
     e = exact.select("query_id", "vec_id")
     a = approx.select("query_id", "vec_id")
     ne = e.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
@@ -664,6 +672,37 @@ def ann_recall(
             ).alias("recall_at_k"),
         )
     )
+
+
+def ivf_recall(
+    embeddings: DataFrame,
+    n_queries: int = 5,
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 2,
+    kmeans_iterations: int = 3,
+    dim: int = EMBEDDING_DIM,
+) -> DataFrame:
+    """IVF quality evaluator: per-query recall@k of multi-probe IVF
+    against the exact cosine top-k -- the n_probe/n_lists trade-off
+    surface an index sweep reads next to `ann_recall`'s banding one
+    (faiss users plot exactly this curve before picking nprobe).
+
+    Same exactness argument as `ann_recall`: both constituents
+    (`brute_force_topk`, `ivf_topk` tuned -- oracle-paired since
+    r6/r7) are deterministic rankings, so the intersection counts are
+    exact, not estimates; everything past the constituent plans is
+    (n_queries x k)-sized. Mirrored by `plans/llm_sql.ivf_recall_sql`."""
+    exact = brute_force_topk(embeddings, n_queries=n_queries, k=k, dim=dim)
+    approx = ivf_topk(
+        embeddings,
+        n_queries=n_queries,
+        k=k,
+        n_lists=n_lists,
+        kmeans_iterations=kmeans_iterations,
+        n_probe=n_probe,
+    )
+    return _recall_at_k(exact, approx)
 
 
 def embedding_neardup_pairs(

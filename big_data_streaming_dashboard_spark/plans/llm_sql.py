@@ -693,12 +693,20 @@ def ann_recall_sql(
             f"got ({n_queries}, {k})"
         )
     approx = lsh_topk_sql(planes, bands, rows_per_band, n_queries, k)
+    return _recall_compose_sql(approx)
+
+
+def _recall_compose_sql(approx_sql: str) -> str:
+    """The shared recall@k composition skeleton: exact side is always
+    the fixed TOPK_COSINE_SQL; the approximate side is any
+    already-oracle-paired per-query top-k (banded LSH for
+    `ann_recall_sql`, multi-probe IVF for `ivf_recall_sql`)."""
     return f"""
 WITH exact_topk AS (
 {TOPK_COSINE_SQL}
 ),
 approx_topk AS (
-{approx}
+{approx_sql}
 ),
 ne AS (
     SELECT query_id, COUNT(*) AS n_exact FROM exact_topk GROUP BY query_id
@@ -721,6 +729,28 @@ FROM ne
 LEFT JOIN na ON ne.query_id = na.query_id
 LEFT JOIN hits ON ne.query_id = hits.query_id
 """
+
+
+def ivf_recall_sql(
+    n_lists: int = 16,
+    iterations: int = 3,
+    n_probe: int = 2,
+    n_queries: int = 5,
+    k: int = 10,
+) -> str:
+    """IVF recall@k oracle (mirrors llmdata.similarity.ivf_recall):
+    same composition as `ann_recall_sql` with the multi-probe IVF
+    top-k (`ivf_topk_tuned_sql`, oracle-paired since r7) as the
+    approximate side -- the n_probe/n_lists trade-off surface an
+    index sweep reads next to the banding one."""
+    if (n_queries, k) != (5, 10):
+        raise ValueError(
+            f"ivf_recall_sql exact-side oracle is fixed at (5, 10); "
+            f"got ({n_queries}, {k})"
+        )
+    return _recall_compose_sql(
+        ivf_topk_tuned_sql(n_lists, iterations, n_probe, n_queries, k)
+    )
 
 
 # mirrors llmdata.curation.curation_pipeline: same quality formula,

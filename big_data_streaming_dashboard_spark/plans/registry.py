@@ -48,6 +48,7 @@ from ..llmdata.similarity import (
     DEFAULT_SIG_BITS,
     EMBEDDING_DIM,
     ann_recall,
+    ivf_recall,
     brute_force_topk,
     cross_encoder_rerank,
     cross_encoder_weights,
@@ -915,6 +916,15 @@ QUERIES: dict[str, QuerySpec] = {
         lambda spark, sf: ann_recall(_embs(spark, sf)),
         llm_sql.ann_recall_sql(gaussian_planes(32 * 10, EMBEDDING_DIM), 32, 10),
         "ANN recall@k evaluator (banded-LSH top-k vs exact cosine top-k)",
+    ),
+    # new in round 11: the IVF sibling of emb_ann_recall -- the
+    # n_probe/n_lists recall surface (both constituents oracle-paired
+    # since r6/r7; same shared recall tail). First driver attestation
+    # r12 (window slot scarcity, see DRIVER_WINDOW comment)
+    "emb_ivf_recall": QuerySpec(
+        lambda spark, sf: ivf_recall(_embs(spark, sf)),
+        llm_sql.ivf_recall_sql(),
+        "IVF recall@k evaluator (multi-probe IVF top-k vs exact cosine top-k)",
     ),
     "emb_hamming_topk": QuerySpec(
         lambda spark, sf: simhash_hamming_topk(_embs(spark, sf)),
