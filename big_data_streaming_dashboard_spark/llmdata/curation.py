@@ -588,6 +588,15 @@ def curation_funnel(
     generated full-ladder SQL; SUM cast to BIGINT for the
     cross-engine type match)."""
     verdict = curation_pipeline_full(docs, embeddings, **pipeline_kwargs)
+    return funnel_of_verdicts(verdict)
+
+
+def funnel_of_verdicts(verdict: DataFrame) -> DataFrame:
+    """The funnel aggregation over ANY verdict frame carrying
+    (drop_reason, n_tokens) -- the batch capstone plan, or the parquet
+    a streaming `curation_verdict_batches` run wrote (the stream
+    verdict is row-identical to the batch one, so the two funnels
+    agree exactly; pinned in tests/test_streaming.py)."""
     return verdict.groupBy(
         F.coalesce(F.col("drop_reason"), F.lit("kept")).alias("stage")
     ).agg(

@@ -1388,6 +1388,23 @@ def test_streaming_curation_full_matches_batch(spark, tmp_path):
     assert "semantic_duplicate" in reasons or "near_duplicate" in reasons, reasons
     assert len(reasons) >= 4, reasons
 
+    # the corpus-build dashboard agrees end to end: the funnel over
+    # the STREAMED verdict parquet equals the batch funnel exactly
+    from big_data_streaming_dashboard_spark.llmdata.curation import (
+        curation_funnel,
+        funnel_of_verdicts,
+    )
+
+    s_funnel = {
+        r["stage"]: (r["n_docs"], r["n_tokens"])
+        for r in funnel_of_verdicts(spark.read.parquet(out)).collect()
+    }
+    b_funnel = {
+        r["stage"]: (r["n_docs"], r["n_tokens"])
+        for r in curation_funnel(docs, embs, semantic_threshold=0.3).collect()
+    }
+    assert s_funnel == b_funnel
+
 
 def test_streaming_curation_append_equals_rebuild(spark, tmp_path):
     """Incremental artifact refresh is EXACT: building the curation
