@@ -1130,6 +1130,15 @@ WHERE s._emit""",
 # r8-block query for it would push that query three rounds stale,
 # and the hi variant is a parameterization of an already-attested
 # plan pair, the weakest claim in the registry to a scarce slot.
+# r12 swap plan (do this FIRST next round): rotate the r10-checked
+# block (48, incl. the two permanent rows-only) back in and add the
+# three r11 queries awaiting first attestation (doc_neardup_recall_hi,
+# doc_curation_funnel, emb_ivf_recall) -- that is 51 candidates for 50
+# slots, so ONE r10-block query must slip to r13: slip full_pipeline's
+# regular slot-mate or a stable single-table agg and document the
+# trade here (precedent: r10 traded value_percentiles). The r11
+# window's 48 r8-block + value_percentiles queries will then be fresh
+# (newest row r11) and rotate back in r13.
 # NOTE (r10, kept for context): the r9 session listed emb_ann_recall
 # here WITHOUT implementing it, so the r9 driver run crashed
 # (KeyError) and produced no rows. The import-time check after
