@@ -45,6 +45,15 @@ nine-reason batch ladder per arriving document -- replaying the
 corpus the artifacts were built from reproduces
 `curation_pipeline_full` row-for-row (pinned in
 tests/test_streaming.py::test_streaming_curation_full_matches_batch).
+Artifact refresh is LSM-shaped (`append_curation_index` /
+`compact_curation_index`): per-doc rows append exactly, the one true
+aggregate (exact-dup min-id) is an append-only partial-aggregate log
+merged at probe start, and bucket/df caps are recomputed over the
+merged index -- append-then-probe provably equals
+rebuild-then-probe. Serving paths close the loop (r11):
+`rerank_topk_batches` (Hamming retrieval + cross-encoder over a
+persisted signed corpus) and `knn_classify_batches` (exact top-k
+majority vote), each exactly matching its batch twin.
 """
 
 from __future__ import annotations
