@@ -87,6 +87,13 @@ EXTRA = [
     # shows at sf0.1+, where the index builds dominate the base's
     # first run)
     "doc_neardup_recall_hi",
+    # r11 second batch: the four classic decision-support shapes
+    # (outer-join histogram, scalar-MAX, per-group-AVG join-back,
+    # scalar-threshold anti-join) -- all fact-single-shuffle plans
+    "customer_order_histogram",
+    "top_supplier_revenue",
+    "small_quantity_revenue",
+    "idle_customer_balance",
 ]
 
 # scaling-regression canaries (r5 verdict item 4): a small subset

@@ -109,7 +109,7 @@ from ..operators.validate import validate_enrich
 from ..functions.levels import severity_ws
 from ..streaming.stateful import exact_cooldown_batch
 from ..tables import bronze_radiation, load_table, spread
-from . import llm_sql, relational, relational2, relational3
+from . import llm_sql, relational, relational2, relational3, relational4
 from .fragments import BRONZE_SQL, SILVER_SQL
 
 
@@ -1045,6 +1045,33 @@ WHERE s._emit""",
         relational3.LABEL_CENTROIDS_SQL,
         "exact per-label centroids (decimal sums; IVF/k-means seed table)",
     ),
+    # ------------------------------------------------------------------
+    # New in round 11 (second batch): the four classic decision-support
+    # plan classes parts 1-3 lacked (outer-join histogram, scalar-MAX
+    # decorrelation, per-group-AVG join-back, scalar-threshold
+    # anti-join). Oracle-paired + locally checked from day one; first
+    # driver attestation follows the DRIVER_WINDOW swap-plan comment.
+    # ------------------------------------------------------------------
+    "customer_order_histogram": QuerySpec(
+        relational4.customer_order_histogram,
+        relational4.CUSTOMER_ORDER_HISTOGRAM_SQL,
+        "Q13 customer-order histogram (agg-before-outer-join, zero bucket)",
+    ),
+    "top_supplier_revenue": QuerySpec(
+        relational4.top_supplier_revenue,
+        relational4.TOP_SUPPLIER_REVENUE_SQL,
+        "Q15 max-revenue supplier (decorrelated scalar MAX, broadcast 1-row)",
+    ),
+    "small_quantity_revenue": QuerySpec(
+        relational4.small_quantity_revenue,
+        relational4.SMALL_QUANTITY_REVENUE_SQL,
+        "Q17 small-quantity revenue (per-part AVG decorrelated, exact ints)",
+    ),
+    "idle_customer_balance": QuerySpec(
+        relational4.idle_customer_balance,
+        relational4.IDLE_CUSTOMER_BALANCE_SQL,
+        "Q22 idle above-average-balance customers (scalar AVG + anti-join)",
+    ),
     # past-window (locally oracle-checked every suite run)
     "doc_chunk_spans": QuerySpec(
         lambda spark, sf: chunk_spans(_docs(spark, sf)),
@@ -1132,13 +1159,17 @@ WHERE s._emit""",
 # plan pair, the weakest claim in the registry to a scarce slot.
 # r12 swap plan (do this FIRST next round): rotate the r10-checked
 # block (48, incl. the two permanent rows-only) back in and add the
-# three r11 queries awaiting first attestation (doc_neardup_recall_hi,
-# doc_curation_funnel, emb_ivf_recall) -- that is 51 candidates for 50
-# slots, so ONE r10-block query must slip to r13: slip full_pipeline's
-# regular slot-mate or a stable single-table agg and document the
-# trade here (precedent: r10 traded value_percentiles). The r11
-# window's 48 r8-block + value_percentiles queries will then be fresh
-# (newest row r11) and rotate back in r13.
+# SEVEN r11 queries awaiting first attestation (doc_neardup_recall_hi,
+# doc_curation_funnel, emb_ivf_recall, customer_order_histogram,
+# top_supplier_revenue, small_quantity_revenue, idle_customer_balance)
+# -- that is 55 candidates for 50 slots, so FIVE r10-block queries
+# must slip to r13: prefer stable single-table aggs / parameterization
+# twins whose plan family has another fresh attestation in the same
+# window (precedent: r10 traded value_percentiles), and document each
+# trade here. The slipped five join the r13 window with the then-stale
+# r11 block (48 + value_percentiles rotate back in r13), which still
+# satisfies the freshness rule: nothing falls more than two SUCCESSFUL
+# rounds behind.
 # NOTE (r10, kept for context): the r9 session listed emb_ann_recall
 # here WITHOUT implementing it, so the r9 driver run crashed
 # (KeyError) and produced no rows. The import-time check after
