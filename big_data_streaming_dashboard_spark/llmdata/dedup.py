@@ -820,22 +820,31 @@ def neardup_recall(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     base = min(threshold, 0.5)
     exact = ngram_jaccard_pairs(docs, base).filter(F.col("jaccard") >= threshold)
     lsh = neardup_pairs(docs).filter(F.col("jaccard") >= threshold)
+    # ONE left join + one aggregation (r11): the earlier two-branch
+    # form (bucket counts / intersection counts) referenced the exact
+    # pair frame twice, and the constituent plans' HOF lambdas defeat
+    # exchange canonicalization, so the exact verify join executed
+    # TWICE per evaluator run. Marking LSH hits and aggregating once
+    # executes each constituent exactly once; the left join has
+    # multiplicity 1 because LSH pairs are distinct on (doc_a, doc_b).
     e = exact.select(
         "doc_a", "doc_b", F.floor(F.col("jaccard") * 10).cast("int").alias("jbucket")
     )
-    ne = e.groupBy("jbucket").agg(F.count(F.lit(1)).alias("n_exact"))
-    hits = e.join(lsh.select("doc_a", "doc_b"), ["doc_a", "doc_b"]).groupBy(
-        "jbucket"
-    ).agg(F.count(F.lit(1)).alias("n_hit"))
+    marked = lsh.select("doc_a", "doc_b", F.lit(1).cast("long").alias("_hit"))
     zero = F.lit(0).cast("long")
     return (
-        ne.join(hits, "jbucket", "left")
+        e.join(marked, ["doc_a", "doc_b"], "left")
+        .groupBy("jbucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.sum(F.coalesce("_hit", zero)).alias("n_hit"),
+        )
         .select(
             "jbucket",
             "n_exact",
-            F.coalesce("n_hit", zero).alias("n_hit"),
+            "n_hit",
             F.round(
-                F.coalesce("n_hit", zero).cast("double") / F.col("n_exact"), 6
+                F.col("n_hit").cast("double") / F.col("n_exact"), 6
             ).alias("recall"),
         )
     )

@@ -650,25 +650,41 @@ def _recall_at_k(exact: DataFrame, approx: DataFrame) -> DataFrame:
     """Shared recall@k tail for the evaluator family: per query,
     n_hit = |approx ∩ exact| on vec_id, recall = n_hit / n_exact.
     Inputs are per-query top-k's, so everything here is
-    (n_queries x k)-sized -- driver-trivial at any corpus scale."""
-    e = exact.select("query_id", "vec_id")
-    a = approx.select("query_id", "vec_id")
-    ne = e.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
-    na = a.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_approx"))
-    hits = e.join(a, ["query_id", "vec_id"]).groupBy("query_id").agg(
-        F.count(F.lit(1)).alias("n_hit")
-    )
+    (n_queries x k)-sized -- driver-trivial at any corpus scale.
+
+    Shape (r11): ONE full-outer join of the two marked top-k frames,
+    then a single aggregation -- the earlier three-branch form
+    (count exact / count approx / count intersection) referenced
+    each constituent twice, and because the constituents' plans
+    contain HOF lambdas Spark cannot canonicalize-reuse their
+    exchanges, so each expensive top-k executed TWICE per evaluator
+    run. The marked-join form executes each exactly once; the
+    n_exact > 0 filter preserves the old left-join semantics (a
+    query with approx-only rows -- impossible while both
+    constituents emit the same query set -- was dropped before and
+    still is)."""
+    one = F.lit(1).cast("long")
+    e = exact.select("query_id", "vec_id", one.alias("_e"))
+    a = approx.select("query_id", "vec_id", one.alias("_a"))
     zero = F.lit(0).cast("long")
+    both = e.join(a, ["query_id", "vec_id"], "full")
     return (
-        ne.join(na, "query_id", "left")
-        .join(hits, "query_id", "left")
+        both.groupBy("query_id")
+        .agg(
+            F.sum(F.coalesce("_e", zero)).alias("n_exact"),
+            F.sum(F.coalesce("_a", zero)).alias("n_approx"),
+            F.sum(
+                F.coalesce("_e", zero) * F.coalesce("_a", zero)
+            ).alias("n_hit"),
+        )
+        .filter(F.col("n_exact") > 0)
         .select(
             "query_id",
             "n_exact",
-            F.coalesce("n_approx", zero).alias("n_approx"),
-            F.coalesce("n_hit", zero).alias("n_hit"),
+            "n_approx",
+            "n_hit",
             F.round(
-                F.coalesce("n_hit", zero).cast("double") / F.col("n_exact"), 6
+                F.col("n_hit").cast("double") / F.col("n_exact"), 6
             ).alias("recall_at_k"),
         )
     )
