@@ -94,6 +94,9 @@ EXTRA = [
     "top_supplier_revenue",
     "small_quantity_revenue",
     "idle_customer_balance",
+    # r11 second batch: product-dashboard analytics over events
+    "event_funnel",
+    "weekly_cohort_retention",
 ]
 
 # scaling-regression canaries (r5 verdict item 4): a small subset

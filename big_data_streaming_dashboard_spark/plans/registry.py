@@ -1072,6 +1072,16 @@ WHERE s._emit""",
         relational4.IDLE_CUSTOMER_BALANCE_SQL,
         "Q22 idle above-average-balance customers (scalar AVG + anti-join)",
     ),
+    "event_funnel": QuerySpec(
+        relational4.event_funnel,
+        relational4.EVENT_FUNNEL_SQL,
+        "ordered conversion funnel view->click->purchase (agg ladder)",
+    ),
+    "weekly_cohort_retention": QuerySpec(
+        relational4.weekly_cohort_retention,
+        relational4.WEEKLY_COHORT_RETENTION_SQL,
+        "first-seen-week cohorts x activity week offset (retention triangle)",
+    ),
     # past-window (locally oracle-checked every suite run)
     "doc_chunk_spans": QuerySpec(
         lambda spark, sf: chunk_spans(_docs(spark, sf)),
@@ -1159,17 +1169,18 @@ WHERE s._emit""",
 # plan pair, the weakest claim in the registry to a scarce slot.
 # r12 swap plan (do this FIRST next round): rotate the r10-checked
 # block (48, incl. the two permanent rows-only) back in and add the
-# SEVEN r11 queries awaiting first attestation (doc_neardup_recall_hi,
+# NINE r11 queries awaiting first attestation (doc_neardup_recall_hi,
 # doc_curation_funnel, emb_ivf_recall, customer_order_histogram,
-# top_supplier_revenue, small_quantity_revenue, idle_customer_balance)
-# -- that is 55 candidates for 50 slots, so FIVE r10-block queries
-# must slip to r13: prefer stable single-table aggs / parameterization
-# twins whose plan family has another fresh attestation in the same
-# window (precedent: r10 traded value_percentiles), and document each
-# trade here. The slipped five join the r13 window with the then-stale
-# r11 block (48 + value_percentiles rotate back in r13), which still
-# satisfies the freshness rule: nothing falls more than two SUCCESSFUL
-# rounds behind.
+# top_supplier_revenue, small_quantity_revenue, idle_customer_balance,
+# event_funnel, weekly_cohort_retention) -- that is 57 candidates for
+# 50 slots, so SEVEN r10-block queries must slip to r13: prefer stable
+# single-table aggs / parameterization twins whose plan family has
+# another fresh attestation in the same window (precedent: r10 traded
+# value_percentiles), and document each trade here. The slipped seven
+# join the r13 window with the then-stale r11 block (48 +
+# value_percentiles rotate back in r13), which still satisfies the
+# freshness rule: nothing falls more than two SUCCESSFUL rounds
+# behind.
 # NOTE (r10, kept for context): the r9 session listed emb_ann_recall
 # here WITHOUT implementing it, so the r9 driver run crashed
 # (KeyError) and produced no rows. The import-time check after

@@ -9,6 +9,12 @@ decision-support plan classes the registry still lacked --
   subquery decorrelated to an aggregate + join-back on the fact key.
 * ``idle_customer_balance`` (Q22 shape): global scalar-AVG threshold
   + anti-join against the fact's distinct keys.
+* ``event_funnel``: ordered conversion funnel (view -> click ->
+  purchase with strict event-time ordering per user) -- the
+  sequential-constraint class no single aggregation pass can
+  express.
+* ``weekly_cohort_retention``: first-seen-week cohorts x activity
+  week offset -- the classic product-dashboard retention triangle.
 
 Each is a DIFFERENT optimizer shape from everything in relational
 parts 1-3 (no outer-join histogram, no self-threshold join-back, no
@@ -252,6 +258,156 @@ def idle_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumnRenamed("n_name", "nation")
     )
+
+
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel: per user, the first ``view``, the
+    first ``click`` strictly AFTER that view, the first ``purchase``
+    strictly after that click; output is the 3-stage funnel table
+    (stage order, users remaining, conversion vs stage 1).
+
+    This is the sequential-constraint analytics class (the reference
+    dashboard has no funnel; every product analytics engine does):
+    "first B after first A" cannot be expressed in one aggregation
+    pass, so the plan is a LADDER of per-user min-aggregates, each
+    joined back to the filtered fact for the next stage.
+
+    At scale: every rung shuffles on user_id, and every intermediate
+    is user-cardinality (never fact-cardinality) because the
+    aggregate runs BEFORE the next join; AQE reuses the user_id
+    partitioning down the ladder.  The stage filters push to the
+    scan (one scan per rung is fine: at 100 TB events are
+    partitioned by type/date and each rung reads only its type's
+    partitions -- far less than one full scan shuffled three times).
+    The final counts are three 1-row aggregates unioned -- the
+    established broadcast-scalar pattern.  Strict inequalities and
+    timestamps only; no double arithmetic near a boundary.
+    """
+    ev = _load(spark, sf_dir, "events")
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("_v"))
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .join(views, "user_id")
+        .filter(F.col("ts") > F.col("_v"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("_c"))
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(clicks, "user_id")
+        .filter(F.col("ts") > F.col("_c"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("_p"))
+    )
+
+    def _stage(df: DataFrame, idx: int, name: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(idx).alias("stage"),
+            F.lit(name).alias("event_type"),
+            "n_users",
+        )
+
+    funnel = (
+        _stage(views, 1, "view")
+        .unionByName(_stage(clicks, 2, "click"))
+        .unionByName(_stage(purchases, 3, "purchase"))
+    )
+    entered = views.agg(F.count(F.lit(1)).alias("_n1"))
+    return funnel.crossJoin(F.broadcast(entered)).select(
+        "stage",
+        "event_type",
+        "n_users",
+        F.round(
+            F.col("n_users").cast("double") / F.col("_n1").cast("double"), 6
+        ).alias("conversion"),
+    )
+
+
+EVENT_FUNNEL_SQL = """
+WITH views AS (
+    SELECT user_id, MIN(ts) AS _v FROM events
+    WHERE event_type = 'view' GROUP BY user_id
+),
+clicks AS (
+    SELECT e.user_id, MIN(e.ts) AS _c
+    FROM events e JOIN views v ON e.user_id = v.user_id
+    WHERE e.event_type = 'click' AND e.ts > v._v
+    GROUP BY e.user_id
+),
+purchases AS (
+    SELECT e.user_id, MIN(e.ts) AS _p
+    FROM events e JOIN clicks c ON e.user_id = c.user_id
+    WHERE e.event_type = 'purchase' AND e.ts > c._c
+    GROUP BY e.user_id
+),
+funnel AS (
+    SELECT 1 AS stage, 'view' AS event_type, COUNT(*) AS n_users FROM views
+    UNION ALL
+    SELECT 2, 'click', COUNT(*) FROM clicks
+    UNION ALL
+    SELECT 3, 'purchase', COUNT(*) FROM purchases
+)
+SELECT stage, event_type, n_users,
+       round(CAST(n_users AS DOUBLE) /
+             CAST((SELECT n_users FROM funnel WHERE stage = 1) AS DOUBLE),
+             6) AS conversion
+FROM funnel
+"""
+
+
+def weekly_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention triangle: users grouped into first-seen-week cohorts,
+    counted in each later week they were active.
+
+    At scale: first-seen is one min-aggregate on user_id; the
+    activity set is DISTINCT (user, week) -- deduped map-side before
+    its exchange; the join is user-cardinality x small weekly fan-out
+    (each user contributes at most n_weeks rows); the final aggregate
+    groups on the tiny (cohort_week, week_offset) domain.  Week
+    arithmetic is integer (epoch-day difference / 7) on both engines
+    -- no timezone-sensitive truncation beyond the shared ISO
+    date_trunc('week').
+    """
+    ev = _load(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("_week")
+    ).distinct()
+    return (
+        activity.join(first_seen, "user_id")
+        .groupBy(
+            "cohort_week",
+            (
+                F.datediff(F.col("_week"), F.col("cohort_week")) / 7
+            ).cast("int").alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active_users"))
+    )
+
+
+WEEKLY_COHORT_RETENTION_SQL = """
+WITH first_seen AS (
+    SELECT user_id,
+           CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+    FROM events GROUP BY user_id
+),
+activity AS (
+    SELECT DISTINCT user_id,
+           CAST(date_trunc('week', ts) AS DATE) AS _week
+    FROM events
+)
+SELECT cohort_week,
+       CAST((_week - cohort_week) / 7 AS INTEGER) AS week_offset,
+       COUNT(*) AS n_active_users
+FROM activity JOIN first_seen USING (user_id)
+GROUP BY cohort_week, week_offset
+"""
 
 
 IDLE_CUSTOMER_BALANCE_SQL = """
