@@ -260,6 +260,50 @@ def idle_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _funnel_rungs(ev: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The three per-user min-aggregate rungs of the ordered funnel
+    (shared by the batch query and the streaming parity truth)."""
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("_v"))
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .join(views, "user_id")
+        .filter(F.col("ts") > F.col("_v"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("_c"))
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(clicks, "user_id")
+        .filter(F.col("ts") > F.col("_c"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("_p"))
+    )
+    return views, clicks, purchases
+
+
+def funnel_user_stages(ev: DataFrame) -> DataFrame:
+    """Per-user funnel state in batch form: first view, first click
+    strictly after it, first purchase strictly after that (nulls where
+    a user never reached the stage). The batch truth the streaming
+    funnel operator (streaming/funnel.py) is parity-tested against;
+    timestamps stay timestamps (micros-exact) end to end."""
+    views, clicks, purchases = _funnel_rungs(ev)
+    return (
+        views.join(clicks, "user_id", "left")
+        .join(purchases, "user_id", "left")
+        .select(
+            "user_id",
+            F.col("_v").alias("first_view"),
+            F.col("_c").alias("first_click"),
+            F.col("_p").alias("first_purchase"),
+        )
+    )
+
+
 def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered conversion funnel: per user, the first ``view``, the
     first ``click`` strictly AFTER that view, the first ``purchase``
@@ -283,26 +327,7 @@ def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     established broadcast-scalar pattern.  Strict inequalities and
     timestamps only; no double arithmetic near a boundary.
     """
-    ev = _load(spark, sf_dir, "events")
-    views = (
-        ev.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("_v"))
-    )
-    clicks = (
-        ev.filter(F.col("event_type") == "click")
-        .join(views, "user_id")
-        .filter(F.col("ts") > F.col("_v"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("_c"))
-    )
-    purchases = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(clicks, "user_id")
-        .filter(F.col("ts") > F.col("_c"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("_p"))
-    )
+    views, clicks, purchases = _funnel_rungs(_load(spark, sf_dir, "events"))
 
     def _stage(df: DataFrame, idx: int, name: str) -> DataFrame:
         return df.agg(F.count(F.lit(1)).alias("n_users")).select(

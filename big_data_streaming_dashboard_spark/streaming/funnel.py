@@ -1,0 +1,213 @@
+"""Streaming ordered conversion funnel (the stateful sequential
+operator behind plans/relational4.event_funnel).
+
+The batch funnel is a ladder of per-user min-aggregates ("first click
+strictly after the first view, first purchase strictly after that").
+Streamed, that dependency is inherently stateful AND order-sensitive:
+a LATER micro-batch can deliver an EARLIER view, which retroactively
+makes a click we already saw eligible. An exact out-of-order funnel
+therefore cannot keep just the current answers -- it must retain every
+stage event that could still become an answer under any future
+arrival.
+
+The retention rule that makes state minimal while staying exact
+(proof in ``_make_update``): answers only ever move EARLIER as more
+data arrives (the view floor only decreases, and a looser floor can
+only admit earlier clicks), so any stage event LATER than the current
+answer can never become an answer -- prune it. What remains per user
+is ``{clicks <= first_view} + {current answer}`` (and the purchase
+analog): exactly the events whose eligibility a future earlier view
+could still flip. That is the information-theoretic floor for an
+exact out-of-order funnel -- any operator keeping less state returns
+wrong answers under adversarial arrival order (our parity test
+replays the fixture in REVERSE timestamp order to force precisely
+those retroactive flips).
+
+At scale: state lives in the state store keyed by user_id (RocksDB
+provider for large user sets -- the same deployment note as the
+exact-cooldown operator, streaming/stateful.py); per-user state is
+bounded by the user's PRE-conversION stage-event counts, not their
+event history. Emission is one row per (user, micro-batch) carrying
+the current stage answers plus a per-user sequence number, so any
+downstream consumer (or the parity test) takes the max-seq row as
+the user's latest state -- the classic changelog shape.
+
+Reference analog: none (the reference dashboard has no funnel); this
+extends the engine's product-analytics surface the same way the
+curation capstone extends its corpus surface.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+FUNNEL_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("first_view", T.TimestampNTZType(), True),
+        T.StructField("first_click", T.TimestampNTZType(), True),
+        T.StructField("first_purchase", T.TimestampNTZType(), True),
+        T.StructField("seq", T.LongType(), True),
+    ]
+)
+
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("first_view_us", T.LongType(), True),
+        T.StructField("clicks_us", T.ArrayType(T.LongType()), True),
+        T.StructField("purchases_us", T.ArrayType(T.LongType()), True),
+        T.StructField("seq", T.LongType(), True),
+    ]
+)
+
+
+def _make_update():
+    # self-contained closure (no module-global references): Spark's
+    # Python workers do not have this repo on PYTHONPATH (the driver
+    # loads __spark_entry__ by file path), so cloudpickle must carry
+    # everything by value -- same discipline as streaming/stateful.py.
+    def answer_after(sorted_events: list, floor):
+        """min{e : e > floor}, or None. ``floor`` None means no floor
+        event yet -> no answer possible."""
+        if floor is None:
+            return None
+        for e in sorted_events:
+            if e > floor:
+                return e
+        return None
+
+    def prune(sorted_events: list, answer):
+        """Keep only events that can still become the answer under a
+        FUTURE (weaker, i.e. smaller) floor. Answers are
+        non-increasing over time: the view floor only decreases as
+        earlier views arrive, and a smaller floor admits a superset
+        of events, so min{e > floor} can only move earlier. An event
+        later than today's answer therefore loses to it forever.
+        With no answer yet every retained event is still in play."""
+        if answer is None:
+            return sorted_events
+        return [e for e in sorted_events if e <= answer]
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            v, clicks, purchases, seq = state.get
+            clicks = list(clicks)
+            purchases = list(purchases)
+        else:
+            v, clicks, purchases, seq = None, [], [], 0
+        batch = pd.concat(list(pdfs))
+        # micros regardless of the Arrow-to-pandas datetime unit
+        us = batch["ts"].astype("datetime64[us]").astype("int64")
+        types = batch["event_type"]
+        new_views = us[types == "view"]
+        if len(new_views):
+            mv = int(new_views.min())
+            v = mv if v is None else min(v, mv)
+        clicks = sorted(set(clicks) | set(int(x) for x in us[types == "click"]))
+        purchases = sorted(
+            set(purchases) | set(int(x) for x in us[types == "purchase"])
+        )
+        c = answer_after(clicks, v)
+        p = answer_after(purchases, c)
+        clicks = prune(clicks, c)
+        purchases = prune(purchases, p)
+        seq += 1
+        state.update((v, clicks, purchases, seq))
+        def ts_of(x):
+            return pd.NaT if x is None else pd.Timestamp(x, unit="us")
+
+        yield pd.DataFrame(
+            {
+                "user_id": [int(key[0])],
+                "first_view": pd.Series([ts_of(v)], dtype="datetime64[us]"),
+                "first_click": pd.Series([ts_of(c)], dtype="datetime64[us]"),
+                "first_purchase": pd.Series(
+                    [ts_of(p)], dtype="datetime64[us]"
+                ),
+                "seq": [int(seq)],
+            }
+        )
+
+    return update
+
+
+def funnel_state_stream(events: DataFrame) -> DataFrame:
+    """Per-user exact ordered-funnel state carried across micro-batches
+    (``applyInPandasWithState`` keyed on user_id). Emits the user's
+    current (first_view, first_click, first_purchase) answers each
+    time the user appears in a batch, with a monotone ``seq`` --
+    collapse with :func:`funnel_latest` for the current table."""
+    return (
+        events.select("user_id", "event_type", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _make_update(),
+            outputStructType=FUNNEL_OUTPUT_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def funnel_latest(emitted: DataFrame) -> DataFrame:
+    """Collapse the changelog-shaped stream output to each user's
+    latest state row (max seq per user) -- a batch op over the sink
+    table, one shuffle on user_id."""
+    return (
+        emitted.groupBy("user_id")
+        .agg(
+            F.max_by("first_view", "seq").alias("first_view"),
+            F.max_by("first_click", "seq").alias("first_click"),
+            F.max_by("first_purchase", "seq").alias("first_purchase"),
+        )
+    )
+
+
+def funnel_counts(user_stages: DataFrame) -> DataFrame:
+    """The 3-row funnel table (stage, event_type, n_users, conversion)
+    from a per-user stage frame -- same output shape and rounding as
+    plans/relational4.event_funnel, so the streamed state aggregates
+    to the exact batch query result. One aggregation pass (the
+    per-user frame is already user-cardinality), fanned to three rows
+    by an explode of a 3-element literal array."""
+    agg = user_stages.agg(
+        F.count("first_view").alias("n1"),
+        F.count("first_click").alias("n2"),
+        F.count("first_purchase").alias("n3"),
+    )
+    stage = F.explode(
+        F.array(
+            F.struct(
+                F.lit(1).alias("stage"),
+                F.lit("view").alias("event_type"),
+                F.col("n1").alias("n_users"),
+            ),
+            F.struct(
+                F.lit(2).alias("stage"),
+                F.lit("click").alias("event_type"),
+                F.col("n2").alias("n_users"),
+            ),
+            F.struct(
+                F.lit(3).alias("stage"),
+                F.lit("purchase").alias("event_type"),
+                F.col("n3").alias("n_users"),
+            ),
+        )
+    ).alias("s")
+    return agg.select(stage, "n1").select(
+        F.col("s.stage").alias("stage"),
+        F.col("s.event_type").alias("event_type"),
+        F.col("s.n_users").alias("n_users"),
+        F.round(
+            F.col("s.n_users").cast("double") / F.col("n1").cast("double"), 6
+        ).alias("conversion"),
+    )

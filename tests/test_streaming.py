@@ -1750,3 +1750,118 @@ def test_streaming_knn_classify_matches_batch(spark, tmp_path):
     batch = sorted(map(tuple, knn_label_vote(embs, n_queries=5, k=5).collect()))
     assert got == batch
     assert got, "no classifications produced"
+
+
+def test_streaming_funnel_matches_batch_under_reverse_replay(spark, tmp_path):
+    """Exact out-of-order funnel: replay the sf0.001 events corpus in
+    REVERSE timestamp order across 5 micro-batches, so nearly every
+    batch delivers views EARLIER than clicks/purchases already seen --
+    the retroactive-eligibility case the state's retention rule
+    exists for. The collapsed stream state must equal the batch
+    ladder per user, and its aggregation must equal the event_funnel
+    query row-for-row."""
+    from .conftest import SF_SMOKE
+    from big_data_streaming_dashboard_spark.plans.relational4 import (
+        event_funnel,
+        funnel_user_stages,
+    )
+    from big_data_streaming_dashboard_spark.streaming.funnel import (
+        funnel_latest,
+        funnel_state_stream,
+        funnel_counts,
+    )
+    from big_data_streaming_dashboard_spark.tables import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    rows = ev.orderBy(F.col("ts").desc()).collect()
+    src = str(tmp_path / "events_rev")
+    n_files = 5
+    chunk = (len(rows) + n_files - 1) // n_files
+    for i in range(n_files):
+        part = rows[i * chunk : (i + 1) * chunk]
+        spark.createDataFrame(part, ev.schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    name = f"funnel_{uuid.uuid4().hex[:8]}"
+    emitted = _run_stream(spark, funnel_state_stream(stream), name)
+    # the reverse replay must actually have produced multi-batch
+    # per-user state updates, or the test is vacuous
+    assert emitted.agg(F.max("seq")).collect()[0][0] >= 3
+    latest = funnel_latest(emitted)
+
+    truth = funnel_user_stages(ev)
+    got = {r["user_id"]: (r["first_view"], r["first_click"], r["first_purchase"])
+           for r in latest.collect()}
+    want = {r["user_id"]: (r["first_view"], r["first_click"], r["first_purchase"])
+            for r in truth.collect()}
+    # stream emits a row for every user that ever appeared, including
+    # users with no view (all-null stages); batch truth starts at views
+    for uid, stages in want.items():
+        assert got[uid] == stages, uid
+    for uid, stages in got.items():
+        if uid not in want:
+            assert stages[0] is None, (uid, stages)
+
+    # aggregated funnel table == the registered batch query, row-for-row
+    stream_funnel = sorted(
+        tuple(r) for r in funnel_counts(
+            latest.filter(F.col("first_view").isNotNull())
+        ).collect()
+    )
+    batch_funnel = sorted(tuple(r) for r in event_funnel(spark, SF_SMOKE).collect())
+    assert stream_funnel == batch_funnel
+
+
+def test_streaming_funnel_retroactive_view_reopens_pruned_click(spark, tmp_path):
+    """The retention rule's load-bearing case: batch 1 delivers clicks
+    at t=10 and t=30 plus a view at t=15 (answer: click@30); batch 2
+    delivers an EARLIER view at t=5, which retroactively makes the
+    click@10 eligible. An operator that kept only the current answer
+    would still say click@30; the exact state must flip to click@10
+    (and the purchase answer must follow its click floor down)."""
+    from big_data_streaming_dashboard_spark.streaming.funnel import (
+        funnel_latest,
+        funnel_state_stream,
+    )
+
+    def ts(sec):
+        return f"2024-01-01 00:00:{sec:02d}"
+
+    batches = [
+        [(1, "click", ts(10)), (1, "click", ts(30)), (1, "view", ts(15)),
+         (1, "purchase", ts(40)), (1, "purchase", ts(20))],
+        [(1, "view", ts(5))],
+    ]
+    src = str(tmp_path / "funnel_retro")
+    for rows in batches:
+        spark.createDataFrame(
+            rows, "user_id long, event_type string, ts string"
+        ).select(
+            "user_id", "event_type", F.to_timestamp("ts").alias("ts")
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(
+            spark.read.parquet(src).schema
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    name = f"funnel_retro_{uuid.uuid4().hex[:8]}"
+    emitted = _run_stream(spark, funnel_state_stream(stream), name)
+    assert emitted.agg(F.max("seq")).collect()[0][0] == 2
+    row = funnel_latest(emitted).collect()[0]
+    assert row["first_view"].second == 5
+    # click@10 must have been RETAINED through batch 1 (it was <= the
+    # then-answer under the prune rule) and now wins
+    assert row["first_click"].second == 10
+    # purchase floor dropped from click@30 to click@10 -> purchase@20
+    assert row["first_purchase"].second == 20
