@@ -97,6 +97,7 @@ EXTRA = [
     # r11 second batch: product-dashboard analytics over events
     "event_funnel",
     "weekly_cohort_retention",
+    "doc_corpus_census",
 ]
 
 # scaling-regression canaries (r5 verdict item 4): a small subset

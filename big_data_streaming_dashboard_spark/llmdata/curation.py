@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from .dedup import neardup_pairs
-from .text import predicted_lang_column, quality_columns, subword_stats
+from .text import predicted_lang_column, quality_columns, subword_stats, tokens
 
 # Drop reasons that OUTRANK gopher_fail in the full precedence ladder
 # (curation_pipeline_full). Single source of truth shared with the
@@ -254,6 +254,38 @@ def shard_packing(
     return local.join(
         F.broadcast(numbered), ["pack_bucket", "local_shard"]
     ).select("doc_id", "est_bpe_tokens", "cum_tokens", "shard_id")
+
+
+def corpus_census(docs: DataFrame) -> DataFrame:
+    """The corpus datasheet table: per (source, lang,
+    decimal-digit size bucket) document count, char mass and
+    whitespace-token mass -- the first table a corpus build publishes
+    (what's in the crawl, how big, from where) and the denominator
+    every downstream mixture/cap decision reads.
+
+    The size bucket is the DIGIT COUNT of n_chars
+    (``length(cast(n_chars as string))``): an exact integer
+    log10-style histogram both engines compute bit-identically,
+    unlike float log bucketing where a power-of-ten boundary doc
+    could land differently per libm. One scan, one aggregate onto
+    the tiny (source x lang x ~6 buckets) domain, integer sums only
+    -- map-side partials do nearly all the work at any scale."""
+    toks = tokens(F.col("text"))
+    return (
+        docs.select(
+            "source",
+            "lang",
+            F.length(F.col("n_chars").cast("string")).alias("size_bucket"),
+            F.col("n_chars").cast("long").alias("_chars"),
+            F.size(toks).cast("long").alias("_toks"),
+        )
+        .groupBy("source", "lang", "size_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_chars").alias("total_chars"),
+            F.sum("_toks").alias("total_tokens"),
+        )
+    )
 
 
 def corpus_mixture(docs: DataFrame) -> DataFrame:

@@ -905,6 +905,23 @@ FROM e
 """
 
 
+# mirrors llmdata.curation.corpus_census: the corpus datasheet --
+# per (source, lang, digit-count size bucket) doc/char/token mass.
+# Digit-count bucketing (length of the integer's decimal string) is
+# exact on both engines; DuckDB length() returns BIGINT -> cast to
+# INTEGER to match Spark's int, and the HUGEINT sums cast to BIGINT.
+CORPUS_CENSUS_SQL = r"""
+SELECT source, lang,
+       CAST(length(CAST(n_chars AS VARCHAR)) AS INTEGER) AS size_bucket,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(len(regexp_split_to_array(text, '\s+'))) AS BIGINT)
+           AS total_tokens
+FROM documents
+GROUP BY source, lang, size_bucket
+"""
+
+
 # mirrors llmdata.curation.corpus_mixture: per-language token mass,
 # share, and sqrt-temperature sampling weight (sqrt is IEEE-correctly
 # rounded in both engines; pow is not)

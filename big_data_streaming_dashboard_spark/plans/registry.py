@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..llmdata.curation import (
+    corpus_census,
     corpus_mixture,
     curation_funnel,
     curation_pipeline,
@@ -1072,6 +1073,11 @@ WHERE s._emit""",
         relational4.IDLE_CUSTOMER_BALANCE_SQL,
         "Q22 idle above-average-balance customers (scalar AVG + anti-join)",
     ),
+    "doc_corpus_census": QuerySpec(
+        lambda spark, sf: corpus_census(_docs(spark, sf)),
+        llm_sql.CORPUS_CENSUS_SQL,
+        "corpus datasheet: doc/char/token mass per source x lang x size bucket",
+    ),
     "event_funnel": QuerySpec(
         relational4.event_funnel,
         relational4.EVENT_FUNNEL_SQL,
@@ -1169,11 +1175,12 @@ WHERE s._emit""",
 # plan pair, the weakest claim in the registry to a scarce slot.
 # r12 swap plan (do this FIRST next round): rotate the r10-checked
 # block (48, incl. the two permanent rows-only) back in and add the
-# NINE r11 queries awaiting first attestation (doc_neardup_recall_hi,
+# TEN r11 queries awaiting first attestation (doc_neardup_recall_hi,
 # doc_curation_funnel, emb_ivf_recall, customer_order_histogram,
 # top_supplier_revenue, small_quantity_revenue, idle_customer_balance,
-# event_funnel, weekly_cohort_retention) -- that is 57 candidates for
-# 50 slots, so SEVEN r10-block queries must slip to r13: prefer stable
+# event_funnel, weekly_cohort_retention, doc_corpus_census) -- that is
+# 58 candidates for 50 slots, so EIGHT r10-block queries must slip to
+# r13: prefer stable
 # single-table aggs / parameterization twins whose plan family has
 # another fresh attestation in the same window (precedent: r10 traded
 # value_percentiles), and document each trade here. The slipped seven
