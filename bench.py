@@ -82,10 +82,11 @@ EXTRA = [
     # r11: the high-J tail variant -- shares BOTH persisted constituent
     # indexes with doc_neardup_recall (memoized jaccard/band plans), so
     # running after it skips the index builds; what remains is plan
-    # construction + the pair-sized joins/aggs both evaluators pay
-    # (sf0.01 smoke: 0.78 s vs the base's 0.71 s warm -- the reuse
-    # shows at sf0.1+, where the index builds dominate the base's
-    # first run)
+    # construction + the pair-sized joins/aggs both evaluators pay.
+    # r11 second session: the evaluator tails now execute each
+    # constituent ONCE (marked joins -- the old two-branch aggregation
+    # re-ran the verify joins twice per call), measured warm at sf0.1:
+    # base 3.6 -> 1.7 s, hi 3.4 -> 1.6 s, ann 2.0 -> 1.4 s
     "doc_neardup_recall_hi",
     # r11 second batch: the four classic decision-support shapes
     # (outer-join histogram, scalar-MAX, per-group-AVG join-back,
