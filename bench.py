@@ -99,6 +99,7 @@ EXTRA = [
     "event_funnel",
     "weekly_cohort_retention",
     "doc_corpus_census",
+    "value_anomalies",
 ]
 
 # scaling-regression canaries (r5 verdict item 4): a small subset

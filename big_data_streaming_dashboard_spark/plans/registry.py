@@ -1083,6 +1083,11 @@ WHERE s._emit""",
         relational4.EVENT_FUNNEL_SQL,
         "ordered conversion funnel view->click->purchase (agg ladder)",
     ),
+    "value_anomalies": QuerySpec(
+        relational4.value_anomalies,
+        relational4.VALUE_ANOMALIES_SQL,
+        "trailing-day 1.5-sigma anomalies (exact integer z-test, RANGE frame)",
+    ),
     "weekly_cohort_retention": QuerySpec(
         relational4.weekly_cohort_retention,
         relational4.WEEKLY_COHORT_RETENTION_SQL,
@@ -1175,12 +1180,12 @@ WHERE s._emit""",
 # plan pair, the weakest claim in the registry to a scarce slot.
 # r12 swap plan (do this FIRST next round): rotate the r10-checked
 # block (48, incl. the two permanent rows-only) back in and add the
-# TEN r11 queries awaiting first attestation (doc_neardup_recall_hi,
+# ELEVEN r11 queries awaiting first attestation (doc_neardup_recall_hi,
 # doc_curation_funnel, emb_ivf_recall, customer_order_histogram,
 # top_supplier_revenue, small_quantity_revenue, idle_customer_balance,
-# event_funnel, weekly_cohort_retention, doc_corpus_census) -- that is
-# 58 candidates for 50 slots, so EIGHT r10-block queries must slip to
-# r13: prefer stable
+# event_funnel, weekly_cohort_retention, doc_corpus_census,
+# value_anomalies) -- that is 59 candidates for 50 slots, so NINE
+# r10-block queries must slip to r13: prefer stable
 # single-table aggs / parameterization twins whose plan family has
 # another fresh attestation in the same window (precedent: r10 traded
 # value_percentiles), and document each trade here. The slipped seven

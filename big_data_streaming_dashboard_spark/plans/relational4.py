@@ -34,7 +34,7 @@ reassociable money SUM goes through DECIMAL(12,2) first.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..tables import load_table as _load
@@ -454,4 +454,116 @@ WHERE _bal * _cnt > _total
       SELECT 1 FROM orders WHERE o_custkey = c_custkey
   )
 GROUP BY n_name
+"""
+
+
+def value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window anomaly detection: events whose value deviates
+    from their event type's trailing-DAY mean by more than 1.5
+    trailing standard deviations -- the streaming-dashboard alerting
+    rule, as a RANGE-frame window plan. (Why 1.5 and not the classic
+    3: the fixture's values are uniform, which caps |z| at sqrt(3) ~
+    1.73, so a 3-sigma rule would be vacuously empty and the oracle
+    row would test nothing; 1.5 sigma flags the distribution's tails
+    and makes the parity check real. The threshold enters as the
+    rational 9/4, so exactness is unaffected.)
+
+    Exactness (the denominators-cleared discipline): values are
+    2-decimal -> centi-units ``v = round(value*100)`` are exact
+    BIGINTs; with window count n, sum s, sum-of-squares ss, the
+    z-score test ``(v - s/n)^2 > (9/4) * (n*ss - s^2)/n^2``
+    multiplies through by 4*n^2 to
+    ``4*(n*v - s)^2 > 9*(n*ss - s^2)`` -- every term an exact
+    integer, evaluated in DECIMAL wide enough to never overflow
+    (|n*v - s| < 1e10 at 10x -> squares fit DECIMAL(38,0); DuckDB's
+    38-digit multiply cap forces the explicit DECIMAL(19,0) casts
+    mirrored in the SQL). No double arithmetic anywhere near the
+    predicate; the reported mean is display-only. The window is a
+    trailing DAY, not hour: the fixture runs ~5 events/hour/type, so
+    an hour window never reaches the n >= 20 floor and the rule
+    would again be vacuous; a day window holds 100+ events at every
+    tested scale while exercising the identical RANGE-frame plan.
+
+    At scale: one exchange on event_type (bounded cardinality; a
+    high-cardinality deployment would window per (type, shard-hour)),
+    then a single running-frame pass per partition -- RANGE, not ROWS,
+    so simultaneous events share a frame deterministically (same
+    choice as moving_avg_events). The n >= 20 floor keeps cold-start
+    windows from flagging on noise.
+    """
+    ev = _load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("_sec"))
+        .rangeBetween(-86399, Window.currentRow)
+    )
+    v = F.round(F.col("value") * 100).cast("long")
+    staged = (
+        ev.withColumn("_sec", F.unix_timestamp("ts"))
+        .withColumn("_v", v)
+        .select(
+            "event_id",
+            "event_type",
+            "ts",
+            "value",
+            F.count(F.lit(1)).over(w).alias("_n"),
+            F.sum("_v").over(w).alias("_s"),
+            F.sum(F.col("_v") * F.col("_v")).over(w).alias("_ss"),
+            F.col("_v"),
+        )
+    )
+    d = (F.col("_n") * F.col("_v") - F.col("_s")).cast("decimal(19,0)")
+    lhs = d * d
+    varn = (
+        F.col("_n").cast("decimal(12,0)") * F.col("_ss").cast("decimal(26,0)")
+        - F.col("_s").cast("decimal(19,0)") * F.col("_s").cast("decimal(19,0)")
+    ).cast("decimal(22,0)")
+    return (
+        staged.filter(
+            (F.col("_n") >= 20)
+            & (
+                lhs * F.lit(4).cast("decimal(1,0)")
+                > varn * F.lit(9).cast("decimal(2,0)")
+            )
+        )
+        .select(
+            "event_id",
+            "event_type",
+            "ts",
+            "value",
+            F.col("_n").alias("n_window"),
+            F.round(
+                F.col("_s").cast("double") / F.col("_n").cast("double") / 100.0, 6
+            ).alias("window_mean"),
+        )
+    )
+
+
+VALUE_ANOMALIES_SQL = """
+WITH staged AS (
+    SELECT event_id, event_type, ts, value,
+           CAST(round(value * 100) AS BIGINT) AS _v,
+           COUNT(*) OVER w AS _n,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT) AS _s,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)
+                    * CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT)
+               AS _ss
+    FROM events
+    WINDOW w AS (
+        PARTITION BY event_type
+        ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+        RANGE BETWEEN 86399 PRECEDING AND CURRENT ROW
+    )
+)
+SELECT event_id, event_type, ts, value, _n AS n_window,
+       round(CAST(_s AS DOUBLE) / CAST(_n AS DOUBLE) / 100.0, 6)
+           AS window_mean
+FROM staged
+WHERE _n >= 20
+  AND CAST(CAST(_n * _v - _s AS DECIMAL(19,0))
+           * CAST(_n * _v - _s AS DECIMAL(19,0)) AS DECIMAL(37,0))
+      * CAST(4 AS DECIMAL(1,0))
+      > CAST(CAST(_n AS DECIMAL(12,0)) * CAST(_ss AS DECIMAL(26,0))
+             - CAST(_s AS DECIMAL(19,0)) * CAST(_s AS DECIMAL(19,0))
+             AS DECIMAL(22,0)) * CAST(9 AS DECIMAL(2,0))
 """
