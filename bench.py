@@ -100,6 +100,7 @@ EXTRA = [
     "weekly_cohort_retention",
     "doc_corpus_census",
     "value_anomalies",
+    "shipping_priority",
 ]
 
 # scaling-regression canaries (r5 verdict item 4): a small subset

@@ -1083,6 +1083,11 @@ WHERE s._emit""",
         relational4.EVENT_FUNNEL_SQL,
         "ordered conversion funnel view->click->purchase (agg ladder)",
     ),
+    "shipping_priority": QuerySpec(
+        relational4.shipping_priority,
+        relational4.SHIPPING_PRIORITY_SQL,
+        "Q3 shipping priority (two-sided date pushdown, composite top-k)",
+    ),
     "value_anomalies": QuerySpec(
         relational4.value_anomalies,
         relational4.VALUE_ANOMALIES_SQL,
@@ -1180,12 +1185,12 @@ WHERE s._emit""",
 # plan pair, the weakest claim in the registry to a scarce slot.
 # r12 swap plan (do this FIRST next round): rotate the r10-checked
 # block (48, incl. the two permanent rows-only) back in and add the
-# ELEVEN r11 queries awaiting first attestation (doc_neardup_recall_hi,
+# TWELVE r11 queries awaiting first attestation (doc_neardup_recall_hi,
 # doc_curation_funnel, emb_ivf_recall, customer_order_histogram,
 # top_supplier_revenue, small_quantity_revenue, idle_customer_balance,
 # event_funnel, weekly_cohort_retention, doc_corpus_census,
-# value_anomalies) -- that is 59 candidates for 50 slots, so NINE
-# r10-block queries must slip to r13: prefer stable
+# value_anomalies, shipping_priority) -- that is 60 candidates for 50
+# slots, so TEN r10-block queries must slip to r13: prefer stable
 # single-table aggs / parameterization twins whose plan family has
 # another fresh attestation in the same window (precedent: r10 traded
 # value_percentiles), and document each trade here. The slipped seven

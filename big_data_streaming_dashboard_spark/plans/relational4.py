@@ -567,3 +567,57 @@ WHERE _n >= 20
              - CAST(_s AS DECIMAL(19,0)) * CAST(_s AS DECIMAL(19,0))
              AS DECIMAL(22,0)) * CAST(9 AS DECIMAL(2,0))
 """
+
+
+def shipping_priority(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """Q3 shape: top-k undelivered orders by accrued revenue for one
+    market segment -- the date-filtered-on-BOTH-sides join with a
+    composite-key top-k.
+
+    At scale: both date filters and the segment filter push to their
+    scans (customer is pre-filtered to the segment BEFORE its join,
+    cutting the build side ~5x); orders-lineitem shuffles once on the
+    orderkey; the aggregate groups on (orderkey, orderdate, priority)
+    -- orderkey-functional, so no extra exchange width; top-k is
+    TakeOrderedAndProject on (revenue DESC, orderdate, orderkey) --
+    per-partition heaps, never a global sort. Revenue is the exact
+    DECIMAL sum; the deterministic tie-break is part of the key.
+    """
+    cutoff = "1996-06-15"
+    cust = _load(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = _load(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = _load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(_revenue()).alias("_rev"), F.count(F.lit(1)).alias("n_items"))
+        .select(
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("_rev").cast("double").alias("revenue"),
+            "o_orderdate",
+            "o_orderpriority",
+            "n_items",
+        )
+        .orderBy(F.col("revenue").desc(), "o_orderdate", "orderkey")
+        .limit(k)
+    )
+
+
+SHIPPING_PRIORITY_SQL = f"""
+SELECT o_orderkey AS orderkey,
+       CAST(SUM({_REVENUE_SQL}) AS DOUBLE) AS revenue,
+       o_orderdate, o_orderpriority,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1996-06-15'
+  AND l_shipdate > TIMESTAMP '1996-06-15'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate, orderkey
+LIMIT 10
+"""
