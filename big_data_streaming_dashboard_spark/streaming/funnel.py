@@ -1,5 +1,7 @@
-"""Streaming ordered conversion funnel (the stateful sequential
-operator behind plans/relational4.event_funnel).
+"""Streaming product analytics: the ordered conversion funnel and
+cohort retention as exact stateful operators (the streaming
+counterparts of plans/relational4.event_funnel and
+weekly_cohort_retention).
 
 The batch funnel is a ladder of per-user min-aggregates ("first click
 strictly after the first view, first purchase strictly after that").
@@ -210,4 +212,111 @@ def funnel_counts(user_stages: DataFrame) -> DataFrame:
         F.round(
             F.col("s.n_users").cast("double") / F.col("n1").cast("double"), 6
         ).alias("conversion"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention, streamed (the stateful counterpart of
+# plans/relational4.weekly_cohort_retention)
+# ---------------------------------------------------------------------------
+
+RETENTION_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("cohort_week", T.DateType(), True),
+        T.StructField("week_offsets", T.ArrayType(T.IntegerType()), True),
+        T.StructField("seq", T.LongType(), True),
+    ]
+)
+
+_RETENTION_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("weeks_us", T.ArrayType(T.LongType()), True),
+        T.StructField("seq", T.LongType(), True),
+    ]
+)
+
+
+def _make_retention_update():
+    # self-contained closure (cloudpickle-by-value; see _make_update)
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            weeks, seq = state.get
+            weeks = set(weeks)
+        else:
+            weeks, seq = set(), 0
+        batch = pd.concat(list(pdfs))
+        ts = batch["ts"].astype("datetime64[us]")
+        # ISO-Monday week start, micros since epoch -- the pandas
+        # mirror of date_trunc('week', ts) on both engines (weekday()
+        # is Monday=0)
+        wk = (
+            ts.dt.normalize() - pd.to_timedelta(ts.dt.weekday, unit="D")
+        ).astype("datetime64[us]")  # the subtraction promotes to [ns]
+        weeks |= set(int(x) for x in wk.astype("int64"))
+        seq += 1
+        state.update((sorted(weeks), seq))
+        first = min(weeks)
+        day_us = 86_400_000_000
+        offsets = sorted((w - first) // (7 * day_us) for w in weeks)
+        yield pd.DataFrame(
+            {
+                "user_id": [int(key[0])],
+                "cohort_week": pd.Series(
+                    [pd.Timestamp(first, unit="us")], dtype="datetime64[us]"
+                ).dt.date,
+                "week_offsets": [[int(o) for o in offsets]],
+                "seq": [int(seq)],
+            }
+        )
+
+    return update
+
+
+def retention_state_stream(events: DataFrame) -> DataFrame:
+    """Per-user cohort-retention state across micro-batches: the set of
+    distinct ISO activity weeks. Out-of-order arrival is handled
+    exactly and WITHOUT a funnel-style retention proof burden: the
+    week set is a plain monotone union, and the cohort week is its
+    min -- when a later batch delivers an EARLIER first week, every
+    existing offset shifts and the changelog row re-emits the user's
+    full corrected (cohort_week, offsets) vector, so the latest row
+    per user is always the complete truth. State is bounded by the
+    number of distinct weeks the user was active, the same floor the
+    batch query's distinct (user, week) set pays."""
+    return (
+        events.select("user_id", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _make_retention_update(),
+            outputStructType=RETENTION_OUTPUT_SCHEMA,
+            stateStructType=_RETENTION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def retention_latest(emitted: DataFrame) -> DataFrame:
+    """Latest changelog row per user (max seq)."""
+    return emitted.groupBy("user_id").agg(
+        F.max_by("cohort_week", "seq").alias("cohort_week"),
+        F.max_by("week_offsets", "seq").alias("week_offsets"),
+    )
+
+
+def retention_triangle(latest: DataFrame) -> DataFrame:
+    """Aggregate the per-user latest rows to the (cohort_week,
+    week_offset, n_active_users) triangle -- the exact output shape of
+    plans/relational4.weekly_cohort_retention. One explode (each user
+    contributes at most n_weeks rows) + one aggregate onto the tiny
+    (cohort, offset) domain."""
+    return (
+        latest.select(
+            "cohort_week", F.explode("week_offsets").alias("week_offset")
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_active_users"))
     )

@@ -1865,3 +1865,48 @@ def test_streaming_funnel_retroactive_view_reopens_pruned_click(spark, tmp_path)
     assert row["first_click"].second == 10
     # purchase floor dropped from click@30 to click@10 -> purchase@20
     assert row["first_purchase"].second == 20
+
+
+def test_streaming_retention_matches_batch_under_reverse_replay(spark, tmp_path):
+    """Cohort retention streamed: reverse-timestamp replay delivers
+    most users' EARLIEST week last, so cohort assignments shift
+    mid-stream and the changelog must re-emit corrected offset
+    vectors. The latest rows must aggregate to the batch retention
+    triangle row-for-row."""
+    from .conftest import SF_SMOKE
+    from big_data_streaming_dashboard_spark.plans.relational4 import (
+        weekly_cohort_retention,
+    )
+    from big_data_streaming_dashboard_spark.streaming.funnel import (
+        retention_latest,
+        retention_state_stream,
+        retention_triangle,
+    )
+    from big_data_streaming_dashboard_spark.tables import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events").select("user_id", "ts")
+    rows = ev.orderBy(F.col("ts").desc()).collect()
+    src = str(tmp_path / "events_ret")
+    n_files = 4
+    chunk = (len(rows) + n_files - 1) // n_files
+    for i in range(n_files):
+        spark.createDataFrame(
+            rows[i * chunk : (i + 1) * chunk], ev.schema
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    name = f"ret_{uuid.uuid4().hex[:8]}"
+    emitted = _run_stream(spark, retention_state_stream(stream), name)
+    assert emitted.agg(F.max("seq")).collect()[0][0] >= 3
+    got = sorted(
+        tuple(r)
+        for r in retention_triangle(retention_latest(emitted)).collect()
+    )
+    want = sorted(
+        tuple(r) for r in weekly_cohort_retention(spark, SF_SMOKE).collect()
+    )
+    assert got == want
