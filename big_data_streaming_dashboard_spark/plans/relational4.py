@@ -484,33 +484,58 @@ def value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     would again be vacuous; a day window holds 100+ events at every
     tested scale while exercising the identical RANGE-frame plan.
 
-    At scale: one exchange on event_type (bounded cardinality; a
-    high-cardinality deployment would window per (type, shard-hour)),
-    then a single running-frame pass per partition -- RANGE, not ROWS,
-    so simultaneous events share a frame deterministically (same
-    choice as moving_avg_events). The n >= 20 floor keeps cold-start
+    At scale (overlapping day shards): a window partitioned only by
+    event_type caps parallelism at the number of types -- at 100 TB
+    one task would stream years of one type's events. Instead every
+    row is exploded into its OWN day shard and the NEXT day's shard
+    (context copy), the window runs per (event_type, day shard), and
+    only native rows (shard == own day) are emitted. A trailing-day
+    frame can only reach into the previous calendar day, so the
+    context copy makes every native row's frame IDENTICAL to the
+    unsharded plan's -- the DuckDB oracle runs the UNSHARDED window,
+    so the hash-match is itself the sharded==naive proof. Cost: the
+    shuffle carries each row twice (the standard overlap tax);
+    parallelism becomes types x days. RANGE, not ROWS, so
+    simultaneous events share a frame deterministically (same choice
+    as moving_avg_events). The n >= 20 floor keeps cold-start
     windows from flagging on noise.
     """
     ev = _load(spark, sf_dir, "events")
     w = (
-        Window.partitionBy("event_type")
+        Window.partitionBy("event_type", "_shard")
         .orderBy(F.col("_sec"))
         .rangeBetween(-86399, Window.currentRow)
     )
     v = F.round(F.col("value") * 100).cast("long")
     staged = (
         ev.withColumn("_sec", F.unix_timestamp("ts"))
+        .withColumn("_day", F.expr("_sec div 86400"))
         .withColumn("_v", v)
         .select(
             "event_id",
             "event_type",
             "ts",
             "value",
+            "_sec",
+            "_day",
+            "_v",
+            F.explode(
+                F.array(F.col("_day"), F.col("_day") + F.lit(1))
+            ).alias("_shard"),
+        )
+        .select(
+            "event_id",
+            "event_type",
+            "ts",
+            "value",
+            "_day",
+            "_shard",
             F.count(F.lit(1)).over(w).alias("_n"),
             F.sum("_v").over(w).alias("_s"),
             F.sum(F.col("_v") * F.col("_v")).over(w).alias("_ss"),
             F.col("_v"),
         )
+        .filter(F.col("_shard") == F.col("_day"))
     )
     d = (F.col("_n") * F.col("_v") - F.col("_s")).cast("decimal(19,0)")
     lhs = d * d
