@@ -134,6 +134,10 @@ TENX = [
     # vocab-bounded by Zipf; DSIR folds to docs x 256 buckets)
     "doc_importance_weights",
     "doc_bpe_merges",
+    # r11: the overlapping-day-shard window (parallelism = types x
+    # days instead of types; each row crosses the exchange twice) --
+    # the canary watches that the overlap tax stays ~linear
+    "value_anomalies",
 ]
 
 TENX_REPS = {"doc_containment_pairs": 2, "doc_ngram_jaccard": 2}
