@@ -9,16 +9,23 @@ decision-support plan classes the registry still lacked --
   subquery decorrelated to an aggregate + join-back on the fact key.
 * ``idle_customer_balance`` (Q22 shape): global scalar-AVG threshold
   + anti-join against the fact's distinct keys.
+* ``shipping_priority`` (Q3 shape): date filters pushed to BOTH join
+  sides + composite-key top-k.
 * ``event_funnel``: ordered conversion funnel (view -> click ->
   purchase with strict event-time ordering per user) -- the
   sequential-constraint class no single aggregation pass can
-  express.
+  express (streamed exactly in streaming/funnel.py).
 * ``weekly_cohort_retention``: first-seen-week cohorts x activity
-  week offset -- the classic product-dashboard retention triangle.
+  week offset -- the classic product-dashboard retention triangle
+  (streamed exactly in streaming/funnel.py).
+* ``value_anomalies``: trailing-day 1.5-sigma anomalies over an
+  overlapping-day-shard RANGE window, the z-test evaluated entirely
+  in integer/DECIMAL arithmetic.
 
 Each is a DIFFERENT optimizer shape from everything in relational
 parts 1-3 (no outer-join histogram, no self-threshold join-back, no
-scalar-threshold anti-join existed before).  Reference parity: the
+scalar-threshold anti-join, no sharded sliding window existed
+before).  Reference parity: the
 reference dashboard has no decision-support layer at all
 (flink_process/flink_process.py is ingest/validate/route only) --
 these extend the engine the way the part-3 queries did, so a user
