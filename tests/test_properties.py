@@ -461,3 +461,158 @@ def test_codec_boundaries_never_leak_non_valueerror():
                 dec(data[:n])
             except (ValueError, NotImplementedError):
                 pass
+
+
+# ---------------------------------------------------------------------------
+# Streaming-funnel retention rule under randomized adversarial arrival
+# (no Spark: the applyInPandasWithState closure is driven directly with
+# a fake GroupState, so hypothesis can hammer the state machine)
+# ---------------------------------------------------------------------------
+
+
+class _FakeGroupState:
+    def __init__(self):
+        self._val = None
+
+    @property
+    def exists(self):
+        return self._val is not None
+
+    @property
+    def get(self):
+        return self._val
+
+    def update(self, val):
+        self._val = val
+
+
+def _drive(make_update, batches, frame):
+    """Feed pandas micro-batches through a stateful update closure,
+    returning the last emitted row as a dict."""
+    update = make_update()
+    state = _FakeGroupState()
+    last = None
+    for rows in batches:
+        if not rows:
+            continue
+        out = list(update((1,), iter([frame(rows)]), state))
+        last = out[-1].iloc[-1].to_dict()
+    return last
+
+
+_funnel_events = st.lists(
+    st.tuples(
+        st.sampled_from(["view", "click", "purchase"]),
+        st.integers(min_value=0, max_value=50),
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(max_examples=200, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_funnel_events, st.data())
+def test_funnel_state_machine_matches_batch_truth_any_order(events, data):
+    """The prune rule's exactness claim, randomized: for ANY event set
+    and ANY partition of ANY arrival permutation into micro-batches,
+    the final streamed answers equal the batch ladder (first view,
+    first click strictly after it, first purchase strictly after
+    that). Seconds collide on purpose (0..50) so strict-inequality
+    ties and duplicate timestamps are exercised."""
+    import pandas as pd
+
+    from big_data_streaming_dashboard_spark.streaming.funnel import _make_update
+
+    perm = data.draw(st.permutations(events))
+    # split the permutation into 1..5 contiguous micro-batches
+    n_cuts = data.draw(st.integers(min_value=0, max_value=4))
+    cuts = sorted(
+        data.draw(
+            st.lists(
+                st.integers(0, len(perm)), min_size=n_cuts, max_size=n_cuts
+            )
+        )
+    )
+    bounds = [0, *cuts, len(perm)]
+    batches = [perm[a:b] for a, b in zip(bounds, bounds[1:])]
+
+    def frame(rows):
+        return pd.DataFrame(
+            {
+                "event_type": [t for t, _ in rows],
+                "ts": pd.Series(
+                    [pd.Timestamp(s * 1_000_000, unit="us") for _, s in rows],
+                    dtype="datetime64[us]",
+                ),
+            }
+        )
+
+    got = _drive(_make_update, batches, frame)
+    assert got is not None
+
+    # brute-force batch truth over the full event set
+    views = sorted(s for t, s in events if t == "view")
+    clicks = sorted(s for t, s in events if t == "click")
+    purchases = sorted(s for t, s in events if t == "purchase")
+    v = views[0] if views else None
+    c = next((x for x in clicks if v is not None and x > v), None)
+    p = next((x for x in purchases if c is not None and x > c), None)
+
+    def us(x):
+        return None if x is None else x * 1_000_000
+
+    for col, want in [
+        ("first_view", us(v)),
+        ("first_click", us(c)),
+        ("first_purchase", us(p)),
+    ]:
+        val = got[col]
+        have = None if pd.isna(val) else int(pd.Timestamp(val).value // 1000)
+        assert have == want, (col, have, want, events)
+
+
+@settings(max_examples=100, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(st.integers(min_value=0, max_value=40), min_size=1, max_size=25),
+    st.data(),
+)
+def test_retention_state_machine_matches_batch_truth_any_order(days, data):
+    """Cohort-retention streamed state under any arrival order and
+    batching: the final (cohort_week, offsets) equals the batch
+    distinct-week computation."""
+    import pandas as pd
+
+    from big_data_streaming_dashboard_spark.streaming.funnel import (
+        _make_retention_update,
+    )
+
+    perm = data.draw(st.permutations(days))
+    n_cuts = data.draw(st.integers(min_value=0, max_value=3))
+    cuts = sorted(
+        data.draw(
+            st.lists(st.integers(0, len(perm)), min_size=n_cuts, max_size=n_cuts)
+        )
+    )
+    bounds = [0, *cuts, len(perm)]
+    batches = [perm[a:b] for a, b in zip(bounds, bounds[1:])]
+
+    base = pd.Timestamp("2024-01-01")  # a Monday
+
+    def frame(rows):
+        return pd.DataFrame(
+            {
+                "ts": pd.Series(
+                    [base + pd.Timedelta(days=d, hours=3) for d in rows],
+                    dtype="datetime64[us]",
+                )
+            }
+        )
+
+    got = _drive(_make_retention_update, batches, frame)
+    assert got is not None
+
+    weeks = sorted({d // 7 for d in days})
+    want_cohort = (base + pd.Timedelta(weeks=weeks[0])).date()
+    want_offsets = [w - weeks[0] for w in weeks]
+    assert got["cohort_week"] == want_cohort, (got, days)
+    assert list(got["week_offsets"]) == want_offsets, (got, days)
