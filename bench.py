@@ -101,6 +101,7 @@ EXTRA = [
     "doc_corpus_census",
     "value_anomalies",
     "shipping_priority",
+    "emb_pq_recall",
 ]
 
 # scaling-regression canaries (r5 verdict item 4): a small subset

@@ -721,6 +721,40 @@ def ivf_recall(
     return _recall_at_k(exact, approx)
 
 
+def pq_recall(
+    embeddings: DataFrame,
+    n_queries: int = 5,
+    k: int = 10,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    iterations: int = 3,
+    dim: int = EMBEDDING_DIM,
+) -> DataFrame:
+    """PQ quality evaluator: per-query recall@k of product-quantization
+    shortlist-then-rerank against the exact cosine top-k -- completes
+    the evaluator family (banding: `ann_recall`; probe count:
+    `ivf_recall`; code budget: this), so an index sweep can read all
+    three accuracy/cost surfaces from the same oracle-paired shape.
+
+    Same exactness argument as its siblings: both constituents
+    (`brute_force_topk`, `pq_topk` -- oracle-paired since r7, with the
+    bit-identical IEEE ADC sequence) are deterministic rankings, so
+    the intersection counts are exact; everything past the
+    constituent plans is (n_queries x k)-sized. Mirrored by
+    `plans/llm_sql.pq_recall_sql`."""
+    exact = brute_force_topk(embeddings, n_queries=n_queries, k=k, dim=dim)
+    approx = pq_topk(
+        embeddings,
+        n_queries=n_queries,
+        k=k,
+        n_subspaces=n_subspaces,
+        n_codes=n_codes,
+        iterations=iterations,
+        dim=dim,
+    )
+    return _recall_at_k(exact, approx)
+
+
 def embedding_neardup_pairs(
     embeddings: DataFrame,
     bands: int = DEFAULT_NEARDUP_BANDS,

@@ -753,6 +753,28 @@ def ivf_recall_sql(
     )
 
 
+def pq_recall_sql(
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    iterations: int = 3,
+    n_queries: int = 5,
+    k: int = 10,
+) -> str:
+    """PQ recall@k oracle (mirrors llmdata.similarity.pq_recall): the
+    recall composition with the product-quantization top-k
+    (`pq_topk_sql`, oracle-paired since r7) as the approximate side --
+    the code-budget accuracy surface next to the banding and probe
+    ones."""
+    if (n_queries, k) != (5, 10):
+        raise ValueError(
+            f"pq_recall_sql exact-side oracle is fixed at (5, 10); "
+            f"got ({n_queries}, {k})"
+        )
+    return _recall_compose_sql(
+        pq_topk_sql(n_queries, k, n_subspaces, n_codes, iterations)
+    )
+
+
 # mirrors llmdata.curation.curation_pipeline: same quality formula,
 # same langid argmax CASE, same exact-dedup window, same banded
 # near-dup chain (incl. the 1000 bucket cap) at jaccard >= 0.5,

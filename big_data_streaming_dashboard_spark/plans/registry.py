@@ -50,6 +50,7 @@ from ..llmdata.similarity import (
     EMBEDDING_DIM,
     ann_recall,
     ivf_recall,
+    pq_recall,
     brute_force_topk,
     cross_encoder_rerank,
     cross_encoder_weights,
@@ -1073,6 +1074,11 @@ WHERE s._emit""",
         relational4.IDLE_CUSTOMER_BALANCE_SQL,
         "Q22 idle above-average-balance customers (scalar AVG + anti-join)",
     ),
+    "emb_pq_recall": QuerySpec(
+        lambda spark, sf: pq_recall(_embs(spark, sf)),
+        llm_sql.pq_recall_sql(),
+        "PQ recall@k vs exact top-k (the code-budget accuracy surface)",
+    ),
     "doc_corpus_census": QuerySpec(
         lambda spark, sf: corpus_census(_docs(spark, sf)),
         llm_sql.CORPUS_CENSUS_SQL,
@@ -1197,13 +1203,13 @@ WHERE s._emit""",
 # ties broken alphabetically. At 110 queries that re-attests
 # everything within ceil(108/48) = 3 successful rounds.
 # r12 swap plan (do this FIRST next round), under the LRU policy:
-# the TWELVE r11 queries awaiting first attestation
+# the THIRTEEN r11 queries awaiting first attestation
 # (doc_neardup_recall_hi, doc_curation_funnel, emb_ivf_recall,
-# customer_order_histogram, top_supplier_revenue,
+# emb_pq_recall, customer_order_histogram, top_supplier_revenue,
 # small_quantity_revenue, idle_customer_balance, event_funnel,
 # weekly_cohort_retention, doc_corpus_census, value_anomalies,
-# shipping_priority) + the two permanent rows-only + the 36 stalest
-# r10-block queries = 50; the ~12 r10-block queries left over (pick
+# shipping_priority) + the two permanent rows-only + the 35 stalest
+# r10-block queries = 50; the ~13 r10-block queries left over (pick
 # the ones whose plan family has a same-window fresh sibling) become
 # the r13 window's stalest block together with the r11-checked
 # block. Document the actual picks here when executing.
