@@ -406,3 +406,25 @@ def test_rerank_rounding_margins(fixture_dir):
     # (the 10x fixture's ~30k candidates measure 3.5e-5; expected
     # uniform min scales as 1/(2*n_candidates))
     assert margin > 1e-6, f"rerank rounding margin {margin} too tight"
+
+
+def test_pq_recall_matches_independent_computation(spark):
+    """emb_pq_recall (r11: the code-budget accuracy surface) must
+    agree with this file's own set-based recall over the same two
+    rankings, like its banding/probe-count siblings."""
+    from big_data_streaming_dashboard_spark.llmdata.similarity import (
+        pq_recall,
+        pq_topk,
+    )
+
+    embs = load_table(spark, SF, "embeddings")
+    exact = brute_force_topk(embs, n_queries=N_QUERIES, k=K).collect()
+    approx = pq_topk(embs, n_queries=N_QUERIES, k=K).collect()
+    expected = _recall(exact, approx)
+    rows = pq_recall(embs, n_queries=N_QUERIES, k=K).collect()
+    assert len(rows) == N_QUERIES
+    got = sum(r["recall_at_k"] for r in rows) / len(rows)
+    assert abs(got - expected) < 1e-6, (got, expected)
+    for r in rows:
+        assert r["n_exact"] == K
+        assert 0 <= r["n_hit"] <= min(r["n_exact"], r["n_approx"])
