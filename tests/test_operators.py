@@ -304,9 +304,14 @@ def test_write_curated_corpus_layout(spark, tmp_path):
     assert set(back.columns) == {
         "doc_id", "quality_score", "n_tokens", "text", "predicted_lang",
     }
-    # partition pruning works on the layout
+    # partition pruning works on the layout: the lang filter must land
+    # in PartitionFilters (directory pruning), NOT as a post-scan data
+    # filter. (This assertion was previously `X or count() >= 0`, i.e.
+    # vacuously true -- fixed r11.)
     en = back.filter(F.col("predicted_lang") == "en")
-    assert "PartitionFilters: [isnotnull(predicted_lang" in en._jdf.queryExecution().executedPlan().toString() or en.count() >= 0
+    plan = en._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(predicted_lang" in plan, plan[:2000]
+    assert 0 < en.count() <= stats["kept"]
 
 
 def test_neardup_recall_matches_independent_computation(spark):
