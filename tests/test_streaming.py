@@ -1910,3 +1910,62 @@ def test_streaming_retention_matches_batch_under_reverse_replay(spark, tmp_path)
         tuple(r) for r in weekly_cohort_retention(spark, SF_SMOKE).collect()
     )
     assert got == want
+
+
+def test_streaming_anomaly_verdicts_match_batch(spark, tmp_path):
+    """Trailing-day anomaly alerting streamed: under the documented
+    parity contract (event-time-ordered arrival, micro-batch
+    boundaries on whole seconds) every verdict sees exactly the batch
+    RANGE frame's contents, so the streamed anomaly set must equal
+    value_anomalies row-for-row -- including the integer z-test and
+    the n >= 20 floor. sf0.01 (the driver's correctness scale: 869
+    batch anomalies, so the parity is far from vacuous)."""
+    from big_data_streaming_dashboard_spark.plans.relational4 import (
+        value_anomalies,
+    )
+    from big_data_streaming_dashboard_spark.streaming.funnel import (
+        anomaly_table,
+        anomaly_verdict_stream,
+    )
+    from big_data_streaming_dashboard_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.01"
+    ev = load_table(spark, sf, "events").select(
+        "event_id", "event_type", "ts", "value"
+    )
+    rows = ev.orderBy("ts", "event_id").collect()
+    # split into 4 micro-batches on whole-second boundaries
+    secs = sorted({int(r["ts"].timestamp()) for r in rows})
+    cuts = {secs[len(secs) // 4], secs[len(secs) // 2], secs[3 * len(secs) // 4]}
+    src = str(tmp_path / "events_anom")
+    batch_rows, prev = [], None
+    for r in rows:
+        s = int(r["ts"].timestamp())
+        if prev is not None and s in cuts and prev not in cuts:
+            spark.createDataFrame(batch_rows, ev.schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+            batch_rows = []
+        batch_rows.append(r)
+        prev = s
+    spark.createDataFrame(batch_rows, ev.schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    n_files = len(
+        [f for f in __import__("os").listdir(src) if f.endswith(".parquet")]
+    )
+    assert n_files >= 4, n_files
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    name = f"anom_{uuid.uuid4().hex[:8]}"
+    got_df = anomaly_table(
+        _run_stream(spark, anomaly_verdict_stream(stream), name)
+    )
+    got = sorted(tuple(r) for r in got_df.collect())
+    want = sorted(tuple(r) for r in value_anomalies(spark, sf).collect())
+    assert len(want) > 500  # non-vacuous
+    assert got == want
