@@ -102,6 +102,7 @@ EXTRA = [
     "value_anomalies",
     "shipping_priority",
     "emb_pq_recall",
+    "doc_neardup_cluster_sizes",
 ]
 
 # scaling-regression canaries (r5 verdict item 4): a small subset

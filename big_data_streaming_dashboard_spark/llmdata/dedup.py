@@ -776,6 +776,24 @@ def ngram_jaccard_pairs(
     return _plan_cached(docs, f"jaccard_plan:{threshold}:{max_postings}", build)
 
 
+def neardup_cluster_sizes(docs: DataFrame) -> DataFrame:
+    """The dedup report's family-size histogram: how many near-dup
+    clusters exist at each size -- the first number an engineer reads
+    after a dedup run (a fat tail means boilerplate/templates, a thin
+    one means true pairwise dups). Two tiny aggregations past the
+    connected-components plan (`neardup_clusters`): cluster -> size,
+    then size -> count; everything after the components is
+    cluster-count-sized. Singleton documents (never in any pair) are
+    not clusters and do not appear, matching the clusters query."""
+    clusters = neardup_clusters(docs)
+    return (
+        clusters.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+    )
+
+
 def neardup_recall(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     """Dedup-quality evaluator: per-Jaccard-bucket recall of the
     MinHash-LSH banding path against the exact n-gram Jaccard pairs.

@@ -1129,6 +1129,20 @@ SELECT lbl.doc_id, lbl.cluster_id, sizes.cluster_size
 FROM lbl JOIN sizes USING (cluster_id)
 """
 
+# mirrors llmdata.dedup.neardup_cluster_sizes: the dedup report's
+# family-size histogram -- two GROUP BYs past the clusters closure
+# (the recursive CTE nests as a FROM subquery)
+CLUSTER_SIZES_SQL = f"""
+SELECT cluster_size, COUNT(*) AS n_clusters
+FROM (
+    SELECT cluster_id, COUNT(*) AS cluster_size
+    FROM ({CLUSTERS_SQL}) clusters
+    GROUP BY cluster_id
+) per_cluster
+GROUP BY cluster_size
+"""
+
+
 
 # mirrors llmdata.text.repetition_score: distinct/total rolling-hash
 # windows per doc

@@ -36,6 +36,7 @@ from ..llmdata.dedup import (
     containment_pairs,
     exact_dedup,
     minhash_signature,
+    neardup_cluster_sizes,
     neardup_clusters,
     neardup_pairs,
     neardup_recall,
@@ -666,6 +667,11 @@ QUERIES: dict[str, QuerySpec] = {
         llm_sql.CLUSTERS_SQL,
         "transitive near-dup clusters (connected components, min-label)",
     ),
+    "doc_neardup_cluster_sizes": QuerySpec(
+        lambda spark, sf: neardup_cluster_sizes(_docs(spark, sf)),
+        llm_sql.CLUSTER_SIZES_SQL,
+        "dedup report: near-dup family-size histogram (2 aggs past components)",
+    ),
     "doc_subword_stats": QuerySpec(
         lambda spark, sf: subword_stats(_docs(spark, sf)),
         llm_sql.SUBWORD_SQL,
@@ -1203,13 +1209,14 @@ WHERE s._emit""",
 # ties broken alphabetically. At 110 queries that re-attests
 # everything within ceil(108/48) = 3 successful rounds.
 # r12 swap plan (do this FIRST next round), under the LRU policy:
-# the THIRTEEN r11 queries awaiting first attestation
+# the FOURTEEN r11 queries awaiting first attestation
 # (doc_neardup_recall_hi, doc_curation_funnel, emb_ivf_recall,
 # emb_pq_recall, customer_order_histogram, top_supplier_revenue,
 # small_quantity_revenue, idle_customer_balance, event_funnel,
 # weekly_cohort_retention, doc_corpus_census, value_anomalies,
-# shipping_priority) + the two permanent rows-only + the 35 stalest
-# r10-block queries = 50; the ~13 r10-block queries left over (pick
+# shipping_priority, doc_neardup_cluster_sizes) + the two permanent
+# rows-only + the 34 stalest
+# r10-block queries = 50; the ~14 r10-block queries left over (pick
 # the ones whose plan family has a same-window fresh sibling) become
 # the r13 window's stalest block together with the r11-checked
 # block. Document the actual picks here when executing.
