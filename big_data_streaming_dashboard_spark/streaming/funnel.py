@@ -345,6 +345,9 @@ _ANOMALY_STATE_SCHEMA = T.StructType(
         T.StructField("ns", T.ArrayType(T.LongType()), True),
         T.StructField("sums", T.ArrayType(T.LongType()), True),
         T.StructField("sqs", T.ArrayType(T.LongType()), True),
+        # everything before this second has been pruned -- the
+        # ordered-arrival contract's enforcement point
+        T.StructField("horizon", T.LongType(), True),
     ]
 )
 
@@ -357,12 +360,29 @@ def _make_anomaly_update(window_s: int = 86400, min_n: int = 20):
         import bisect
 
         if state.exists:
-            secs, ns, sums, sqs = (list(x) for x in state.get)
+            *arrays, horizon = state.get
+            secs, ns, sums, sqs = (list(x) for x in arrays)
         else:
-            secs, ns, sums, sqs = [], [], [], []
+            secs, ns, sums, sqs, horizon = [], [], [], [], None
         batch = pd.concat(list(pdfs))
         ts = batch["ts"].astype("datetime64[us]")
         ev_sec = (ts.astype("int64") // 1_000_000).tolist()
+        # fail LOUDLY on a contract breach instead of silently
+        # computing a truncated window: an event whose trailing frame
+        # reaches before the pruned horizon cannot be answered
+        # exactly anymore (same ethos as the fingerprinted index
+        # refusal -- never silently mix)
+        if horizon is not None and ev_sec and (
+            min(ev_sec) - (window_s - 1) < horizon
+        ):
+            raise ValueError(
+                "anomaly_verdict_stream: event at sec "
+                f"{min(ev_sec)} arrived with its trailing window "
+                f"reaching before the pruned horizon {horizon}; the "
+                "ordered-arrival contract is broken and an exact "
+                "verdict is no longer possible (restart from the "
+                "batch query or widen the trigger alignment)"
+            )
         ev_v = [
             int(x) for x in (batch["value"] * 100).round().astype("int64")
         ]
@@ -409,9 +429,11 @@ def _make_anomaly_update(window_s: int = 86400, min_n: int = 20):
         # prune seconds that can never appear in a future trailing
         # window (valid under the documented event-time-ordered
         # arrival contract)
-        horizon = max(secs) - (window_s - 1)
-        cut = bisect.bisect_left(secs, horizon)
-        state.update((secs[cut:], ns[cut:], sums[cut:], sqs[cut:]))
+        new_horizon = max(secs) - (window_s - 1)
+        cut = bisect.bisect_left(secs, new_horizon)
+        state.update(
+            (secs[cut:], ns[cut:], sums[cut:], sqs[cut:], new_horizon)
+        )
         sel = batch.iloc[out_idx]
         yield pd.DataFrame(
             {

@@ -1969,3 +1969,47 @@ def test_streaming_anomaly_verdicts_match_batch(spark, tmp_path):
     want = sorted(tuple(r) for r in value_anomalies(spark, sf).collect())
     assert len(want) > 500  # non-vacuous
     assert got == want
+
+
+def test_streaming_anomaly_refuses_post_horizon_arrival(spark, tmp_path):
+    """An event arriving so late that its trailing window reaches
+    before the pruned per-second horizon must kill the stream loudly
+    (the ordered-arrival contract's enforcement point) -- never
+    silently emit a truncated-window verdict."""
+    from big_data_streaming_dashboard_spark.streaming.funnel import (
+        anomaly_verdict_stream,
+    )
+
+    batches = [
+        # batch 1 spans 3 days -> horizon moves to day 3 - 1
+        [(1, "2024-01-01 00:00:00", 1.0), (2, "2024-01-03 12:00:00", 2.0)],
+        # batch 2 delivers an event on day 1 -- window reaches pre-horizon
+        [(3, "2024-01-01 06:00:00", 3.0)],
+    ]
+    src = str(tmp_path / "anom_late")
+    for rows in batches:
+        spark.createDataFrame(
+            rows, "event_id long, ts string, value double"
+        ).select(
+            "event_id",
+            F.lit("view").alias("event_type"),
+            F.to_timestamp("ts").alias("ts"),
+            "value",
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    name = f"anom_late_{uuid.uuid4().hex[:8]}"
+    q = (
+        anomaly_verdict_stream(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="pruned horizon"):
+        q.awaitTermination(120)
