@@ -616,3 +616,80 @@ def test_retention_state_machine_matches_batch_truth_any_order(days, data):
     want_offsets = [w - weeks[0] for w in weeks]
     assert got["cohort_week"] == want_cohort, (got, days)
     assert list(got["week_offsets"]) == want_offsets, (got, days)
+
+
+@settings(max_examples=100, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=200_000),  # event second
+            st.integers(min_value=1, max_value=49_002),  # centi-value
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    st.data(),
+)
+def test_anomaly_state_machine_matches_batch_truth(events, data):
+    """The streamed anomaly kernel under ordered, second-aligned
+    batching must flag exactly the events the batch RANGE-frame
+    predicate flags: trailing-day window, n >= 20 floor, and
+    4*(n*v-s)^2 > 9*(n*ss-s^2) in exact integers. Seconds span far
+    beyond one day so pruning and window boundaries are exercised;
+    min_n is lowered to 3 so small random sets actually fire."""
+    import pandas as pd
+
+    from big_data_streaming_dashboard_spark.streaming.funnel import (
+        _make_anomaly_update,
+    )
+
+    events = sorted(events)
+    # split on whole-second boundaries into 1..4 ordered batches
+    secs_sorted = sorted({s for s, _ in events})
+    n_cuts = data.draw(st.integers(min_value=0, max_value=3))
+    cut_secs = set(
+        data.draw(
+            st.lists(st.sampled_from(secs_sorted), min_size=n_cuts, max_size=n_cuts)
+        )
+    )
+    batches, cur = [], []
+    prev = None
+    for s, v in events:
+        if cur and s in cut_secs and prev != s:
+            batches.append(cur)
+            cur = []
+        cur.append((s, v))
+        prev = s
+    batches.append(cur)
+
+    min_n, window_s = 3, 86_400
+    update = _make_anomaly_update(window_s=window_s, min_n=min_n)
+    state = _FakeGroupState()
+    got = set()
+    for i, rows in enumerate(batches):
+        frame = pd.DataFrame(
+            {
+                "event_id": [i * 1000 + j for j in range(len(rows))],
+                "ts": pd.Series(
+                    [pd.Timestamp(s * 1_000_000_000) for s, _ in rows],
+                    dtype="datetime64[us]",
+                ),
+                "value": [v / 100.0 for _, v in rows],
+            }
+        )
+        for out in update(("view",), iter([frame]), state):
+            got |= {
+                (int(n), int(s), int(pd.Timestamp(t).value // 1_000_000_000))
+                for n, s, t in zip(out["n_window"], out["_s"], out["ts"])
+            }
+
+    # brute-force batch truth
+    want = set()
+    for s, v in events:
+        win = [w for t, w in events if s - (window_s - 1) <= t <= s]
+        n, ssum = len(win), sum(win)
+        ssq = sum(w * w for w in win)
+        d = n * v - ssum
+        if n >= min_n and 4 * d * d > 9 * (n * ssq - ssum * ssum):
+            want.add((n, ssum, s))
+    assert got == want, (sorted(got)[:5], sorted(want)[:5])
