@@ -101,10 +101,10 @@ EXTRA = [
     "doc_corpus_census",
     "value_anomalies",
     "shipping_priority",
-    # NOTE: ~14 s at sf0.1, of which ~12 s is the pq_topk CONSTITUENT
-    # (8 subspaces x 3 Lloyd rounds of driver-coordinated training
-    # jobs -- fixed cost, amortized at scale); the evaluator tail past
-    # the two constituents is (n_queries x k)-sized like its siblings
+    # NOTE: ~9 s at sf0.1 (was ~14 before joint-subspace training
+    # collapsed 24 Lloyd jobs to 3), nearly all of it the pq_topk
+    # CONSTITUENT's training + ADC scan; the evaluator tail past the
+    # two constituents is (n_queries x k)-sized like its siblings
     "emb_pq_recall",
     "doc_neardup_cluster_sizes",
 ]

