@@ -693,3 +693,62 @@ def test_anomaly_state_machine_matches_batch_truth(events, data):
         if n >= min_n and 4 * d * d > 9 * (n * ssq - ssum * ssum):
             want.add((n, ssum, s))
     assert got == want, (sorted(got)[:5], sorted(want)[:5])
+
+
+@settings(max_examples=150, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(st.integers(min_value=0, max_value=300), min_size=1, max_size=40),
+    st.data(),
+)
+def test_cooldown_state_machine_matches_batch_any_ordered_batching(
+    seconds, data
+):
+    """The reference's D2 exact cooldown (first alert per key, then
+    >= 30 s after the last EMITTED alert) is sequential state; for any
+    event-time set and any ORDERED split into micro-batches, the
+    streamed scan's emissions must equal the batch scan's -- the
+    last-emit handoff across batch boundaries is the thing under
+    test. Seconds collide on purpose."""
+    import pandas as pd
+
+    from big_data_streaming_dashboard_spark.streaming.stateful import (
+        _make_scan,
+    )
+
+    seconds = sorted(seconds)
+    n_cuts = data.draw(st.integers(min_value=0, max_value=4))
+    cuts = sorted(
+        data.draw(
+            st.lists(
+                st.integers(0, len(seconds)), min_size=n_cuts, max_size=n_cuts
+            )
+        )
+    )
+    bounds = [0, *cuts, len(seconds)]
+    batches = [seconds[a:b] for a, b in zip(bounds, bounds[1:])]
+
+    def frame(rows, base_id):
+        return pd.DataFrame(
+            {
+                "event_id": [base_id + j for j in range(len(rows))],
+                "event_time": pd.Series(
+                    [pd.Timestamp(s * 1_000_000_000) for s in rows],
+                    dtype="datetime64[ns]",
+                ),
+            }
+        )
+
+    scan = _make_scan(30.0)
+    # streamed: carry last_emit across ordered micro-batches
+    last = None
+    got = []
+    base = 0
+    for rows in batches:
+        if not rows:
+            continue
+        out, last = scan(frame(rows, base), last)
+        got.extend(out["event_id"].tolist())
+        base += len(rows)
+    # batch truth: one scan over everything
+    want, _ = scan(frame(seconds, 0), None)
+    assert got == want["event_id"].tolist(), (seconds, batches)
