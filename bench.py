@@ -144,6 +144,10 @@ TENX = [
     # days instead of types; each row crosses the exchange twice) --
     # the canary watches that the overlap tax stays ~linear
     "value_anomalies",
+    # r11: the new 3-table two-sided-pushdown top-k shape (orders
+    # replicate with remapped orderkeys, so the date-filtered join
+    # stays 1:1 at 10x)
+    "shipping_priority",
 ]
 
 TENX_REPS = {"doc_containment_pairs": 2, "doc_ngram_jaccard": 2}
