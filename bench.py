@@ -152,6 +152,19 @@ TENX = [
 
 TENX_REPS = {"doc_containment_pairs": 2, "doc_ngram_jaccard": 2}
 
+# import-time fail-fast, same class of guard as registry.DRIVER_WINDOW:
+# a dangling name in any bench list must die when this file loads (in
+# tests / at session start), never mid-way through the driver's bench
+# run (the r9 failure mode, which cost a full round)
+_REGISTERED = set(queries_dict())
+for _lst, _lname in ((HEADLINE, "HEADLINE"), (EXTRA, "EXTRA"), (TENX, "TENX")):
+    _dangling = [n for n in _lst if n not in _REGISTERED]
+    if _dangling:
+        raise RuntimeError(
+            f"bench.{_lname} names not in the query registry: {_dangling}"
+        )
+del _REGISTERED
+
 
 def _storage_bytes(spark) -> int:
     """Executor storage memory currently held by persisted RDDs --

@@ -123,3 +123,27 @@ def test_vocab_coverage_takeordered_before_window(spark):
     # the window input is the k-row head, so its sort is trivial; the
     # full-vocab relation reaches only the count aggregate
     assert p.index("TakeOrderedAndProject") > p.index("Window")
+
+
+def test_bench_lists_fail_fast_on_dangling_names():
+    """bench.py's HEADLINE/EXTRA/TENX lists carry the same
+    import-time guard as registry.DRIVER_WINDOW: a dangling name dies
+    at module load, never mid-way through the driver's bench run (the
+    r9 failure class). Positive: the real module imports. Negative: a
+    tampered copy with an unknown name raises at exec."""
+    import sys
+    import types
+
+    sys.path.insert(0, "/root/repo")
+    import bench  # noqa: F401  (positive: import succeeds)
+
+    src = open("/root/repo/bench.py").read().replace(
+        "TENX = [", 'TENX = [\n    "no_such_query",', 1
+    )
+    mod = types.ModuleType("bench_tampered")
+    mod.__file__ = "/root/repo/bench.py"
+    try:
+        exec(compile(src, "bench.py", "exec"), mod.__dict__)
+        raise AssertionError("dangling TENX name did not fail at load")
+    except RuntimeError as e:
+        assert "no_such_query" in str(e)
