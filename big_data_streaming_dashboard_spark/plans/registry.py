@@ -1078,7 +1078,7 @@ WHERE s._emit""",
     "idle_customer_balance": QuerySpec(
         relational4.idle_customer_balance,
         relational4.IDLE_CUSTOMER_BALANCE_SQL,
-        "Q22 idle above-average-balance customers (scalar AVG + anti-join)",
+        "Q22 lapsed above-average-balance customers (scalar AVG + anti-join)",
     ),
     "emb_pq_recall": QuerySpec(
         lambda spark, sf: pq_recall(_embs(spark, sf)),

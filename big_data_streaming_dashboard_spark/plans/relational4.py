@@ -227,16 +227,25 @@ FROM agg
 
 def idle_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q22 shape: per nation, count + total balance of ABOVE-AVERAGE-
-    balance customers who never placed an order -- global scalar-AVG
-    threshold + anti-join.
+    balance customers who have LAPSED (no order since 2000-01-01) --
+    global scalar-AVG threshold + anti-join.
+
+    Lapsed-since-a-cutoff rather than TPC-H's literal never-ordered:
+    the fixture's every customer has at least one order, so the
+    textbook predicate returns zero rows and its oracle row would be
+    vacuous (the same trap class as thresholds the fixture cannot
+    reach); the cutoff keeps the identical plan shape (anti-join
+    against a filtered distinct key set -- 55 qualifying customers at
+    sf0.01) while actually exercising the anti-join's emit branch.
 
     At scale: the threshold ``bal > avg(positive bal)`` is a 1-row
     aggregate broadcast back and evaluated as ``bal*cnt > total`` in
     exact DECIMAL arithmetic (no double division at the boundary).
-    The anti-join runs against DISTINCT order custkeys -- the
-    distinct aggregate combines map-side, so the anti-join's build
-    side is customer-cardinality, not fact-cardinality.  nation is a
-    25-row broadcast dim.  Final exchange: one, onto ~25 groups.
+    The anti-join runs against DISTINCT recent-order custkeys -- the
+    date filter pushes to the orders scan and the distinct aggregate
+    combines map-side, so the anti-join's build side is
+    customer-cardinality, not fact-cardinality.  nation is a 25-row
+    broadcast dim.  Final exchange: one, onto ~25 groups.
     """
     cust = _load(spark, sf_dir, "customer").select(
         "c_custkey", "c_nationkey", _dec("c_acctbal").alias("_bal")
@@ -246,7 +255,10 @@ def idle_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("_bal").alias("_total"), F.count(F.lit(1)).alias("_cnt")
     )
     order_keys = (
-        _load(spark, sf_dir, "orders").select("o_custkey").distinct()
+        _load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= "2000-01-01")
+        .select("o_custkey")
+        .distinct()
     )
     nation = _load(spark, sf_dir, "nation")
     rich_idle = (
@@ -458,7 +470,9 @@ FROM cust, stats
 JOIN nation ON c_nationkey = n_nationkey
 WHERE _bal * _cnt > _total
   AND NOT EXISTS (
-      SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      SELECT 1 FROM orders
+      WHERE o_custkey = c_custkey
+        AND o_orderdate >= TIMESTAMP '2000-01-01'
   )
 GROUP BY n_name
 """
