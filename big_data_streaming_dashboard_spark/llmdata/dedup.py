@@ -783,8 +783,10 @@ def neardup_cluster_sizes(docs: DataFrame) -> DataFrame:
     one means true pairwise dups). Two tiny aggregations past the
     connected-components plan (`neardup_clusters`): cluster -> size,
     then size -> count; everything after the components is
-    cluster-count-sized. Singleton documents (never in any pair) are
-    not clusters and do not appear, matching the clusters query."""
+    cluster-count-sized. Singletons appear as size-1 clusters
+    (`neardup_clusters` labels every document, self-labeling docs in
+    no pair), so the histogram's size-1 row doubles as the
+    unduplicated-corpus count."""
     clusters = neardup_clusters(docs)
     return (
         clusters.groupBy("cluster_id")
