@@ -1093,7 +1093,7 @@ WHERE s._emit""",
     "event_funnel": QuerySpec(
         relational4.event_funnel,
         relational4.EVENT_FUNNEL_SQL,
-        "ordered conversion funnel view->click->purchase (agg ladder)",
+        "ordered 24h-window conversion funnel view->click->purchase",
     ),
     "shipping_priority": QuerySpec(
         relational4.shipping_priority,

@@ -279,9 +279,19 @@ def idle_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FUNNEL_WINDOW_HOURS = 24
+
+
 def _funnel_rungs(ev: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
     """The three per-user min-aggregate rungs of the ordered funnel
-    (shared by the batch query and the streaming parity truth)."""
+    (shared by the batch query and the streaming parity truth). Each
+    stage must land strictly after the previous one AND within the
+    24-hour conversion window -- the standard product-funnel
+    semantics, and what makes the stage counts DISCRIMINATE on the
+    fixture (an unbounded funnel converts all 150 sf0.01 users at
+    every stage, so its aggregate columns proved nothing; windowed:
+    150 -> 60 -> 25)."""
+    win = F.expr(f"INTERVAL {FUNNEL_WINDOW_HOURS} HOURS")
     views = (
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id")
@@ -290,14 +300,14 @@ def _funnel_rungs(ev: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
     clicks = (
         ev.filter(F.col("event_type") == "click")
         .join(views, "user_id")
-        .filter(F.col("ts") > F.col("_v"))
+        .filter((F.col("ts") > F.col("_v")) & (F.col("ts") <= F.col("_v") + win))
         .groupBy("user_id")
         .agg(F.min("ts").alias("_c"))
     )
     purchases = (
         ev.filter(F.col("event_type") == "purchase")
         .join(clicks, "user_id")
-        .filter(F.col("ts") > F.col("_c"))
+        .filter((F.col("ts") > F.col("_c")) & (F.col("ts") <= F.col("_c") + win))
         .groupBy("user_id")
         .agg(F.min("ts").alias("_p"))
     )
@@ -324,10 +334,12 @@ def funnel_user_stages(ev: DataFrame) -> DataFrame:
 
 
 def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ordered conversion funnel: per user, the first ``view``, the
-    first ``click`` strictly AFTER that view, the first ``purchase``
-    strictly after that click; output is the 3-stage funnel table
-    (stage order, users remaining, conversion vs stage 1).
+    """Ordered conversion funnel with a 24-hour conversion window:
+    per user, the first ``view``, the first ``click`` strictly AFTER
+    that view and within 24 h of it, the first ``purchase`` strictly
+    after that click and within 24 h of it; output is the 3-stage
+    funnel table (stage order, users remaining, conversion vs
+    stage 1).
 
     This is the sequential-constraint analytics class (the reference
     dashboard has no funnel; every product analytics engine does):
@@ -380,12 +392,14 @@ clicks AS (
     SELECT e.user_id, MIN(e.ts) AS _c
     FROM events e JOIN views v ON e.user_id = v.user_id
     WHERE e.event_type = 'click' AND e.ts > v._v
+      AND e.ts <= v._v + INTERVAL 24 HOUR
     GROUP BY e.user_id
 ),
 purchases AS (
     SELECT e.user_id, MIN(e.ts) AS _p
     FROM events e JOIN clicks c ON e.user_id = c.user_id
     WHERE e.event_type = 'purchase' AND e.ts > c._c
+      AND e.ts <= c._c + INTERVAL 24 HOUR
     GROUP BY e.user_id
 ),
 funnel AS (

@@ -70,32 +70,41 @@ _STATE_SCHEMA = T.StructType(
 )
 
 
-def _make_update():
+def _make_update(window_us: int = 24 * 3600 * 1_000_000):
     # self-contained closure (no module-global references): Spark's
     # Python workers do not have this repo on PYTHONPATH (the driver
     # loads __spark_entry__ by file path), so cloudpickle must carry
     # everything by value -- same discipline as streaming/stateful.py.
     def answer_after(sorted_events: list, floor):
-        """min{e : e > floor}, or None. ``floor`` None means no floor
-        event yet -> no answer possible."""
+        """min{e : floor < e <= floor + window}, or None. ``floor``
+        None means no floor event yet -> no answer possible."""
         if floor is None:
             return None
         for e in sorted_events:
             if e > floor:
-                return e
+                return e if e <= floor + window_us else None
         return None
 
-    def prune(sorted_events: list, answer):
+    def prune(sorted_events: list, answer, floor):
         """Keep only events that can still become the answer under a
-        FUTURE (weaker, i.e. smaller) floor. Answers are
-        non-increasing over time: the view floor only decreases as
-        earlier views arrive, and a smaller floor admits a superset
-        of events, so min{e > floor} can only move earlier. An event
-        later than today's answer therefore loses to it forever.
-        With no answer yet every retained event is still in play."""
-        if answer is None:
+        FUTURE (smaller) floor. With the conversion window W the
+        floor only decreases, so the eligibility interval
+        (floor, floor+W] only slides EARLIER: (a) events later than
+        floor+W can never re-enter any future interval -- prune;
+        (b) events later than today's answer can never win either --
+        for such an event to win, the answer would have to fall off
+        the interval's TOP (floor' < answer - W), but that same top
+        excludes everything above the answer too (contradiction), so
+        answers only ever move earlier or to None. Bound =
+        min(answer, floor+W); with no floor yet nothing is
+        prunable."""
+        if answer is not None:
+            bound = answer
+        elif floor is not None:
+            bound = floor + window_us
+        else:
             return sorted_events
-        return [e for e in sorted_events if e <= answer]
+        return [e for e in sorted_events if e <= bound]
 
     def update(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -120,8 +129,8 @@ def _make_update():
         )
         c = answer_after(clicks, v)
         p = answer_after(purchases, c)
-        clicks = prune(clicks, c)
-        purchases = prune(purchases, p)
+        clicks = prune(clicks, c, v)
+        purchases = prune(purchases, p, c)
         seq += 1
         state.update((v, clicks, purchases, seq))
         def ts_of(x):
@@ -142,17 +151,21 @@ def _make_update():
     return update
 
 
-def funnel_state_stream(events: DataFrame) -> DataFrame:
+def funnel_state_stream(
+    events: DataFrame, window_hours: int = 24
+) -> DataFrame:
     """Per-user exact ordered-funnel state carried across micro-batches
-    (``applyInPandasWithState`` keyed on user_id). Emits the user's
-    current (first_view, first_click, first_purchase) answers each
-    time the user appears in a batch, with a monotone ``seq`` --
+    (``applyInPandasWithState`` keyed on user_id), with the same
+    24-hour conversion window as the batch query (each stage must
+    land within ``window_hours`` of the previous one). Emits the
+    user's current (first_view, first_click, first_purchase) answers
+    each time the user appears in a batch, with a monotone ``seq`` --
     collapse with :func:`funnel_latest` for the current table."""
     return (
         events.select("user_id", "event_type", "ts")
         .groupBy("user_id")
         .applyInPandasWithState(
-            _make_update(),
+            _make_update(window_us=window_hours * 3600 * 1_000_000),
             outputStructType=FUNNEL_OUTPUT_SCHEMA,
             stateStructType=_STATE_SCHEMA,
             outputMode="append",

@@ -547,16 +547,26 @@ def test_funnel_state_machine_matches_batch_truth_any_order(events, data):
             }
         )
 
-    got = _drive(_make_update, batches, frame)
+    # a TIGHT 20 s conversion window so the windowed retention rule's
+    # new branches (answers falling to None, the floor+W prune bound)
+    # actually fire on 0..50 s event times
+    W = 20
+    got = _drive(
+        lambda: _make_update(window_us=W * 1_000_000), batches, frame
+    )
     assert got is not None
 
-    # brute-force batch truth over the full event set
+    # brute-force batch truth over the full event set (windowed)
     views = sorted(s for t, s in events if t == "view")
     clicks = sorted(s for t, s in events if t == "click")
     purchases = sorted(s for t, s in events if t == "purchase")
     v = views[0] if views else None
-    c = next((x for x in clicks if v is not None and x > v), None)
-    p = next((x for x in purchases if c is not None and x > c), None)
+    c = next(
+        (x for x in clicks if v is not None and v < x <= v + W), None
+    )
+    p = next(
+        (x for x in purchases if c is not None and c < x <= c + W), None
+    )
 
     def us(x):
         return None if x is None else x * 1_000_000
