@@ -563,8 +563,12 @@ QUERIES: dict[str, QuerySpec] = {
         relational2.EVENTS_BY_HOUR_SQL,
         "hourly timeseries with conditional + distinct aggs",
     ),
-    "range_join_events_orders": QuerySpec(
-        relational2.range_join_events_orders,
+    # r11: renamed/replaced -- the old events-to-orders form was
+    # vacuous (fixture time bases never overlap; its driver rows
+    # hash-matched empty sets). Same bucketized-range-join plan
+    # class, now with real matches. Window slot carried over.
+    "range_join_signup_events": QuerySpec(
+        relational2.range_join_signup_events,
         relational2.RANGE_JOIN_SQL,
         "range join via day-bucket explode + equi-join + exact filter",
     ),
@@ -1273,7 +1277,9 @@ DRIVER_WINDOW: list[str] = [
     "flagship_event_stats",
     "moving_avg_events",
     "promo_revenue_share",
-    "range_join_events_orders",
+    # r11: replaces the vacuous range_join_events_orders (see the
+    # registry entry); same plan class, same slot
+    "range_join_signup_events",
     "recent_points",
     "returned_top_customers",
     "rolling_stats",

@@ -175,54 +175,63 @@ GROUP BY 1
 """
 
 
-def range_join_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Range join: events within 7 days after an order by the same
-    user, via the BUCKETIZED pattern Spark needs at scale.
+def range_join_signup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: all events within 1 hour AFTER the same user's
+    signup events, via the BUCKETIZED pattern Spark needs at scale.
 
     A naive theta join (a.key = b.key AND a.ts BETWEEN ...) plans as
     BroadcastNestedLoop/cartesian per key at scale. Instead: explode
-    each range into its covered day buckets (bounded: 7 rows/range),
-    equi-join on (user, day) -- hash-shuffled, prunable -- then apply
-    the exact range predicate. Orders are midnight-aligned so the
-    range [D0, D0+7d) covers exactly day buckets D0..D6.
+    each range into its covered hour buckets (bounded: a 1-hour range
+    starting mid-hour covers exactly 2), equi-join on (user, hour) --
+    hash-shuffled, prunable -- then apply the exact range predicate.
     The oracle is the plain inequality join (identical semantics).
+
+    r11 replacement: this query was events-to-ORDERS for ten rounds,
+    but the fixtures' time bases never overlap (orders 1995-2001,
+    events 2024), so every driver hash-match compared empty sets --
+    the vacuous-oracle trap. The self-range-join keeps the identical
+    plan class (explode-to-buckets + equi-join + exact predicate)
+    with 162 real matches at sf0.01 ("activity in the first hour
+    after signup" -- the activation metric).
     """
     ev = _load(spark, sf_dir, "events")
-    orders = _load(spark, sf_dir, "orders")
-    ranges = orders.select(
-        F.col("o_custkey").alias("uid"),
-        "o_orderkey",
-        "o_orderdate",
+    hour = F.expr("floor(unix_timestamp(ts) / 3600)").cast("long")
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        F.col("user_id").alias("uid"),
+        F.col("event_id").alias("signup_id"),
+        F.col("ts").alias("s_ts"),
         F.explode(
-            F.sequence(
-                F.to_date("o_orderdate"),
-                F.date_add(F.to_date("o_orderdate"), 6),
-            )
-        ).alias("day"),
+            F.array(hour, hour + F.lit(1).cast("long"))
+        ).alias("hour_bucket"),
     )
     ev_b = ev.select(
-        "event_id", "user_id", "ts", F.to_date("ts").alias("day")
+        "event_id", "user_id", "event_type", "ts", hour.alias("hour_bucket")
     )
     return (
         ev_b.join(
-            ranges,
-            (ev_b.user_id == ranges.uid) & (ev_b.day == ranges.day),
+            signups,
+            (ev_b.user_id == signups.uid)
+            & (ev_b.hour_bucket == signups.hour_bucket),
         )
         .filter(
-            (F.col("ts") >= F.col("o_orderdate"))
-            & (F.col("ts") < F.col("o_orderdate") + F.expr("INTERVAL 7 DAYS"))
+            (F.col("ts") >= F.col("s_ts"))
+            & (F.col("ts") < F.col("s_ts") + F.expr("INTERVAL 1 HOUR"))
+            & (F.col("event_id") != F.col("signup_id"))
         )
-        .select("event_id", "o_orderkey", "user_id", "ts", "o_orderdate")
+        .select("event_id", "signup_id", "user_id", "event_type", "ts", "s_ts")
     )
 
 
 RANGE_JOIN_SQL = """
-SELECT e.event_id, o.o_orderkey, e.user_id, e.ts, o.o_orderdate
+SELECT e.event_id, s.event_id AS signup_id, e.user_id, e.event_type,
+       e.ts, s.ts AS s_ts
 FROM events e
-JOIN orders o
-  ON e.user_id = o.o_custkey
- AND e.ts >= o.o_orderdate
- AND e.ts < o.o_orderdate + INTERVAL 7 DAY
+JOIN events s
+  ON e.user_id = s.user_id
+ AND s.event_type = 'signup'
+ AND e.ts >= s.ts
+ AND e.ts < s.ts + INTERVAL 1 HOUR
+ AND e.event_id <> s.event_id
 """
 
 
