@@ -1200,9 +1200,9 @@ WHERE s._emit""",
 # and the hi variant is a parameterization of an already-attested
 # plan pair, the weakest claim in the registry to a scarce slot.
 # CAPACITY AMENDMENT (r11, supersedes the two-round freshness rule
-# above for r12+): the registry now holds 110 queries against 50
+# above for r12+): the registry now holds 112 queries against 50
 # slots, so "every query re-attested within two successful rounds"
-# needs 55 slots/round -- mathematically unsatisfiable. It was the
+# needs 56 slots/round -- mathematically unsatisfiable. It was the
 # r7 verdict's rule for a ~90-query registry; growing coverage is the
 # better trade (every oracle-paired query is still re-verified
 # against DuckDB at sf0.01 on EVERY suite run by tests/test_oracle.py
@@ -1210,20 +1210,48 @@ WHERE s._emit""",
 # check). Successor policy, same spirit: window = the two permanent
 # rows-only entries + every query awaiting FIRST attestation + the
 # STALEST remaining queries by newest-successful-driver-row (LRU),
-# ties broken alphabetically. At 110 queries that re-attests
-# everything within ceil(108/48) = 3 successful rounds.
-# r12 swap plan (do this FIRST next round), under the LRU policy:
-# the FOURTEEN r11 queries awaiting first attestation
-# (doc_neardup_recall_hi, doc_curation_funnel, emb_ivf_recall,
-# emb_pq_recall, customer_order_histogram, top_supplier_revenue,
-# small_quantity_revenue, idle_customer_balance, event_funnel,
-# weekly_cohort_retention, doc_corpus_census, value_anomalies,
-# shipping_priority, doc_neardup_cluster_sizes) + the two permanent
-# rows-only + the 34 stalest
-# r10-block queries = 50; the ~14 r10-block queries left over (pick
-# the ones whose plan family has a same-window fresh sibling) become
-# the r13 window's stalest block together with the r11-checked
-# block. Document the actual picks here when executing.
+# ties broken alphabetically. At 112 queries that re-attests
+# everything within ceil(110/48) = 3 successful rounds.
+# r12 swap EXECUTED (this window): the FOURTEEN r11 queries awaiting
+# first attestation (doc_neardup_recall_hi, doc_curation_funnel,
+# emb_ivf_recall, emb_pq_recall, customer_order_histogram,
+# top_supplier_revenue, small_quantity_revenue, idle_customer_balance,
+# event_funnel, weekly_cohort_retention, doc_corpus_census,
+# value_anomalies, shipping_priority, doc_neardup_cluster_sizes)
+# + the two permanent rows-only + 34 of the 48 r10-block queries
+# (all tied at newest-row r10, so the LRU tie is broken by the plan
+# originally documented here: defer the 14 whose plan family has a
+# FRESH sibling -- attested r11 or first-attesting in this window --
+# and keep the rest). The 14 deferred, each with its fresh sibling:
+#   doc_neardup_recall      -> doc_neardup_recall_hi (this window)
+#   emb_ann_recall          -> emb_ivf_recall / emb_pq_recall (window)
+#   emb_ivf_topk            -> emb_ivf_topk_tuned (r11)
+#   doc_curation_extended   -> doc_curation_funnel (window) +
+#                              doc_curation_full (r11)
+#   doc_repeated_passages   -> doc_repeated_passages_exact (r11)
+#   revenue_by_nation       -> top_supplier_revenue (window; join+agg
+#                              revenue shape)
+#   top_customers           -> shipping_priority (window; top-k
+#                              revenue shape)
+#   events_by_hour          -> value_anomalies (window) +
+#                              moving_avg_events (r11) per-type
+#                              time-bucket aggregation family
+#   gapfill_5min            -> downsample_5min (r11; 5-min grid)
+#   doc_token_stats         -> doc_subword_stats (r11)
+#   doc_minhash_signature   -> doc_neardup_pairs (r11; consumes the
+#                              same signature plan)
+#   doc_exact_dedup         -> dedup_first_occurrence (r11) +
+#                              doc_corpus_census (window; dup stats)
+#   grouping_sets_shipping  -> cube_order_stats (r11; multi-grouping
+#                              family)
+#   unpivot_event_metrics   -> pivot_event_counts (kept in THIS
+#                              window; the paired inverse op)
+# These 14 deferred queries have newest row r10 and form the r13
+# window's stalest block (they will then be 3 rounds stale -- the
+# policy bound, so they MUST rotate in next round).
+# NOTE: the r11 verdict/judge ledger counts by NEWEST row; nothing in
+# this window is older than r10, and after a successful r12 run no
+# query's newest row is older than r10 (within the 3-round bound).
 # NOTE (r10, kept for context): the r9 session listed emb_ann_recall
 # here WITHOUT implementing it, so the r9 driver run crashed
 # (KeyError) and produced no rows. The import-time check after
@@ -1232,63 +1260,57 @@ WHERE s._emit""",
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW: list[str] = [
-    # newest row r7 -- rotated back in as promised by the r10 comment
-    # (its slot was traded to give doc_neardup_recall a first-ever
-    # attestation); now the stalest query in the registry
-    "value_percentiles",
-    # newest row r8 -- the whole r8-checked block rotates back in
-    # (the alternating-block freshness cadence: 99 registry queries,
-    # 50 slots, every query re-attested at least every other
-    # successful round)
-    "above_user_avg",
-    "brand_supplier_variety",
-    "bronze_radiation",
-    "cube_order_stats",
-    "dedup_first_occurrence",
-    "doc_bpe_encode",
-    "doc_bpe_merges",
-    "doc_containment_pairs",
-    "doc_contamination",
-    "doc_corpus_mixture",
-    "doc_curation",
-    "doc_curation_full",
-    "doc_domain_cap",
-    "doc_gopher_rules",
-    "doc_importance_weights",
-    "doc_neardup_clusters",
-    "doc_neardup_pairs",
-    "doc_ngram_jaccard",
-    "doc_repeated_passages_exact",
-    "doc_repetition",
-    "doc_semantic_neardup",
-    "doc_stratified_sample",
-    "doc_subword_stats",
-    "downsample_5min",
-    "emb_hamming_topk",
-    "emb_ivf_topk_tuned",
-    "emb_knn_label_vote",
-    "emb_label_centroids",
-    "emb_lsh_topk",
-    "emb_neardup_pairs",
-    "emb_pq_topk",
-    "emb_quantize_int8",
-    "emb_rerank_topk",
-    "emb_topk_cosine",
-    "flagship_event_stats",
-    "moving_avg_events",
-    "promo_revenue_share",
-    # r11: replaces the vacuous range_join_events_orders (see the
-    # registry entry); same plan class, same slot
-    "range_join_signup_events",
-    "recent_points",
-    "returned_top_customers",
-    "rolling_stats",
-    "route_counts",
-    "routed_records",
-    "session_window_events",
-    "silver_error_breakdown",
-    "silver_validate",
-    "user_sessions",
+    # --- 14 first attestations (added r11, never driver-attested) ---
+    "customer_order_histogram",
+    "doc_corpus_census",
+    "doc_curation_funnel",
+    "doc_neardup_cluster_sizes",
+    "doc_neardup_recall_hi",
+    "emb_ivf_recall",
+    "emb_pq_recall",
+    "event_funnel",
+    "idle_customer_balance",
+    "shipping_priority",
+    "small_quantity_revenue",
+    "top_supplier_revenue",
+    "value_anomalies",
+    "weekly_cohort_retention",
+    # --- 34 of the 48 r10-block queries (newest row r10); the 14
+    # deferred siblings are enumerated in the swap comment above ---
+    "activity_reconcile",
+    "alerts_active",
+    "alerts_cooldown",
+    "alerts_cooldown_exact",
+    "alerts_ws_messages",
+    "asof_latest_order",
+    "brand_supplier_margin",
+    "doc_bigram_lm",
+    "doc_chunk_spans",
+    "doc_dedupe_lines",
+    "doc_langid",
+    "doc_normalize",
+    "doc_pii_redact",
+    "doc_quality",
+    "doc_rolling_fingerprint",
+    "doc_shard_packing",
+    "doc_simhash",
+    "doc_tfidf_top_terms",
+    "doc_vocab_coverage",
+    "emb_kmeans",
+    "exact_distinct_quantiles",
+    "full_pipeline",
+    "geojson_features",
+    "grid_cluster",
+    "level_filter_high",
+    "pivot_event_counts",
+    "pricing_summary",
+    "rollup_pricing",
+    "segment_semi_anti",
+    "severity_ws_counts",
+    "temporal_batch_annotate",
+    "temporal_union",
+    "user_set_ops",
+    "window_zoo",
     # rows-only by design -- permanently in-window per r3 advice
     "approx_aggregates",
     "media_feature_census",
