@@ -147,3 +147,18 @@ def test_bench_lists_fail_fast_on_dangling_names():
         raise AssertionError("dangling TENX name did not fail at load")
     except RuntimeError as e:
         assert "no_such_query" in str(e)
+
+    # r12 (r11 ADVICE): a TENX_REPS key whose query is renamed or
+    # rotated out of TENX would silently lose its rep override -- the
+    # cold/warm comparability the reps exist for. Same fail-at-import.
+    src = open("/root/repo/bench.py").read().replace(
+        '"doc_ngram_jaccard",\n', "", 1
+    )
+    assert 'doc_ngram_jaccard": 2' in src  # still a TENX_REPS key
+    mod = types.ModuleType("bench_tampered2")
+    mod.__file__ = "/root/repo/bench.py"
+    try:
+        exec(compile(src, "bench.py", "exec"), mod.__dict__)
+        raise AssertionError("orphan TENX_REPS key did not fail at load")
+    except RuntimeError as e:
+        assert "doc_ngram_jaccard" in str(e)
