@@ -492,6 +492,59 @@ GROUP BY n_name
 """
 
 
+def _anomaly_z_predicate(n, v, s, ss):
+    """Exact 1.5-sigma z-test ``4*(n*v - s)^2 > 9*(n*ss - s^2)`` over
+    BIGINT window aggregates, as a boolean Column (r12, r11 ADVICE --
+    extracted so the overflow guards are unit-testable on literal
+    inputs without a 10^12-row window).
+
+    Every product is DECIMAL(19,0) x DECIMAL(19,0) -> DECIMAL(38,0),
+    which is EXACT for any pair of BIGINTs (max |long|^2 = 8.5e37 <
+    1e38), so no narrowing cast can turn an overflow into a silent
+    NULL-suppressed anomaly. The n*v product also computes in decimal
+    -- in LONG it could overflow past n*|v| > 9.2e18 (an ANSI error
+    under Spark 4's default, a silent wrap in non-ANSI deployments).
+    The two places that CAN exceed 38 digits raise in-plan:
+     - |d| = |n*v - s| >= 1.5e18 (so 4*d*d always fits): explicit
+       guard. That bound is ~7.5e12 window rows at the fixture's
+       vmax ~ 1e5 centi-units -- beyond a day of one type at 100 TB.
+     - a NULL from decimal overflow in the final x4/x9 terms (only
+       reachable past ~1e37 variance): null-check that raises instead
+       of letting the predicate go silently false.
+    The BIGINT window sums feeding this raise under ANSI (Spark 4
+    default) and wrap silently only in non-ANSI deployments past
+    n*vmax^2 > 9.2e18 (~9e8 rows/window at vmax 1e5); at corpora
+    approaching that, switch ss to a decimal-summed column
+    (sum(decimal(28,0)) -> decimal(38,0), overflow -> NULL -> caught
+    by the same null guard)."""
+    dec19 = "decimal(19,0)"
+    d = (n.cast(dec19) * v.cast(dec19) - s.cast(dec19)).cast(dec19)
+    d_guarded = F.when(
+        F.abs(d) < F.lit(1_500_000_000_000_000_000).cast(dec19), d
+    ).otherwise(
+        F.raise_error(
+            F.format_string(
+                "value_anomalies: |n*v - s| = %s exceeds the exact-"
+                "DECIMAL(38,0) bound 1.5e18; shrink the window or "
+                "re-derive the predicate at this scale",
+                F.abs(d),
+            )
+        ).cast(dec19)
+    )
+    lhs4 = d_guarded * d_guarded * F.lit(4).cast("decimal(1,0)")
+    varn = n.cast(dec19) * ss.cast(dec19) - s.cast(dec19) * s.cast(dec19)
+    rhs9 = varn * F.lit(9).cast("decimal(2,0)")
+    return F.when(
+        lhs4.isNull() | rhs9.isNull(),
+        F.raise_error(
+            F.lit(
+                "value_anomalies: z-test term overflowed DECIMAL(38,0)"
+                " -- window too large for the exact predicate"
+            )
+        ).cast("boolean"),
+    ).otherwise(lhs4 > rhs9)
+
+
 def value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-window anomaly detection: events whose value deviates
     from their event type's trailing-DAY mean by more than 1.5
@@ -509,10 +562,14 @@ def value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     z-score test ``(v - s/n)^2 > (9/4) * (n*ss - s^2)/n^2``
     multiplies through by 4*n^2 to
     ``4*(n*v - s)^2 > 9*(n*ss - s^2)`` -- every term an exact
-    integer, evaluated in DECIMAL wide enough to never overflow
-    (|n*v - s| < 1e10 at 10x -> squares fit DECIMAL(38,0); DuckDB's
-    38-digit multiply cap forces the explicit DECIMAL(19,0) casts
-    mirrored in the SQL). No double arithmetic anywhere near the
+    integer. All products are DECIMAL(19,0) x DECIMAL(19,0) ->
+    DECIMAL(38,0), exact for ANY pair of BIGINTs (max long^2 =
+    8.5e37 < 1e38); the two places that can exceed 38 digits --
+    (n*v - s)^2 past |n*v - s| >= 1.5e18, and the final x4/x9 --
+    RAISE in-plan instead of becoming a non-ANSI NULL that silently
+    suppresses anomalies (r11 ADVICE; bounds in the inline comment).
+    DuckDB's 38-digit multiply cap forces the same DECIMAL(19,0)
+    casts in the SQL. No double arithmetic anywhere near the
     predicate; the reported mean is display-only. The window is a
     trailing DAY, not hour: the fixture runs ~5 events/hour/type, so
     an hour window never reaches the n >= 20 floor and the rule
@@ -572,20 +629,11 @@ def value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("_shard") == F.col("_day"))
     )
-    d = (F.col("_n") * F.col("_v") - F.col("_s")).cast("decimal(19,0)")
-    lhs = d * d
-    varn = (
-        F.col("_n").cast("decimal(12,0)") * F.col("_ss").cast("decimal(26,0)")
-        - F.col("_s").cast("decimal(19,0)") * F.col("_s").cast("decimal(19,0)")
-    ).cast("decimal(22,0)")
+    pred = _anomaly_z_predicate(
+        F.col("_n"), F.col("_v"), F.col("_s"), F.col("_ss")
+    )
     return (
-        staged.filter(
-            (F.col("_n") >= 20)
-            & (
-                lhs * F.lit(4).cast("decimal(1,0)")
-                > varn * F.lit(9).cast("decimal(2,0)")
-            )
-        )
+        staged.filter((F.col("_n") >= 20) & pred)
         .select(
             "event_id",
             "event_type",

@@ -162,3 +162,59 @@ def test_bench_lists_fail_fast_on_dangling_names():
         raise AssertionError("orphan TENX_REPS key did not fail at load")
     except RuntimeError as e:
         assert "doc_ngram_jaccard" in str(e)
+
+
+def test_value_anomalies_decimal_exactness_and_loud_overflow(spark):
+    """r12 (r11 ADVICE): the z-test arithmetic claims (a) every
+    product is DECIMAL(19,0) x DECIMAL(19,0) -> DECIMAL(38,0), exact
+    for ANY pair of BIGINTs, and (b) the one term that can exceed 38
+    digits raises in-plan instead of becoming a non-ANSI NULL that
+    silently drops anomalies. Pin both: (a) max-long squared through
+    the exact cast path equals the true integer; (b) a d-term past
+    the 1.5e18 guard raises with the documented message."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.utils import AnalysisException  # noqa: F401
+
+    # (a) exactness at the extreme of the documented bound
+    big = 9223372036854775807  # max BIGINT
+    [(got,)] = (
+        spark.range(1)
+        .select(
+            (
+                F.lit(big).cast("decimal(19,0)")
+                * F.lit(big).cast("decimal(19,0)")
+            ).alias("sq")
+        )
+        .collect()
+    )
+    assert int(got) == big * big  # 8.5e37 < 1e38: exact, no NULL
+
+    # (b) the extracted predicate on literal BIGINT aggregates: a
+    # d-term past the 1.5e18 guard raises with the documented message
+    # (pinning this through value_anomalies itself would need a
+    # ~10^12-row window -- exactly why the helper exists)
+    import pytest
+
+    from big_data_streaming_dashboard_spark.plans.relational4 import (
+        _anomaly_z_predicate,
+    )
+
+    def probe(n, v, s, ss):
+        df = spark.createDataFrame(
+            [(n, v, s, ss)], "_n long, _v long, _s long, _ss long"
+        )
+        return df.filter(
+            _anomaly_z_predicate(
+                F.col("_n"), F.col("_v"), F.col("_s"), F.col("_ss")
+            )
+        ).collect()
+
+    # in-bound: n=100, v=300, s=10000 (mean 100), ss=5_000_000
+    # d = 100*300 - 10000 = 20000; 4*d^2 = 1.6e9
+    # varn = 100*5e6 - 1e8 = 4e8; 9*varn = 3.6e9 -> not an anomaly
+    assert probe(100, 300, 10_000, 5_000_000) == []
+    # flipped: v=1000 -> d = 90000; 4*d^2 = 3.24e10 > 3.6e9 -> anomaly
+    assert len(probe(100, 1_000, 10_000, 5_000_000)) == 1
+    # past the bound: n=2e12, v=1e6 -> d = 2e18 >= 1.5e18 -> loud
+    with pytest.raises(Exception, match="exceeds the exact-"):
+        probe(2_000_000_000_000, 1_000_000, 0, 1)
