@@ -829,6 +829,15 @@ def neardup_recall(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     rounded J is exact), so the 0.8 high-tail variant shares both
     constituent indexes with the default instead of building a
     second posting index.
+
+    ORACLE ASYMMETRY (r12, r11 ADVICE): thresholds in [0.2, 0.5) are
+    exact on the ENGINE side (the exact constituent builds its pair
+    set at that threshold directly), but `neardup_recall_sql` refuses
+    them -- its exact side is the fixed >= 0.5 NGRAM oracle text, so
+    no DuckDB pairing can be generated there. A registry entry in
+    that range would therefore have to be rows-only; the guard
+    message below says so at the call site rather than letting the
+    mismatch surface only when the oracle is requested.
     """
     if threshold < 0.2:
         raise ValueError(
@@ -836,6 +845,16 @@ def neardup_recall(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
             ">= 0.2 candidate floor; exact pairs with J in [threshold, 0.2) "
             "could never be LSH hits and low buckets would mis-read as "
             "banding misses"
+        )
+    if threshold < 0.5:
+        import warnings
+
+        warnings.warn(
+            f"neardup_recall threshold {threshold} is engine-exact but has "
+            "no generatable DuckDB oracle (neardup_recall_sql's exact side "
+            "is the fixed >= 0.5 NGRAM text); registry pairing requires "
+            "threshold >= 0.5",
+            stacklevel=2,
         )
     base = min(threshold, 0.5)
     exact = ngram_jaccard_pairs(docs, base).filter(F.col("jaccard") >= threshold)

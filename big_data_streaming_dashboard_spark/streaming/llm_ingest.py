@@ -1497,11 +1497,18 @@ def compact_curation_index(spark: SparkSession, path: str) -> str:
     the log's increment count or small-file count crosses a
     threshold).
 
-    Write discipline: the merged table lands in a temp dir first and
-    is swapped in with a filesystem rename (Hadoop FileSystem API, so
-    any supported storage works) -- overwriting a directory that the
-    merge plan is lazily reading would delete its own input
-    mid-write. The fingerprint is re-stamped: compaction changes the
+    Write discipline (r12, r11 ADVICE -- every crash point leaves a
+    recoverable exact table): the merged table lands in a temp dir,
+    the live dir is renamed to a BACKUP name, the temp dir is renamed
+    into place, and only then is the backup deleted (Hadoop
+    FileSystem API, so any supported storage works). Overwriting the
+    live directory in place would delete the merge plan's own lazily-
+    read input mid-write, and the old delete-then-rename left a crash
+    window with NO exact table at all. A crash now leaves one of:
+    temp only (live table untouched), backup+temp (recover by
+    renaming either back -- refused loudly on the next compaction
+    until resolved), or backup+live (merge complete; delete the
+    backup). The fingerprint is re-stamped: compaction changes the
     on-disk fileset, and a probe stream's static plan holds the OLD
     file listing, so pinned running streams must fail over exactly as
     they do for appends (the band-side dirs would need the same
@@ -1509,23 +1516,40 @@ def compact_curation_index(spark: SparkSession, path: str) -> str:
     are per-doc facts with nothing to merge, so today only the
     small-files motivation applies there and is left to the storage
     layer)."""
-    (
-        spark.read.parquet(path + "/exact")
-        .groupBy("text_hash")
-        .agg(F.min("min_doc_id").alias("min_doc_id"))
-        .write.mode("overwrite")
-        .parquet(path + "/exact.compact-tmp")
+    live, tmp, backup = (
+        path + "/exact",
+        path + "/exact.compact-tmp",
+        path + "/exact.compact-backup",
     )
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path
     fs = hpath(path).getFileSystem(spark._jsc.hadoopConfiguration())
-    if not fs.delete(hpath(path + "/exact"), True):
-        raise IOError(f"compact_curation_index: could not delete {path}/exact")
-    if not fs.rename(hpath(path + "/exact.compact-tmp"), hpath(path + "/exact")):
+    if fs.exists(hpath(backup)):
         raise IOError(
-            f"compact_curation_index: rename failed; merged table left at "
-            f"{path}/exact.compact-tmp"
+            f"compact_curation_index: stale backup {backup} exists -- a "
+            f"previous compaction crashed mid-swap; restore it (rename to "
+            f"{live} if the live dir is missing, else delete it) first"
         )
+    (
+        spark.read.parquet(live)
+        .groupBy("text_hash")
+        .agg(F.min("min_doc_id").alias("min_doc_id"))
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    if not fs.rename(hpath(live), hpath(backup)):
+        raise IOError(
+            f"compact_curation_index: could not move {live} aside; live "
+            f"table untouched, merged table left at {tmp}"
+        )
+    if not fs.rename(hpath(tmp), hpath(live)):
+        restored = fs.rename(hpath(backup), hpath(live))
+        raise IOError(
+            f"compact_curation_index: swap-in rename failed; original "
+            f"table {'restored' if restored else f'left at {backup}'}, "
+            f"merged table left at {tmp}"
+        )
+    fs.delete(hpath(backup), True)
     fp = spark.read.parquet(path + "/fingerprint").collect()[0].asDict()
     fp.pop("nonce", None)
     _write_index_fingerprint(spark, path, fp)

@@ -703,6 +703,12 @@ def test_neardup_recall_threshold_guards(spark):
         neardup_recall(docs, threshold=0.1)
     with pytest.raises(ValueError, match="NGRAM oracle floor"):
         neardup_recall_sql(0.3)
+    # r12 (r11 ADVICE): the [0.2, 0.5) range is engine-exact but has
+    # no generatable oracle -- the engine now says so AT THE CALL SITE
+    # instead of letting a future registry entry discover it only when
+    # the oracle is requested
+    with pytest.warns(UserWarning, match="no generatable DuckDB oracle"):
+        neardup_recall(docs, threshold=0.3)
 
 
 def test_neardup_recall_hi_is_tail_restriction(spark):

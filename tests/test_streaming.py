@@ -1585,6 +1585,41 @@ def test_streaming_curation_compact_preserves_verdicts(spark, tmp_path):
     assert s_rows == b_rows
 
 
+def test_streaming_curation_compact_refuses_stale_backup(spark, tmp_path):
+    """r12 (r11 ADVICE): the compaction swap is backup-rename-delete,
+    so a crash between the two renames leaves the exact table
+    recoverable at exact.compact-backup -- and the NEXT compaction
+    must refuse loudly while that marker exists instead of silently
+    renaming over an unresolved crash."""
+    import os
+
+    import pytest
+
+    from big_data_streaming_dashboard_spark.streaming.llm_ingest import (
+        compact_curation_index,
+        write_curation_index,
+    )
+    from big_data_streaming_dashboard_spark.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text", "lang", "source"
+    ).filter(F.col("doc_id") < 50)
+    embs = load_table(spark, "/root/testdata/sf0.001", "embeddings").filter(
+        F.col("vec_id") < 50
+    )
+    idx = str(tmp_path / "idx")
+    write_curation_index(docs, embs, idx)
+    os.makedirs(idx + "/exact.compact-backup")
+    with pytest.raises(Exception, match="stale backup"):
+        compact_curation_index(spark, idx)
+    # resolving the crash marker lets compaction proceed and the live
+    # table survives
+    os.rmdir(idx + "/exact.compact-backup")
+    compact_curation_index(spark, idx)
+    assert spark.read.parquet(idx + "/exact").count() > 0
+    assert not os.path.exists(idx + "/exact.compact-backup")
+
+
 def test_streaming_ann_append_equals_rebuild(spark, tmp_path):
     """ANN index rows are per-vector facts (no bucket cap, no
     aggregate), so building on half the corpus and appending the rest
