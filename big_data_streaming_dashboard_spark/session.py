@@ -52,6 +52,20 @@ def get_spark(
         # vectorized parquet reader rejects; read as long + convert in
         # tables.load_table (DuckDB truncates the same way -> micros parity)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # r12 (r11 verdict item 3): when a deployment selects the RocksDB
+        # state-store provider (the stateful operators' documented posture
+        # for large key sets), commit a per-batch CHANGELOG instead of a
+        # full snapshot upload -- measured on the sf0.1 funnel/anomaly
+        # operators split into 8 micro-batches: summed per-partition
+        # commitTimeMs halves (11-19 s -> 5-8.5 s/batch across 32 stores),
+        # wall ~0.2-0.3 s/batch better; snapshots still happen, async, at
+        # the maintenance cadence. No-op under the default HDFS provider.
+        # Full measurement table in PLANS.md ("State-store fixed cost").
+        .config(
+            "spark.sql.streaming.stateStore.rocksdb."
+            "changelogCheckpointing.enabled",
+            "true",
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
