@@ -510,3 +510,121 @@ def anomaly_table(emitted: DataFrame) -> DataFrame:
             6,
         ).alias("window_mean"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Unified product-analytics surface (r12, r11 verdict item 5): one
+# event stream in, all three analytics changelogs out under one root
+# ---------------------------------------------------------------------------
+
+ANALYTICS_SURFACES = ("funnel", "retention", "anomalies")
+
+
+def analytics_verdict_batches(
+    events: DataFrame,
+    out_root: str,
+    checkpoint: str,
+    window_hours: int = 24,
+) -> list:
+    """The product-analytics capstone: ONE event stream drives all
+    three exact stateful operators (ordered funnel, cohort retention,
+    trailing-day anomaly alerting), their changelogs landing under
+    ONE output root (``out_root/{funnel,retention,anomalies}``) with
+    a manifest row pinning the surface set and parameters -- the same
+    single-surface guarantee `curation_verdict_batches` gives the
+    corpus stream, so a dashboard consumes one directory tree, not
+    three ad-hoc sinks. Finish with :func:`analytics_tables`.
+
+    Why three coordinated queries and not one physical query: Spark
+    refuses a union of stateful Pandas operators in a single
+    streaming plan ("Multiple applyInPandasWithStates are not
+    supported" -- verified on 4.1; the operators also key on
+    different columns, so one keyed kernel cannot host them). The
+    engine-model delta is the same class as the documented W3
+    idleness note: the SURFACE is unified (one source definition, one
+    root, one manifest, one parity test), the execution is N
+    checkpointed queries, which at scale is what you want anyway --
+    independent failure/recovery domains per operator with exactly
+    the same source offsets semantics.
+
+    Contract: the unified surface inherits the STRICTEST constituent
+    contract -- anomaly's event-time-ordered arrival on whole-second
+    micro-batch boundaries (post-horizon arrivals fail that query
+    loudly); funnel and retention stay exact under ANY order. Parity
+    of all three finished tables against their batch counterparts
+    (event_funnel / weekly_cohort_retention / value_anomalies) is
+    pinned by ONE test over ONE shared replay:
+    tests/test_streaming.py::test_streaming_analytics_surface_matches_batch.
+
+    Returns the three StreamingQuery handles (availableNow triggers);
+    await all before finishing."""
+    spark = events.sparkSession
+    manifest = [
+        (surface, int(window_hours)) for surface in ANALYTICS_SURFACES
+    ]
+    spark.createDataFrame(
+        manifest, "surface string, window_hours int"
+    ).coalesce(1).write.mode("overwrite").parquet(out_root + "/manifest")
+
+    def start(df: DataFrame, surface: str):
+        return (
+            df.writeStream.format("parquet")
+            .option("path", f"{out_root}/{surface}")
+            .option("checkpointLocation", f"{checkpoint}/{surface}")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    return [
+        start(funnel_state_stream(events, window_hours), "funnel"),
+        start(retention_state_stream(events), "retention"),
+        start(anomaly_verdict_stream(events), "anomalies"),
+    ]
+
+
+def analytics_tables(spark, out_root: str) -> dict:
+    """Finish a :func:`analytics_verdict_batches` root into the three
+    dashboard tables, each in its batch counterpart's exact output
+    shape: ``funnel`` (stage/event_type/n_users/conversion),
+    ``retention`` (cohort_week/week_offset/n_active_users),
+    ``anomalies`` (event_id/../n_window/window_mean). Refuses loudly
+    on a root without the manifest or a missing surface directory --
+    a partial tree means the capstone's single-surface contract was
+    not honored (one of the three queries never ran). Changelog sinks
+    are read with their explicit output schemas, so a legitimately
+    empty changelog (e.g. no anomalies yet) finishes to an empty
+    table instead of a schema-inference failure."""
+    try:
+        manifest = {
+            r["surface"] for r in spark.read.parquet(out_root + "/manifest").collect()
+        }
+    except Exception as e:
+        raise RuntimeError(
+            f"analytics_tables: {out_root} has no readable manifest -- not "
+            f"an analytics_verdict_batches root ({type(e).__name__}: {e})"
+        ) from None
+    if manifest != set(ANALYTICS_SURFACES):
+        raise RuntimeError(
+            f"analytics_tables: manifest surfaces {sorted(manifest)} != "
+            f"{sorted(ANALYTICS_SURFACES)}"
+        )
+
+    def read(surface: str, schema):
+        try:
+            return spark.read.schema(schema).parquet(f"{out_root}/{surface}")
+        except Exception as e:
+            raise RuntimeError(
+                f"analytics_tables: surface '{surface}' missing under "
+                f"{out_root} -- its query never ran ({type(e).__name__})"
+            ) from None
+
+    return {
+        "funnel": funnel_counts(
+            funnel_latest(read("funnel", FUNNEL_OUTPUT_SCHEMA))
+        ),
+        "retention": retention_triangle(
+            retention_latest(read("retention", RETENTION_OUTPUT_SCHEMA))
+        ),
+        "anomalies": anomaly_table(read("anomalies", ANOMALY_OUTPUT_SCHEMA)),
+    }

@@ -2048,3 +2048,91 @@ def test_streaming_anomaly_refuses_post_horizon_arrival(spark, tmp_path):
     )
     with pytest.raises(Exception, match="pruned horizon"):
         q.awaitTermination(120)
+
+
+def test_streaming_analytics_surface_matches_batch(spark, tmp_path):
+    """r12 (r11 verdict item 5): the unified product-analytics
+    capstone -- ONE ordered replay of the sf0.01 events corpus drives
+    funnel + retention + anomaly under one output root, and ALL THREE
+    finished tables equal their batch counterparts row-for-row
+    (event_funnel / weekly_cohort_retention / value_anomalies). The
+    replay honors the strictest constituent contract (anomaly's
+    event-time order on whole-second micro-batch boundaries), which
+    funnel and retention tolerate by construction. Also pins the
+    single-surface guarantee: a root missing a surface refuses."""
+    import pytest
+
+    from big_data_streaming_dashboard_spark.plans.relational4 import (
+        event_funnel,
+        value_anomalies,
+        weekly_cohort_retention,
+    )
+    from big_data_streaming_dashboard_spark.streaming.funnel import (
+        analytics_tables,
+        analytics_verdict_batches,
+    )
+    from big_data_streaming_dashboard_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.01"
+    ev = load_table(spark, sf, "events").select(
+        "event_id", "user_id", "event_type", "ts", "value"
+    )
+    rows = ev.orderBy("ts", "event_id").collect()
+    secs = sorted({int(r["ts"].timestamp()) for r in rows})
+    cuts = {secs[len(secs) // 4], secs[len(secs) // 2], secs[3 * len(secs) // 4]}
+    src = str(tmp_path / "events_uni")
+    batch_rows, prev = [], None
+    for r in rows:
+        s = int(r["ts"].timestamp())
+        if prev is not None and s in cuts and prev not in cuts:
+            spark.createDataFrame(batch_rows, ev.schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+            batch_rows = []
+        batch_rows.append(r)
+        prev = s
+    spark.createDataFrame(batch_rows, ev.schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out_root = str(tmp_path / "analytics")
+    queries = analytics_verdict_batches(
+        stream, out_root, checkpoint=str(tmp_path / "ckpt")
+    )
+    assert len(queries) == 3
+    for q in queries:
+        q.awaitTermination(300)
+
+    got = analytics_tables(spark, out_root)
+
+    f_got = sorted(tuple(r) for r in got["funnel"].collect())
+    f_want = sorted(tuple(r) for r in event_funnel(spark, sf).collect())
+    assert f_want[0][2] > f_want[1][2] > f_want[2][2] > 0  # discriminating
+    assert f_got == f_want
+
+    r_got = sorted(tuple(r) for r in got["retention"].collect())
+    r_want = sorted(
+        tuple(r) for r in weekly_cohort_retention(spark, sf).collect()
+    )
+    assert len(r_want) > 3
+    assert r_got == r_want
+
+    a_got = sorted(tuple(r) for r in got["anomalies"].collect())
+    a_want = sorted(tuple(r) for r in value_anomalies(spark, sf).collect())
+    assert len(a_want) > 500
+    assert a_got == a_want
+
+    # single-surface guarantee: a partial tree refuses loudly
+    import shutil
+
+    shutil.rmtree(out_root + "/retention")
+    with pytest.raises(RuntimeError, match="surface 'retention' missing"):
+        for _name, df in analytics_tables(spark, out_root).items():
+            df.collect()
+    with pytest.raises(RuntimeError, match="no readable manifest"):
+        analytics_tables(spark, str(tmp_path / "not_a_root"))
