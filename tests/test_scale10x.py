@@ -10,6 +10,7 @@ per round.
 
 from __future__ import annotations
 
+import os
 import time
 
 import pytest
@@ -596,3 +597,106 @@ def test_streaming_curation_full_sf01_default_thresholds(spark, tmp_path):
     reasons = {r["drop_reason"] for r in batch if r["drop_reason"]}
     # the default-threshold dedup reasons must actually fire here
     assert {"near_duplicate", "exact_duplicate"} & reasons, reasons
+
+
+def test_lsm_append_at_10x_delta_sized(spark, scale_dir, tmp_path):
+    """r12 (r11 verdict item 6): the LSM refresh's delta-sized-write
+    claim at the scale the canaries run. Three pins:
+
+    1. BASE-SIZE INDEPENDENCE (the claim itself): appending the same
+       5k-doc delta costs about the same onto a 5k-doc base as onto a
+       55k-doc base -- a rebuild-sized append would pay ~11x on the
+       big base. Bound is 3x to absorb box noise; the failure mode it
+       guards (an accidental base re-scan) is an order of magnitude.
+    2. EXACT-TABLE PARITY over the union: the append-only MIN log,
+       reader-merged, equals a direct groupBy-MIN over every doc ever
+       ingested, row-for-row -- at 60k docs, not just the sf0.001
+       parity fixture.
+    3. BOUNDED COMPACTION: compacting the 3-increment log yields
+       exactly one row per distinct text_hash (never log-sized).
+
+    The 10x increment's wall time is recorded in the assertion
+    context (it is the linear-in-increment data point: ~10x the small
+    delta's cost, never base-dependent)."""
+    import time
+
+    from big_data_streaming_dashboard_spark.streaming.llm_ingest import (
+        append_curation_index,
+        compact_curation_index,
+        write_curation_index,
+    )
+    from big_data_streaming_dashboard_spark.tables import load_table
+
+    docs10 = spark.read.parquet(os.path.join(scale_dir, "documents.parquet"))
+    embs10 = spark.read.parquet(os.path.join(scale_dir, "embeddings.parquet"))
+    docs01 = load_table(spark, "/root/testdata/sf0.1", "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    embs01 = load_table(spark, "/root/testdata/sf0.1", "embeddings")
+    # the same 5k-doc delta for both bases, ids offset clear of both
+    OFF = 1_000_000
+    delta_docs = docs01.select(
+        (F.col("doc_id") + OFF).alias("doc_id"), "text", "lang", "source"
+    )
+    delta_embs = embs01.select(
+        (F.col("vec_id") + OFF).alias("vec_id"),
+        *[c for c in embs01.columns if c != "vec_id"],
+    )
+
+    def timed_append(root):
+        t0 = time.perf_counter()
+        append_curation_index(delta_docs, delta_embs, root)
+        return time.perf_counter() - t0
+
+    small = str(tmp_path / "small")
+    write_curation_index(docs01, embs01, small)
+    t_small = timed_append(small)
+
+    big = str(tmp_path / "big")
+    write_curation_index(docs01, embs01, big)
+    t0 = time.perf_counter()
+    big_docs10 = docs10.select(
+        (F.col("doc_id") + 2 * OFF).alias("doc_id"), "text", "lang", "source"
+    )
+    big_embs10 = embs10.select(
+        (F.col("vec_id") + 2 * OFF).alias("vec_id"),
+        *[c for c in embs10.columns if c != "vec_id"],
+    )
+    append_curation_index(big_docs10, big_embs10, big)
+    t_tenx_increment = time.perf_counter() - t0
+    # base is now 55k docs; the SAME 5k delta must not cost more than
+    # it did on the 5k base (modulo noise) -- pin 1
+    t_big = timed_append(big)
+    assert t_big < 3 * max(t_small, 2.0), (
+        f"append of the same 5k delta: {t_small:.1f}s on 5k base vs "
+        f"{t_big:.1f}s on 55k base (10x increment itself took "
+        f"{t_tenx_increment:.1f}s) -- append cost grew with BASE size, "
+        "the rebuild-sized failure the LSM log exists to prevent"
+    )
+
+    # pin 2: reader-merge over the 3-increment log == direct MIN over
+    # the union corpus
+    union_docs = docs01.unionByName(big_docs10).unionByName(delta_docs)
+    want = {
+        (r["text_hash"], r["min_doc_id"])
+        for r in union_docs.groupBy(F.md5(F.col("text")).alias("text_hash"))
+        .agg(F.min("doc_id").alias("min_doc_id"))
+        .collect()
+    }
+    merged = {
+        (r["text_hash"], r["min_doc_id"])
+        for r in spark.read.parquet(big + "/exact")
+        .groupBy("text_hash")
+        .agg(F.min("min_doc_id").alias("min_doc_id"))
+        .collect()
+    }
+    assert merged == want
+
+    # pin 3: compaction output is distinct-hash-sized, never log-sized
+    log_rows = spark.read.parquet(big + "/exact").count()
+    compact_curation_index(spark, big)
+    compacted = spark.read.parquet(big + "/exact")
+    assert compacted.count() == len(want) <= log_rows
+    assert {
+        (r["text_hash"], r["min_doc_id"]) for r in compacted.collect()
+    } == want
