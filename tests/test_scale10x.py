@@ -700,3 +700,86 @@ def test_lsm_append_at_10x_delta_sized(spark, scale_dir, tmp_path):
     assert {
         (r["text_hash"], r["min_doc_id"]) for r in compacted.collect()
     } == want
+
+
+def test_streaming_retention_sf01_rocksdb_reverse_replay(spark, tmp_path):
+    """r12 (r11 verdict item 8): cohort retention streamed at sf0.1
+    (100k events, ~1.5k users) under the RocksDB state store, replayed
+    in REVERSE timestamp order across 8 micro-batches -- every batch
+    shifts most users' cohort assignment earlier, the changelog
+    re-emission case, at the scale the batch query benches. The
+    collapsed triangle must equal weekly_cohort_retention row-for-row."""
+    import uuid
+
+    from big_data_streaming_dashboard_spark.plans.relational4 import (
+        weekly_cohort_retention,
+    )
+    from big_data_streaming_dashboard_spark.streaming.funnel import (
+        retention_latest,
+        retention_state_stream,
+        retention_triangle,
+    )
+    from big_data_streaming_dashboard_spark.tables import load_table
+    from pyspark.sql import Window
+
+    sf = "/root/testdata/sf0.1"
+    ev = load_table(spark, sf, "events").select("user_id", "ts")
+    n_files = 8
+    sliced = ev.withColumn(
+        "_slice",
+        F.ntile(n_files).over(Window.orderBy(F.col("ts").desc())),
+    )
+    src = str(tmp_path / "events_ret01")
+    for i in range(1, n_files + 1):
+        sliced.filter(F.col("_slice") == i).drop("_slice").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+        time.sleep(0.2)  # mtime order = replay order
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        schema = ev.schema
+        stream = retention_state_stream(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        name = f"ret01_{uuid.uuid4().hex[:8]}"
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        emitted = spark.table(name)
+        # reverse replay must have forced multi-batch re-emission
+        assert emitted.agg(F.max("seq")).collect()[0][0] >= 4
+        got = sorted(
+            tuple(r)
+            for r in retention_triangle(retention_latest(emitted)).collect()
+        )
+    finally:
+        if old is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, old)
+    want = sorted(
+        tuple(r) for r in weekly_cohort_retention(spark, sf).collect()
+    )
+    # non-vacuous at sf0.1: the fixture spans 5 weeks in ONE cohort
+    # (counted, per the vacuous-oracle audit discipline), and the
+    # last offset's count differs from the rest -- so a wrong offset
+    # vector or dropped re-emission cannot hash-match
+    assert len(want) == 5
+    counts = {w[2] for w in want}
+    assert len(counts) > 1, "triangle counts do not discriminate"
+    assert got == want
