@@ -107,6 +107,18 @@ EXTRA = [
     # two constituents is (n_queries x k)-sized like its siblings
     "emb_pq_recall",
     "doc_neardup_cluster_sizes",
+    # r12: seven more decision-support plan classes (Q4/Q7/Q8/Q12/
+    # Q18/Q19/Q21 shapes -- non-equi semi-join, dim-first pair
+    # reduction, conditional fraction, two-column CASE agg,
+    # group-HAVING join-back, cross-table disjunction, decorrelated
+    # double-EXISTS)
+    "order_priority_exists",
+    "bi_nation_volume",
+    "region_market_share",
+    "late_lines_priority",
+    "large_volume_orders",
+    "disjunctive_brand_revenue",
+    "sole_late_supplier",
 ]
 
 # scaling-regression canaries (r5 verdict item 4): a small subset

@@ -113,6 +113,7 @@ from ..functions.levels import severity_ws
 from ..streaming.stateful import exact_cooldown_batch
 from ..tables import bronze_radiation, load_table, spread
 from . import llm_sql, relational, relational2, relational3, relational4
+from . import relational5
 from .fragments import BRONZE_SQL, SILVER_SQL
 
 
@@ -1114,6 +1115,45 @@ WHERE s._emit""",
         relational4.WEEKLY_COHORT_RETENTION_SQL,
         "first-seen-week cohorts x activity week offset (retention triangle)",
     ),
+    # round-12 additions (seven classic decision-support plan classes;
+    # await first driver attestation in r13 per the LRU policy -- the
+    # r13 window = these + the 14 deferred r10-block queries + 2
+    # rows-only + stalest remainder)
+    "order_priority_exists": QuerySpec(
+        relational5.order_priority_exists,
+        relational5.ORDER_PRIORITY_EXISTS_SQL,
+        "Q4 EXISTS-correlated priority counts (non-equi semi-join)",
+    ),
+    "bi_nation_volume": QuerySpec(
+        relational5.bi_nation_volume,
+        relational5.BI_NATION_VOLUME_SQL,
+        "Q7 symmetric nation-pair volume per year (dim-first reduction)",
+    ),
+    "region_market_share": QuerySpec(
+        relational5.region_market_share,
+        relational5.REGION_MARKET_SHARE_SQL,
+        "Q8 conditional revenue fraction per year (one-pass CASE agg)",
+    ),
+    "late_lines_priority": QuerySpec(
+        relational5.late_lines_priority,
+        relational5.LATE_LINES_PRIORITY_SQL,
+        "Q12 two-column CASE aggregate over date-windowed join",
+    ),
+    "large_volume_orders": QuerySpec(
+        relational5.large_volume_orders,
+        relational5.LARGE_VOLUME_ORDERS_SQL,
+        "Q18 group-HAVING on fact key + detail join-back, top-k",
+    ),
+    "disjunctive_brand_revenue": QuerySpec(
+        relational5.disjunctive_brand_revenue,
+        relational5.DISJUNCTIVE_BRAND_REVENUE_SQL,
+        "Q19 OR-of-ANDs spanning both join sides (hand-pushed envelopes)",
+    ),
+    "sole_late_supplier": QuerySpec(
+        relational5.sole_late_supplier,
+        relational5.SOLE_LATE_SUPPLIER_SQL,
+        "Q21 double EXISTS/NOT-EXISTS decorrelated to per-order counts",
+    ),
     # past-window (locally oracle-checked every suite run)
     "doc_chunk_spans": QuerySpec(
         lambda spark, sf: chunk_spans(_docs(spark, sf)),
@@ -1200,9 +1240,10 @@ WHERE s._emit""",
 # and the hi variant is a parameterization of an already-attested
 # plan pair, the weakest claim in the registry to a scarce slot.
 # CAPACITY AMENDMENT (r11, supersedes the two-round freshness rule
-# above for r12+): the registry now holds 112 queries against 50
+# above for r12+): the registry now holds 119 queries (112 at the
+# r11 close + seven r12 decision-support additions) against 50
 # slots, so "every query re-attested within two successful rounds"
-# needs 56 slots/round -- mathematically unsatisfiable. It was the
+# needs 60 slots/round -- mathematically unsatisfiable. It was the
 # r7 verdict's rule for a ~90-query registry; growing coverage is the
 # better trade (every oracle-paired query is still re-verified
 # against DuckDB at sf0.01 on EVERY suite run by tests/test_oracle.py
@@ -1210,8 +1251,8 @@ WHERE s._emit""",
 # check). Successor policy, same spirit: window = the two permanent
 # rows-only entries + every query awaiting FIRST attestation + the
 # STALEST remaining queries by newest-successful-driver-row (LRU),
-# ties broken alphabetically. At 112 queries that re-attests
-# everything within ceil(110/48) = 3 successful rounds.
+# ties broken alphabetically. At 119 queries that re-attests
+# everything within ceil(117/48) = 3 successful rounds.
 # r12 swap EXECUTED (this window): the FOURTEEN r11 queries awaiting
 # first attestation (doc_neardup_recall_hi, doc_curation_funnel,
 # emb_ivf_recall, emb_pq_recall, customer_order_histogram,
@@ -1249,6 +1290,15 @@ WHERE s._emit""",
 # These 14 deferred queries have newest row r10 and form the r13
 # window's stalest block (they will then be 3 rounds stale -- the
 # policy bound, so they MUST rotate in next round).
+# r13 swap plan (do this FIRST next round): the SEVEN r12 additions
+# awaiting first attestation (order_priority_exists,
+# bi_nation_volume, region_market_share, late_lines_priority,
+# large_volume_orders, disjunctive_brand_revenue,
+# sole_late_supplier) + the 14 deferred r10-block queries above
+# (at their 3-round bound -- mandatory) + the 2 permanent rows-only
+# + the 27 stalest others. The "others" pool is the r11-attested
+# block (stalest after the mandatory 14); pick 27 alphabetically
+# from it and document the actual picks here when executing.
 # NOTE: the r11 verdict/judge ledger counts by NEWEST row; nothing in
 # this window is older than r10, and after a successful r12 run no
 # query's newest row is older than r10 (within the 3-round bound).

@@ -218,3 +218,32 @@ def test_value_anomalies_decimal_exactness_and_loud_overflow(spark):
     # past the bound: n=2e12, v=1e6 -> d = 2e18 >= 1.5e18 -> loud
     with pytest.raises(Exception, match="exceeds the exact-"):
         probe(2_000_000_000_000, 1_000_000, 0, 1)
+
+
+def test_r12_decision_support_plan_shapes(spark):
+    """Round-12 additions, pinned to the physical shapes their
+    docstrings claim: Q4 is a LEFT SEMI (no fact multiplication +
+    distinct), Q18's top-k is TakeOrderedAndProject, and Q19's
+    hand-derived envelopes reach BOTH scans as pushed filters
+    (Catalyst cannot factor the cross-table OR itself)."""
+    from big_data_streaming_dashboard_spark.plans.relational5 import (
+        disjunctive_brand_revenue,
+        large_volume_orders,
+        order_priority_exists,
+        sole_late_supplier,
+    )
+
+    p = _plan(order_priority_exists(spark, SF_ORACLE))
+    assert "LeftSemi" in p
+
+    p = _plan(large_volume_orders(spark, SF_ORACLE))
+    assert "TakeOrderedAndProject" in p
+
+    p = _plan(disjunctive_brand_revenue(spark, SF_ORACLE))
+    assert "In(p_brand, [Brand#1,Brand#2,Brand#3])" in p  # part scan
+    assert "GreaterThanOrEqual(l_quantity,1.0)" in p  # fact scan
+
+    # Q21's decorrelation: the fact is scanned twice (per-order agg +
+    # late-line join-back), never the literal double-self-join's three
+    p = _plan(sole_late_supplier(spark, SF_ORACLE))
+    assert p.count("lineitem.parquet") == 2, p.count("lineitem.parquet")
