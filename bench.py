@@ -119,6 +119,9 @@ EXTRA = [
     "large_volume_orders",
     "disjunctive_brand_revenue",
     "sole_late_supplier",
+    # r12: estimator-calibration evaluator (pairs-sized joins past the
+    # memoized jaccard/signature constituents)
+    "doc_minhash_calibration",
 ]
 
 # scaling-regression canaries (r5 verdict item 4): a small subset

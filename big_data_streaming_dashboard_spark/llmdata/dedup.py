@@ -889,6 +889,88 @@ def neardup_recall(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     )
 
 
+def minhash_calibration(
+    docs: DataFrame, threshold: float = 0.5, k: int = DEFAULT_K
+) -> DataFrame:
+    """Estimator-calibration evaluator (r12): how well the k-component
+    MinHash ESTIMATE tracks the exact n-gram Jaccard, per exact-J
+    bucket -- the second axis of dedup quality. `neardup_recall`
+    answers "does banding FIND the pairs"; this answers "how wrong is
+    the similarity VALUE the signature implies" -- the number an
+    engineer sizing k for a 100 TB dedup run reads before trading
+    signature bytes for estimate variance (Var ~ J(1-J)/k).
+
+    Truth pairs = `ngram_jaccard_pairs(docs, threshold)` (exact J >=
+    threshold). Estimate per pair = (matching signature components)/k
+    -- the standard unbiased MinHash estimator. Output per
+    floor(J*10) bucket: pair count, mean estimate, mean |estimate -
+    exact| -- all means computed from exact INTEGER micro-units
+    (J is round(.,6) -> exact multiples of 1e-6; the estimate is
+    m/k with 1e6 divisible by k, so est_units = m * (1e6/k) is an
+    exact integer; one final double division per mean, no float
+    reassociation anywhere -- README determinism discipline).
+
+    At scale: the pair frame is n_pairs-sized and the signature table
+    is k 32-hex strings per doc; the two joins shuffle pairs + the
+    doc-sized sig table on doc ids, then the aggregate folds onto a
+    <= 6-row bucket domain. Like the recall evaluators, at 100 TB
+    this runs on a sampled shard -- the metric, not the pair list, is
+    the product.
+    """
+    if 1_000_000 % k:
+        raise ValueError(
+            f"minhash_calibration: k={k} must divide 1e6 so the "
+            "estimate maps to exact micro-units (determinism discipline)"
+        )
+    exact = ngram_jaccard_pairs(docs, threshold)
+    sig = minhash_signature(docs, k)
+    a = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"sig_{i}").alias(f"_a{i}") for i in range(k)],
+    )
+    b = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"sig_{i}").alias(f"_b{i}") for i in range(k)],
+    )
+    m = sum(
+        (F.col(f"_a{i}") == F.col(f"_b{i}")).cast("long") for i in range(k)
+    )
+    unit = 1_000_000 // k
+    est_units = (m * F.lit(unit)).cast("long")
+    j_units = F.round(F.col("jaccard") * 1_000_000).cast("long")
+    return (
+        exact.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            F.floor(F.col("jaccard") * 10).cast("int").alias("jbucket"),
+            est_units.alias("_est"),
+            F.abs(est_units - j_units).alias("_err"),
+        )
+        .groupBy("jbucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("_est").alias("_se"),
+            F.sum("_err").alias("_serr"),
+        )
+        .select(
+            "jbucket",
+            "n_pairs",
+            F.round(
+                F.col("_se").cast("double")
+                / F.col("n_pairs").cast("double")
+                / 1e6,
+                6,
+            ).alias("avg_estimate"),
+            F.round(
+                F.col("_serr").cast("double")
+                / F.col("n_pairs").cast("double")
+                / 1e6,
+                6,
+            ).alias("avg_abs_error"),
+        )
+    )
+
+
 def semantic_neardup(
     docs: DataFrame, embeddings: DataFrame, threshold: float = 0.5
 ) -> DataFrame:

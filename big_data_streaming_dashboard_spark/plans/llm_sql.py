@@ -213,6 +213,46 @@ SELECT * FROM pairs WHERE jaccard >= 0.5
 """
 
 
+def _calib_match_sql(k: int = DEFAULT_K) -> str:
+    return " + ".join(
+        f"(CASE WHEN sa.sig_{i} = sb.sig_{i} THEN 1 ELSE 0 END)"
+        for i in range(k)
+    )
+
+
+# mirror of llmdata.dedup.minhash_calibration: exact pairs from the
+# NGRAM oracle body, the m/k estimator in exact micro-units
+# (1e6 divisible by k), one double division per mean at the end
+MINHASH_CALIBRATION_SQL = rf"""
+WITH exact AS (
+{NGRAM_JACCARD_SQL}
+),
+{_TOKENS_CTE},
+sig AS (
+    SELECT doc_id,
+        {_sig_cols_sql()}
+    FROM sh
+),
+scored AS (
+    SELECT CAST(floor(e.jaccard * 10) AS INTEGER) AS jbucket,
+           ({_calib_match_sql()}) * {1_000_000 // DEFAULT_K} AS _est,
+           abs(({_calib_match_sql()}) * {1_000_000 // DEFAULT_K}
+               - CAST(round(e.jaccard * 1000000) AS BIGINT)) AS _err
+    FROM exact e
+    JOIN sig sa ON e.doc_a = sa.doc_id
+    JOIN sig sb ON e.doc_b = sb.doc_id
+)
+SELECT jbucket,
+       COUNT(*) AS n_pairs,
+       round(CAST(SUM(_est) AS DOUBLE) / COUNT(*) / 1e6, 6)
+           AS avg_estimate,
+       round(CAST(SUM(_err) AS DOUBLE) / COUNT(*) / 1e6, 6)
+           AS avg_abs_error
+FROM scored
+GROUP BY jbucket
+"""
+
+
 # Dedup-quality evaluator oracle (mirrors llmdata.dedup.neardup_recall):
 # composes the two pair oracles above -- each independently
 # hash-matched -- and buckets the SAME round(J, 6) double with IEEE

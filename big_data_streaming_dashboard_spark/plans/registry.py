@@ -32,6 +32,7 @@ from ..llmdata.curation import (
     stratified_sample,
 )
 from ..llmdata.dedup import (
+    minhash_calibration,
     containment_decorate,
     containment_pairs,
     exact_dedup,
@@ -1154,6 +1155,15 @@ WHERE s._emit""",
         relational5.SOLE_LATE_SUPPLIER_SQL,
         "Q21 double EXISTS/NOT-EXISTS decorrelated to per-order counts",
     ),
+    "doc_minhash_calibration": QuerySpec(
+        lambda spark, sf: minhash_calibration(_docs(spark, sf)),
+        llm_sql.MINHASH_CALIBRATION_SQL,
+        "MinHash estimator calibration per exact-J bucket (m/k vs exact "
+        "Jaccard in integer micro-units; completes the dedup-evaluator "
+        "family: banding recall + estimator error). sf0.01 fixture holds "
+        "ONE bucket (9: 25 pairs, J 0.9-0.99) -- thin but the error axis "
+        "discriminates (avg_abs_error 0.039 != 0); more buckets at sf0.1",
+    ),
     # past-window (locally oracle-checked every suite run)
     "doc_chunk_spans": QuerySpec(
         lambda spark, sf: chunk_spans(_docs(spark, sf)),
@@ -1240,10 +1250,11 @@ WHERE s._emit""",
 # and the hi variant is a parameterization of an already-attested
 # plan pair, the weakest claim in the registry to a scarce slot.
 # CAPACITY AMENDMENT (r11, supersedes the two-round freshness rule
-# above for r12+): the registry now holds 119 queries (112 at the
-# r11 close + seven r12 decision-support additions) against 50
-# slots, so "every query re-attested within two successful rounds"
-# needs 60 slots/round -- mathematically unsatisfiable. It was the
+# above for r12+): the registry now holds 120 queries (112 at the
+# r11 close + seven r12 decision-support additions + the minhash
+# calibration evaluator) against 50 slots, so "every query
+# re-attested within two successful rounds" needs 60 slots/round --
+# mathematically unsatisfiable. It was the
 # r7 verdict's rule for a ~90-query registry; growing coverage is the
 # better trade (every oracle-paired query is still re-verified
 # against DuckDB at sf0.01 on EVERY suite run by tests/test_oracle.py
@@ -1251,8 +1262,8 @@ WHERE s._emit""",
 # check). Successor policy, same spirit: window = the two permanent
 # rows-only entries + every query awaiting FIRST attestation + the
 # STALEST remaining queries by newest-successful-driver-row (LRU),
-# ties broken alphabetically. At 119 queries that re-attests
-# everything within ceil(117/48) = 3 successful rounds.
+# ties broken alphabetically. At 120 queries that re-attests
+# everything within ceil(118/48) = 3 successful rounds.
 # r12 swap EXECUTED (this window): the FOURTEEN r11 queries awaiting
 # first attestation (doc_neardup_recall_hi, doc_curation_funnel,
 # emb_ivf_recall, emb_pq_recall, customer_order_histogram,
@@ -1290,15 +1301,16 @@ WHERE s._emit""",
 # These 14 deferred queries have newest row r10 and form the r13
 # window's stalest block (they will then be 3 rounds stale -- the
 # policy bound, so they MUST rotate in next round).
-# r13 swap plan (do this FIRST next round): the SEVEN r12 additions
+# r13 swap plan (do this FIRST next round): the EIGHT r12 additions
 # awaiting first attestation (order_priority_exists,
 # bi_nation_volume, region_market_share, late_lines_priority,
 # large_volume_orders, disjunctive_brand_revenue,
-# sole_late_supplier) + the 14 deferred r10-block queries above
-# (at their 3-round bound -- mandatory) + the 2 permanent rows-only
-# + the 27 stalest others. The "others" pool is the r11-attested
-# block (stalest after the mandatory 14); pick 27 alphabetically
-# from it and document the actual picks here when executing.
+# sole_late_supplier, doc_minhash_calibration) + the 14 deferred
+# r10-block queries above (at their 3-round bound -- mandatory) +
+# the 2 permanent rows-only + the 26 stalest others. The "others"
+# pool is the r11-attested block (stalest after the mandatory 14);
+# pick 26 alphabetically from it and document the actual picks here
+# when executing.
 # NOTE: the r11 verdict/judge ledger counts by NEWEST row; nothing in
 # this window is older than r10, and after a successful r12 run no
 # query's newest row is older than r10 (within the 3-round bound).
