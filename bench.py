@@ -172,7 +172,14 @@ TENX = [
 # index rep 1 persisted, so the reported 14-30 s measured cache reuse
 # and broke comparability with the canary's own cold history (r8
 # jaccard: 41.8 s cold). Cold is the number the canary exists for.
-TENX_REPS = {"doc_containment_pairs": 2, "doc_ngram_jaccard": 2}
+# doc_containment_pairs dropped from this map in r12: its warm rep
+# measured nothing (warm >= cold, 88 vs 83 s in the r12 session -- the
+# verify stage dominates and has no cross-rep reuse, unlike jaccard's
+# band index), and its counts-instrumented execution now IS the timed
+# run (see the TENX loop), so it executes once per bench, not thrice
+# -- the bench must fit the driver's budget (the r12 pre-trim bench
+# exceeded 10 minutes).
+TENX_REPS = {"doc_ngram_jaccard": 2}
 
 # import-time fail-fast, same class of guard as registry.DRIVER_WINDOW:
 # a dangling name in any bench list must die when this file loads (in
@@ -362,6 +369,8 @@ def main() -> None:
             # single-rep TENX entries are the ones r11's eviction
             # inflated up to 5x
             warmup_s.update(_warm_page_cache(scale_dir))
+            from big_data_streaming_dashboard_spark.llmdata import dedup as dd
+
             for name in TENX:
                 reps = TENX_REPS.get(name, 1)
                 tenx[name], _, _, rep_totals = _time_query(
@@ -376,20 +385,28 @@ def main() -> None:
                         "warm_s": round(min(rep_totals[1:]), 4),
                     }
             # candidate/output pair counts beside the containment 10x
-            # time (r7 verdict: the 10x fixture makes each doc a
-            # near-dup of its replicas, so TRUE output pairs grow ~45x
-            # per replica group -- the wall number is output-bound, and
-            # these counts are what make that self-evident in the JSON).
-            # One instrumented re-execution on the warm index.
-            from big_data_streaming_dashboard_spark.llmdata import dedup as dd
-
-            docs10 = dd.containment_decorate(
-                spark.read.parquet(os.path.join(scale_dir, "documents.parquet"))
-            )
-            df10, c_obs, o_obs = dd.containment_pairs_observed(docs10)
-            df10.write.format("noop").mode("overwrite").save()
-            tenx["doc_containment_pairs_n_candidates"] = c_obs.get["n"]
-            tenx["doc_containment_pairs_n_pairs"] = o_obs.get["n"]
+            # time (r7 verdict: the counts make the output-bound wall
+            # self-evident). GATED since r12: the CollectMetrics taps
+            # measurably DEGRADE the plan (120 s tapped vs 45 s
+            # untapped at 10x on a quiet box -- the observe node is an
+            # optimizer barrier), so the counts execution is a second
+            # full run that the driver-budgeted bench can no longer
+            # afford by default. The counts were byte-identical
+            # r8-r11-r12 (33,651,780 / 1,552,800); set
+            # SPARK_GRAFT_10X_COUNTS=1 to re-measure when a canary
+            # drift needs adjudicating (the r10/r12 protocol).
+            if os.environ.get("SPARK_GRAFT_10X_COUNTS", "") == "1":
+                docs10 = dd.containment_decorate(
+                    spark.read.parquet(
+                        os.path.join(scale_dir, "documents.parquet")
+                    )
+                )
+                df10, c_obs, o_obs = dd.containment_pairs_observed(docs10)
+                df10.write.format("noop").mode("overwrite").save()
+                tenx["doc_containment_pairs_n_candidates"] = c_obs.get["n"]
+                tenx["doc_containment_pairs_n_pairs"] = o_obs.get["n"]
+            else:
+                tenx["containment_counts"] = "gated:SPARK_GRAFT_10X_COUNTS"
         except Exception as e:  # never let the canary sink the headline line
             tenx_err = f"{type(e).__name__}: {e}"
 
