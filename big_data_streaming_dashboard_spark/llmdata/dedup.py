@@ -1102,12 +1102,19 @@ def containment_pairs_observed(
     max_postings: int = DEFAULT_MAX_BUCKET,
 ):
     """Instrumented twin of `containment_pairs` for the bench ledger
-    (r7 verdict item 1): the SAME plan with two CollectMetrics taps --
-    one on the candidate-pair stage, one on the emitted output -- so a
-    single execution yields (result, n_candidates, n_pairs) with no
-    extra jobs. Returns (df, cand_observation, out_observation); read
-    `obs.get["n"]` after an action. Not memoized (the taps are
-    per-call objects)."""
+    (r7 verdict item 1): the SAME logical plan with two CollectMetrics
+    taps -- one on the candidate-pair stage, one on the emitted
+    output -- so a single execution yields (result, n_candidates,
+    n_pairs) with no extra jobs. Returns (df, cand_observation,
+    out_observation); read `obs.get["n"]` after an action. Not
+    memoized (the taps are per-call objects).
+
+    COST CAVEAT (r12, measured): "no extra jobs" does NOT mean "same
+    physical cost" -- the observe node is an optimizer barrier, and at
+    10x the tapped execution ran 120 s vs 45 s untapped on a quiet
+    box (2.6x). Cheap at sf0.1; never time this variant as a canary,
+    and at scale run it only when the counts themselves are the
+    question (bench gates it behind SPARK_GRAFT_10X_COUNTS=1)."""
     from pyspark.sql import Observation
 
     cand_obs, out_obs = Observation(), Observation()
