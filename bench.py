@@ -122,6 +122,8 @@ EXTRA = [
     # r12: estimator-calibration evaluator (pairs-sized joins past the
     # memoized jaccard/signature constituents)
     "doc_minhash_calibration",
+    # r12: map-only context-length budget report
+    "doc_packing_efficiency",
 ]
 
 # scaling-regression canaries (r5 verdict item 4): a small subset

@@ -48,6 +48,81 @@ def token_stats(docs: DataFrame) -> DataFrame:
     )
 
 
+# 32/64 straddle the fixture's token-length range (10-99, median 56)
+# so BOTH waste columns discriminate at every tested SF (the
+# vacuous-oracle audit discipline); 128/512 are the realistic budgets
+PACKING_SEQ_LENS = (32, 64, 128, 512)
+
+
+def packing_efficiency(
+    docs: DataFrame, seq_lens: tuple[int, ...] = PACKING_SEQ_LENS
+) -> DataFrame:
+    """Context-length budget report (r12): for each candidate
+    max_seq_len, the padding and truncation waste of the NAIVE
+    one-doc-per-sequence layout -- the datasheet number that motivates
+    (and sizes) `curation.shard_packing`'s bin packing, and the first
+    thing a training run reads when choosing a context length for a
+    corpus.
+
+    Per (doc, L): pad = max(L - n_tokens, 0), truncated =
+    max(n_tokens - L, 0). Aggregated per L: doc count, total tokens,
+    pad tokens, truncated tokens, pad_fraction = pad / (L * n_docs)
+    (the fraction of sequence SLOTS wasted) and truncated_fraction =
+    truncated / total_tokens (the fraction of CORPUS lost). All sums
+    are exact LONG integers; each fraction is one UNROUNDED IEEE
+    double division of two exact integers -- bit-identical in both
+    engines. Deliberately NOT round(.,6): the denominators here are
+    of the form L * n_docs (rich in factors of 2 and 5), so exact
+    ties at the 7th decimal are COMMON, and Spark (HALF_UP on the
+    shortest decimal repr) and DuckDB disagree on them -- hit in
+    round-12 development at literally the first fixture value
+    (8078/32000 = 0.2524375 -> 0.252438 vs 0.252437).
+
+    At scale: one scan computes n_tokens per doc, the explode
+    multiplies rows by len(seq_lens) (a small constant), and the
+    aggregate folds onto a len(seq_lens)-row domain with map-side
+    partials -- no join, no window, one narrow exchange.
+    """
+    n = F.size(tokens(F.col("text"))).cast("long")
+    per = docs.select(
+        n.alias("_n"),
+        F.explode(
+            F.array(*[F.lit(int(L)).cast("int") for L in seq_lens])
+        ).alias("max_seq_len"),
+    )
+    L = F.col("max_seq_len").cast("long")
+    return (
+        per.groupBy("max_seq_len")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_n").alias("total_tokens"),
+            F.sum(F.greatest(L - F.col("_n"), F.lit(0).cast("long"))).alias(
+                "pad_tokens"
+            ),
+            F.sum(F.greatest(F.col("_n") - L, F.lit(0).cast("long"))).alias(
+                "truncated_tokens"
+            ),
+        )
+        .select(
+            "max_seq_len",
+            "n_docs",
+            "total_tokens",
+            "pad_tokens",
+            "truncated_tokens",
+            (
+                F.col("pad_tokens").cast("double")
+                / (
+                    F.col("max_seq_len").cast("long") * F.col("n_docs")
+                ).cast("double")
+            ).alias("pad_fraction"),
+            (
+                F.col("truncated_tokens").cast("double")
+                / F.col("total_tokens").cast("double")
+            ).alias("truncated_fraction"),
+        )
+    )
+
+
 def quality_columns(text: Column) -> dict[str, Column]:
     """Quality-signal expressions keyed by output name (column-level so
     composition plans -- llmdata/curation.py -- can fuse them into a

@@ -50,6 +50,40 @@ SELECT
 FROM toks
 """
 
+# mirror of llmdata.text.packing_efficiency (seq_lens literal kept in
+# lock-step with PACKING_SEQ_LENS)
+PACKING_EFFICIENCY_SQL = r"""
+WITH toks AS (
+    SELECT doc_id, regexp_split_to_array(text, '\s+') AS tokens
+    FROM documents
+),
+n AS (SELECT CAST(len(tokens) AS BIGINT) AS _n FROM toks),
+per AS (
+    SELECT _n, max_seq_len
+    FROM n, (VALUES (32), (64), (128), (512)) AS t(max_seq_len)
+)
+SELECT max_seq_len,
+       COUNT(*) AS n_docs,
+       CAST(SUM(_n) AS BIGINT) AS total_tokens,
+       CAST(SUM(CASE WHEN _n < max_seq_len THEN max_seq_len - _n
+                     ELSE 0 END) AS BIGINT) AS pad_tokens,
+       CAST(SUM(CASE WHEN _n > max_seq_len THEN _n - max_seq_len
+                     ELSE 0 END) AS BIGINT) AS truncated_tokens,
+       -- UNROUNDED IEEE divisions of exact integers (bit-identical
+       -- across engines); round(.,6) here hits HALF_UP-vs-shortest
+       -- ties because the denominator L*n_docs is rich in 2s and 5s
+       CAST(SUM(CASE WHEN _n < max_seq_len THEN max_seq_len - _n
+                     ELSE 0 END) AS DOUBLE)
+           / CAST(CAST(max_seq_len AS BIGINT) * COUNT(*) AS DOUBLE)
+           AS pad_fraction,
+       CAST(SUM(CASE WHEN _n > max_seq_len THEN _n - max_seq_len
+                     ELSE 0 END) AS DOUBLE)
+           / CAST(SUM(_n) AS DOUBLE) AS truncated_fraction
+FROM per
+GROUP BY max_seq_len
+"""
+
+
 _STOP_LIST = ", ".join(f"'{w}'" for w in STOPWORDS)
 
 QUALITY_SQL = rf"""

@@ -68,6 +68,7 @@ from ..llmdata.similarity import (
 )
 from ..llmdata.multimodal import media_feature_census
 from ..llmdata.text import (
+    packing_efficiency,
     bigram_lm_score,
     bpe_encode_stats,
     bpe_train,
@@ -1164,6 +1165,14 @@ WHERE s._emit""",
         "ONE bucket (9: 25 pairs, J 0.9-0.99) -- thin but the error axis "
         "discriminates (avg_abs_error 0.039 != 0); more buckets at sf0.1",
     ),
+    "doc_packing_efficiency": QuerySpec(
+        lambda spark, sf: packing_efficiency(_docs(spark, sf)),
+        llm_sql.PACKING_EFFICIENCY_SQL,
+        "context-length budget report: pad/truncation waste per "
+        "max_seq_len of the naive one-doc-per-sequence layout (the "
+        "number that motivates shard_packing); 32/64 straddle the "
+        "fixture length range so both waste columns discriminate",
+    ),
     # past-window (locally oracle-checked every suite run)
     "doc_chunk_spans": QuerySpec(
         lambda spark, sf: chunk_spans(_docs(spark, sf)),
@@ -1250,9 +1259,10 @@ WHERE s._emit""",
 # and the hi variant is a parameterization of an already-attested
 # plan pair, the weakest claim in the registry to a scarce slot.
 # CAPACITY AMENDMENT (r11, supersedes the two-round freshness rule
-# above for r12+): the registry now holds 120 queries (112 at the
+# above for r12+): the registry now holds 121 queries (112 at the
 # r11 close + seven r12 decision-support additions + the minhash
-# calibration evaluator) against 50 slots, so "every query
+# calibration evaluator + the packing-efficiency report) against 50
+# slots, so "every query
 # re-attested within two successful rounds" needs 60 slots/round --
 # mathematically unsatisfiable. It was the
 # r7 verdict's rule for a ~90-query registry; growing coverage is the
@@ -1262,8 +1272,8 @@ WHERE s._emit""",
 # check). Successor policy, same spirit: window = the two permanent
 # rows-only entries + every query awaiting FIRST attestation + the
 # STALEST remaining queries by newest-successful-driver-row (LRU),
-# ties broken alphabetically. At 120 queries that re-attests
-# everything within ceil(118/48) = 3 successful rounds.
+# ties broken alphabetically. At 121 queries that re-attests
+# everything within ceil(119/48) = 3 successful rounds.
 # r12 swap EXECUTED (this window): the FOURTEEN r11 queries awaiting
 # first attestation (doc_neardup_recall_hi, doc_curation_funnel,
 # emb_ivf_recall, emb_pq_recall, customer_order_histogram,
@@ -1301,16 +1311,16 @@ WHERE s._emit""",
 # These 14 deferred queries have newest row r10 and form the r13
 # window's stalest block (they will then be 3 rounds stale -- the
 # policy bound, so they MUST rotate in next round).
-# r13 swap plan (do this FIRST next round): the EIGHT r12 additions
+# r13 swap plan (do this FIRST next round): the NINE r12 additions
 # awaiting first attestation (order_priority_exists,
 # bi_nation_volume, region_market_share, late_lines_priority,
 # large_volume_orders, disjunctive_brand_revenue,
-# sole_late_supplier, doc_minhash_calibration) + the 14 deferred
-# r10-block queries above (at their 3-round bound -- mandatory) +
-# the 2 permanent rows-only + the 26 stalest others. The "others"
-# pool is the r11-attested block (stalest after the mandatory 14);
-# pick 26 alphabetically from it and document the actual picks here
-# when executing.
+# sole_late_supplier, doc_minhash_calibration,
+# doc_packing_efficiency) + the 14 deferred r10-block queries above
+# (at their 3-round bound -- mandatory) + the 2 permanent rows-only
+# + the 25 stalest others. The "others" pool is the r11-attested
+# block (stalest after the mandatory 14); pick 25 alphabetically
+# from it and document the actual picks here when executing.
 # NOTE: the r11 verdict/judge ledger counts by NEWEST row; nothing in
 # this window is older than r10, and after a successful r12 run no
 # query's newest row is older than r10 (within the 3-round bound).
