@@ -124,6 +124,9 @@ EXTRA = [
     "doc_minhash_calibration",
     # r12: map-only context-length budget report
     "doc_packing_efficiency",
+    # r12: source-centroid drift monitor (one (source,pos) exchange +
+    # a catalog-sized pairwise join)
+    "emb_source_drift",
 ]
 
 # scaling-regression canaries (r5 verdict item 4): a small subset

@@ -1240,3 +1240,89 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "label", "rank", "cos_sim")
     )
+
+
+def source_drift(docs: DataFrame, embeddings: DataFrame) -> DataFrame:
+    """Embedding-distribution drift between corpus sources (r12): the
+    pairwise squared L2 distance between per-source embedding
+    centroids -- the monitoring number that catches one crawl/source
+    shifting distribution before it skews training (the corpus-level
+    sibling of `semantic_neardup`'s per-doc verdicts).
+
+    Exactness (README determinism discipline, the `label_centroids` +
+    `minhash_calibration` composition): components quantize to
+    DECIMAL(20,10) BEFORE summation (decimal addition is associative,
+    so aggregation order cannot matter); each per-(source, pos) MEAN
+    then quantizes to integer MICRO-units (round(sum/n * 1e6) --
+    both engines round the same double to the same integer unless the
+    true mean lands exactly on half a micro-unit, which for
+    float32-origin data does not occur and the oracle would catch
+    loudly); the 64-dim squared distance is a SUM OF EXACT INT64
+    SQUARES (max |diff| ~ 1e7 -> sum <= ~6.4e15, far under 2^63), so
+    no float reassociation exists anywhere. The reported drift is one
+    IEEE division by 1e12 at the end.
+
+    At scale: one (source, pos) exchange with map-side partial sums
+    over the exploded components; the means table is sources x dim
+    (catalog-sized), so the pairwise self-join is a broadcast of a
+    tiny frame -- quadratic only in the number of SOURCES, never in
+    vectors.
+    """
+    src = docs.select(F.col("doc_id").alias("vec_id"), "source")
+    mu = (
+        embeddings.join(src, "vec_id")
+        .select(
+            "source", F.posexplode("embedding").alias("pos", "_v")
+        )
+        .select(
+            "source",
+            "pos",
+            F.col("_v").cast("double").cast("decimal(20,10)").alias("_vd"),
+        )
+        .groupBy("source", "pos")
+        .agg(F.sum("_vd").alias("_sum"), F.count(F.lit(1)).alias("n_vecs"))
+        .select(
+            "source",
+            "pos",
+            "n_vecs",
+            F.round(
+                F.col("_sum").cast("double")
+                / F.col("n_vecs").cast("double")
+                * 1_000_000
+            )
+            .cast("long")
+            .alias("_mu"),
+        )
+    )
+    a = mu.select(
+        F.col("source").alias("source_a"),
+        "pos",
+        F.col("n_vecs").alias("_na"),
+        F.col("_mu").alias("_ma"),
+    )
+    b = mu.select(
+        F.col("source").alias("source_b"),
+        "pos",
+        F.col("n_vecs").alias("_nb"),
+        F.col("_mu").alias("_mb"),
+    )
+    d = F.col("_ma") - F.col("_mb")
+    return (
+        a.join(b, "pos")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.max("_na").alias("n_a"),
+            F.max("_nb").alias("n_b"),
+            F.sum(d * d).alias("_l2_micro2"),
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_a",
+            "n_b",
+            (F.col("_l2_micro2").cast("double") / F.lit(1e12)).alias(
+                "drift_l2sq"
+            ),
+        )
+    )

@@ -84,6 +84,34 @@ GROUP BY max_seq_len
 """
 
 
+# mirror of llmdata.similarity.source_drift (decimal-quantized sums,
+# micro-unit means, exact int64 squared distance)
+SOURCE_DRIFT_SQL = r"""
+WITH ex AS (
+    SELECT d.source, e.pos,
+           CAST(CAST(e.val AS DOUBLE) AS DECIMAL(20,10)) AS v
+    FROM (
+        SELECT vec_id, unnest(embedding) AS val,
+               unnest(range(len(embedding))) AS pos
+        FROM embeddings
+    ) e JOIN documents d ON e.vec_id = d.doc_id
+),
+mu AS (
+    SELECT source, pos, COUNT(*) AS n_vecs,
+           CAST(round(CAST(SUM(v) AS DOUBLE) / COUNT(*) * 1000000)
+                AS BIGINT) AS _mu
+    FROM ex GROUP BY source, pos
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(MAX(a.n_vecs) AS BIGINT) AS n_a,
+       CAST(MAX(b.n_vecs) AS BIGINT) AS n_b,
+       CAST(CAST(SUM((a._mu - b._mu) * (a._mu - b._mu)) AS BIGINT)
+            AS DOUBLE) / 1e12 AS drift_l2sq
+FROM mu a JOIN mu b ON a.pos = b.pos AND a.source < b.source
+GROUP BY a.source, b.source
+"""
+
+
 _STOP_LIST = ", ".join(f"'{w}'" for w in STOPWORDS)
 
 QUALITY_SQL = rf"""

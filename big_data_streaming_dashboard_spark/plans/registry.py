@@ -45,6 +45,7 @@ from ..llmdata.dedup import (
     semantic_neardup,
 )
 from ..llmdata.similarity import (
+    source_drift,
     DEFAULT_HAMMING_RADIUS,
     DEFAULT_NEARDUP_BANDS,
     DEFAULT_NEARDUP_ROWS,
@@ -1173,6 +1174,14 @@ WHERE s._emit""",
         "number that motivates shard_packing); 32/64 straddle the "
         "fixture length range so both waste columns discriminate",
     ),
+    "emb_source_drift": QuerySpec(
+        lambda spark, sf: source_drift(_docs(spark, sf), _embs(spark, sf)),
+        llm_sql.SOURCE_DRIFT_SQL,
+        "pairwise per-source embedding-centroid drift (decimal-quantized "
+        "sums, micro-unit means, exact int64 squared distance) -- the "
+        "corpus-monitoring number that catches a shifted source; 190 "
+        "pairs at sf0.01, all drift values distinct",
+    ),
     # past-window (locally oracle-checked every suite run)
     "doc_chunk_spans": QuerySpec(
         lambda spark, sf: chunk_spans(_docs(spark, sf)),
@@ -1259,10 +1268,10 @@ WHERE s._emit""",
 # and the hi variant is a parameterization of an already-attested
 # plan pair, the weakest claim in the registry to a scarce slot.
 # CAPACITY AMENDMENT (r11, supersedes the two-round freshness rule
-# above for r12+): the registry now holds 121 queries (112 at the
+# above for r12+): the registry now holds 122 queries (112 at the
 # r11 close + seven r12 decision-support additions + the minhash
-# calibration evaluator + the packing-efficiency report) against 50
-# slots, so "every query
+# calibration evaluator + the packing-efficiency report + the
+# source-drift monitor) against 50 slots, so "every query
 # re-attested within two successful rounds" needs 60 slots/round --
 # mathematically unsatisfiable. It was the
 # r7 verdict's rule for a ~90-query registry; growing coverage is the
@@ -1272,8 +1281,8 @@ WHERE s._emit""",
 # check). Successor policy, same spirit: window = the two permanent
 # rows-only entries + every query awaiting FIRST attestation + the
 # STALEST remaining queries by newest-successful-driver-row (LRU),
-# ties broken alphabetically. At 121 queries that re-attests
-# everything within ceil(119/48) = 3 successful rounds.
+# ties broken alphabetically. At 122 queries that re-attests
+# everything within ceil(120/48) = 3 successful rounds.
 # r12 swap EXECUTED (this window): the FOURTEEN r11 queries awaiting
 # first attestation (doc_neardup_recall_hi, doc_curation_funnel,
 # emb_ivf_recall, emb_pq_recall, customer_order_histogram,
@@ -1311,16 +1320,17 @@ WHERE s._emit""",
 # These 14 deferred queries have newest row r10 and form the r13
 # window's stalest block (they will then be 3 rounds stale -- the
 # policy bound, so they MUST rotate in next round).
-# r13 swap plan (do this FIRST next round): the NINE r12 additions
+# r13 swap plan (do this FIRST next round): the TEN r12 additions
 # awaiting first attestation (order_priority_exists,
 # bi_nation_volume, region_market_share, late_lines_priority,
 # large_volume_orders, disjunctive_brand_revenue,
 # sole_late_supplier, doc_minhash_calibration,
-# doc_packing_efficiency) + the 14 deferred r10-block queries above
-# (at their 3-round bound -- mandatory) + the 2 permanent rows-only
-# + the 25 stalest others. The "others" pool is the r11-attested
-# block (stalest after the mandatory 14); pick 25 alphabetically
-# from it and document the actual picks here when executing.
+# doc_packing_efficiency, emb_source_drift) + the 14 deferred
+# r10-block queries above (at their 3-round bound -- mandatory) +
+# the 2 permanent rows-only + the 24 stalest others. The "others"
+# pool is the r11-attested block (stalest after the mandatory 14);
+# pick 24 alphabetically from it and document the actual picks here
+# when executing.
 # NOTE: the r11 verdict/judge ledger counts by NEWEST row; nothing in
 # this window is older than r10, and after a successful r12 run no
 # query's newest row is older than r10 (within the 3-round bound).
