@@ -132,10 +132,15 @@ def bi_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = _load(spark, sf_dir, "lineitem")
     orders = _load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    # no broadcast HINTS on the reduced cust/supp sides: at sf0.01
+    # they are tiny, but at 100 TB "customers of two nations" is
+    # ~8% of a fact-proportional table -- let stats/AQE pick the
+    # strategy (the 25-row nation dim above is the only side whose
+    # size is known a priori)
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .filter(F.col("supp_nation") != F.col("cust_nation"))
         .groupBy(
             "supp_nation",
@@ -207,11 +212,14 @@ def region_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rev = _revenue()
     zero = F.lit(0).cast("decimal(12,2)")
+    # only nation/region (fixed 25/5 rows) carry broadcast hints;
+    # typed parts, EUROPE customers and nation-joined suppliers are
+    # fact-proportional at 100 TB -- stats/AQE pick their strategy
     agg = (
-        li.join(F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        li.join(part.select("p_partkey"), li.l_partkey == F.col("p_partkey"))
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"), "left_semi")
-        .join(F.broadcast(supp), li.l_suppkey == F.col("s_suppkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .join(supp, li.l_suppkey == F.col("s_suppkey"))
         .groupBy(F.year("o_orderdate").alias("order_year"))
         .agg(
             F.sum(
@@ -399,9 +407,11 @@ def disjunctive_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("l_quantity").between(25, 50)
         )
     )
+    # the brand-filtered part side is 3/25 of a fact-proportional
+    # table at 100 TB -- no broadcast hint; stats/AQE decide
     return (
         li.join(
-            F.broadcast(part.select("p_partkey", "p_brand", "p_size")),
+            part.select("p_partkey", "p_brand", "p_size"),
             li.l_partkey == F.col("p_partkey"),
         )
         .filter(band)
@@ -468,7 +478,7 @@ def sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("_n_supp") > 1)
             & (F.col("_n_late_supp") == 1),
         )
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_suppkey", "s_name")
         .agg(F.count(F.lit(1)).alias("n_waiting_orders"))
     )
