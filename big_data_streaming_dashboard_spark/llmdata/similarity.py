@@ -1242,6 +1242,42 @@ def pq_topk(
     )
 
 
+def source_micro_means(embs_sourced: DataFrame) -> DataFrame:
+    """(source, pos, n_vecs, _mu): per-(source, dimension) centroid in
+    integer MICRO-units -- the exact-arithmetic building block shared
+    by `source_drift` (batch pairwise) and the streaming drift probe
+    (`streaming/llm_ingest.write_drift_baseline` /
+    `drift_verdict_batches`). Components quantize to DECIMAL(20,10)
+    before summation (associative), the mean quantizes to
+    round(sum/n * 1e6) as int64 -- see `source_drift` for the
+    cross-engine determinism argument. Input needs (source,
+    embedding) columns."""
+    return (
+        embs_sourced.select(
+            "source", F.posexplode("embedding").alias("pos", "_v")
+        )
+        .select(
+            "source",
+            "pos",
+            F.col("_v").cast("double").cast("decimal(20,10)").alias("_vd"),
+        )
+        .groupBy("source", "pos")
+        .agg(F.sum("_vd").alias("_sum"), F.count(F.lit(1)).alias("n_vecs"))
+        .select(
+            "source",
+            "pos",
+            "n_vecs",
+            F.round(
+                F.col("_sum").cast("double")
+                / F.col("n_vecs").cast("double")
+                * 1_000_000
+            )
+            .cast("long")
+            .alias("_mu"),
+        )
+    )
+
+
 def source_drift(docs: DataFrame, embeddings: DataFrame) -> DataFrame:
     """Embedding-distribution drift between corpus sources (r12): the
     pairwise squared L2 distance between per-source embedding
@@ -1269,31 +1305,7 @@ def source_drift(docs: DataFrame, embeddings: DataFrame) -> DataFrame:
     vectors.
     """
     src = docs.select(F.col("doc_id").alias("vec_id"), "source")
-    mu = (
-        embeddings.join(src, "vec_id")
-        .select(
-            "source", F.posexplode("embedding").alias("pos", "_v")
-        )
-        .select(
-            "source",
-            "pos",
-            F.col("_v").cast("double").cast("decimal(20,10)").alias("_vd"),
-        )
-        .groupBy("source", "pos")
-        .agg(F.sum("_vd").alias("_sum"), F.count(F.lit(1)).alias("n_vecs"))
-        .select(
-            "source",
-            "pos",
-            "n_vecs",
-            F.round(
-                F.col("_sum").cast("double")
-                / F.col("n_vecs").cast("double")
-                * 1_000_000
-            )
-            .cast("long")
-            .alias("_mu"),
-        )
-    )
+    mu = source_micro_means(embeddings.join(src, "vec_id"))
     a = mu.select(
         F.col("source").alias("source_a"),
         "pos",

@@ -2024,3 +2024,120 @@ def knn_classify_batches(
     if checkpoint is not None:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer.start()
+
+
+# --- streaming source-drift monitoring (baseline artifact + probe) ---------
+
+
+def write_drift_baseline(
+    docs: DataFrame, embeddings: DataFrame, path: str
+) -> str:
+    """Persist the per-source embedding-centroid BASELINE the drift
+    probe compares arrivals against: (source, pos, n_vecs, _mu) in
+    integer micro-units (`similarity.source_micro_means` -- the same
+    exact-arithmetic table `emb_source_drift` pairs on), under one
+    fingerprinted root (``path/means`` + ``path/fingerprint``). The
+    baseline is corpus-wide state, so it is batch-refreshed and
+    re-stamped like every other offline artifact; a probe stream
+    pinned to the old nonce fails loudly (the rebuild-under-a-
+    running-stream rule)."""
+    src = docs.select(F.col("doc_id").alias("vec_id"), "source")
+    from ..llmdata.similarity import source_micro_means
+
+    (
+        source_micro_means(embeddings.join(src, "vec_id"))
+        .write.mode("overwrite")
+        .parquet(path + "/means")
+    )
+    _write_index_fingerprint(
+        docs.sparkSession, path, {"kind": "drift_baseline"}
+    )
+    return path
+
+
+def drift_against_baseline(
+    embs_sourced: DataFrame, baseline_means: DataFrame
+) -> DataFrame:
+    """Batch twin of the streaming drift verdict: per source, the
+    squared L2 distance (micro-unit exact, reported as one IEEE
+    division) between the ARRIVING set's centroid and the baseline
+    centroid -- `source_drift`'s arithmetic pointed at a pinned
+    reference instead of pairwise. A source ABSENT from the baseline
+    emits NULL n_baseline/drift_l2sq: the new-source signal rides in
+    the data (a dashboard alerts on it) rather than failing the
+    batch. Input needs (source, embedding) columns."""
+    from ..llmdata.similarity import source_micro_means
+
+    cur = source_micro_means(embs_sourced).select(
+        "source",
+        "pos",
+        F.col("n_vecs").alias("_nc"),
+        F.col("_mu").alias("_mc"),
+    )
+    base = baseline_means.select(
+        "source",
+        "pos",
+        F.col("n_vecs").alias("_nb"),
+        F.col("_mu").alias("_mb"),
+    )
+    d = F.col("_mc") - F.col("_mb")
+    return (
+        cur.join(base, ["source", "pos"], "left")
+        .groupBy("source")
+        .agg(
+            F.max("_nc").alias("n_arrived"),
+            F.max("_nb").alias("n_baseline"),
+            (F.sum(d * d).cast("double") / F.lit(1e12)).alias("drift_l2sq"),
+        )
+    )
+
+
+def drift_verdict_batches(
+    embs_sourced: DataFrame,
+    baseline_path: str,
+    out_path: str,
+    checkpoint: str | None = None,
+):
+    """Streaming drift monitor: every micro-batch of (source,
+    embedding) arrivals gets a per-source drift verdict against the
+    fingerprinted baseline -- the corpus-monitoring stream beside the
+    curation capstone (probe-everything: the baseline is static,
+    per-batch cost is O(|batch| x dim) + a catalog-sized join; no
+    corpus-wide aggregation ever happens on the stream).
+
+    Emits (batch_id, source, n_arrived, n_baseline, drift_l2sq) rows
+    appended to ``out_path``; a baseline rebuild under the running
+    stream fails loudly per the fingerprint rule. Parity pinned by
+    tests/test_streaming.py::test_streaming_drift_matches_batch
+    (per-batch rows == `drift_against_baseline` of the same slice;
+    replaying the baseline corpus itself in one batch gives drift
+    exactly 0.0 per source)."""
+    spark = embs_sourced.sparkSession
+    expected = index_fingerprint(spark, baseline_path)
+    baseline = spark.read.parquet(baseline_path + "/means").persist()
+
+    def _emit(batch: DataFrame, epoch: int) -> None:
+        now = index_fingerprint(batch.sparkSession, baseline_path)
+        if now != expected:
+            raise RuntimeError(
+                f"drift baseline at {baseline_path} was rebuilt under a "
+                f"running probe stream (fingerprint {now} != snapshot "
+                f"{expected}); restart the stream against the new baseline"
+            )
+        if batch.isEmpty():
+            return
+        (
+            drift_against_baseline(batch, baseline)
+            .withColumn("batch_id", F.lit(epoch).cast("long"))
+            .write.mode("append")
+            .parquet(out_path)
+        )
+
+    writer = (
+        embs_sourced.writeStream.foreachBatch(_emit)
+        .outputMode("append")
+        .trigger(availableNow=True)
+    )
+    if checkpoint is not None:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()

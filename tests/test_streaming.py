@@ -2136,3 +2136,94 @@ def test_streaming_analytics_surface_matches_batch(spark, tmp_path):
             df.collect()
     with pytest.raises(RuntimeError, match="no readable manifest"):
         analytics_tables(spark, str(tmp_path / "not_a_root"))
+
+
+def test_streaming_drift_matches_batch(spark, tmp_path):
+    """r12 streaming drift monitor, three pins: (1) replaying the
+    baseline corpus itself in one batch yields drift EXACTLY 0.0 for
+    every source (a mathematical identity, not a comparison against
+    our own code); (2) per-micro-batch verdicts equal the batch twin
+    `drift_against_baseline` on the same slice; (3) a source absent
+    from the baseline emits a NULL-drift row (the new-source signal
+    rides in the data)."""
+    from big_data_streaming_dashboard_spark.streaming.llm_ingest import (
+        drift_against_baseline,
+        drift_verdict_batches,
+        write_drift_baseline,
+    )
+    from big_data_streaming_dashboard_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents").select("doc_id", "source")
+    embs = load_table(spark, sf, "embeddings")
+    base_root = str(tmp_path / "baseline")
+    write_drift_baseline(docs, embs, base_root)
+
+    sourced = embs.join(
+        docs.select(F.col("doc_id").alias("vec_id"), "source"), "vec_id"
+    ).select("vec_id", "embedding", "source")
+
+    # (1) self-replay in ONE batch -> drift 0.0 everywhere
+    src_all = str(tmp_path / "replay_all")
+    sourced.coalesce(1).write.parquet(src_all)
+    schema = spark.read.parquet(src_all).schema
+    out1 = str(tmp_path / "out1")
+    q = drift_verdict_batches(
+        spark.readStream.schema(schema).parquet(src_all),
+        base_root,
+        out1,
+        checkpoint=str(tmp_path / "ck1"),
+    )
+    q.awaitTermination(180)
+    rows = spark.read.parquet(out1).collect()
+    assert rows and all(r["drift_l2sq"] == 0.0 for r in rows)
+    assert all(r["n_arrived"] == r["n_baseline"] for r in rows)
+
+    # (2) per-batch parity on 2 slices + (3) a baseline-unknown source
+    h = F.abs(F.hash("vec_id") % 2)
+    slices = [sourced.filter(h == i) for i in range(2)]
+    novel = slices[1].limit(3).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        "embedding",
+        F.lit("src_new").alias("source"),
+    )
+    slices[1] = slices[1].unionByName(novel)
+    src_dir = str(tmp_path / "replay_sliced")
+    for s in slices:
+        s.coalesce(1).write.mode("append").parquet(src_dir)
+        import time as _t
+
+        _t.sleep(0.2)  # mtime order = batch order
+    out2 = str(tmp_path / "out2")
+    q = drift_verdict_batches(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir),
+        base_root,
+        out2,
+        checkpoint=str(tmp_path / "ck2"),
+    )
+    q.awaitTermination(180)
+    got = spark.read.parquet(out2)
+    assert got.select("batch_id").distinct().count() == 2
+    for b, sl in enumerate(slices):
+        g = sorted(
+            tuple(r)
+            for r in got.filter(F.col("batch_id") == b)
+            .drop("batch_id")
+            .collect()
+        )
+        want = sorted(tuple(r) for r in drift_against_baseline(
+            sl, spark.read.parquet(base_root + "/means")
+        ).collect())
+        assert g == want, f"batch {b} mismatch"
+    new_rows = got.filter(F.col("source") == "src_new").collect()
+    assert len(new_rows) == 1
+    assert new_rows[0]["drift_l2sq"] is None
+    assert new_rows[0]["n_baseline"] is None
+    assert new_rows[0]["n_arrived"] == 3
+    # non-vacuity: sliced replays genuinely drift (subset centroids
+    # differ from the full-corpus baseline)
+    assert got.filter(
+        (F.col("source") != "src_new") & (F.col("drift_l2sq") > 0)
+    ).count() > 0
