@@ -247,3 +247,44 @@ def test_r12_decision_support_plan_shapes(spark):
     # late-line join-back), never the literal double-self-join's three
     p = _plan(sole_late_supplier(spark, SF_ORACLE))
     assert p.count("lineitem.parquet") == 2, p.count("lineitem.parquet")
+
+
+def test_anomaly_z_predicate_matches_exact_rationals_bulk(spark):
+    """Randomized cross-check of the DECIMAL z-predicate against exact
+    Python integer arithmetic: 2,000 seeded (n, v, s, ss) tuples
+    spanning realistic window magnitudes (n up to 1e9, centi-values up
+    to 1e6, sums consistent with them), evaluated in ONE DataFrame
+    pass, must agree with 4*(n*v-s)^2 > 9*(n*ss-s^2) computed in
+    unbounded ints. Catches any silent widening/rounding defect the
+    single-value pins miss."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from big_data_streaming_dashboard_spark.plans.relational4 import (
+        _anomaly_z_predicate,
+    )
+
+    rng = random.Random(42)
+    rows = []
+    for _ in range(2000):
+        n = rng.choice([20, 100, 10_000, 1_000_000, 10**9])
+        vmax = rng.choice([100, 10_000, 1_000_000])
+        v = rng.randint(-vmax, vmax)
+        mean = rng.randint(-vmax, vmax)
+        s = n * mean + rng.randint(-vmax, vmax)
+        # ss >= s^2/n (Cauchy-Schwarz) keeps varn >= 0 like real data;
+        # stay under the BIGINT cap
+        base = min(s * s // n + rng.randint(0, vmax) * n, 2**62)
+        rows.append((n, v, s, base))
+    df = spark.createDataFrame(rows, "_n long, _v long, _s long, _ss long")
+    got = [
+        bool(r["p"])
+        for r in df.select(
+            _anomaly_z_predicate(
+                F.col("_n"), F.col("_v"), F.col("_s"), F.col("_ss")
+            ).alias("p")
+        ).collect()
+    ]
+    want = [4 * (n * v - s) ** 2 > 9 * (n * ss - s * s) for n, v, s, ss in rows]
+    assert got == want
