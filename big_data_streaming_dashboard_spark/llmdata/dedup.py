@@ -90,10 +90,21 @@ def minhash_signature(docs: DataFrame, k: int = DEFAULT_K) -> DataFrame:
     sf0.1 (5k docs, k=8): 4.17 s inlined vs 1.44 s two-stage, with the
     optimized plan dropping from 8 copies of the shingle HOF tree to 1.
     """
-    return docs.withColumn("_sh", shingles(F.col("text"))).select(
-        "doc_id",
-        *[_minhash_col(F.col("_sh"), i).alias(f"sig_{i}") for i in range(k)],
-    )
+    # r12: memoized + persisted like the banded table below -- the
+    # calibration evaluator references the signature frame from TWO
+    # join sides, and HOF lambdas defeat exchange reuse, so without
+    # this the executed plan computed all k min-hash trees twice
+    # (16 HOF trees / 6 doc scans at sf0.1; audited in PLANS.md)
+    def build():
+        return docs.withColumn("_sh", shingles(F.col("text"))).select(
+            "doc_id",
+            *[
+                _minhash_col(F.col("_sh"), i).alias(f"sig_{i}")
+                for i in range(k)
+            ],
+        ).persist()
+
+    return _plan_cached(docs, f"minhash_sig:{k}", build)
 
 
 # Derived-index cache: the banded table and the shingle table are the
