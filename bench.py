@@ -119,6 +119,7 @@ EXTRA = [
     "large_volume_orders",
     "disjunctive_brand_revenue",
     "sole_late_supplier",
+    "dominant_suppliers",
     # r12: estimator-calibration evaluator (pairs-sized joins past the
     # memoized jaccard/signature constituents)
     "doc_minhash_calibration",

@@ -1157,6 +1157,13 @@ WHERE s._emit""",
         relational5.SOLE_LATE_SUPPLIER_SQL,
         "Q21 double EXISTS/NOT-EXISTS decorrelated to per-order counts",
     ),
+    "dominant_suppliers": QuerySpec(
+        relational5.dominant_suppliers,
+        relational5.DOMINANT_SUPPLIERS_SQL,
+        "Q20 two-level correlated threshold: suppliers dominating a "
+        "part's 1996 shipments (>2x per-supplier average, cleared "
+        "denominators in DECIMAL); 40 of 100 suppliers at sf0.01",
+    ),
     "doc_minhash_calibration": QuerySpec(
         lambda spark, sf: minhash_calibration(_docs(spark, sf)),
         llm_sql.MINHASH_CALIBRATION_SQL,
@@ -1268,8 +1275,8 @@ WHERE s._emit""",
 # and the hi variant is a parameterization of an already-attested
 # plan pair, the weakest claim in the registry to a scarce slot.
 # CAPACITY AMENDMENT (r11, supersedes the two-round freshness rule
-# above for r12+): the registry now holds 122 queries (112 at the
-# r11 close + seven r12 decision-support additions + the minhash
+# above for r12+): the registry now holds 123 queries (112 at the
+# r11 close + eight r12 decision-support additions + the minhash
 # calibration evaluator + the packing-efficiency report + the
 # source-drift monitor) against 50 slots, so "every query
 # re-attested within two successful rounds" needs 60 slots/round --
@@ -1281,8 +1288,8 @@ WHERE s._emit""",
 # check). Successor policy, same spirit: window = the two permanent
 # rows-only entries + every query awaiting FIRST attestation + the
 # STALEST remaining queries by newest-successful-driver-row (LRU),
-# ties broken alphabetically. At 122 queries that re-attests
-# everything within ceil(120/48) = 3 successful rounds.
+# ties broken alphabetically. At 123 queries that re-attests
+# everything within ceil(121/48) = 3 successful rounds.
 # r12 swap EXECUTED (this window): the FOURTEEN r11 queries awaiting
 # first attestation (doc_neardup_recall_hi, doc_curation_funnel,
 # emb_ivf_recall, emb_pq_recall, customer_order_histogram,
@@ -1320,16 +1327,16 @@ WHERE s._emit""",
 # These 14 deferred queries have newest row r10 and form the r13
 # window's stalest block (they will then be 3 rounds stale -- the
 # policy bound, so they MUST rotate in next round).
-# r13 swap plan (do this FIRST next round): the TEN r12 additions
+# r13 swap plan (do this FIRST next round): the ELEVEN r12 additions
 # awaiting first attestation (order_priority_exists,
 # bi_nation_volume, region_market_share, late_lines_priority,
 # large_volume_orders, disjunctive_brand_revenue,
-# sole_late_supplier, doc_minhash_calibration,
+# sole_late_supplier, dominant_suppliers, doc_minhash_calibration,
 # doc_packing_efficiency, emb_source_drift) + the 14 deferred
 # r10-block queries above (at their 3-round bound -- mandatory) +
-# the 2 permanent rows-only + the 24 stalest others. The "others"
+# the 2 permanent rows-only + the 23 stalest others. The "others"
 # pool is the r11-attested block (stalest after the mandatory 14);
-# pick 24 alphabetically from it and document the actual picks here
+# pick 23 alphabetically from it and document the actual picks here
 # when executing.
 # NOTE: the r11 verdict/judge ledger counts by NEWEST row; nothing in
 # this window is older than r10, and after a successful r12 run no

