@@ -2097,6 +2097,7 @@ def drift_verdict_batches(
     baseline_path: str,
     out_path: str,
     checkpoint: str | None = None,
+    expected_fingerprint: str | None = None,
 ):
     """Streaming drift monitor: every micro-batch of (source,
     embedding) arrivals gets a per-source drift verdict against the
@@ -2111,9 +2112,16 @@ def drift_verdict_batches(
     tests/test_streaming.py::test_streaming_drift_matches_batch
     (per-batch rows == `drift_against_baseline` of the same slice;
     replaying the baseline corpus itself in one batch gives drift
-    exactly 0.0 per source)."""
+    exactly 0.0 per source).
+
+    ``expected_fingerprint``: a supervisor restarting the probe
+    passes the nonce it pinned at deployment time, so a baseline
+    rebuild across the restart is caught too (the default snapshots
+    the nonce at call time, which only guards WITHIN one run).
+
+    """
     spark = embs_sourced.sparkSession
-    expected = index_fingerprint(spark, baseline_path)
+    expected = expected_fingerprint or index_fingerprint(spark, baseline_path)
     baseline = spark.read.parquet(baseline_path + "/means").persist()
 
     def _emit(batch: DataFrame, epoch: int) -> None:

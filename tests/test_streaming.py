@@ -2227,3 +2227,50 @@ def test_streaming_drift_matches_batch(spark, tmp_path):
     assert got.filter(
         (F.col("source") != "src_new") & (F.col("drift_l2sq") > 0)
     ).count() > 0
+
+
+def test_streaming_drift_baseline_rebuild_fails_loudly(spark, tmp_path):
+    """The drift probe's stream-static argument holds only while the
+    baseline is STATIC (same rule as the ANN/curation artifacts): a
+    probe pinned to a nonce that a rebuild has since replaced must
+    refuse at the first batch, never silently mix baselines. Also
+    pins that the rebuild actually re-stamps the nonce."""
+    import pytest
+
+    from pyspark.sql.streaming import StreamingQueryException
+
+    from big_data_streaming_dashboard_spark.streaming.llm_ingest import (
+        drift_verdict_batches,
+        index_fingerprint,
+        write_drift_baseline,
+    )
+    from big_data_streaming_dashboard_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents").select("doc_id", "source")
+    embs = load_table(spark, sf, "embeddings")
+    base_root = str(tmp_path / "baseline")
+    write_drift_baseline(docs, embs, base_root)
+    stale = index_fingerprint(spark, base_root)
+
+    sourced = embs.join(
+        docs.select(F.col("doc_id").alias("vec_id"), "source"), "vec_id"
+    ).select("vec_id", "embedding", "source")
+    src_dir = str(tmp_path / "replay")
+    sourced.limit(20).coalesce(1).write.parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+
+    # rebuild re-stamps
+    write_drift_baseline(docs.limit(100), embs, base_root)
+    assert index_fingerprint(spark, base_root) != stale
+
+    q = drift_verdict_batches(
+        spark.readStream.schema(schema).parquet(src_dir),
+        base_root,
+        str(tmp_path / "out"),
+        checkpoint=str(tmp_path / "ck"),
+        expected_fingerprint=stale,
+    )
+    with pytest.raises(StreamingQueryException, match="rebuilt under"):
+        q.awaitTermination(120)
+        raise AssertionError("stale-pinned drift probe did not refuse")
