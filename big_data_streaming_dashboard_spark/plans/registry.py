@@ -1338,6 +1338,16 @@ WHERE s._emit""",
 # pool is the r11-attested block (stalest after the mandatory 14);
 # pick 23 alphabetically from it and document the actual picks here
 # when executing.
+# TOOLING (r12): `python -m big_data_streaming_dashboard_spark.plans.
+# rotation` COMPUTES this window from the CORRECTNESS_r*.json ledgers
+# under the policy above (verified to reproduce the r13 plan when
+# projected onto the expected r12 ledger) and raises loudly on
+# policy breaches (mandatory overflow, 3-round staleness). Run it at
+# round start AFTER the previous round's CORRECTNESS lands, paste the
+# list, and still document the picks here. One judgment call the tool
+# does NOT make: the r11-established precedent that a brand-new query
+# never bumps an attested query sitting AT its staleness bound --
+# check the left-out set before pasting.
 # NOTE: the r11 verdict/judge ledger counts by NEWEST row; nothing in
 # this window is older than r10, and after a successful r12 run no
 # query's newest row is older than r10 (within the 3-round bound).

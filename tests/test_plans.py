@@ -288,3 +288,51 @@ def test_anomaly_z_predicate_matches_exact_rationals_bulk(spark):
     ]
     want = [4 * (n * v - s) ** 2 > 9 * (n * ss - s * s) for n, v, s, ss in rows]
     assert got == want
+
+
+def test_rotation_tool_computes_policy_window():
+    """r12: the DRIVER_WINDOW rotation is now computed, not
+    hand-derived (the r9 round was lost to a hand-edited window).
+    Pins: (1) on the real ledgers the tool emits exactly 50 valid,
+    distinct registry names with the rows-only entries and every
+    never-attested query included; (2) mandatory entries exceeding
+    the slot budget raise; (3) a query that would fall past the
+    3-round staleness bound outside the window raises (synthetic
+    ledgers) -- policy breaches are loud, never silent drops."""
+    import json
+
+    import pytest
+
+    from big_data_streaming_dashboard_spark.plans.registry import QUERIES
+    from big_data_streaming_dashboard_spark.plans.rotation import (
+        attestation_ledger,
+        next_window,
+    )
+
+    w = next_window()
+    assert len(w) == 50 == len(set(w))
+    assert all(n in QUERIES for n in w)
+    rows_only = {n for n, q in QUERIES.items() if not q.oracle}
+    assert rows_only <= set(w)
+    newest, rounds = attestation_ledger("/root/repo")
+    never = {n for n, q in QUERIES.items() if q.oracle and n not in newest}
+    assert never <= set(w)
+    assert len(rounds) >= 10  # r9 (crashed, no successful rows) excluded
+
+    with pytest.raises(RuntimeError, match="exceed"):
+        next_window(size=len(rows_only) + len(never) - 1)
+
+    # synthetic: everything attested only in r1, five successful
+    # rounds since -> whatever a small window leaves out is past the
+    # bound and must raise
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        names = sorted(n for n, q in QUERIES.items() if q.oracle)
+        ok = {"rows_match": True, "schema_match": True, "hash_match": True,
+              "spark_rows": 1, "oracle_rows": 1, "err": None}
+        json.dump({n: ok for n in names}, open(f"{d}/CORRECTNESS_r01.json", "w"))
+        for r in range(2, 6):
+            json.dump({names[0]: ok}, open(f"{d}/CORRECTNESS_r{r:02d}.json", "w"))
+        with pytest.raises(RuntimeError, match="stale"):
+            next_window(repo_root=d, size=10)
