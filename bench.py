@@ -128,6 +128,9 @@ EXTRA = [
     # r12: source-centroid drift monitor (one (source,pos) exchange +
     # a catalog-sized pairwise join)
     "emb_source_drift",
+    # r12: clustering-quality evaluator (cost ~= the kmeans fit it
+    # scores; the inertia tail is aggregate-sized)
+    "emb_kmeans_inertia",
 ]
 
 # scaling-regression canaries (r5 verdict item 4): a small subset

@@ -1743,6 +1743,46 @@ def kmeans_assign_sql(k: int = 8, iterations: int = 5) -> str:
     )
 
 
+def kmeans_inertia_sql(k: int = 8, iterations: int = 5) -> str:
+    """Clustering-inertia oracle (mirrors
+    llmdata.similarity.kmeans_inertia): the same unrolled-Lloyd final
+    assignment, then micro-unit reporting centroids (DECIMAL-quantized
+    component sums -> round(mean * 1e6) BIGINT -- the
+    source_micro_means pattern) and an exact int64 SSE. The only
+    non-integer step is the final division by 1e12, identical IEEE on
+    both engines."""
+    ctes, final = _lloyd_ctes(k, iterations)
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+comps AS (
+    SELECT cluster, pos,
+           CAST(round(x * 1000000) AS BIGINT) AS xm,
+           CAST(CAST(x AS DOUBLE) AS DECIMAL(20,10)) AS xd
+    FROM (
+        SELECT cluster, unnest(v) AS x,
+               unnest(range(len(v))) AS pos
+        FROM {final}
+    )
+),
+mu AS (
+    SELECT cluster, pos,
+           CAST(round(CAST(SUM(xd) AS DOUBLE) / COUNT(*) * 1000000)
+                AS BIGINT) AS _mu
+    FROM comps GROUP BY cluster, pos
+)
+SELECT CAST(c.cluster AS INTEGER) AS cluster,
+       CAST(SUM(CASE WHEN c.pos = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_vecs,
+       CAST(CAST(SUM((c.xm - m._mu) * (c.xm - m._mu)) AS BIGINT)
+            AS DOUBLE) / 1e12 AS inertia
+FROM comps c JOIN mu m ON c.cluster = m.cluster AND c.pos = m.pos
+GROUP BY c.cluster
+"""
+    )
+
+
 def pq_topk_sql(
     n_queries: int = 5,
     k: int = 5,

@@ -45,6 +45,7 @@ from ..llmdata.dedup import (
     semantic_neardup,
 )
 from ..llmdata.similarity import (
+    kmeans_inertia,
     source_drift,
     DEFAULT_HAMMING_RADIUS,
     DEFAULT_NEARDUP_BANDS,
@@ -1181,6 +1182,14 @@ WHERE s._emit""",
         "number that motivates shard_packing); 32/64 straddle the "
         "fixture length range so both waste columns discriminate",
     ),
+    "emb_kmeans_inertia": QuerySpec(
+        lambda spark, sf: kmeans_inertia(_embs(spark, sf)),
+        llm_sql.kmeans_inertia_sql(),
+        "within-cluster SSE per final k-means cluster against micro-unit "
+        "reporting centroids (exact int64 arithmetic; the elbow/quality "
+        "number, completing the evaluator family); 8 clusters at sf0.01 "
+        "with distinct sizes and inertias",
+    ),
     "emb_source_drift": QuerySpec(
         lambda spark, sf: source_drift(_docs(spark, sf), _embs(spark, sf)),
         llm_sql.SOURCE_DRIFT_SQL,
@@ -1275,10 +1284,11 @@ WHERE s._emit""",
 # and the hi variant is a parameterization of an already-attested
 # plan pair, the weakest claim in the registry to a scarce slot.
 # CAPACITY AMENDMENT (r11, supersedes the two-round freshness rule
-# above for r12+): the registry now holds 123 queries (112 at the
+# above for r12+): the registry now holds 124 queries (112 at the
 # r11 close + eight r12 decision-support additions + the minhash
 # calibration evaluator + the packing-efficiency report + the
-# source-drift monitor) against 50 slots, so "every query
+# source-drift monitor + the k-means inertia evaluator) against 50
+# slots, so "every query
 # re-attested within two successful rounds" needs 60 slots/round --
 # mathematically unsatisfiable. It was the
 # r7 verdict's rule for a ~90-query registry; growing coverage is the
@@ -1288,8 +1298,8 @@ WHERE s._emit""",
 # check). Successor policy, same spirit: window = the two permanent
 # rows-only entries + every query awaiting FIRST attestation + the
 # STALEST remaining queries by newest-successful-driver-row (LRU),
-# ties broken alphabetically. At 123 queries that re-attests
-# everything within ceil(121/48) = 3 successful rounds.
+# ties broken alphabetically. At 124 queries that re-attests
+# everything within ceil(122/48) = 3 successful rounds.
 # r12 swap EXECUTED (this window): the FOURTEEN r11 queries awaiting
 # first attestation (doc_neardup_recall_hi, doc_curation_funnel,
 # emb_ivf_recall, emb_pq_recall, customer_order_histogram,
@@ -1327,17 +1337,17 @@ WHERE s._emit""",
 # These 14 deferred queries have newest row r10 and form the r13
 # window's stalest block (they will then be 3 rounds stale -- the
 # policy bound, so they MUST rotate in next round).
-# r13 swap plan (do this FIRST next round): the ELEVEN r12 additions
+# r13 swap plan (do this FIRST next round): the TWELVE r12 additions
 # awaiting first attestation (order_priority_exists,
 # bi_nation_volume, region_market_share, late_lines_priority,
 # large_volume_orders, disjunctive_brand_revenue,
 # sole_late_supplier, dominant_suppliers, doc_minhash_calibration,
-# doc_packing_efficiency, emb_source_drift) + the 14 deferred
-# r10-block queries above (at their 3-round bound -- mandatory) +
-# the 2 permanent rows-only + the 23 stalest others. The "others"
-# pool is the r11-attested block (stalest after the mandatory 14);
-# pick 23 alphabetically from it and document the actual picks here
-# when executing.
+# doc_packing_efficiency, emb_source_drift, emb_kmeans_inertia) +
+# the 14 deferred r10-block queries above (at their 3-round bound --
+# mandatory) + the 2 permanent rows-only + the 22 stalest others.
+# The "others" pool is the r11-attested block (stalest after the
+# mandatory 14); pick 22 alphabetically from it and document the
+# actual picks here when executing.
 # TOOLING (r12): `python -m big_data_streaming_dashboard_spark.plans.
 # rotation` COMPUTES this window from the CORRECTNESS_r*.json ledgers
 # under the policy above (verified to reproduce the r13 plan when
