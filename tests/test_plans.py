@@ -336,3 +336,17 @@ def test_rotation_tool_computes_policy_window():
             json.dump({names[0]: ok}, open(f"{d}/CORRECTNESS_r{r:02d}.json", "w"))
         with pytest.raises(RuntimeError, match="stale"):
             next_window(repo_root=d, size=10)
+
+
+def test_session_factory_sets_changelog_checkpointing(spark):
+    """r12 (r11 verdict item 3): the engine defaults RocksDB changelog
+    checkpointing on -- commit work halves at the measured state sizes
+    (PLANS.md, 'State-store fixed cost'). Pin the conf so a session
+    refactor cannot silently drop it back to full-snapshot uploads."""
+    assert (
+        spark.conf.get(
+            "spark.sql.streaming.stateStore.rocksdb."
+            "changelogCheckpointing.enabled"
+        )
+        == "true"
+    )
