@@ -94,17 +94,17 @@ def minhash_signature(docs: DataFrame, k: int = DEFAULT_K) -> DataFrame:
     # calibration evaluator references the signature frame from TWO
     # join sides, and HOF lambdas defeat exchange reuse, so without
     # this the executed plan computed all k min-hash trees twice
-    # (16 HOF trees / 6 doc scans at sf0.1; audited in PLANS.md)
-    def build():
-        return docs.withColumn("_sh", shingles(F.col("text"))).select(
-            "doc_id",
-            *[
-                _minhash_col(F.col("_sh"), i).alias(f"sig_{i}")
-                for i in range(k)
-            ],
-        ).persist()
-
-    return _plan_cached(docs, f"minhash_sig:{k}", build)
+    # (16 HOF trees / 6 doc scans at sf0.1; audited in PLANS.md).
+    # STREAMING input (the near-dup probe signs each arriving batch)
+    # takes the plain path: persist() is illegal on a streaming frame
+    # and cross-batch memoization would be a correctness bug anyway.
+    sig = docs.withColumn("_sh", shingles(F.col("text"))).select(
+        "doc_id",
+        *[_minhash_col(F.col("_sh"), i).alias(f"sig_{i}") for i in range(k)],
+    )
+    if docs.isStreaming:
+        return sig
+    return _plan_cached(docs, f"minhash_sig:{k}", lambda: sig.persist())
 
 
 # Derived-index cache: the banded table and the shingle table are the
