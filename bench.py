@@ -173,6 +173,11 @@ TENX = [
     # replicate with remapped orderkeys, so the date-filtered join
     # stays 1:1 at 10x)
     "shipping_priority",
+    # r12: the decorrelated double-EXISTS shape (per-order conditional
+    # distinct counts + late-line join-back) -- the round's most
+    # shuffle-interesting new plan; measured 8.6 s cold sf0.1 ->
+    # 11.6 s at 10x (1.35x wall for 10x data) when added
+    "sole_late_supplier",
 ]
 
 # r12 (r11 verdict item 2 + ADVICE): TENX_REPS entries record BOTH rep
