@@ -1337,17 +1337,28 @@ WHERE s._emit""",
 # These 14 deferred queries have newest row r10 and form the r13
 # window's stalest block (they will then be 3 rounds stale -- the
 # policy bound, so they MUST rotate in next round).
-# r13 swap plan (do this FIRST next round): the TWELVE r12 additions
-# awaiting first attestation (order_priority_exists,
-# bi_nation_volume, region_market_share, late_lines_priority,
-# large_volume_orders, disjunctive_brand_revenue,
-# sole_late_supplier, dominant_suppliers, doc_minhash_calibration,
-# doc_packing_efficiency, emb_source_drift, emb_kmeans_inertia) +
-# the 14 deferred r10-block queries above (at their 3-round bound --
-# mandatory) + the 2 permanent rows-only + the 22 stalest others.
-# The "others" pool is the r11-attested block (stalest after the
-# mandatory 14); pick 22 alphabetically from it and document the
-# actual picks here when executing.
+# r13 swap EXECUTED (this window, computed by `python -m
+# big_data_streaming_dashboard_spark.plans.rotation` against the
+# CORRECTNESS_r01..r12 ledgers and verified by hand before pasting):
+# the TWELVE r12 additions awaiting first attestation
+# (order_priority_exists, bi_nation_volume, region_market_share,
+# late_lines_priority, large_volume_orders,
+# disjunctive_brand_revenue, sole_late_supplier, dominant_suppliers,
+# doc_minhash_calibration, doc_packing_efficiency, emb_source_drift,
+# emb_kmeans_inertia) + the 14 deferred r10-block queries above (at
+# their 3-round bound -- mandatory, exactly as planned in r12) + the
+# 2 permanent rows-only + 22 "others" = the alphabetically-first 22
+# of the 48-query r11-attested block (above_user_avg ..
+# doc_stratified_sample; all tied at newest-row r11, alphabetical
+# tiebreak per policy). Left-out set verified: 48 r12-attested + 26
+# r11-attested, nothing at or past its staleness bound, so no
+# never-bump-at-bound conflict.
+# r14 swap plan (do this FIRST next round): after a successful r13
+# run, the 26 r11-attested queries left out of this window hit their
+# 3-round bound -- they are r14's mandatory block. r14 window = those
+# 26 + 2 rows-only + any r13 first-attestations + the stalest of the
+# r12-attested block to fill. Computed slack for net r13 registry
+# additions: 50 - 26 - 2 = 22 (the rotation tool raises on overflow).
 # TOOLING (r12): `python -m big_data_streaming_dashboard_spark.plans.
 # rotation` COMPUTES this window from the CORRECTNESS_r*.json ledgers
 # under the policy above (verified to reproduce the r13 plan when
@@ -1369,57 +1380,60 @@ WHERE s._emit""",
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW: list[str] = [
-    # --- 14 first attestations (added r11, never driver-attested) ---
-    "customer_order_histogram",
-    "doc_corpus_census",
-    "doc_curation_funnel",
-    "doc_neardup_cluster_sizes",
-    "doc_neardup_recall_hi",
-    "emb_ivf_recall",
-    "emb_pq_recall",
-    "event_funnel",
-    "idle_customer_balance",
-    "shipping_priority",
-    "small_quantity_revenue",
-    "top_supplier_revenue",
-    "value_anomalies",
-    "weekly_cohort_retention",
-    # --- 34 of the 48 r10-block queries (newest row r10); the 14
-    # deferred siblings are enumerated in the swap comment above ---
-    "activity_reconcile",
-    "alerts_active",
-    "alerts_cooldown",
-    "alerts_cooldown_exact",
-    "alerts_ws_messages",
-    "asof_latest_order",
-    "brand_supplier_margin",
-    "doc_bigram_lm",
-    "doc_chunk_spans",
-    "doc_dedupe_lines",
-    "doc_langid",
-    "doc_normalize",
-    "doc_pii_redact",
-    "doc_quality",
-    "doc_rolling_fingerprint",
-    "doc_shard_packing",
-    "doc_simhash",
-    "doc_tfidf_top_terms",
-    "doc_vocab_coverage",
-    "emb_kmeans",
-    "exact_distinct_quantiles",
-    "full_pipeline",
-    "geojson_features",
-    "grid_cluster",
-    "level_filter_high",
-    "pivot_event_counts",
-    "pricing_summary",
-    "rollup_pricing",
-    "segment_semi_anti",
-    "severity_ws_counts",
-    "temporal_batch_annotate",
-    "temporal_union",
-    "user_set_ops",
-    "window_zoo",
+    # --- 12 first attestations (added r12, never driver-attested) ---
+    "bi_nation_volume",
+    "disjunctive_brand_revenue",
+    "doc_minhash_calibration",
+    "doc_packing_efficiency",
+    "dominant_suppliers",
+    "emb_kmeans_inertia",
+    "emb_source_drift",
+    "large_volume_orders",
+    "late_lines_priority",
+    "order_priority_exists",
+    "region_market_share",
+    "sole_late_supplier",
+    # --- 14 mandatory: deferred from r12 at their 3-round LRU bound
+    # (newest driver row r10; siblings enumerated in the r12 swap
+    # comment above) ---
+    "doc_curation_extended",
+    "doc_exact_dedup",
+    "doc_minhash_signature",
+    "doc_neardup_recall",
+    "doc_repeated_passages",
+    "doc_token_stats",
+    "emb_ann_recall",
+    "emb_ivf_topk",
+    "events_by_hour",
+    "gapfill_5min",
+    "grouping_sets_shipping",
+    "revenue_by_nation",
+    "top_customers",
+    "unpivot_event_metrics",
+    # --- 22 stalest others: alphabetically-first of the 48-query
+    # r11-attested block (all tied at newest-row r11) ---
+    "above_user_avg",
+    "brand_supplier_variety",
+    "bronze_radiation",
+    "cube_order_stats",
+    "dedup_first_occurrence",
+    "doc_bpe_encode",
+    "doc_bpe_merges",
+    "doc_containment_pairs",
+    "doc_contamination",
+    "doc_corpus_mixture",
+    "doc_curation",
+    "doc_curation_full",
+    "doc_domain_cap",
+    "doc_gopher_rules",
+    "doc_importance_weights",
+    "doc_neardup_clusters",
+    "doc_neardup_pairs",
+    "doc_ngram_jaccard",
+    "doc_repeated_passages_exact",
+    "doc_repetition",
+    "doc_semantic_neardup",
+    "doc_stratified_sample",
     # rows-only by design -- permanently in-window per r3 advice
     "approx_aggregates",
     "media_feature_census",
