@@ -50,9 +50,18 @@ SELECT
 FROM toks
 """
 
-# mirror of llmdata.text.packing_efficiency (seq_lens literal kept in
-# lock-step with PACKING_SEQ_LENS)
-PACKING_EFFICIENCY_SQL = r"""
+# mirror of llmdata.text.packing_efficiency; the VALUES list is
+# GENERATED from text.PACKING_SEQ_LENS at module load (the
+# _sig_cols_sql pattern) so the two sides cannot drift apart by a
+# hand edit that only surfaces as an oracle hash mismatch at suite
+# time (r12 ADVICE)
+def _packing_seq_lens_values() -> str:
+    from ..llmdata.text import PACKING_SEQ_LENS
+
+    return ", ".join(f"({int(n)})" for n in PACKING_SEQ_LENS)
+
+
+PACKING_EFFICIENCY_SQL = rf"""
 WITH toks AS (
     SELECT doc_id, regexp_split_to_array(text, '\s+') AS tokens
     FROM documents
@@ -60,7 +69,7 @@ WITH toks AS (
 n AS (SELECT CAST(len(tokens) AS BIGINT) AS _n FROM toks),
 per AS (
     SELECT _n, max_seq_len
-    FROM n, (VALUES (32), (64), (128), (512)) AS t(max_seq_len)
+    FROM n, (VALUES {_packing_seq_lens_values()}) AS t(max_seq_len)
 )
 SELECT max_seq_len,
        COUNT(*) AS n_docs,

@@ -36,6 +36,14 @@ import re
 
 WINDOW_SIZE = 50
 MAX_STALE_ROUNDS = 3
+# A driver round only advances the LRU staleness clock when it
+# completed at least this fraction of the window: a round that
+# crashes after a handful of rows would otherwise count as
+# "successful overall" and overstate re-attestation freshness for
+# every query left out of the window (r12 ADVICE). Every historical
+# completed round is 49-50/50 ok; r9 (the crash) is 0 -- 0.5 is a
+# wide margin on both sides.
+MIN_ROUND_COMPLETION = 0.5
 
 
 def attestation_ledger(repo_root: str) -> tuple[dict[str, int], list[int]]:
@@ -44,9 +52,12 @@ def attestation_ledger(repo_root: str) -> tuple[dict[str, int], list[int]]:
     A round is successful for a query when its row ran without error
     AND either hash-matched or is a rows-only check that produced
     rows (the driver records rows-only entries with err='no_oracle').
-    A round counts as successful overall if it produced ANY
-    successful row (the r9 crash produced none and does not count,
-    per the registry comment)."""
+    A round counts as successful overall only if it produced at
+    least ``MIN_ROUND_COMPLETION`` x ``WINDOW_SIZE`` successful rows
+    (the r9 crash produced none; a partial round that crashed
+    mid-window must not advance the staleness clock for the queries
+    it never reached -- r12 ADVICE). Individual successful rows from
+    a partial round still update ``newest`` (they really ran)."""
     newest: dict[str, int] = {}
     rounds: list[int] = []
     for path in sorted(glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json"))):
@@ -58,7 +69,7 @@ def attestation_ledger(repo_root: str) -> tuple[dict[str, int], list[int]]:
             data = json.load(open(path))
         except (OSError, json.JSONDecodeError):
             continue
-        any_ok = False
+        ok_count = 0
         for name, row in data.items():
             if not isinstance(row, dict):
                 continue
@@ -70,8 +81,8 @@ def attestation_ledger(repo_root: str) -> tuple[dict[str, int], list[int]]:
             )
             if ok:
                 newest[name] = max(newest.get(name, 0), rnd)
-                any_ok = True
-        if any_ok:
+                ok_count += 1
+        if ok_count >= MIN_ROUND_COMPLETION * WINDOW_SIZE:
             rounds.append(rnd)
     return newest, sorted(rounds)
 

@@ -42,6 +42,7 @@ curation capstone extends its corpus surface.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterator
 
 import pandas as pd
@@ -611,13 +612,23 @@ def analytics_tables(spark, out_root: str) -> dict:
         )
 
     def read(surface: str, schema):
-        try:
-            return spark.read.schema(schema).parquet(f"{out_root}/{surface}")
-        except Exception as e:
+        # "surface missing -- its query never ran" is only the right
+        # diagnosis when the directory is absent; a corrupt parquet
+        # file or a permission error under an EXISTING directory must
+        # surface as itself, traceback chained (r12 ADVICE).
+        path = f"{out_root}/{surface}"
+        if not os.path.isdir(path):
             raise RuntimeError(
                 f"analytics_tables: surface '{surface}' missing under "
-                f"{out_root} -- its query never ran ({type(e).__name__})"
-            ) from None
+                f"{out_root} -- its query never ran"
+            )
+        try:
+            return spark.read.schema(schema).parquet(path)
+        except Exception as e:
+            raise RuntimeError(
+                f"analytics_tables: surface '{surface}' exists under "
+                f"{out_root} but is unreadable ({type(e).__name__}: {e})"
+            ) from e
 
     return {
         "funnel": funnel_counts(

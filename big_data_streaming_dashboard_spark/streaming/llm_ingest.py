@@ -2065,7 +2065,12 @@ def drift_against_baseline(
     reference instead of pairwise. A source ABSENT from the baseline
     emits NULL n_baseline/drift_l2sq: the new-source signal rides in
     the data (a dashboard alerts on it) rather than failing the
-    batch. Input needs (source, embedding) columns."""
+    batch. A source PRESENT in the baseline whose arriving embedding
+    dimension disagrees with the baseline's (either direction) emits
+    NULL drift_l2sq with n_baseline kept non-NULL: schema drift must
+    surface as a signal, not as a silently underestimated sum over
+    the positions that happened to align (r12 ADVICE -- F.sum skips
+    NULL diff terms). Input needs (source, embedding) columns."""
     from ..llmdata.similarity import source_micro_means
 
     cur = source_micro_means(embs_sourced).select(
@@ -2080,15 +2085,34 @@ def drift_against_baseline(
         F.col("n_vecs").alias("_nb"),
         F.col("_mu").alias("_mb"),
     )
+    # catalog-sized (one row per baseline source): the denominator for
+    # the dims-agree check in BOTH directions -- a left join alone
+    # cannot see baseline positions the arrivals never reached
+    base_dims = baseline_means.groupBy("source").agg(
+        F.count("pos").alias("_pos_base")
+    )
     d = F.col("_mc") - F.col("_mb")
-    return (
+    per_source = (
         cur.join(base, ["source", "pos"], "left")
         .groupBy("source")
         .agg(
             F.max("_nc").alias("n_arrived"),
             F.max("_nb").alias("n_baseline"),
-            (F.sum(d * d).cast("double") / F.lit(1e12)).alias("drift_l2sq"),
+            F.count("pos").alias("_pos_arrived"),
+            F.count("_mb").alias("_pos_matched"),
+            F.sum(d * d).alias("_ss"),
         )
+    )
+    dims_agree = (F.col("_pos_matched") == F.col("_pos_arrived")) & (
+        F.col("_pos_matched") == F.col("_pos_base")
+    )
+    return per_source.join(base_dims, "source", "left").select(
+        "source",
+        "n_arrived",
+        "n_baseline",
+        F.when(dims_agree, F.col("_ss").cast("double") / F.lit(1e12)).alias(
+            "drift_l2sq"
+        ),
     )
 
 

@@ -322,20 +322,40 @@ def test_rotation_tool_computes_policy_window():
     with pytest.raises(RuntimeError, match="exceed"):
         next_window(size=len(rows_only) + len(never) - 1)
 
-    # synthetic: everything attested only in r1, five successful
-    # rounds since -> whatever a small window leaves out is past the
-    # bound and must raise
+    # synthetic: everything attested only in r1, four successful
+    # COMPLETE rounds since (each re-attesting the same 30-name
+    # block, above the completion threshold) -> whatever a small
+    # window leaves out is past the bound and must raise
     import tempfile
+
+    from big_data_streaming_dashboard_spark.plans.rotation import (
+        MIN_ROUND_COMPLETION,
+        WINDOW_SIZE,
+    )
 
     with tempfile.TemporaryDirectory() as d:
         names = sorted(n for n, q in QUERIES.items() if q.oracle)
         ok = {"rows_match": True, "schema_match": True, "hash_match": True,
               "spark_rows": 1, "oracle_rows": 1, "err": None}
         json.dump({n: ok for n in names}, open(f"{d}/CORRECTNESS_r01.json", "w"))
+        block = names[:30]  # 30 >= 0.5 * 50: counts as a complete round
         for r in range(2, 6):
-            json.dump({names[0]: ok}, open(f"{d}/CORRECTNESS_r{r:02d}.json", "w"))
+            json.dump({n: ok for n in block},
+                      open(f"{d}/CORRECTNESS_r{r:02d}.json", "w"))
         with pytest.raises(RuntimeError, match="stale"):
             next_window(repo_root=d, size=10)
+
+    # r12 ADVICE: a PARTIAL round (crashed after a handful of rows)
+    # must not advance the staleness clock -- its rows still update
+    # `newest`, but the round is excluded from `rounds`
+    with tempfile.TemporaryDirectory() as d:
+        json.dump({n: ok for n in names}, open(f"{d}/CORRECTNESS_r01.json", "w"))
+        few = int(MIN_ROUND_COMPLETION * WINDOW_SIZE) - 1
+        json.dump({n: ok for n in names[:few]},
+                  open(f"{d}/CORRECTNESS_r02.json", "w"))
+        newest2, rounds2 = attestation_ledger(d)
+        assert rounds2 == [1]
+        assert newest2[names[0]] == 2  # the partial rows really ran
 
 
 def test_session_factory_sets_changelog_checkpointing(spark):

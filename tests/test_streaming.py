@@ -2130,10 +2130,22 @@ def test_streaming_analytics_surface_matches_batch(spark, tmp_path):
     # single-surface guarantee: a partial tree refuses loudly
     import shutil
 
+    # r12 ADVICE: corruption under an EXISTING surface must surface
+    # as itself, never mislabeled "its query never ran" (the explicit
+    # read schema makes content errors lazy, so they reach the caller
+    # as Spark's own scan error carrying the real cause)
+    import glob as _glob
+
+    victim = sorted(_glob.glob(out_root + "/anomalies/*.parquet"))[0]
+    with open(victim, "wb") as fh:
+        fh.write(b"not a parquet file")
+    with pytest.raises(Exception) as exc_info:
+        analytics_tables(spark, out_root)["anomalies"].collect()
+    assert "never ran" not in str(exc_info.value)
+
     shutil.rmtree(out_root + "/retention")
     with pytest.raises(RuntimeError, match="surface 'retention' missing"):
-        for _name, df in analytics_tables(spark, out_root).items():
-            df.collect()
+        analytics_tables(spark, out_root)
     with pytest.raises(RuntimeError, match="no readable manifest"):
         analytics_tables(spark, str(tmp_path / "not_a_root"))
 
@@ -2227,6 +2239,29 @@ def test_streaming_drift_matches_batch(spark, tmp_path):
     assert got.filter(
         (F.col("source") != "src_new") & (F.col("drift_l2sq") > 0)
     ).count() > 0
+
+    # (4) r12 ADVICE: a KNOWN source arriving with a different
+    # embedding dimension (either direction) is schema drift -- the
+    # verdict must be NULL drift with n_baseline kept non-NULL (so a
+    # dashboard can tell it from the new-source signal), never a sum
+    # over whatever positions happened to align
+    base_means = spark.read.parquet(base_root + "/means")
+    dim = len(sourced.first()["embedding"])
+    shrunk = sourced.limit(5).select(
+        "vec_id", F.slice("embedding", 1, dim // 2).alias("embedding"),
+        "source",
+    )
+    grown = sourced.limit(5).select(
+        "vec_id",
+        F.concat("embedding", F.array(F.lit(0.0))).alias("embedding"),
+        "source",
+    )
+    for bad in (shrunk, grown):
+        verdicts = drift_against_baseline(bad, base_means).collect()
+        assert verdicts
+        for r in verdicts:
+            assert r["drift_l2sq"] is None
+            assert r["n_baseline"] is not None
 
 
 def test_streaming_drift_baseline_rebuild_fails_loudly(spark, tmp_path):
