@@ -480,8 +480,11 @@ def anomaly_verdict_stream(events: DataFrame) -> DataFrame:
     semantics become knowledge-at-arrival alerting (an alert fires on
     what the system has seen), which is the deployment semantic a
     live dashboard wants anyway; state pruning assumes the ordered
-    contract. State per type is bounded by the trailing day's
-    distinct seconds (<= 86,400 entries)."""
+    contract. For exactness under bounded disorder instead, use
+    :func:`anomaly_verdict_stream_delayed` (r13): it trades verdict
+    latency (up to the watermark delay) for row-for-row batch parity
+    under ANY arrival order. State per type is bounded by the
+    trailing day's distinct seconds (<= 86,400 entries)."""
     return (
         events.select("event_id", "event_type", "ts", "value")
         .groupBy("event_type")
@@ -514,6 +517,250 @@ def anomaly_table(emitted: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Watermark-delayed anomaly mode (r13, r12 verdict item 4): exact
+# under BOUNDED disorder, like funnel/retention already are
+# ---------------------------------------------------------------------------
+
+_ANOMALY_DELAYED_STATE_SCHEMA = T.StructType(
+    [
+        # the ordered kernel's per-second aggregate maps (fold order
+        # never matters -- merging is commutative)
+        T.StructField("secs", T.ArrayType(T.LongType()), True),
+        T.StructField("ns", T.ArrayType(T.LongType()), True),
+        T.StructField("sums", T.ArrayType(T.LongType()), True),
+        T.StructField("sqs", T.ArrayType(T.LongType()), True),
+        # events whose verdict is HELD until the watermark passes
+        # their second (bounded by the watermark delay's worth of
+        # events -- the disorder bound the caller declared)
+        T.StructField("pend_ids", T.ArrayType(T.LongType()), True),
+        T.StructField("pend_us", T.ArrayType(T.LongType()), True),
+        T.StructField("pend_vals", T.ArrayType(T.DoubleType()), True),
+        T.StructField("pend_vis", T.ArrayType(T.LongType()), True),
+        # every second < emit_horizon has had its verdicts emitted
+        T.StructField("emit_horizon", T.LongType(), True),
+    ]
+)
+
+
+def _make_anomaly_update_delayed(window_s: int = 86400, min_n: int = 20):
+    # self-contained closure (cloudpickle-by-value; see _make_update)
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import bisect
+
+        if state.exists:
+            (secs, ns, sums, sqs, p_ids, p_us, p_vals, p_vis), horizon = (
+                [list(x) for x in state.get[:8]],
+                state.get[8],
+            )
+        else:
+            secs, ns, sums, sqs = [], [], [], []
+            p_ids, p_us, p_vals, p_vis = [], [], [], []
+            horizon = None
+        frames = [f for f in pdfs if len(f)]
+        if frames:
+            batch = pd.concat(frames)
+            ts = batch["ts"].astype("datetime64[us]")
+            ts_us = ts.astype("int64").tolist()
+            # identical rounding path to the ordered kernel (numpy
+            # HALF_EVEN), so both modes test the exact same integers
+            vis = [
+                int(x)
+                for x in (batch["value"] * 100).round().astype("int64")
+            ]
+            # defensive only: Spark's watermark filter already drops
+            # rows older than the CURRENT watermark before they reach
+            # this kernel, and emit_horizon never exceeds a PAST
+            # watermark -- so this can fire only on an engine-contract
+            # break, never on merely-late data (which is dropped
+            # upstream and surfaces in numRowsDroppedByWatermark)
+            if horizon is not None and ts_us and (
+                min(ts_us) // 1_000_000 < horizon
+            ):
+                raise ValueError(
+                    "anomaly_verdict_stream_delayed: event at sec "
+                    f"{min(ts_us) // 1_000_000} arrived below the "
+                    f"emitted horizon {horizon}; its window verdicts "
+                    "were already finalized"
+                )
+            for u, vi in zip(ts_us, vis):
+                s_ = u // 1_000_000
+                i = bisect.bisect_left(secs, s_)
+                if i < len(secs) and secs[i] == s_:
+                    ns[i] += 1
+                    sums[i] += vi
+                    sqs[i] += vi * vi
+                else:
+                    secs.insert(i, s_)
+                    ns.insert(i, 1)
+                    sums.insert(i, vi)
+                    sqs.insert(i, vi * vi)
+            p_ids += [int(x) for x in batch["event_id"].astype("int64")]
+            p_us += ts_us
+            p_vals += [float(x) for x in batch["value"].astype("float64")]
+            p_vis += vis
+        # emit verdicts for every pending event whose SECOND the
+        # watermark has passed: any event that could still land at or
+        # before that second has ts < watermark and is filtered by
+        # Spark, so the trailing frame is final -- the batch plan's
+        # exact contents under disorder <= the declared delay
+        wm_sec = state.getCurrentWatermarkMs() // 1000
+        out_idx = []
+        out_n = []
+        out_s = []
+        if p_us and min(p_us) // 1_000_000 < wm_sec:
+            pn = [0]
+            ps = [0]
+            pq = [0]
+            for a, b, c in zip(ns, sums, sqs):
+                pn.append(pn[-1] + a)
+                ps.append(ps[-1] + b)
+                pq.append(pq[-1] + c)
+            keep_ids, keep_us, keep_vals, keep_vis = [], [], [], []
+            for j, (u, vi) in enumerate(zip(p_us, p_vis)):
+                s_ = u // 1_000_000
+                if s_ >= wm_sec:
+                    keep_ids.append(p_ids[j])
+                    keep_us.append(u)
+                    keep_vals.append(p_vals[j])
+                    keep_vis.append(vi)
+                    continue
+                lo = bisect.bisect_left(secs, s_ - (window_s - 1))
+                hi = bisect.bisect_right(secs, s_)
+                n = pn[hi] - pn[lo]
+                ssum = ps[hi] - ps[lo]
+                ssq = pq[hi] - pq[lo]
+                d = n * vi - ssum
+                if n >= min_n and 4 * d * d > 9 * (n * ssq - ssum * ssum):
+                    out_idx.append(j)
+                    out_n.append(n)
+                    out_s.append(ssum)
+            out_ids = [p_ids[j] for j in out_idx]
+            out_us = [p_us[j] for j in out_idx]
+            out_vals = [p_vals[j] for j in out_idx]
+            p_ids, p_us, p_vals, p_vis = (
+                keep_ids,
+                keep_us,
+                keep_vals,
+                keep_vis,
+            )
+            horizon = wm_sec
+        else:
+            out_ids, out_us, out_vals = [], [], []
+        # prune aggregate seconds no future verdict can reach: every
+        # unemitted or future event has sec >= wm_sec (pending by the
+        # keep rule above; arrivals by the watermark filter)
+        cut = bisect.bisect_left(secs, wm_sec - (window_s - 1))
+        if cut:
+            secs, ns, sums, sqs = secs[cut:], ns[cut:], sums[cut:], sqs[cut:]
+        if p_us:
+            state.update(
+                (secs, ns, sums, sqs, p_ids, p_us, p_vals, p_vis, horizon)
+            )
+            # wake when the watermark passes the oldest held second
+            # (strictly greater than the current watermark: the held
+            # minimum is >= wm_sec by the keep rule)
+            state.setTimeoutTimestamp((min(p_us) // 1_000_000 + 1) * 1000)
+        elif secs:
+            state.update(
+                (secs, ns, sums, sqs, p_ids, p_us, p_vals, p_vis, horizon)
+            )
+        else:
+            state.remove()
+        yield pd.DataFrame(
+            {
+                "event_id": pd.array(out_ids, dtype="int64"),
+                "event_type": [str(key[0])] * len(out_ids),
+                "ts": pd.Series(out_us, dtype="int64").astype(
+                    "datetime64[us]"
+                ),
+                "value": pd.array(out_vals, dtype="float64"),
+                "n_window": pd.array(out_n, dtype="int64"),
+                "_s": pd.array(out_s, dtype="int64"),
+            }
+        )
+
+    return update
+
+
+def anomaly_verdict_stream_delayed(
+    events: DataFrame,
+    delay: str = "60 seconds",
+    window_s: int = 86400,
+    min_n: int = 20,
+) -> DataFrame:
+    """Out-of-order-tolerant twin of :func:`anomaly_verdict_stream`
+    (r13, r12 verdict item 4): verdicts are HELD per event and emitted
+    only once the watermark passes the event's second -- at that point
+    no event that could land in its trailing frame can still arrive
+    (anything older than the watermark is filtered upstream by Spark),
+    so every emitted verdict uses exactly the batch RANGE frame's
+    contents. With ``delay`` >= the stream's true disorder bound the
+    emitted set equals `value_anomalies` row-for-row under ANY arrival
+    order -- the same exact-under-bounded-disorder contract funnel and
+    retention already carry (pinned by the SHUFFLED-replay parity
+    test). Under an insufficient delay the failure mode is Spark's
+    standard late-data drop (observable as numRowsDroppedByWatermark
+    in query progress), never a silently truncated window; the kernel
+    additionally refuses loudly if an arrival ever lands below the
+    emitted horizon (an engine-contract break, not mere lateness).
+
+    Mechanics: aggregates fold commutatively on arrival (order never
+    matters for the per-second maps); emission is watermark-gated;
+    event-time timeouts re-wake each group when the watermark passes
+    its oldest held second, so the tail flushes without new data for
+    that key (Spark's no-data micro-batch). State per type is bounded
+    by window_s + delay worth of distinct seconds plus delay worth of
+    held events -- the price of disorder tolerance, linear in the
+    declared bound, independent of stream length.
+
+    Trade-off vs the ordered mode: verdicts lag arrival by up to
+    ``delay`` (the fundamental latency/exactness trade -- a verdict
+    emitted earlier could be flipped by a late in-window event), so
+    the live dashboard keeps the knowledge-at-arrival mode and this
+    mode serves the exactness-first deployment.
+
+    Session-timezone constraint (checked loudly at plan time): Spark
+    only watermarks TIMESTAMP, not TIMESTAMP_NTZ, so the watermark
+    rides a cast twin of ``ts`` -- and the kernel's wall-clock second
+    math (identical to the batch plan's floor(epoch)) equals the
+    watermark's instant math only when the session timezone is a
+    fixed-zero-offset zone. A non-UTC session would silently shift
+    the gate by the zone offset; refuse instead."""
+    tz = events.sparkSession.conf.get("spark.sql.session.timeZone")
+    from datetime import datetime, timedelta
+    from zoneinfo import ZoneInfo
+
+    try:
+        z = ZoneInfo(tz)
+        offs = {z.utcoffset(datetime(2024, 1, 1)), z.utcoffset(datetime(2024, 7, 1))}
+    except Exception:
+        offs = None
+    if offs != {timedelta(0)}:
+        raise ValueError(
+            "anomaly_verdict_stream_delayed requires a zero-offset "
+            f"session timezone (spark.sql.session.timeZone={tz!r}): "
+            "the watermark gate rides cast(ts as timestamp) and a "
+            "nonzero offset would shift it against the batch plan's "
+            "wall-clock seconds -- set the session timezone to UTC"
+        )
+    return (
+        events.select("event_id", "event_type", "ts", "value")
+        .withColumn("_wm_ts", F.col("ts").cast("timestamp"))
+        .withWatermark("_wm_ts", delay)
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            _make_anomaly_update_delayed(window_s, min_n),
+            outputStructType=ANOMALY_OUTPUT_SCHEMA,
+            stateStructType=_ANOMALY_DELAYED_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Unified product-analytics surface (r12, r11 verdict item 5): one
 # event stream in, all three analytics changelogs out under one root
 # ---------------------------------------------------------------------------
@@ -526,6 +773,8 @@ def analytics_verdict_batches(
     out_root: str,
     checkpoint: str,
     window_hours: int = 24,
+    anomaly_mode: str = "arrival",
+    anomaly_delay: str = "60 seconds",
 ) -> list:
     """The product-analytics capstone: ONE event stream drives all
     three exact stateful operators (ordered funnel, cohort retention,
@@ -549,9 +798,14 @@ def analytics_verdict_batches(
     the same source offsets semantics.
 
     Contract: the unified surface inherits the STRICTEST constituent
-    contract -- anomaly's event-time-ordered arrival on whole-second
+    contract. With the default knowledge-at-arrival anomaly mode that
+    is anomaly's event-time-ordered arrival on whole-second
     micro-batch boundaries (post-horizon arrivals fail that query
-    loudly); funnel and retention stay exact under ANY order. Parity
+    loudly); with ``anomaly_mode="delayed"`` the anomaly constituent
+    becomes exact under bounded disorder like funnel and retention
+    (which stay exact under ANY order), lifting the surface contract
+    to exact-under-bounded-disorder at the price of verdict latency
+    up to ``anomaly_delay``. Parity
     of all three finished tables against their batch counterparts
     (event_funnel / weekly_cohort_retention / value_anomalies) is
     pinned by ONE test over ONE shared replay:
@@ -577,10 +831,19 @@ def analytics_verdict_batches(
             .start()
         )
 
+    if anomaly_mode == "arrival":
+        anomalies = anomaly_verdict_stream(events)
+    elif anomaly_mode == "delayed":
+        anomalies = anomaly_verdict_stream_delayed(events, delay=anomaly_delay)
+    else:
+        raise ValueError(
+            f"analytics_verdict_batches: unknown anomaly_mode "
+            f"{anomaly_mode!r} (expected 'arrival' or 'delayed')"
+        )
     return [
         start(funnel_state_stream(events, window_hours), "funnel"),
         start(retention_state_stream(events), "retention"),
-        start(anomaly_verdict_stream(events), "anomalies"),
+        start(anomalies, "anomalies"),
     ]
 
 

@@ -163,6 +163,21 @@ def test_bench_lists_fail_fast_on_dangling_names():
     except RuntimeError as e:
         assert "doc_ngram_jaccard" in str(e)
 
+    # r13 (r12 verdict item 3): TENX_COLD_REPS gets the same guard --
+    # the containment entry is last in TENX, so drop that trailing
+    # entry and the cold-reps key orphans
+    src = open("/root/repo/bench.py").read().replace(
+        '    "doc_containment_pairs",\n]', "]", 1
+    )
+    assert 'doc_containment_pairs": 2' in src  # still a TENX_COLD_REPS key
+    mod = types.ModuleType("bench_tampered3")
+    mod.__file__ = "/root/repo/bench.py"
+    try:
+        exec(compile(src, "bench.py", "exec"), mod.__dict__)
+        raise AssertionError("orphan TENX_COLD_REPS key did not fail at load")
+    except RuntimeError as e:
+        assert "TENX_COLD_REPS" in str(e) and "doc_containment_pairs" in str(e)
+
 
 def test_value_anomalies_decimal_exactness_and_loud_overflow(spark):
     """r12 (r11 ADVICE): the z-test arithmetic claims (a) every

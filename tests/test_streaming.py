@@ -2050,6 +2050,146 @@ def test_streaming_anomaly_refuses_post_horizon_arrival(spark, tmp_path):
         q.awaitTermination(120)
 
 
+def test_streaming_anomaly_delayed_matches_batch_under_shuffled_replay(
+    spark, tmp_path
+):
+    """r13 (r12 verdict item 4): the watermark-delayed anomaly mode is
+    exact under BOUNDED disorder -- replaying sf0.01 SHUFFLED (seeded
+    block shuffle, so arrival is decidedly not event-time-ordered)
+    with a delay >= the replay's measured disorder bound must still
+    match value_anomalies row-for-row. The run is split in two phases
+    sharing one checkpoint: phase 1 replays the shuffled data (and
+    must emit a strict, non-empty SUBSET -- progressive watermark-gated
+    emission, not a degenerate end-flush) and phase 2 appends one far-
+    future flush sentinel whose watermark advance fires the event-time
+    timeouts that drain every held tail. Zero rows may be dropped by
+    the watermark (that would mean the delay did not cover the
+    disorder and the parity was vacuous)."""
+    from big_data_streaming_dashboard_spark.plans.relational4 import (
+        value_anomalies,
+    )
+    from big_data_streaming_dashboard_spark.streaming.funnel import (
+        anomaly_table,
+        anomaly_verdict_stream_delayed,
+    )
+    from big_data_streaming_dashboard_spark.tables import load_table
+
+    import random
+    import time
+
+    sf = "/root/testdata/sf0.01"
+    ev = load_table(spark, sf, "events").select(
+        "event_id", "event_type", "ts", "value"
+    )
+    rows = ev.orderBy("ts", "event_id").collect()
+    # seeded block shuffle: disorder bounded by ~2 consecutive block
+    # spans (500 rows ~ 1.5 days at sf0.01 density), measured exactly
+    # below rather than assumed
+    rng = random.Random(13)
+    shuffled = []
+    for i in range(0, len(rows), 500):
+        blk = rows[i : i + 500]
+        rng.shuffle(blk)
+        shuffled.extend(blk)
+    assert [r["event_id"] for r in shuffled] != [
+        r["event_id"] for r in rows
+    ]
+    # required delay = max arrival lateness in the replay + margin
+    prefix_max, d_req = None, 0.0
+    for r in shuffled:
+        t = r["ts"].timestamp()
+        if prefix_max is None or t > prefix_max:
+            prefix_max = t
+        d_req = max(d_req, prefix_max - t)
+    delay_s = int(d_req) + 3
+    max_ts = max(r["ts"] for r in rows)
+    span_s = max_ts.timestamp() - min(r["ts"] for r in rows).timestamp()
+    assert delay_s < span_s / 3  # else emission could not be progressive
+
+    src = str(tmp_path / "events_anom_shuf")
+    quarter = (len(shuffled) + 3) // 4
+    for i in range(0, len(shuffled), quarter):
+        spark.createDataFrame(
+            shuffled[i : i + quarter], ev.schema
+        ).coalesce(1).write.mode("append").parquet(src)
+        time.sleep(0.1)  # distinct mtimes: file source replays oldest-first
+
+    ckpt = str(tmp_path / "anom_shuf_ckpt")
+    out = str(tmp_path / "anom_shuf_out")
+
+    def run_phase():
+        # parquet sink, not memory: the memory sink refuses checkpoint
+        # recovery and phase 2 must resume phase 1's state
+        from big_data_streaming_dashboard_spark.streaming.funnel import (
+            ANOMALY_OUTPUT_SCHEMA,
+        )
+
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            anomaly_verdict_stream_delayed(stream, delay=f"{delay_s} seconds")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        dropped = sum(
+            op.get("numRowsDroppedByWatermark", 0)
+            for p in q.recentProgress
+            for op in p.get("stateOperators", [])
+        )
+        return spark.read.schema(ANOMALY_OUTPUT_SCHEMA).parquet(out), dropped
+
+    want = sorted(
+        tuple(r) for r in value_anomalies(spark, sf).collect()
+    )
+    assert len(want) > 500  # non-vacuous
+
+    p1, dropped1 = run_phase()
+    got1 = sorted(tuple(r) for r in anomaly_table(p1).collect())
+    assert dropped1 == 0
+    assert 0 < len(got1) < len(want), (len(got1), len(want))
+
+    # phase 2: one far-future sentinel (its own 1-event group never
+    # reaches min_n) pushes the watermark past every data second
+    import datetime
+
+    sentinel_ts = max_ts + datetime.timedelta(seconds=delay_s + 10)
+    spark.createDataFrame(
+        [(10**9, "__flush__", sentinel_ts, 0.0)], ev.schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    p2, dropped2 = run_phase()
+    got2 = sorted(tuple(r) for r in anomaly_table(p2).collect())
+    assert dropped2 == 0
+    assert len(got2) > len(got1)  # the held tail actually drained
+
+    assert got2 == want
+
+
+def test_streaming_anomaly_delayed_refuses_nonzero_offset_session(spark):
+    """The delayed mode's watermark gate rides cast(ts as timestamp);
+    a non-UTC session timezone would shift it against the batch plan's
+    wall-clock seconds -- the operator must refuse at plan time, not
+    silently mis-gate."""
+    from big_data_streaming_dashboard_spark.streaming.funnel import (
+        anomaly_verdict_stream_delayed,
+    )
+
+    orig = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        with pytest.raises(ValueError, match="zero-offset"):
+            anomaly_verdict_stream_delayed(spark.range(1))
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", orig)
+
+
 def test_streaming_analytics_surface_matches_batch(spark, tmp_path):
     """r12 (r11 verdict item 5): the unified product-analytics
     capstone -- ONE ordered replay of the sf0.01 events corpus drives
