@@ -783,3 +783,99 @@ def test_streaming_retention_sf01_rocksdb_reverse_replay(spark, tmp_path):
     counts = {w[2] for w in want}
     assert len(counts) > 1, "triangle counts do not discriminate"
     assert got == want
+
+
+def test_streaming_analytics_surface_sf01_rocksdb(spark, tmp_path):
+    """r13 (r12 verdict item 7): the unified product-analytics
+    capstone at the scale the batch queries bench -- sf0.1 (100k
+    events) replayed in event-time order on whole-second micro-batch
+    boundaries (the strictest-constituent contract) across 8 files
+    under the RocksDB state store, all three finished tables matching
+    their batch counterparts row-for-row. This closes the gap between
+    the per-operator fixed-cost study (retention alone was pinned at
+    sf0.1) and the single-surface capstone."""
+    import uuid
+
+    from big_data_streaming_dashboard_spark.plans.relational4 import (
+        event_funnel,
+        value_anomalies,
+        weekly_cohort_retention,
+    )
+    from big_data_streaming_dashboard_spark.streaming.funnel import (
+        analytics_tables,
+        analytics_verdict_batches,
+    )
+    from big_data_streaming_dashboard_spark.tables import load_table
+
+    sf = SF01
+    ev = load_table(spark, sf, "events").select(
+        "event_id", "user_id", "event_type", "ts", "value"
+    )
+    # 8 slices cut on WHOLE-SECOND boundaries, computed in Spark (no
+    # 100k-row driver collect): rank distinct seconds, assign each
+    # row its second's octile, write octiles oldest-first
+    secs = [
+        r["s"]
+        for r in ev.select(
+            F.floor(F.unix_timestamp("ts")).alias("s")
+        ).distinct().orderBy("s").collect()
+    ]
+    n_files = 8
+    cuts = [secs[(len(secs) * i) // n_files] for i in range(1, n_files)]
+    slice_expr = sum(
+        (F.floor(F.unix_timestamp("ts")) >= F.lit(c)).cast("int")
+        for c in cuts
+    )
+    sliced = ev.withColumn("_slice", slice_expr)
+    src = str(tmp_path / "events_uni01")
+    for i in range(n_files):
+        sliced.filter(F.col("_slice") == i).drop("_slice").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+        time.sleep(0.2)  # mtime order = replay order
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    out_root = str(tmp_path / f"analytics01_{uuid.uuid4().hex[:8]}")
+    try:
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        queries = analytics_verdict_batches(
+            stream, out_root, checkpoint=str(tmp_path / "ckpt_uni01")
+        )
+        for q in queries:
+            q.awaitTermination(600)
+        got = analytics_tables(spark, out_root)
+
+        f_got = sorted(tuple(r) for r in got["funnel"].collect())
+        f_want = sorted(tuple(r) for r in event_funnel(spark, sf).collect())
+        assert f_want[0][2] > f_want[1][2] > f_want[2][2] > 0
+        assert f_got == f_want
+
+        r_got = sorted(tuple(r) for r in got["retention"].collect())
+        r_want = sorted(
+            tuple(r) for r in weekly_cohort_retention(spark, sf).collect()
+        )
+        assert len(r_want) == 5
+        assert len({w[2] for w in r_want}) > 1  # discriminating counts
+        assert r_got == r_want
+
+        a_got = sorted(tuple(r) for r in got["anomalies"].collect())
+        a_want = sorted(
+            tuple(r) for r in value_anomalies(spark, sf).collect()
+        )
+        assert len(a_want) > 5000  # 8,261 at sf0.1 when added
+        assert a_got == a_want
+    finally:
+        if old is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, old)
