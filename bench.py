@@ -179,6 +179,12 @@ TENX = [
     # shuffle-interesting new plan; measured 8.6 s cold sf0.1 ->
     # 11.6 s at 10x (1.35x wall for 10x data) when added
     "sole_late_supplier",
+    # r13 (r12 verdict item 8): the newest monitor family gets the
+    # same measured-scale evidence as the dedup/ANN families -- the
+    # pairwise-drift plan is catalog-sized (quadratic in SOURCES,
+    # never vectors), so its 10x wall should track the decorate scan,
+    # not the pair count; 0.90 s at sf0.1 when added
+    "emb_source_drift",
     # r13 (r12 verdict item 3): containment moved LAST so its
     # TENX_COLD_REPS cache clears cannot evict state the earlier
     # single-rep entries would otherwise have inherited (their cold
