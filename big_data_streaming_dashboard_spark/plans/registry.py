@@ -118,6 +118,7 @@ from ..streaming.stateful import exact_cooldown_batch
 from ..tables import bronze_radiation, load_table, spread
 from . import llm_sql, relational, relational2, relational3, relational4
 from . import relational5
+from . import relational6
 from .fragments import BRONZE_SQL, SILVER_SQL
 
 
@@ -1165,6 +1166,36 @@ WHERE s._emit""",
         "part's 1996 shipments (>2x per-supplier average, cleared "
         "denominators in DECIMAL); 40 of 100 suppliers at sf0.01",
     ),
+    # round-13 additions (the four plan classes completing the
+    # classic Q1-Q22 catalog; await first driver attestation in r14
+    # per the LRU policy -- 4 of the computed slack of 22 used, per
+    # the r12 verdict's growth-discipline rule)
+    "local_supplier_volume": QuerySpec(
+        relational6.local_supplier_volume,
+        relational6.LOCAL_SUPPLIER_VOLUME_SQL,
+        "Q5 doubly-constrained star: same-nation customer+supplier "
+        "revenue per region nation (same-nation equality rides in the "
+        "join condition); 5 nations at sf0.01, counts 2-28",
+    ),
+    "regional_min_quote": QuerySpec(
+        relational6.regional_min_quote,
+        relational6.REGIONAL_MIN_QUOTE_SQL,
+        "Q2 correlated per-part MIN join-back over region suppliers "
+        "(window floor over the catalog-sized quote frame; literal "
+        "correlated-subquery oracle = decorrelation proof); 96 rows",
+    ),
+    "national_part_share": QuerySpec(
+        relational6.national_part_share,
+        relational6.NATIONAL_PART_SHARE_SQL,
+        "Q11 group-vs-global scalar threshold (cleared-denominator "
+        "500*part > total in exact DECIMAL); 50 of 1,204 parts pass",
+    ),
+    "discount_band_revenue": QuerySpec(
+        relational6.discount_band_revenue,
+        relational6.DISCOUNT_BAND_REVENUE_SQL,
+        "Q6 single-table multi-predicate scan aggregate (all three "
+        "predicates pushed to the parquet scan); 1,162 lines",
+    ),
     "doc_minhash_calibration": QuerySpec(
         lambda spark, sf: minhash_calibration(_docs(spark, sf)),
         llm_sql.MINHASH_CALIBRATION_SQL,
@@ -1359,6 +1390,12 @@ WHERE s._emit""",
 # 26 + 2 rows-only + any r13 first-attestations + the stalest of the
 # r12-attested block to fill. Computed slack for net r13 registry
 # additions: 50 - 26 - 2 = 22 (the rotation tool raises on overflow).
+# r13 additions actually made: FOUR (local_supplier_volume,
+# regional_min_quote, national_part_share, discount_band_revenue --
+# the Q5/Q2/Q11/Q6 classes completing the classic catalog), well
+# inside the slack per the growth-discipline rule; they await first
+# attestation in r14, leaving 50 - 26 - 2 - 4 = 18 slots for the
+# stalest of the r12-attested block.
 # TOOLING (r12): `python -m big_data_streaming_dashboard_spark.plans.
 # rotation` COMPUTES this window from the CORRECTNESS_r*.json ledgers
 # under the policy above (verified to reproduce the r13 plan when

@@ -1,0 +1,321 @@
+"""Relational coverage, part 6 (round 13): the four classic
+decision-support plan classes that complete the catalog -- with these,
+every one of the 22 canonical warehouse query shapes (Q1-Q22) has a
+registry twin --
+
+* ``local_supplier_volume`` (Q5 shape): the doubly-constrained star
+  -- customer and supplier must resolve to the SAME nation through
+  two different fact foreign keys, region-restricted.
+* ``regional_min_quote`` (Q2 shape): correlated per-part MIN over a
+  region-restricted supplier set, joined back to pick the suppliers
+  achieving it (the min-cost-supplier lookup).
+* ``national_part_share`` (Q11 shape): per-part value HAVING against
+  a scalar total over the SAME filtered set (group-vs-global
+  threshold, the "important stock" report).
+* ``discount_band_revenue`` (Q6 shape): single-table multi-predicate
+  scan aggregate -- the pure pushdown/scan-bound class.
+
+The fixture has no partsupp table (TESTDATA.md), so Q2/Q11 are
+re-based on lineitem: a supplier's "quote" for a part is its minimum
+single-line extendedprice (exact DECIMAL, no division), and a part's
+"stock value" is the extendedprice sum over one nation's suppliers --
+same correlation structure and plan class, different source columns
+(the same re-basing precedent as Q4/Q12/Q21's lateness predicate in
+part 5). Reference parity: the reference dashboard has no
+decision-support layer (flink_process/flink_process.py is
+ingest/validate/route only); these extend the warehouse surface the
+way parts 3-5 did.
+
+Determinism discipline (README): money stays in DECIMAL(12,2) until
+the final displayed cast; the Q11 threshold is cleared-denominator
+(500 * part_value > total_value, both exact decimals -- never a
+fraction); the Q2 floor is an exact decimal MIN compared by decimal
+equality, so supplier ties are emitted identically by both engines.
+Non-vacuity at sf0.01 (counted, per the vacuous-oracle audit
+discipline): Q5 five nations, line counts 2-28, all revenues
+distinct; Q2 96 part-supplier floor rows; Q11 50 of 1,204 parts pass
+the 1/500 threshold; Q6 1,162 qualifying lines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..tables import load_table as _load
+from .relational4 import _REVENUE_SQL, _revenue
+
+
+def _region_nations(spark: SparkSession, sf_dir: str, region: str) -> DataFrame:
+    """The region's nations -- a <=25-row frame built from two
+    fixed-size dims, broadcast-safe at any corpus scale."""
+    return (
+        _load(spark, sf_dir, "nation")
+        .join(
+            F.broadcast(
+                _load(spark, sf_dir, "region").filter(F.col("r_name") == region)
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+
+
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 shape: 1997 revenue shipped by suppliers to customers of the
+    SAME nation, for nations of one region -- the doubly-constrained
+    star (the same-nation predicate ties two different fact foreign
+    keys together through their dims).
+
+    At scale: the region constraint is evaluated on the two fixed-size
+    dims FIRST (a <=25-row broadcast), semi-reducing customer before
+    the fact is touched; orders carries its pushed 1997 date filter.
+    The same-nation constraint rides IN the supplier join condition
+    (equi on both suppkey and nationkey), so the join never produces
+    the cross-nation rows only to filter them -- at 100 TB that is the
+    difference between shuffling the matched fact once and shuffling a
+    25x larger cross-nation intermediate. Group domain is the region's
+    nations: one narrow final exchange.
+    """
+    nat = _region_nations(spark, sf_dir, "ASIA")
+    cust = (
+        _load(spark, sf_dir, "customer")
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_nationkey").alias("cust_nationkey"))
+    )
+    orders = (
+        _load(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= "1997-01-01")
+            & (F.col("o_orderdate") < "1998-01-01")
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = _load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    supp = _load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    return (
+        orders.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(
+            supp,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("s_nationkey") == F.col("cust_nationkey")),
+        )
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(_revenue()).cast("double").alias("revenue"),
+        )
+        .select(F.col("n_name").alias("nation"), "n_lines", "revenue")
+    )
+
+
+LOCAL_SUPPLIER_VOLUME_SQL = f"""
+SELECT n_name AS nation, COUNT(*) AS n_lines,
+       CAST(SUM({_REVENUE_SQL}) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name
+"""
+
+
+def regional_min_quote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 shape: for each STANDARD part of size <= 15, the EUROPE
+    supplier(s) whose minimum single-line quote for that part is the
+    regional floor -- the correlated per-group MIN with a join-back
+    (re-based: quote = min l_extendedprice, since the fixture has no
+    partsupp.ps_supplycost).
+
+    At scale: the part filter is applied BEFORE any fact work and the
+    inner join semi-reduces lineitem to the filtered parts (valid
+    because the correlated floor is per part: restricting parts never
+    changes a surviving part's quote set). Suppliers are
+    region-reduced through the broadcast nation frame. The per-part
+    floor is a window MIN over the already part-supplier-sized
+    aggregate -- one exchange on p_partkey over a frame that is
+    catalog-sized (parts x their regional suppliers), never the fact.
+    The oracle states the literal correlated subquery; the hash match
+    is the decorrelation proof (the sole_late_supplier pattern).
+    """
+    nat = _region_nations(spark, sf_dir, "EUROPE")
+    supp = (
+        _load(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", F.col("n_name").alias("nation"))
+    )
+    parts = (
+        _load(spark, sf_dir, "part")
+        .filter((F.col("p_type") == "STANDARD") & (F.col("p_size") <= 15))
+        .select("p_partkey", "p_brand")
+    )
+    li = _load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    # no broadcast hints on parts/supp: both are fact-proportional at
+    # 100 TB (filtered part set, one region's suppliers) -- stats/AQE
+    # territory, per the part-5 self-audit rule
+    quotes = (
+        li.join(parts, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("p_partkey", "p_brand", "s_suppkey", "s_name", "nation")
+        .agg(
+            F.min(F.col("l_extendedprice").cast("decimal(12,2)")).alias(
+                "min_quote"
+            )
+        )
+    )
+    floor = F.min("min_quote").over(Window.partitionBy("p_partkey"))
+    return (
+        quotes.withColumn("_floor", floor)
+        .filter(F.col("min_quote") == F.col("_floor"))
+        .select(
+            F.col("p_partkey").alias("partkey"),
+            "p_brand",
+            F.col("s_name").alias("supplier"),
+            "nation",
+            F.col("min_quote").cast("double").alias("min_quote"),
+        )
+    )
+
+
+REGIONAL_MIN_QUOTE_SQL = """
+WITH regional AS (
+    SELECT l_partkey, l_suppkey, s_name, n_name,
+           MIN(CAST(l_extendedprice AS DECIMAL(12,2))) AS min_quote
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'EUROPE'
+    GROUP BY l_partkey, l_suppkey, s_name, n_name
+)
+SELECT p_partkey AS partkey, p_brand, s_name AS supplier,
+       n_name AS nation, CAST(min_quote AS DOUBLE) AS min_quote
+FROM regional r
+JOIN part ON r.l_partkey = p_partkey
+WHERE p_type = 'STANDARD' AND p_size <= 15
+  AND min_quote = (
+      SELECT MIN(min_quote) FROM regional r2
+      WHERE r2.l_partkey = r.l_partkey
+  )
+"""
+
+
+def national_part_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 shape: parts whose value shipped by NATION_3 suppliers
+    exceeds 1/500 of that nation's total shipped value -- the
+    group-vs-global scalar threshold (re-based: value = extendedprice
+    sum, since the fixture has no partsupp availqty/supplycost).
+
+    At scale: one pass builds the per-part DECIMAL sums (shuffle on
+    partkey, map-side partial agg); the global total re-aggregates
+    the already part-sized frame (never the fact) into one row that
+    broadcasts back over it -- the total branch reads the per-part
+    aggregate's exchange via ReusedExchange, so the executed plan
+    scans the fact ONCE (pinned by the plan-shape test on the AQE
+    final plan). The threshold is cleared-denominator
+    integer-decimal arithmetic (500 * part_value > total_value) --
+    exact at any magnitude, no ratio rounding to disagree over.
+    """
+    nat = (
+        _load(spark, sf_dir, "nation")
+        .filter(F.col("n_name") == "NATION_3")
+        .select("n_nationkey")
+    )
+    supp = (
+        _load(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey")
+    )
+    li = _load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    part_val = (
+        li.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).alias(
+                "part_value"
+            )
+        )
+    )
+    total = part_val.agg(F.sum("part_value").alias("total_value"))
+    return (
+        part_val.crossJoin(F.broadcast(total))
+        .filter(F.expr("500 * part_value > total_value"))
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.col("part_value").cast("double").alias("part_value"),
+        )
+    )
+
+
+NATIONAL_PART_SHARE_SQL = """
+WITH natl AS (
+    SELECT l_partkey,
+           SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS part_value
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_3'
+    GROUP BY l_partkey
+)
+SELECT l_partkey AS partkey, CAST(part_value AS DOUBLE) AS part_value
+FROM natl
+WHERE 500 * part_value > (SELECT SUM(part_value) FROM natl)
+"""
+
+
+def discount_band_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 shape: revenue the 1997 discounts in the 4-6% band gave
+    away on small-quantity lines -- the pure single-table
+    multi-predicate scan aggregate.
+
+    At scale: every predicate (ship-year range, discount band,
+    quantity cap) reaches the parquet scan as a pushed filter over a
+    3-column read schema, and the single global aggregate is a
+    map-side partial sum -- no shuffle of anything wider than one
+    partial row per task. This is the class Catalyst should reduce to
+    scan throughput; the plan-shape test pins PushedFilters so a
+    regression to a post-scan filter is loud.
+    """
+    li = _load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+        & (F.col("l_discount") >= 0.04)
+        & (F.col("l_discount") <= 0.06)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(12,2)")
+            * F.col("l_discount").cast("decimal(3,2)")
+        )
+        .cast("double")
+        .alias("discount_revenue"),
+    )
+
+
+DISCOUNT_BAND_REVENUE_SQL = """
+SELECT COUNT(*) AS n_lines,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE)
+           AS discount_revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount >= CAST(0.04 AS DOUBLE)
+  AND l_discount <= CAST(0.06 AS DOUBLE)
+  AND l_quantity < 24
+"""

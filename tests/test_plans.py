@@ -264,6 +264,66 @@ def test_r12_decision_support_plan_shapes(spark):
     assert p.count("lineitem.parquet") == 2, p.count("lineitem.parquet")
 
 
+def test_r13_decision_support_plan_shapes(spark):
+    """Round-13 additions (the Q5/Q2/Q11/Q6 classes completing the
+    classic catalog), pinned to the physical shapes their docstrings
+    claim: Q6's three predicates all reach the lineitem scan as
+    pushed filters over a pruned read schema; Q5's same-nation
+    equality rides IN the supplier join (no cross-nation intermediate
+    filtered after the fact); Q2's floor is a window MIN over the
+    quote aggregate (fact scanned once); Q11's global total
+    re-aggregates the part-sized frame (fact scanned once, broadcast
+    1-row join back)."""
+    from big_data_streaming_dashboard_spark.plans.relational6 import (
+        discount_band_revenue,
+        local_supplier_volume,
+        national_part_share,
+        regional_min_quote,
+    )
+
+    # plan toString truncates PushedFilters at 100 chars by default --
+    # widen it so the full pushed list is assertable
+    meta_key = "spark.sql.maxMetadataStringLength"
+    old_len = spark.conf.get(meta_key)
+    spark.conf.set(meta_key, "4000")
+    try:
+        p = _plan(discount_band_revenue(spark, SF_ORACLE))
+        assert "GreaterThanOrEqual(l_discount,0.04)" in p
+        assert "LessThanOrEqual(l_discount,0.06)" in p
+        assert "LessThan(l_quantity,24.0)" in p
+        # column pruning: the scan reads only the 4 needed columns
+        for unneeded in ("l_orderkey", "l_returnflag", "l_tax"):
+            assert f"{unneeded}:" not in p.split("ReadSchema")[1].split("\n")[0]
+    finally:
+        spark.conf.set(meta_key, old_len)
+
+    p = _plan(local_supplier_volume(spark, SF_ORACLE))
+    # the same-nation equality is a JOIN key (appears in a join's key
+    # list beside the suppkey equality), not a post-join Filter
+    assert "s_suppkey" in p and "cust_nationkey" in p
+    joins = [
+        ln
+        for ln in p.splitlines()
+        if "Join" in ln and "s_suppkey" in ln and "s_nationkey" in ln
+    ]
+    assert joins, p
+
+    p = _plan(regional_min_quote(spark, SF_ORACLE))
+    assert p.count("lineitem.parquet") == 1, p.count("lineitem.parquet")
+    assert "Window" in p
+
+    # Q11: the total branch must REUSE the per-part aggregate's
+    # exchange, not rescan+reaggregate the fact -- visible only in the
+    # EXECUTED final plan (the AQE gotcha: assert on the part before
+    # "== Initial Plan ==")
+    df = national_part_share(spark, SF_ORACLE)
+    df.collect()
+    p = df._jdf.queryExecution().executedPlan().toString()
+    final = p.split("== Initial Plan ==")[0]
+    assert "ReusedExchange" in final
+    assert final.count("lineitem.parquet") == 1, final
+
+
 def test_anomaly_z_predicate_matches_exact_rationals_bulk(spark):
     """Randomized cross-check of the DECIMAL z-predicate against exact
     Python integer arithmetic: 2,000 seeded (n, v, s, ss) tuples
