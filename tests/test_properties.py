@@ -762,3 +762,124 @@ def test_cooldown_state_machine_matches_batch_any_ordered_batching(
     # batch truth: one scan over everything
     want, _ = scan(frame(seconds, 0), None)
     assert got == want["event_id"].tolist(), (seconds, batches)
+
+
+class _FakeWatermarkGroupState(_FakeGroupState):
+    """Fake GroupState with Spark's watermark surface, for driving the
+    watermark-delayed anomaly kernel: getCurrentWatermarkMs returns the
+    harness-advanced watermark, setTimeoutTimestamp enforces Spark's
+    must-be-beyond-watermark contract, remove clears state."""
+
+    def __init__(self):
+        super().__init__()
+        self.wm_ms = 0
+        self.timeout_ts = None
+
+    def getCurrentWatermarkMs(self):
+        return self.wm_ms
+
+    def setTimeoutTimestamp(self, ts_ms):
+        # Spark raises on a timeout at or before the current watermark;
+        # a kernel that registers one has a real bug -- keep it loud
+        assert ts_ms > self.wm_ms, (ts_ms, self.wm_ms)
+        self.timeout_ts = ts_ms
+
+    def remove(self):
+        self._val = None
+
+
+@settings(max_examples=100, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=200_000),  # event second
+            st.integers(min_value=1, max_value=49_002),  # centi-value
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    st.data(),
+)
+def test_anomaly_delayed_state_machine_matches_batch_any_order(events, data):
+    """r13: the watermark-delayed anomaly kernel under ANY arrival
+    permutation and ANY micro-batch split must emit exactly the batch
+    RANGE-frame verdicts, each exactly once, and never emit a verdict
+    for a second the watermark has not passed. The harness simulates
+    Spark's mechanics faithfully: watermark for batch k = max event
+    time of batches 0..k-1 minus the delay (never regressing), delay
+    chosen >= the permutation's measured disorder (so Spark would drop
+    nothing), and a final empty timed-out invocation with the
+    watermark pushed past every second (the no-data flush batch)."""
+    import pandas as pd
+
+    from big_data_streaming_dashboard_spark.streaming.funnel import (
+        _make_anomaly_update_delayed,
+    )
+
+    perm = data.draw(st.permutations(events))
+    n_cuts = data.draw(st.integers(min_value=0, max_value=4))
+    cuts = sorted(
+        data.draw(
+            st.lists(st.integers(0, len(perm)), min_size=n_cuts, max_size=n_cuts)
+        )
+    )
+    bounds = [0, *cuts, len(perm)]
+    batches = [perm[a:b] for a, b in zip(bounds, bounds[1:]) if b > a]
+
+    # delay >= the replay's true disorder bound (+1 s margin)
+    prefix_max, d_req = None, 0
+    for s, _ in perm:
+        prefix_max = s if prefix_max is None else max(prefix_max, s)
+        d_req = max(d_req, prefix_max - s)
+    delay_ms = (d_req + 1) * 1000
+
+    min_n, window_s = 3, 86_400
+    update = _make_anomaly_update_delayed(window_s=window_s, min_n=min_n)
+    state = _FakeWatermarkGroupState()
+    got = []
+    seen_max_ms = None
+    base = 0
+    for rows in batches:
+        # Spark computes the watermark from data seen through the
+        # PREVIOUS batch, and it never regresses
+        if seen_max_ms is not None:
+            state.wm_ms = max(state.wm_ms, seen_max_ms - delay_ms)
+        frame = pd.DataFrame(
+            {
+                "event_id": [base + j for j in range(len(rows))],
+                "ts": pd.Series(
+                    [pd.Timestamp(s * 1_000_000_000) for s, _ in rows],
+                    dtype="datetime64[us]",
+                ),
+                "value": [v / 100.0 for _, v in rows],
+            }
+        )
+        base += len(rows)
+        for out in update(("view",), iter([frame]), state):
+            for n, s, t in zip(out["n_window"], out["_s"], out["ts"]):
+                sec = int(pd.Timestamp(t).value // 1_000_000_000)
+                # gating invariant: never emit at/after the watermark
+                assert sec < state.wm_ms // 1000
+                got.append((int(n), int(s), sec))
+        batch_max = max(s for s, _ in rows) * 1000
+        seen_max_ms = batch_max if seen_max_ms is None else max(seen_max_ms, batch_max)
+
+    # the flush: watermark past every second, empty timed-out call
+    state.wm_ms = max(state.wm_ms, (max(s for s, _ in events) + 2) * 1000)
+    if state.exists:
+        for out in update(("view",), iter([]), state):
+            for n, s, t in zip(out["n_window"], out["_s"], out["ts"]):
+                got.append(
+                    (int(n), int(s), int(pd.Timestamp(t).value // 1_000_000_000))
+                )
+
+    # brute-force batch truth (multiset: duplicate events emit twice)
+    want = []
+    for s, v in events:
+        win = [w for t, w in events if s - (window_s - 1) <= t <= s]
+        n, ssum = len(win), sum(win)
+        ssq = sum(w * w for w in win)
+        d = n * v - ssum
+        if n >= min_n and 4 * d * d > 9 * (n * ssq - ssum * ssum):
+            want.append((n, ssum, s))
+    assert sorted(got) == sorted(want), (sorted(got)[:5], sorted(want)[:5])
