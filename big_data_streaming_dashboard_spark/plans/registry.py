@@ -1187,8 +1187,9 @@ WHERE s._emit""",
     "national_part_share": QuerySpec(
         relational6.national_part_share,
         relational6.NATIONAL_PART_SHARE_SQL,
-        "Q11 group-vs-global scalar threshold (cleared-denominator "
-        "500*part > total in exact DECIMAL); 50 of 1,204 parts pass",
+        "Q11 group-vs-global scalar threshold (scale-free 3x-mean, "
+        "cleared-denominator n*part > 3*total in exact DECIMAL); "
+        "22 of 1,204 parts at sf0.01, 193 of 13,437 at sf0.1",
     ),
     "discount_band_revenue": QuerySpec(
         relational6.discount_band_revenue,

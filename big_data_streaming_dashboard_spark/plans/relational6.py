@@ -28,13 +28,14 @@ way parts 3-5 did.
 
 Determinism discipline (README): money stays in DECIMAL(12,2) until
 the final displayed cast; the Q11 threshold is cleared-denominator
-(500 * part_value > total_value, both exact decimals -- never a
+(n_parts * part_value > 3 * total_value, exact decimals -- never a
 fraction); the Q2 floor is an exact decimal MIN compared by decimal
 equality, so supplier ties are emitted identically by both engines.
 Non-vacuity at sf0.01 (counted, per the vacuous-oracle audit
 discipline): Q5 five nations, line counts 2-28, all revenues
 distinct; Q2 96 part-supplier floor rows; Q11 50 of 1,204 parts pass
-the 1/500 threshold; Q6 1,162 qualifying lines.
+the 3x-mean threshold (193 of 13,437 at sf0.1); Q6 1,162 qualifying
+lines.
 """
 
 from __future__ import annotations
@@ -213,18 +214,27 @@ WHERE p_type = 'STANDARD' AND p_size <= 15
 
 def national_part_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q11 shape: parts whose value shipped by NATION_3 suppliers
-    exceeds 1/500 of that nation's total shipped value -- the
+    exceeds 3x the MEAN per-part value for that nation -- the
     group-vs-global scalar threshold (re-based: value = extendedprice
     sum, since the fixture has no partsupp availqty/supplycost).
 
+    The threshold is deliberately SCALE-FREE: the canonical Q11 uses
+    a fixed fraction of the total, which the benchmark itself must
+    shrink by 1/SF because a growing part catalog dilutes every
+    share (a fixed 1/500 was measured non-vacuous at sf0.01 and
+    EMPTY at sf0.1). Above-K-times-mean keeps the same two-scalar
+    plan class and discriminates at every scale (22 of 1,204 parts
+    at sf0.01, 193 of 13,437 at sf0.1 and 10x).
+
     At scale: one pass builds the per-part DECIMAL sums (shuffle on
-    partkey, map-side partial agg); the global total re-aggregates
-    the already part-sized frame (never the fact) into one row that
-    broadcasts back over it -- the total branch reads the per-part
-    aggregate's exchange via ReusedExchange, so the executed plan
-    scans the fact ONCE (pinned by the plan-shape test on the AQE
-    final plan). The threshold is cleared-denominator
-    integer-decimal arithmetic (500 * part_value > total_value) --
+    partkey, map-side partial agg); the global total AND part count
+    re-aggregate the already part-sized frame (never the fact) into
+    one row that broadcasts back over it -- the scalar branch reads
+    the per-part aggregate's exchange via ReusedExchange, so the
+    executed plan scans the fact ONCE (pinned by the plan-shape test
+    on the AQE final plan). The threshold is cleared-denominator
+    integer-decimal arithmetic (n_parts * part_value > 3 *
+    total_value) --
     exact at any magnitude, no ratio rounding to disagree over.
     """
     nat = (
@@ -249,10 +259,13 @@ def national_part_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    total = part_val.agg(F.sum("part_value").alias("total_value"))
+    total = part_val.agg(
+        F.sum("part_value").alias("total_value"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
     return (
         part_val.crossJoin(F.broadcast(total))
-        .filter(F.expr("500 * part_value > total_value"))
+        .filter(F.expr("n_parts * part_value > 3 * total_value"))
         .select(
             F.col("l_partkey").alias("partkey"),
             F.col("part_value").cast("double").alias("part_value"),
@@ -272,7 +285,8 @@ WITH natl AS (
 )
 SELECT l_partkey AS partkey, CAST(part_value AS DOUBLE) AS part_value
 FROM natl
-WHERE 500 * part_value > (SELECT SUM(part_value) FROM natl)
+WHERE (SELECT COUNT(*) FROM natl) * part_value
+      > 3 * (SELECT SUM(part_value) FROM natl)
 """
 
 
