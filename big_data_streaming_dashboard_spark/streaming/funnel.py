@@ -813,6 +813,13 @@ def analytics_verdict_batches(
 
     Returns the three StreamingQuery handles (availableNow triggers);
     await all before finishing."""
+    if anomaly_mode not in ("arrival", "delayed"):
+        # validate BEFORE the manifest write: an unknown mode must
+        # refuse with zero side effects, not leave a root behind
+        raise ValueError(
+            f"analytics_verdict_batches: unknown anomaly_mode "
+            f"{anomaly_mode!r} (expected 'arrival' or 'delayed')"
+        )
     spark = events.sparkSession
     manifest = [
         (surface, int(window_hours)) for surface in ANALYTICS_SURFACES
@@ -833,13 +840,8 @@ def analytics_verdict_batches(
 
     if anomaly_mode == "arrival":
         anomalies = anomaly_verdict_stream(events)
-    elif anomaly_mode == "delayed":
-        anomalies = anomaly_verdict_stream_delayed(events, delay=anomaly_delay)
     else:
-        raise ValueError(
-            f"analytics_verdict_batches: unknown anomaly_mode "
-            f"{anomaly_mode!r} (expected 'arrival' or 'delayed')"
-        )
+        anomalies = anomaly_verdict_stream_delayed(events, delay=anomaly_delay)
     return [
         start(funnel_state_stream(events, window_hours), "funnel"),
         start(retention_state_stream(events), "retention"),

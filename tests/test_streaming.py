@@ -2172,6 +2172,23 @@ def test_streaming_anomaly_delayed_matches_batch_under_shuffled_replay(
     assert got2 == want
 
 
+def test_analytics_surface_refuses_unknown_anomaly_mode(spark, tmp_path):
+    """The unified surface's anomaly-mode dispatch is a contract
+    switch -- an unknown mode must refuse before any query starts
+    (never silently fall back to a different exactness contract)."""
+    from big_data_streaming_dashboard_spark.streaming.funnel import (
+        analytics_verdict_batches,
+    )
+
+    with pytest.raises(ValueError, match="unknown anomaly_mode"):
+        analytics_verdict_batches(
+            spark.range(1),
+            str(tmp_path / "root"),
+            str(tmp_path / "ckpt"),
+            anomaly_mode="bogus",
+        )
+
+
 def test_streaming_anomaly_delayed_refuses_nonzero_offset_session(spark):
     """The delayed mode's watermark gate rides cast(ts as timestamp);
     a non-UTC session timezone would shift it against the batch plan's
