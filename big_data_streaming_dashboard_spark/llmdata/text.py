@@ -267,6 +267,112 @@ def repeated_passages(docs: DataFrame, window: int = RK_WINDOW) -> DataFrame:
     )
 
 
+# --- BM25-class lexical retrieval (r13) ------------------------------------
+# The lexical sibling of the five vector ANN paths: ranked keyword
+# search over the corpus. The scoring variant is LOG-FREE: classic
+# BM25's ln-idf is libm-dependent (Spark's Math.log and DuckDB's
+# libm log are not guaranteed bit-identical), so idf is the rational
+# odds (N - df + 0.5)/(df + 0.5) -- the log's argument, a strictly
+# monotone per-term transform (same precedent as tfidf_top_terms'
+# rational tf-idf and the r8 rerank exp-margin). Every remaining
+# operation is IEEE +,*,/ of doubles derived from exact integers in
+# a FIXED association order shared verbatim between the Spark
+# expression and the DuckDB oracle (_bm25_score_sql is the single
+# source of truth), so scores are bit-identical across engines.
+
+BM25_QUERY_TERMS = ("dup", "spark", "scan", "join")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_K = 20
+
+
+def _bm25_score_sql(n_terms: int) -> str:
+    """The per-doc score expression over columns tf{i}, dl and the
+    broadcast scalars n_docs, sum_dl, df{i} -- plain SQL arithmetic
+    parsed identically by Spark and DuckDB (shared verbatim by both
+    sides; numeric literals pre-folded in Python so each engine
+    parses the same shortest-repr doubles)."""
+    k1_p1 = repr(BM25_K1 + 1.0)
+    k1 = repr(BM25_K1)
+    one_minus_b = repr(1.0 - BM25_B)
+    b = repr(BM25_B)
+    rel = "(CAST(dl AS DOUBLE) * CAST(n_docs AS DOUBLE) / CAST(sum_dl AS DOUBLE))"
+    parts = []
+    for i in range(n_terms):
+        idf = (
+            f"((CAST(n_docs AS DOUBLE) - CAST(df{i} AS DOUBLE) + 0.5)"
+            f" / (CAST(df{i} AS DOUBLE) + 0.5))"
+        )
+        num = f"(CAST(tf{i} AS DOUBLE) * {k1_p1})"
+        den = f"(CAST(tf{i} AS DOUBLE) + {k1} * ({one_minus_b} + {b} * {rel}))"
+        parts.append(
+            f"CASE WHEN tf{i} > 0 THEN {idf} * {num} / {den} ELSE 0.0 END"
+        )
+    return " + ".join(parts)
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: tuple = BM25_QUERY_TERMS,
+    top_k: int = BM25_TOP_K,
+) -> DataFrame:
+    """Ranked lexical retrieval: top-k documents for a fixed keyword
+    query under log-free BM25 (k1=1.2, b=0.75, rational-odds idf --
+    see the block comment above for the cross-engine determinism
+    argument). One rare term + three common ones in the default
+    query, so idf weighting visibly reorders raw term-frequency.
+
+    At scale: NO explode and no wide shuffle -- one map-only pass
+    computes (doc_id, dl, tf per query term) as a ~50-byte projection
+    (HOF size/filter over the token array); corpus stats (N, total
+    length, per-term df) are ONE global aggregate row broadcast back;
+    ranking is TakeOrderedAndProject. The projection is persisted
+    because both the stats branch and the scoring branch consume it
+    and Spark does not reuse exchanges under HOF lambdas (the
+    shard_packing finding, PLANS.md r3) -- without it the corpus
+    would be tokenized twice.
+    """
+    toks = tokens(F.col("text"))
+
+    def _tf(term: str):
+        # helper closure, NOT a default-arg lambda: a two-parameter
+        # lambda in F.filter becomes (element, index) and the term
+        # would silently be replaced by the array index
+        lit = F.lit(term)
+        return F.size(F.filter(toks, lambda x: x == lit))
+
+    cols = [F.col("doc_id"), F.size(toks).cast("long").alias("dl")]
+    for i, t in enumerate(query_terms):
+        cols.append(_tf(t).cast("long").alias(f"tf{i}"))
+    base = docs.select(*cols).persist()
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+    ]
+    for i in range(len(query_terms)):
+        aggs.append(F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}"))
+    stats = base.agg(*aggs)
+    match = " + ".join(f"tf{i}" for i in range(len(query_terms)))
+    scored = (
+        base.crossJoin(F.broadcast(stats))
+        .filter(F.expr(f"({match}) > 0"))
+        .withColumn("score", F.expr(_bm25_score_sql(len(query_terms))))
+    )
+    return (
+        scored.select(
+            "doc_id",
+            "dl",
+            *[
+                F.col(f"tf{i}").alias(f"tf_{t}")
+                for i, t in enumerate(query_terms)
+            ],
+            "score",
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id"))
+        .limit(top_k)
+    )
+
+
 def tfidf_top_terms(docs: DataFrame, top_k: int = 3) -> DataFrame:
     """Top-k terms per doc by a rational tf-idf variant.
 

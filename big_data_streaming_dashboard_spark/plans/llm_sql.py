@@ -389,6 +389,48 @@ SELECT doc_id, CAST({_simhash_bits_sql()} AS INTEGER) AS simhash8
 FROM toks
 """
 
+def bm25_topk_sql() -> str:
+    """DuckDB twin of text.bm25_topk, GENERATED from the same
+    BM25_QUERY_TERMS / _bm25_score_sql the Spark side uses (single
+    source of truth -- the PACKING_SEQ_LENS lock-step pattern), so
+    terms, parameters and the score expression cannot drift apart.
+    Only the tokenize/tf plumbing differs (list_filter lambda vs
+    Spark HOF); the arithmetic is the shared fragment verbatim."""
+    from ..llmdata.text import BM25_QUERY_TERMS, BM25_TOP_K, _bm25_score_sql
+
+    terms = BM25_QUERY_TERMS
+    tf_proj = ",\n           ".join(
+        f"CAST(len(list_filter(toks, x -> x = '{t}')) AS BIGINT) AS tf{i}"
+        for i, t in enumerate(terms)
+    )
+    df_agg = ",\n           ".join(
+        f"SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(terms))
+    )
+    match = " + ".join(f"tf{i}" for i in range(len(terms)))
+    out_tf = ", ".join(f"tf{i} AS tf_{t}" for i, t in enumerate(terms))
+    return f"""
+WITH toks AS (
+    SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks
+    FROM documents
+), proj AS (
+    SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+           {tf_proj}
+    FROM toks
+), stats AS (
+    SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl,
+           {df_agg}
+    FROM proj
+)
+SELECT doc_id, dl, {out_tf},
+       {_bm25_score_sql(len(terms))} AS score
+FROM proj CROSS JOIN stats
+WHERE ({match}) > 0
+ORDER BY score DESC, doc_id
+LIMIT {int(BM25_TOP_K)}
+"""
+
+
 TFIDF_SQL = r"""
 WITH term AS (
     SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS term

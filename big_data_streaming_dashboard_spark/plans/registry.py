@@ -72,6 +72,7 @@ from ..llmdata.multimodal import media_feature_census
 from ..llmdata.text import (
     packing_efficiency,
     bigram_lm_score,
+    bm25_topk,
     bpe_encode_stats,
     bpe_train,
     chunk_spans,
@@ -1197,6 +1198,15 @@ WHERE s._emit""",
         "Q6 single-table multi-predicate scan aggregate (all three "
         "predicates pushed to the parquet scan); 1,162 lines",
     ),
+    "doc_bm25_topk": QuerySpec(
+        lambda spark, sf: bm25_topk(_docs(spark, sf)),
+        llm_sql.bm25_topk_sql(),
+        "log-free BM25 lexical retrieval: top-20 docs for a fixed "
+        "4-term keyword query (rational-odds idf -- the ln's argument, "
+        "libm-free; score expression shared verbatim with the oracle). "
+        "The lexical sibling of the 5 vector ANN paths; 1 rare + 3 "
+        "common terms so idf weighting visibly reorders raw tf",
+    ),
     "doc_minhash_calibration": QuerySpec(
         lambda spark, sf: minhash_calibration(_docs(spark, sf)),
         llm_sql.MINHASH_CALIBRATION_SQL,
@@ -1391,12 +1401,13 @@ WHERE s._emit""",
 # 26 + 2 rows-only + any r13 first-attestations + the stalest of the
 # r12-attested block to fill. Computed slack for net r13 registry
 # additions: 50 - 26 - 2 = 22 (the rotation tool raises on overflow).
-# r13 additions actually made: FOUR (local_supplier_volume,
+# r13 additions actually made: FIVE (local_supplier_volume,
 # regional_min_quote, national_part_share, discount_band_revenue --
-# the Q5/Q2/Q11/Q6 classes completing the classic catalog), well
-# inside the slack per the growth-discipline rule; they await first
-# attestation in r14, leaving 50 - 26 - 2 - 4 = 18 slots for the
-# stalest of the r12-attested block.
+# the Q5/Q2/Q11/Q6 classes completing the classic catalog -- plus
+# doc_bm25_topk, the lexical-retrieval sibling of the vector ANN
+# family), well inside the slack per the growth-discipline rule;
+# they await first attestation in r14, leaving 50 - 26 - 2 - 5 = 17
+# slots for the stalest of the r12-attested block.
 # TOOLING (r12): `python -m big_data_streaming_dashboard_spark.plans.
 # rotation` COMPUTES this window from the CORRECTNESS_r*.json ledgers
 # under the policy above (verified to reproduce the r13 plan when

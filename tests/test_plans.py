@@ -312,6 +312,18 @@ def test_r13_decision_support_plan_shapes(spark):
     assert p.count("lineitem.parquet") == 1, p.count("lineitem.parquet")
     assert "Window" in p
 
+    # BM25 lexical retrieval: map-only tokenize (no explode/Generate
+    # of a (doc, term) stream), persisted narrow projection consumed
+    # by both the stats and scoring branches, top-k as
+    # TakeOrderedAndProject (never a global sort)
+    from big_data_streaming_dashboard_spark.llmdata.text import bm25_topk
+    from big_data_streaming_dashboard_spark.plans.registry import _docs
+
+    p = _plan(bm25_topk(_docs(spark, SF_ORACLE)))
+    assert "TakeOrderedAndProject" in p
+    assert "Generate" not in p  # explode-free
+    assert "InMemoryTableScan" in p or "InMemoryRelation" in p
+
     # Q11: the total branch must REUSE the per-part aggregate's
     # exchange, not rescan+reaggregate the fact -- visible only in the
     # EXECUTED final plan (the AQE gotcha: assert on the part before
