@@ -131,6 +131,22 @@ EXTRA = [
     # r12: clustering-quality evaluator (cost ~= the kmeans fit it
     # scores; the inertia tail is aggregate-sized)
     "emb_kmeans_inertia",
+    # r13: the four plan classes that complete the classic Q1-Q22
+    # catalog (doubly-constrained star, correlated-min join-back,
+    # group-vs-global threshold, pure-pushdown aggregate) -- 10x
+    # linearity recorded in PLANS.md at add time (walls 1.0-1.3x for
+    # 10x data)
+    "local_supplier_volume",
+    "regional_min_quote",
+    "national_part_share",
+    "discount_band_revenue",
+    # r13: lexical-retrieval sibling of the vector ANN family
+    # (map-only HOF tokenize, one persisted ~50 B/doc projection,
+    # TakeOrderedAndProject top-k; flat at 10x -- 0.93 s)
+    "doc_bm25_topk",
+    # r13: train/val/test datasheet at near-dup-cluster granularity
+    # (cost ~= the components plan it reuses + one corpus-sized join)
+    "doc_split_leakage_safe",
 ]
 
 # scaling-regression canaries (r5 verdict item 4): a small subset

@@ -635,3 +635,82 @@ def funnel_of_verdicts(verdict: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("n_tokens"),
     )
+
+
+# train/val/test cumulative thresholds (fractions of the 2^32 hash
+# space); single source of truth shared with the generated oracle
+# (plans/llm_sql.leakage_safe_split_sql reads these at module load --
+# the PACKING_SEQ_LENS lock-step pattern)
+SPLIT_TRAIN_FRAC = 0.8
+SPLIT_VAL_FRAC = 0.1
+SPLIT_SALT = "split"
+
+
+def split_assignment_column(cluster_id, salt: str = SPLIT_SALT):
+    """The split draw for one near-dup cluster: first 8 hex chars of
+    md5(salt|cluster_id) compared lexicographically against the
+    cumulative fraction thresholds (hex digits sort like their values
+    -- the stratified_sample compare, so the assignment is a pure map
+    expression both engines evaluate identically: no RNG state, no
+    partition-layout dependence)."""
+    draw = F.substring(
+        F.md5(F.concat(F.lit(salt + "|"), cluster_id.cast("string"))), 1, 8
+    )
+    t_train = format(int(SPLIT_TRAIN_FRAC * 2**32), "08x")
+    t_val = format(int((SPLIT_TRAIN_FRAC + SPLIT_VAL_FRAC) * 2**32), "08x")
+    return (
+        F.when(draw < F.lit(t_train), F.lit("train"))
+        .when(draw < F.lit(t_val), F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
+def leakage_safe_split(docs: DataFrame, salt: str = SPLIT_SALT) -> DataFrame:
+    """Leakage-safe train/val/test split datasheet: assignment is
+    drawn at NEAR-DUP-CLUSTER granularity, so two documents that are
+    near-duplicates of each other can never land in different splits
+    -- the eval-contamination failure mode a doc-granular split
+    guarantees at 100 TB (every boilerplate family straddles the
+    boundary somewhere). The unit of randomization is the cluster
+    label from `neardup_clusters` (connected components of the
+    verified near-dup graph, min-doc_id labels), and the draw is the
+    deterministic md5 scheme `stratified_sample` uses -- stable under
+    repartitioning and identical in the DuckDB oracle.
+
+    Output: one row per (split, lang) with n_docs, n_clusters
+    (clusters contributing at least one doc of that lang to the
+    split) and n_tokens (whitespace tokens, the text.tokens counter)
+    -- the numbers a data card publishes per split.
+
+    Scale: the cost IS the components plan (already bucket-capped +
+    O(log d) label propagation); past it one corpus-sized equi-join
+    on doc_id (size-gated shuffle hash, never an auto-broadcast of a
+    corpus-sized side) and an aggregate folding to
+    |splits| x |langs| rows. Mirrored by
+    plans/llm_sql.leakage_safe_split_sql (same recursive-CTE closure
+    as CLUSTERS_SQL, same md5 thresholds).
+    """
+    from .dedup import corpus_count, neardup_clusters, scale_hint
+    from .text import tokens as _tokens
+
+    n = corpus_count(docs)
+    clusters = neardup_clusters(docs)
+    assigned = clusters.select(
+        "doc_id",
+        "cluster_id",
+        split_assignment_column(F.col("cluster_id"), salt).alias("split"),
+    )
+    per_doc = docs.select(
+        "doc_id",
+        "lang",
+        F.size(_tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    return (
+        assigned.join(scale_hint(per_doc, n), "doc_id")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("cluster_id").alias("n_clusters"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+    )

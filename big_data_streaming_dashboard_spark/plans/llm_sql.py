@@ -1297,6 +1297,37 @@ GROUP BY cluster_size
 
 
 
+# mirrors llmdata.curation.leakage_safe_split: the same recursive-CTE
+# components closure as CLUSTERS_SQL, then the md5 cluster-granular
+# split draw (thresholds GENERATED from curation's constants at module
+# load -- the PACKING_SEQ_LENS lock-step pattern, so a fraction edit
+# on either side is structural, not a suite-time hash surprise)
+def _leakage_split_sql() -> str:
+    from ..llmdata.curation import SPLIT_SALT, SPLIT_TRAIN_FRAC, SPLIT_VAL_FRAC
+
+    t_train = format(int(SPLIT_TRAIN_FRAC * 2**32), "08x")
+    t_val = format(int((SPLIT_TRAIN_FRAC + SPLIT_VAL_FRAC) * 2**32), "08x")
+    draw = f"substr(md5('{SPLIT_SALT}|' || CAST(c.cluster_id AS VARCHAR)), 1, 8)"
+    return rf"""
+SELECT split, lang,
+    CAST(COUNT(*) AS BIGINT) AS n_docs,
+    CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+    CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+FROM (
+    SELECT d.lang, c.cluster_id,
+        CAST(len(regexp_split_to_array(d.text, '\s+')) AS BIGINT) AS n_tokens,
+        CASE WHEN {draw} < '{t_train}' THEN 'train'
+             WHEN {draw} < '{t_val}' THEN 'val'
+             ELSE 'test' END AS split
+    FROM documents d JOIN ({CLUSTERS_SQL}) c ON d.doc_id = c.doc_id
+) assigned
+GROUP BY split, lang
+"""
+
+
+LEAKAGE_SPLIT_SQL = _leakage_split_sql()
+
+
 # mirrors llmdata.text.repetition_score: distinct/total rolling-hash
 # windows per doc
 REPETITION_SQL = rf"""

@@ -28,6 +28,7 @@ from ..llmdata.curation import (
     curation_pipeline_extended,
     curation_pipeline_full,
     importance_weights,
+    leakage_safe_split,
     shard_packing,
     stratified_sample,
 )
@@ -682,6 +683,12 @@ QUERIES: dict[str, QuerySpec] = {
         lambda spark, sf: neardup_cluster_sizes(_docs(spark, sf)),
         llm_sql.CLUSTER_SIZES_SQL,
         "dedup report: near-dup family-size histogram (2 aggs past components)",
+    ),
+    "doc_split_leakage_safe": QuerySpec(
+        lambda spark, sf: leakage_safe_split(_docs(spark, sf)),
+        llm_sql.LEAKAGE_SPLIT_SQL,
+        "train/val/test datasheet, split drawn at near-dup-CLUSTER "
+        "granularity (near-dups can never straddle a split boundary)",
     ),
     "doc_subword_stats": QuerySpec(
         lambda spark, sf: subword_stats(_docs(spark, sf)),
@@ -1401,13 +1408,15 @@ WHERE s._emit""",
 # 26 + 2 rows-only + any r13 first-attestations + the stalest of the
 # r12-attested block to fill. Computed slack for net r13 registry
 # additions: 50 - 26 - 2 = 22 (the rotation tool raises on overflow).
-# r13 additions actually made: FIVE (local_supplier_volume,
+# r13 additions actually made: SIX (local_supplier_volume,
 # regional_min_quote, national_part_share, discount_band_revenue --
 # the Q5/Q2/Q11/Q6 classes completing the classic catalog -- plus
 # doc_bm25_topk, the lexical-retrieval sibling of the vector ANN
-# family), well inside the slack per the growth-discipline rule;
-# they await first attestation in r14, leaving 50 - 26 - 2 - 5 = 17
-# slots for the stalest of the r12-attested block.
+# family, and doc_split_leakage_safe, the cluster-granular
+# train/val/test datasheet), well inside the slack per the
+# growth-discipline rule; they await first attestation in r14,
+# leaving 50 - 26 - 2 - 6 = 16 slots for the stalest of the
+# r12-attested block.
 # TOOLING (r12): `python -m big_data_streaming_dashboard_spark.plans.
 # rotation` COMPUTES this window from the CORRECTNESS_r*.json ledgers
 # under the policy above (verified to reproduce the r13 plan when

@@ -387,6 +387,62 @@ def test_neardup_clusters_transitive_chain(spark):
     assert got[99] == (99, 1)
 
 
+def test_leakage_safe_split_cluster_granularity(spark):
+    """The split datasheet's leakage guarantee: assignment is drawn
+    per near-dup CLUSTER, so no verified near-dup pair may straddle a
+    split boundary -- and the datasheet must cover the corpus exactly
+    once (n_docs sums to the corpus size, n_tokens to the corpus
+    token count)."""
+    from big_data_streaming_dashboard_spark.llmdata.curation import (
+        leakage_safe_split,
+        split_assignment_column,
+    )
+    from big_data_streaming_dashboard_spark.llmdata.dedup import (
+        neardup_clusters,
+        neardup_pairs,
+    )
+    from pyspark.sql import functions as F
+
+    # 30 near-dup families (template + one-word substitution => one
+    # 2-doc cluster each) + 30 unrelated singletons, across 3 langs:
+    # enough clusters that all three splits draw members
+    rows = []
+    langs = ["en", "es", "de"]
+    for i in range(30):
+        base = " ".join(f"w{i}x{j}" for j in range(40))
+        edited = base.replace(f"w{i}x5", "subbed")
+        rows.append((2 * i, base, langs[i % 3]))
+        rows.append((2 * i + 1, edited, langs[i % 3]))
+    for i in range(30):
+        rows.append((100 + i, " ".join(f"solo{i}y{j}" for j in range(12)), langs[i % 3]))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    sheet = leakage_safe_split(docs).collect()
+    assert sum(r["n_docs"] for r in sheet) == len(rows)
+    total_tokens = sum(len(t.split()) for _, t, _ in rows)
+    assert sum(r["n_tokens"] for r in sheet) == total_tokens
+    assert {r["split"] for r in sheet} == {"train", "val", "test"}
+
+    # the guarantee itself: every verified near-dup pair lands in ONE
+    # split (checked through the same assignment expression the
+    # datasheet aggregates over)
+    assigned = neardup_clusters(docs).select(
+        "doc_id", split_assignment_column(F.col("cluster_id")).alias("split")
+    )
+    pairs = neardup_pairs(docs).select("doc_a", "doc_b")
+    straddling = (
+        pairs.join(assigned.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .withColumnRenamed("split", "split_a")
+        .join(assigned.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+        .filter(F.col("split_a") != F.col("split"))
+        .count()
+    )
+    assert straddling == 0
+    # premise check: the pair graph is non-trivial (else the guarantee
+    # was tested against nothing)
+    assert pairs.count() >= 25
+
+
 def test_ngram_jaccard_exact_value_and_cap(spark):
     """Inverted-index Jaccard: hand-computable trigram sets.
     A='a b c d e' -> {abc,bcd,cde}, B='a b c d f' -> {abc,bcd,cdf}:
