@@ -147,6 +147,10 @@ EXTRA = [
     # r13: train/val/test datasheet at near-dup-cluster granularity
     # (cost ~= the components plan it reuses + one corpus-sized join)
     "doc_split_leakage_safe",
+    # r13: the global-ordered-cumsum class, decomposed bucket-parallel
+    # (one fact shuffle; AQE ReusedExchange collapses the four
+    # references to one scan -- plan-shape-pinned)
+    "customer_revenue_pareto",
 ]
 
 # scaling-regression canaries (r5 verdict item 4): a small subset
@@ -201,6 +205,13 @@ TENX = [
     # never vectors), so its 10x wall should track the decorate scan,
     # not the pair count; 0.90 s at sf0.1 when added
     "emb_source_drift",
+    # r13: the bucket-parallel global-cumsum class. The fixture
+    # replicates each order 10x per UNCHANGED customer, so per-class
+    # counts at 10x must equal sf0.1 exactly (revenue scales, shares
+    # don't) -- a free output-invariance check on top of the wall
+    # (1.0 s sf0.1 / 1.1-1.3 s 10x warm when added: the fact scan is
+    # the only linear stage)
+    "customer_revenue_pareto",
     # r13 (r12 verdict item 3): containment moved LAST so its
     # TENX_COLD_REPS cache clears cannot evict state the earlier
     # single-rep entries would otherwise have inherited (their cold

@@ -1199,6 +1199,12 @@ WHERE s._emit""",
         "cleared-denominator n*part > 3*total in exact DECIMAL); "
         "22 of 1,204 parts at sf0.01, 193 of 13,437 at sf0.1",
     ),
+    "customer_revenue_pareto": QuerySpec(
+        relational6.customer_revenue_pareto,
+        relational6.CUSTOMER_REVENUE_PARETO_SQL,
+        "Pareto/ABC revenue concentration: global ordered cumsum "
+        "decomposed bucket-parallel (no single-partition window)",
+    ),
     "discount_band_revenue": QuerySpec(
         relational6.discount_band_revenue,
         relational6.DISCOUNT_BAND_REVENUE_SQL,
@@ -1408,14 +1414,15 @@ WHERE s._emit""",
 # 26 + 2 rows-only + any r13 first-attestations + the stalest of the
 # r12-attested block to fill. Computed slack for net r13 registry
 # additions: 50 - 26 - 2 = 22 (the rotation tool raises on overflow).
-# r13 additions actually made: SIX (local_supplier_volume,
+# r13 additions actually made: SEVEN (local_supplier_volume,
 # regional_min_quote, national_part_share, discount_band_revenue --
 # the Q5/Q2/Q11/Q6 classes completing the classic catalog -- plus
 # doc_bm25_topk, the lexical-retrieval sibling of the vector ANN
-# family, and doc_split_leakage_safe, the cluster-granular
-# train/val/test datasheet), well inside the slack per the
-# growth-discipline rule; they await first attestation in r14,
-# leaving 50 - 26 - 2 - 6 = 16 slots for the stalest of the
+# family, doc_split_leakage_safe, the cluster-granular
+# train/val/test datasheet, and customer_revenue_pareto, the
+# bucket-parallel global-cumsum class), well inside the slack per
+# the growth-discipline rule; they await first attestation in r14,
+# leaving 50 - 26 - 2 - 7 = 15 slots for the stalest of the
 # r12-attested block.
 # TOOLING (r12): `python -m big_data_streaming_dashboard_spark.plans.
 # rotation` COMPUTES this window from the CORRECTNESS_r*.json ledgers

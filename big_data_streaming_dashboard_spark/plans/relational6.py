@@ -333,3 +333,132 @@ WHERE l_shipdate >= TIMESTAMP '1997-01-01'
   AND l_discount <= CAST(0.06 AS DOUBLE)
   AND l_quantity < 24
 """
+
+
+# parallel decomposition width for the global cumulative sum; 1024
+# buckets keeps every local window partition ~1/1024 of the customer
+# dimension while the bucket-offset table stays trivially
+# single-partition-windowable
+PARETO_BUCKETS = 1024
+
+
+def customer_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / ABC revenue-concentration report: customers ranked by
+    lifetime order revenue, classed A while their cumulative share
+    stays within 80% of total revenue, B within 95%, C past it (the
+    boundary-crossing customer falls to the NEXT class; thresholds
+    compared as cleared-denominator exact decimals, never fractions).
+    One row per class: n_customers, class_revenue, revenue_share.
+
+    The plan class the catalog lacked: a GLOBAL ordered cumulative
+    sum. A bare `SUM OVER (ORDER BY rev DESC)` funnels the whole
+    customer dimension through ONE task -- the single-partition
+    window trap, fatal at 100 TB. Decomposition (the shard_packing
+    two-level pattern, re-keyed for a data-dependent order): bucket
+    each customer by a deterministic monotone function of revenue
+    (floor((max-rev)/width), width from the broadcast 1-row bounds
+    aggregate -- equal revenues always share a bucket, so bucket
+    order IS revenue order), cumsum inside each bucket in parallel
+    (PARTITION BY bucket ORDER BY rev DESC, custkey), then shift
+    every bucket by the prefix sum of bucket totals -- a <=1025-row
+    table whose own ordered window is single-partition by
+    construction. Exact DECIMAL addition reassociates freely, so the
+    two-level sum equals the oracle's one global window bit-for-bit.
+
+    At scale: one fact shuffle (groupBy custkey), everything after is
+    customer-dimension-sized; the bounds row and the offset table
+    broadcast. The bucketing function is double-precision ONLY for
+    bucket ASSIGNMENT (deterministic IEEE, affects parallel layout
+    never values); all money stays DECIMAL until the displayed cast.
+    Convention note: ties across equal revenue are ordered by custkey
+    ASC inside the shared bucket, mirroring the oracle's ORDER BY.
+    """
+    orders = _load(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+    )
+    bounds = rev.agg(
+        F.max("rev").alias("_max"),
+        F.min("rev").alias("_min"),
+        F.sum("rev").alias("_total"),
+    )
+    width = F.greatest(
+        (F.col("_max") - F.col("_min")).cast("double")
+        / F.lit(float(PARETO_BUCKETS)),
+        F.lit(1e-9),
+    )
+    bucketed = rev.crossJoin(F.broadcast(bounds)).withColumn(
+        "bucket",
+        F.floor((F.col("_max") - F.col("rev")).cast("double") / width).cast("int"),
+    )
+    w_local = (
+        Window.partitionBy("bucket")
+        .orderBy(F.col("rev").desc(), F.col("o_custkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = bucketed.withColumn("_local_cum", F.sum("rev").over(w_local))
+    w_off = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        bucketed.groupBy("bucket")
+        .agg(F.sum("rev").alias("_btot"))
+        .withColumn(
+            "_offset",
+            F.coalesce(
+                F.sum("_btot").over(w_off), F.lit(0).cast("decimal(18,2)")
+            ),
+        )
+        .select("bucket", "_offset")
+    )
+    cum = (F.col("_offset") + F.col("_local_cum")).cast("decimal(30,2)")
+    total30 = F.col("_total").cast("decimal(30,2)")
+    classed = local.join(F.broadcast(offsets), "bucket").select(
+        "rev",
+        "_total",
+        F.when(cum * 5 <= total30 * 4, F.lit("A"))
+        .when(cum * 20 <= total30 * 19, F.lit("B"))
+        .otherwise(F.lit("C"))
+        .alias("pareto_class"),
+    )
+    return classed.groupBy("pareto_class").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("rev").cast("double").alias("class_revenue"),
+        (
+            F.sum("rev").cast("double") / F.max("_total").cast("double")
+        ).alias("revenue_share"),
+    )
+
+
+# the oracle states the SPEC the decomposition must equal: ONE global
+# ordered window (fine at oracle scale; the Spark plan earns the same
+# values without the single-partition funnel). revenue_share is the
+# UNROUNDED IEEE division of the two exact-decimal casts -- the
+# packing_efficiency lesson: round(.,6) invites cross-engine HALF_UP
+# vs shortest-repr ties.
+CUSTOMER_REVENUE_PARETO_SQL = """
+WITH rev AS (
+    SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+    FROM orders GROUP BY o_custkey
+),
+tot AS (SELECT SUM(rev) AS total FROM rev),
+cum AS (
+    SELECT rev, total,
+        SUM(rev) OVER (ORDER BY rev DESC, o_custkey
+                       ROWS UNBOUNDED PRECEDING) AS cum_rev
+    FROM rev CROSS JOIN tot
+),
+classed AS (
+    SELECT rev, total,
+        CASE WHEN CAST(cum_rev AS DECIMAL(30,2)) * 5
+                  <= CAST(total AS DECIMAL(30,2)) * 4 THEN 'A'
+             WHEN CAST(cum_rev AS DECIMAL(30,2)) * 20
+                  <= CAST(total AS DECIMAL(30,2)) * 19 THEN 'B'
+             ELSE 'C' END AS pareto_class
+    FROM cum
+)
+SELECT pareto_class,
+    CAST(COUNT(*) AS BIGINT) AS n_customers,
+    CAST(SUM(rev) AS DOUBLE) AS class_revenue,
+    CAST(SUM(rev) AS DOUBLE) / CAST(MAX(total) AS DOUBLE) AS revenue_share
+FROM classed
+GROUP BY pareto_class
+"""

@@ -336,6 +336,40 @@ def test_r13_decision_support_plan_shapes(spark):
     assert final.count("lineitem.parquet") == 1, final
 
 
+def test_pareto_no_single_partition_customer_window(spark):
+    """customer_revenue_pareto's docstring claims: the customer-sized
+    cumulative sum runs PARTITIONED BY bucket (never the
+    single-partition global-window trap), the only unpartitioned
+    window is the <=1025-row bucket-offset table, and the fact feeds
+    the whole plan through ONE scan (AQE ReusedExchange dedupes the
+    four references to the per-customer aggregate -- visible only in
+    the executed final plan, the standing AQE gotcha)."""
+    from big_data_streaming_dashboard_spark.plans.relational6 import (
+        customer_revenue_pareto,
+    )
+
+    df = customer_revenue_pareto(spark, SF_ORACLE)
+    df.collect()
+    p = df._jdf.queryExecution().executedPlan().toString()
+    final = p.split("== Initial Plan ==")[0]
+    assert final.count("orders.parquet") == 1, final.count("orders.parquet")
+    assert "ReusedExchange" in final
+    # the customer-sized cumsum window carries the bucket partition key
+    cust_windows = [
+        ln for ln in final.splitlines()
+        if "windowspecdefinition" in ln and "_local_cum" in ln
+    ]
+    assert cust_windows and all(
+        "windowspecdefinition(bucket" in ln for ln in cust_windows
+    ), cust_windows
+    # the unpartitioned window exists only over the bucket-totals agg
+    bare_windows = [
+        ln for ln in final.splitlines()
+        if "windowspecdefinition" in ln and "_local_cum" not in ln
+    ]
+    assert all("_btot" in ln for ln in bare_windows), bare_windows
+
+
 def test_anomaly_z_predicate_matches_exact_rationals_bulk(spark):
     """Randomized cross-check of the DECIMAL z-predicate against exact
     Python integer arithmetic: 2,000 seeded (n, v, s, ss) tuples
