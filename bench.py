@@ -151,6 +151,10 @@ EXTRA = [
     # (one fact shuffle; AQE ReusedExchange collapses the four
     # references to one scan -- plan-shape-pinned)
     "customer_revenue_pareto",
+    # r13: hybrid lexical+dense retrieval (RRF over the BM25 and
+    # cosine lists; everything past the two constituents is <= 2k
+    # rows, so the marginal cost to watch is the constituents')
+    "doc_hybrid_rrf_topk",
 ]
 
 # scaling-regression canaries (r5 verdict item 4): a small subset

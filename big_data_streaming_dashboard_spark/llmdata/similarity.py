@@ -1417,3 +1417,76 @@ def source_drift(docs: DataFrame, embeddings: DataFrame) -> DataFrame:
             ),
         )
     )
+
+
+# reciprocal-rank-fusion constant (the standard k=60 from Cormack et
+# al.'s RRF) and the hybrid query's list sizes; single source of truth
+# shared with the generated oracle (plans/llm_sql.hybrid_rrf_sql -- the
+# PACKING_SEQ_LENS lock-step pattern)
+RRF_K = 60
+HYBRID_FUSION_K = 20
+HYBRID_TOP_K = 10
+
+
+def _rrf_score_sql() -> str:
+    """The fusion expression over columns lex_rank / cos_rank -- plain
+    SQL arithmetic parsed identically by Spark and DuckDB and shared
+    VERBATIM by both sides (the _bm25_score_sql discipline): two exact
+    integer-plus-constant reciprocals added in a fixed written order,
+    so the IEEE result is bit-identical across engines. A rank missing
+    from one list contributes exactly 0.0 (NULL arithmetic ->
+    COALESCE), the standard RRF treatment of out-of-list documents."""
+    k = repr(float(RRF_K))
+    return (
+        f"COALESCE(1.0 / ({k} + CAST(lex_rank AS DOUBLE)), 0.0)"
+        f" + COALESCE(1.0 / ({k} + CAST(cos_rank AS DOUBLE)), 0.0)"
+    )
+
+
+def hybrid_rrf_topk(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    fusion_k: int = HYBRID_FUSION_K,
+    top_k: int = HYBRID_TOP_K,
+    dim: int = EMBEDDING_DIM,
+) -> DataFrame:
+    """Hybrid lexical+dense retrieval by reciprocal-rank fusion: the
+    standard RAG-serving composition of the registry's two retrieval
+    families. The lexical list is BM25 over the fixed keyword query
+    (text.bm25_topk); the dense list is cosine to document 0's
+    embedding (the vec_id == doc_id identification semantic_neardup
+    established); each document scores
+    sum(1 / (60 + rank)) over the lists it appears in, and the top-k
+    fused documents are returned with both provenance ranks.
+
+    Rank-based fusion is what makes the hybrid cross-engine exact
+    where score-based mixing could never be: ranks are integers (both
+    constituents hash-match bit-exact, so their orderings agree), and
+    the fusion arithmetic is the shared _rrf_score_sql fragment.
+
+    At scale: both constituents end in k-sized lists (BM25 is
+    map-only + TakeOrderedAndProject; the dense side is the
+    brute-force baseline here -- swap in lsh_banded_topk/ivf_topk for
+    a production corpus, the fusion is agnostic to how the list was
+    produced). Everything past them -- the rank windows, the FULL
+    OUTER join on doc_id, the final top-k -- operates on <= 2*k rows:
+    the single-partition rank windows are bounded by construction,
+    same class as shard_packing's renumber."""
+    from .text import bm25_topk
+
+    lex = bm25_topk(docs, top_k=fusion_k).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("score").desc(), F.col("doc_id")))
+        .alias("lex_rank"),
+    )
+    dense = brute_force_topk(
+        embeddings, n_queries=1, k=fusion_k, dim=dim
+    ).select(F.col("vec_id").alias("doc_id"), F.col("rank").alias("cos_rank"))
+    return (
+        lex.join(dense, "doc_id", "full_outer")
+        .withColumn("rrf_score", F.expr(_rrf_score_sql()))
+        .select("doc_id", "lex_rank", "cos_rank", "rrf_score")
+        .orderBy(F.col("rrf_score").desc(), F.col("doc_id"))
+        .limit(top_k)
+    )

@@ -431,6 +431,64 @@ LIMIT {int(BM25_TOP_K)}
 """
 
 
+def hybrid_rrf_sql() -> str:
+    """DuckDB twin of similarity.hybrid_rrf_topk: the lexical CTE is
+    bm25_topk_sql() VERBATIM (valid because HYBRID_FUSION_K ==
+    BM25_TOP_K, asserted loudly below), the dense CTE is the
+    single-query cosine ranking (same fold arithmetic as
+    TOPK_COSINE_SQL), and the fusion expression is the shared
+    _rrf_score_sql fragment -- ranks are integers and the reciprocal
+    sum has a fixed written order, so the hash match is bit-exact by
+    construction."""
+    from ..llmdata.similarity import (
+        HYBRID_FUSION_K,
+        HYBRID_TOP_K,
+        _rrf_score_sql,
+    )
+    from ..llmdata.text import BM25_TOP_K
+
+    if HYBRID_FUSION_K != BM25_TOP_K:
+        raise ValueError(
+            "hybrid fusion list size must equal BM25_TOP_K (the lexical "
+            f"CTE reuses bm25_topk_sql verbatim): {HYBRID_FUSION_K} != "
+            f"{BM25_TOP_K}"
+        )
+    cos = _cos_expr("q.qv", "dv.v")
+    return f"""
+WITH lex AS (
+    SELECT doc_id,
+        row_number() OVER (ORDER BY score DESC, doc_id) AS lex_rank
+    FROM ({bm25_topk_sql()}) bm
+),
+dv AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+),
+q AS (SELECT v AS qv FROM dv WHERE vec_id = 0),
+scored AS (
+    SELECT dv.vec_id, {cos} AS _cos
+    FROM dv CROSS JOIN q
+    WHERE dv.vec_id <> 0
+),
+dense AS (
+    SELECT vec_id AS doc_id, cos_rank FROM (
+        SELECT vec_id,
+            row_number() OVER (ORDER BY _cos DESC, vec_id) AS cos_rank
+        FROM scored
+    ) ranked WHERE cos_rank <= {int(HYBRID_FUSION_K)}
+),
+fused AS (
+    SELECT COALESCE(lex.doc_id, dense.doc_id) AS doc_id,
+           lex_rank, cos_rank
+    FROM lex FULL OUTER JOIN dense ON lex.doc_id = dense.doc_id
+)
+SELECT doc_id, lex_rank, cos_rank, {_rrf_score_sql()} AS rrf_score
+FROM fused
+ORDER BY rrf_score DESC, doc_id
+LIMIT {int(HYBRID_TOP_K)}
+"""
+
+
 TFIDF_SQL = r"""
 WITH term AS (
     SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS term

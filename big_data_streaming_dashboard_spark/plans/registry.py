@@ -46,6 +46,7 @@ from ..llmdata.dedup import (
     semantic_neardup,
 )
 from ..llmdata.similarity import (
+    hybrid_rrf_topk,
     kmeans_inertia,
     source_drift,
     DEFAULT_HAMMING_RADIUS,
@@ -1211,6 +1212,14 @@ WHERE s._emit""",
         "Q6 single-table multi-predicate scan aggregate (all three "
         "predicates pushed to the parquet scan); 1,162 lines",
     ),
+    "doc_hybrid_rrf_topk": QuerySpec(
+        lambda spark, sf: hybrid_rrf_topk(_docs(spark, sf), _embs(spark, sf)),
+        llm_sql.hybrid_rrf_sql(),
+        "hybrid lexical+dense retrieval: BM25 list fused with the "
+        "cosine list by reciprocal-rank fusion (k=60); rank-based "
+        "fusion makes the hybrid cross-engine exact where score "
+        "mixing could not be",
+    ),
     "doc_bm25_topk": QuerySpec(
         lambda spark, sf: bm25_topk(_docs(spark, sf)),
         llm_sql.bm25_topk_sql(),
@@ -1414,16 +1423,17 @@ WHERE s._emit""",
 # 26 + 2 rows-only + any r13 first-attestations + the stalest of the
 # r12-attested block to fill. Computed slack for net r13 registry
 # additions: 50 - 26 - 2 = 22 (the rotation tool raises on overflow).
-# r13 additions actually made: SEVEN (local_supplier_volume,
+# r13 additions actually made: EIGHT (local_supplier_volume,
 # regional_min_quote, national_part_share, discount_band_revenue --
 # the Q5/Q2/Q11/Q6 classes completing the classic catalog -- plus
 # doc_bm25_topk, the lexical-retrieval sibling of the vector ANN
 # family, doc_split_leakage_safe, the cluster-granular
-# train/val/test datasheet, and customer_revenue_pareto, the
-# bucket-parallel global-cumsum class), well inside the slack per
-# the growth-discipline rule; they await first attestation in r14,
-# leaving 50 - 26 - 2 - 7 = 15 slots for the stalest of the
-# r12-attested block.
+# train/val/test datasheet, customer_revenue_pareto, the
+# bucket-parallel global-cumsum class, and doc_hybrid_rrf_topk, the
+# RRF fusion of the lexical and dense retrieval lists), well inside
+# the slack per the growth-discipline rule; they await first
+# attestation in r14, leaving 50 - 26 - 2 - 8 = 14 slots for the
+# stalest of the r12-attested block.
 # TOOLING (r12): `python -m big_data_streaming_dashboard_spark.plans.
 # rotation` COMPUTES this window from the CORRECTNESS_r*.json ledgers
 # under the policy above (verified to reproduce the r13 plan when

@@ -428,3 +428,54 @@ def test_pq_recall_matches_independent_computation(spark):
     for r in rows:
         assert r["n_exact"] == K
         assert 0 <= r["n_hit"] <= min(r["n_exact"], r["n_approx"])
+
+
+def test_hybrid_rrf_fusion_matches_recomputed_ranks(spark):
+    """doc_hybrid_rrf_topk's fusion must equal RRF recomputed in
+    Python from the constituents' own ranks -- and the sf0.01 fixture
+    must exercise the two-term branch (at least one fused doc carries
+    BOTH provenance ranks; a fixture where the lists never overlap
+    would leave the actual fusion sum untested, the vacuous-oracle
+    discipline)."""
+    from big_data_streaming_dashboard_spark.llmdata.similarity import (
+        HYBRID_FUSION_K,
+        HYBRID_TOP_K,
+        RRF_K,
+        brute_force_topk,
+        hybrid_rrf_topk,
+    )
+    from big_data_streaming_dashboard_spark.llmdata.text import bm25_topk
+
+    from .conftest import SF_ORACLE
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    embs = load_table(spark, SF_ORACLE, "embeddings")
+
+    lex_rows = bm25_topk(docs, top_k=HYBRID_FUSION_K).collect()
+    lex = {
+        r["doc_id"]: i + 1
+        for i, r in enumerate(
+            sorted(lex_rows, key=lambda r: (-r["score"], r["doc_id"]))
+        )
+    }
+    dense = {
+        r["vec_id"]: r["rank"]
+        for r in brute_force_topk(
+            embs, n_queries=1, k=HYBRID_FUSION_K
+        ).collect()
+    }
+    expect = {}
+    for d in set(lex) | set(dense):
+        s = 0.0
+        if d in lex:
+            s = s + 1.0 / (RRF_K + lex[d])
+        if d in dense:
+            s = s + 1.0 / (RRF_K + dense[d])
+        expect[d] = s
+    want = sorted(expect.items(), key=lambda kv: (-kv[1], kv[0]))[:HYBRID_TOP_K]
+
+    got = hybrid_rrf_topk(docs, embs).collect()
+    assert [(r["doc_id"], r["rrf_score"]) for r in got] == want
+    assert any(
+        r["lex_rank"] is not None and r["cos_rank"] is not None for r in got
+    ), "fixture never exercises the two-term fusion branch"
