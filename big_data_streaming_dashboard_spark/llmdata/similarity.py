@@ -1490,3 +1490,49 @@ def hybrid_rrf_topk(
         .orderBy(F.col("rrf_score").desc(), F.col("doc_id"))
         .limit(top_k)
     )
+
+
+def hybrid_rrf_topk_per_query(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    n_queries: int = 5,
+    fusion_k: int = HYBRID_FUSION_K,
+    top_k: int = HYBRID_TOP_K,
+    dim: int = EMBEDDING_DIM,
+) -> DataFrame:
+    """The multi-query form of `hybrid_rrf_topk`: one fused top-k
+    list PER query vector (query_id column added). The lexical list
+    is query-independent (the fixed keyword query) so it is computed
+    once and re-keyed per query via a cross join against the
+    dense side's tiny distinct-query set; fusion rules are identical
+    (same _rrf_score_sql fragment, same tie-breaks). Restricted to
+    query 0 this equals `hybrid_rrf_topk` row-for-row (pinned in
+    tests) -- the parity target for the streaming serving twin
+    `llm_ingest.hybrid_rrf_batches`."""
+    from .text import bm25_topk
+
+    lex = bm25_topk(docs, top_k=fusion_k).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("score").desc(), F.col("doc_id")))
+        .alias("lex_rank"),
+    )
+    dense = brute_force_topk(
+        embeddings, n_queries=n_queries, k=fusion_k, dim=dim
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("doc_id"),
+        F.col("rank").alias("cos_rank"),
+    )
+    qids = dense.select("query_id").distinct()
+    lex_per_q = qids.crossJoin(F.broadcast(lex))
+    fused = lex_per_q.join(dense, ["query_id", "doc_id"], "full_outer")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_score").desc(), F.col("doc_id")
+    )
+    return (
+        fused.withColumn("rrf_score", F.expr(_rrf_score_sql()))
+        .withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= top_k)
+        .select("query_id", "doc_id", "lex_rank", "cos_rank", "rrf_score")
+    )

@@ -2026,6 +2026,120 @@ def knn_classify_batches(
     return writer.start()
 
 
+def hybrid_rrf_batches(
+    queries: DataFrame,
+    docs: DataFrame,
+    index_vecs: DataFrame,
+    out_path: str,
+    fusion_k: int | None = None,
+    top_k: int | None = None,
+    dim: int | None = None,
+    checkpoint: str | None = None,
+):
+    """Streaming hybrid retrieval: each arriving query vector gets the
+    fused BM25 + cosine top-k under reciprocal-rank fusion -- the
+    online-serving form of `similarity.hybrid_rrf_topk_per_query`,
+    completing the serving family (ann probe, rerank, knn classify)
+    with the hybrid composition a RAG stack actually deploys.
+
+    The LEXICAL list is query-independent (the fixed keyword query),
+    so it is computed ONCE from the static corpus at stream
+    construction and carried as a <= fusion_k-row literal (a bounded
+    driver-side artifact, same class as the PQ codebook collects) --
+    re-running the corpus tokenize every micro-batch would pay the
+    full scan per batch for an unchanged answer. The DENSE list is
+    per arriving query against `write_ann_index`'s vecs artifact
+    (broadcast the tiny arriving side, exactly `knn_classify_batches`'
+    retrieval); fusion rules are the batch plan's verbatim
+    (_rrf_score_sql fragment, same tie-breaks), so per-query outputs
+    equal the batch twin row-for-row -- pinned by
+    tests/test_streaming.py::test_streaming_hybrid_rrf_matches_batch.
+
+    Output: (query_id, doc_id, lex_rank, cos_rank, rrf_score), top_k
+    rows per arriving query. Same ``checkpoint`` append-idempotency
+    note as the other writers."""
+    from pyspark.sql import Window
+
+    from ..llmdata.similarity import (
+        EMBEDDING_DIM,
+        HYBRID_FUSION_K,
+        HYBRID_TOP_K,
+        _dvec,
+        _rrf_score_sql,
+        dot,
+    )
+    from ..llmdata.text import bm25_topk
+
+    fusion_k = HYBRID_FUSION_K if fusion_k is None else fusion_k
+    top_k = HYBRID_TOP_K if top_k is None else top_k
+    dim = EMBEDDING_DIM if dim is None else dim
+    lex_rows = [
+        (int(r["doc_id"]), i + 1)
+        for i, r in enumerate(
+            sorted(
+                bm25_topk(docs, top_k=fusion_k).collect(),
+                key=lambda r: (-r["score"], r["doc_id"]),
+            )
+        )
+    ]
+
+    def _emit(batch: DataFrame, _epoch: int) -> None:
+        if batch.isEmpty():
+            return
+        sess = batch.sparkSession
+        lex = sess.createDataFrame(lex_rows, "doc_id long, lex_rank int")
+        qs = batch.select(
+            F.col("vec_id").alias("query_id"),
+            _dvec("embedding").alias("qvec"),
+        ).withColumn("qnorm", F.sqrt(dot(F.col("qvec"), F.col("qvec"))))
+        corpus = index_vecs.select(
+            "vec_id", F.col("vec").alias("cvec")
+        ).withColumn("cnorm", F.sqrt(dot(F.col("cvec"), F.col("cvec"))))
+        scored = (
+            corpus.crossJoin(F.broadcast(qs))
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                "vec_id",
+                (
+                    dot(F.col("qvec"), F.col("cvec"))
+                    / (F.col("qnorm") * F.col("cnorm"))
+                ).alias("_cos"),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("_cos").desc(), F.col("vec_id")
+        )
+        dense = (
+            scored.withColumn("cos_rank", F.row_number().over(w))
+            .filter(F.col("cos_rank") <= fusion_k)
+            .select("query_id", F.col("vec_id").alias("doc_id"), "cos_rank")
+        )
+        qids = qs.select("query_id").distinct()
+        lex_per_q = qids.crossJoin(F.broadcast(lex))
+        fused = lex_per_q.join(dense, ["query_id", "doc_id"], "full_outer")
+        wf = Window.partitionBy("query_id").orderBy(
+            F.col("rrf_score").desc(), F.col("doc_id")
+        )
+        (
+            fused.withColumn("rrf_score", F.expr(_rrf_score_sql()))
+            .withColumn("_r", F.row_number().over(wf))
+            .filter(F.col("_r") <= top_k)
+            .select("query_id", "doc_id", "lex_rank", "cos_rank", "rrf_score")
+            .write.mode("append")
+            .parquet(out_path)
+        )
+
+    writer = (
+        queries.writeStream.foreachBatch(_emit)
+        .outputMode("append")
+        .trigger(availableNow=True)
+    )
+    if checkpoint is not None:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
+
+
 # --- streaming source-drift monitoring (baseline artifact + probe) ---------
 
 

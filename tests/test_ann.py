@@ -479,3 +479,30 @@ def test_hybrid_rrf_fusion_matches_recomputed_ranks(spark):
     assert any(
         r["lex_rank"] is not None and r["cos_rank"] is not None for r in got
     ), "fixture never exercises the two-term fusion branch"
+
+
+def test_hybrid_per_query_restriction_equals_single(spark):
+    """hybrid_rrf_topk_per_query restricted to query 0 must equal
+    hybrid_rrf_topk row-for-row (it is the streaming twin's parity
+    target, so its n=1 slice must BE the registry query)."""
+    from big_data_streaming_dashboard_spark.llmdata.similarity import (
+        hybrid_rrf_topk,
+        hybrid_rrf_topk_per_query,
+    )
+    from big_data_streaming_dashboard_spark.tables import load_table
+
+    from .conftest import SF_ORACLE
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    embs = load_table(spark, SF_ORACLE, "embeddings")
+    single = [
+        (r["doc_id"], r["lex_rank"], r["cos_rank"], r["rrf_score"])
+        for r in hybrid_rrf_topk(docs, embs).collect()
+    ]
+    multi = [
+        (r["doc_id"], r["lex_rank"], r["cos_rank"], r["rrf_score"])
+        for r in hybrid_rrf_topk_per_query(docs, embs, n_queries=1)
+        .orderBy(F.col("rrf_score").desc(), F.col("doc_id"))
+        .collect()
+    ]
+    assert single == multi and single

@@ -2466,3 +2466,48 @@ def test_streaming_drift_baseline_rebuild_fails_loudly(spark, tmp_path):
     with pytest.raises(StreamingQueryException, match="rebuilt under"):
         q.awaitTermination(120)
         raise AssertionError("stale-pinned drift probe did not refuse")
+
+
+def test_streaming_hybrid_rrf_matches_batch(spark, tmp_path):
+    """Streaming hybrid retrieval (RRF over the once-computed lexical
+    list and the per-arrival dense ranking) equals the batch
+    `hybrid_rrf_topk_per_query` exactly for every streamed query,
+    across a multi-partition replay -- and the replay must exercise
+    the two-term fusion branch (some fused row carries both ranks)."""
+    from big_data_streaming_dashboard_spark.llmdata.similarity import (
+        hybrid_rrf_topk_per_query,
+    )
+    from big_data_streaming_dashboard_spark.streaming.llm_ingest import (
+        hybrid_rrf_batches,
+        stream_embeddings,
+        write_ann_index,
+    )
+    from big_data_streaming_dashboard_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    embs = load_table(spark, sf, "embeddings")
+    idx = write_ann_index(embs, str(tmp_path / "annidx"))
+    qdir = str(tmp_path / "queries")
+    embs.filter(F.col("vec_id") < 5).repartition(2).write.parquet(qdir)
+
+    out = str(tmp_path / "fused")
+    q = hybrid_rrf_batches(
+        stream_embeddings(spark, qdir),
+        docs,
+        spark.read.parquet(idx + "/vecs"),
+        out,
+    )
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.read.parquet(out).collect()))
+    batch = sorted(
+        map(
+            tuple,
+            hybrid_rrf_topk_per_query(docs, embs, n_queries=5).collect(),
+        )
+    )
+    assert got == batch
+    assert got, "no fused results produced"
+    assert any(
+        r[2] is not None and r[3] is not None for r in got
+    ), "replay never exercised the two-term fusion branch"
