@@ -155,6 +155,9 @@ EXTRA = [
     # cosine lists; everything past the two constituents is <= 2k
     # rows, so the marginal cost to watch is the constituents')
     "doc_hybrid_rrf_topk",
+    # r13: cross-source contamination matrix (two size-gated joins +
+    # a catalog-sized aggregate past the memoized pair plan)
+    "doc_source_overlap",
 ]
 
 # scaling-regression canaries (r5 verdict item 4): a small subset

@@ -1198,3 +1198,56 @@ def _containment_plan(
     if out_tap is not None:
         out = out_tap(out)
     return out
+
+
+def source_overlap(docs: DataFrame) -> DataFrame:
+    """Cross-source near-dup overlap matrix: for every unordered pair
+    of sources, how many verified near-dup pairs straddle them and
+    how many distinct documents on each side are involved -- the
+    dataset-vs-dataset contamination report ("is crawl B mostly a
+    re-crawl of crawl A?") that decides whether a new source adds
+    tokens or just duplicates, read before any merge at corpus scale.
+
+    Pure composition past `neardup_pairs` (already bucket-capped +
+    exact-verified): two size-gated joins hang the source labels on
+    the pair endpoints, sides are canonicalized so source_lo <
+    source_hi regardless of doc_id order, and the aggregate folds to
+    at most |sources|^2/2 rows -- catalog-sized like the drift
+    monitor's pairwise join, never corpus-sized. Mirrored by
+    plans/llm_sql.SOURCE_OVERLAP_SQL over the same pairs CTE."""
+    n = corpus_count(docs)
+    pairs = neardup_pairs(docs).select("doc_a", "doc_b")
+    src = docs.select("doc_id", "source")
+    labeled = (
+        pairs.join(
+            scale_hint(
+                src.select(
+                    F.col("doc_id").alias("doc_a"), F.col("source").alias("_sa")
+                ),
+                n,
+            ),
+            "doc_a",
+        )
+        .join(
+            scale_hint(
+                src.select(
+                    F.col("doc_id").alias("doc_b"), F.col("source").alias("_sb")
+                ),
+                n,
+            ),
+            "doc_b",
+        )
+        .filter(F.col("_sa") != F.col("_sb"))
+    )
+    lo_is_a = F.col("_sa") < F.col("_sb")
+    sides = labeled.select(
+        F.when(lo_is_a, F.col("_sa")).otherwise(F.col("_sb")).alias("source_lo"),
+        F.when(lo_is_a, F.col("_sb")).otherwise(F.col("_sa")).alias("source_hi"),
+        F.when(lo_is_a, F.col("doc_a")).otherwise(F.col("doc_b")).alias("_doc_lo"),
+        F.when(lo_is_a, F.col("doc_b")).otherwise(F.col("doc_a")).alias("_doc_hi"),
+    )
+    return sides.groupBy("source_lo", "source_hi").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.countDistinct("_doc_lo").alias("n_docs_lo"),
+        F.countDistinct("_doc_hi").alias("n_docs_hi"),
+    )

@@ -250,6 +250,34 @@ pairs AS (
 SELECT * FROM pairs WHERE jaccard >= 0.2
 """
 
+# mirrors llmdata.dedup.source_overlap: the same verified-pair chain
+# as NEARDUP_SQL, endpoints labeled with their sources, sides
+# canonicalized (source_lo < source_hi), counts cast to BIGINT for
+# the cross-engine type match
+SOURCE_OVERLAP_SQL = f"""
+SELECT source_lo, source_hi,
+    CAST(COUNT(*) AS BIGINT) AS n_pairs,
+    CAST(COUNT(DISTINCT doc_lo) AS BIGINT) AS n_docs_lo,
+    CAST(COUNT(DISTINCT doc_hi) AS BIGINT) AS n_docs_hi
+FROM (
+    SELECT
+        CASE WHEN da.source < db.source THEN da.source ELSE db.source END
+            AS source_lo,
+        CASE WHEN da.source < db.source THEN db.source ELSE da.source END
+            AS source_hi,
+        CASE WHEN da.source < db.source THEN p.doc_a ELSE p.doc_b END
+            AS doc_lo,
+        CASE WHEN da.source < db.source THEN p.doc_b ELSE p.doc_a END
+            AS doc_hi
+    FROM ({NEARDUP_SQL}) p
+    JOIN documents da ON p.doc_a = da.doc_id
+    JOIN documents db ON p.doc_b = db.doc_id
+    WHERE da.source <> db.source
+) sides
+GROUP BY source_lo, source_hi
+"""
+
+
 # mirrors llmdata.dedup.ngram_jaccard_pairs: inverted shingle index,
 # df cap 1000, exact list_intersect Jaccard verify at >= 0.5
 NGRAM_JACCARD_SQL = rf"""

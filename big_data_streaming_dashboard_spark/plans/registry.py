@@ -34,6 +34,7 @@ from ..llmdata.curation import (
 )
 from ..llmdata.dedup import (
     minhash_calibration,
+    source_overlap,
     containment_decorate,
     containment_pairs,
     exact_dedup,
@@ -674,6 +675,13 @@ QUERIES: dict[str, QuerySpec] = {
         lambda spark, sf: repetition_score(_docs(spark, sf)),
         llm_sql.REPETITION_SQL,
         "within-doc repetition rate (Gopher-style repetitious-text signal)",
+    ),
+    "doc_source_overlap": QuerySpec(
+        lambda spark, sf: source_overlap(_docs(spark, sf)),
+        llm_sql.SOURCE_OVERLAP_SQL,
+        "cross-source near-dup overlap matrix: verified pairs + "
+        "distinct docs per side per source pair (the is-crawl-B-a-"
+        "re-crawl-of-A report)",
     ),
     "doc_neardup_clusters": QuerySpec(
         lambda spark, sf: neardup_clusters(_docs(spark, sf)),
@@ -1423,16 +1431,17 @@ WHERE s._emit""",
 # 26 + 2 rows-only + any r13 first-attestations + the stalest of the
 # r12-attested block to fill. Computed slack for net r13 registry
 # additions: 50 - 26 - 2 = 22 (the rotation tool raises on overflow).
-# r13 additions actually made: EIGHT (local_supplier_volume,
+# r13 additions actually made: NINE (local_supplier_volume,
 # regional_min_quote, national_part_share, discount_band_revenue --
 # the Q5/Q2/Q11/Q6 classes completing the classic catalog -- plus
 # doc_bm25_topk, the lexical-retrieval sibling of the vector ANN
 # family, doc_split_leakage_safe, the cluster-granular
 # train/val/test datasheet, customer_revenue_pareto, the
-# bucket-parallel global-cumsum class, and doc_hybrid_rrf_topk, the
-# RRF fusion of the lexical and dense retrieval lists), well inside
-# the slack per the growth-discipline rule; they await first
-# attestation in r14, leaving 50 - 26 - 2 - 8 = 14 slots for the
+# bucket-parallel global-cumsum class, doc_hybrid_rrf_topk, the RRF
+# fusion of the lexical and dense retrieval lists, and
+# doc_source_overlap, the cross-source contamination matrix), well
+# inside the slack per the growth-discipline rule; they await first
+# attestation in r14, leaving 50 - 26 - 2 - 9 = 13 slots for the
 # stalest of the r12-attested block.
 # TOOLING (r12): `python -m big_data_streaming_dashboard_spark.plans.
 # rotation` COMPUTES this window from the CORRECTNESS_r*.json ledgers
