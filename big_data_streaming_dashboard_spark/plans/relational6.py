@@ -373,7 +373,14 @@ def customer_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     Convention note: ties across equal revenue are ordered by custkey
     ASC inside the shared bucket, mirroring the oracle's ORDER BY.
     """
-    orders = _load(spark, sf_dir, "orders")
+    return revenue_pareto_of(_load(spark, sf_dir, "orders"))
+
+
+def revenue_pareto_of(orders: DataFrame) -> DataFrame:
+    """The pareto plan over any frame carrying (o_custkey,
+    o_totalprice) -- split out so the degenerate paths (all-equal
+    revenues exercising the width floor, whole corpus in one bucket)
+    are unit-testable on synthetic frames (tests/test_plans.py)."""
     rev = orders.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
     )

@@ -491,3 +491,29 @@ def test_session_factory_sets_changelog_checkpointing(spark):
         )
         == "true"
     )
+
+
+def test_pareto_all_equal_revenues_degenerate_bucket(spark):
+    """The pareto decomposition's degenerate path: when every customer
+    has identical revenue, the bucketing width collapses to the 1e-9
+    floor and the whole dimension lands in ONE bucket -- the plan must
+    still class correctly with ties broken by custkey (10 customers of
+    100.00 each: cum for the i-th is 100i, so A = i<=8 via
+    500i <= 4000, B = i=9 via 2000i <= 19000, C = i=10)."""
+    from big_data_streaming_dashboard_spark.plans.relational6 import (
+        revenue_pareto_of,
+    )
+
+    orders = spark.createDataFrame(
+        [(i, float(100)) for i in range(1, 11)],
+        "o_custkey long, o_totalprice double",
+    )
+    got = {
+        r["pareto_class"]: (r["n_customers"], r["class_revenue"])
+        for r in revenue_pareto_of(orders).collect()
+    }
+    assert got == {
+        "A": (8, 800.0),
+        "B": (1, 100.0),
+        "C": (1, 100.0),
+    }, got
