@@ -158,6 +158,10 @@ EXTRA = [
     # r13: cross-source contamination matrix (two size-gated joins +
     # a catalog-sized aggregate past the memoized pair plan)
     "doc_source_overlap",
+    # r13: truncation-budget recall surface (the exact constituent
+    # persists once; three sliced brute-force rankings + k-sized
+    # tails)
+    "emb_matryoshka_recall",
 ]
 
 # scaling-regression canaries (r5 verdict item 4): a small subset

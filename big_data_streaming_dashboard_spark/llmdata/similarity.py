@@ -1536,3 +1536,60 @@ def hybrid_rrf_topk_per_query(
         .filter(F.col("_r") <= top_k)
         .select("query_id", "doc_id", "lex_rank", "cos_rank", "rrf_score")
     )
+
+
+# matryoshka truncation budgets evaluated by matryoshka_recall; single
+# source of truth shared with the generated oracle
+# (plans/llm_sql.matryoshka_recall_sql -- the PACKING_SEQ_LENS
+# lock-step pattern). 8/16/32 against the 64-wide fixture spans the
+# degraded-to-nearly-exact range so the recall surface discriminates.
+MATRYOSHKA_TRUNC_DIMS = (8, 16, 32)
+
+
+def matryoshka_recall(
+    embeddings: DataFrame,
+    trunc_dims: tuple[int, ...] = MATRYOSHKA_TRUNC_DIMS,
+    n_queries: int = 5,
+    k: int = 10,
+    dim: int = EMBEDDING_DIM,
+) -> DataFrame:
+    """Matryoshka / truncation-budget evaluator: per-query recall@k of
+    cosine ranking over the FIRST d dimensions against the full-width
+    exact ranking, for each candidate truncation d -- the
+    dimension-budget surface read before shipping truncated embeddings
+    (matryoshka-style serving stores prefixes; this is the number that
+    says which prefix is safe). Completes the ANN evaluator family's
+    third axis: banding recall (index params), probe/code recall
+    (search params), truncation recall (representation width).
+
+    Both sides are the SAME deterministic brute-force plan
+    (`brute_force_topk`): the truncated ranking just slices the array
+    before the fold, so exactness inherits -- no estimate anywhere,
+    and the oracle mirrors the slice with DuckDB list slicing. The
+    full-width exact top-k is computed ONCE and persisted: the tail
+    joins reference it per truncation and HOF-lambda plans defeat
+    exchange reuse (the r11 evaluator lesson), so without the persist
+    the most expensive constituent would execute len(trunc_dims)
+    times. Everything past the constituents is (n_queries x k)-sized
+    per truncation."""
+    exact = brute_force_topk(
+        embeddings, n_queries=n_queries, k=k, dim=dim
+    ).persist()
+    out = None
+    for d in trunc_dims:
+        truncated = embeddings.withColumn(
+            "embedding", F.slice(F.col("embedding"), 1, int(d))
+        )
+        approx = brute_force_topk(
+            truncated, n_queries=n_queries, k=k, dim=int(d)
+        )
+        tail = _recall_at_k(exact, approx).select(
+            F.lit(int(d)).alias("trunc_dim"),
+            "query_id",
+            "n_exact",
+            "n_approx",
+            "n_hit",
+            "recall_at_k",
+        )
+        out = tail if out is None else out.unionByName(tail)
+    return out

@@ -970,6 +970,60 @@ LEFT JOIN hits ON ne.query_id = hits.query_id
 """
 
 
+def _topk_cosine_trunc_sql(d: int) -> str:
+    """TOPK_COSINE_SQL with both sides sliced to the first ``d``
+    dimensions (DuckDB 1-based inclusive list slicing) -- the
+    truncated ranking for matryoshka_recall_sql. Same fold, same tie
+    order; only the vector width differs."""
+    return f"""
+WITH dv AS (
+    SELECT vec_id, label, list_transform(embedding[1:{d}], x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+),
+q AS (
+    SELECT vec_id AS query_id, v AS qv FROM dv WHERE vec_id < 5
+),
+scored AS (
+    SELECT
+        q.query_id, dv.vec_id, dv.label,
+        list_reduce(list_transform(list_zip(q.qv, dv.v), p -> p[1] * p[2]), (a, b) -> a + b)
+        / (sqrt(list_reduce(list_transform(list_zip(q.qv, q.qv), p -> p[1] * p[2]), (a, b) -> a + b))
+           * sqrt(list_reduce(list_transform(list_zip(dv.v, dv.v), p -> p[1] * p[2]), (a, b) -> a + b)))
+        AS _cos
+    FROM dv CROSS JOIN q
+    WHERE dv.vec_id <> q.query_id
+),
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY _cos DESC, vec_id) AS rank
+    FROM scored
+)
+SELECT query_id, vec_id, label, rank, round(_cos, 6) AS cos_sim
+FROM ranked WHERE rank <= 10
+"""
+
+
+def matryoshka_recall_sql(n_queries: int = 5, k: int = 10) -> str:
+    """Matryoshka truncation-recall oracle (mirrors
+    llmdata.similarity.matryoshka_recall): one recall composition per
+    truncation width (the shared _recall_compose_sql skeleton over
+    the sliced cosine ranking), UNION ALL'd with the trunc_dim
+    label. Widths are read from MATRYOSHKA_TRUNC_DIMS at module load
+    (the PACKING_SEQ_LENS lock-step pattern)."""
+    from ..llmdata.similarity import MATRYOSHKA_TRUNC_DIMS
+
+    if (n_queries, k) != (5, 10):
+        raise ValueError(
+            f"matryoshka_recall_sql exact-side oracle is fixed at "
+            f"(5, 10); got ({n_queries}, {k})"
+        )
+    parts = [
+        f"SELECT {int(d)} AS trunc_dim, * FROM (\n"
+        f"{_recall_compose_sql(_topk_cosine_trunc_sql(int(d)))}\n) t{int(d)}"
+        for d in MATRYOSHKA_TRUNC_DIMS
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
 def ivf_recall_sql(
     n_lists: int = 16,
     iterations: int = 3,

@@ -506,3 +506,38 @@ def test_hybrid_per_query_restriction_equals_single(spark):
         .collect()
     ]
     assert single == multi and single
+
+
+def test_matryoshka_recall_matches_independent_computation(spark):
+    """emb_matryoshka_recall (r13: the truncation-budget surface) must
+    agree with this file's own set-based recall over the same two
+    rankings at every truncation width, like its banding/probe/code
+    siblings -- and wider prefixes must not lose recall ON AVERAGE in
+    this fixture (the surface's reason to exist: it discriminates
+    widths)."""
+    from pyspark.sql import functions as F
+
+    from big_data_streaming_dashboard_spark.llmdata.similarity import (
+        MATRYOSHKA_TRUNC_DIMS,
+        matryoshka_recall,
+    )
+
+    embs = load_table(spark, SF, "embeddings")
+    exact = brute_force_topk(embs, n_queries=N_QUERIES, k=K).collect()
+    rows = matryoshka_recall(embs, n_queries=N_QUERIES, k=K).collect()
+    means = {}
+    for d in MATRYOSHKA_TRUNC_DIMS:
+        truncated = embs.withColumn(
+            "embedding", F.slice(F.col("embedding"), 1, int(d))
+        )
+        approx = brute_force_topk(
+            truncated, n_queries=N_QUERIES, k=K, dim=int(d)
+        ).collect()
+        expected = _recall(exact, approx)
+        d_rows = [r for r in rows if r["trunc_dim"] == d]
+        assert len(d_rows) == N_QUERIES
+        got = sum(r["recall_at_k"] for r in d_rows) / len(d_rows)
+        assert abs(got - expected) < 1e-6, (d, got, expected)
+        means[d] = got
+    dims = sorted(means)
+    assert all(means[a] <= means[b] for a, b in zip(dims, dims[1:])), means
