@@ -162,6 +162,9 @@ EXTRA = [
     # persists once; three sliced brute-force rankings + k-sized
     # tails)
     "emb_matryoshka_recall",
+    # r13: precision-budget recall surface (same shape over the
+    # 2/4/8-bit code rankings)
+    "emb_quant_recall",
 ]
 
 # scaling-regression canaries (r5 verdict item 4): a small subset

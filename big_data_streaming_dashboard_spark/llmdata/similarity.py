@@ -1593,3 +1593,90 @@ def matryoshka_recall(
         )
         out = tail if out is None else out.unionByName(tail)
     return out
+
+
+# precision ladder evaluated by quant_recall: symmetric signed codes at
+# 2/4/8 bits (max code 1/7/127); single source of truth shared with the
+# generated oracle (plans/llm_sql.quant_recall_sql -- the
+# PACKING_SEQ_LENS lock-step pattern). 8-bit is near-lossless on the
+# fixture; 2-bit provably is not, so the surface discriminates (the
+# vacuous-oracle discipline).
+QUANT_RECALL_BITS = (2, 4, 8)
+
+
+def _quant_code_vectors(embeddings: DataFrame, max_code: int) -> DataFrame:
+    """The corpus re-expressed as its symmetric quantized CODE vectors
+    (scale = amax/max_code, banker's rounding like `quantize_int8`),
+    codes carried as doubles for the fold. Cosine is invariant to any
+    per-vector positive scalar, so ranking by cosine over the code
+    vectors IS ranking over the dequantized reconstructions -- no
+    dequantize pass needed, and every dot term is a product of
+    integers <= max_code in magnitude (exact in double). scale is
+    materialized in its own projection before the per-element lambda
+    references it (HOFs are CodegenFallback -- the quantize_int8
+    two-stage discipline)."""
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    staged = embeddings.select("vec_id", "label", v.alias("v")).select(
+        "vec_id",
+        "label",
+        "v",
+        F.array_max(F.transform("v", lambda x: F.abs(x))).alias("amax"),
+    )
+    staged = staged.select(
+        "vec_id",
+        "label",
+        "v",
+        (F.col("amax") / F.lit(float(max_code))).alias("scale"),
+    )
+    qv = F.when(
+        F.col("scale") > 0,
+        F.transform(
+            "v", lambda x: F.bround(x / F.col("scale")).cast("double")
+        ),
+    ).otherwise(F.transform("v", lambda x: F.lit(0.0)))
+    return staged.select("vec_id", "label", qv.alias("embedding"))
+
+
+def quant_recall(
+    embeddings: DataFrame,
+    bits_ladder: tuple[int, ...] = QUANT_RECALL_BITS,
+    n_queries: int = 5,
+    k: int = 10,
+    dim: int = EMBEDDING_DIM,
+) -> DataFrame:
+    """Quantization-recall evaluator: per-query recall@k of cosine
+    ranking over symmetric b-bit codes against the float exact
+    ranking, for each candidate precision -- the number that says
+    which memory cut (`quantize_int8`'s 4x at b=8, 16x at b=2) is
+    free for retrieval, closing the loop that evaluator opened (it
+    reports reconstruction error; this reports the retrieval
+    consequence). Fourth axis of the ANN evaluator family: banding,
+    search, width (matryoshka), now precision.
+
+    Exactness inherits as everywhere in the family: code vectors are
+    deterministic (banker's rounding, oracle round_even), integer dot
+    terms are exact in double, ties break on vec_id. The float exact
+    top-k persists once (the r11 HOF-exchange-reuse lesson), then one
+    k-sized tail per precision."""
+    exact = brute_force_topk(
+        embeddings, n_queries=n_queries, k=k, dim=dim
+    ).persist()
+    out = None
+    for b in bits_ladder:
+        max_code = (1 << (int(b) - 1)) - 1
+        approx = brute_force_topk(
+            _quant_code_vectors(embeddings, max_code),
+            n_queries=n_queries,
+            k=k,
+            dim=dim,
+        )
+        tail = _recall_at_k(exact, approx).select(
+            F.lit(int(b)).alias("bits"),
+            "query_id",
+            "n_exact",
+            "n_approx",
+            "n_hit",
+            "recall_at_k",
+        )
+        out = tail if out is None else out.unionByName(tail)
+    return out

@@ -1024,6 +1024,76 @@ def matryoshka_recall_sql(n_queries: int = 5, k: int = 10) -> str:
     return "\nUNION ALL\n".join(parts)
 
 
+def _topk_cosine_quant_sql(max_code: int) -> str:
+    """TOPK_COSINE_SQL over symmetric quantized CODE vectors (scale =
+    amax/max_code, round_even like QUANTIZE_INT8_SQL; cosine is
+    per-vector scale-invariant so codes rank identically to
+    dequantized reconstructions) -- the approximate ranking for
+    quant_recall_sql."""
+    return f"""
+WITH dv0 AS (
+    SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+),
+s AS (
+    SELECT vec_id, label, v,
+        list_max(list_transform(v, x -> abs(x))) AS amax
+    FROM dv0
+),
+dv AS (
+    SELECT vec_id, label,
+        CASE WHEN amax > 0 THEN
+            list_transform(v, x -> CAST(round_even(x / (amax / {float(max_code)!r}), 0) AS DOUBLE))
+        ELSE list_transform(v, x -> CAST(0 AS DOUBLE)) END AS v
+    FROM s
+),
+q AS (
+    SELECT vec_id AS query_id, v AS qv FROM dv WHERE vec_id < 5
+),
+scored AS (
+    SELECT
+        q.query_id, dv.vec_id, dv.label,
+        list_reduce(list_transform(list_zip(q.qv, dv.v), p -> p[1] * p[2]), (a, b) -> a + b)
+        / (sqrt(list_reduce(list_transform(list_zip(q.qv, q.qv), p -> p[1] * p[2]), (a, b) -> a + b))
+           * sqrt(list_reduce(list_transform(list_zip(dv.v, dv.v), p -> p[1] * p[2]), (a, b) -> a + b)))
+        AS _cos
+    FROM dv CROSS JOIN q
+    WHERE dv.vec_id <> q.query_id
+),
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY _cos DESC, vec_id) AS rank
+    FROM scored
+)
+SELECT query_id, vec_id, label, rank, round(_cos, 6) AS cos_sim
+FROM ranked WHERE rank <= 10
+"""
+
+
+def quant_recall_sql(n_queries: int = 5, k: int = 10) -> str:
+    """Quantization-recall oracle (mirrors
+    llmdata.similarity.quant_recall): one recall composition per
+    precision (the shared skeleton over the b-bit code ranking),
+    UNION ALL'd with the bits label; the ladder is read from
+    QUANT_RECALL_BITS at module load (the PACKING_SEQ_LENS
+    lock-step pattern)."""
+    from ..llmdata.similarity import QUANT_RECALL_BITS
+
+    if (n_queries, k) != (5, 10):
+        raise ValueError(
+            f"quant_recall_sql exact-side oracle is fixed at (5, 10); "
+            f"got ({n_queries}, {k})"
+        )
+    parts = []
+    for b in QUANT_RECALL_BITS:
+        max_code = (1 << (int(b) - 1)) - 1
+        parts.append(
+            f"SELECT {int(b)} AS bits, * FROM (\n"
+            f"{_recall_compose_sql(_topk_cosine_quant_sql(max_code))}\n"
+            f") q{int(b)}"
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
 def ivf_recall_sql(
     n_lists: int = 16,
     iterations: int = 3,

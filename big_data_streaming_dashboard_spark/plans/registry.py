@@ -49,6 +49,7 @@ from ..llmdata.dedup import (
 from ..llmdata.similarity import (
     hybrid_rrf_topk,
     matryoshka_recall,
+    quant_recall,
     kmeans_inertia,
     source_drift,
     DEFAULT_HAMMING_RADIUS,
@@ -1262,6 +1263,14 @@ WHERE s._emit""",
         "vs full-width exact, per candidate d (the matryoshka serving "
         "surface; third axis of the ANN evaluator family)",
     ),
+    "emb_quant_recall": QuerySpec(
+        lambda spark, sf: quant_recall(_embs(spark, sf)),
+        llm_sql.quant_recall_sql(),
+        "quantization-recall evaluator: recall@k of symmetric b-bit "
+        "code cosine vs float exact per precision (which memory cut "
+        "is free for retrieval?); fourth axis of the ANN evaluator "
+        "family",
+    ),
     "emb_kmeans_inertia": QuerySpec(
         lambda spark, sf: kmeans_inertia(_embs(spark, sf)),
         llm_sql.kmeans_inertia_sql(),
@@ -1439,7 +1448,7 @@ WHERE s._emit""",
 # 26 + 2 rows-only + any r13 first-attestations + the stalest of the
 # r12-attested block to fill. Computed slack for net r13 registry
 # additions: 50 - 26 - 2 = 22 (the rotation tool raises on overflow).
-# r13 additions actually made: TEN (local_supplier_volume,
+# r13 additions actually made: ELEVEN (local_supplier_volume,
 # regional_min_quote, national_part_share, discount_band_revenue --
 # the Q5/Q2/Q11/Q6 classes completing the classic catalog -- plus
 # doc_bm25_topk, the lexical-retrieval sibling of the vector ANN
@@ -1447,10 +1456,11 @@ WHERE s._emit""",
 # train/val/test datasheet, customer_revenue_pareto, the
 # bucket-parallel global-cumsum class, doc_hybrid_rrf_topk, the RRF
 # fusion of the lexical and dense retrieval lists, and
-# doc_source_overlap, the cross-source contamination matrix, and
-# emb_matryoshka_recall, the truncation-budget recall surface), well
+# doc_source_overlap, the cross-source contamination matrix,
+# emb_matryoshka_recall, the truncation-budget recall surface, and
+# emb_quant_recall, the precision-budget recall surface), well
 # inside the slack per the growth-discipline rule; they await first
-# attestation in r14, leaving 50 - 26 - 2 - 10 = 12 slots for the
+# attestation in r14, leaving 50 - 26 - 2 - 11 = 11 slots for the
 # stalest of the r12-attested block.
 # TOOLING (r12): `python -m big_data_streaming_dashboard_spark.plans.
 # rotation` COMPUTES this window from the CORRECTNESS_r*.json ledgers

@@ -541,3 +541,36 @@ def test_matryoshka_recall_matches_independent_computation(spark):
         means[d] = got
     dims = sorted(means)
     assert all(means[a] <= means[b] for a, b in zip(dims, dims[1:])), means
+
+
+def test_quant_recall_matches_independent_computation(spark):
+    """emb_quant_recall (r13: the precision-budget surface) must agree
+    with this file's own set-based recall over the same rankings at
+    every bit width, like its banding/probe/code/width siblings -- and
+    more bits must not lose recall on average (the surface's reason to
+    exist), with the 2-bit rung strictly lossy so the fixture provably
+    exercises missed hits."""
+    from big_data_streaming_dashboard_spark.llmdata.similarity import (
+        QUANT_RECALL_BITS,
+        _quant_code_vectors,
+        quant_recall,
+    )
+
+    embs = load_table(spark, SF, "embeddings")
+    exact = brute_force_topk(embs, n_queries=N_QUERIES, k=K).collect()
+    rows = quant_recall(embs, n_queries=N_QUERIES, k=K).collect()
+    means = {}
+    for b in QUANT_RECALL_BITS:
+        max_code = (1 << (b - 1)) - 1
+        approx = brute_force_topk(
+            _quant_code_vectors(embs, max_code), n_queries=N_QUERIES, k=K
+        ).collect()
+        expected = _recall(exact, approx)
+        b_rows = [r for r in rows if r["bits"] == b]
+        assert len(b_rows) == N_QUERIES
+        got = sum(r["recall_at_k"] for r in b_rows) / len(b_rows)
+        assert abs(got - expected) < 1e-6, (b, got, expected)
+        means[b] = got
+    bits = sorted(means)
+    assert all(means[a] <= means[b] for a, b in zip(bits, bits[1:])), means
+    assert means[bits[0]] < 1.0, means  # the lossy rung is exercised
