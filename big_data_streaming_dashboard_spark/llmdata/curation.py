@@ -646,6 +646,27 @@ SPLIT_VAL_FRAC = 0.1
 SPLIT_SALT = "split"
 
 
+def split_hex_thresholds() -> tuple[str, str]:
+    """The two cumulative hex thresholds BOTH engines compare the
+    8-char md5 draw against -- the single source the Spark column
+    builder and the generated oracle CASE read (the PACKING_SEQ_LENS
+    lock-step pattern). Validated loudly: a cumulative fraction at or
+    past 1.0 would render as a 9-char hex string that every 8-char
+    draw sorts below, silently reassigning the val share to test ON
+    BOTH ENGINES -- the one drift class the hash-match gate cannot
+    catch, so it must die here at plan-build time (the
+    hybrid-fusion-size guard discipline)."""
+    if not (0.0 < SPLIT_TRAIN_FRAC and SPLIT_TRAIN_FRAC + SPLIT_VAL_FRAC < 1.0):
+        raise ValueError(
+            "split fractions must satisfy 0 < train and train + val < 1 "
+            "(each threshold must fit 8 hex chars): "
+            f"train={SPLIT_TRAIN_FRAC}, val={SPLIT_VAL_FRAC}"
+        )
+    t_train = format(int(SPLIT_TRAIN_FRAC * 2**32), "08x")
+    t_val = format(int((SPLIT_TRAIN_FRAC + SPLIT_VAL_FRAC) * 2**32), "08x")
+    return t_train, t_val
+
+
 def split_assignment_column(cluster_id, salt: str = SPLIT_SALT):
     """The split draw for one near-dup cluster: first 8 hex chars of
     md5(salt|cluster_id) compared lexicographically against the
@@ -656,8 +677,7 @@ def split_assignment_column(cluster_id, salt: str = SPLIT_SALT):
     draw = F.substring(
         F.md5(F.concat(F.lit(salt + "|"), cluster_id.cast("string"))), 1, 8
     )
-    t_train = format(int(SPLIT_TRAIN_FRAC * 2**32), "08x")
-    t_val = format(int((SPLIT_TRAIN_FRAC + SPLIT_VAL_FRAC) * 2**32), "08x")
+    t_train, t_val = split_hex_thresholds()
     return (
         F.when(draw < F.lit(t_train), F.lit("train"))
         .when(draw < F.lit(t_val), F.lit("val"))

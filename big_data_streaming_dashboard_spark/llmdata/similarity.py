@@ -1443,6 +1443,25 @@ def _rrf_score_sql() -> str:
     )
 
 
+def lex_ranked(docs: DataFrame, fusion_k: int = HYBRID_FUSION_K) -> DataFrame:
+    """The hybrid query's lexical list: BM25 top-k re-expressed as
+    (doc_id, lex_rank) with the parity-critical tie order
+    (score DESC, doc_id). Defined ONCE -- the batch single-query form,
+    the multi-query form and the streaming twin (which collects this
+    k-row frame into its per-batch literal) all rank through here, so
+    the tie-break can never desynchronize the pinned parities. The
+    rank window is single-partition but its input is the already
+    k-limited BM25 list -- bounded by construction."""
+    from .text import bm25_topk
+
+    return bm25_topk(docs, top_k=fusion_k).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("score").desc(), F.col("doc_id")))
+        .alias("lex_rank"),
+    )
+
+
 def hybrid_rrf_topk(
     docs: DataFrame,
     embeddings: DataFrame,
@@ -1472,14 +1491,7 @@ def hybrid_rrf_topk(
     OUTER join on doc_id, the final top-k -- operates on <= 2*k rows:
     the single-partition rank windows are bounded by construction,
     same class as shard_packing's renumber."""
-    from .text import bm25_topk
-
-    lex = bm25_topk(docs, top_k=fusion_k).select(
-        "doc_id",
-        F.row_number()
-        .over(Window.orderBy(F.col("score").desc(), F.col("doc_id")))
-        .alias("lex_rank"),
-    )
+    lex = lex_ranked(docs, fusion_k)
     dense = brute_force_topk(
         embeddings, n_queries=1, k=fusion_k, dim=dim
     ).select(F.col("vec_id").alias("doc_id"), F.col("rank").alias("cos_rank"))
@@ -1509,14 +1521,7 @@ def hybrid_rrf_topk_per_query(
     query 0 this equals `hybrid_rrf_topk` row-for-row (pinned in
     tests) -- the parity target for the streaming serving twin
     `llm_ingest.hybrid_rrf_batches`."""
-    from .text import bm25_topk
-
-    lex = bm25_topk(docs, top_k=fusion_k).select(
-        "doc_id",
-        F.row_number()
-        .over(Window.orderBy(F.col("score").desc(), F.col("doc_id")))
-        .alias("lex_rank"),
-    )
+    lex = lex_ranked(docs, fusion_k)
     dense = brute_force_topk(
         embeddings, n_queries=n_queries, k=fusion_k, dim=dim
     ).select(
@@ -1546,6 +1551,40 @@ def hybrid_rrf_topk_per_query(
 MATRYOSHKA_TRUNC_DIMS = (8, 16, 32)
 
 
+def _ladder_recall(
+    embeddings: DataFrame,
+    label_col: str,
+    rungs,
+    n_queries: int,
+    k: int,
+    dim: int,
+) -> DataFrame:
+    """Shared skeleton for the ladder evaluators (width, precision,
+    any future axis): the float exact top-k computes ONCE and
+    persists (the tail joins reference it per rung and HOF-lambda
+    plans defeat exchange reuse -- the r11 evaluator lesson), then
+    each (value, variant_corpus, variant_dim) rung contributes one
+    labeled (n_queries x k)-sized recall tail, unioned by name."""
+    exact = brute_force_topk(
+        embeddings, n_queries=n_queries, k=k, dim=dim
+    ).persist()
+    out = None
+    for value, variant, variant_dim in rungs:
+        approx = brute_force_topk(
+            variant, n_queries=n_queries, k=k, dim=variant_dim
+        )
+        tail = _recall_at_k(exact, approx).select(
+            F.lit(int(value)).alias(label_col),
+            "query_id",
+            "n_exact",
+            "n_approx",
+            "n_hit",
+            "recall_at_k",
+        )
+        out = tail if out is None else out.unionByName(tail)
+    return out
+
+
 def matryoshka_recall(
     embeddings: DataFrame,
     trunc_dims: tuple[int, ...] = MATRYOSHKA_TRUNC_DIMS,
@@ -1572,27 +1611,17 @@ def matryoshka_recall(
     the most expensive constituent would execute len(trunc_dims)
     times. Everything past the constituents is (n_queries x k)-sized
     per truncation."""
-    exact = brute_force_topk(
-        embeddings, n_queries=n_queries, k=k, dim=dim
-    ).persist()
-    out = None
-    for d in trunc_dims:
-        truncated = embeddings.withColumn(
-            "embedding", F.slice(F.col("embedding"), 1, int(d))
+    rungs = [
+        (
+            int(d),
+            embeddings.withColumn(
+                "embedding", F.slice(F.col("embedding"), 1, int(d))
+            ),
+            int(d),
         )
-        approx = brute_force_topk(
-            truncated, n_queries=n_queries, k=k, dim=int(d)
-        )
-        tail = _recall_at_k(exact, approx).select(
-            F.lit(int(d)).alias("trunc_dim"),
-            "query_id",
-            "n_exact",
-            "n_approx",
-            "n_hit",
-            "recall_at_k",
-        )
-        out = tail if out is None else out.unionByName(tail)
-    return out
+        for d in trunc_dims
+    ]
+    return _ladder_recall(embeddings, "trunc_dim", rungs, n_queries, k, dim)
 
 
 # precision ladder evaluated by quant_recall: symmetric signed codes at
@@ -1658,25 +1687,12 @@ def quant_recall(
     terms are exact in double, ties break on vec_id. The float exact
     top-k persists once (the r11 HOF-exchange-reuse lesson), then one
     k-sized tail per precision."""
-    exact = brute_force_topk(
-        embeddings, n_queries=n_queries, k=k, dim=dim
-    ).persist()
-    out = None
-    for b in bits_ladder:
-        max_code = (1 << (int(b) - 1)) - 1
-        approx = brute_force_topk(
-            _quant_code_vectors(embeddings, max_code),
-            n_queries=n_queries,
-            k=k,
-            dim=dim,
+    rungs = [
+        (
+            int(b),
+            _quant_code_vectors(embeddings, (1 << (int(b) - 1)) - 1),
+            dim,
         )
-        tail = _recall_at_k(exact, approx).select(
-            F.lit(int(b)).alias("bits"),
-            "query_id",
-            "n_exact",
-            "n_approx",
-            "n_hit",
-            "recall_at_k",
-        )
-        out = tail if out is None else out.unionByName(tail)
-    return out
+        for b in bits_ladder
+    ]
+    return _ladder_recall(embeddings, "bits", rungs, n_queries, k, dim)

@@ -707,21 +707,45 @@ WHERE round({cos}, 6) >= {threshold}
 """
 
 
-TOPK_COSINE_SQL = """
-WITH dv AS (
+_DOT = (
+    "list_reduce(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]),"
+    " (x, y) -> x + y)"
+)
+
+
+def _cos_expr(a: str, b: str) -> str:
+    return (
+        f"{_DOT.format(a=a, b=b)} / "
+        f"(sqrt({_DOT.format(a=a, b=a)}) * sqrt({_DOT.format(a=b, b=b)}))"
+    )
+
+
+# the plain-corpus dv CTE every cosine top-k variant specializes
+_TOPK_DV_PLAIN = """dv AS (
     SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
     FROM embeddings
-),
+)"""
+
+
+def _topk_cosine_skeleton_sql(dv_cte: str) -> str:
+    """The exact-cosine per-query top-k skeleton over ANY CTE chain
+    whose final relation is dv(vec_id, label, v): queries are
+    vec_id < 5, ranking is (_cos DESC, vec_id), rank <= 10. Defined
+    ONCE so the bit-exactness-load-bearing fold (written association
+    order) and the (5, 10) literals the recall guards protect exist
+    in exactly one place -- TOPK_COSINE_SQL, the matryoshka slice
+    variant and the quantized-code variant all specialize this by
+    swapping the dv chain."""
+    cos = _cos_expr("q.qv", "dv.v")
+    return f"""
+WITH {dv_cte},
 q AS (
     SELECT vec_id AS query_id, v AS qv FROM dv WHERE vec_id < 5
 ),
 scored AS (
     SELECT
         q.query_id, dv.vec_id, dv.label,
-        list_reduce(list_transform(list_zip(q.qv, dv.v), p -> p[1] * p[2]), (a, b) -> a + b)
-        / (sqrt(list_reduce(list_transform(list_zip(q.qv, q.qv), p -> p[1] * p[2]), (a, b) -> a + b))
-           * sqrt(list_reduce(list_transform(list_zip(dv.v, dv.v), p -> p[1] * p[2]), (a, b) -> a + b)))
-        AS _cos
+        {cos} AS _cos
     FROM dv CROSS JOIN q
     WHERE dv.vec_id <> q.query_id
 ),
@@ -734,17 +758,7 @@ FROM ranked WHERE rank <= 10
 """
 
 
-_DOT = (
-    "list_reduce(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]),"
-    " (x, y) -> x + y)"
-)
-
-
-def _cos_expr(a: str, b: str) -> str:
-    return (
-        f"{_DOT.format(a=a, b=b)} / "
-        f"(sqrt({_DOT.format(a=a, b=a)}) * sqrt({_DOT.format(a=b, b=b)}))"
-    )
+TOPK_COSINE_SQL = _topk_cosine_skeleton_sql(_TOPK_DV_PLAIN)
 
 
 def _hamming_cand_cte(planes: tuple, radius: int, n_queries: int) -> str:
@@ -971,35 +985,16 @@ LEFT JOIN hits ON ne.query_id = hits.query_id
 
 
 def _topk_cosine_trunc_sql(d: int) -> str:
-    """TOPK_COSINE_SQL with both sides sliced to the first ``d``
+    """The cosine skeleton with both sides sliced to the first ``d``
     dimensions (DuckDB 1-based inclusive list slicing) -- the
     truncated ranking for matryoshka_recall_sql. Same fold, same tie
-    order; only the vector width differs."""
-    return f"""
-WITH dv AS (
+    order; only the dv chain differs."""
+    return _topk_cosine_skeleton_sql(
+        f"""dv AS (
     SELECT vec_id, label, list_transform(embedding[1:{d}], x -> CAST(x AS DOUBLE)) AS v
     FROM embeddings
-),
-q AS (
-    SELECT vec_id AS query_id, v AS qv FROM dv WHERE vec_id < 5
-),
-scored AS (
-    SELECT
-        q.query_id, dv.vec_id, dv.label,
-        list_reduce(list_transform(list_zip(q.qv, dv.v), p -> p[1] * p[2]), (a, b) -> a + b)
-        / (sqrt(list_reduce(list_transform(list_zip(q.qv, q.qv), p -> p[1] * p[2]), (a, b) -> a + b))
-           * sqrt(list_reduce(list_transform(list_zip(dv.v, dv.v), p -> p[1] * p[2]), (a, b) -> a + b)))
-        AS _cos
-    FROM dv CROSS JOIN q
-    WHERE dv.vec_id <> q.query_id
-),
-ranked AS (
-    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY _cos DESC, vec_id) AS rank
-    FROM scored
-)
-SELECT query_id, vec_id, label, rank, round(_cos, 6) AS cos_sim
-FROM ranked WHERE rank <= 10
-"""
+)"""
+    )
 
 
 def matryoshka_recall_sql(n_queries: int = 5, k: int = 10) -> str:
@@ -1025,13 +1020,14 @@ def matryoshka_recall_sql(n_queries: int = 5, k: int = 10) -> str:
 
 
 def _topk_cosine_quant_sql(max_code: int) -> str:
-    """TOPK_COSINE_SQL over symmetric quantized CODE vectors (scale =
-    amax/max_code, round_even like QUANTIZE_INT8_SQL; cosine is
-    per-vector scale-invariant so codes rank identically to
+    """The cosine skeleton over symmetric quantized CODE vectors
+    (scale = amax/max_code, round_even like QUANTIZE_INT8_SQL; cosine
+    is per-vector scale-invariant so codes rank identically to
     dequantized reconstructions) -- the approximate ranking for
-    quant_recall_sql."""
-    return f"""
-WITH dv0 AS (
+    quant_recall_sql. Same fold, same tie order; only the dv chain
+    differs."""
+    return _topk_cosine_skeleton_sql(
+        f"""dv0 AS (
     SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
     FROM embeddings
 ),
@@ -1046,27 +1042,8 @@ dv AS (
             list_transform(v, x -> CAST(round_even(x / (amax / {float(max_code)!r}), 0) AS DOUBLE))
         ELSE list_transform(v, x -> CAST(0 AS DOUBLE)) END AS v
     FROM s
-),
-q AS (
-    SELECT vec_id AS query_id, v AS qv FROM dv WHERE vec_id < 5
-),
-scored AS (
-    SELECT
-        q.query_id, dv.vec_id, dv.label,
-        list_reduce(list_transform(list_zip(q.qv, dv.v), p -> p[1] * p[2]), (a, b) -> a + b)
-        / (sqrt(list_reduce(list_transform(list_zip(q.qv, q.qv), p -> p[1] * p[2]), (a, b) -> a + b))
-           * sqrt(list_reduce(list_transform(list_zip(dv.v, dv.v), p -> p[1] * p[2]), (a, b) -> a + b)))
-        AS _cos
-    FROM dv CROSS JOIN q
-    WHERE dv.vec_id <> q.query_id
-),
-ranked AS (
-    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY _cos DESC, vec_id) AS rank
-    FROM scored
-)
-SELECT query_id, vec_id, label, rank, round(_cos, 6) AS cos_sim
-FROM ranked WHERE rank <= 10
-"""
+)"""
+    )
 
 
 def quant_recall_sql(n_queries: int = 5, k: int = 10) -> str:
@@ -1513,10 +1490,9 @@ GROUP BY cluster_size
 # load -- the PACKING_SEQ_LENS lock-step pattern, so a fraction edit
 # on either side is structural, not a suite-time hash surprise)
 def _leakage_split_sql() -> str:
-    from ..llmdata.curation import SPLIT_SALT, SPLIT_TRAIN_FRAC, SPLIT_VAL_FRAC
+    from ..llmdata.curation import SPLIT_SALT, split_hex_thresholds
 
-    t_train = format(int(SPLIT_TRAIN_FRAC * 2**32), "08x")
-    t_val = format(int((SPLIT_TRAIN_FRAC + SPLIT_VAL_FRAC) * 2**32), "08x")
+    t_train, t_val = split_hex_thresholds()
     draw = f"substr(md5('{SPLIT_SALT}|' || CAST(c.cluster_id AS VARCHAR)), 1, 8)"
     return rf"""
 SELECT split, lang,

@@ -1941,12 +1941,51 @@ def rerank_topk_batches(
     return writer.start()
 
 
+def _dense_cosine_topk(batch: DataFrame, index_vecs: DataFrame, k: int) -> DataFrame:
+    """Per-arrival exact cosine ranking against the static corpus --
+    the retrieval block `knn_classify_batches` and
+    `hybrid_rrf_batches` share (it must stay bit-identical to
+    `similarity.brute_force_topk`: per-row norms, HOF-fold dot,
+    (_cos DESC, vec_id) rank ties -- both streams' batch parities pin
+    through it, so it is defined ONCE). Arriving side broadcasts;
+    returns (query_id, vec_id, label, _cos, rank) with rank <= k."""
+    from pyspark.sql import Window
+
+    from ..llmdata.similarity import _dvec, dot
+
+    qs = batch.select(
+        F.col("vec_id").alias("query_id"),
+        _dvec("embedding").alias("qvec"),
+    ).withColumn("qnorm", F.sqrt(dot(F.col("qvec"), F.col("qvec"))))
+    corpus = index_vecs.select(
+        "vec_id", F.col("vec").alias("cvec"), "label"
+    ).withColumn("cnorm", F.sqrt(dot(F.col("cvec"), F.col("cvec"))))
+    scored = (
+        corpus.crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            "label",
+            (
+                dot(F.col("qvec"), F.col("cvec"))
+                / (F.col("qnorm") * F.col("cnorm"))
+            ).alias("_cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_cos").desc(), F.col("vec_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def knn_classify_batches(
     queries: DataFrame,
     index_vecs: DataFrame,
     out_path: str,
     k: int = 5,
-    dim: int | None = None,
     checkpoint: str | None = None,
 ):
     """Streaming k-NN classification: each arriving query vector is
@@ -1967,39 +2006,10 @@ def knn_classify_batches(
     writers."""
     from pyspark.sql import Window
 
-    from ..llmdata.similarity import EMBEDDING_DIM, _dvec, dot
-
-    dim = EMBEDDING_DIM if dim is None else dim
-
     def _emit(batch: DataFrame, _epoch: int) -> None:
         if batch.isEmpty():
             return
-        qs = batch.select(
-            F.col("vec_id").alias("query_id"),
-            _dvec("embedding").alias("qvec"),
-        ).withColumn("qnorm", F.sqrt(dot(F.col("qvec"), F.col("qvec"))))
-        corpus = index_vecs.select(
-            "vec_id", F.col("vec").alias("cvec"), "label"
-        ).withColumn("cnorm", F.sqrt(dot(F.col("cvec"), F.col("cvec"))))
-        scored = (
-            corpus.crossJoin(F.broadcast(qs))
-            .filter(F.col("vec_id") != F.col("query_id"))
-            .select(
-                "query_id",
-                "vec_id",
-                "label",
-                (
-                    dot(F.col("qvec"), F.col("cvec"))
-                    / (F.col("qnorm") * F.col("cnorm"))
-                ).alias("_cos"),
-            )
-        )
-        w = Window.partitionBy("query_id").orderBy(
-            F.col("_cos").desc(), F.col("vec_id")
-        )
-        topk = scored.withColumn("rank", F.row_number().over(w)).filter(
-            F.col("rank") <= k
-        )
+        topk = _dense_cosine_topk(batch, index_vecs, k)
         votes = topk.groupBy("query_id", "label").agg(
             F.count(F.lit(1)).alias("votes")
         )
@@ -2033,8 +2043,9 @@ def hybrid_rrf_batches(
     out_path: str,
     fusion_k: int | None = None,
     top_k: int | None = None,
-    dim: int | None = None,
     checkpoint: str | None = None,
+    index_path: str | None = None,
+    expected_fingerprint: str | None = None,
 ):
     """Streaming hybrid retrieval: each arriving query vector gets the
     fused BM25 + cosine top-k under reciprocal-rank fusion -- the
@@ -2044,16 +2055,25 @@ def hybrid_rrf_batches(
 
     The LEXICAL list is query-independent (the fixed keyword query),
     so it is computed ONCE from the static corpus at stream
-    construction and carried as a <= fusion_k-row literal (a bounded
-    driver-side artifact, same class as the PQ codebook collects) --
-    re-running the corpus tokenize every micro-batch would pay the
-    full scan per batch for an unchanged answer. The DENSE list is
-    per arriving query against `write_ann_index`'s vecs artifact
-    (broadcast the tiny arriving side, exactly `knn_classify_batches`'
-    retrieval); fusion rules are the batch plan's verbatim
-    (_rrf_score_sql fragment, same tie-breaks), so per-query outputs
-    equal the batch twin row-for-row -- pinned by
+    construction -- through `similarity.lex_ranked`, the same ranking
+    the batch forms use, collected as a <= fusion_k-row literal (a
+    bounded driver-side artifact, same class as the PQ codebook
+    collects). Re-running the corpus tokenize every micro-batch would
+    pay the full scan per batch for an unchanged answer. The DENSE
+    list is per arriving query against `write_ann_index`'s vecs
+    artifact via the shared `_dense_cosine_topk` retrieval block;
+    fusion rules are the batch plan's verbatim (_rrf_score_sql
+    fragment, same tie-breaks), so per-query outputs equal the batch
+    twin row-for-row -- pinned by
     tests/test_streaming.py::test_streaming_hybrid_rrf_matches_batch.
+
+    Because BOTH constituents are snapshots of construction-time
+    artifacts (the collected lexical list, the signed corpus), a
+    corpus/index refresh under a running stream would silently mix
+    index versions in the fused output -- pass ``index_path`` (and
+    optionally the pinned ``expected_fingerprint``) to get the same
+    loud per-batch failover the rest of the serving family has
+    (`ann_topk_batches` / `rerank_topk_batches` nonce discipline).
 
     Output: (query_id, doc_id, lex_rank, cos_rank, rrf_score), top_k
     rows per arriving query. Same ``checkpoint`` append-idempotency
@@ -2061,61 +2081,51 @@ def hybrid_rrf_batches(
     from pyspark.sql import Window
 
     from ..llmdata.similarity import (
-        EMBEDDING_DIM,
         HYBRID_FUSION_K,
         HYBRID_TOP_K,
-        _dvec,
         _rrf_score_sql,
-        dot,
+        lex_ranked,
     )
-    from ..llmdata.text import bm25_topk
 
     fusion_k = HYBRID_FUSION_K if fusion_k is None else fusion_k
     top_k = HYBRID_TOP_K if top_k is None else top_k
-    dim = EMBEDDING_DIM if dim is None else dim
-    lex_rows = [
-        (int(r["doc_id"]), i + 1)
-        for i, r in enumerate(
-            sorted(
-                bm25_topk(docs, top_k=fusion_k).collect(),
-                key=lambda r: (-r["score"], r["doc_id"]),
+    spark = queries.sparkSession
+
+    def _check(sess: SparkSession) -> None:
+        now = index_fingerprint(sess, index_path)
+        if now != expected_fingerprint:
+            raise RuntimeError(
+                f"hybrid index at {index_path} was overwritten under a "
+                f"probe stream (fingerprint {now} != snapshot "
+                f"{expected_fingerprint}); the lexical list and dense "
+                "corpus are construction-time snapshots -- rebuild the "
+                "stream against the new index instead"
             )
-        )
+
+    if index_path is not None:
+        if expected_fingerprint is None:
+            expected_fingerprint = index_fingerprint(spark, index_path)
+        else:
+            _check(spark)
+
+    lex_rows = [
+        (int(r["doc_id"]), int(r["lex_rank"]))
+        for r in lex_ranked(docs, fusion_k).collect()
     ]
 
     def _emit(batch: DataFrame, _epoch: int) -> None:
+        if index_path is not None:
+            _check(batch.sparkSession)
         if batch.isEmpty():
             return
         sess = batch.sparkSession
         lex = sess.createDataFrame(lex_rows, "doc_id long, lex_rank int")
-        qs = batch.select(
-            F.col("vec_id").alias("query_id"),
-            _dvec("embedding").alias("qvec"),
-        ).withColumn("qnorm", F.sqrt(dot(F.col("qvec"), F.col("qvec"))))
-        corpus = index_vecs.select(
-            "vec_id", F.col("vec").alias("cvec")
-        ).withColumn("cnorm", F.sqrt(dot(F.col("cvec"), F.col("cvec"))))
-        scored = (
-            corpus.crossJoin(F.broadcast(qs))
-            .filter(F.col("vec_id") != F.col("query_id"))
-            .select(
-                "query_id",
-                "vec_id",
-                (
-                    dot(F.col("qvec"), F.col("cvec"))
-                    / (F.col("qnorm") * F.col("cnorm"))
-                ).alias("_cos"),
-            )
+        dense = _dense_cosine_topk(batch, index_vecs, fusion_k).select(
+            "query_id",
+            F.col("vec_id").alias("doc_id"),
+            F.col("rank").alias("cos_rank"),
         )
-        w = Window.partitionBy("query_id").orderBy(
-            F.col("_cos").desc(), F.col("vec_id")
-        )
-        dense = (
-            scored.withColumn("cos_rank", F.row_number().over(w))
-            .filter(F.col("cos_rank") <= fusion_k)
-            .select("query_id", F.col("vec_id").alias("doc_id"), "cos_rank")
-        )
-        qids = qs.select("query_id").distinct()
+        qids = batch.select(F.col("vec_id").alias("query_id")).distinct()
         lex_per_q = qids.crossJoin(F.broadcast(lex))
         fused = lex_per_q.join(dense, ["query_id", "doc_id"], "full_outer")
         wf = Window.partitionBy("query_id").orderBy(

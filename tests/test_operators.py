@@ -443,6 +443,26 @@ def test_leakage_safe_split_cluster_granularity(spark):
     assert pairs.count() >= 25
 
 
+def test_split_threshold_guard_raises_out_of_range(monkeypatch):
+    """The split draw compares 8-char hex strings; a cumulative
+    fraction at or past 1.0 renders 9 hex chars that every draw sorts
+    below, silently moving the val share to test ON BOTH ENGINES --
+    the one drift class the hash-match gate cannot catch (the r13
+    review finding). The threshold builder must die loudly instead."""
+    import pytest
+
+    from big_data_streaming_dashboard_spark.llmdata import curation
+
+    monkeypatch.setattr(curation, "SPLIT_TRAIN_FRAC", 0.9)
+    monkeypatch.setattr(curation, "SPLIT_VAL_FRAC", 0.1)
+    with pytest.raises(ValueError, match="8 hex chars"):
+        curation.split_hex_thresholds()
+    monkeypatch.setattr(curation, "SPLIT_TRAIN_FRAC", 0.8)
+    monkeypatch.setattr(curation, "SPLIT_VAL_FRAC", 0.1)
+    t1, t2 = curation.split_hex_thresholds()
+    assert len(t1) == 8 and len(t2) == 8 and t1 < t2
+
+
 def test_ngram_jaccard_exact_value_and_cap(spark):
     """Inverted-index Jaccard: hand-computable trigram sets.
     A='a b c d e' -> {abc,bcd,cde}, B='a b c d f' -> {abc,bcd,cdf}:

@@ -2511,3 +2511,54 @@ def test_streaming_hybrid_rrf_matches_batch(spark, tmp_path):
     assert any(
         r[2] is not None and r[3] is not None for r in got
     ), "replay never exercised the two-term fusion branch"
+
+
+def test_streaming_hybrid_index_refresh_fails_loudly(spark, tmp_path):
+    """hybrid_rrf_batches snapshots BOTH constituents at construction
+    time (the collected lexical list, the dense corpus), so an index
+    refresh under a running stream would silently mix versions -- it
+    therefore carries the serving family's nonce discipline
+    (`ann_topk_batches` / `rerank_topk_batches`). Pinned: (1) a
+    consistent index_path pin passes through untouched; (2) a stale
+    expected_fingerprint raises at CALL time, before any stream
+    starts."""
+    import pytest
+
+    from big_data_streaming_dashboard_spark.streaming.llm_ingest import (
+        hybrid_rrf_batches,
+        index_fingerprint,
+        stream_embeddings,
+        write_ann_index,
+    )
+    from big_data_streaming_dashboard_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    embs = load_table(spark, sf, "embeddings")
+    idx = write_ann_index(embs, str(tmp_path / "annidx"))
+    qdir = str(tmp_path / "queries")
+    embs.filter(F.col("vec_id") < 3).write.parquet(qdir)
+
+    ok_out = str(tmp_path / "ok")
+    q = hybrid_rrf_batches(
+        stream_embeddings(spark, qdir),
+        docs,
+        spark.read.parquet(idx + "/vecs"),
+        ok_out,
+        index_path=idx,
+    )
+    q.awaitTermination(120)
+    assert spark.read.parquet(ok_out).count() > 0
+
+    stale = index_fingerprint(spark, idx)
+    write_ann_index(embs.filter(F.col("vec_id") % 2 == 0), idx)
+    assert index_fingerprint(spark, idx) != stale
+    with pytest.raises(RuntimeError, match="overwritten under a probe"):
+        hybrid_rrf_batches(
+            stream_embeddings(spark, qdir),
+            docs,
+            spark.read.parquet(idx + "/vecs"),
+            str(tmp_path / "stale_out"),
+            index_path=idx,
+            expected_fingerprint=stale,
+        )
