@@ -574,3 +574,68 @@ def test_quant_recall_matches_independent_computation(spark):
     bits = sorted(means)
     assert all(means[a] <= means[b] for a, b in zip(bits, bits[1:])), means
     assert means[bits[0]] < 1.0, means  # the lossy rung is exercised
+
+
+def test_hybrid_rrf_dense_only_when_no_lexical_matches(spark):
+    """If NO document matches the lexical query, the hybrid must
+    degrade to the dense ranking alone (empty lexical side of the
+    full outer join) instead of erroring or emitting lexical
+    artifacts -- the realistic cold-corpus edge for a fixed keyword
+    query."""
+    from big_data_streaming_dashboard_spark.llmdata.similarity import (
+        HYBRID_TOP_K,
+        RRF_K,
+        hybrid_rrf_topk,
+    )
+    from big_data_streaming_dashboard_spark.tables import load_table
+
+    from .conftest import SF_ORACLE
+
+    docs = spark.createDataFrame(
+        [(i, "nothing matches the fixed keyword query here") for i in range(6)],
+        "doc_id long, text string",
+    )
+    embs = load_table(spark, SF_ORACLE, "embeddings")
+    got = hybrid_rrf_topk(docs, embs).collect()
+    assert len(got) == HYBRID_TOP_K
+    assert all(r["lex_rank"] is None for r in got)
+    # dense-only RRF: rank r scores exactly 1/(60+r), descending
+    for i, r in enumerate(got):
+        assert r["cos_rank"] == i + 1
+        assert r["rrf_score"] == 1.0 / (RRF_K + i + 1)
+
+
+def test_rrf_fusion_expression_matches_python_bulk(spark):
+    """Bulk randomized cross-check of the shared fusion fragment
+    (_rrf_score_sql) against Python floats: 2,000 seeded
+    (lex_rank, cos_rank) pairs spanning present/NULL combinations,
+    evaluated in ONE DataFrame pass, must equal the two-term
+    reciprocal sum bit-for-bit (same written order, NULL -> 0.0) --
+    the same bulk-pass pattern as the anomaly z-predicate check."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from big_data_streaming_dashboard_spark.llmdata.similarity import (
+        RRF_K,
+        _rrf_score_sql,
+    )
+
+    rng = random.Random(13)
+    rows = []
+    for i in range(2000):
+        lex = rng.choice([None, rng.randint(1, 1000)])
+        cos = rng.choice([None, rng.randint(1, 1000)])
+        rows.append((i, lex, cos))
+    df = spark.createDataFrame(rows, "id long, lex_rank int, cos_rank int")
+    got = {
+        r["id"]: r["s"]
+        for r in df.select(
+            "id", F.expr(_rrf_score_sql()).alias("s")
+        ).collect()
+    }
+    for i, lex, cos in rows:
+        exp = (1.0 / (RRF_K + lex) if lex is not None else 0.0) + (
+            1.0 / (RRF_K + cos) if cos is not None else 0.0
+        )
+        assert got[i] == exp, (i, lex, cos, got[i], exp)
