@@ -1472,6 +1472,37 @@ WHERE s._emit""",
 # does NOT make: the r11-established precedent that a brand-new query
 # never bumps an attested query sitting AT its staleness bound --
 # check the left-out set before pasting.
+# r14 swap EXECUTED (this window, computed by `python -m
+# big_data_streaming_dashboard_spark.plans.rotation` against the
+# CORRECTNESS_r01..r13 ledgers, pasted verbatim from the tool output
+# and cross-checked against the r13 swap plan above): the ELEVEN r13
+# additions awaiting first attestation (customer_revenue_pareto,
+# discount_band_revenue, doc_bm25_topk, doc_hybrid_rrf_topk,
+# doc_source_overlap, doc_split_leakage_safe, emb_matryoshka_recall,
+# emb_quant_recall, local_supplier_volume, national_part_share,
+# regional_min_quote) + the 26 r11-attested queries left out of the
+# r13 window, now at their mandatory 3-round bound (doc_subword_stats
+# .. value_percentiles, the alphabetical tail of the r11 block) + the
+# 2 permanent rows-only + 11 stalest others = the
+# alphabetically-first 11 of the 48-query r12-attested block
+# (activity_reconcile .. doc_corpus_census). Left-out set verified by
+# the tool: everything else newest-row r12 or r13, nothing at or past
+# its bound. CAPACITY DECISION (r13 verdict item 3, made explicit
+# here): at 135 queries / 50 slots / a 3-round bound, steady state
+# consumes ~46 slots per round, leaving slack ~11 and shrinking with
+# every net addition. Policy for r14 onward: the catalog is
+# feature-complete for the surveyed surface -- prefer DEPTH (new
+# serving forms, evaluators, and plan improvements for EXISTING
+# queries, which need no new slot) over breadth; any net addition
+# must run the rotation arithmetic first and stay within the printed
+# slack (tool raises on overflow). If a future round genuinely needs
+# breadth beyond the slack, amend the bound to 4 rounds as a
+# documented decision in this comment block -- do not drift into the
+# overflow raise mid-round. r14 swap plan (next round): after a
+# successful r14 run the 37 r12-attested queries left out here reach
+# their bound in r15 staggered (11 rotate here; the remaining 37
+# minus these 11 = 37 r12-attested stay out, hitting the bound r15)
+# -- run the tool, it accounts for this.
 # NOTE: the r11 verdict/judge ledger counts by NEWEST row; nothing in
 # this window is older than r10, and after a successful r12 run no
 # query's newest row is older than r10 (within the 3-round bound).
@@ -1483,63 +1514,62 @@ WHERE s._emit""",
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW: list[str] = [
-    # --- 12 first attestations (added r12, never driver-attested) ---
-    "bi_nation_volume",
-    "disjunctive_brand_revenue",
-    "doc_minhash_calibration",
-    "doc_packing_efficiency",
-    "dominant_suppliers",
-    "emb_kmeans_inertia",
-    "emb_source_drift",
-    "large_volume_orders",
-    "late_lines_priority",
-    "order_priority_exists",
-    "region_market_share",
-    "sole_late_supplier",
-    # --- 14 mandatory: deferred from r12 at their 3-round LRU bound
-    # (newest driver row r10; siblings enumerated in the r12 swap
-    # comment above) ---
-    "doc_curation_extended",
-    "doc_exact_dedup",
-    "doc_minhash_signature",
-    "doc_neardup_recall",
-    "doc_repeated_passages",
-    "doc_token_stats",
-    "emb_ann_recall",
-    "emb_ivf_topk",
-    "events_by_hour",
-    "gapfill_5min",
-    "grouping_sets_shipping",
-    "revenue_by_nation",
-    "top_customers",
-    "unpivot_event_metrics",
-    # --- 22 stalest others: alphabetically-first of the 48-query
-    # r11-attested block (all tied at newest-row r11) ---
-    "above_user_avg",
-    "brand_supplier_variety",
-    "bronze_radiation",
-    "cube_order_stats",
-    "dedup_first_occurrence",
-    "doc_bpe_encode",
-    "doc_bpe_merges",
-    "doc_containment_pairs",
-    "doc_contamination",
-    "doc_corpus_mixture",
-    "doc_curation",
-    "doc_curation_full",
-    "doc_domain_cap",
-    "doc_gopher_rules",
-    "doc_importance_weights",
-    "doc_neardup_clusters",
-    "doc_neardup_pairs",
-    "doc_ngram_jaccard",
-    "doc_repeated_passages_exact",
-    "doc_repetition",
-    "doc_semantic_neardup",
-    "doc_stratified_sample",
     # rows-only by design -- permanently in-window per r3 advice
     "approx_aggregates",
     "media_feature_census",
+    # --- 11 first attestations (added r13, never driver-attested) ---
+    "customer_revenue_pareto",
+    "discount_band_revenue",
+    "doc_bm25_topk",
+    "doc_hybrid_rrf_topk",
+    "doc_source_overlap",
+    "doc_split_leakage_safe",
+    "emb_matryoshka_recall",
+    "emb_quant_recall",
+    "local_supplier_volume",
+    "national_part_share",
+    "regional_min_quote",
+    # --- 26 mandatory: the r11-attested queries left out of the r13
+    # window, at their 3-round LRU bound (newest driver row r11) ---
+    "doc_subword_stats",
+    "downsample_5min",
+    "emb_hamming_topk",
+    "emb_ivf_topk_tuned",
+    "emb_knn_label_vote",
+    "emb_label_centroids",
+    "emb_lsh_topk",
+    "emb_neardup_pairs",
+    "emb_pq_topk",
+    "emb_quantize_int8",
+    "emb_rerank_topk",
+    "emb_topk_cosine",
+    "flagship_event_stats",
+    "moving_avg_events",
+    "promo_revenue_share",
+    "range_join_signup_events",
+    "recent_points",
+    "returned_top_customers",
+    "rolling_stats",
+    "route_counts",
+    "routed_records",
+    "session_window_events",
+    "silver_error_breakdown",
+    "silver_validate",
+    "user_sessions",
+    "value_percentiles",
+    # --- 11 stalest others: alphabetically-first of the 48-query
+    # r12-attested block (all tied at newest-row r12) ---
+    "activity_reconcile",
+    "alerts_active",
+    "alerts_cooldown",
+    "alerts_cooldown_exact",
+    "alerts_ws_messages",
+    "asof_latest_order",
+    "brand_supplier_margin",
+    "customer_order_histogram",
+    "doc_bigram_lm",
+    "doc_chunk_spans",
+    "doc_corpus_census",
 ]
 
 # Fail fast at import: a DRIVER_WINDOW name with no QUERIES entry would

@@ -929,6 +929,22 @@ def index_fingerprint(spark: SparkSession, path: str) -> str:
     return rows[0]["nonce"]
 
 
+def _require_pin_target(
+    index_path: str | None, expected_fingerprint: str | None
+) -> None:
+    """A caller pinning a nonce without naming the index it pins gets
+    ZERO refresh protection (the fingerprint is only ever compared
+    against ``index_path``'s on-disk nonce) -- refuse loudly instead
+    of silently ignoring the pin (r13 ADVICE; applies to the whole
+    serving family, not just hybrid)."""
+    if expected_fingerprint is not None and index_path is None:
+        raise ValueError(
+            "expected_fingerprint was given without index_path: the pin "
+            "is checked against index_path's on-disk nonce, so without "
+            "one it protects nothing -- pass the index root too"
+        )
+
+
 def ann_probe_stream(
     queries: DataFrame,
     index_bands: DataFrame,
@@ -1061,6 +1077,7 @@ def ann_topk_batches(
                 "against the new index instead"
             )
 
+    _require_pin_target(index_path, expected_fingerprint)
     if index_path is not None:
         if expected_fingerprint is None:
             expected_fingerprint = index_fingerprint(spark, index_path)
@@ -1304,6 +1321,7 @@ def semantic_verdict_batches(
     index version -- same rules as `ann_topk_batches`: stale pin
     refuses at call time, per-batch re-check catches in-place
     rewrites."""
+    _require_pin_target(index_path, expected_fingerprint)
     if index_path is not None:
         now = index_fingerprint(embeddings.sparkSession, index_path)
         if expected_fingerprint is None:
@@ -1891,6 +1909,7 @@ def rerank_topk_batches(
                 "against the new index instead"
             )
 
+    _require_pin_target(index_path, expected_fingerprint)
     if index_path is not None:
         if expected_fingerprint is None:
             expected_fingerprint = index_fingerprint(spark, index_path)
@@ -2102,6 +2121,7 @@ def hybrid_rrf_batches(
                 "stream against the new index instead"
             )
 
+    _require_pin_target(index_path, expected_fingerprint)
     if index_path is not None:
         if expected_fingerprint is None:
             expected_fingerprint = index_fingerprint(spark, index_path)

@@ -605,6 +605,63 @@ def test_hybrid_rrf_dense_only_when_no_lexical_matches(spark):
         assert r["rrf_score"] == 1.0 / (RRF_K + i + 1)
 
 
+def test_hybrid_per_query_lexical_only_when_dense_empty(spark):
+    """r13 ADVICE: the multi-query batch form used to key the lexical
+    re-broadcast off the DENSE result's query ids, so a query whose
+    dense list is empty (degenerate corpus after self-exclusion)
+    vanished from the batch output while the streaming twin -- which
+    keys off the arriving batch -- still emitted its lexical-only
+    rows. Both forms now derive qids from the QUERY side: a
+    single-vector corpus (dense empty for query 0) must degrade to
+    the pure lexical ranking, mirroring the dense-only edge test."""
+    from big_data_streaming_dashboard_spark.llmdata.similarity import (
+        RRF_K,
+        hybrid_rrf_topk_per_query,
+        lex_ranked,
+    )
+
+    from .conftest import SF_ORACLE
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    embs = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0], "l0")],
+        "vec_id long, embedding array<double>, label string",
+    )
+    got = hybrid_rrf_topk_per_query(
+        docs, embs, n_queries=1, dim=4
+    ).orderBy(F.col("rrf_score").desc(), F.col("doc_id")).collect()
+    lex = sorted(
+        ((r["doc_id"], r["lex_rank"]) for r in lex_ranked(docs).collect()),
+        key=lambda t: t[1],
+    )
+    assert got, "query with empty dense list vanished from the batch form"
+    assert all(r["query_id"] == 0 and r["cos_rank"] is None for r in got)
+    want = [
+        (d, rk, 1.0 / (RRF_K + rk))
+        for d, rk in lex[: len(got)]
+    ]
+    assert [(r["doc_id"], r["lex_rank"], r["rrf_score"]) for r in got] == want
+
+
+def test_ladder_evaluators_refuse_empty_ladder(spark):
+    """r13 ADVICE: an empty rungs ladder must die loudly at plan-build
+    time, not as an opaque AttributeError on the caller's next
+    DataFrame op (with the persisted exact constituent leaked)."""
+    from big_data_streaming_dashboard_spark.llmdata.similarity import (
+        matryoshka_recall,
+        quant_recall,
+    )
+
+    embs = spark.createDataFrame(
+        [(0, [1.0, 0.0], "l0")],
+        "vec_id long, embedding array<double>, label string",
+    )
+    with pytest.raises(ValueError, match="empty"):
+        matryoshka_recall(embs, trunc_dims=(), dim=2)
+    with pytest.raises(ValueError, match="empty"):
+        quant_recall(embs, bits_ladder=(), dim=2)
+
+
 def test_rrf_fusion_expression_matches_python_bulk(spark):
     """Bulk randomized cross-check of the shared fusion fragment
     (_rrf_score_sql) against Python floats: 2,000 seeded

@@ -457,6 +457,16 @@ def test_split_threshold_guard_raises_out_of_range(monkeypatch):
     monkeypatch.setattr(curation, "SPLIT_VAL_FRAC", 0.1)
     with pytest.raises(ValueError, match="8 hex chars"):
         curation.split_hex_thresholds()
+    # r13 ADVICE: val <= 0 passed the old guard yet made
+    # t_val <= t_train, silently emptying val on BOTH engines --
+    # exactly the drift class this guard exists to kill
+    monkeypatch.setattr(curation, "SPLIT_TRAIN_FRAC", 0.9)
+    monkeypatch.setattr(curation, "SPLIT_VAL_FRAC", 0.0)
+    with pytest.raises(ValueError, match="train \\+ val"):
+        curation.split_hex_thresholds()
+    monkeypatch.setattr(curation, "SPLIT_VAL_FRAC", -0.1)
+    with pytest.raises(ValueError, match="train \\+ val"):
+        curation.split_hex_thresholds()
     monkeypatch.setattr(curation, "SPLIT_TRAIN_FRAC", 0.8)
     monkeypatch.setattr(curation, "SPLIT_VAL_FRAC", 0.1)
     t1, t2 = curation.split_hex_thresholds()

@@ -479,6 +479,30 @@ def test_rotation_tool_computes_policy_window():
         assert newest2[names[0]] == 2  # the partial rows really ran
 
 
+def test_driver_window_matches_rotation_tool():
+    """r14 (r13 verdict item 6): the COMMITTED DRIVER_WINDOW must equal
+    the rotation tool's output for the committed CORRECTNESS ledgers.
+    The tool has existed since r12 and the registry comment says "run
+    it at round start" -- this assert makes the guarantee continuous
+    instead of round-start-manual (r9 lost a full round to a
+    hand-edited window). When a new CORRECTNESS_r*.json lands at round
+    end, this test goes red until the next session executes the
+    rotation -- that is the intended forcing function, not a flake."""
+    from big_data_streaming_dashboard_spark.plans.registry import (
+        DRIVER_WINDOW,
+    )
+    from big_data_streaming_dashboard_spark.plans.rotation import (
+        next_window,
+    )
+
+    assert DRIVER_WINDOW == next_window(), (
+        "DRIVER_WINDOW is stale relative to the committed CORRECTNESS "
+        "ledgers: run `python -m big_data_streaming_dashboard_spark."
+        "plans.rotation` and paste its output (see the registry "
+        "rotation comment for the documentation step)"
+    )
+
+
 def test_session_factory_sets_changelog_checkpointing(spark):
     """r12 (r11 verdict item 3): the engine defaults RocksDB changelog
     checkpointing on -- commit work halves at the measured state sizes

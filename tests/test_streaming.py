@@ -2562,3 +2562,37 @@ def test_streaming_hybrid_index_refresh_fails_loudly(spark, tmp_path):
             index_path=idx,
             expected_fingerprint=stale,
         )
+
+
+def test_serving_family_refuses_fingerprint_without_index_path(spark):
+    """r13 ADVICE: a caller pinning only the nonce (expected_fingerprint
+    without index_path) silently got ZERO refresh protection -- the pin
+    is only ever compared against index_path's on-disk nonce. The whole
+    serving family must refuse that call shape loudly, at call time,
+    before any stream starts."""
+    import pytest
+
+    from big_data_streaming_dashboard_spark.streaming.llm_ingest import (
+        ann_topk_batches,
+        hybrid_rrf_batches,
+        rerank_topk_batches,
+        semantic_verdict_batches,
+    )
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0], "l0")],
+        "vec_id long, embedding array<double>, label string",
+    )
+    docs = spark.createDataFrame([(0, "text")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="without index_path"):
+        ann_topk_batches(df, "/tmp/x", expected_fingerprint="nonce")
+    with pytest.raises(ValueError, match="without index_path"):
+        semantic_verdict_batches(
+            df, df, df, "/tmp/x", expected_fingerprint="nonce"
+        )
+    with pytest.raises(ValueError, match="without index_path"):
+        rerank_topk_batches(df, df, "/tmp/x", expected_fingerprint="nonce")
+    with pytest.raises(ValueError, match="without index_path"):
+        hybrid_rrf_batches(
+            df, docs, df, "/tmp/x", expected_fingerprint="nonce"
+        )
