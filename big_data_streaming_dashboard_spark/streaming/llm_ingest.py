@@ -2317,3 +2317,167 @@ def drift_verdict_batches(
     if checkpoint is not None:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer.start()
+
+
+# --- streaming leakage-safe split (assignment serving, r14) -----------------
+
+
+def write_split_index(docs: DataFrame, path: str) -> str:
+    """Persist the artifacts the streaming split-assignment probe
+    needs: the LSH band+shingle index (``path/bands``, the
+    `write_neardup_index` layout -- the probe's candidate/verify
+    side) and the corpus's near-dup CLUSTER labels
+    (``path/clusters``: (doc_id, cluster_id), the
+    `dedup.neardup_clusters` output the batch datasheet
+    `curation.leakage_safe_split` draws splits from), stamped with
+    the serving family's fingerprint nonce. Both artifacts are
+    per-doc facts; the labels are the one piece of corpus-wide state
+    (connected components), which is exactly why assignment must be
+    served FROM them rather than recomputed per batch."""
+    from ..llmdata.dedup import neardup_clusters
+
+    spark = docs.sparkSession
+    write_neardup_index(docs, path + "/bands")
+    (
+        neardup_clusters(docs)
+        .select("doc_id", "cluster_id")
+        .write.mode("overwrite")
+        .parquet(path + "/clusters")
+    )
+    _write_index_fingerprint(spark, path, {"kind": "split"})
+    return path
+
+
+def split_verdict_batches(
+    docs: DataFrame,
+    index_bands: DataFrame,
+    index_clusters: DataFrame,
+    out_path: str,
+    threshold: float = 0.2,
+    max_bucket_size: int = 1000,
+    salt: str | None = None,
+    checkpoint: str | None = None,
+    index_path: str | None = None,
+    expected_fingerprint: str | None = None,
+):
+    """Streaming leakage-safe train/val/test ASSIGNMENT: each arriving
+    document gets (doc_id, cluster_id, split) -- the online-serving
+    form of the batch datasheet's assignment rule
+    (`curation.leakage_safe_split`), completing the curation-serving
+    story the way `curation_verdict_batches` did for the drop ladder.
+
+    Assignment rule, per micro-batch (foreachBatch -- a verdict
+    surface must emit rows for docs with NO near-dup hits too):
+
+    1. Arrivals probe the static band index (`neardup_probe_stream`'s
+       plan, batch-side valid for the usual stream-static reason) and
+       verified hits join the stored cluster labels.
+    2. Arrivals ALSO near-dup-link among themselves
+       (`dedup.neardup_pairs` + `_label_components` on the
+       batch-sized graph -- bounded by the micro-batch, never the
+       corpus), so two mutual near-dups arriving together can never
+       straddle a split even when neither touches the corpus.
+    3. Each batch-local component's cluster is the MINIMUM stored
+       cluster label any member verifiably joins, else the
+       component's own min doc_id (the `neardup_clusters` labeling
+       rule extended to arrivals); the split is the SAME deterministic
+       md5 draw (`curation.split_assignment_column`) -- so a doc
+       joining existing cluster c inherits exactly the split the
+       batch datasheet gave c, and near-dups of training docs can
+       never leak into val/test.
+
+    Replaying the indexed corpus through the stream reproduces the
+    batch assignment row-for-row in ANY batching (every partner is in
+    the index, so each doc's component minimum is reachable through
+    its direct hits) -- pinned by
+    tests/test_streaming.py::test_streaming_split_matches_batch.
+
+    Documented append-only deltas (inherent to serving assignments
+    from a frozen artifact, resolved by the periodic batch rebuild --
+    the LSM-refresh story): (a) two near-dup arrivals in DIFFERENT
+    micro-batches each resolve independently against the corpus and
+    may straddle if neither hits it; (b) an arrival bridging two
+    existing clusters inherits the smaller label, but cannot
+    retroactively merge the clusters' previously drawn splits.
+
+    Same ``checkpoint`` append-idempotency and ``index_path`` /
+    ``expected_fingerprint`` nonce discipline as the rest of the
+    serving family."""
+    from ..llmdata.curation import SPLIT_SALT, split_assignment_column
+    from ..llmdata.dedup import _label_components, neardup_pairs
+
+    salt = SPLIT_SALT if salt is None else salt
+    spark = docs.sparkSession
+
+    def _check(sess: SparkSession) -> None:
+        now = index_fingerprint(sess, index_path)
+        if now != expected_fingerprint:
+            raise RuntimeError(
+                f"split index at {index_path} was rebuilt under a "
+                f"running assignment stream (fingerprint {now} != "
+                f"snapshot {expected_fingerprint}); assignments must "
+                "come from ONE artifact version -- rebuild the stream"
+            )
+
+    _require_pin_target(index_path, expected_fingerprint)
+    if index_path is not None:
+        if expected_fingerprint is None:
+            expected_fingerprint = index_fingerprint(spark, index_path)
+        else:
+            _check(spark)
+
+    labels_idx = index_clusters.select(
+        F.col("doc_id").alias("index_doc_id"),
+        F.col("cluster_id").alias("_idx_cluster"),
+    )
+
+    def _emit(batch: DataFrame, _epoch: int) -> None:
+        if index_path is not None:
+            _check(batch.sparkSession)
+        if batch.isEmpty():
+            return
+        hits = neardup_probe_stream(
+            batch, index_bands, threshold, max_bucket_size
+        )
+        inherited = (
+            hits.join(labels_idx, "index_doc_id")
+            .groupBy("doc_id")
+            .agg(F.min("_idx_cluster").alias("_hit_min"))
+        )
+        n = batch.count()
+        bpairs = neardup_pairs(
+            batch, threshold=threshold, max_bucket_size=max_bucket_size
+        ).select("doc_a", "doc_b")
+        local, _rounds = _label_components(
+            batch.select("doc_id"), bpairs, n
+        )
+        comp_min = (
+            local.join(inherited, "doc_id", "left")
+            .groupBy("cluster_id")
+            .agg(F.min("_hit_min").alias("_comp_hit_min"))
+        )
+        assigned = (
+            local.join(comp_min, "cluster_id")
+            .select(
+                "doc_id",
+                F.coalesce(F.col("_comp_hit_min"), F.col("cluster_id")).alias(
+                    "cluster_id"
+                ),
+            )
+        )
+        (
+            assigned.withColumn(
+                "split", split_assignment_column(F.col("cluster_id"), salt)
+            )
+            .write.mode("append")
+            .parquet(out_path)
+        )
+
+    writer = (
+        docs.writeStream.foreachBatch(_emit)
+        .outputMode("append")
+        .trigger(availableNow=True)
+    )
+    if checkpoint is not None:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
