@@ -124,10 +124,14 @@ def next_window(
     # staleness bound: after the next successful round, nothing left
     # OUT may fall more than max_stale_rounds successful rounds behind
     if rounds:
-        next_round_index = len(rounds) + 1
         left_out = attested[size - len(mandatory):]
         for n in left_out:
-            rounds_behind = next_round_index - rounds.index(newest[n]) - 1
+            # complete rounds strictly after the query's newest row,
+            # plus the upcoming round. Counted (not .index()-ed):
+            # a query whose only green row came from a PARTIAL round
+            # has newest[n] not in `rounds`, and .index() would crash
+            # the tool right when that query most needs rotating in.
+            rounds_behind = sum(1 for r in rounds if r > newest[n]) + 1
             if rounds_behind > max_stale_rounds:
                 raise RuntimeError(
                     f"rotation: {n} (newest row r{newest[n]}) would be "

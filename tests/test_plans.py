@@ -477,6 +477,12 @@ def test_rotation_tool_computes_policy_window():
         newest2, rounds2 = attestation_ledger(d)
         assert rounds2 == [1]
         assert newest2[names[0]] == 2  # the partial rows really ran
+        # r14: the staleness arithmetic must not crash when a query's
+        # newest row came from that partial round (newest[n] not in
+        # `rounds` -- the old .index() form raised ValueError exactly
+        # when such a query was left out of the window)
+        w2 = next_window(repo_root=d, size=len(names) - 3)
+        assert len(w2) == len(names) - 3
 
 
 def test_driver_window_matches_rotation_tool():
