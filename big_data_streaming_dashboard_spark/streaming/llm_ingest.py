@@ -2491,3 +2491,56 @@ def split_verdict_batches(
     if checkpoint is not None:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer.start()
+
+
+def append_split_index(
+    new_docs: DataFrame, assignments: DataFrame, path: str
+) -> str:
+    """Incremental refresh for the split-assignment artifact: fold the
+    arrivals (their band+shingle rows) AND their streamed cluster
+    assignments (`split_verdict_batches` output) back into a
+    `write_split_index` root, so the NEXT stream generation can match
+    later arrivals against earlier ones -- the `append_curation_index`
+    LSM discipline applied to the serving loop's own output, closing
+    the first documented append-only delta progressively (cross-batch
+    novel pairs resolve once the earlier arrival is in the index).
+
+    Why append is exact here, artifact by artifact:
+      - bands: per-doc facts (signatures+shingles), append IS rebuild;
+        the degenerate-bucket cap is recomputed over the merged index
+        at probe time (`neardup_probe_stream`).
+      - clusters: corpus-wide state, exact under the MONOTONE-INGEST
+        premise -- every appended assignment's label must satisfy
+        cluster_id <= doc_id (labels are component MINIMA; an arrival
+        with a smaller id than its inherited label means a full
+        rebuild would RELABEL the old cluster, which an append cannot
+        express). Checked loudly here: one aggregate over the
+        delta-sized assignments, raising instead of silently
+        diverging from rebuild. The remaining delta -- an arrival
+        BRIDGING two existing clusters -- is inherent to append-only
+        (the assignment already collapsed to the smaller label; a
+        rebuild would merge the clusters) and stays a documented
+        periodic-rebuild item, same as `split_verdict_batches`.
+
+    The root fingerprint is re-stamped: running assignment streams
+    pinned to the old nonce fail loudly and restart against the
+    merged artifact. Append-equals-rebuild (bridge-free, monotone
+    increments) is pinned by
+    tests/test_streaming.py::test_streaming_split_append_equals_rebuild."""
+    bad = assignments.filter(F.col("cluster_id") > F.col("doc_id")).count()
+    if bad:
+        raise ValueError(
+            f"append_split_index: {bad} assignment(s) carry "
+            "cluster_id > doc_id -- the monotone-ingest premise is "
+            "violated (an id smaller than its inherited label means a "
+            "rebuild would relabel the existing cluster); rebuild the "
+            "split index instead of appending"
+        )
+    write_neardup_index(new_docs, path + "/bands", mode="append")
+    (
+        assignments.select("doc_id", "cluster_id")
+        .write.mode("append")
+        .parquet(path + "/clusters")
+    )
+    _write_index_fingerprint(new_docs.sparkSession, path, {"kind": "split"})
+    return path

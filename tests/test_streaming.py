@@ -2744,3 +2744,115 @@ def test_streaming_split_new_docs_inherit_and_colink(spark, tmp_path):
             index_path=idx,
             expected_fingerprint=stale,
         )
+
+
+def test_streaming_split_append_equals_rebuild(spark, tmp_path):
+    """append_split_index folds the stream's OWN assignments back into
+    the artifact: on a bridge-free, monotone increment (premise
+    pre-checked against the rebuild below), the merged clusters table
+    must equal a one-shot `write_split_index` over the union corpus
+    row-for-row -- and a SECOND stream generation against the merged
+    artifact must match a later arrival to an EARLIER arrival
+    (the cross-batch delta closing progressively). The monotone-ingest
+    guard raises on an assignment with cluster_id > doc_id."""
+    import pytest
+
+    from big_data_streaming_dashboard_spark.llmdata.dedup import (
+        neardup_clusters,
+    )
+    from big_data_streaming_dashboard_spark.streaming.llm_ingest import (
+        append_split_index,
+        split_verdict_batches,
+        stream_documents,
+        write_split_index,
+    )
+    from big_data_streaming_dashboard_spark.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    corpus = docs.filter(F.col("doc_id") < 400)
+    arrivals = docs.filter(F.col("doc_id") >= 400)
+    idx = write_split_index(corpus, str(tmp_path / "idx"))
+
+    # premise check (makes the equality below meaningful, not luck):
+    # the increment is bridge-free and monotone, and some arrivals
+    # genuinely link (vacuous-fixture discipline)
+    full_labels = neardup_clusters(docs).select("doc_id", "cluster_id")
+    base = neardup_clusters(corpus).select(
+        "doc_id", F.col("cluster_id").alias("_base")
+    )
+    bridges = (
+        full_labels.join(base, "doc_id")
+        .groupBy("cluster_id")
+        .agg(F.count_distinct("_base").alias("k"))
+        .filter(F.col("k") > 1)
+        .count()
+    )
+    assert bridges == 0
+    linked = full_labels.filter(
+        (F.col("doc_id") >= 400) & (F.col("cluster_id") != F.col("doc_id"))
+    ).count()
+    assert linked > 0
+
+    sdir = str(tmp_path / "astream")
+    arrivals.select("doc_id", "text", "lang").coalesce(1).write.parquet(sdir)
+    out = str(tmp_path / "assigned")
+    q = split_verdict_batches(
+        stream_documents(spark, sdir),
+        spark.read.parquet(idx + "/bands"),
+        spark.read.parquet(idx + "/clusters"),
+        out,
+        checkpoint=str(tmp_path / "ckpt"),
+        index_path=idx,
+    )
+    q.awaitTermination(180)
+    assignments = spark.read.parquet(out)
+
+    append_split_index(
+        arrivals.select("doc_id", "text", "lang"), assignments, idx
+    )
+    merged = {
+        r["doc_id"]: r["cluster_id"]
+        for r in spark.read.parquet(idx + "/clusters").collect()
+    }
+    rebuilt = {
+        r["doc_id"]: r["cluster_id"] for r in full_labels.collect()
+    }
+    assert merged == rebuilt
+
+    # second generation: a fresh near-dup of an APPENDED arrival that
+    # itself linked nothing in the corpus must now inherit that
+    # arrival's cluster through the merged index
+    lone = (
+        full_labels.filter(
+            (F.col("doc_id") >= 400) & (F.col("cluster_id") == F.col("doc_id"))
+        )
+        .orderBy("doc_id")
+        .limit(1)
+        .collect()[0]["doc_id"]
+    )
+    lone_text = docs.filter(F.col("doc_id") == lone).collect()[0]["text"]
+    gen2 = spark.createDataFrame(
+        [(9100, lone_text, "en")], "doc_id long, text string, lang string"
+    )
+    sdir2 = str(tmp_path / "gen2")
+    gen2.coalesce(1).write.parquet(sdir2)
+    out2 = str(tmp_path / "assigned2")
+    q2 = split_verdict_batches(
+        stream_documents(spark, sdir2),
+        spark.read.parquet(idx + "/bands"),
+        spark.read.parquet(idx + "/clusters"),
+        out2,
+        checkpoint=str(tmp_path / "ckpt2"),
+        index_path=idx,
+    )
+    q2.awaitTermination(120)
+    got2 = spark.read.parquet(out2).collect()
+    assert len(got2) == 1 and got2[0]["cluster_id"] == lone
+
+    # monotone-ingest guard: an assignment labeling below its own id
+    # must refuse the append loudly
+    bad = spark.createDataFrame(
+        [(5, 9999, "train")], "doc_id long, cluster_id long, split string"
+    )
+    with pytest.raises(ValueError, match="monotone"):
+        append_split_index(gen2, bad, idx)
