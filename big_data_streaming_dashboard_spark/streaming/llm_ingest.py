@@ -2006,6 +2006,8 @@ def knn_classify_batches(
     out_path: str,
     k: int = 5,
     checkpoint: str | None = None,
+    index_path: str | None = None,
+    expected_fingerprint: str | None = None,
 ):
     """Streaming k-NN classification: each arriving query vector is
     labeled by majority vote over its exact top-k cosine neighbors in
@@ -2021,11 +2023,35 @@ def knn_classify_batches(
     by tests/test_streaming.py::test_streaming_knn_classify_matches_batch.
 
     Output: (query_id, predicted_label, votes) per arriving query.
-    Same ``checkpoint`` append-idempotency note as the other
-    writers."""
+    Same ``checkpoint`` append-idempotency and ``index_path`` /
+    ``expected_fingerprint`` nonce discipline as the rest of the
+    serving family (r14: it was the one member without the refresh
+    guard -- a vecs rebuild under a running classify stream would
+    silently mix corpus versions across micro-batches)."""
     from pyspark.sql import Window
 
+    spark = queries.sparkSession
+
+    def _check(sess: SparkSession) -> None:
+        now = index_fingerprint(sess, index_path)
+        if now != expected_fingerprint:
+            raise RuntimeError(
+                f"ANN index at {index_path} was overwritten under a "
+                f"classify stream (fingerprint {now} != snapshot "
+                f"{expected_fingerprint}); rebuild the stream against "
+                "the new index instead"
+            )
+
+    _require_pin_target(index_path, expected_fingerprint)
+    if index_path is not None:
+        if expected_fingerprint is None:
+            expected_fingerprint = index_fingerprint(spark, index_path)
+        else:
+            _check(spark)
+
     def _emit(batch: DataFrame, _epoch: int) -> None:
+        if index_path is not None:
+            _check(batch.sparkSession)
         if batch.isEmpty():
             return
         topk = _dense_cosine_topk(batch, index_vecs, k)

@@ -2575,8 +2575,10 @@ def test_serving_family_refuses_fingerprint_without_index_path(spark):
     from big_data_streaming_dashboard_spark.streaming.llm_ingest import (
         ann_topk_batches,
         hybrid_rrf_batches,
+        knn_classify_batches,
         rerank_topk_batches,
         semantic_verdict_batches,
+        split_verdict_batches,
     )
 
     df = spark.createDataFrame(
@@ -2586,6 +2588,12 @@ def test_serving_family_refuses_fingerprint_without_index_path(spark):
     docs = spark.createDataFrame([(0, "text")], "doc_id long, text string")
     with pytest.raises(ValueError, match="without index_path"):
         ann_topk_batches(df, "/tmp/x", expected_fingerprint="nonce")
+    with pytest.raises(ValueError, match="without index_path"):
+        knn_classify_batches(df, df, "/tmp/x", expected_fingerprint="nonce")
+    with pytest.raises(ValueError, match="without index_path"):
+        split_verdict_batches(
+            docs, docs, docs, "/tmp/x", expected_fingerprint="nonce"
+        )
     with pytest.raises(ValueError, match="without index_path"):
         semantic_verdict_batches(
             df, df, df, "/tmp/x", expected_fingerprint="nonce"
