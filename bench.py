@@ -327,7 +327,7 @@ del _both
 # entry followed by a single-rep entry would clear the caches that
 # single-rep entry's cross-round cold history assumes (the in-order
 # accumulation invariant, see the TENX tail comment)
-_tail = TENX[-len(TENX_COLD_REPS):]
+_tail = TENX[len(TENX) - len(TENX_COLD_REPS):] if TENX_COLD_REPS else []
 if set(_tail) != set(TENX_COLD_REPS):
     raise RuntimeError(
         "bench: TENX_COLD_REPS entries must be the contiguous tail of "

@@ -515,6 +515,7 @@ def neardup_pairs(
     band_rows: int = DEFAULT_BAND_ROWS,
     threshold: float = 0.2,
     max_bucket_size: int = DEFAULT_MAX_BUCKET,
+    skip_buckets: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate pairs from LSH band collisions, verified with exact
     shingle Jaccard; returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
@@ -522,10 +523,21 @@ def neardup_pairs(
     Buckets larger than ``max_bucket_size`` are excluded BEFORE the
     self-join (see DEFAULT_MAX_BUCKET): the quadratic pair explosion of
     a degenerate band never materializes. `oversized_buckets` reports
-    what was dropped."""
+    what was dropped. ``skip_buckets`` (optional (band_idx, band_hash)
+    frame, anti-joined before pairing) lets a caller exclude buckets
+    over-cap in a LARGER population than ``docs`` -- the streaming
+    split's batch-local co-link passes the index's over-cap buckets so
+    a micro-batch slice of a degenerate corpus bucket doesn't link
+    pairs the corpus-wide build dropped (r14 review)."""
     banded = _banded_sigs(docs, k, band_rows).filter(
         F.col("_bucket_n") <= max_bucket_size
     )
+    if skip_buckets is not None:
+        banded = banded.join(
+            skip_buckets.select("band_idx", "band_hash"),
+            ["band_idx", "band_hash"],
+            "left_anti",
+        )
     a = banded.alias("a")
     b = banded.alias("b")
     # size-gated SHUFFLE_HASH (see BROADCAST_SAFE_ROWS): the band

@@ -1523,8 +1523,10 @@ def hybrid_rrf_topk_per_query(
     """The multi-query form of `hybrid_rrf_topk`: one fused top-k
     list PER query vector (query_id column added). The lexical list
     is query-independent (the fixed keyword query) so it is computed
-    once and re-keyed per query via a cross join against the
-    dense side's tiny distinct-query set; fusion rules are identical
+    once and re-keyed per query via a cross join against the QUERY
+    side's tiny id set (vec_id < n_queries -- never the dense result
+    set, whose empty-dense queries would vanish; r13 ADVICE); fusion
+    rules are identical
     (same _rrf_score_sql fragment, same tie-breaks). Restricted to
     query 0 this equals `hybrid_rrf_topk` row-for-row (pinned in
     tests) -- the parity target for the streaming serving twin

@@ -945,6 +945,41 @@ def _require_pin_target(
         )
 
 
+def _pin_index(
+    spark: SparkSession,
+    index_path: str | None,
+    expected_fingerprint: str | None,
+    message: str,
+):
+    """The serving family's whole nonce discipline in ONE place (the
+    r13/r14 fixes each had to touch six hand-rolled copies): refuse a
+    pin with no target, verify a caller-held pin at CALL time (a
+    stale pin must fail before any stream starts), snapshot the
+    on-disk nonce when unpinned, and return a per-micro-batch
+    re-check callable (no-op when unpinned) that catches a same-name
+    in-place rewrite under a RUNNING query. ``message`` is the
+    site-specific failure text, formatted with {path}/{now}/{expected}
+    -- each stream kind keeps its own pinned wording."""
+    _require_pin_target(index_path, expected_fingerprint)
+    if index_path is None:
+        return lambda sess: None
+
+    expected = expected_fingerprint
+
+    def check(sess: SparkSession) -> None:
+        now = index_fingerprint(sess, index_path)
+        if now != expected:
+            raise RuntimeError(
+                message.format(path=index_path, now=now, expected=expected)
+            )
+
+    if expected is None:
+        expected = index_fingerprint(spark, index_path)
+    else:
+        check(spark)
+    return check
+
+
 def ann_probe_stream(
     queries: DataFrame,
     index_bands: DataFrame,
@@ -1065,28 +1100,17 @@ def ann_topk_batches(
     tests/test_streaming.py::test_streaming_ann_index_refresh_fails_loudly)."""
     from pyspark.sql import Window
 
-    spark = scored.sparkSession
-
-    def _check(sess: SparkSession) -> None:
-        now = index_fingerprint(sess, index_path)
-        if now != expected_fingerprint:
-            raise RuntimeError(
-                f"ANN index at {index_path} was overwritten under a "
-                f"probe stream (fingerprint {now} != snapshot "
-                f"{expected_fingerprint}); rebuild the probe stream "
-                "against the new index instead"
-            )
-
-    _require_pin_target(index_path, expected_fingerprint)
-    if index_path is not None:
-        if expected_fingerprint is None:
-            expected_fingerprint = index_fingerprint(spark, index_path)
-        else:
-            _check(spark)
+    _check = _pin_index(
+        scored.sparkSession,
+        index_path,
+        expected_fingerprint,
+        "ANN index at {path} was overwritten under a probe stream "
+        "(fingerprint {now} != snapshot {expected}); rebuild the probe "
+        "stream against the new index instead",
+    )
 
     def _emit(batch: DataFrame, _epoch: int) -> None:
-        if index_path is not None:
-            _check(batch.sparkSession)
+        _check(batch.sparkSession)
         if batch.isEmpty():
             return
         w = Window.partitionBy("query_id").orderBy(
@@ -1321,28 +1345,17 @@ def semantic_verdict_batches(
     index version -- same rules as `ann_topk_batches`: stale pin
     refuses at call time, per-batch re-check catches in-place
     rewrites."""
-    _require_pin_target(index_path, expected_fingerprint)
-    if index_path is not None:
-        now = index_fingerprint(embeddings.sparkSession, index_path)
-        if expected_fingerprint is None:
-            expected_fingerprint = now
-        elif now != expected_fingerprint:
-            raise RuntimeError(
-                f"semantic index at {index_path} was overwritten under a "
-                f"probe stream (fingerprint {now} != snapshot "
-                f"{expected_fingerprint}); rebuild the verdict stream "
-                "against the new index instead"
-            )
+    _check = _pin_index(
+        embeddings.sparkSession,
+        index_path,
+        expected_fingerprint,
+        "semantic index at {path} was overwritten under a probe/verdict "
+        "stream (fingerprint {now} != snapshot {expected}); rebuild the "
+        "verdict stream against the new index instead",
+    )
 
     def _emit(batch: DataFrame, _epoch: int) -> None:
-        if index_path is not None:
-            now_b = index_fingerprint(batch.sparkSession, index_path)
-            if now_b != expected_fingerprint:
-                raise RuntimeError(
-                    f"semantic index at {index_path} was overwritten under "
-                    f"a running verdict stream (fingerprint {now_b} != "
-                    f"snapshot {expected_fingerprint})"
-                )
+        _check(batch.sparkSession)
         if batch.isEmpty():
             return
         hits = _semantic_probe_plan(
@@ -1897,28 +1910,18 @@ def rerank_topk_batches(
     dim = EMBEDDING_DIM if dim is None else dim
     n_words = (n_bits + 63) // 64
     score = _cross_encoder_udf(dim, seed, model_stub)
-    spark = queries.sparkSession
 
-    def _check(sess: SparkSession) -> None:
-        now = index_fingerprint(sess, index_path)
-        if now != expected_fingerprint:
-            raise RuntimeError(
-                f"rerank index at {index_path} was overwritten under a "
-                f"probe stream (fingerprint {now} != snapshot "
-                f"{expected_fingerprint}); rebuild the probe stream "
-                "against the new index instead"
-            )
-
-    _require_pin_target(index_path, expected_fingerprint)
-    if index_path is not None:
-        if expected_fingerprint is None:
-            expected_fingerprint = index_fingerprint(spark, index_path)
-        else:
-            _check(spark)
+    _check = _pin_index(
+        queries.sparkSession,
+        index_path,
+        expected_fingerprint,
+        "rerank index at {path} was overwritten under a probe stream "
+        "(fingerprint {now} != snapshot {expected}); rebuild the probe "
+        "stream against the new index instead",
+    )
 
     def _emit(batch: DataFrame, _epoch: int) -> None:
-        if index_path is not None:
-            _check(batch.sparkSession)
+        _check(batch.sparkSession)
         if batch.isEmpty():
             return
         qs = _signed_corpus(batch, n_bits, dim, seed).select(
@@ -2030,28 +2033,17 @@ def knn_classify_batches(
     silently mix corpus versions across micro-batches)."""
     from pyspark.sql import Window
 
-    spark = queries.sparkSession
-
-    def _check(sess: SparkSession) -> None:
-        now = index_fingerprint(sess, index_path)
-        if now != expected_fingerprint:
-            raise RuntimeError(
-                f"ANN index at {index_path} was overwritten under a "
-                f"classify stream (fingerprint {now} != snapshot "
-                f"{expected_fingerprint}); rebuild the stream against "
-                "the new index instead"
-            )
-
-    _require_pin_target(index_path, expected_fingerprint)
-    if index_path is not None:
-        if expected_fingerprint is None:
-            expected_fingerprint = index_fingerprint(spark, index_path)
-        else:
-            _check(spark)
+    _check = _pin_index(
+        queries.sparkSession,
+        index_path,
+        expected_fingerprint,
+        "ANN index at {path} was overwritten under a classify stream "
+        "(fingerprint {now} != snapshot {expected}); rebuild the stream "
+        "against the new index instead",
+    )
 
     def _emit(batch: DataFrame, _epoch: int) -> None:
-        if index_path is not None:
-            _check(batch.sparkSession)
+        _check(batch.sparkSession)
         if batch.isEmpty():
             return
         topk = _dense_cosine_topk(batch, index_vecs, k)
@@ -2134,25 +2126,16 @@ def hybrid_rrf_batches(
 
     fusion_k = HYBRID_FUSION_K if fusion_k is None else fusion_k
     top_k = HYBRID_TOP_K if top_k is None else top_k
-    spark = queries.sparkSession
 
-    def _check(sess: SparkSession) -> None:
-        now = index_fingerprint(sess, index_path)
-        if now != expected_fingerprint:
-            raise RuntimeError(
-                f"hybrid index at {index_path} was overwritten under a "
-                f"probe stream (fingerprint {now} != snapshot "
-                f"{expected_fingerprint}); the lexical list and dense "
-                "corpus are construction-time snapshots -- rebuild the "
-                "stream against the new index instead"
-            )
-
-    _require_pin_target(index_path, expected_fingerprint)
-    if index_path is not None:
-        if expected_fingerprint is None:
-            expected_fingerprint = index_fingerprint(spark, index_path)
-        else:
-            _check(spark)
+    _check = _pin_index(
+        queries.sparkSession,
+        index_path,
+        expected_fingerprint,
+        "hybrid index at {path} was overwritten under a probe stream "
+        "(fingerprint {now} != snapshot {expected}); the lexical list "
+        "and dense corpus are construction-time snapshots -- rebuild "
+        "the stream against the new index instead",
+    )
 
     lex_rows = [
         (int(r["doc_id"]), int(r["lex_rank"]))
@@ -2160,8 +2143,7 @@ def hybrid_rrf_batches(
     ]
 
     def _emit(batch: DataFrame, _epoch: int) -> None:
-        if index_path is not None:
-            _check(batch.sparkSession)
+        _check(batch.sparkSession)
         if batch.isEmpty():
             return
         sess = batch.sparkSession
@@ -2348,7 +2330,12 @@ def drift_verdict_batches(
 # --- streaming leakage-safe split (assignment serving, r14) -----------------
 
 
-def write_split_index(docs: DataFrame, path: str) -> str:
+def write_split_index(
+    docs: DataFrame,
+    path: str,
+    threshold: float = 0.2,
+    max_bucket_size: int = 1000,
+) -> str:
     """Persist the artifacts the streaming split-assignment probe
     needs: the LSH band+shingle index (``path/bands``, the
     `write_neardup_index` layout -- the probe's candidate/verify
@@ -2359,18 +2346,35 @@ def write_split_index(docs: DataFrame, path: str) -> str:
     the serving family's fingerprint nonce. Both artifacts are
     per-doc facts; the labels are the one piece of corpus-wide state
     (connected components), which is exactly why assignment must be
-    served FROM them rather than recomputed per batch."""
+    served FROM them rather than recomputed per batch.
+
+    ``threshold`` / ``max_bucket_size`` are BUILD-TIME knobs baked
+    into the cluster labels, so they are stamped into the fingerprint
+    and `split_verdict_batches` refuses an index_path-pinned stream
+    whose own knobs differ -- a probe at a different threshold than
+    the clusters were built with silently voids the leakage
+    guarantee (r14 review)."""
     from ..llmdata.dedup import neardup_clusters
 
     spark = docs.sparkSession
     write_neardup_index(docs, path + "/bands")
     (
-        neardup_clusters(docs)
+        neardup_clusters(
+            docs, threshold=threshold, max_bucket_size=max_bucket_size
+        )
         .select("doc_id", "cluster_id")
         .write.mode("overwrite")
         .parquet(path + "/clusters")
     )
-    _write_index_fingerprint(spark, path, {"kind": "split"})
+    _write_index_fingerprint(
+        spark,
+        path,
+        {
+            "kind": "split",
+            "threshold": threshold,
+            "max_bucket_size": max_bucket_size,
+        },
+    )
     return path
 
 
@@ -2416,7 +2420,12 @@ def split_verdict_batches(
     batch assignment row-for-row in ANY batching (every partner is in
     the index, so each doc's component minimum is reachable through
     its direct hits) -- pinned by
-    tests/test_streaming.py::test_streaming_split_matches_batch.
+    tests/test_streaming.py::test_streaming_split_matches_batch. This
+    holds on degenerate-bucket corpora too: the co-link anti-joins
+    the INDEX's over-cap buckets, so a micro-batch slice of a bucket
+    the corpus-wide build dropped (under-cap locally, over-cap
+    globally) can never link pairs the batch build did not (r14
+    review; pinned by the over-cap parity test).
 
     Documented append-only deltas (inherent to serving assignments
     from a frozen artifact, resolved by the periodic batch rebuild --
@@ -2433,33 +2442,57 @@ def split_verdict_batches(
     from ..llmdata.dedup import _label_components, neardup_pairs
 
     salt = SPLIT_SALT if salt is None else salt
-    spark = docs.sparkSession
 
-    def _check(sess: SparkSession) -> None:
-        now = index_fingerprint(sess, index_path)
-        if now != expected_fingerprint:
-            raise RuntimeError(
-                f"split index at {index_path} was rebuilt under a "
-                f"running assignment stream (fingerprint {now} != "
-                f"snapshot {expected_fingerprint}); assignments must "
-                "come from ONE artifact version -- rebuild the stream"
-            )
+    _check = _pin_index(
+        docs.sparkSession,
+        index_path,
+        expected_fingerprint,
+        "split index at {path} was rebuilt under a running assignment "
+        "stream (fingerprint {now} != snapshot {expected}); assignments "
+        "must come from ONE artifact version -- rebuild the stream",
+    )
 
-    _require_pin_target(index_path, expected_fingerprint)
     if index_path is not None:
-        if expected_fingerprint is None:
-            expected_fingerprint = index_fingerprint(spark, index_path)
-        else:
-            _check(spark)
+        # build/serve knob consistency (r14 review): the cluster labels
+        # were built at the stamped threshold/cap; probing at different
+        # knobs silently voids the leakage guarantee (a 0.3-jaccard
+        # near-dup of a training doc would fail a 0.5 probe verify and
+        # draw an independent split). Old artifacts without the stamps
+        # are refused too -- rebuild with the stamping writer.
+        fp = (
+            docs.sparkSession.read.parquet(index_path + "/fingerprint")
+            .collect()[0]
+            .asDict()
+        )
+        want = {"threshold": str(threshold), "max_bucket_size": str(max_bucket_size)}
+        got = {k: fp.get(k) for k in want}
+        if got != want:
+            raise ValueError(
+                f"split index at {index_path} was built with knobs {got} "
+                f"but the stream was started with {want}; the cluster "
+                "labels bake the build knobs in -- rebuild the index or "
+                "match the knobs"
+            )
 
     labels_idx = index_clusters.select(
         F.col("doc_id").alias("index_doc_id"),
         F.col("cluster_id").alias("_idx_cluster"),
     )
+    # buckets over-cap in the INDEX population (computed once, static
+    # side): the batch-local co-link must not link pairs through a
+    # bucket the corpus-wide build dropped -- a micro-batch slice of a
+    # degenerate bucket is under-cap locally, and without this filter
+    # replay parity breaks exactly on the corpora the cap exists for
+    # (r14 review)
+    over_cap = (
+        index_bands.groupBy("band_idx", "band_hash")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > max_bucket_size)
+        .select("band_idx", "band_hash")
+    )
 
     def _emit(batch: DataFrame, _epoch: int) -> None:
-        if index_path is not None:
-            _check(batch.sparkSession)
+        _check(batch.sparkSession)
         if batch.isEmpty():
             return
         hits = neardup_probe_stream(
@@ -2470,9 +2503,11 @@ def split_verdict_batches(
             .groupBy("doc_id")
             .agg(F.min("_idx_cluster").alias("_hit_min"))
         )
-        n = batch.count()
         bpairs = neardup_pairs(
-            batch, threshold=threshold, max_bucket_size=max_bucket_size
+            batch,
+            threshold=threshold,
+            max_bucket_size=max_bucket_size,
+            skip_buckets=over_cap,
         ).select("doc_a", "doc_b")
         if bpairs.isEmpty():
             # common serving case: no intra-batch near-dups -- identity
@@ -2485,7 +2520,7 @@ def split_verdict_batches(
             )
         else:
             local, _rounds = _label_components(
-                batch.select("doc_id"), bpairs, n
+                batch.select("doc_id"), bpairs, batch.count()
             )
         comp_min = (
             local.join(inherited, "doc_id", "left")
@@ -2562,11 +2597,36 @@ def append_split_index(
             "rebuild would relabel the existing cluster); rebuild the "
             "split index instead of appending"
         )
+    # coverage check (r14 review): appending band rows for a doc with
+    # no clusters row would make later probe hits on it vanish through
+    # the inner label join -- the arrival would draw a fresh split
+    # instead of inheriting, silently straddling the boundary. A
+    # crashed/filtered assignment stream must be completed or the
+    # index rebuilt, never partially appended. One anti-join over the
+    # delta-sized frames.
+    uncovered = (
+        new_docs.select("doc_id")
+        .join(assignments.select("doc_id"), "doc_id", "left_anti")
+        .count()
+    )
+    if uncovered:
+        raise ValueError(
+            f"append_split_index: {uncovered} doc(s) in new_docs have no "
+            "assignment row -- the increment's assignments must cover "
+            "every appended doc (re-run the assignment stream to "
+            "completion, or rebuild the index)"
+        )
+    spark = new_docs.sparkSession
     write_neardup_index(new_docs, path + "/bands", mode="append")
     (
         assignments.select("doc_id", "cluster_id")
         .write.mode("append")
         .parquet(path + "/clusters")
     )
-    _write_index_fingerprint(new_docs.sparkSession, path, {"kind": "split"})
+    # re-stamp WITHOUT losing the build-knob stamps (threshold/cap):
+    # the serve-time knob check reads them, and an append changes only
+    # the nonce, never the knobs (the compact_curation_index pattern)
+    fp = spark.read.parquet(path + "/fingerprint").collect()[0].asDict()
+    fp.pop("nonce", None)
+    _write_index_fingerprint(spark, path, fp)
     return path

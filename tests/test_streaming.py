@@ -2864,3 +2864,122 @@ def test_streaming_split_append_equals_rebuild(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="monotone"):
         append_split_index(gen2, bad, idx)
+
+
+def test_streaming_split_honors_corpus_bucket_cap(spark, tmp_path):
+    """r14 review: the batch-local co-link must not link pairs through
+    a bucket the corpus-wide build DROPPED as degenerate. Three
+    identical docs with max_bucket_size=2: the batch build skips their
+    bucket (3 > 2), so each is its own cluster; replaying two of them
+    in one micro-batch makes the bucket under-cap batch-locally (2 <=
+    2) -- without the index over-cap anti-join they would co-link and
+    diverge from the batch assignment. Also pins the build/serve knob
+    check (a stream at mismatched knobs refuses) and the unstamped-
+    artifact refusal path implicitly (stamps written by the writer)."""
+    import pytest
+
+    from big_data_streaming_dashboard_spark.llmdata.curation import (
+        split_assignment_column,
+    )
+    from big_data_streaming_dashboard_spark.streaming.llm_ingest import (
+        split_verdict_batches,
+        stream_documents,
+        write_split_index,
+    )
+
+    same = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [(1, same, "en"), (2, same, "en"), (3, same, "en"),
+         (4, "totally different words live here apart from everything", "en")],
+        "doc_id long, text string, lang string",
+    )
+    idx = write_split_index(docs, str(tmp_path / "idx"), max_bucket_size=2)
+    # batch truth: the degenerate bucket is dropped, all singletons
+    batch_labels = {
+        r["doc_id"]: r["cluster_id"]
+        for r in spark.read.parquet(idx + "/clusters").collect()
+    }
+    assert batch_labels == {1: 1, 2: 2, 3: 3, 4: 4}
+
+    sdir = str(tmp_path / "stream")
+    docs.filter(F.col("doc_id").isin(2, 3)).coalesce(1).write.parquet(sdir)
+    out = str(tmp_path / "out")
+    q = split_verdict_batches(
+        stream_documents(spark, sdir),
+        spark.read.parquet(idx + "/bands"),
+        spark.read.parquet(idx + "/clusters"),
+        out,
+        max_bucket_size=2,
+        checkpoint=str(tmp_path / "ckpt"),
+        index_path=idx,
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["split"])
+        for r in spark.read.parquet(out).collect()
+    }
+    want_split = lambda c: (  # noqa: E731
+        spark.range(1)
+        .select(split_assignment_column(F.lit(c)).alias("s"))
+        .collect()[0]["s"]
+    )
+    assert got == {2: (2, want_split(2)), 3: (3, want_split(3))}
+
+    # build/serve knob mismatch refuses at call time
+    with pytest.raises(ValueError, match="knobs"):
+        split_verdict_batches(
+            stream_documents(spark, sdir),
+            spark.read.parquet(idx + "/bands"),
+            spark.read.parquet(idx + "/clusters"),
+            str(tmp_path / "out2"),
+            max_bucket_size=1000,
+            index_path=idx,
+        )
+    with pytest.raises(ValueError, match="knobs"):
+        split_verdict_batches(
+            stream_documents(spark, sdir),
+            spark.read.parquet(idx + "/bands"),
+            spark.read.parquet(idx + "/clusters"),
+            str(tmp_path / "out3"),
+            threshold=0.5,
+            max_bucket_size=2,
+            index_path=idx,
+        )
+
+
+def test_streaming_split_append_refuses_partial_assignments(spark, tmp_path):
+    """r14 review: appending band rows for docs with NO clusters row
+    would make later probe hits on them vanish through the inner label
+    join (fresh split drawn instead of inherited -- a silent straddle).
+    An increment whose assignments don't cover every appended doc must
+    refuse; the knob stamps must survive the append's re-stamp."""
+    import pytest
+
+    from big_data_streaming_dashboard_spark.streaming.llm_ingest import (
+        append_split_index,
+        write_split_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "one doc of ordinary text content", "en")],
+        "doc_id long, text string, lang string",
+    )
+    idx = write_split_index(docs, str(tmp_path / "idx"), max_bucket_size=7)
+    new_docs = spark.createDataFrame(
+        [(10, "first new arrival text", "en"),
+         (11, "second new arrival text", "en")],
+        "doc_id long, text string, lang string",
+    )
+    partial = spark.createDataFrame(
+        [(10, 10, "train")], "doc_id long, cluster_id long, split string"
+    )
+    with pytest.raises(ValueError, match="no assignment row"):
+        append_split_index(new_docs, partial, idx)
+
+    full = spark.createDataFrame(
+        [(10, 10, "train"), (11, 11, "test")],
+        "doc_id long, cluster_id long, split string",
+    )
+    append_split_index(new_docs, full, idx)
+    fp = spark.read.parquet(idx + "/fingerprint").collect()[0].asDict()
+    assert fp["max_bucket_size"] == "7"  # knob stamp survived
