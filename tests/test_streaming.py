@@ -2983,3 +2983,69 @@ def test_streaming_split_append_refuses_partial_assignments(spark, tmp_path):
     append_split_index(new_docs, full, idx)
     fp = spark.read.parquet(idx + "/fingerprint").collect()[0].asDict()
     assert fp["max_bucket_size"] == "7"  # knob stamp survived
+
+
+def test_streaming_split_assignment_is_batching_invariant(spark, tmp_path):
+    """The docstring's ANY-batching claim, pinned directly: the same
+    arrival set (fresh docs, some near-dup to the corpus, some
+    mutually near-dup, some novel) streamed as ONE micro-batch and as
+    FOUR must produce identical (doc_id, cluster_id, split) rows --
+    with the documented exception class deliberately EXCLUDED from
+    the fixture (no novel cross-arrival pairs split across batches:
+    the mutual near-dups are co-located in one file both times)."""
+    from big_data_streaming_dashboard_spark.streaming.llm_ingest import (
+        split_verdict_batches,
+        stream_documents,
+        write_split_index,
+    )
+    from big_data_streaming_dashboard_spark.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    idx = write_split_index(docs, str(tmp_path / "idx"))
+    anchor = docs.orderBy("doc_id").limit(2).collect()
+    novel = "qq ww ee rr tt yy uu ii oo pp aa ss dd ff gg hh jj kk"
+    pairs = [  # (doc_id, text, co-batch group)
+        (9001, anchor[0]["text"], 0),   # inherits corpus cluster
+        (9002, anchor[1]["text"], 1),   # inherits another
+        (9003, novel, 2), (9004, novel, 2),  # mutual pair, same file
+        (9005, "completely unrelated fresh content here now", 3),
+    ]
+
+    def run(n_files, tag):
+        rows = [(d, t) for d, t, _g in pairs]
+        df = spark.createDataFrame(
+            [(d, t, "en") for d, t in rows],
+            "doc_id long, text string, lang string",
+        )
+        sdir = str(tmp_path / f"s{tag}")
+        if n_files == 1:
+            df.coalesce(1).write.parquet(sdir)
+        else:
+            # one file per co-batch group -> 4 micro-batches, the
+            # mutual pair stays co-located
+            for g in range(4):
+                spark.createDataFrame(
+                    [(d, t, "en") for d, t, gg in pairs if gg == g],
+                    "doc_id long, text string, lang string",
+                ).coalesce(1).write.mode("append").parquet(sdir)
+        out = str(tmp_path / f"o{tag}")
+        q = split_verdict_batches(
+            stream_documents(spark, sdir),
+            spark.read.parquet(idx + "/bands"),
+            spark.read.parquet(idx + "/clusters"),
+            out,
+            checkpoint=str(tmp_path / f"c{tag}"),
+            index_path=idx,
+        )
+        q.awaitTermination(180)
+        return {
+            r["doc_id"]: (r["cluster_id"], r["split"])
+            for r in spark.read.parquet(out).collect()
+        }
+
+    one = run(1, "one")
+    four = run(4, "four")
+    assert one == four
+    assert set(one) == {9001, 9002, 9003, 9004, 9005}
+    assert one[9003] == one[9004] == (9003, one[9003][1])  # co-linked
+    assert one[9005][0] == 9005  # novel singleton
