@@ -286,29 +286,39 @@ BM25_B = 0.75
 BM25_TOP_K = 20
 
 
-def _bm25_score_sql(n_terms: int) -> str:
-    """The per-doc score expression over columns tf{i}, dl and the
-    broadcast scalars n_docs, sum_dl, df{i} -- plain SQL arithmetic
-    parsed identically by Spark and DuckDB (shared verbatim by both
-    sides; numeric literals pre-folded in Python so each engine
-    parses the same shortest-repr doubles)."""
+def _bm25_term_score_sql(tf_col: str, df_col: str) -> str:
+    """ONE term's BM25 contribution over columns ``tf_col``/``df_col``,
+    dl and the broadcast scalars n_docs/sum_dl -- the single source of
+    the scoring arithmetic (numeric literals pre-folded in Python so
+    each engine parses the same shortest-repr doubles). The fixed-query
+    batch scorer concatenates it per term column; the inverted-index
+    serving path (`llm_ingest.bm25_topk_batches`) applies it per
+    posting row -- SAME text modulo column names, so the two forms can
+    never drift apart arithmetically."""
     k1_p1 = repr(BM25_K1 + 1.0)
     k1 = repr(BM25_K1)
     one_minus_b = repr(1.0 - BM25_B)
     b = repr(BM25_B)
     rel = "(CAST(dl AS DOUBLE) * CAST(n_docs AS DOUBLE) / CAST(sum_dl AS DOUBLE))"
-    parts = []
-    for i in range(n_terms):
-        idf = (
-            f"((CAST(n_docs AS DOUBLE) - CAST(df{i} AS DOUBLE) + 0.5)"
-            f" / (CAST(df{i} AS DOUBLE) + 0.5))"
-        )
-        num = f"(CAST(tf{i} AS DOUBLE) * {k1_p1})"
-        den = f"(CAST(tf{i} AS DOUBLE) + {k1} * ({one_minus_b} + {b} * {rel}))"
-        parts.append(
-            f"CASE WHEN tf{i} > 0 THEN {idf} * {num} / {den} ELSE 0.0 END"
-        )
-    return " + ".join(parts)
+    idf = (
+        f"((CAST(n_docs AS DOUBLE) - CAST({df_col} AS DOUBLE) + 0.5)"
+        f" / (CAST({df_col} AS DOUBLE) + 0.5))"
+    )
+    num = f"(CAST({tf_col} AS DOUBLE) * {k1_p1})"
+    den = f"(CAST({tf_col} AS DOUBLE) + {k1} * ({one_minus_b} + {b} * {rel}))"
+    return f"CASE WHEN {tf_col} > 0 THEN {idf} * {num} / {den} ELSE 0.0 END"
+
+
+def _bm25_score_sql(n_terms: int) -> str:
+    """The per-doc score expression over columns tf{i}, dl and the
+    broadcast scalars n_docs, sum_dl, df{i} -- plain SQL arithmetic
+    parsed identically by Spark and DuckDB (shared verbatim by both
+    sides); built by concatenating the per-term fragment in WRITTEN
+    order, which fixes the floating-point summation order the serving
+    path's ordered fold reproduces."""
+    return " + ".join(
+        _bm25_term_score_sql(f"tf{i}", f"df{i}") for i in range(n_terms)
+    )
 
 
 def bm25_topk(

@@ -2630,3 +2630,169 @@ def append_split_index(
     fp.pop("nonce", None)
     _write_index_fingerprint(spark, path, fp)
     return path
+
+
+# --- inverted-index BM25 serving (arbitrary keyword queries, r14) -----------
+
+BM25_INDEX_BUCKETS = 64
+
+
+def stream_keyword_queries(spark: SparkSession, dir_path: str) -> DataFrame:
+    """File-source replay of (query_id, keywords) rows, one file per
+    micro-batch -- the arriving side of `bm25_topk_batches`."""
+    return (
+        spark.readStream.schema("query_id long, keywords string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(dir_path)
+    )
+
+
+def write_bm25_index(docs: DataFrame, path: str) -> str:
+    """Persist the inverted index that serves ARBITRARY keyword
+    queries -- the fixed-query batch scorer (`text.bm25_topk`) tokenizes
+    the corpus per call, which is the right plan for one known query
+    but pays a full corpus scan per query set; retrieval serving
+    inverts that once:
+
+      - ``postings/``: one row per (term, doc_id) with tf, the doc's
+        length dl and the term's df DENORMALIZED in (the classic
+        impact-file layout -- scoring a posting row then needs NO
+        joins beyond the 1-row stats broadcast). Laid out in
+        ``term_bucket = pmod(xxhash64(term), 64)`` partition dirs:
+        one-dir-per-term dies at real vocabulary sizes, while a
+        bucketed layout keeps partition pruning for probe terms (the
+        tiny query side broadcasts, so the join prunes to the touched
+        buckets).
+      - ``stats/``: the single (n_docs, sum_dl) row every score reads.
+
+    Tokenization is `text.tokens` -- the SAME function the batch
+    scorer and every text operator use, so tf/dl/df here equal the
+    batch scorer's HOF-computed columns exactly."""
+    from ..llmdata.text import tokens
+
+    spark = docs.sparkSession
+    toks = tokens(F.col("text"))
+    exploded = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("dl"),
+        F.explode(toks).alias("term"),
+    )
+    postings = exploded.groupBy("term", "doc_id", "dl").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    df_tbl = postings.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    (
+        postings.join(df_tbl, "term")
+        .withColumn(
+            "term_bucket",
+            F.pmod(F.xxhash64("term"), F.lit(BM25_INDEX_BUCKETS)).cast("int"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("term_bucket")
+        .parquet(path + "/postings")
+    )
+    dls = docs.select(F.size(toks).cast("long").alias("dl"))
+    (
+        dls.agg(
+            F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(path + "/stats")
+    )
+    _write_index_fingerprint(spark, path, {"kind": "bm25"})
+    return path
+
+
+def bm25_topk_batches(
+    queries: DataFrame,
+    postings: DataFrame,
+    stats: DataFrame,
+    out_path: str,
+    k: int = 20,
+    checkpoint: str | None = None,
+    index_path: str | None = None,
+    expected_fingerprint: str | None = None,
+):
+    """Streaming BM25 retrieval over the inverted index: each arriving
+    (query_id, keywords) row gets its top-k documents -- the
+    ARBITRARY-query serving form of `text.bm25_topk`, which this
+    matches BIT-EXACTLY for any term sequence (pinned per query in
+    tests):
+
+      - the per-(term, doc) contribution is `text._bm25_term_score_sql`
+        -- the same fragment the batch scorer concatenates, modulo
+        column names, so the arithmetic can never drift;
+      - contributions sum in the query's WRITTEN term order via an
+        ordered fold (posexplode position -> array_sort -> F.aggregate),
+        reproducing the batch expression's left-to-right double
+        addition; terms the doc lacks contribute IEEE +0.0 in the
+        batch form, which is the fold's identity, so skipping their
+        posting-less rows changes no bit;
+      - ties break (score DESC, doc_id), rank <= k per query.
+
+    Term multiplicity is preserved (a repeated keyword contributes
+    once per occurrence, exactly like a repeated entry in the batch
+    form's query_terms). A query whose terms match nothing emits no
+    rows. Scale: the query side is batch-sized and broadcasts; the
+    postings join prunes to the term buckets the batch touches; the
+    stats row is a 1-row broadcast. Same ``checkpoint`` /
+    ``index_path`` discipline as the rest of the serving family."""
+    from pyspark.sql import Window
+
+    from ..llmdata.text import _bm25_term_score_sql, tokens
+
+    _check = _pin_index(
+        queries.sparkSession,
+        index_path,
+        expected_fingerprint,
+        "bm25 index at {path} was overwritten under a probe stream "
+        "(fingerprint {now} != snapshot {expected}); rebuild the probe "
+        "stream against the new index instead",
+    )
+
+    def _emit(batch: DataFrame, _epoch: int) -> None:
+        _check(batch.sparkSession)
+        if batch.isEmpty():
+            return
+        qterms = batch.select(
+            "query_id",
+            F.posexplode(tokens(F.col("keywords"))).alias("pos", "term"),
+        ).withColumn(
+            "term_bucket",
+            F.pmod(F.xxhash64("term"), F.lit(BM25_INDEX_BUCKETS)).cast("int"),
+        )
+        hits = postings.join(
+            F.broadcast(qterms), ["term_bucket", "term"]
+        ).crossJoin(F.broadcast(stats))
+        contrib = hits.withColumn(
+            "_c", F.expr(_bm25_term_score_sql("tf", "df"))
+        )
+        per_doc = contrib.groupBy("query_id", "doc_id").agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("pos", "_c"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["_c"],
+            ).alias("score")
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("score").desc(), F.col("doc_id")
+        )
+        (
+            per_doc.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "doc_id", "score", "rank")
+            .write.mode("append")
+            .parquet(out_path)
+        )
+
+    writer = (
+        queries.writeStream.foreachBatch(_emit)
+        .outputMode("append")
+        .trigger(availableNow=True)
+    )
+    if checkpoint is not None:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()

@@ -3049,3 +3049,88 @@ def test_streaming_split_assignment_is_batching_invariant(spark, tmp_path):
     assert set(one) == {9001, 9002, 9003, 9004, 9005}
     assert one[9003] == one[9004] == (9003, one[9003][1])  # co-linked
     assert one[9005][0] == 9005  # novel singleton
+
+
+def test_streaming_bm25_matches_batch_for_arbitrary_queries(spark, tmp_path):
+    """The inverted-index serving path must equal `text.bm25_topk`
+    BIT-EXACTLY for ARBITRARY keyword queries -- the fixed registry
+    query AND other term sets, including a repeated term (multiplicity
+    preserved) -- same doc set, same double scores, same (score DESC,
+    doc_id) ranks. A query matching nothing emits no rows; the serving
+    family's stale-pin refusal holds."""
+    import pytest
+
+    from big_data_streaming_dashboard_spark.llmdata.text import (
+        BM25_QUERY_TERMS,
+        bm25_topk,
+    )
+    from big_data_streaming_dashboard_spark.streaming.llm_ingest import (
+        bm25_topk_batches,
+        index_fingerprint,
+        stream_keyword_queries,
+        write_bm25_index,
+    )
+    from big_data_streaming_dashboard_spark.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    idx = write_bm25_index(docs, str(tmp_path / "bmidx"))
+
+    queries = {
+        0: " ".join(BM25_QUERY_TERMS),          # the registry query
+        1: "customer value window",              # another term set
+        2: "scan scan join",                     # repeated term
+        3: "zzz qqq not_in_vocab",               # lexical miss
+    }
+    qdir = str(tmp_path / "queries")
+    spark.createDataFrame(
+        list(queries.items()), "query_id long, keywords string"
+    ).coalesce(1).write.parquet(qdir)
+
+    out = str(tmp_path / "ranked")
+    q = bm25_topk_batches(
+        stream_keyword_queries(spark, qdir),
+        spark.read.parquet(idx + "/postings"),
+        spark.read.parquet(idx + "/stats"),
+        out,
+        k=20,
+        checkpoint=str(tmp_path / "ckpt"),
+        index_path=idx,
+    )
+    q.awaitTermination(180)
+    got = {}
+    for r in spark.read.parquet(out).collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["rank"], r["doc_id"], r["score"])
+        )
+    for qid in got:
+        got[qid].sort()
+
+    for qid, kw in queries.items():
+        terms = tuple(kw.split())
+        want = [
+            (i + 1, r["doc_id"], r["score"])
+            for i, r in enumerate(bm25_topk(docs, query_terms=terms, top_k=20).collect())
+        ]
+        if qid == 3:
+            assert qid not in got and not want
+        else:
+            assert got[qid] == want, f"query {qid} diverged"
+    # the repeated-term query must actually double its term's weight
+    # (multiplicity premise, not a dedup artifact)
+    single = {r["doc_id"]: r["score"] for r in bm25_topk(docs, query_terms=("scan", "join"), top_k=20).collect()}
+    double = {d: s for _rk, d, s in got[2]}
+    overlap = set(single) & set(double)
+    assert overlap and all(double[d] > single[d] for d in overlap)
+
+    # stale pin refuses at call time
+    stale = index_fingerprint(spark, idx)
+    write_bm25_index(docs.limit(50), idx)
+    with pytest.raises(RuntimeError, match="overwritten under a probe"):
+        bm25_topk_batches(
+            stream_keyword_queries(spark, qdir),
+            spark.read.parquet(idx + "/postings"),
+            spark.read.parquet(idx + "/stats"),
+            str(tmp_path / "out2"),
+            index_path=idx,
+            expected_fingerprint=stale,
+        )
