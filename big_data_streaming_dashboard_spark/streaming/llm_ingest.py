@@ -2706,6 +2706,47 @@ def write_bm25_index(docs: DataFrame, path: str) -> str:
     return path
 
 
+def _bm25_ranked_plan(
+    batch: DataFrame, postings: DataFrame, stats: DataFrame, k: int
+) -> DataFrame:
+    """The per-batch inverted-index BM25 ranking -- (query_id, doc_id,
+    score, rank<=k) for arriving (query_id, keywords) rows. Defined
+    ONCE: `bm25_topk_batches` writes it directly and the per-keyword
+    hybrid (`hybrid_rrf_keyword_batches`) fuses it, so the parity-
+    critical scoring (shared per-term fragment, written-term-order
+    fold, (score DESC, doc_id) ties) lives in exactly one place."""
+    from pyspark.sql import Window
+
+    from ..llmdata.text import _bm25_term_score_sql, tokens
+
+    qterms = batch.select(
+        "query_id",
+        F.posexplode(tokens(F.col("keywords"))).alias("pos", "term"),
+    ).withColumn(
+        "term_bucket",
+        F.pmod(F.xxhash64("term"), F.lit(BM25_INDEX_BUCKETS)).cast("int"),
+    )
+    hits = postings.join(
+        F.broadcast(qterms), ["term_bucket", "term"]
+    ).crossJoin(F.broadcast(stats))
+    contrib = hits.withColumn("_c", F.expr(_bm25_term_score_sql("tf", "df")))
+    per_doc = contrib.groupBy("query_id", "doc_id").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("pos", "_c"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["_c"],
+        ).alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    )
+    return (
+        per_doc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "score", "rank")
+    )
+
+
 def bm25_topk_batches(
     queries: DataFrame,
     postings: DataFrame,
@@ -2740,10 +2781,6 @@ def bm25_topk_batches(
     postings join prunes to the term buckets the batch touches; the
     stats row is a 1-row broadcast. Same ``checkpoint`` /
     ``index_path`` discipline as the rest of the serving family."""
-    from pyspark.sql import Window
-
-    from ..llmdata.text import _bm25_term_score_sql, tokens
-
     _check = _pin_index(
         queries.sparkSession,
         index_path,
@@ -2757,33 +2794,102 @@ def bm25_topk_batches(
         _check(batch.sparkSession)
         if batch.isEmpty():
             return
-        qterms = batch.select(
+        (
+            _bm25_ranked_plan(batch, postings, stats, k)
+            .write.mode("append")
+            .parquet(out_path)
+        )
+
+    writer = (
+        queries.writeStream.foreachBatch(_emit)
+        .outputMode("append")
+        .trigger(availableNow=True)
+    )
+    if checkpoint is not None:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
+
+
+def hybrid_rrf_keyword_batches(
+    queries: DataFrame,
+    postings: DataFrame,
+    stats: DataFrame,
+    index_vecs: DataFrame,
+    out_path: str,
+    fusion_k: int | None = None,
+    top_k: int | None = None,
+    checkpoint: str | None = None,
+    index_path: str | None = None,
+    expected_fingerprint: str | None = None,
+):
+    """The full RAG serving loop: each arriving (query_id, keywords,
+    embedding) row retrieves its OWN lexical list from the inverted
+    BM25 index and its dense list from the ANN vecs artifact, fused
+    per query by reciprocal-rank fusion. Generalizes
+    `hybrid_rrf_batches`, whose lexical side is the fixed corpus
+    keyword query collected once -- here the keywords arrive WITH the
+    query, which is what a retrieval endpoint actually receives.
+
+    Constituents are the two serving plans defined once elsewhere
+    (`_bm25_ranked_plan`, `_dense_cosine_topk`) and the fusion is the
+    batch `_rrf_score_sql` fragment with the batch tie-breaks -- so
+    per-query outputs equal RRF recomputed independently from the two
+    constituent rank lists (pinned in tests, including a query whose
+    keywords ARE the fixed corpus query). Lexical-miss queries degrade
+    to dense-only, dense-only misses to lexical-only -- the full outer
+    join keys off whichever side produced rows.
+
+    Scale: everything past the two constituents operates on
+    <= 2*fusion_k rows per query. ``index_path`` pins ONE root for
+    both artifacts (write them under one directory, or pin the one
+    that rotates); same ``checkpoint`` semantics as the family."""
+    from pyspark.sql import Window
+
+    from ..llmdata.similarity import (
+        HYBRID_FUSION_K,
+        HYBRID_TOP_K,
+        _rrf_score_sql,
+    )
+
+    fusion_k = HYBRID_FUSION_K if fusion_k is None else fusion_k
+    top_k = HYBRID_TOP_K if top_k is None else top_k
+
+    _check = _pin_index(
+        queries.sparkSession,
+        index_path,
+        expected_fingerprint,
+        "hybrid keyword index at {path} was overwritten under a probe "
+        "stream (fingerprint {now} != snapshot {expected}); rebuild the "
+        "probe stream against the new index instead",
+    )
+
+    def _emit(batch: DataFrame, _epoch: int) -> None:
+        _check(batch.sparkSession)
+        if batch.isEmpty():
+            return
+        lex = _bm25_ranked_plan(
+            batch.select("query_id", "keywords"), postings, stats, fusion_k
+        ).select("query_id", "doc_id", F.col("rank").alias("lex_rank"))
+        dense = _dense_cosine_topk(
+            batch.select(
+                F.col("query_id").alias("vec_id"), "embedding"
+            ),
+            index_vecs,
+            fusion_k,
+        ).select(
             "query_id",
-            F.posexplode(tokens(F.col("keywords"))).alias("pos", "term"),
-        ).withColumn(
-            "term_bucket",
-            F.pmod(F.xxhash64("term"), F.lit(BM25_INDEX_BUCKETS)).cast("int"),
+            F.col("vec_id").alias("doc_id"),
+            F.col("rank").alias("cos_rank"),
         )
-        hits = postings.join(
-            F.broadcast(qterms), ["term_bucket", "term"]
-        ).crossJoin(F.broadcast(stats))
-        contrib = hits.withColumn(
-            "_c", F.expr(_bm25_term_score_sql("tf", "df"))
-        )
-        per_doc = contrib.groupBy("query_id", "doc_id").agg(
-            F.aggregate(
-                F.array_sort(F.collect_list(F.struct("pos", "_c"))),
-                F.lit(0.0),
-                lambda acc, x: acc + x["_c"],
-            ).alias("score")
-        )
+        fused = lex.join(dense, ["query_id", "doc_id"], "full_outer")
         w = Window.partitionBy("query_id").orderBy(
-            F.col("score").desc(), F.col("doc_id")
+            F.col("rrf_score").desc(), F.col("doc_id")
         )
         (
-            per_doc.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select("query_id", "doc_id", "score", "rank")
+            fused.withColumn("rrf_score", F.expr(_rrf_score_sql()))
+            .withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") <= top_k)
+            .select("query_id", "doc_id", "lex_rank", "cos_rank", "rrf_score")
             .write.mode("append")
             .parquet(out_path)
         )

@@ -3134,3 +3134,106 @@ def test_streaming_bm25_matches_batch_for_arbitrary_queries(spark, tmp_path):
             index_path=idx,
             expected_fingerprint=stale,
         )
+
+
+def test_streaming_hybrid_keyword_matches_independent_rrf(spark, tmp_path):
+    """The per-keyword hybrid (full RAG loop: keywords + embedding per
+    arrival) must equal RRF recomputed in Python from its two
+    constituent rank lists for EVERY query -- the fixed corpus query,
+    a different term set, and a lexical miss (dense-only degrade)."""
+    from big_data_streaming_dashboard_spark.llmdata.similarity import (
+        HYBRID_FUSION_K,
+        HYBRID_TOP_K,
+        RRF_K,
+    )
+    from big_data_streaming_dashboard_spark.llmdata.text import (
+        BM25_QUERY_TERMS,
+        bm25_topk,
+    )
+    from big_data_streaming_dashboard_spark.streaming.llm_ingest import (
+        _dense_cosine_topk,
+        hybrid_rrf_keyword_batches,
+        write_ann_index,
+        write_bm25_index,
+    )
+    from big_data_streaming_dashboard_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    embs = load_table(spark, sf, "embeddings")
+    bmidx = write_bm25_index(docs, str(tmp_path / "bm"))
+    annidx = write_ann_index(embs, str(tmp_path / "ann"))
+    index_vecs = spark.read.parquet(annidx + "/vecs")
+
+    emb_by_id = {
+        r["vec_id"]: list(r["embedding"])
+        for r in embs.filter(F.col("vec_id") < 3).collect()
+    }
+    queries = [
+        (0, " ".join(BM25_QUERY_TERMS), emb_by_id[0]),
+        (1, "customer value window", emb_by_id[1]),
+        (2, "zzz not_in_vocab qqq", emb_by_id[2]),
+    ]
+    qdir = str(tmp_path / "queries")
+    spark.createDataFrame(
+        queries, "query_id long, keywords string, embedding array<double>"
+    ).coalesce(1).write.parquet(qdir)
+
+    out = str(tmp_path / "fused")
+    q = hybrid_rrf_keyword_batches(
+        spark.readStream.schema(
+            "query_id long, keywords string, embedding array<double>"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(qdir),
+        spark.read.parquet(bmidx + "/postings"),
+        spark.read.parquet(bmidx + "/stats"),
+        index_vecs,
+        out,
+        checkpoint=str(tmp_path / "ckpt"),
+        index_path=annidx,
+    )
+    q.awaitTermination(180)
+    got = {}
+    for r in spark.read.parquet(out).collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["doc_id"], r["lex_rank"], r["cos_rank"], r["rrf_score"])
+        )
+
+    for qid, kw, emb in queries:
+        lex = {
+            r["doc_id"]: i + 1
+            for i, r in enumerate(
+                bm25_topk(
+                    docs, query_terms=tuple(kw.split()), top_k=HYBRID_FUSION_K
+                ).collect()
+            )
+        }
+        dense = {
+            r["vec_id"]: r["rank"]
+            for r in _dense_cosine_topk(
+                spark.createDataFrame(
+                    [(qid, emb)], "vec_id long, embedding array<double>"
+                ),
+                index_vecs,
+                HYBRID_FUSION_K,
+            ).collect()
+        }
+        expect = {}
+        for d in set(lex) | set(dense):
+            s = 0.0
+            if d in lex:
+                s = s + 1.0 / (RRF_K + lex[d])
+            if d in dense:
+                s = s + 1.0 / (RRF_K + dense[d])
+            expect[d] = s
+        want = [
+            (d, lex.get(d), dense.get(d), s)
+            for d, s in sorted(expect.items(), key=lambda kv: (-kv[1], kv[0]))[
+                :HYBRID_TOP_K
+            ]
+        ]
+        rows = sorted(got[qid], key=lambda t: (-t[3], t[0]))
+        assert rows == want, f"query {qid} diverged"
+    # the lexical-miss query really degraded to dense-only
+    assert all(lr is None for _d, lr, _cr, _s in got[2])
