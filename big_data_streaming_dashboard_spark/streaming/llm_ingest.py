@@ -2647,23 +2647,28 @@ def stream_keyword_queries(spark: SparkSession, dir_path: str) -> DataFrame:
     )
 
 
-def write_bm25_index(docs: DataFrame, path: str) -> str:
+def write_bm25_index(docs: DataFrame, path: str, mode: str = "overwrite") -> str:
     """Persist the inverted index that serves ARBITRARY keyword
     queries -- the fixed-query batch scorer (`text.bm25_topk`) tokenizes
     the corpus per call, which is the right plan for one known query
     but pays a full corpus scan per query set; retrieval serving
     inverts that once:
 
-      - ``postings/``: one row per (term, doc_id) with tf, the doc's
-        length dl and the term's df DENORMALIZED in (the classic
-        impact-file layout -- scoring a posting row then needs NO
-        joins beyond the 1-row stats broadcast). Laid out in
+      - ``postings/``: one row per (term, doc_id) with tf and the
+        doc's length dl -- per-doc FACTS only, so a corpus delta
+        appends exactly (``mode="append"`` / `append_bm25_index`).
+        The corpus-wide quantity, a term's document frequency df, is
+        deliberately NOT stored: it is recomputed over the MERGED
+        postings at probe time, restricted to the probed terms' rows
+        (the `neardup_probe_stream` bucket-cap rule applied to df) --
+        storing it per row would be join-free but rebuild-only, stale
+        the moment an increment lands. Laid out in
         ``term_bucket = pmod(xxhash64(term), 64)`` partition dirs:
         one-dir-per-term dies at real vocabulary sizes, while a
-        bucketed layout keeps partition pruning for probe terms (the
-        tiny query side broadcasts, so the join prunes to the touched
-        buckets).
-      - ``stats/``: the single (n_docs, sum_dl) row every score reads.
+        bucketed layout keeps partition pruning for probe terms.
+      - ``stats/``: an append-only LOG of partial (n_docs, sum_dl)
+        rows, SUMmed at probe time (associative -- the exact-dup LSM
+        discipline; one row per build increment).
 
     Tokenization is `text.tokens` -- the SAME function the batch
     scorer and every text operator use, so tf/dl/df here equal the
@@ -2680,16 +2685,12 @@ def write_bm25_index(docs: DataFrame, path: str) -> str:
     postings = exploded.groupBy("term", "doc_id", "dl").agg(
         F.count(F.lit(1)).cast("long").alias("tf")
     )
-    df_tbl = postings.groupBy("term").agg(
-        F.count(F.lit(1)).cast("long").alias("df")
-    )
     (
-        postings.join(df_tbl, "term")
-        .withColumn(
+        postings.withColumn(
             "term_bucket",
             F.pmod(F.xxhash64("term"), F.lit(BM25_INDEX_BUCKETS)).cast("int"),
         )
-        .write.mode("overwrite")
+        .write.mode(mode)
         .partitionBy("term_bucket")
         .parquet(path + "/postings")
     )
@@ -2699,11 +2700,24 @@ def write_bm25_index(docs: DataFrame, path: str) -> str:
             F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
         )
         .coalesce(1)
-        .write.mode("overwrite")
+        .write.mode(mode)
         .parquet(path + "/stats")
     )
     _write_index_fingerprint(spark, path, {"kind": "bm25"})
     return path
+
+
+def append_bm25_index(docs: DataFrame, path: str) -> str:
+    """Fold a corpus delta into an existing `write_bm25_index` root.
+    Append is EXACT with no premise: postings rows are per-doc facts,
+    the stats log is an associative partial-aggregate append, and df
+    is never stored (recomputed over the merged postings at probe
+    time) -- so append-then-probe equals rebuild-then-probe
+    row-for-row, pinned by
+    tests/test_streaming.py::test_streaming_bm25_append_equals_rebuild.
+    The nonce re-stamps, failing over running probe streams per the
+    family rule."""
+    return write_bm25_index(docs, path, mode="append")
 
 
 def _bm25_ranked_plan(
@@ -2714,7 +2728,14 @@ def _bm25_ranked_plan(
     ONCE: `bm25_topk_batches` writes it directly and the per-keyword
     hybrid (`hybrid_rrf_keyword_batches`) fuses it, so the parity-
     critical scoring (shared per-term fragment, written-term-order
-    fold, (score DESC, doc_id) ties) lives in exactly one place."""
+    fold, (score DESC, doc_id) ties) lives in exactly one place.
+
+    df is computed HERE, over the merged postings restricted to the
+    probed terms (one windowed count over the bucket-pruned rows --
+    never a vocabulary-wide pass), and the stats LOG is summed -- the
+    two corpus-wide quantities stay probe-time so `append_bm25_index`
+    increments are exact (the neardup bucket-cap / exact-dup-LSM
+    rule)."""
     from pyspark.sql import Window
 
     from ..llmdata.text import _bm25_term_score_sql, tokens
@@ -2726,9 +2747,18 @@ def _bm25_ranked_plan(
         "term_bucket",
         F.pmod(F.xxhash64("term"), F.lit(BM25_INDEX_BUCKETS)).cast("int"),
     )
-    hits = postings.join(
+    stats_sum = stats.agg(
+        F.sum("n_docs").alias("n_docs"), F.sum("sum_dl").alias("sum_dl")
+    )
+    probed = postings.join(
+        F.broadcast(qterms.select("term_bucket", "term").distinct()),
+        ["term_bucket", "term"],
+    ).withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+    )
+    hits = probed.join(
         F.broadcast(qterms), ["term_bucket", "term"]
-    ).crossJoin(F.broadcast(stats))
+    ).crossJoin(F.broadcast(stats_sum))
     contrib = hits.withColumn("_c", F.expr(_bm25_term_score_sql("tf", "df")))
     per_doc = contrib.groupBy("query_id", "doc_id").agg(
         F.aggregate(

@@ -3237,3 +3237,51 @@ def test_streaming_hybrid_keyword_matches_independent_rrf(spark, tmp_path):
         assert rows == want, f"query {qid} diverged"
     # the lexical-miss query really degraded to dense-only
     assert all(lr is None for _d, lr, _cr, _s in got[2])
+
+
+def test_streaming_bm25_append_equals_rebuild(spark, tmp_path):
+    """append_bm25_index needs NO premise: postings are per-doc facts,
+    the stats log is an associative partial-aggregate append, and df
+    is probe-time over the merged postings -- so probing after
+    build-half + append-half must equal probing after a one-shot
+    build over the full corpus, row-for-row (bit-exact scores)."""
+    from big_data_streaming_dashboard_spark.streaming.llm_ingest import (
+        append_bm25_index,
+        bm25_topk_batches,
+        stream_keyword_queries,
+        write_bm25_index,
+    )
+    from big_data_streaming_dashboard_spark.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    inc = write_bm25_index(
+        docs.filter(F.col("doc_id") < 250), str(tmp_path / "inc")
+    )
+    append_bm25_index(docs.filter(F.col("doc_id") >= 250), inc)
+    full = write_bm25_index(docs, str(tmp_path / "full"))
+
+    qdir = str(tmp_path / "q")
+    spark.createDataFrame(
+        [(0, "dup spark scan join"), (1, "customer value window")],
+        "query_id long, keywords string",
+    ).coalesce(1).write.parquet(qdir)
+
+    def probe(idx, tag):
+        out = str(tmp_path / f"out{tag}")
+        q = bm25_topk_batches(
+            stream_keyword_queries(spark, qdir),
+            spark.read.parquet(idx + "/postings"),
+            spark.read.parquet(idx + "/stats"),
+            out,
+            checkpoint=str(tmp_path / f"c{tag}"),
+            index_path=idx,
+        )
+        q.awaitTermination(120)
+        return sorted(
+            (r["query_id"], r["rank"], r["doc_id"], r["score"])
+            for r in spark.read.parquet(out).collect()
+        )
+
+    a = probe(inc, "inc")
+    b = probe(full, "full")
+    assert a == b and a
