@@ -2750,11 +2750,24 @@ def _bm25_ranked_plan(
     stats_sum = stats.agg(
         F.sum("n_docs").alias("n_docs"), F.sum("sum_dl").alias("sum_dl")
     )
-    probed = postings.join(
-        F.broadcast(qterms.select("term_bucket", "term").distinct()),
-        ["term_bucket", "term"],
-    ).withColumn(
-        "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+    # STATIC partition pruning via a literal IN: the batch's distinct
+    # term buckets are a bounded driver artifact (<= min(batch terms,
+    # 64) ints -- the lex-literal class), and a literal filter prunes
+    # the partitioned scan deterministically where dynamic partition
+    # pruning declines on small-table heuristics (observed: without
+    # this the executed plan's PartitionFilters carried only the
+    # isnotnull guard and every bucket was read). Plan-pinned.
+    buckets = sorted(
+        r["term_bucket"]
+        for r in qterms.select("term_bucket").distinct().collect()
+    )
+    probed = (
+        postings.filter(F.col("term_bucket").isin(buckets))
+        .join(
+            F.broadcast(qterms.select("term_bucket", "term").distinct()),
+            ["term_bucket", "term"],
+        )
+        .withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("term")))
     )
     hits = probed.join(
         F.broadcast(qterms), ["term_bucket", "term"]

@@ -3285,3 +3285,59 @@ def test_streaming_bm25_append_equals_rebuild(spark, tmp_path):
     a = probe(inc, "inc")
     b = probe(full, "full")
     assert a == b and a
+
+
+def test_bm25_probe_prunes_postings_partitions(spark, tmp_path):
+    """The inverted-index probe must read ONLY the term buckets the
+    batch's keywords hash to -- the batch's distinct buckets are a
+    bounded driver artifact turned into a literal IN, because dynamic
+    partition pruning declines on small-table heuristics (observed).
+    Pinned on the executed plan: the postings scan's PartitionFilters
+    carries the literal IN with exactly the probed buckets."""
+    import re
+
+    from big_data_streaming_dashboard_spark.streaming.llm_ingest import (
+        BM25_INDEX_BUCKETS,
+        _bm25_ranked_plan,
+        write_bm25_index,
+    )
+    from big_data_streaming_dashboard_spark.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    idx = write_bm25_index(docs, str(tmp_path / "bm"))
+    old = spark.conf.get("spark.sql.maxMetadataStringLength")
+    spark.conf.set("spark.sql.maxMetadataStringLength", 2000)
+    try:
+        batch = spark.createDataFrame(
+            [(0, "dup spark")], "query_id long, keywords string"
+        )
+        plan = _bm25_ranked_plan(
+            batch,
+            spark.read.parquet(idx + "/postings"),
+            spark.read.parquet(idx + "/stats"),
+            20,
+        )
+        plan.collect()
+        s = plan._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.maxMetadataStringLength", old)
+    scans = [
+        ln for ln in s.split("\n") if "FileScan" in ln and "postings" in ln
+    ]
+    assert scans, "no postings scan in the executed plan"
+    want = sorted(
+        spark.createDataFrame([("dup",), ("spark",)], "term string")
+        .select(
+            F.pmod(F.xxhash64("term"), F.lit(BM25_INDEX_BUCKETS))
+            .cast("int")
+            .alias("b")
+        )
+        .distinct()
+        .toPandas()["b"]
+        .tolist()
+    )
+    for ln in scans:
+        m = re.search(r"PartitionFilters: \[[^\]]*IN \(([0-9,]+)\)", ln)
+        assert m, f"no literal IN partition filter in: {ln[:200]}"
+        got = sorted(int(x) for x in m.group(1).split(","))
+        assert got == want, (got, want)
