@@ -2673,9 +2673,25 @@ def write_bm25_index(docs: DataFrame, path: str, mode: str = "overwrite") -> str
     Tokenization is `text.tokens` -- the SAME function the batch
     scorer and every text operator use, so tf/dl/df here equal the
     batch scorer's HOF-computed columns exactly."""
+    spark = docs.sparkSession
+    postings, stats = _bm25_postings(docs)
+    (
+        postings.write.mode(mode)
+        .partitionBy("term_bucket")
+        .parquet(path + "/postings")
+    )
+    stats.coalesce(1).write.mode(mode).parquet(path + "/stats")
+    _write_index_fingerprint(spark, path, {"kind": "bm25"})
+    return path
+
+
+def _bm25_postings(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(postings, stats) plans for one corpus increment -- the writer
+    persists them; the randomized parity tests consume them in-memory
+    (no I/O), so the probed scorer can be checked against the batch
+    scorer on corpora far outside the fixture distribution."""
     from ..llmdata.text import tokens
 
-    spark = docs.sparkSession
     toks = tokens(F.col("text"))
     exploded = docs.select(
         "doc_id",
@@ -2684,27 +2700,14 @@ def write_bm25_index(docs: DataFrame, path: str, mode: str = "overwrite") -> str
     )
     postings = exploded.groupBy("term", "doc_id", "dl").agg(
         F.count(F.lit(1)).cast("long").alias("tf")
+    ).withColumn(
+        "term_bucket",
+        F.pmod(F.xxhash64("term"), F.lit(BM25_INDEX_BUCKETS)).cast("int"),
     )
-    (
-        postings.withColumn(
-            "term_bucket",
-            F.pmod(F.xxhash64("term"), F.lit(BM25_INDEX_BUCKETS)).cast("int"),
-        )
-        .write.mode(mode)
-        .partitionBy("term_bucket")
-        .parquet(path + "/postings")
+    stats = docs.select(F.size(toks).cast("long").alias("dl")).agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
     )
-    dls = docs.select(F.size(toks).cast("long").alias("dl"))
-    (
-        dls.agg(
-            F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
-        )
-        .coalesce(1)
-        .write.mode(mode)
-        .parquet(path + "/stats")
-    )
-    _write_index_fingerprint(spark, path, {"kind": "bm25"})
-    return path
+    return postings, stats
 
 
 def append_bm25_index(docs: DataFrame, path: str) -> str:

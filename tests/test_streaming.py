@@ -3341,3 +3341,54 @@ def test_bm25_probe_prunes_postings_partitions(spark, tmp_path):
         assert m, f"no literal IN partition filter in: {ln[:200]}"
         got = sorted(int(x) for x in m.group(1).split(","))
         assert got == want, (got, want)
+
+
+@pytest.mark.parametrize("seed", [11, 23, 47])
+def test_bm25_probe_parity_on_randomized_corpora(spark, seed):
+    """Randomized adversarial parity (I/O-free: in-memory postings via
+    _bm25_postings): on seeded random corpora far outside the fixture
+    distribution -- skewed Zipf draws, single-token docs, duplicated
+    texts, unicode terms -- the inverted-index scorer must equal the
+    batch scorer bit-for-bit for random queries with repeated and
+    missing terms."""
+    import random
+
+    from big_data_streaming_dashboard_spark.llmdata.text import bm25_topk
+    from big_data_streaming_dashboard_spark.streaming.llm_ingest import (
+        _bm25_postings,
+        _bm25_ranked_plan,
+    )
+
+    rng = random.Random(seed)
+    vocab = ["alpha", "beta", "gamma", "δelta", "épsilon", "zeta", "eta"]
+    weights = [2 ** i for i in range(len(vocab))]  # zipf-ish skew
+    rows = []
+    for doc_id in range(40):
+        n = rng.choice([1, 2, 5, 12])
+        rows.append(
+            (doc_id, " ".join(rng.choices(vocab, weights=weights, k=n)))
+        )
+    rows.append((100, rows[0][1]))  # exact duplicate text
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    postings, stats = _bm25_postings(docs)
+
+    queries = []
+    for qid in range(4):
+        terms = rng.choices(vocab + ["missing_term"], k=rng.choice([1, 2, 3, 3]))
+        queries.append((qid, " ".join(terms)))
+    batch = spark.createDataFrame(queries, "query_id long, keywords string")
+    got = {}
+    for r in _bm25_ranked_plan(batch, postings, stats, 50).collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["rank"], r["doc_id"], r["score"])
+        )
+    for qid in got:
+        got[qid].sort()
+    for qid, kw in queries:
+        want = [
+            (i + 1, r["doc_id"], r["score"])
+            for i, r in enumerate(
+                bm25_topk(docs, query_terms=tuple(kw.split()), top_k=50).collect()
+            )
+        ]
+        assert got.get(qid, []) == want, f"seed {seed} query {qid} ({kw})"
