@@ -1514,62 +1514,72 @@ WHERE s._emit""",
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW: list[str] = [
+    # r15 window, computed by plans/rotation.py (pasted verbatim).
+    # 2 rows-only + ALL 37 r12-attested queries (mandatory at the
+    # 3-round bound) + the 11 stalest of the r13-attested block =
+    # exactly 50 slots, ZERO slack. CAPACITY IS NOW BINDING (r14
+    # verdict item 2): 135 = 50 (r14) + 48 (r13) + 37 (r12); the
+    # steady-state window is full, so ANY net registry addition
+    # breaches the 3-round bound by construction. DECISION: the
+    # registry is FROZEN at 135 queries. New work ships as depth --
+    # serving forms, evaluators, plan/perf improvements, tests --
+    # on existing slots. Unfreezing requires amending the bound to
+    # 4 rounds in this comment as an explicit documented decision.
     # rows-only by design -- permanently in-window per r3 advice
     "approx_aggregates",
     "media_feature_census",
-    # --- 11 first attestations (added r13, never driver-attested) ---
-    "customer_revenue_pareto",
-    "discount_band_revenue",
-    "doc_bm25_topk",
-    "doc_hybrid_rrf_topk",
-    "doc_source_overlap",
-    "doc_split_leakage_safe",
-    "emb_matryoshka_recall",
-    "emb_quant_recall",
-    "local_supplier_volume",
-    "national_part_share",
-    "regional_min_quote",
-    # --- 26 mandatory: the r11-attested queries left out of the r13
-    # window, at their 3-round LRU bound (newest driver row r11) ---
-    "doc_subword_stats",
-    "downsample_5min",
-    "emb_hamming_topk",
-    "emb_ivf_topk_tuned",
-    "emb_knn_label_vote",
-    "emb_label_centroids",
-    "emb_lsh_topk",
-    "emb_neardup_pairs",
-    "emb_pq_topk",
-    "emb_quantize_int8",
-    "emb_rerank_topk",
-    "emb_topk_cosine",
-    "flagship_event_stats",
-    "moving_avg_events",
-    "promo_revenue_share",
-    "range_join_signup_events",
-    "recent_points",
-    "returned_top_customers",
-    "rolling_stats",
-    "route_counts",
-    "routed_records",
-    "session_window_events",
-    "silver_error_breakdown",
-    "silver_validate",
-    "user_sessions",
-    "value_percentiles",
+    # --- 37 mandatory: the r12-attested block, at its 3-round
+    # LRU bound (newest driver row r12) ---
+    "doc_curation_funnel",
+    "doc_dedupe_lines",
+    "doc_langid",
+    "doc_neardup_cluster_sizes",
+    "doc_neardup_recall_hi",
+    "doc_normalize",
+    "doc_pii_redact",
+    "doc_quality",
+    "doc_rolling_fingerprint",
+    "doc_shard_packing",
+    "doc_simhash",
+    "doc_tfidf_top_terms",
+    "doc_vocab_coverage",
+    "emb_ivf_recall",
+    "emb_kmeans",
+    "emb_pq_recall",
+    "event_funnel",
+    "exact_distinct_quantiles",
+    "full_pipeline",
+    "geojson_features",
+    "grid_cluster",
+    "idle_customer_balance",
+    "level_filter_high",
+    "pivot_event_counts",
+    "pricing_summary",
+    "rollup_pricing",
+    "segment_semi_anti",
+    "severity_ws_counts",
+    "shipping_priority",
+    "small_quantity_revenue",
+    "temporal_batch_annotate",
+    "temporal_union",
+    "top_supplier_revenue",
+    "user_set_ops",
+    "value_anomalies",
+    "weekly_cohort_retention",
+    "window_zoo",
     # --- 11 stalest others: alphabetically-first of the 48-query
-    # r12-attested block (all tied at newest-row r12) ---
-    "activity_reconcile",
-    "alerts_active",
-    "alerts_cooldown",
-    "alerts_cooldown_exact",
-    "alerts_ws_messages",
-    "asof_latest_order",
-    "brand_supplier_margin",
-    "customer_order_histogram",
-    "doc_bigram_lm",
-    "doc_chunk_spans",
-    "doc_corpus_census",
+    # r13-attested block (all tied at newest-row r13) ---
+    "above_user_avg",
+    "bi_nation_volume",
+    "brand_supplier_variety",
+    "bronze_radiation",
+    "cube_order_stats",
+    "dedup_first_occurrence",
+    "disjunctive_brand_revenue",
+    "doc_bpe_encode",
+    "doc_bpe_merges",
+    "doc_containment_pairs",
+    "doc_contamination",
 ]
 
 # Fail fast at import: a DRIVER_WINDOW name with no QUERIES entry would
