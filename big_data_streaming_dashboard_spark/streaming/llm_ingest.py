@@ -1963,14 +1963,25 @@ def rerank_topk_batches(
     return writer.start()
 
 
-def _dense_cosine_topk(batch: DataFrame, index_vecs: DataFrame, k: int) -> DataFrame:
+def _dense_cosine_topk(
+    batch: DataFrame,
+    index_vecs: DataFrame,
+    k: int,
+    exclude_self: bool = True,
+) -> DataFrame:
     """Per-arrival exact cosine ranking against the static corpus --
     the retrieval block `knn_classify_batches` and
     `hybrid_rrf_batches` share (it must stay bit-identical to
     `similarity.brute_force_topk`: per-row norms, HOF-fold dot,
     (_cos DESC, vec_id) rank ties -- both streams' batch parities pin
     through it, so it is defined ONCE). Arriving side broadcasts;
-    returns (query_id, vec_id, label, _cos, rank) with rank <= k."""
+    returns (query_id, vec_id, label, _cos, rank) with rank <= k.
+
+    ``exclude_self`` keeps the leave-one-out filter (vec_id !=
+    query_id) the corpus-vector query forms need; endpoints whose
+    query_id is an EXTERNAL request id (the keyword hybrid) must pass
+    False, or an id that happens to collide with a corpus doc_id
+    silently loses that doc from its rank list (r14 ADVICE)."""
     from pyspark.sql import Window
 
     from ..llmdata.similarity import _dvec, dot
@@ -1982,9 +1993,11 @@ def _dense_cosine_topk(batch: DataFrame, index_vecs: DataFrame, k: int) -> DataF
     corpus = index_vecs.select(
         "vec_id", F.col("vec").alias("cvec"), "label"
     ).withColumn("cnorm", F.sqrt(dot(F.col("cvec"), F.col("cvec"))))
+    paired = corpus.crossJoin(F.broadcast(qs))
+    if exclude_self:
+        paired = paired.filter(F.col("vec_id") != F.col("query_id"))
     scored = (
-        corpus.crossJoin(F.broadcast(qs))
-        .filter(F.col("vec_id") != F.col("query_id"))
+        paired
         .select(
             "query_id",
             "vec_id",
@@ -2464,8 +2477,25 @@ def split_verdict_batches(
             .collect()[0]
             .asDict()
         )
-        want = {"threshold": str(threshold), "max_bucket_size": str(max_bucket_size)}
-        got = {k: fp.get(k) for k in want}
+        stamped = {k: fp.get(k) for k in ("threshold", "max_bucket_size")}
+        if any(v is None for v in stamped.values()):
+            # distinct from a knob MISMATCH (r14 ADVICE): an unstamped
+            # artifact predates the stamping writer -- there is nothing
+            # to compare against, so "rebuild" is the only valid advice
+            raise ValueError(
+                f"split index at {index_path} carries no build-knob "
+                f"stamps (found {stamped}); it predates the stamping "
+                "writer -- rebuild it with write_split_index"
+            )
+        # compare NUMERICALLY, not by repr: the stamps are str(v) of
+        # whatever the builder passed, so str-equality refuses
+        # numerically equal values with different reprs (1000 vs
+        # 1000.0, np.float64/Decimal thresholds; r14 ADVICE)
+        got = {k: float(v) for k, v in stamped.items()}
+        want = {
+            "threshold": float(threshold),
+            "max_bucket_size": float(max_bucket_size),
+        }
         if got != want:
             raise ValueError(
                 f"split index at {index_path} was built with knobs {got} "
@@ -2615,6 +2645,23 @@ def append_split_index(
             "assignment row -- the increment's assignments must cover "
             "every appended doc (re-run the assignment stream to "
             "completion, or rebuild the index)"
+        )
+    # ...and the mirror direction (r14 ADVICE): an assignment row for a
+    # doc NOT in new_docs (a stale frame from a previous increment, a
+    # too-wide read of the verdict output dir) would enter clusters/
+    # with no matching band rows -- an unprobeable label that a rebuild
+    # would never produce. Same delta-sized anti-join, other way round.
+    extra = (
+        assignments.select("doc_id")
+        .join(new_docs.select("doc_id"), "doc_id", "left_anti")
+        .count()
+    )
+    if extra:
+        raise ValueError(
+            f"append_split_index: {extra} assignment row(s) are for docs "
+            "not in new_docs -- the increment's assignments must be "
+            "exactly the verdicts for this delta (a stale or too-wide "
+            "assignments frame would append labels with no band rows)"
         )
     spark = new_docs.sparkSession
     write_neardup_index(new_docs, path + "/bands", mode="append")
@@ -2867,6 +2914,8 @@ def hybrid_rrf_keyword_batches(
     checkpoint: str | None = None,
     index_path: str | None = None,
     expected_fingerprint: str | None = None,
+    vecs_index_path: str | None = None,
+    vecs_expected_fingerprint: str | None = None,
 ):
     """The full RAG serving loop: each arriving (query_id, keywords,
     embedding) row retrieves its OWN lexical list from the inverted
@@ -2877,18 +2926,28 @@ def hybrid_rrf_keyword_batches(
     query, which is what a retrieval endpoint actually receives.
 
     Constituents are the two serving plans defined once elsewhere
-    (`_bm25_ranked_plan`, `_dense_cosine_topk`) and the fusion is the
-    batch `_rrf_score_sql` fragment with the batch tie-breaks -- so
-    per-query outputs equal RRF recomputed independently from the two
-    constituent rank lists (pinned in tests, including a query whose
-    keywords ARE the fixed corpus query). Lexical-miss queries degrade
-    to dense-only, dense-only misses to lexical-only -- the full outer
-    join keys off whichever side produced rows.
+    (`_bm25_ranked_plan`, `_dense_cosine_topk` with
+    ``exclude_self=False`` -- query_id here is an external request id,
+    not a corpus vector id, so the leave-one-out filter would silently
+    drop a corpus doc whose id collides with a request id; r14 ADVICE)
+    and the fusion is the batch `_rrf_score_sql` fragment with the
+    batch tie-breaks -- so per-query outputs equal RRF recomputed
+    independently from the two constituent rank lists (pinned in
+    tests, including a query whose keywords ARE the fixed corpus
+    query). Lexical-miss queries degrade to dense-only, dense-only
+    misses to lexical-only -- the full outer join keys off whichever
+    side produced rows.
 
     Scale: everything past the two constituents operates on
-    <= 2*fusion_k rows per query. ``index_path`` pins ONE root for
-    both artifacts (write them under one directory, or pin the one
-    that rotates); same ``checkpoint`` semantics as the family."""
+    <= 2*fusion_k rows per query. TWO independently rotated artifacts
+    feed this endpoint, so TWO pin pairs: ``index_path`` /
+    ``expected_fingerprint`` guards the BM25 root (postings + stats),
+    ``vecs_index_path`` / ``vecs_expected_fingerprint`` the ANN vecs
+    root -- pin both when they live under separate directories (r14
+    verdict item 5: one pinned root let the other rotate silently
+    under a running stream). A single shared root still works: pass
+    it as ``index_path`` and leave the vecs pair None. Same
+    ``checkpoint`` semantics as the family."""
     from pyspark.sql import Window
 
     from ..llmdata.similarity import (
@@ -2900,17 +2959,26 @@ def hybrid_rrf_keyword_batches(
     fusion_k = HYBRID_FUSION_K if fusion_k is None else fusion_k
     top_k = HYBRID_TOP_K if top_k is None else top_k
 
-    _check = _pin_index(
+    _check_lex = _pin_index(
         queries.sparkSession,
         index_path,
         expected_fingerprint,
-        "hybrid keyword index at {path} was overwritten under a probe "
-        "stream (fingerprint {now} != snapshot {expected}); rebuild the "
-        "probe stream against the new index instead",
+        "hybrid keyword BM25 index at {path} was overwritten under a "
+        "probe stream (fingerprint {now} != snapshot {expected}); rebuild "
+        "the probe stream against the new index instead",
+    )
+    _check_vecs = _pin_index(
+        queries.sparkSession,
+        vecs_index_path,
+        vecs_expected_fingerprint,
+        "hybrid keyword ANN vecs at {path} were overwritten under a "
+        "probe stream (fingerprint {now} != snapshot {expected}); rebuild "
+        "the probe stream against the new index instead",
     )
 
     def _emit(batch: DataFrame, _epoch: int) -> None:
-        _check(batch.sparkSession)
+        _check_lex(batch.sparkSession)
+        _check_vecs(batch.sparkSession)
         if batch.isEmpty():
             return
         lex = _bm25_ranked_plan(
@@ -2922,6 +2990,7 @@ def hybrid_rrf_keyword_batches(
             ),
             index_vecs,
             fusion_k,
+            exclude_self=False,
         ).select(
             "query_id",
             F.col("vec_id").alias("doc_id"),

@@ -2947,6 +2947,66 @@ def test_streaming_split_honors_corpus_bucket_cap(spark, tmp_path):
         )
 
 
+def test_streaming_split_knob_check_is_numeric_and_stamp_aware(
+    spark, tmp_path
+):
+    """r14 ADVICE: the build/serve knob check compared str(v) against
+    the stamps, so numerically equal knobs with different reprs (2.0
+    vs the stamped "2", a np.float64 threshold) refused spuriously,
+    and an artifact with NO stamps fell into the same 'mismatched
+    knobs' message. Pinned: (1) repr-different equal knobs pass and
+    the stream emits; (2) a stamp-less fingerprint raises the
+    DISTINCT rebuild message, not the mismatch one."""
+    import numpy as np
+    import pytest
+
+    from big_data_streaming_dashboard_spark.streaming.llm_ingest import (
+        _write_index_fingerprint,
+        split_verdict_batches,
+        stream_documents,
+        write_split_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "one plain document of unremarkable text", "en"),
+         (2, "a second unrelated document about other things", "en")],
+        "doc_id long, text string, lang string",
+    )
+    idx = write_split_index(
+        docs, str(tmp_path / "idx"), threshold=0.2, max_bucket_size=2
+    )
+    sdir = str(tmp_path / "stream")
+    docs.coalesce(1).write.parquet(sdir)
+
+    # same knobs, different reprs: float cap, np.float64 threshold
+    out = str(tmp_path / "out")
+    q = split_verdict_batches(
+        stream_documents(spark, sdir),
+        spark.read.parquet(idx + "/bands"),
+        spark.read.parquet(idx + "/clusters"),
+        out,
+        threshold=np.float64(0.2),
+        max_bucket_size=2.0,
+        checkpoint=str(tmp_path / "ckpt"),
+        index_path=idx,
+    )
+    q.awaitTermination(120)
+    assert spark.read.parquet(out).count() == 2
+
+    # stamp-less artifact: distinct refusal, not the mismatch message
+    _write_index_fingerprint(spark, idx, {"kind": "split"})
+    with pytest.raises(ValueError, match="no build-knob stamps"):
+        split_verdict_batches(
+            stream_documents(spark, sdir),
+            spark.read.parquet(idx + "/bands"),
+            spark.read.parquet(idx + "/clusters"),
+            str(tmp_path / "out2"),
+            threshold=0.2,
+            max_bucket_size=2,
+            index_path=idx,
+        )
+
+
 def test_streaming_split_append_refuses_partial_assignments(spark, tmp_path):
     """r14 review: appending band rows for docs with NO clusters row
     would make later probe hits on them vanish through the inner label
@@ -2975,6 +3035,16 @@ def test_streaming_split_append_refuses_partial_assignments(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="no assignment row"):
         append_split_index(new_docs, partial, idx)
+
+    # mirror direction (r14 ADVICE): an assignment row for a doc NOT in
+    # new_docs (stale frame from a previous increment) must refuse too,
+    # or it enters clusters/ with no matching band rows
+    stale_extra = spark.createDataFrame(
+        [(10, 10, "train"), (11, 11, "test"), (99, 99, "train")],
+        "doc_id long, cluster_id long, split string",
+    )
+    with pytest.raises(ValueError, match="not in new_docs"):
+        append_split_index(new_docs, stale_extra, idx)
 
     full = spark.createDataFrame(
         [(10, 10, "train"), (11, 11, "test")],
@@ -3217,6 +3287,7 @@ def test_streaming_hybrid_keyword_matches_independent_rrf(spark, tmp_path):
                 ),
                 index_vecs,
                 HYBRID_FUSION_K,
+                exclude_self=False,
             ).collect()
         }
         expect = {}
@@ -3237,6 +3308,108 @@ def test_streaming_hybrid_keyword_matches_independent_rrf(spark, tmp_path):
         assert rows == want, f"query {qid} diverged"
     # the lexical-miss query really degraded to dense-only
     assert all(lr is None for _d, lr, _cr, _s in got[2])
+    # r14 ADVICE (id-collision): query_id here is an EXTERNAL request
+    # id, so a qid that happens to equal a corpus doc_id must NOT lose
+    # that doc to leave-one-out. qid 0's embedding IS corpus vector 0
+    # (cosine 1.0, the max), so doc 0 must sit at dense rank 1 in the
+    # fused output -- the old exclude-self filter dropped it entirely.
+    assert any(
+        d == 0 and cr == 1 for d, _lr, cr, _s in got[0]
+    ), "corpus doc colliding with query_id was dropped from its dense list"
+
+
+def test_streaming_hybrid_keyword_dual_pin_guards_both_artifacts(
+    spark, tmp_path
+):
+    """r14 verdict item 5: the keyword hybrid reads TWO independently
+    rotated artifacts (BM25 postings/stats root, ANN vecs root); a
+    single pin let the unpinned one rotate silently under a running
+    stream. With both pin pairs supplied, rotating EITHER artifact
+    must fail loudly at call time -- one refusal per constituent."""
+    import pytest
+
+    from big_data_streaming_dashboard_spark.streaming.llm_ingest import (
+        hybrid_rrf_keyword_batches,
+        index_fingerprint,
+        write_ann_index,
+        write_bm25_index,
+    )
+    from big_data_streaming_dashboard_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    embs = load_table(spark, sf, "embeddings")
+    bmidx = write_bm25_index(docs, str(tmp_path / "bm"))
+    annidx = write_ann_index(embs, str(tmp_path / "ann"))
+    index_vecs = spark.read.parquet(annidx + "/vecs")
+
+    emb0 = list(embs.filter(F.col("vec_id") == 0).collect()[0]["embedding"])
+    qdir = str(tmp_path / "queries")
+    spark.createDataFrame(
+        [(0, "customer value window", emb0)],
+        "query_id long, keywords string, embedding array<double>",
+    ).coalesce(1).write.parquet(qdir)
+
+    def qstream():
+        return (
+            spark.readStream.schema(
+                "query_id long, keywords string, embedding array<double>"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(qdir)
+        )
+
+    bm_pin = index_fingerprint(spark, bmidx)
+    vec_pin = index_fingerprint(spark, annidx)
+
+    # both pins consistent: the stream runs and emits
+    ok_out = str(tmp_path / "ok")
+    q = hybrid_rrf_keyword_batches(
+        qstream(),
+        spark.read.parquet(bmidx + "/postings"),
+        spark.read.parquet(bmidx + "/stats"),
+        index_vecs,
+        ok_out,
+        index_path=bmidx,
+        expected_fingerprint=bm_pin,
+        vecs_index_path=annidx,
+        vecs_expected_fingerprint=vec_pin,
+    )
+    q.awaitTermination(120)
+    assert spark.read.parquet(ok_out).count() > 0
+
+    # rotate the ANN vecs only: the vecs pin must refuse
+    write_ann_index(embs.filter(F.col("vec_id") % 2 == 0), annidx)
+    assert index_fingerprint(spark, annidx) != vec_pin
+    with pytest.raises(RuntimeError, match="ANN vecs .* overwritten"):
+        hybrid_rrf_keyword_batches(
+            qstream(),
+            spark.read.parquet(bmidx + "/postings"),
+            spark.read.parquet(bmidx + "/stats"),
+            index_vecs,
+            str(tmp_path / "stale_vec"),
+            index_path=bmidx,
+            expected_fingerprint=bm_pin,
+            vecs_index_path=annidx,
+            vecs_expected_fingerprint=vec_pin,
+        )
+
+    # rotate the BM25 root only: the lexical pin must refuse
+    vec_pin2 = index_fingerprint(spark, annidx)
+    write_bm25_index(docs.limit(50), bmidx)
+    assert index_fingerprint(spark, bmidx) != bm_pin
+    with pytest.raises(RuntimeError, match="BM25 index .* overwritten"):
+        hybrid_rrf_keyword_batches(
+            qstream(),
+            spark.read.parquet(bmidx + "/postings"),
+            spark.read.parquet(bmidx + "/stats"),
+            index_vecs,
+            str(tmp_path / "stale_bm"),
+            index_path=bmidx,
+            expected_fingerprint=bm_pin,
+            vecs_index_path=annidx,
+            vecs_expected_fingerprint=vec_pin2,
+        )
 
 
 def test_streaming_bm25_append_equals_rebuild(spark, tmp_path):
