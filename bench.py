@@ -445,14 +445,27 @@ def main() -> None:
     # untimed page-cache warm-up of the sf fixture (r11 verdict item 2)
     warmup_s = _warm_page_cache(sf_dir)
 
-    timings: dict[str, float] = {}
-    plan_s: dict[str, float] = {}
-    exec_s: dict[str, float] = {}
+    # r15 (r14 verdict item 4): the headline block runs TWICE and the
+    # compact line carries the lower-total block -- the total was the
+    # one remaining single-draw number, so a loaded box (r14: +6% at
+    # load 8.0 vs r13's 5.6) could fake a drift that min-of-two-blocks
+    # makes mechanical to dismiss. Both block totals go to the detail
+    # ledger; per-query numbers stay a coherent single block draw (not
+    # per-query mins across blocks, which would sum to a total no real
+    # run produced).
     fns = queries_dict()
-    for name in HEADLINE:
-        timings[name], plan_s[name], exec_s[name], _ = _time_query(
-            fns[name], spark, sf_dir, reps=3
-        )
+    block_runs: list[tuple[dict, dict, dict]] = []
+    for _ in range(2):
+        t_b: dict[str, float] = {}
+        p_b: dict[str, float] = {}
+        e_b: dict[str, float] = {}
+        for name in HEADLINE:
+            t_b[name], p_b[name], e_b[name], _ = _time_query(
+                fns[name], spark, sf_dir, reps=3
+            )
+        block_runs.append((t_b, p_b, e_b))
+    block_totals = [round(sum(t.values()), 4) for t, _p, _e in block_runs]
+    timings, plan_s, exec_s = block_runs[block_totals.index(min(block_totals))]
 
     extra = {}
     for name in EXTRA:
@@ -590,6 +603,12 @@ def main() -> None:
         # compared cross-round via their MIN; warm_s is advisory only
         # (warm >= cold reads as a contended box, never a regression)
         sf10x_rep_semantics="min-of-cold is the comparison key; warm advisory",
+        # r15: both block totals; compact carries the min block (r14
+        # verdict item 4 -- block-level noise suppression, same policy
+        # class as min-of-cold)
+        headline_block_totals=block_totals,
+        headline_rep_semantics="compact line = lower-total of two "
+        "block draws; per-query numbers are that block's min-of-3",
         sf10x_containment_counts=containment_counts,
         page_cache_warmup_s=warmup_s,
     )

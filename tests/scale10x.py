@@ -156,3 +156,60 @@ def _ensure_extra_dims(spark: SparkSession) -> None:
         path = os.path.join(SCALE_DIR, f"{dim}.parquet")
         if not os.path.exists(path):
             load_table(spark, _SRC_SF, dim).write.mode("overwrite").parquet(path)
+
+
+# --- Zipf-vocabulary corpus for the BM25 serving canary (r15) ---------------
+#
+# r14 measured the BM25 probe at 10x over the driver fixture's
+# documents, whose synthetic ~31-word vocabulary makes EVERY query
+# term stopword-grade (df ~= N): 500 3-term queries scored ~67M
+# (query, posting) rows, so the wall measured the degenerate fixture,
+# not the plan, and could never catch a bucket-pruning regression
+# (r14 verdict item 3). This corpus has a few-thousand-term Zipf-ish
+# vocabulary -- the rank-frequency shape real text has -- so rare-term
+# queries genuinely prune through the same bucket-partitioned plan:
+# short posting lists AND few term buckets touched.
+
+ZIPF_DOCS = 50_000
+ZIPF_VOCAB = 4_000
+ZIPF_DOC_LEN = 30
+_ZIPF_SEED = 20260815
+
+
+def ensure_zipf_corpus(spark: SparkSession) -> str:
+    """Build (once, cached beside the 10x fixture) a 50k-doc corpus
+    whose terms are drawn Zipf(s~=1) from a 4k-term vocabulary via the
+    inverse-CDF approximation rank = V**u (P(rank<=r) ~= ln r / ln V).
+    All JVM-side and deterministic: u comes from xxhash64(doc_id, pos,
+    seed), so the corpus is bit-identical across rebuilds."""
+    path = os.path.join(SCALE_DIR, "documents_zipf.parquet")
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
+    os.makedirs(SCALE_DIR, exist_ok=True)
+    u = lambda p: (  # noqa: E731 -- uniform in (0,1), hash-derived
+        F.pmod(F.xxhash64(F.col("doc_id"), p, F.lit(_ZIPF_SEED)), F.lit(1_000_000))
+        .cast("double")
+        + F.lit(0.5)
+    ) / F.lit(1_000_000.0)
+    rank = lambda p: F.least(  # noqa: E731
+        F.lit(ZIPF_VOCAB),
+        F.greatest(
+            F.lit(1), F.floor(F.pow(F.lit(float(ZIPF_VOCAB)), u(p))).cast("int")
+        ),
+    )
+    text = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(ZIPF_DOC_LEN - 1)),
+            lambda p: F.concat(F.lit("t"), rank(p).cast("string")),
+        ),
+    )
+    (
+        spark.range(ZIPF_DOCS)
+        .select(F.col("id").alias("doc_id"))
+        .select("doc_id", text.alias("text"), F.lit("en").alias("lang"))
+        .coalesce(8)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    return path
