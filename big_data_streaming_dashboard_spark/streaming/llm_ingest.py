@@ -2391,6 +2391,13 @@ def write_split_index(
     return path
 
 
+# intra-batch near-dup pairs under this cap resolve by driver
+# union-find (one bounded collect, ~a few MB of longs at the cap)
+# instead of the distributed propagation rounds -- see the _emit
+# comment in split_verdict_batches
+_SPLIT_SMALL_GRAPH_CAP = 100_000
+
+
 def split_verdict_batches(
     docs: DataFrame,
     index_bands: DataFrame,
@@ -2539,14 +2546,53 @@ def split_verdict_batches(
             max_bucket_size=max_bucket_size,
             skip_buckets=over_cap,
         ).select("doc_a", "doc_b")
-        if bpairs.isEmpty():
-            # common serving case: no intra-batch near-dups -- identity
-            # labels are exactly _label_components' fixpoint on an
-            # empty edge set, and skipping it saves the propagation
-            # rounds' per-batch driver actions (~3 s/batch measured at
-            # sf0.1 replay, constant in corpus size)
+        # one bounded action replaces the old isEmpty() probe AND, for
+        # graphs under the cap (every realistic micro-batch -- the
+        # graph is batch-local, never corpus-sized), the O(log d)
+        # label-propagation rounds whose per-round driver actions cost
+        # ~4 s/batch fixed (r14 verdict item 6). A driver union-find
+        # that always attaches the larger root under the smaller
+        # labels each component with its MIN member -- bit-identical
+        # to _label_components' fixpoint -- and the mapping broadcasts
+        # back as a batch-bounded frame. Over the cap (a micro-batch
+        # trigger admitting ~100k intra-batch near-dup pairs), fall
+        # back to the distributed rounds.
+        edges = bpairs.limit(_SPLIT_SMALL_GRAPH_CAP + 1).collect()
+        if not edges:
+            # identity labels are exactly the fixpoint on an empty
+            # edge set (the common serving case)
             local = batch.select(
                 "doc_id", F.col("doc_id").alias("cluster_id")
+            )
+        elif len(edges) <= _SPLIT_SMALL_GRAPH_CAP:
+            parent: dict = {}
+
+            def _find(x):
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            for e in edges:
+                a, b = e["doc_a"], e["doc_b"]
+                parent.setdefault(a, a)
+                parent.setdefault(b, b)
+                ra, rb = _find(a), _find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+            mapping = batch.sparkSession.createDataFrame(
+                [(v, _find(v)) for v in parent],
+                "doc_id long, cluster_id long",
+            )
+            local = (
+                batch.select("doc_id")
+                .join(F.broadcast(mapping), "doc_id", "left")
+                .select(
+                    "doc_id",
+                    F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias(
+                        "cluster_id"
+                    ),
+                )
             )
         else:
             local, _rounds = _label_components(
@@ -2677,6 +2723,67 @@ def append_split_index(
     fp.pop("nonce", None)
     _write_index_fingerprint(spark, path, fp)
     return path
+
+
+def split_verdicts_with_cadence(
+    spark: SparkSession,
+    arrival_dirs: list[str],
+    index_path: str,
+    out_path: str,
+    threshold: float = 0.2,
+    max_bucket_size: int = 1000,
+    salt: str | None = None,
+    checkpoint_root: str | None = None,
+) -> list[str]:
+    """The split serving loop's periodic-append cadence (r14 verdict
+    item 7): each element of ``arrival_dirs`` is one GENERATION --
+    its files replay through `split_verdict_batches` against the
+    current index, then the generation's docs AND their fresh
+    assignments fold back via `append_split_index` before the next
+    generation starts. This progressively shrinks the serving loop's
+    documented cross-batch straddle window (delta (a) in
+    `split_verdict_batches`): a near-dup pair separated by a fold
+    boundary co-assigns, because the earlier arrival is in the index
+    by the time the later one probes -- the same LSM-refresh story as
+    `append_curation_index`, applied on a cadence instead of ad hoc.
+
+    A running stream cannot survive the fold (the append re-stamps
+    the nonce -- by design, so no stream ever mixes index versions),
+    which is why the cadence is a sequence of availableNow
+    generations rather than one long-lived query: generation i runs
+    to completion pinned to nonce_i, the fold produces nonce_{i+1},
+    generation i+1 starts against it. Within a generation the
+    straddle window is the generation's batches, bounded by how many
+    files each element groups.
+
+    Outputs land under ``out_path + "/gen=<i>"`` (also the frame the
+    fold reads back -- exactly the coverage `append_split_index`'s
+    two-directional guard expects). Returns the per-generation output
+    paths. Pinned by
+    tests/test_streaming.py::test_streaming_split_cadence_closes_straddle."""
+    outs: list[str] = []
+    for i, d in enumerate(arrival_dirs):
+        out_g = f"{out_path}/gen={i}"
+        ckpt = None if checkpoint_root is None else f"{checkpoint_root}/gen={i}"
+        q = split_verdict_batches(
+            stream_documents(spark, d),
+            spark.read.parquet(index_path + "/bands"),
+            spark.read.parquet(index_path + "/clusters"),
+            out_g,
+            threshold=threshold,
+            max_bucket_size=max_bucket_size,
+            salt=salt,
+            checkpoint=ckpt,
+            index_path=index_path,
+        )
+        q.awaitTermination()
+        append_split_index(
+            spark.read.parquet(d),
+            spark.read.parquet(out_g),
+            index_path,
+        )
+        outs.append(out_g)
+    return outs
 
 
 # --- inverted-index BM25 serving (arbitrary keyword queries, r14) -----------

@@ -2947,6 +2947,122 @@ def test_streaming_split_honors_corpus_bucket_cap(spark, tmp_path):
         )
 
 
+def test_streaming_split_cadence_closes_straddle(spark, tmp_path):
+    """r14 verdict item 7: the serving loop's documented delta (a) --
+    two near-dups arriving in different stream generations straddle
+    the split boundary when neither touches the corpus. The cadence
+    helper folds each generation's docs+assignments back before the
+    next starts, so the later arrival inherits the earlier one's
+    cluster (and therefore its exact split). Pinned: doc 11 (near-dup
+    of doc 10, no corpus hit) lands in generation 1 and co-assigns
+    with doc 10 from generation 0; a third unrelated arrival draws
+    its own cluster untouched."""
+    from big_data_streaming_dashboard_spark.streaming.llm_ingest import (
+        split_verdicts_with_cadence,
+        write_split_index,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "the indexed corpus contains only this unrelated doc", "en")],
+        "doc_id long, text string, lang string",
+    )
+    idx = write_split_index(corpus, str(tmp_path / "idx"))
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    gen0 = str(tmp_path / "gen0")
+    gen1 = str(tmp_path / "gen1")
+    spark.createDataFrame(
+        [(10, base + " lambda", "en")], "doc_id long, text string, lang string"
+    ).coalesce(1).write.parquet(gen0)
+    spark.createDataFrame(
+        [(11, base + " mu", "en"),
+         (12, "completely different arrival text goes here now", "en")],
+        "doc_id long, text string, lang string",
+    ).coalesce(1).write.parquet(gen1)
+
+    outs = split_verdicts_with_cadence(
+        spark,
+        [gen0, gen1],
+        idx,
+        str(tmp_path / "verdicts"),
+        checkpoint_root=str(tmp_path / "ckpt"),
+    )
+    rows = {
+        r["doc_id"]: (r["cluster_id"], r["split"])
+        for out in outs
+        for r in spark.read.parquet(out).collect()
+    }
+    # the cross-generation near-dup co-assigned: same cluster -> the
+    # SAME deterministic split draw; the unrelated arrival is its own
+    # cluster
+    assert rows[11] == rows[10] and rows[10][0] == 10
+    assert rows[12][0] == 12
+    # and the fold landed: the index's cluster table carries all three
+    labels = {
+        r["doc_id"]: r["cluster_id"]
+        for r in spark.read.parquet(idx + "/clusters").collect()
+    }
+    assert labels == {1: 1, 10: 10, 11: 10, 12: 12}
+
+
+def test_streaming_split_small_graph_path_matches_distributed(
+    spark, tmp_path, monkeypatch
+):
+    """r14 verdict item 6: intra-batch graphs under
+    _SPLIT_SMALL_GRAPH_CAP resolve by driver union-find instead of the
+    O(log d) propagation rounds (~4 s/batch of fixed driver-action
+    cost). The labeling rule must stay bit-identical: component min,
+    identity for untouched docs. Pinned by running the SAME batch
+    (a 3-doc near-dup chain + a singleton, all novel) through both
+    paths -- default cap (union-find) vs cap monkeypatched below the
+    edge count (distributed rounds) -- and asserting row-equal
+    output."""
+    from big_data_streaming_dashboard_spark.streaming import llm_ingest
+    from big_data_streaming_dashboard_spark.streaming.llm_ingest import (
+        split_verdict_batches,
+        stream_documents,
+        write_split_index,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [(1, "indexed corpus doc about something else entirely", "en")],
+        "doc_id long, text string, lang string",
+    )
+    idx = write_split_index(docs, str(tmp_path / "idx"))
+    arrivals = spark.createDataFrame(
+        [(10, base + " lambda", "en"),
+         (11, base + " mu", "en"),
+         (12, base + " nu", "en"),
+         (13, "totally unrelated words live in this arrival", "en")],
+        "doc_id long, text string, lang string",
+    )
+    sdir = str(tmp_path / "stream")
+    arrivals.coalesce(1).write.parquet(sdir)
+
+    def run(tag):
+        out = str(tmp_path / f"out_{tag}")
+        q = split_verdict_batches(
+            stream_documents(spark, sdir),
+            spark.read.parquet(idx + "/bands"),
+            spark.read.parquet(idx + "/clusters"),
+            out,
+            checkpoint=str(tmp_path / f"ckpt_{tag}"),
+            index_path=idx,
+        )
+        q.awaitTermination(120)
+        return sorted(
+            (r["doc_id"], r["cluster_id"], r["split"])
+            for r in spark.read.parquet(out).collect()
+        )
+
+    small = run("small")
+    # the chain really co-linked (component min 10), singleton intact
+    assert [c for _d, c, _s in small] == [10, 10, 10, 13]
+    monkeypatch.setattr(llm_ingest, "_SPLIT_SMALL_GRAPH_CAP", 0)
+    assert run("dist") == small
+
+
 def test_streaming_split_knob_check_is_numeric_and_stamp_aware(
     spark, tmp_path
 ):
