@@ -2024,6 +2024,7 @@ def knn_classify_batches(
     checkpoint: str | None = None,
     index_path: str | None = None,
     expected_fingerprint: str | None = None,
+    exclude_self: bool = True,
 ):
     """Streaming k-NN classification: each arriving query vector is
     labeled by majority vote over its exact top-k cosine neighbors in
@@ -2043,7 +2044,14 @@ def knn_classify_batches(
     ``expected_fingerprint`` nonce discipline as the rest of the
     serving family (r14: it was the one member without the refresh
     guard -- a vecs rebuild under a running classify stream would
-    silently mix corpus versions across micro-batches)."""
+    silently mix corpus versions across micro-batches).
+
+    ``exclude_self`` defaults True -- the leave-one-out rule the batch
+    twin `knn_label_vote` pins parity against (queries replayed FROM
+    the corpus must not vote for themselves). When arriving query ids
+    are EXTERNAL request ids, pass False, or an id colliding with a
+    corpus vec_id silently loses that neighbor (the r15 keyword-hybrid
+    fix, same class)."""
     from pyspark.sql import Window
 
     _check = _pin_index(
@@ -2059,7 +2067,9 @@ def knn_classify_batches(
         _check(batch.sparkSession)
         if batch.isEmpty():
             return
-        topk = _dense_cosine_topk(batch, index_vecs, k)
+        topk = _dense_cosine_topk(
+            batch, index_vecs, k, exclude_self=exclude_self
+        )
         votes = topk.groupBy("query_id", "label").agg(
             F.count(F.lit(1)).alias("votes")
         )

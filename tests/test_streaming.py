@@ -1786,6 +1786,31 @@ def test_streaming_knn_classify_matches_batch(spark, tmp_path):
     assert got == batch
     assert got, "no classifications produced"
 
+    # exclude_self=False (external-request-id serving, r15): the query
+    # whose embedding IS a corpus vector now counts its exact twin
+    # (cos 1.0) among the k neighbors -- k=1 makes the prediction
+    # simply that vector's own label, which leave-one-out can never
+    # produce for a vector whose nearest other neighbor has a
+    # different label
+    out2 = str(tmp_path / "labels_self")
+    q2 = knn_classify_batches(
+        stream_embeddings(spark, qdir),
+        spark.read.parquet(idx + "/vecs"),
+        out2,
+        k=1,
+        exclude_self=False,
+    )
+    q2.awaitTermination(120)
+    own = {
+        r["vec_id"]: r["label"]
+        for r in embs.filter(F.col("vec_id") < 5).collect()
+    }
+    got2 = {
+        r["query_id"]: r["predicted_label"]
+        for r in spark.read.parquet(out2).collect()
+    }
+    assert got2 == own
+
 
 def test_streaming_funnel_matches_batch_under_reverse_replay(spark, tmp_path):
     """Exact out-of-order funnel: replay the sf0.001 events corpus in
