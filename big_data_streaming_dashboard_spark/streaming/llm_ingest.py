@@ -2550,12 +2550,21 @@ def split_verdict_batches(
             .groupBy("doc_id")
             .agg(F.min("_idx_cluster").alias("_hit_min"))
         )
-        bpairs = neardup_pairs(
-            batch,
-            threshold=threshold,
-            max_bucket_size=max_bucket_size,
-            skip_buckets=over_cap,
-        ).select("doc_a", "doc_b")
+        # persisted: the limit-collect below and (over the cap) the
+        # propagation rounds both consume this plan -- without the
+        # persist the fallback re-runs LSH banding + Jaccard verify
+        # from scratch (r15 review); released in the finally after the
+        # batch's write
+        bpairs = (
+            neardup_pairs(
+                batch,
+                threshold=threshold,
+                max_bucket_size=max_bucket_size,
+                skip_buckets=over_cap,
+            )
+            .select("doc_a", "doc_b")
+            .persist()
+        )
         # one bounded action replaces the old isEmpty() probe AND, for
         # graphs under the cap (every realistic micro-batch -- the
         # graph is batch-local, never corpus-sized), the O(log d)
@@ -2567,6 +2576,14 @@ def split_verdict_batches(
         # back as a batch-bounded frame. Over the cap (a micro-batch
         # trigger admitting ~100k intra-batch near-dup pairs), fall
         # back to the distributed rounds.
+        try:
+            _emit_labeled(batch, bpairs, inherited)
+        finally:
+            bpairs.unpersist()
+
+    def _emit_labeled(
+        batch: DataFrame, bpairs: DataFrame, inherited: DataFrame
+    ) -> None:
         edges = bpairs.limit(_SPLIT_SMALL_GRAPH_CAP + 1).collect()
         if not edges:
             # identity labels are exactly the fixpoint on an empty
@@ -2769,7 +2786,14 @@ def split_verdicts_with_cadence(
     Outputs land under ``out_path + "/gen=<i>"`` (also the frame the
     fold reads back -- exactly the coverage `append_split_index`'s
     two-directional guard expects). Returns the per-generation output
-    paths. Pinned by
+    paths (empty generations produce no output and no fold). The fold
+    is RESTART-IDEMPOTENT (r15 review): rerunning the cadence with the
+    same ``checkpoint_root`` after a crash replays completed
+    generations as no-op streams, and a generation whose docs are ALL
+    already in ``clusters/`` skips its fold instead of appending
+    duplicate rows; a PARTIAL overlap (some docs folded, some not)
+    refuses loudly -- generations must be wholly novel or wholly
+    replayed, anything else is a corrupted sequence. Pinned by
     tests/test_streaming.py::test_streaming_split_cadence_closes_straddle."""
     outs: list[str] = []
     for i, d in enumerate(arrival_dirs):
@@ -2787,8 +2811,33 @@ def split_verdicts_with_cadence(
             index_path=index_path,
         )
         q.awaitTermination()
+        # explicit schema: an EMPTY generation (no arrivals this
+        # period) has no files to infer from, and its verdict dir was
+        # never created -- skip the fold instead of crashing (r15
+        # review)
+        gen_docs = spark.read.schema(DOCUMENTS_STREAM_SCHEMA).parquet(d)
+        n_docs = gen_docs.count()
+        if n_docs == 0:
+            continue
+        clusters = spark.read.parquet(index_path + "/clusters")
+        n_folded = clusters.join(
+            F.broadcast(gen_docs.select("doc_id")), "doc_id", "left_semi"
+        ).count()
+        if n_folded == n_docs:
+            # checkpoint-restart replay: this generation's fold already
+            # landed; appending again would duplicate band+cluster rows
+            # (the guards cannot catch an exact re-append)
+            outs.append(out_g)
+            continue
+        if n_folded > 0:
+            raise ValueError(
+                f"split cadence generation {i}: {n_folded} of {n_docs} "
+                "docs are already in the index's clusters -- a partial "
+                "fold or an arrival overlapping an earlier generation; "
+                "rebuild the index or fix the generation boundaries"
+            )
         append_split_index(
-            spark.read.parquet(d),
+            gen_docs,
             spark.read.parquet(out_g),
             index_path,
         )

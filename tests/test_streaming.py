@@ -8,6 +8,7 @@ across micro-batches."""
 
 from __future__ import annotations
 
+import os
 import uuid
 
 import pytest
@@ -3005,13 +3006,19 @@ def test_streaming_split_cadence_closes_straddle(spark, tmp_path):
         "doc_id long, text string, lang string",
     ).coalesce(1).write.parquet(gen1)
 
+    # an EMPTY generation mid-sequence (no arrivals that period) must
+    # skip its fold, not crash the cadence (r15 review)
+    gen_mid = str(tmp_path / "gen_mid")
+    os.makedirs(gen_mid, exist_ok=True)
+
     outs = split_verdicts_with_cadence(
         spark,
-        [gen0, gen1],
+        [gen0, gen_mid, gen1],
         idx,
         str(tmp_path / "verdicts"),
         checkpoint_root=str(tmp_path / "ckpt"),
     )
+    assert len(outs) == 2  # the empty generation produced nothing
     rows = {
         r["doc_id"]: (r["cluster_id"], r["split"])
         for out in outs
@@ -3023,11 +3030,45 @@ def test_streaming_split_cadence_closes_straddle(spark, tmp_path):
     assert rows[11] == rows[10] and rows[10][0] == 10
     assert rows[12][0] == 12
     # and the fold landed: the index's cluster table carries all three
-    labels = {
-        r["doc_id"]: r["cluster_id"]
+    labels = sorted(
+        (r["doc_id"], r["cluster_id"])
         for r in spark.read.parquet(idx + "/clusters").collect()
-    }
-    assert labels == {1: 1, 10: 10, 11: 10, 12: 12}
+    )
+    assert labels == [(1, 1), (10, 10), (11, 10), (12, 12)]
+
+    # restart idempotency (r15 review): rerunning the whole cadence
+    # with the same checkpoint_root replays completed generations as
+    # no-op streams and SKIPS their folds -- the index must not grow
+    # duplicate band/cluster rows
+    outs2 = split_verdicts_with_cadence(
+        spark,
+        [gen0, gen_mid, gen1],
+        idx,
+        str(tmp_path / "verdicts"),
+        checkpoint_root=str(tmp_path / "ckpt"),
+    )
+    assert outs2 == outs
+    labels2 = sorted(
+        (r["doc_id"], r["cluster_id"])
+        for r in spark.read.parquet(idx + "/clusters").collect()
+    )
+    assert labels2 == labels
+    # a PARTIAL overlap refuses loudly: a would-be generation mixing
+    # one folded doc with one novel doc is a corrupted sequence
+    gen_bad = str(tmp_path / "gen_bad")
+    spark.createDataFrame(
+        [(11, base + " mu", "en"),
+         (99, "a brand new arrival never folded before", "en")],
+        "doc_id long, text string, lang string",
+    ).coalesce(1).write.parquet(gen_bad)
+    with pytest.raises(ValueError, match="partial fold|overlapping"):
+        split_verdicts_with_cadence(
+            spark,
+            [gen_bad],
+            idx,
+            str(tmp_path / "verdicts_bad"),
+            checkpoint_root=str(tmp_path / "ckpt_bad"),
+        )
 
 
 def test_streaming_split_small_graph_path_matches_distributed(
