@@ -899,6 +899,206 @@ def write_ann_index(
     return path
 
 
+def write_ivf_index(
+    embeddings: DataFrame,
+    path: str,
+    n_lists: int = 8,
+    kmeans_iterations: int = 3,
+) -> str:
+    """Persist the IVF (inverted-file) ANN artifact the streaming
+    probe reads -- the cell-partitioned sibling of `write_ann_index`,
+    giving the serving family the faiss-style nprobe trade
+    (`similarity.ivf_topk`'s knobs) online:
+
+      ``path/cells`` -- (vec_id, label, vec), written PARTITIONED BY
+      the k-means cluster id, so a probe's scan prunes to its
+      n_probe cell directories (the BM25 term-bucket layout applied
+      to vector cells -- at 100 TB the cluster id is the partition
+      key and a probe touches n_probe partitions, never the corpus).
+      ``path/centroids`` -- (cluster, centroid), the k tiny rows a
+      batch ranks to choose its cells; per-cluster means of the FINAL
+      assignment, the same frame `similarity.ivf_topk` computes
+      in-flight (shared rule, so stream and batch probe the same
+      cells).
+
+    The assignment bakes the build knobs in (same argument as the
+    split index), so n_lists / kmeans_iterations are stamped into the
+    fingerprint; cells and centroids are REBUILD-ONLY (a corpus delta
+    moves the means, which moves every assignment boundary -- IVF has
+    no exact append; refresh = rebuild + nonce re-stamp, failing over
+    pinned probe streams by the family rule).
+
+    Reference parity: the probe over this artifact reproduces
+    `similarity.ivf_topk`'s multi-probe ranking (see
+    `ivf_topk_batches`)."""
+    from ..llmdata.similarity import _dvec, kmeans_assign
+
+    spark = embeddings.sparkSession
+    assigned = kmeans_assign(
+        embeddings, k=n_lists, iterations=kmeans_iterations
+    )
+    cells = embeddings.select(
+        "vec_id", "label", _dvec("embedding").alias("vec")
+    ).join(assigned, "vec_id")
+    cells.write.mode("overwrite").partitionBy("cluster").parquet(
+        path + "/cells"
+    )
+    (
+        spark.read.parquet(path + "/cells")
+        .select("cluster", F.posexplode("vec").alias("pos", "x"))
+        .groupBy("cluster", "pos")
+        .agg(F.avg("x").alias("m"))
+        .groupBy("cluster")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("_pm"))
+        .select(
+            "cluster",
+            F.transform("_pm", lambda s: s.getField("m")).alias("centroid"),
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(path + "/centroids")
+    )
+    _write_index_fingerprint(
+        spark,
+        path,
+        {
+            "kind": "ivf",
+            "n_lists": n_lists,
+            "kmeans_iterations": kmeans_iterations,
+        },
+    )
+    return path
+
+
+def ivf_topk_batches(
+    queries: DataFrame,
+    index_cells: DataFrame,
+    index_centroids: DataFrame,
+    out_path: str,
+    k: int = 10,
+    n_probe: int = 2,
+    checkpoint: str | None = None,
+    index_path: str | None = None,
+    expected_fingerprint: str | None = None,
+    exclude_self: bool = True,
+):
+    """Streaming IVF top-k: each arriving query vector ranks the k
+    stored centroids (broadcast, tiny), probes its ``n_probe``
+    nearest cells, and exact-scores ONLY those cells' vectors -- the
+    online form of `similarity.ivf_topk`, candidate set ~
+    n_probe/n_lists of the corpus where the brute-force
+    `_dense_cosine_topk` path scans everything.
+
+    Probe rule = the batch multi-probe branch verbatim: squared
+    distance to the final-assignment means, (d2, cluster) tie order,
+    (cos DESC, vec_id) rank ties -- so for n_probe >= 2 the output
+    equals `ivf_topk` row-for-row for corpus-replayed queries
+    (pinned). The n_probe=1 delta is documented: the batch path sends
+    a corpus query to its STORED cell (assigned under the last Lloyd
+    iteration's pre-update centroids), which an external query does
+    not have -- the serving rule is nearest FINAL centroid, the
+    canonical IVF probe.
+
+    Scale: the probed clusters are a bounded driver artifact
+    (<= n_lists ints) turned into a literal IN against the
+    cluster-partitioned cells -- static partition pruning, the BM25
+    term-bucket idiom -- and the per-query probe frame broadcasts.
+    Same ``checkpoint`` / ``index_path`` / ``expected_fingerprint``
+    nonce discipline as the family; ``exclude_self`` as in
+    `_dense_cosine_topk` (True for corpus-replay parity, False for
+    external request ids)."""
+    from pyspark.sql import Window
+
+    from ..llmdata.similarity import _dvec, cosine
+
+    _check = _pin_index(
+        queries.sparkSession,
+        index_path,
+        expected_fingerprint,
+        "IVF index at {path} was overwritten under a probe stream "
+        "(fingerprint {now} != snapshot {expected}); rebuild the probe "
+        "stream against the new index instead",
+    )
+
+    def _emit(batch: DataFrame, _epoch: int) -> None:
+        _check(batch.sparkSession)
+        if batch.isEmpty():
+            return
+        qs = batch.select(
+            F.col("vec_id").alias("query_id"),
+            _dvec("embedding").alias("qvec"),
+        )
+        qc = qs.crossJoin(F.broadcast(index_centroids)).select(
+            "query_id",
+            "qvec",
+            F.col("cluster").alias("probe_cluster"),
+            F.aggregate(
+                F.zip_with(
+                    F.col("qvec"),
+                    F.col("centroid"),
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0.0),
+                lambda acc, d: acc + d,
+            ).alias("_d2"),
+        )
+        wq = Window.partitionBy("query_id").orderBy(
+            F.col("_d2"), F.col("probe_cluster")
+        )
+        probes = (
+            qc.withColumn("_r", F.row_number().over(wq))
+            .filter(F.col("_r") <= n_probe)
+            .select("query_id", "qvec", "probe_cluster")
+        )
+        # bounded driver artifact (<= n_lists ints) -> literal IN, so
+        # the cluster-partitioned cells scan prunes statically (the
+        # BM25 bucket idiom; dynamic pruning declines at these sizes)
+        probed = sorted(
+            r["probe_cluster"]
+            for r in probes.select("probe_cluster").distinct().collect()
+        )
+        scored = (
+            index_cells.filter(F.col("cluster").isin(probed))
+            .join(
+                F.broadcast(probes),
+                F.col("cluster") == F.col("probe_cluster"),
+            )
+        )
+        if exclude_self:
+            scored = scored.filter(F.col("vec_id") != F.col("query_id"))
+        ranked = scored.select(
+            "query_id",
+            "vec_id",
+            "label",
+            cosine(F.col("qvec"), F.col("vec")).alias("_cos"),
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("_cos").desc(), F.col("vec_id")
+        )
+        (
+            ranked.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(
+                "query_id",
+                "vec_id",
+                "label",
+                "rank",
+                F.round("_cos", 6).alias("cos_sim"),
+            )
+            .write.mode("append")
+            .parquet(out_path)
+        )
+
+    writer = (
+        queries.writeStream.foreachBatch(_emit)
+        .outputMode("append")
+        .trigger(availableNow=True)
+    )
+    if checkpoint is not None:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
+
+
 def _write_index_fingerprint(spark: SparkSession, path: str, params: dict) -> None:
     """Stamp an index build with a unique nonce + its knob values (one
     tiny parquet row at ``path/fingerprint``). Probe streams snapshot

@@ -1813,6 +1813,83 @@ def test_streaming_knn_classify_matches_batch(spark, tmp_path):
     assert got2 == own
 
 
+def test_streaming_ivf_topk_matches_batch_multiprobe(spark, tmp_path):
+    """Streaming IVF over the persisted cell-partitioned artifact
+    equals the batch `ivf_topk` row-for-row at n_probe>=2 for
+    corpus-replayed queries (shared probe rule: squared distance to
+    the final-assignment means, (d2, cluster) ties, (cos DESC,
+    vec_id) rank ties). Also pins: the cells layout actually
+    partition-prunes (a cluster-IN filter lands in the scan's
+    PartitionFilters), and the family's stale-pin refusal."""
+    from big_data_streaming_dashboard_spark.llmdata.similarity import (
+        ivf_topk,
+    )
+    from big_data_streaming_dashboard_spark.streaming.llm_ingest import (
+        index_fingerprint,
+        ivf_topk_batches,
+        stream_embeddings,
+        write_ivf_index,
+    )
+    from big_data_streaming_dashboard_spark.tables import load_table
+
+    embs = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    idx = write_ivf_index(embs, str(tmp_path / "ivf"), n_lists=8,
+                          kmeans_iterations=3)
+    cells = spark.read.parquet(idx + "/cells")
+    cents = spark.read.parquet(idx + "/centroids")
+
+    qdir = str(tmp_path / "queries")
+    embs.filter(F.col("vec_id") < 5).repartition(2).write.parquet(qdir)
+    out = str(tmp_path / "topk")
+    q = ivf_topk_batches(
+        stream_embeddings(spark, qdir),
+        cells,
+        cents,
+        out,
+        k=10,
+        n_probe=2,
+        checkpoint=str(tmp_path / "ckpt"),
+        index_path=idx,
+    )
+    q.awaitTermination(180)
+    got = sorted(map(tuple, spark.read.parquet(out).collect()))
+    want = sorted(
+        map(
+            tuple,
+            ivf_topk(
+                embs, n_queries=5, k=10, n_lists=8, kmeans_iterations=3,
+                n_probe=2,
+            ).collect(),
+        )
+    )
+    assert got == want and got
+
+    # the cell layout partition-prunes: a cluster IN filter reaches
+    # the scan's PartitionFilters (the artifact property the probe's
+    # bounded literal-IN relies on)
+    pruned = cells.filter(F.col("cluster").isin([0, 3]))
+    pruned.count()
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cluster" in plan
+
+    # stale pin refuses at call time after a rebuild
+    stale = index_fingerprint(spark, idx)
+    write_ivf_index(embs.filter(F.col("vec_id") < 100), idx,
+                    n_lists=8, kmeans_iterations=3)
+    assert index_fingerprint(spark, idx) != stale
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="IVF index .* overwritten"):
+        ivf_topk_batches(
+            stream_embeddings(spark, qdir),
+            cells,
+            cents,
+            str(tmp_path / "stale_out"),
+            index_path=idx,
+            expected_fingerprint=stale,
+        )
+
+
 def test_streaming_funnel_matches_batch_under_reverse_replay(spark, tmp_path):
     """Exact out-of-order funnel: replay the sf0.001 events corpus in
     REVERSE timestamp order across 5 micro-batches, so nearly every
