@@ -2608,6 +2608,33 @@ def write_split_index(
 _SPLIT_SMALL_GRAPH_CAP = 100_000
 
 
+def _unionfind_min_labels(edges: list[tuple[int, int]]) -> dict[int, int]:
+    """Component-MIN labels for every vertex touched by ``edges`` --
+    the driver-side twin of `dedup._label_components`' fixpoint
+    (labels are doc_ids; each vertex's label is the minimum doc_id in
+    its component). Union by min root: attaching the larger root
+    under the smaller keeps every tree's root equal to its
+    component's minimum inserted element, and all members are
+    inserted (both endpoints of every edge). Randomized equivalence
+    vs an independent BFS reference is pinned in
+    tests/test_streaming.py::test_unionfind_min_labels_randomized."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {v: find(v) for v in parent}
+
+
 def split_verdict_batches(
     docs: DataFrame,
     index_bands: DataFrame,
@@ -2792,23 +2819,11 @@ def split_verdict_batches(
                 "doc_id", F.col("doc_id").alias("cluster_id")
             )
         elif len(edges) <= _SPLIT_SMALL_GRAPH_CAP:
-            parent: dict = {}
-
-            def _find(x):
-                while parent[x] != x:
-                    parent[x] = parent[parent[x]]
-                    x = parent[x]
-                return x
-
-            for e in edges:
-                a, b = e["doc_a"], e["doc_b"]
-                parent.setdefault(a, a)
-                parent.setdefault(b, b)
-                ra, rb = _find(a), _find(b)
-                if ra != rb:
-                    parent[max(ra, rb)] = min(ra, rb)
+            labels = _unionfind_min_labels(
+                [(e["doc_a"], e["doc_b"]) for e in edges]
+            )
             mapping = batch.sparkSession.createDataFrame(
-                [(v, _find(v)) for v in parent],
+                list(labels.items()),
                 "doc_id long, cluster_id long",
             )
             local = (

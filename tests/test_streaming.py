@@ -3148,6 +3148,52 @@ def test_streaming_split_cadence_closes_straddle(spark, tmp_path):
         )
 
 
+def test_unionfind_min_labels_randomized():
+    """The small-graph path's labeling claim ('bit-identical to
+    _label_components') rests on the union-by-min-root invariant --
+    pin it against an independent BFS component-min reference over
+    200 random graphs (I/O-free, covers chains, stars, multi-edges,
+    self-loops, and disconnected vertices via edge endpoints)."""
+    import random
+
+    from big_data_streaming_dashboard_spark.streaming.llm_ingest import (
+        _unionfind_min_labels,
+    )
+
+    rng = random.Random(20260815)
+    for _ in range(200):
+        n = rng.randint(2, 60)
+        m = rng.randint(1, 120)
+        edges = [
+            (rng.randrange(n) + 100, rng.randrange(n) + 100)
+            for _ in range(m)
+        ]
+        got = _unionfind_min_labels(edges)
+        # reference: BFS component min over the undirected graph
+        adj: dict[int, set[int]] = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        want: dict[int, int] = {}
+        seen: set[int] = set()
+        for v in adj:
+            if v in seen:
+                continue
+            comp, queue = [], [v]
+            seen.add(v)
+            while queue:
+                u = queue.pop()
+                comp.append(u)
+                for w in adj[u]:
+                    if w not in seen:
+                        seen.add(w)
+                        queue.append(w)
+            lo = min(comp)
+            for u in comp:
+                want[u] = lo
+        assert got == want
+
+
 def test_streaming_split_small_graph_path_matches_distributed(
     spark, tmp_path, monkeypatch
 ):
