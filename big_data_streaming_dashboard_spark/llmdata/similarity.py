@@ -314,6 +314,88 @@ def kmeans_inertia(
     )
 
 
+def ivf_centroids(corpus: DataFrame) -> DataFrame:
+    """(cluster, centroid) per-cluster means of the FINAL k-means
+    assignment, from a (cluster, vec, ...) frame -- the probe-ranking
+    side of the IVF family, defined ONCE (r15 review: this block and
+    the probe/score rules below were verbatim-copied between
+    `ivf_topk` and the streaming `ivf_topk_batches`; parity claims
+    must rest on shared code, the `_dense_cosine_topk` precedent)."""
+    return (
+        corpus.select("cluster", F.posexplode("vec").alias("pos", "x"))
+        .groupBy("cluster", "pos")
+        .agg(F.avg("x").alias("m"))
+        .groupBy("cluster")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("_pm"))
+        .select(
+            "cluster",
+            F.transform("_pm", lambda s: s.getField("m")).alias("centroid"),
+        )
+    )
+
+
+def ivf_probe_rank(qs: DataFrame, cents: DataFrame, n_probe: int) -> DataFrame:
+    """The IVF multi-probe rule: rank every centroid by squared
+    distance to the query, keep the ``n_probe`` nearest; ties
+    (d2, cluster). qs must carry (query_id, qvec); returns
+    (query_id, qvec, probe_cluster). Shared by `ivf_topk` and
+    `llm_ingest.ivf_topk_batches`."""
+    qc = qs.select("query_id", "qvec").crossJoin(F.broadcast(cents)).select(
+        "query_id",
+        "qvec",
+        F.col("cluster").alias("probe_cluster"),
+        F.aggregate(
+            F.zip_with(
+                F.col("qvec"), F.col("centroid"), lambda x, y: (x - y) * (x - y)
+            ),
+            F.lit(0.0),
+            lambda acc, d: acc + d,
+        ).alias("_d2"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("_d2"), F.col("probe_cluster")
+    )
+    return (
+        qc.withColumn("_r", F.row_number().over(wq))
+        .filter(F.col("_r") <= n_probe)
+        .select("query_id", "qvec", "probe_cluster")
+    )
+
+
+def ivf_exact_rank(
+    corpus: DataFrame, probes: DataFrame, k: int, exclude_self: bool = True
+) -> DataFrame:
+    """Exact-cosine scoring of the probed cells + per-query top-k:
+    (cos DESC, vec_id) rank ties, cos rounded to 6 for display --
+    the scoring tail of the IVF family, shared by batch and stream.
+    corpus must carry (vec_id, label, vec, cluster)."""
+    scored = corpus.join(
+        F.broadcast(probes), F.col("cluster") == F.col("probe_cluster")
+    )
+    if exclude_self:
+        scored = scored.filter(F.col("vec_id") != F.col("query_id"))
+    ranked = scored.select(
+        "query_id",
+        "vec_id",
+        "label",
+        cosine(F.col("qvec"), F.col("vec")).alias("_cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_cos").desc(), F.col("vec_id")
+    )
+    return (
+        ranked.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "vec_id",
+            "label",
+            "rank",
+            F.round("_cos", 6).alias("cos_sim"),
+        )
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     n_queries: int = 5,
@@ -350,54 +432,10 @@ def ivf_topk(
     else:
         # rank every centroid by distance to the query and keep the
         # n_probe nearest; centroids come from the same deterministic
-        # Lloyd run the assignment used
-        cents = (
-            corpus.select("cluster", F.posexplode("vec").alias("pos", "x"))
-            .groupBy("cluster", "pos")
-            .agg(F.avg("x").alias("m"))
-            .groupBy("cluster")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("_pm"))
-            .select(
-                "cluster",
-                F.transform("_pm", lambda s: s.getField("m")).alias("centroid"),
-            )
-        )
-        qc = qs.crossJoin(F.broadcast(cents)).select(
-            "query_id",
-            "qvec",
-            F.col("cluster").alias("probe_cluster"),
-            F.aggregate(
-                F.zip_with(
-                    F.col("qvec"), F.col("centroid"), lambda x, y: (x - y) * (x - y)
-                ),
-                F.lit(0.0),
-                lambda acc, d: acc + d,
-            ).alias("_d2"),
-        )
-        wq = Window.partitionBy("query_id").orderBy(
-            F.col("_d2"), F.col("probe_cluster")
-        )
-        probes = (
-            qc.withColumn("_r", F.row_number().over(wq))
-            .filter(F.col("_r") <= n_probe)
-            .select("query_id", "qvec", "probe_cluster")
-        )
-    scored = (
-        corpus.join(F.broadcast(probes), F.col("cluster") == F.col("probe_cluster"))
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "vec_id",
-            "label",
-            cosine(F.col("qvec"), F.col("vec")).alias("_cos"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("_cos").desc(), F.col("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "vec_id", "label", "rank", F.round("_cos", 6).alias("cos_sim"))
-    )
+        # Lloyd run the assignment used (shared rule: ivf_centroids /
+        # ivf_probe_rank, also the streaming probe's plan)
+        probes = ivf_probe_rank(qs, ivf_centroids(corpus), n_probe)
+    return ivf_exact_rank(corpus, probes, k)
 
 
 # ---------------------------------------------------------------------------

@@ -929,9 +929,10 @@ def write_ivf_index(
     pinned probe streams by the family rule).
 
     Reference parity: the probe over this artifact reproduces
-    `similarity.ivf_topk`'s multi-probe ranking (see
+    `similarity.ivf_topk`'s multi-probe ranking through the SHARED
+    `ivf_centroids` / `ivf_probe_rank` / `ivf_exact_rank` rules (see
     `ivf_topk_batches`)."""
-    from ..llmdata.similarity import _dvec, kmeans_assign
+    from ..llmdata.similarity import _dvec, ivf_centroids, kmeans_assign
 
     spark = embeddings.sparkSession
     assigned = kmeans_assign(
@@ -940,20 +941,18 @@ def write_ivf_index(
     cells = embeddings.select(
         "vec_id", "label", _dvec("embedding").alias("vec")
     ).join(assigned, "vec_id")
-    cells.write.mode("overwrite").partitionBy("cluster").parquet(
-        path + "/cells"
+    # static overwrite EXPLICITLY (r15 review): under a session-wide
+    # partitionOverwriteMode=dynamic, an in-place rebuild whose new
+    # Lloyd run leaves some cluster empty would keep that cluster's
+    # OLD cells directory -- stale vectors behind a fresh nonce
+    (
+        cells.write.mode("overwrite")
+        .option("partitionOverwriteMode", "static")
+        .partitionBy("cluster")
+        .parquet(path + "/cells")
     )
     (
-        spark.read.parquet(path + "/cells")
-        .select("cluster", F.posexplode("vec").alias("pos", "x"))
-        .groupBy("cluster", "pos")
-        .agg(F.avg("x").alias("m"))
-        .groupBy("cluster")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("_pm"))
-        .select(
-            "cluster",
-            F.transform("_pm", lambda s: s.getField("m")).alias("centroid"),
-        )
+        ivf_centroids(spark.read.parquet(path + "/cells"))
         .coalesce(1)
         .write.mode("overwrite")
         .parquet(path + "/centroids")
@@ -989,12 +988,21 @@ def ivf_topk_batches(
     n_probe/n_lists of the corpus where the brute-force
     `_dense_cosine_topk` path scans everything.
 
-    Probe rule = the batch multi-probe branch verbatim: squared
-    distance to the final-assignment means, (d2, cluster) tie order,
-    (cos DESC, vec_id) rank ties -- so for n_probe >= 2 the output
-    equals `ivf_topk` row-for-row for corpus-replayed queries
-    (pinned). The n_probe=1 delta is documented: the batch path sends
-    a corpus query to its STORED cell (assigned under the last Lloyd
+    Probe rule = the batch multi-probe branch through the SHARED
+    helpers (`similarity.ivf_probe_rank` / `ivf_exact_rank`, defined
+    once -- the `_dense_cosine_topk` discipline): squared distance to
+    the final-assignment means, (d2, cluster) tie order, (cos DESC,
+    vec_id) rank ties -- at n_probe >= 2 the output equals `ivf_topk`
+    for corpus-replayed queries (pinned on the fixture). Caveat the
+    claim rests on (r15 review): the stored centroids are float means
+    materialized by the WRITER's execution, while the batch computes
+    them in-flight -- ULP-level summation-order differences between
+    the two physical plans can flip a probe only for a query
+    near-equidistant between its n_probe-th and (n_probe+1)-th cells,
+    the same margin argument the kmeans oracle pairing rests on; the
+    result either way is a valid IVF probe at the same budget. The
+    n_probe=1 delta is documented: the batch path sends a corpus
+    query to its STORED cell (assigned under the last Lloyd
     iteration's pre-update centroids), which an external query does
     not have -- the serving rule is nearest FINAL centroid, the
     canonical IVF probe.
@@ -1007,9 +1015,7 @@ def ivf_topk_batches(
     nonce discipline as the family; ``exclude_self`` as in
     `_dense_cosine_topk` (True for corpus-replay parity, False for
     external request ids)."""
-    from pyspark.sql import Window
-
-    from ..llmdata.similarity import _dvec, cosine
+    from ..llmdata.similarity import _dvec, ivf_exact_rank, ivf_probe_rank
 
     _check = _pin_index(
         queries.sparkSession,
@@ -1028,66 +1034,32 @@ def ivf_topk_batches(
             F.col("vec_id").alias("query_id"),
             _dvec("embedding").alias("qvec"),
         )
-        qc = qs.crossJoin(F.broadcast(index_centroids)).select(
-            "query_id",
-            "qvec",
-            F.col("cluster").alias("probe_cluster"),
-            F.aggregate(
-                F.zip_with(
-                    F.col("qvec"),
-                    F.col("centroid"),
-                    lambda x, y: (x - y) * (x - y),
-                ),
-                F.lit(0.0),
-                lambda acc, d: acc + d,
-            ).alias("_d2"),
-        )
-        wq = Window.partitionBy("query_id").orderBy(
-            F.col("_d2"), F.col("probe_cluster")
-        )
-        probes = (
-            qc.withColumn("_r", F.row_number().over(wq))
-            .filter(F.col("_r") <= n_probe)
-            .select("query_id", "qvec", "probe_cluster")
-        )
-        # bounded driver artifact (<= n_lists ints) -> literal IN, so
-        # the cluster-partitioned cells scan prunes statically (the
-        # BM25 bucket idiom; dynamic pruning declines at these sizes)
-        probed = sorted(
-            r["probe_cluster"]
-            for r in probes.select("probe_cluster").distinct().collect()
-        )
-        scored = (
-            index_cells.filter(F.col("cluster").isin(probed))
-            .join(
-                F.broadcast(probes),
-                F.col("cluster") == F.col("probe_cluster"),
+        # persisted: the probed-cluster collect below and the scored
+        # join both consume this plan (the bpairs lesson -- without
+        # the persist every batch pays the centroid cross-join and
+        # the rank window twice)
+        probes = ivf_probe_rank(qs, index_centroids, n_probe).persist()
+        try:
+            # bounded driver artifact (<= n_lists ints) -> literal IN,
+            # so the cluster-partitioned cells scan prunes statically
+            # (the BM25 bucket idiom; dynamic pruning declines at
+            # these sizes)
+            probed = sorted(
+                r["probe_cluster"]
+                for r in probes.select("probe_cluster").distinct().collect()
             )
-        )
-        if exclude_self:
-            scored = scored.filter(F.col("vec_id") != F.col("query_id"))
-        ranked = scored.select(
-            "query_id",
-            "vec_id",
-            "label",
-            cosine(F.col("qvec"), F.col("vec")).alias("_cos"),
-        )
-        w = Window.partitionBy("query_id").orderBy(
-            F.col("_cos").desc(), F.col("vec_id")
-        )
-        (
-            ranked.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select(
-                "query_id",
-                "vec_id",
-                "label",
-                "rank",
-                F.round("_cos", 6).alias("cos_sim"),
+            (
+                ivf_exact_rank(
+                    index_cells.filter(F.col("cluster").isin(probed)),
+                    probes,
+                    k,
+                    exclude_self=exclude_self,
+                )
+                .write.mode("append")
+                .parquet(out_path)
             )
-            .write.mode("append")
-            .parquet(out_path)
-        )
+        finally:
+            probes.unpersist()
 
     writer = (
         queries.writeStream.foreachBatch(_emit)
@@ -3034,22 +3006,40 @@ def split_verdicts_with_cadence(
         n_docs = gen_docs.count()
         if n_docs == 0:
             continue
-        clusters = spark.read.parquet(index_path + "/clusters")
-        n_folded = clusters.join(
-            F.broadcast(gen_docs.select("doc_id")), "doc_id", "left_semi"
-        ).count()
-        if n_folded == n_docs:
+        # BOTH artifacts checked (r15 review, second pass): the fold
+        # appends bands THEN clusters, so a crash between them leaves
+        # bands without labels; a clusters-only guard would re-append
+        # the band rows, double-counting them toward the degenerate
+        # bucket cap -- under-cap buckets would read as over-cap and
+        # legitimate near-dup links silently drop
+        gen_ids = F.broadcast(gen_docs.select("doc_id"))
+        n_clustered = (
+            spark.read.parquet(index_path + "/clusters")
+            .join(gen_ids, "doc_id", "left_semi")
+            .select("doc_id")
+            .distinct()
+            .count()
+        )
+        n_banded = (
+            spark.read.parquet(index_path + "/bands")
+            .join(gen_ids, "doc_id", "left_semi")
+            .select("doc_id")
+            .distinct()
+            .count()
+        )
+        if n_clustered == n_docs and n_banded == n_docs:
             # checkpoint-restart replay: this generation's fold already
-            # landed; appending again would duplicate band+cluster rows
+            # landed in full; appending again would duplicate rows
             # (the guards cannot catch an exact re-append)
             outs.append(out_g)
             continue
-        if n_folded > 0:
+        if n_clustered > 0 or n_banded > 0:
             raise ValueError(
-                f"split cadence generation {i}: {n_folded} of {n_docs} "
-                "docs are already in the index's clusters -- a partial "
-                "fold or an arrival overlapping an earlier generation; "
-                "rebuild the index or fix the generation boundaries"
+                f"split cadence generation {i}: fold state is partial "
+                f"({n_banded}/{n_docs} docs banded, {n_clustered}/"
+                f"{n_docs} clustered) -- a crash mid-fold or an arrival "
+                "overlapping an earlier generation; rebuild the split "
+                "index (an append cannot repair a half-landed fold)"
             )
         append_split_index(
             gen_docs,

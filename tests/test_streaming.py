@@ -3138,13 +3138,38 @@ def test_streaming_split_cadence_closes_straddle(spark, tmp_path):
          (99, "a brand new arrival never folded before", "en")],
         "doc_id long, text string, lang string",
     ).coalesce(1).write.parquet(gen_bad)
-    with pytest.raises(ValueError, match="partial fold|overlapping"):
+    with pytest.raises(ValueError, match="partial|overlapping"):
         split_verdicts_with_cadence(
             spark,
             [gen_bad],
             idx,
             str(tmp_path / "verdicts_bad"),
             checkpoint_root=str(tmp_path / "ckpt_bad"),
+        )
+
+    # crash-window pin (r15 review, second pass): a fold that died
+    # between the bands append and the clusters append leaves bands
+    # without labels -- the rerun must REFUSE (re-appending bands
+    # would double-count rows toward the degenerate-bucket cap), not
+    # silently re-fold
+    from big_data_streaming_dashboard_spark.streaming.llm_ingest import (
+        write_neardup_index,
+    )
+
+    gen_crash = str(tmp_path / "gen_crash")
+    crash_docs = spark.createDataFrame(
+        [(200, "an arrival whose fold will half-land", "en")],
+        "doc_id long, text string, lang string",
+    )
+    crash_docs.coalesce(1).write.parquet(gen_crash)
+    write_neardup_index(crash_docs, idx + "/bands", mode="append")
+    with pytest.raises(ValueError, match="partial.*crash mid-fold|crash mid-fold"):
+        split_verdicts_with_cadence(
+            spark,
+            [gen_crash],
+            idx,
+            str(tmp_path / "verdicts_crash"),
+            checkpoint_root=str(tmp_path / "ckpt_crash"),
         )
 
 
