@@ -1525,6 +1525,10 @@ DRIVER_WINDOW: list[str] = [
     # serving forms, evaluators, plan/perf improvements, tests --
     # on existing slots. Unfreezing requires amending the bound to
     # 4 rounds in this comment as an explicit documented decision.
+    # r16 swap plan (run the tool; it accounts for this): after a
+    # successful r15 run, the 48 r13-attested queries left out here
+    # reach their bound -- 2 rows-only + those 48 = exactly 50 again.
+    # Steady state cycles three blocks (50/48/37) with zero slack.
     # rows-only by design -- permanently in-window per r3 advice
     "approx_aggregates",
     "media_feature_census",
