@@ -1250,6 +1250,77 @@ def pq_encode(
     return encoded, codebooks
 
 
+def pq_lut(qv: list[float], codebooks: list[list[list[float]]]) -> list[list[float]]:
+    """Per-query ADC lookup table: lut[s][c] = squared distance of the
+    query's s-th sub-vector to codebook centroid c -- Python-float
+    arithmetic in left-to-right order, defined ONCE and shared by the
+    batch `pq_topk` (as literals) and the streaming `pq_topk_batches`
+    (as broadcast rows), so the two paths' ADC scores are bit-equal
+    by construction."""
+    d_sub = len(codebooks[0][0])
+    return [
+        [
+            sum(
+                (a - b) * (a - b)
+                for a, b in zip(qv[s * d_sub : (s + 1) * d_sub], c)
+            )
+            for c in codebooks[s]
+        ]
+        for s in range(len(codebooks))
+    ]
+
+
+def pq_adc_dist(lut_col: Column, codes_col: Column, n_subspaces: int) -> Column:
+    """ADC distance of one coded vector under one query's LUT: the
+    n_subspaces table lookups summed in WRITTEN subspace order (the
+    left-associated add chain both `pq_topk`'s literal form and the
+    streaming broadcast form must share for bit-equality)."""
+    dist = None
+    for s in range(n_subspaces):
+        term = F.element_at(
+            F.element_at(lut_col, s + 1),
+            F.element_at(codes_col, s + 1) + 1,
+        )
+        dist = term if dist is None else dist + term
+    return dist
+
+
+def pq_shortlist_rerank(
+    scored: DataFrame, k: int, shortlist: int, vecs: DataFrame | None = None
+) -> DataFrame:
+    """The PQ serving tail shared by batch and stream: per-query ADC
+    shortlist ((_adc ASC, vec_id) ties), exact re-rank of the
+    shortlist by dot on unit vectors rounded to 6 ((cos_sim DESC,
+    vec_id) ties), top-k. scored must carry (query_id, vec_id, label,
+    _adc, _qv) plus ``v`` -- either inline (vecs=None, the batch path,
+    where the encoded frame already holds the float vector) or joined
+    AFTER the shortlist from ``vecs`` (vec_id, v) -- the streaming
+    artifact split, so only the shortlist's floats are ever read (the
+    PQ RAM story: codes scan everything, vectors serve the tail)."""
+    w_short = Window.partitionBy("query_id").orderBy(
+        F.col("_adc").asc(), F.col("vec_id")
+    )
+    cands = scored.withColumn("_r", F.row_number().over(w_short)).filter(
+        F.col("_r") <= max(shortlist, k)
+    )
+    if vecs is not None:
+        cands = cands.join(vecs, "vec_id")
+    rescored = cands.select(
+        "query_id",
+        "vec_id",
+        "label",
+        F.round(dot(F.col("_qv"), F.col("v")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id")
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "label", "rank", "cos_sim")
+    )
+
+
 def pq_topk(
     embeddings: DataFrame,
     n_queries: int = 5,
@@ -1300,63 +1371,37 @@ def pq_topk(
     }
 
     def lut_expr(qv: list[float]) -> Column:
-        luts = []
-        for s in range(n_subspaces):
-            qs = qv[s * d_sub : (s + 1) * d_sub]
-            row = [
-                sum((a - b) * (a - b) for a, b in zip(qs, c))
-                for c in codebooks[s]
-            ]
-            luts.append("array(%s)" % ", ".join(repr(x) for x in row))
-        return F.expr("array(%s)" % ", ".join(luts))
+        return F.expr(
+            "array(%s)"
+            % ", ".join(
+                "array(%s)" % ", ".join(repr(x) for x in row)
+                for row in pq_lut(qv, codebooks)
+            )
+        )
 
     def qvec_expr(qv: list[float]) -> Column:
         return F.expr("array(%s)" % ", ".join(repr(x) for x in qv))
 
     branches = []
     for qid, qv in sorted(queries.items()):
-        lut = lut_expr(qv)
-        dist = None
-        for s in range(n_subspaces):
-            term = F.element_at(
-                F.element_at(lut, s + 1),
-                F.element_at(F.col("codes"), s + 1) + 1,
-            )
-            dist = term if dist is None else dist + term
         branches.append(
             encoded.filter(F.col("vec_id") != qid).select(
                 F.lit(qid).alias("query_id"),
                 "vec_id",
                 "label",
                 "v",
-                dist.alias("_adc"),
+                pq_adc_dist(
+                    lut_expr(qv), F.col("codes"), n_subspaces
+                ).alias("_adc"),
                 qvec_expr(qv).alias("_qv"),
             )
         )
     scored = branches[0]
     for b in branches[1:]:
         scored = scored.unionByName(b)
-    w_short = Window.partitionBy("query_id").orderBy(
-        F.col("_adc").asc(), F.col("vec_id")
-    )
-    cands = scored.withColumn("_r", F.row_number().over(w_short)).filter(
-        F.col("_r") <= max(shortlist, k)
-    )
-    # exact re-rank on unit vectors: cosine == dot
-    rescored = cands.select(
-        "query_id",
-        "vec_id",
-        "label",
-        F.round(dot(F.col("_qv"), F.col("v")), 6).alias("cos_sim"),
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("vec_id")
-    )
-    return (
-        rescored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "vec_id", "label", "rank", "cos_sim")
-    )
+    # shortlist + exact re-rank on unit vectors (cosine == dot):
+    # shared tail with the streaming pq_topk_batches
+    return pq_shortlist_rerank(scored, k, shortlist)
 
 
 def source_micro_means(embs_sourced: DataFrame) -> DataFrame:

@@ -1071,6 +1071,170 @@ def ivf_topk_batches(
     return writer.start()
 
 
+def write_pq_index(
+    embeddings: DataFrame,
+    path: str,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    iterations: int = 3,
+    dim: int | None = None,
+) -> str:
+    """Persist the product-quantization artifact -- the RAM-bound
+    billion-vector member of the serving-index family (LSH bands /
+    brute vecs / IVF cells / now PQ codes):
+
+      ``path/codes`` -- (vec_id, label, codes array<int>): the scan
+      side, ~n_subspaces bytes per vector vs dim*8 raw. EVERY probe
+      reads only this.
+      ``path/vecs`` -- (vec_id, v): the unit float vectors, read only
+      for the per-query shortlist's exact re-rank.
+      ``path/codebooks`` -- (s, code, centroid): the trained model,
+      n_subspaces x n_codes tiny rows the probe turns into per-query
+      lookup tables.
+
+    Training is `similarity.pq_encode` (sorted-fold means --
+    deterministic in partitioning). Rebuild-only in v1: a corpus
+    delta COULD append exactly by encoding with the FROZEN codebooks
+    (the standard faiss practice -- codes are per-doc facts given the
+    model), but retraining the model is a rebuild; left out until a
+    use case needs the append. Knobs stamp into the fingerprint."""
+    from ..llmdata.similarity import EMBEDDING_DIM, pq_encode
+
+    dim = EMBEDDING_DIM if dim is None else dim
+    spark = embeddings.sparkSession
+    encoded, codebooks = pq_encode(
+        embeddings, n_subspaces, n_codes, iterations, dim
+    )
+    encoded.select("vec_id", "label", "codes").write.mode(
+        "overwrite"
+    ).parquet(path + "/codes")
+    encoded.select("vec_id", "v").write.mode("overwrite").parquet(
+        path + "/vecs"
+    )
+    rows = [
+        (s, c, codebooks[s][c])
+        for s in range(len(codebooks))
+        for c in range(len(codebooks[s]))
+    ]
+    (
+        spark.createDataFrame(rows, "s int, code int, centroid array<double>")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(path + "/codebooks")
+    )
+    _write_index_fingerprint(
+        spark,
+        path,
+        {
+            "kind": "pq",
+            "n_subspaces": n_subspaces,
+            "n_codes": n_codes,
+            "iterations": iterations,
+        },
+    )
+    return path
+
+
+def pq_topk_batches(
+    queries: DataFrame,
+    index_codes: DataFrame,
+    index_vecs: DataFrame,
+    index_codebooks: DataFrame,
+    out_path: str,
+    k: int = 5,
+    shortlist: int | None = None,
+    checkpoint: str | None = None,
+    index_path: str | None = None,
+    expected_fingerprint: str | None = None,
+    exclude_self: bool = True,
+):
+    """Streaming PQ top-k (shortlist-then-rerank): each arriving query
+    vector gets a per-query ADC lookup table computed driver-side
+    from the stored codebooks (the SAME `similarity.pq_lut` Python
+    arithmetic the batch `pq_topk` bakes into literals -- shared, so
+    the two paths' ADC scores are bit-equal), shipped as broadcast
+    rows; the codes scan sums n_subspaces table lookups per (vector,
+    query) in written subspace order (`pq_adc_dist`, shared); the
+    per-query shortlist joins `vecs` for the exact re-rank
+    (`pq_shortlist_rerank`, shared) -- so for corpus-replayed queries
+    the output equals the batch operator row-for-row (pinned), and
+    NO float vector outside the shortlist is ever read.
+
+    Bounded driver work per batch: the arriving queries collect
+    (micro-batch-sized, the serving analog of the batch path's
+    driver-side query collection) and each costs n_subspaces x
+    n_codes x d_sub float ops for its table. ``shortlist`` defaults
+    to the batch rule max(8k, corpus/8) via one count on the codes
+    artifact at construction. Same ``checkpoint`` / pin / ``exclude_self``
+    discipline as the family."""
+    from ..llmdata.similarity import (
+        _dvec,
+        _normalize,
+        pq_adc_dist,
+        pq_lut,
+        pq_shortlist_rerank,
+    )
+
+    _check = _pin_index(
+        queries.sparkSession,
+        index_path,
+        expected_fingerprint,
+        "PQ index at {path} was overwritten under a probe stream "
+        "(fingerprint {now} != snapshot {expected}); rebuild the probe "
+        "stream against the new index instead",
+    )
+
+    cb_rows = index_codebooks.orderBy("s", "code").collect()
+    n_subspaces = 1 + max(r["s"] for r in cb_rows)
+    codebooks: list[list[list[float]]] = [[] for _ in range(n_subspaces)]
+    for r in cb_rows:
+        codebooks[r["s"]].append(list(r["centroid"]))
+    if shortlist is None:
+        shortlist = max(8 * k, index_codes.count() // 8)
+
+    def _emit(batch: DataFrame, _epoch: int) -> None:
+        _check(batch.sparkSession)
+        if batch.isEmpty():
+            return
+        qrows = batch.select(
+            F.col("vec_id").alias("query_id"),
+            _normalize(_dvec("embedding")).alias("qvec"),
+        ).collect()
+        qdf = batch.sparkSession.createDataFrame(
+            [
+                (r["query_id"], list(r["qvec"]), pq_lut(list(r["qvec"]), codebooks))
+                for r in qrows
+            ],
+            "query_id long, _qv array<double>, lut array<array<double>>",
+        )
+        scored = index_codes.crossJoin(F.broadcast(qdf))
+        if exclude_self:
+            scored = scored.filter(F.col("vec_id") != F.col("query_id"))
+        scored = scored.select(
+            "query_id",
+            "vec_id",
+            "label",
+            pq_adc_dist(F.col("lut"), F.col("codes"), n_subspaces).alias(
+                "_adc"
+            ),
+            "_qv",
+        )
+        (
+            pq_shortlist_rerank(scored, k, shortlist, vecs=index_vecs)
+            .write.mode("append")
+            .parquet(out_path)
+        )
+
+    writer = (
+        queries.writeStream.foreachBatch(_emit)
+        .outputMode("append")
+        .trigger(availableNow=True)
+    )
+    if checkpoint is not None:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
+
+
 def _write_index_fingerprint(spark: SparkSession, path: str, params: dict) -> None:
     """Stamp an index build with a unique nonce + its knob values (one
     tiny parquet row at ``path/fingerprint``). Probe streams snapshot

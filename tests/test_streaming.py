@@ -1890,6 +1890,64 @@ def test_streaming_ivf_topk_matches_batch_multiprobe(spark, tmp_path):
         )
 
 
+def test_streaming_pq_topk_matches_batch(spark, tmp_path):
+    """Streaming PQ shortlist-then-rerank over the persisted
+    codes/vecs/codebooks artifact equals the batch `pq_topk`
+    row-for-row for corpus-replayed queries: the per-query ADC table
+    is the SAME `pq_lut` Python arithmetic the batch bakes into
+    literals, the lookup sum is the shared written-order `pq_adc_dist`
+    chain, and the shortlist+rerank tail is `pq_shortlist_rerank` --
+    with the stream reading float vectors ONLY for the shortlist
+    (vecs joined after the ADC window). Also pins the family's
+    stale-pin refusal."""
+    from big_data_streaming_dashboard_spark.llmdata.similarity import (
+        pq_topk,
+    )
+    from big_data_streaming_dashboard_spark.streaming.llm_ingest import (
+        index_fingerprint,
+        pq_topk_batches,
+        stream_embeddings,
+        write_pq_index,
+    )
+    from big_data_streaming_dashboard_spark.tables import load_table
+
+    embs = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    idx = write_pq_index(embs, str(tmp_path / "pq"))
+    qdir = str(tmp_path / "queries")
+    embs.filter(F.col("vec_id") < 5).repartition(2).write.parquet(qdir)
+
+    out = str(tmp_path / "topk")
+    q = pq_topk_batches(
+        stream_embeddings(spark, qdir),
+        spark.read.parquet(idx + "/codes"),
+        spark.read.parquet(idx + "/vecs"),
+        spark.read.parquet(idx + "/codebooks"),
+        out,
+        k=5,
+        checkpoint=str(tmp_path / "ckpt"),
+        index_path=idx,
+    )
+    q.awaitTermination(180)
+    got = sorted(map(tuple, spark.read.parquet(out).collect()))
+    want = sorted(map(tuple, pq_topk(embs, n_queries=5, k=5).collect()))
+    assert got == want and got
+
+    # stale pin refuses at call time after a rebuild
+    stale = index_fingerprint(spark, idx)
+    write_pq_index(embs.filter(F.col("vec_id") < 300), idx)
+    assert index_fingerprint(spark, idx) != stale
+    with pytest.raises(RuntimeError, match="PQ index .* overwritten"):
+        pq_topk_batches(
+            stream_embeddings(spark, qdir),
+            spark.read.parquet(idx + "/codes"),
+            spark.read.parquet(idx + "/vecs"),
+            spark.read.parquet(idx + "/codebooks"),
+            str(tmp_path / "stale_out"),
+            index_path=idx,
+            expected_fingerprint=stale,
+        )
+
+
 def test_streaming_funnel_matches_batch_under_reverse_replay(spark, tmp_path):
     """Exact out-of-order funnel: replay the sf0.001 events corpus in
     REVERSE timestamp order across 5 micro-batches, so nearly every
