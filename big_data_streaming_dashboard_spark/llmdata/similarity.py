@@ -1157,21 +1157,7 @@ def pq_encode(
         return F.slice(F.col("v"), s * d_sub + 1, d_sub)
 
     def assign_col(cents: list[list[float]], sub: Column) -> Column:
-        cent_arr = F.expr(
-            "array(%s)"
-            % ", ".join(
-                "array(%s)" % ", ".join(repr(x) for x in c) for c in cents
-            )
-        )
-        dists = F.transform(
-            cent_arr,
-            lambda c: F.aggregate(
-                F.zip_with(sub, c, lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0),
-                lambda acc, d: acc + d,
-            ),
-        )
-        return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+        return _pq_assign_col(cents, sub)
 
     # seed = first n_codes rows by vec_id -- limit(), NOT a
     # `vec_id < n_codes` filter, so sparse / non-0-based id spaces
@@ -1248,6 +1234,52 @@ def pq_encode(
         ).alias("codes"),
     )
     return encoded, codebooks
+
+
+def _pq_assign_col(cents: list[list[float]], sub: Column) -> Column:
+    """Nearest-centroid code for one sub-vector column under one
+    subspace's centroid list: squared-L2 distances to every centroid
+    baked as literals (the codebooks are driver-held KBs), ties to
+    the LOWEST code via array_position-of-min. Defined ONCE at module
+    level: `pq_encode` assigns with it during training and for the
+    final encode, and `pq_code_col` (the frozen-model delta encoder
+    behind `streaming.llm_ingest.append_pq_index`) reuses it -- so an
+    appended vector's codes are bit-identical to what a rebuild under
+    the SAME codebooks would assign, by shared code rather than by
+    re-derivation."""
+    cent_arr = F.expr(
+        "array(%s)"
+        % ", ".join(
+            "array(%s)" % ", ".join(repr(x) for x in c) for c in cents
+        )
+    )
+    dists = F.transform(
+        cent_arr,
+        lambda c: F.aggregate(
+            F.zip_with(sub, c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, d: acc + d,
+        ),
+    )
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
+def pq_code_col(codebooks: list[list[list[float]]]) -> Column:
+    """codes array<int> for a unit-vector column ``v`` under FROZEN
+    codebooks -- the standard faiss add-with-trained-index encode:
+    given the model, a vector's codes are per-row facts, so a corpus
+    delta encoded with this column appends EXACTLY (append-then-probe
+    == same-model-rebuild-then-probe). Assignment arithmetic is
+    `_pq_assign_col`, shared verbatim with `pq_encode`."""
+    d_sub = len(codebooks[0][0])
+    return F.array(
+        *[
+            _pq_assign_col(
+                codebooks[s], F.slice(F.col("v"), s * d_sub + 1, d_sub)
+            )
+            for s in range(len(codebooks))
+        ]
+    )
 
 
 def pq_lut(qv: list[float], codebooks: list[list[list[float]]]) -> list[list[float]]:

@@ -1093,11 +1093,11 @@ def write_pq_index(
       lookup tables.
 
     Training is `similarity.pq_encode` (sorted-fold means --
-    deterministic in partitioning). Rebuild-only in v1: a corpus
-    delta COULD append exactly by encoding with the FROZEN codebooks
-    (the standard faiss practice -- codes are per-doc facts given the
-    model), but retraining the model is a rebuild; left out until a
-    use case needs the append. Knobs stamp into the fingerprint."""
+    deterministic in partitioning). A corpus delta appends EXACTLY by
+    encoding with the FROZEN codebooks (`append_pq_index` -- the
+    standard faiss add-with-trained-index practice: codes are per-doc
+    facts given the model); reTRAINING the model is a rebuild. Knobs
+    stamp into the fingerprint."""
     from ..llmdata.similarity import EMBEDDING_DIM, pq_encode
 
     dim = EMBEDDING_DIM if dim is None else dim
@@ -1130,6 +1130,129 @@ def write_pq_index(
             "n_subspaces": n_subspaces,
             "n_codes": n_codes,
             "iterations": iterations,
+        },
+    )
+    return path
+
+
+def append_pq_index(embeddings: DataFrame, path: str) -> str:
+    """Fold an embedding delta into an existing `write_pq_index` root
+    by encoding the new vectors with the FROZEN stored codebooks --
+    the faiss add-with-trained-index practice. Given the model, a
+    vector's codes are per-row facts (`similarity.pq_code_col`, the
+    same `_pq_assign_col` arithmetic `pq_encode` assigns with), so
+    append-then-probe equals a rebuild that encodes the merged corpus
+    under the SAME codebooks, row-for-row (pinned by
+    tests/test_streaming.py::test_streaming_pq_append_equals_frozen_model_rebuild);
+    what an append deliberately does NOT do is retrain -- the model
+    drifts from the corpus it summarizes as deltas accumulate, and the
+    periodic retrain is a rebuild (the LSM-refresh story, same as IVF).
+
+    Loud premise guards, mirroring the split/BM25 appends:
+      - an unstamped artifact and a non-PQ artifact refuse with
+        DISTINCT messages (the r14 ADVICE rule);
+      - a codebooks/fingerprint subspace-count disagreement refuses
+        (a mixed artifact would encode deltas under a different rule
+        than the stored codes);
+      - delta vectors whose width disagrees with the stored model
+        refuse (a short vector would zip_with-pad to null distances
+        and assign garbage codes silently);
+      - delta vec_ids already present in ``codes`` refuse (a
+        double-append would duplicate shortlist rows and corrupt the
+        per-query rank window);
+      - a TORN artifact (codes/vecs row counts disagree -- the crash
+        window between the two appends below) refuses before writing
+        anything, instead of burying the tear deeper.
+    Write order: codes, vecs, then the nonce re-stamp LAST (the stamp
+    is the completion marker; a crash between the writes leaves the
+    old nonce and the NEXT append's torn-artifact guard catches it).
+    The re-stamp fails over running pinned probe streams per the
+    family rule. An empty delta is a no-op WITHOUT a re-stamp (no
+    pointless stream failover)."""
+    from ..llmdata.similarity import _dvec, _normalize, pq_code_col
+
+    spark = embeddings.sparkSession
+    try:
+        fp = spark.read.parquet(path + "/fingerprint").collect()[0].asDict()
+    except Exception as exc:
+        raise ValueError(
+            f"append_pq_index: no fingerprint at {path} -- the artifact "
+            "is unstamped (not a write_pq_index root, or a torn build); "
+            "rebuild with write_pq_index"
+        ) from exc
+    if fp.get("kind") != "pq":
+        raise ValueError(
+            f"append_pq_index: artifact at {path} is stamped "
+            f"kind={fp.get('kind')!r}, not a PQ index"
+        )
+    cb_rows = (
+        spark.read.parquet(path + "/codebooks").orderBy("s", "code").collect()
+    )
+    n_subspaces = 1 + max(r["s"] for r in cb_rows)
+    if int(fp["n_subspaces"]) != n_subspaces:
+        raise ValueError(
+            f"append_pq_index: fingerprint stamps n_subspaces="
+            f"{fp['n_subspaces']} but the stored codebooks span "
+            f"{n_subspaces} subspaces -- mixed artifact, rebuild"
+        )
+    codebooks: list[list[list[float]]] = [[] for _ in range(n_subspaces)]
+    for r in cb_rows:
+        codebooks[r["s"]].append(list(r["centroid"]))
+    dim = n_subspaces * len(codebooks[0][0])
+
+    new = embeddings.select(
+        "vec_id", "label", _normalize(_dvec("embedding")).alias("v")
+    ).persist()
+    try:
+        if new.isEmpty():
+            return path
+        bad_dim = new.filter(F.size("v") != dim).count()
+        if bad_dim:
+            raise ValueError(
+                f"append_pq_index: {bad_dim} delta vector(s) are not "
+                f"{dim}-dimensional -- the stored model encodes exactly "
+                f"{dim} dims; a ragged delta would assign garbage codes"
+            )
+        codes = spark.read.parquet(path + "/codes")
+        vecs = spark.read.parquet(path + "/vecs")
+        n_codes_rows, n_vecs_rows = codes.count(), vecs.count()
+        if n_codes_rows != n_vecs_rows:
+            raise ValueError(
+                f"append_pq_index: torn artifact at {path} -- codes has "
+                f"{n_codes_rows} rows but vecs has {n_vecs_rows} (a prior "
+                "append crashed between its writes); rebuild with "
+                "write_pq_index"
+            )
+        dups = [
+            r["vec_id"]
+            for r in new.join(codes.select("vec_id"), "vec_id")
+            .select("vec_id")
+            .limit(5)
+            .collect()
+        ]
+        if dups:
+            raise ValueError(
+                f"append_pq_index: delta vec_ids already present in the "
+                f"index (sample: {dups}) -- a double-append would "
+                "duplicate shortlist rows; appends must be disjoint deltas"
+            )
+        encoded = new.withColumn("codes", pq_code_col(codebooks))
+        encoded.select("vec_id", "label", "codes").write.mode(
+            "append"
+        ).parquet(path + "/codes")
+        encoded.select("vec_id", "v").write.mode("append").parquet(
+            path + "/vecs"
+        )
+    finally:
+        new.unpersist()
+    _write_index_fingerprint(
+        spark,
+        path,
+        {
+            "kind": "pq",
+            "n_subspaces": int(fp["n_subspaces"]),
+            "n_codes": int(fp["n_codes"]),
+            "iterations": int(fp["iterations"]),
         },
     )
     return path

@@ -1948,6 +1948,197 @@ def test_streaming_pq_topk_matches_batch(spark, tmp_path):
         )
 
 
+def test_streaming_pq_append_equals_frozen_model_rebuild(spark, tmp_path):
+    """`append_pq_index` encodes a delta under the FROZEN stored
+    codebooks (faiss add-with-trained-index), and the claim is pinned
+    two independent ways: (a) the appended codes rows equal a pure-
+    Python nearest-centroid recompute of the delta under the stored
+    codebooks -- left-to-right fold normalization, per-subspace
+    squared-L2 folds, first-min tie rule, the exact `_normalize` /
+    `_pq_assign_col` arithmetic re-derived WITHOUT Spark (the
+    union-find/BFS-reference discipline); (b) streaming probes over
+    the appended artifact equal `pq_shortlist_rerank` over the merged
+    frozen-model encoding computed in-memory (base encode from
+    `pq_encode`, delta encode from the shared `pq_code_col`). Also
+    pins the nonce re-stamp on append (running pinned streams fail
+    over) and the empty-delta no-op (no pointless failover)."""
+    from big_data_streaming_dashboard_spark.llmdata.similarity import (
+        _dvec,
+        _normalize,
+        pq_adc_dist,
+        pq_code_col,
+        pq_encode,
+        pq_lut,
+        pq_shortlist_rerank,
+    )
+    from big_data_streaming_dashboard_spark.streaming.llm_ingest import (
+        append_pq_index,
+        index_fingerprint,
+        pq_topk_batches,
+        stream_embeddings,
+        write_pq_index,
+    )
+    from big_data_streaming_dashboard_spark.tables import load_table
+
+    embs = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    base = embs.filter(F.col("vec_id") < 400)
+    delta = embs.filter(F.col("vec_id") >= 400)
+    idx = str(tmp_path / "pq")
+    write_pq_index(base, idx)
+    stamp0 = index_fingerprint(spark, idx)
+    append_pq_index(delta, idx)
+    assert index_fingerprint(spark, idx) != stamp0  # failover re-stamp
+
+    # (a) appended codes == pure-Python frozen-model recompute
+    cb_rows = (
+        spark.read.parquet(idx + "/codebooks").orderBy("s", "code").collect()
+    )
+    n_sub = 1 + max(r["s"] for r in cb_rows)
+    books: list[list[list[float]]] = [[] for _ in range(n_sub)]
+    for r in cb_rows:
+        books[r["s"]].append(list(r["centroid"]))
+    d_sub = len(books[0][0])
+    got_codes = {
+        r["vec_id"]: list(r["codes"])
+        for r in spark.read.parquet(idx + "/codes")
+        .filter(F.col("vec_id") >= 400)
+        .collect()
+    }
+    raw = delta.select("vec_id", _dvec("embedding").alias("e")).collect()
+    assert len(got_codes) == len(raw) == 100
+    for r in raw:
+        acc = 0.0
+        for x in r["e"]:
+            acc = acc + x * x
+        norm = acc ** 0.5
+        v = [x / norm for x in r["e"]]
+        want = []
+        for s in range(n_sub):
+            sub = v[s * d_sub : (s + 1) * d_sub]
+            dists = []
+            for c in books[s]:
+                d = 0.0
+                for a, b in zip(sub, c):
+                    d = d + (a - b) * (a - b)
+                dists.append(d)
+            want.append(dists.index(min(dists)))
+        assert got_codes[r["vec_id"]] == want, r["vec_id"]
+
+    # (b) probes over the appended artifact == the merged frozen-model
+    # encoding served through the shared batch tail
+    qdir = str(tmp_path / "queries")
+    embs.filter(F.col("vec_id").isin([1, 150, 410, 470])).repartition(
+        2
+    ).write.parquet(qdir)
+    out = str(tmp_path / "topk")
+    q = pq_topk_batches(
+        stream_embeddings(spark, qdir),
+        spark.read.parquet(idx + "/codes"),
+        spark.read.parquet(idx + "/vecs"),
+        spark.read.parquet(idx + "/codebooks"),
+        out,
+        k=5,
+        checkpoint=str(tmp_path / "ckpt"),
+        index_path=idx,
+    )
+    q.awaitTermination(180)
+    got = sorted(map(tuple, spark.read.parquet(out).collect()))
+
+    enc_base, books_trained = pq_encode(base)
+    assert books_trained == books  # stored model IS the base training
+    merged = enc_base.select("vec_id", "label", "v", "codes").unionByName(
+        delta.select(
+            "vec_id",
+            "label",
+            _normalize(_dvec("embedding")).alias("v"),
+        ).withColumn("codes", pq_code_col(books))
+    ).persist()
+    shortlist = max(8 * 5, 500 // 8)
+    branches = []
+    for qr in sorted(
+        merged.filter(F.col("vec_id").isin([1, 150, 410, 470])).collect(),
+        key=lambda r: r["vec_id"],
+    ):
+        qv = list(qr["v"])
+        lut = pq_lut(qv, books)
+        lut_expr = F.expr(
+            "array(%s)"
+            % ", ".join(
+                "array(%s)" % ", ".join(repr(x) for x in row) for row in lut
+            )
+        )
+        branches.append(
+            merged.filter(F.col("vec_id") != qr["vec_id"]).select(
+                F.lit(qr["vec_id"]).alias("query_id"),
+                "vec_id",
+                "label",
+                "v",
+                pq_adc_dist(lut_expr, F.col("codes"), n_sub).alias("_adc"),
+                F.expr(
+                    "array(%s)" % ", ".join(repr(x) for x in qv)
+                ).alias("_qv"),
+            )
+        )
+    scored = branches[0]
+    for b in branches[1:]:
+        scored = scored.unionByName(b)
+    want = sorted(
+        map(tuple, pq_shortlist_rerank(scored, 5, shortlist).collect())
+    )
+    merged.unpersist()
+    assert got == want and got
+    assert any(t[1] >= 400 for t in got)  # delta vectors actually serve
+
+    # empty delta: no-op, NO re-stamp (no pointless stream failover)
+    stamp1 = index_fingerprint(spark, idx)
+    append_pq_index(embs.filter(F.col("vec_id") < 0), idx)
+    assert index_fingerprint(spark, idx) == stamp1
+
+
+def test_streaming_pq_append_guards_refuse_loudly(spark, tmp_path):
+    """The `append_pq_index` premise guards, each with its DISTINCT
+    message: unstamped root, non-PQ artifact, duplicate delta ids,
+    ragged delta dimensions, and a torn codes/vecs artifact (the
+    crash window between the two appends)."""
+    from big_data_streaming_dashboard_spark.streaming.llm_ingest import (
+        _write_index_fingerprint,
+        append_pq_index,
+        write_pq_index,
+    )
+    from big_data_streaming_dashboard_spark.tables import load_table
+
+    embs = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    base = embs.filter(F.col("vec_id") < 400)
+    delta = embs.filter(F.col("vec_id") >= 400)
+
+    with pytest.raises(ValueError, match="unstamped"):
+        append_pq_index(delta, str(tmp_path / "nowhere"))
+
+    other = str(tmp_path / "notpq")
+    _write_index_fingerprint(spark, other, {"kind": "ivf"})
+    with pytest.raises(ValueError, match="not a PQ index"):
+        append_pq_index(delta, other)
+
+    idx = str(tmp_path / "pq")
+    write_pq_index(base, idx)
+    with pytest.raises(ValueError, match="already present"):
+        append_pq_index(embs.filter(F.col("vec_id") < 10), idx)
+
+    ragged = spark.createDataFrame(
+        [(9001, 1, [0.25] * 32)],
+        "vec_id long, label int, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="dimensional"):
+        append_pq_index(ragged, idx)
+
+    # tear the artifact: one codes row lands without its vecs twin
+    spark.read.parquet(idx + "/codes").limit(1).withColumn(
+        "vec_id", F.lit(77777).cast("long")
+    ).write.mode("append").parquet(idx + "/codes")
+    with pytest.raises(ValueError, match="torn artifact"):
+        append_pq_index(delta, idx)
+
+
 def test_streaming_funnel_matches_batch_under_reverse_replay(spark, tmp_path):
     """Exact out-of-order funnel: replay the sf0.001 events corpus in
     REVERSE timestamp order across 5 micro-batches, so nearly every
