@@ -923,10 +923,11 @@ def write_ivf_index(
 
     The assignment bakes the build knobs in (same argument as the
     split index), so n_lists / kmeans_iterations are stamped into the
-    fingerprint; cells and centroids are REBUILD-ONLY (a corpus delta
-    moves the means, which moves every assignment boundary -- IVF has
-    no exact append; refresh = rebuild + nonce re-stamp, failing over
-    pinned probe streams by the family rule).
+    fingerprint. A corpus delta appends exactly under the FROZEN
+    stored centroids (`append_ivf_index` -- the cell of a vector is a
+    per-row fact given the means); what moves the means -- reTRAINING
+    -- is a rebuild + nonce re-stamp, failing over pinned probe
+    streams by the family rule.
 
     Reference parity: the probe over this artifact reproduces
     `similarity.ivf_topk`'s multi-probe ranking through the SHARED
@@ -1172,19 +1173,9 @@ def append_pq_index(embeddings: DataFrame, path: str) -> str:
     from ..llmdata.similarity import _dvec, _normalize, pq_code_col
 
     spark = embeddings.sparkSession
-    try:
-        fp = spark.read.parquet(path + "/fingerprint").collect()[0].asDict()
-    except Exception as exc:
-        raise ValueError(
-            f"append_pq_index: no fingerprint at {path} -- the artifact "
-            "is unstamped (not a write_pq_index root, or a torn build); "
-            "rebuild with write_pq_index"
-        ) from exc
-    if fp.get("kind") != "pq":
-        raise ValueError(
-            f"append_pq_index: artifact at {path} is stamped "
-            f"kind={fp.get('kind')!r}, not a PQ index"
-        )
+    fp = _read_stamped_fingerprint(
+        spark, path, "pq", "PQ", "append_pq_index"
+    )
     cb_rows = (
         spark.read.parquet(path + "/codebooks").orderBy("s", "code").collect()
     )
@@ -1347,6 +1338,483 @@ def pq_topk_batches(
             .write.mode("append")
             .parquet(out_path)
         )
+
+    writer = (
+        queries.writeStream.foreachBatch(_emit)
+        .outputMode("append")
+        .trigger(availableNow=True)
+    )
+    if checkpoint is not None:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
+
+
+def _read_stamped_fingerprint(
+    spark: SparkSession, path: str, kind: str, display: str, caller: str
+) -> dict:
+    """The append family's shared entry guard (one place, the
+    `_pin_index` lesson): an unstamped root and a wrong-kind artifact
+    refuse with DISTINCT messages -- the former is 'this is not (or
+    no longer) a built index', the latter is 'you are appending the
+    wrong kind of delta to a real index'."""
+    try:
+        fp = spark.read.parquet(path + "/fingerprint").collect()[0].asDict()
+    except Exception as exc:
+        raise ValueError(
+            f"{caller}: no fingerprint at {path} -- the artifact is "
+            f"unstamped (not a {display} index root, or a torn build); "
+            "rebuild it first"
+        ) from exc
+    if fp.get("kind") != kind:
+        raise ValueError(
+            f"{caller}: artifact at {path} is stamped "
+            f"kind={fp.get('kind')!r}, not a {display} index"
+        )
+    return fp
+
+
+def append_ivf_index(embeddings: DataFrame, path: str) -> str:
+    """Fold an embedding delta into an existing `write_ivf_index` root
+    under the FROZEN stored centroids: each new vector lands in its
+    nearest FINAL-assignment cell -- `similarity.ivf_probe_rank` at
+    n_probe=1, the exact rule by which queries will probe for it, so
+    an appended vector is by construction in the first cell any query
+    that should find it looks in. Given the centroids, the cell of a
+    vector is a per-row fact; what an append deliberately does NOT do
+    is move the means -- the model drifts from the corpus as deltas
+    accumulate (appended mass never re-centers its cell), and the
+    periodic re-train is a rebuild (the LSM-refresh story, same as
+    PQ/IVF-PQ). Note the documented assignment delta: a REBUILD
+    assigns under `kmeans_assign`'s last Lloyd iteration (pre-update
+    centroids), so a boundary vector can sit in a different cell than
+    this append would choose -- both are valid IVF assignments at the
+    same budget, the same margin argument as the n_probe=1 probe
+    delta.
+
+    Guards (the append-family rules): unstamped / non-IVF artifacts
+    refuse distinctly; ragged delta dims refuse (zip_with would pad
+    null distances and assign a garbage cell); delta vec_ids already
+    in ``cells`` refuse (a double-append would duplicate rank rows).
+    The nonce re-stamps LAST, failing over running pinned probe
+    streams; an empty delta is a no-op without a re-stamp."""
+    from ..llmdata.similarity import _dvec, ivf_probe_rank
+
+    spark = embeddings.sparkSession
+    fp = _read_stamped_fingerprint(
+        spark, path, "ivf", "IVF", "append_ivf_index"
+    )
+    cents = spark.read.parquet(path + "/centroids")
+    dim = len(cents.select("centroid").first()["centroid"])
+
+    new = embeddings.select(
+        "vec_id", "label", _dvec("embedding").alias("vec")
+    ).persist()
+    try:
+        if new.isEmpty():
+            return path
+        bad_dim = new.filter(F.size("vec") != dim).count()
+        if bad_dim:
+            raise ValueError(
+                f"append_ivf_index: {bad_dim} delta vector(s) are not "
+                f"{dim}-dimensional -- the stored centroids are; a ragged "
+                "delta would assign a garbage cell"
+            )
+        cells = spark.read.parquet(path + "/cells")
+        dups = [
+            r["vec_id"]
+            for r in new.join(cells.select("vec_id"), "vec_id")
+            .select("vec_id")
+            .limit(5)
+            .collect()
+        ]
+        if dups:
+            raise ValueError(
+                f"append_ivf_index: delta vec_ids already present in the "
+                f"index (sample: {dups}) -- appends must be disjoint deltas"
+            )
+        assigned = ivf_probe_rank(
+            new.select(
+                F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
+            ),
+            cents,
+            1,
+        ).select(
+            F.col("query_id").alias("vec_id"),
+            F.col("probe_cluster").alias("cluster"),
+        )
+        (
+            new.join(assigned, "vec_id")
+            .select("vec_id", "label", "vec", "cluster")
+            .write.mode("append")
+            .partitionBy("cluster")
+            .parquet(path + "/cells")
+        )
+    finally:
+        new.unpersist()
+    _write_index_fingerprint(
+        spark,
+        path,
+        {
+            "kind": "ivf",
+            "n_lists": int(fp["n_lists"]),
+            "kmeans_iterations": int(fp["kmeans_iterations"]),
+        },
+    )
+    return path
+
+
+def write_ivfpq_index(
+    embeddings: DataFrame,
+    path: str,
+    n_lists: int = 8,
+    kmeans_iterations: int = 3,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    iterations: int = 3,
+) -> str:
+    """Persist the IVF-PQ artifact -- the canonical billion-vector
+    serving shape (the faiss IVFPQ layout): a coarse quantizer prunes
+    the SCAN (cluster-partitioned cells, the IVF side) and product
+    quantization shrinks what the scan READS (~n_subspaces bytes per
+    vector, the PQ side); float vectors surface only for the per-query
+    shortlist re-rank. Composition of the two existing family members,
+    sharing BOTH their rules:
+
+      ``path/cells``    -- (vec_id, label, codes) PARTITIONED BY the
+                           k-means cluster: a probe reads n_probe cell
+                           directories of ~8-byte codes, never the
+                           corpus and never a float.
+      ``path/vecs``     -- (vec_id, v) unit floats, shortlist-only.
+      ``path/codebooks``-- the trained PQ model (`pq_encode`, on the
+                           FULL corpus -- NOT faiss's per-cell residual
+                           encoding: one global codebook keeps the ADC
+                           arithmetic verbatim-shared with `pq_topk` /
+                           `pq_topk_batches`, which is what the parity
+                           pins rest on; the residual variant buys
+                           recall at equal bits but breaks that
+                           sharing, a documented deliberate trade).
+      ``path/centroids``-- (cluster, centroid) coarse means of the
+                           FINAL assignment in RAW vector space
+                           (`ivf_centroids` over `kmeans_assign`, the
+                           IVF family's shared probe-ranking side).
+
+    Rebuild-only for reTRAINING (means and codebooks move); a corpus
+    delta under the FROZEN models appends exactly --
+    `append_ivfpq_index`. Knobs stamp into the fingerprint."""
+    from ..llmdata.similarity import (
+        _dvec,
+        ivf_centroids,
+        kmeans_assign,
+        pq_encode,
+    )
+
+    spark = embeddings.sparkSession
+    assigned = kmeans_assign(
+        embeddings, k=n_lists, iterations=kmeans_iterations
+    )
+    encoded, codebooks = pq_encode(
+        embeddings, n_subspaces, n_codes, iterations
+    )
+    # static overwrite, the write_ivf_index lesson: under dynamic
+    # partitionOverwriteMode an in-place rebuild that empties a
+    # cluster would keep that cluster's OLD cells directory
+    (
+        encoded.select("vec_id", "label", "codes")
+        .join(assigned, "vec_id")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "static")
+        .partitionBy("cluster")
+        .parquet(path + "/cells")
+    )
+    encoded.select("vec_id", "v").write.mode("overwrite").parquet(
+        path + "/vecs"
+    )
+    rows = [
+        (s, c, codebooks[s][c])
+        for s in range(len(codebooks))
+        for c in range(len(codebooks[s]))
+    ]
+    (
+        spark.createDataFrame(rows, "s int, code int, centroid array<double>")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(path + "/codebooks")
+    )
+    raw = embeddings.select(
+        "vec_id", _dvec("embedding").alias("vec")
+    ).join(assigned, "vec_id")
+    (
+        ivf_centroids(raw)
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(path + "/centroids")
+    )
+    _write_index_fingerprint(
+        spark,
+        path,
+        {
+            "kind": "ivfpq",
+            "n_lists": n_lists,
+            "kmeans_iterations": kmeans_iterations,
+            "n_subspaces": n_subspaces,
+            "n_codes": n_codes,
+            "iterations": iterations,
+        },
+    )
+    return path
+
+
+def append_ivfpq_index(embeddings: DataFrame, path: str) -> str:
+    """Fold an embedding delta into an existing `write_ivfpq_index`
+    root under BOTH frozen models: the cell is the nearest stored
+    FINAL centroid (`ivf_probe_rank` at n_probe=1, raw space -- the
+    `append_ivf_index` rule) and the codes come from the frozen
+    codebooks (`pq_code_col`, unit space -- the `append_pq_index`
+    rule). Given the models, both are per-row facts, so
+    append-then-probe equals a same-models encode of the delta
+    row-for-row (pinned against a pure-Python recompute); reTRAINING
+    either model is a rebuild (the LSM-refresh story).
+
+    Guards are the union of the two constituents': unstamped /
+    non-IVF-PQ artifacts refuse distinctly; a codebooks/fingerprint
+    subspace disagreement refuses; ragged delta dims refuse; delta
+    vec_ids already in ``cells`` refuse; a TORN cells/vecs artifact
+    (the crash window between the two data writes) refuses before
+    writing. Write order: cells, vecs, nonce re-stamp LAST (the
+    completion marker); an empty delta is a no-op without a
+    re-stamp."""
+    from ..llmdata.similarity import (
+        _dvec,
+        _normalize,
+        ivf_probe_rank,
+        pq_code_col,
+    )
+
+    spark = embeddings.sparkSession
+    fp = _read_stamped_fingerprint(
+        spark, path, "ivfpq", "IVF-PQ", "append_ivfpq_index"
+    )
+    cb_rows = (
+        spark.read.parquet(path + "/codebooks").orderBy("s", "code").collect()
+    )
+    n_subspaces = 1 + max(r["s"] for r in cb_rows)
+    if int(fp["n_subspaces"]) != n_subspaces:
+        raise ValueError(
+            f"append_ivfpq_index: fingerprint stamps n_subspaces="
+            f"{fp['n_subspaces']} but the stored codebooks span "
+            f"{n_subspaces} subspaces -- mixed artifact, rebuild"
+        )
+    codebooks: list[list[list[float]]] = [[] for _ in range(n_subspaces)]
+    for r in cb_rows:
+        codebooks[r["s"]].append(list(r["centroid"]))
+    dim = n_subspaces * len(codebooks[0][0])
+    cents = spark.read.parquet(path + "/centroids")
+
+    new = embeddings.select(
+        "vec_id",
+        "label",
+        _dvec("embedding").alias("vec"),
+        _normalize(_dvec("embedding")).alias("v"),
+    ).persist()
+    try:
+        if new.isEmpty():
+            return path
+        bad_dim = new.filter(F.size("vec") != dim).count()
+        if bad_dim:
+            raise ValueError(
+                f"append_ivfpq_index: {bad_dim} delta vector(s) are not "
+                f"{dim}-dimensional -- the stored models encode exactly "
+                f"{dim} dims; a ragged delta would assign garbage"
+            )
+        cells = spark.read.parquet(path + "/cells")
+        vecs = spark.read.parquet(path + "/vecs")
+        n_cells_rows, n_vecs_rows = cells.count(), vecs.count()
+        if n_cells_rows != n_vecs_rows:
+            raise ValueError(
+                f"append_ivfpq_index: torn artifact at {path} -- cells "
+                f"has {n_cells_rows} rows but vecs has {n_vecs_rows} (a "
+                "prior append crashed between its writes); rebuild with "
+                "write_ivfpq_index"
+            )
+        dups = [
+            r["vec_id"]
+            for r in new.join(cells.select("vec_id"), "vec_id")
+            .select("vec_id")
+            .limit(5)
+            .collect()
+        ]
+        if dups:
+            raise ValueError(
+                f"append_ivfpq_index: delta vec_ids already present in "
+                f"the index (sample: {dups}) -- appends must be disjoint "
+                "deltas"
+            )
+        assigned = ivf_probe_rank(
+            new.select(
+                F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
+            ),
+            cents,
+            1,
+        ).select(
+            F.col("query_id").alias("vec_id"),
+            F.col("probe_cluster").alias("cluster"),
+        )
+        encoded = new.withColumn("codes", pq_code_col(codebooks))
+        (
+            encoded.join(assigned, "vec_id")
+            .select("vec_id", "label", "codes", "cluster")
+            .write.mode("append")
+            .partitionBy("cluster")
+            .parquet(path + "/cells")
+        )
+        encoded.select("vec_id", "v").write.mode("append").parquet(
+            path + "/vecs"
+        )
+    finally:
+        new.unpersist()
+    _write_index_fingerprint(
+        spark,
+        path,
+        {
+            "kind": "ivfpq",
+            "n_lists": int(fp["n_lists"]),
+            "kmeans_iterations": int(fp["kmeans_iterations"]),
+            "n_subspaces": int(fp["n_subspaces"]),
+            "n_codes": int(fp["n_codes"]),
+            "iterations": int(fp["iterations"]),
+        },
+    )
+    return path
+
+
+def ivfpq_topk_batches(
+    queries: DataFrame,
+    index_cells: DataFrame,
+    index_vecs: DataFrame,
+    index_codebooks: DataFrame,
+    index_centroids: DataFrame,
+    out_path: str,
+    k: int = 5,
+    n_probe: int = 2,
+    shortlist: int | None = None,
+    checkpoint: str | None = None,
+    index_path: str | None = None,
+    expected_fingerprint: str | None = None,
+    exclude_self: bool = True,
+):
+    """Streaming IVF-PQ top-k: each arriving query ranks the coarse
+    centroids and probes its ``n_probe`` cells (`ivf_probe_rank`, the
+    IVF family's shared rule, RAW vector space), then ADC-scores ONLY
+    those cells' codes under its per-query lookup table (`pq_lut` /
+    `pq_adc_dist`, the PQ family's shared rules, unit space) and
+    exact-reranks the shortlist from the float store
+    (`pq_shortlist_rerank`). Every stage is the respective family
+    member's code, so two parity pins come for free:
+
+      - at ``n_probe == n_lists`` the candidate set is the whole
+        corpus and the output equals `pq_topk_batches` over a plain PQ
+        artifact with the same model knobs, row-for-row (pinned);
+      - at ``n_probe < n_lists`` the output equals the in-memory
+        composition of the shared helpers on the same frames (pinned).
+
+    Scale: the probed clusters are a bounded driver artifact
+    (<= n_lists ints per batch) turned into a literal IN against the
+    cluster-partitioned cells -- static partition pruning -- and the
+    scan that survives pruning reads ~8-byte code rows, not floats;
+    the float store is touched only by the shortlist join. Default
+    ``shortlist`` keeps the family's 1/8-of-candidates budget:
+    max(8k, corpus * n_probe / (8 * n_lists)) -- which reduces to the
+    PQ rule corpus/8 at n_probe == n_lists (the equivalence pin's
+    premise). Same pin / checkpoint / ``exclude_self`` discipline as
+    the family."""
+    from ..llmdata.similarity import (
+        _dvec,
+        _normalize,
+        ivf_probe_rank,
+        pq_adc_dist,
+        pq_lut,
+        pq_shortlist_rerank,
+    )
+
+    _check = _pin_index(
+        queries.sparkSession,
+        index_path,
+        expected_fingerprint,
+        "IVF-PQ index at {path} was overwritten under a probe stream "
+        "(fingerprint {now} != snapshot {expected}); rebuild the probe "
+        "stream against the new index instead",
+    )
+
+    cb_rows = index_codebooks.orderBy("s", "code").collect()
+    n_subspaces = 1 + max(r["s"] for r in cb_rows)
+    codebooks: list[list[list[float]]] = [[] for _ in range(n_subspaces)]
+    for r in cb_rows:
+        codebooks[r["s"]].append(list(r["centroid"]))
+    n_lists = index_centroids.count()
+    if shortlist is None:
+        shortlist = max(
+            8 * k, index_cells.count() * n_probe // (8 * n_lists)
+        )
+
+    def _emit(batch: DataFrame, _epoch: int) -> None:
+        _check(batch.sparkSession)
+        if batch.isEmpty():
+            return
+        qs = batch.select(
+            F.col("vec_id").alias("query_id"),
+            _dvec("embedding").alias("qvec"),
+        )
+        # persisted: the probed-cluster collect and the scored join
+        # both consume the probe plan (the bpairs lesson)
+        probes = ivf_probe_rank(qs, index_centroids, n_probe).persist()
+        try:
+            probed = sorted(
+                r["probe_cluster"]
+                for r in probes.select("probe_cluster").distinct().collect()
+            )
+            qrows = batch.select(
+                F.col("vec_id").alias("query_id"),
+                _normalize(_dvec("embedding")).alias("qvec"),
+            ).collect()
+            qdf = batch.sparkSession.createDataFrame(
+                [
+                    (
+                        r["query_id"],
+                        list(r["qvec"]),
+                        pq_lut(list(r["qvec"]), codebooks),
+                    )
+                    for r in qrows
+                ],
+                "query_id long, _qv array<double>, lut array<array<double>>",
+            )
+            scored = (
+                index_cells.filter(F.col("cluster").isin(probed))
+                .join(
+                    F.broadcast(
+                        probes.select("query_id", "probe_cluster")
+                    ),
+                    F.col("cluster") == F.col("probe_cluster"),
+                )
+                .join(F.broadcast(qdf), "query_id")
+            )
+            if exclude_self:
+                scored = scored.filter(F.col("vec_id") != F.col("query_id"))
+            scored = scored.select(
+                "query_id",
+                "vec_id",
+                "label",
+                pq_adc_dist(F.col("lut"), F.col("codes"), n_subspaces).alias(
+                    "_adc"
+                ),
+                "_qv",
+            )
+            (
+                pq_shortlist_rerank(scored, k, shortlist, vecs=index_vecs)
+                .write.mode("append")
+                .parquet(out_path)
+            )
+        finally:
+            probes.unpersist()
 
     writer = (
         queries.writeStream.foreachBatch(_emit)

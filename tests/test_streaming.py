@@ -1948,6 +1948,219 @@ def test_streaming_pq_topk_matches_batch(spark, tmp_path):
         )
 
 
+def _ivfpq_pure_python_topk(
+    cell_rows, vec_map, cent_rows, books, raw_q, k, n_probe, shortlist
+):
+    """Pure-Python IVF-PQ cascade -- centroid ranking in raw space
+    with (d2, cluster) ties, ADC under the stored codebooks,
+    (adc, vec_id) shortlist, exact-dot rerank with Spark's HALF_UP
+    display rounding replicated via Decimal(repr(x)) -- shared by the
+    IVF-PQ serving and append tests as the no-Spark-helper reference.
+    All folds run left-to-right from 0.0, matching the engine's
+    `dot`/`pq_adc_dist` bit-for-bit."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    n_sub = len(books)
+    d_sub = len(books[0][0])
+    out = []
+    for qid in sorted(raw_q):
+        rq = raw_q[qid]
+        ranked_cells = sorted(
+            (
+                sum((a - b) * (a - b) for a, b in zip(rq, c)),
+                cl,
+            )
+            for cl, c in cent_rows
+        )[:n_probe]
+        probed = {cl for _, cl in ranked_cells}
+        acc = 0.0
+        for x in rq:
+            acc = acc + x * x
+        norm = acc ** 0.5
+        uq = [x / norm for x in rq]
+        lut = [
+            [
+                sum(
+                    (a - b) * (a - b)
+                    for a, b in zip(uq[s * d_sub : (s + 1) * d_sub], c)
+                )
+                for c in books[s]
+            ]
+            for s in range(n_sub)
+        ]
+        cands = []
+        for r in cell_rows:
+            if r["cluster"] not in probed or r["vec_id"] == qid:
+                continue
+            adc = 0.0
+            for s in range(n_sub):
+                adc = adc + lut[s][r["codes"][s]]
+            cands.append((adc, r["vec_id"], r["label"]))
+        cands.sort()
+        for rank, (neg_cos, vid, label) in enumerate(
+            sorted(
+                (
+                    -float(
+                        Decimal(
+                            repr(
+                                sum(
+                                    a * b
+                                    for a, b in zip(uq, vec_map[vid])
+                                )
+                            )
+                        ).quantize(
+                            Decimal("0.000001"), rounding=ROUND_HALF_UP
+                        )
+                    ),
+                    vid,
+                    label,
+                )
+                for _, vid, label in cands[: max(shortlist, k)]
+            )[:k],
+            start=1,
+        ):
+            out.append((qid, vid, label, rank, -neg_cos))
+    return sorted(out)
+
+
+def test_streaming_ivfpq_topk_composes_the_family_rules(spark, tmp_path):
+    """Streaming IVF-PQ -- coarse cells prune the scan, PQ codes score
+    it, floats serve only the shortlist -- pinned two independent ways:
+    (1) at n_probe == n_lists the candidate set is the whole corpus,
+    so the output must equal `pq_topk_batches` over a plain PQ
+    artifact with the same model knobs, row-for-row (a DIFFERENT
+    artifact through a DIFFERENT code path); (2) at n_probe=2 the
+    output equals a pure-Python recompute of the whole cascade --
+    centroid ranking in raw space with (d2, cluster) ties, ADC under
+    the stored codebooks, (adc, vec_id) shortlist, exact-dot rerank
+    with Spark's HALF_UP display rounding replicated via
+    Decimal(repr(x)) -- no Spark helper reuse
+    (`_ivfpq_pure_python_topk`). Also pins the cells partition
+    pruning and the family's stale-pin refusal."""
+    from big_data_streaming_dashboard_spark.streaming.llm_ingest import (
+        index_fingerprint,
+        ivfpq_topk_batches,
+        pq_topk_batches,
+        stream_embeddings,
+        write_ivfpq_index,
+        write_pq_index,
+    )
+    from big_data_streaming_dashboard_spark.tables import load_table
+
+    embs = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    idx = str(tmp_path / "ivfpq")
+    write_ivfpq_index(embs, idx, n_lists=8)
+    qdir = str(tmp_path / "queries")
+    embs.filter(F.col("vec_id") < 5).repartition(2).write.parquet(qdir)
+
+    cells = spark.read.parquet(idx + "/cells")
+    vecs = spark.read.parquet(idx + "/vecs")
+    books_df = spark.read.parquet(idx + "/codebooks")
+    cents = spark.read.parquet(idx + "/centroids")
+
+    # (1) full probe == the plain PQ stream over a separate artifact
+    # (n_probe == the ACTUAL stored centroid count -- k-means may
+    # leave a cluster empty, and the equivalence premise is "probe
+    # every stored cell")
+    n_lists_actual = cents.count()
+    out_full = str(tmp_path / "topk_full")
+    q = ivfpq_topk_batches(
+        stream_embeddings(spark, qdir),
+        cells,
+        vecs,
+        books_df,
+        cents,
+        out_full,
+        k=5,
+        n_probe=n_lists_actual,
+        checkpoint=str(tmp_path / "ckpt_full"),
+        index_path=idx,
+    )
+    q.awaitTermination(180)
+    pq_idx = str(tmp_path / "pq")
+    write_pq_index(embs, pq_idx)
+    out_pq = str(tmp_path / "topk_pq")
+    q2 = pq_topk_batches(
+        stream_embeddings(spark, qdir),
+        spark.read.parquet(pq_idx + "/codes"),
+        spark.read.parquet(pq_idx + "/vecs"),
+        spark.read.parquet(pq_idx + "/codebooks"),
+        out_pq,
+        k=5,
+        checkpoint=str(tmp_path / "ckpt_pq"),
+        index_path=pq_idx,
+    )
+    q2.awaitTermination(180)
+    got_full = sorted(map(tuple, spark.read.parquet(out_full).collect()))
+    want_pq = sorted(map(tuple, spark.read.parquet(out_pq).collect()))
+    assert got_full == want_pq and got_full
+
+    # (2) n_probe=2 == pure-Python cascade recompute
+    out2 = str(tmp_path / "topk_2")
+    q3 = ivfpq_topk_batches(
+        stream_embeddings(spark, qdir),
+        cells,
+        vecs,
+        books_df,
+        cents,
+        out2,
+        k=5,
+        n_probe=2,
+        checkpoint=str(tmp_path / "ckpt_2"),
+        index_path=idx,
+    )
+    q3.awaitTermination(180)
+    got2 = sorted(map(tuple, spark.read.parquet(out2).collect()))
+
+    cell_rows = cells.collect()
+    vec_map = {r["vec_id"]: list(r["v"]) for r in vecs.collect()}
+    cent_rows = sorted(
+        (r["cluster"], list(r["centroid"])) for r in cents.collect()
+    )
+    cb_rows = books_df.orderBy("s", "code").collect()
+    n_sub = 1 + max(r["s"] for r in cb_rows)
+    books: list[list[list[float]]] = [[] for _ in range(n_sub)]
+    for r in cb_rows:
+        books[r["s"]].append(list(r["centroid"]))
+    raw_q = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in embs.filter(F.col("vec_id") < 5).collect()
+    }
+    want2 = _ivfpq_pure_python_topk(
+        cell_rows,
+        vec_map,
+        cent_rows,
+        books,
+        raw_q,
+        k=5,
+        n_probe=2,
+        shortlist=max(8 * 5, 500 * 2 // (8 * n_lists_actual)),
+    )
+    assert got2 == want2 and got2
+
+    # cells partition pruning: a cluster IN filter reaches the scan
+    pruned = cells.filter(F.col("cluster").isin([0, 3]))
+    pruned.count()
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cluster" in plan
+
+    # stale pin refuses at call time after a rebuild
+    stale = index_fingerprint(spark, idx)
+    write_ivfpq_index(embs.filter(F.col("vec_id") < 200), idx, n_lists=8)
+    assert index_fingerprint(spark, idx) != stale
+    with pytest.raises(RuntimeError, match="IVF-PQ index .* overwritten"):
+        ivfpq_topk_batches(
+            stream_embeddings(spark, qdir),
+            cells,
+            vecs,
+            books_df,
+            cents,
+            str(tmp_path / "stale_out"),
+            index_path=idx,
+            expected_fingerprint=stale,
+        )
+
+
 def test_streaming_pq_append_equals_frozen_model_rebuild(spark, tmp_path):
     """`append_pq_index` encodes a delta under the FROZEN stored
     codebooks (faiss add-with-trained-index), and the claim is pinned
@@ -2137,6 +2350,255 @@ def test_streaming_pq_append_guards_refuse_loudly(spark, tmp_path):
     ).write.mode("append").parquet(idx + "/codes")
     with pytest.raises(ValueError, match="torn artifact"):
         append_pq_index(delta, idx)
+
+
+def test_streaming_ivf_append_assigns_frozen_nearest_cell(spark, tmp_path):
+    """`append_ivf_index` lands each delta vector in its nearest
+    stored FINAL-assignment cell -- pinned against a pure-Python
+    argmin over the stored centroids (squared-L2 left-fold,
+    (d2, cluster) ties) -- and probes over the appended artifact
+    equal a pure-Python recompute of the IVF cascade (rank centroids,
+    exact cosine over the probed cells' rows, unrounded-cos ordering,
+    HALF_UP display rounding). Also pins the nonce re-stamp, the
+    dup/ragged/kind guards, and the empty-delta no-op."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from big_data_streaming_dashboard_spark.streaming.llm_ingest import (
+        _write_index_fingerprint,
+        append_ivf_index,
+        index_fingerprint,
+        ivf_topk_batches,
+        stream_embeddings,
+        write_ivf_index,
+    )
+    from big_data_streaming_dashboard_spark.tables import load_table
+
+    embs = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    base = embs.filter(F.col("vec_id") < 400)
+    delta = embs.filter(F.col("vec_id") >= 400)
+    idx = str(tmp_path / "ivf")
+    write_ivf_index(base, idx, n_lists=8, kmeans_iterations=3)
+    stamp0 = index_fingerprint(spark, idx)
+    append_ivf_index(delta, idx)
+    assert index_fingerprint(spark, idx) != stamp0
+
+    cents = sorted(
+        (r["cluster"], list(r["centroid"]))
+        for r in spark.read.parquet(idx + "/centroids").collect()
+    )
+    got_cells = {
+        r["vec_id"]: r["cluster"]
+        for r in spark.read.parquet(idx + "/cells")
+        .filter(F.col("vec_id") >= 400)
+        .collect()
+    }
+    raw = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in delta.collect()
+    }
+    assert len(got_cells) == len(raw) == 100
+    for vid, vec in raw.items():
+        want_cl = min(
+            (sum((a - b) * (a - b) for a, b in zip(vec, c)), cl)
+            for cl, c in cents
+        )[1]
+        assert got_cells[vid] == want_cl, vid
+
+    # probes over the appended artifact == pure-Python IVF cascade
+    qdir = str(tmp_path / "queries")
+    embs.filter(F.col("vec_id").isin([2, 405, 480])).write.parquet(qdir)
+    out = str(tmp_path / "topk")
+    cells = spark.read.parquet(idx + "/cells")
+    q = ivf_topk_batches(
+        stream_embeddings(spark, qdir),
+        cells,
+        spark.read.parquet(idx + "/centroids"),
+        out,
+        k=5,
+        n_probe=2,
+        checkpoint=str(tmp_path / "ckpt"),
+        index_path=idx,
+    )
+    q.awaitTermination(180)
+    got = sorted(map(tuple, spark.read.parquet(out).collect()))
+    cell_rows = cells.collect()
+    vec_map = {r["vec_id"]: list(r["vec"]) for r in cell_rows}
+    want = []
+    for qid in [2, 405, 480]:
+        rq = vec_map[qid]
+        probed = {
+            cl
+            for _, cl in sorted(
+                (sum((a - b) * (a - b) for a, b in zip(rq, c)), cl)
+                for cl, c in cents
+            )[:2]
+        }
+        qq = sum(a * a for a in rq)
+        scored = []
+        for r in cell_rows:
+            if r["cluster"] not in probed or r["vec_id"] == qid:
+                continue
+            v = vec_map[r["vec_id"]]
+            cos = sum(a * b for a, b in zip(rq, v)) / (
+                qq ** 0.5 * sum(a * a for a in v) ** 0.5
+            )
+            scored.append((-cos, r["vec_id"], r["label"]))
+        for rank, (neg_cos, vid, label) in enumerate(
+            sorted(scored)[:5], start=1
+        ):
+            want.append(
+                (
+                    qid,
+                    vid,
+                    label,
+                    rank,
+                    float(
+                        Decimal(repr(-neg_cos)).quantize(
+                            Decimal("0.000001"), rounding=ROUND_HALF_UP
+                        )
+                    ),
+                )
+            )
+        # delta vectors are retrievable through the frozen index
+    assert got == sorted(want) and got
+    assert any(t[1] >= 400 for t in got)
+
+    # guards: wrong kind, dup ids, ragged dims; empty delta no-op
+    other = str(tmp_path / "notivf")
+    _write_index_fingerprint(spark, other, {"kind": "pq"})
+    with pytest.raises(ValueError, match="not a IVF index"):
+        append_ivf_index(delta, other)
+    with pytest.raises(ValueError, match="already present"):
+        append_ivf_index(embs.filter(F.col("vec_id") < 10), idx)
+    ragged = spark.createDataFrame(
+        [(9001, 1, [0.25] * 32)],
+        "vec_id long, label int, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="dimensional"):
+        append_ivf_index(ragged, idx)
+    stamp1 = index_fingerprint(spark, idx)
+    append_ivf_index(embs.filter(F.col("vec_id") < 0), idx)
+    assert index_fingerprint(spark, idx) == stamp1
+
+
+def test_streaming_ivfpq_append_encodes_under_both_frozen_models(
+    spark, tmp_path
+):
+    """`append_ivfpq_index` assigns the delta's cells under the frozen
+    coarse centroids AND its codes under the frozen codebooks -- both
+    pinned against pure-Python recomputes -- and n_probe=2 probes over
+    the appended multi-file artifact equal the shared pure-Python
+    IVF-PQ cascade. Also pins the torn cells/vecs guard and the dup
+    refusal."""
+    from big_data_streaming_dashboard_spark.streaming.llm_ingest import (
+        append_ivfpq_index,
+        index_fingerprint,
+        ivfpq_topk_batches,
+        stream_embeddings,
+        write_ivfpq_index,
+    )
+    from big_data_streaming_dashboard_spark.tables import load_table
+
+    embs = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    base = embs.filter(F.col("vec_id") < 400)
+    delta = embs.filter(F.col("vec_id") >= 400)
+    idx = str(tmp_path / "ivfpq")
+    write_ivfpq_index(base, idx, n_lists=8)
+    stamp0 = index_fingerprint(spark, idx)
+    append_ivfpq_index(delta, idx)
+    assert index_fingerprint(spark, idx) != stamp0
+
+    cells = spark.read.parquet(idx + "/cells")
+    vecs = spark.read.parquet(idx + "/vecs")
+    books_df = spark.read.parquet(idx + "/codebooks")
+    cents_df = spark.read.parquet(idx + "/centroids")
+    cent_rows = sorted(
+        (r["cluster"], list(r["centroid"])) for r in cents_df.collect()
+    )
+    cb_rows = books_df.orderBy("s", "code").collect()
+    n_sub = 1 + max(r["s"] for r in cb_rows)
+    books: list[list[list[float]]] = [[] for _ in range(n_sub)]
+    for r in cb_rows:
+        books[r["s"]].append(list(r["centroid"]))
+    d_sub = len(books[0][0])
+
+    # appended rows: cluster == frozen-centroid argmin (raw space),
+    # codes == frozen-codebook argmin (unit space), pure Python
+    appended = {
+        r["vec_id"]: (r["cluster"], list(r["codes"]))
+        for r in cells.filter(F.col("vec_id") >= 400).collect()
+    }
+    raw = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in delta.collect()
+    }
+    assert len(appended) == len(raw) == 100
+    for vid, vec in raw.items():
+        want_cl = min(
+            (sum((a - b) * (a - b) for a, b in zip(vec, c)), cl)
+            for cl, c in cent_rows
+        )[1]
+        acc = 0.0
+        for x in vec:
+            acc = acc + x * x
+        norm = acc ** 0.5
+        uv = [x / norm for x in vec]
+        want_codes = []
+        for s in range(n_sub):
+            sub = uv[s * d_sub : (s + 1) * d_sub]
+            dists = []
+            for c in books[s]:
+                d = 0.0
+                for a, b in zip(sub, c):
+                    d = d + (a - b) * (a - b)
+                dists.append(d)
+            want_codes.append(dists.index(min(dists)))
+        assert appended[vid] == (want_cl, want_codes), vid
+
+    # probes over the appended artifact == the shared Python cascade
+    qdir = str(tmp_path / "queries")
+    embs.filter(F.col("vec_id").isin([3, 420, 490])).write.parquet(qdir)
+    out = str(tmp_path / "topk")
+    n_lists_actual = cents_df.count()
+    q = ivfpq_topk_batches(
+        stream_embeddings(spark, qdir),
+        cells,
+        vecs,
+        books_df,
+        cents_df,
+        out,
+        k=5,
+        n_probe=2,
+        checkpoint=str(tmp_path / "ckpt"),
+        index_path=idx,
+    )
+    q.awaitTermination(180)
+    got = sorted(map(tuple, spark.read.parquet(out).collect()))
+    want = _ivfpq_pure_python_topk(
+        cells.collect(),
+        {r["vec_id"]: list(r["v"]) for r in vecs.collect()},
+        cent_rows,
+        books,
+        {qid: raw.get(qid) or _raw_vec(embs, qid) for qid in [3, 420, 490]},
+        k=5,
+        n_probe=2,
+        # the serving default sizes off the APPENDED cells count (600)
+        shortlist=max(8 * 5, 600 * 2 // (8 * n_lists_actual)),
+    )
+    assert got == want and got
+    assert any(t[1] >= 400 for t in got)
+
+    # torn artifact (a vecs row with no cells twin) refuses; dups refuse
+    vecs.limit(1).withColumn(
+        "vec_id", F.lit(88888).cast("long")
+    ).write.mode("append").parquet(idx + "/vecs")
+    with pytest.raises(ValueError, match="torn artifact"):
+        append_ivfpq_index(delta, idx)
+
+
+def _raw_vec(embs, vid):
+    row = embs.filter(F.col("vec_id") == vid).collect()[0]
+    return [float(x) for x in row["embedding"]]
 
 
 def test_streaming_funnel_matches_batch_under_reverse_replay(spark, tmp_path):
