@@ -184,10 +184,19 @@ def _kmeans_fit(
     assignment -- consumed by `kmeans_assign` (drops v) and
     `kmeans_inertia` (scores v against reporting centroids)."""
     vecs = embeddings.select("vec_id", _dvec("embedding").alias("v")).persist()
-    centroids = [
-        list(r["v"])
-        for r in vecs.filter(F.col("vec_id") < k).orderBy("vec_id").collect()
-    ]
+    # seed = first k rows by vec_id -- limit(), NOT a `vec_id < k`
+    # filter (the pq_encode rule): a sparse / non-0-based id space
+    # under-fills the filter form and the means fallback below then
+    # indexes past the seed list (IndexError -- hit by the IVF-PQ 10x
+    # run, whose base corpus holds out every 5th vec_id). Dense
+    # 0-based corpora -- every oracle fixture -- seed identically
+    # either way, so oracle pairings are unchanged; with fewer
+    # vectors than k the centroid list shrinks to the corpus size.
+    seed_rows = vecs.orderBy("vec_id").limit(k).collect()
+    if not seed_rows:
+        raise ValueError("_kmeans_fit: empty embeddings input")
+    k = min(k, len(seed_rows))
+    centroids = [list(r["v"]) for r in seed_rows]
 
     def assign_col(cents: list[list[float]]) -> Column:
         # one parsed literal string, not k*dim F.lit py4j calls (same

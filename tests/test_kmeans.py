@@ -76,3 +76,20 @@ def test_kmeans_labels_correlate(spark):
     # embeddings carry only weak label structure (measured ~0.17), so
     # assert above-chance, not strong separation
     assert weighted_purity > 0.14, weighted_purity
+
+
+def test_kmeans_seeds_on_sparse_id_spaces(spark):
+    """Seeding takes the first k rows BY vec_id via limit(), not a
+    `vec_id < k` filter: a corpus whose id space has holes (here every
+    5th id held out, k larger than the surviving ids under k) must
+    still seed k centroids and assign every row -- the under-filled
+    filter form made the Lloyd means fallback index past the seed
+    list (IndexError, found by the IVF-PQ 10x run). Dense 0-based
+    corpora seed identically either way (the oracle-parity premise)."""
+    embs = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    sparse = embs.filter(F.col("vec_id") % 5 != 0)
+    assigned = kmeans_assign(sparse, k=64, iterations=2)
+    assert assigned.count() == sparse.count()
+    assert assigned.filter(
+        (F.col("cluster") < 0) | (F.col("cluster") >= 64)
+    ).count() == 0
