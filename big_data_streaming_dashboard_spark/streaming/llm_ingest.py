@@ -1169,7 +1169,17 @@ def append_pq_index(embeddings: DataFrame, path: str) -> str:
     old nonce and the NEXT append's torn-artifact guard catches it).
     The re-stamp fails over running pinned probe streams per the
     family rule. An empty delta is a no-op WITHOUT a re-stamp (no
-    pointless stream failover)."""
+    pointless stream failover).
+
+    Concurrency delta (applies to the whole append family): appends
+    are not snapshot-isolated -- the data files land BEFORE the
+    re-stamp, so a pinned stream's micro-batch that runs concurrently
+    with an append can read a torn view (e.g. new codes whose vecs
+    rows are not yet visible silently miss the shortlist join) for
+    that one batch before the nonce check fails the stream over.
+    Quiesce probe streams across an append, or drive appends from a
+    cadence loop that serializes them with the probes (the
+    `split_verdicts_with_cadence` pattern)."""
     from ..llmdata.similarity import _dvec, _normalize, pq_code_col
 
     spark = embeddings.sparkSession
@@ -1396,7 +1406,9 @@ def append_ivf_index(embeddings: DataFrame, path: str) -> str:
     null distances and assign a garbage cell); delta vec_ids already
     in ``cells`` refuse (a double-append would duplicate rank rows).
     The nonce re-stamps LAST, failing over running pinned probe
-    streams; an empty delta is a no-op without a re-stamp."""
+    streams; an empty delta is a no-op without a re-stamp. Appends
+    are not snapshot-isolated -- see `append_pq_index`'s concurrency
+    delta."""
     from ..llmdata.similarity import _dvec, ivf_probe_rank
 
     spark = embeddings.sparkSession
@@ -1509,46 +1521,56 @@ def write_ivfpq_index(
     )
 
     spark = embeddings.sparkSession
+    # both intermediates feed TWO writes below (cells + vecs; cells +
+    # centroids) -- persist so the literal-assignment map stages run
+    # once per row, not once per consumer (the bpairs lesson)
     assigned = kmeans_assign(
         embeddings, k=n_lists, iterations=kmeans_iterations
-    )
+    ).persist()
     encoded, codebooks = pq_encode(
         embeddings, n_subspaces, n_codes, iterations
     )
-    # static overwrite, the write_ivf_index lesson: under dynamic
-    # partitionOverwriteMode an in-place rebuild that empties a
-    # cluster would keep that cluster's OLD cells directory
-    (
-        encoded.select("vec_id", "label", "codes")
-        .join(assigned, "vec_id")
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "static")
-        .partitionBy("cluster")
-        .parquet(path + "/cells")
-    )
-    encoded.select("vec_id", "v").write.mode("overwrite").parquet(
-        path + "/vecs"
-    )
-    rows = [
-        (s, c, codebooks[s][c])
-        for s in range(len(codebooks))
-        for c in range(len(codebooks[s]))
-    ]
-    (
-        spark.createDataFrame(rows, "s int, code int, centroid array<double>")
-        .coalesce(1)
-        .write.mode("overwrite")
-        .parquet(path + "/codebooks")
-    )
-    raw = embeddings.select(
-        "vec_id", _dvec("embedding").alias("vec")
-    ).join(assigned, "vec_id")
-    (
-        ivf_centroids(raw)
-        .coalesce(1)
-        .write.mode("overwrite")
-        .parquet(path + "/centroids")
-    )
+    encoded = encoded.persist()
+    try:
+        # static overwrite, the write_ivf_index lesson: under dynamic
+        # partitionOverwriteMode an in-place rebuild that empties a
+        # cluster would keep that cluster's OLD cells directory
+        (
+            encoded.select("vec_id", "label", "codes")
+            .join(assigned, "vec_id")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "static")
+            .partitionBy("cluster")
+            .parquet(path + "/cells")
+        )
+        encoded.select("vec_id", "v").write.mode("overwrite").parquet(
+            path + "/vecs"
+        )
+        rows = [
+            (s, c, codebooks[s][c])
+            for s in range(len(codebooks))
+            for c in range(len(codebooks[s]))
+        ]
+        (
+            spark.createDataFrame(
+                rows, "s int, code int, centroid array<double>"
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(path + "/codebooks")
+        )
+        raw = embeddings.select(
+            "vec_id", _dvec("embedding").alias("vec")
+        ).join(assigned, "vec_id")
+        (
+            ivf_centroids(raw)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(path + "/centroids")
+        )
+    finally:
+        encoded.unpersist()
+        assigned.unpersist()
     _write_index_fingerprint(
         spark,
         path,
@@ -1582,7 +1604,8 @@ def append_ivfpq_index(embeddings: DataFrame, path: str) -> str:
     (the crash window between the two data writes) refuses before
     writing. Write order: cells, vecs, nonce re-stamp LAST (the
     completion marker); an empty delta is a no-op without a
-    re-stamp."""
+    re-stamp. Appends are not snapshot-isolated -- see
+    `append_pq_index`'s concurrency delta."""
     from ..llmdata.similarity import (
         _dvec,
         _normalize,
