@@ -1359,6 +1359,223 @@ def pq_topk_batches(
     return writer.start()
 
 
+def write_matryoshka_index(
+    embeddings: DataFrame, path: str, probe_dim: int = 16
+) -> str:
+    """Persist the truncated-width (matryoshka) serving artifact --
+    the physical form of the budget `similarity.matryoshka_recall`
+    evaluates: the evaluator says which prefix width is safe, this
+    index SERVES at that width.
+
+      ``path/prefixes`` -- (vec_id, label, vp): the first
+        ``probe_dim`` dims of each unit vector, the SCAN side. The
+        byte win is structural, not a runtime projection: parquet
+        cannot partially read an array column, so the prefix lives in
+        its own artifact and a probe reads probe_dim/dim of the float
+        bytes by construction.
+      ``path/vecs`` -- (vec_id, v): full-width unit vectors, read
+        only for the per-query shortlist's exact re-rank.
+
+    Serving is the PQ pattern with prefix-cosine as the coarse score
+    (`matryoshka_topk_batches` reuses `pq_shortlist_rerank`
+    verbatim). Prefixes are sliced from the UNIT vector -- cosine is
+    invariant to the per-vector positive rescale, so the prefix
+    ranking is the truncated-embedding ranking the evaluator
+    measures, while dot-on-unit == cosine keeps the shared rerank
+    tail exact. There is NO trained model here, so appends are exact
+    with no premise at all (`append_matryoshka_index` -- prefixes are
+    per-row facts, period); probe_dim stamps into the fingerprint."""
+    from ..llmdata.similarity import _dvec, _normalize
+
+    spark = embeddings.sparkSession
+    unit = embeddings.select(
+        "vec_id", "label", _normalize(_dvec("embedding")).alias("v")
+    ).persist()
+    try:
+        (
+            unit.select(
+                "vec_id",
+                "label",
+                F.slice(F.col("v"), 1, probe_dim).alias("vp"),
+            )
+            .write.mode("overwrite")
+            .parquet(path + "/prefixes")
+        )
+        unit.select("vec_id", "v").write.mode("overwrite").parquet(
+            path + "/vecs"
+        )
+    finally:
+        unit.unpersist()
+    _write_index_fingerprint(
+        spark, path, {"kind": "matryoshka", "probe_dim": probe_dim}
+    )
+    return path
+
+
+def append_matryoshka_index(embeddings: DataFrame, path: str) -> str:
+    """Fold an embedding delta into a `write_matryoshka_index` root.
+    The family's simplest append: there is no model to freeze --
+    a vector's unit form and its prefix are per-row facts -- so
+    append-then-probe equals rebuild-then-probe with NO premise (the
+    BM25 class, not the frozen-model class). Guards: unstamped /
+    non-matryoshka artifacts refuse distinctly; ragged delta dims
+    refuse; duplicate delta vec_ids refuse; a TORN prefixes/vecs
+    artifact refuses. Nonce re-stamps LAST; an empty delta is a
+    no-op. Appends are not snapshot-isolated -- see
+    `append_pq_index`'s concurrency delta."""
+    from ..llmdata.similarity import _dvec, _normalize
+
+    spark = embeddings.sparkSession
+    fp = _read_stamped_fingerprint(
+        spark, path, "matryoshka", "matryoshka", "append_matryoshka_index"
+    )
+    probe_dim = int(fp["probe_dim"])
+    dim = len(
+        spark.read.parquet(path + "/vecs").select("v").first()["v"]
+    )
+
+    new = embeddings.select(
+        "vec_id", "label", _normalize(_dvec("embedding")).alias("v")
+    ).persist()
+    try:
+        if new.isEmpty():
+            return path
+        bad_dim = new.filter(F.size("v") != dim).count()
+        if bad_dim:
+            raise ValueError(
+                f"append_matryoshka_index: {bad_dim} delta vector(s) are "
+                f"not {dim}-dimensional -- the stored corpus is; a ragged "
+                "delta would rank against misaligned prefixes"
+            )
+        prefixes = spark.read.parquet(path + "/prefixes")
+        vecs = spark.read.parquet(path + "/vecs")
+        n_pref, n_vecs = prefixes.count(), vecs.count()
+        if n_pref != n_vecs:
+            raise ValueError(
+                f"append_matryoshka_index: torn artifact at {path} -- "
+                f"prefixes has {n_pref} rows but vecs has {n_vecs} (a "
+                "prior append crashed between its writes); rebuild with "
+                "write_matryoshka_index"
+            )
+        dups = [
+            r["vec_id"]
+            for r in new.join(vecs.select("vec_id"), "vec_id")
+            .select("vec_id")
+            .limit(5)
+            .collect()
+        ]
+        if dups:
+            raise ValueError(
+                f"append_matryoshka_index: delta vec_ids already present "
+                f"in the index (sample: {dups}) -- appends must be "
+                "disjoint deltas"
+            )
+        (
+            new.select(
+                "vec_id",
+                "label",
+                F.slice(F.col("v"), 1, probe_dim).alias("vp"),
+            )
+            .write.mode("append")
+            .parquet(path + "/prefixes")
+        )
+        new.select("vec_id", "v").write.mode("append").parquet(
+            path + "/vecs"
+        )
+    finally:
+        new.unpersist()
+    _write_index_fingerprint(
+        spark, path, {"kind": "matryoshka", "probe_dim": probe_dim}
+    )
+    return path
+
+
+def matryoshka_topk_batches(
+    queries: DataFrame,
+    index_prefixes: DataFrame,
+    index_vecs: DataFrame,
+    out_path: str,
+    k: int = 5,
+    shortlist: int | None = None,
+    checkpoint: str | None = None,
+    index_path: str | None = None,
+    expected_fingerprint: str | None = None,
+    exclude_self: bool = True,
+):
+    """Streaming truncated-width top-k (prefix-shortlist-then-rerank):
+    each arriving query is scored against the prefix artifact by
+    prefix-cosine (the scan reads probe_dim/dim of the float bytes by
+    construction -- the matryoshka budget made physical), the
+    per-query shortlist joins the full-width vectors, and the exact
+    re-rank runs through `pq_shortlist_rerank` VERBATIM -- the PQ
+    serving pattern with prefix-cosine as the coarse score instead of
+    ADC (coarse score rides the `_adc` column negated, so (_adc ASC,
+    vec_id) == (prefix_cos DESC, vec_id)).
+
+    Pinned against a pure-Python recompute of the cascade at
+    probe_dim=16, and at probe_dim == dim (prefix == full vector) the
+    cascade collapses to exact brute-force -- pinned against the same
+    recompute at full width. The probe width is fixed at WRITE time
+    (the artifact is the prefix); the recall the width buys is what
+    `emb_matryoshka_recall` measures, and the shortlist+rerank
+    recovers most of what raw truncation loses (measured in
+    PLANS.md). Default ``shortlist`` = the family's corpus/8 budget.
+    Same pin / checkpoint / ``exclude_self`` discipline as the
+    family."""
+    from ..llmdata.similarity import (
+        _dvec,
+        _normalize,
+        cosine,
+        pq_shortlist_rerank,
+    )
+
+    _check = _pin_index(
+        queries.sparkSession,
+        index_path,
+        expected_fingerprint,
+        "matryoshka index at {path} was overwritten under a probe stream "
+        "(fingerprint {now} != snapshot {expected}); rebuild the probe "
+        "stream against the new index instead",
+    )
+
+    probe_dim = len(index_prefixes.select("vp").first()["vp"])
+    if shortlist is None:
+        shortlist = max(8 * k, index_prefixes.count() // 8)
+
+    def _emit(batch: DataFrame, _epoch: int) -> None:
+        _check(batch.sparkSession)
+        if batch.isEmpty():
+            return
+        qdf = batch.select(
+            F.col("vec_id").alias("query_id"),
+            _normalize(_dvec("embedding")).alias("_qv"),
+        ).withColumn("_qp", F.slice(F.col("_qv"), 1, probe_dim))
+        scored = index_prefixes.crossJoin(F.broadcast(qdf))
+        if exclude_self:
+            scored = scored.filter(F.col("vec_id") != F.col("query_id"))
+        scored = scored.select(
+            "query_id",
+            "vec_id",
+            "label",
+            (-cosine(F.col("_qp"), F.col("vp"))).alias("_adc"),
+            "_qv",
+        )
+        (
+            pq_shortlist_rerank(scored, k, shortlist, vecs=index_vecs)
+            .write.mode("append")
+            .parquet(out_path)
+        )
+
+    writer = (
+        queries.writeStream.foreachBatch(_emit)
+        .outputMode("append")
+        .trigger(availableNow=True)
+    )
+    if checkpoint is not None:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
+
+
 def _read_stamped_fingerprint(
     spark: SparkSession, path: str, kind: str, display: str, caller: str
 ) -> dict:

@@ -2601,6 +2601,171 @@ def _raw_vec(embs, vid):
     return [float(x) for x in row["embedding"]]
 
 
+@pytest.mark.parametrize("probe_dim", [16, 64])
+def test_streaming_matryoshka_topk_matches_python_cascade(
+    spark, tmp_path, probe_dim
+):
+    """Streaming truncated-width serving (prefix-cosine shortlist +
+    exact full-width rerank through the shared `pq_shortlist_rerank`
+    tail) equals a pure-Python recompute of the cascade -- prefix
+    cosine with left-fold dots, (-cos, vec_id) shortlist order,
+    exact-dot rerank with HALF_UP display rounding. At probe_dim=64
+    (== dim) the prefix IS the vector, so the same pin doubles as the
+    exact-brute-force collapse check. Also pins the stale-pin
+    refusal and that the prefix artifact carries probe_dim floats."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from big_data_streaming_dashboard_spark.streaming.llm_ingest import (
+        index_fingerprint,
+        matryoshka_topk_batches,
+        stream_embeddings,
+        write_matryoshka_index,
+    )
+    from big_data_streaming_dashboard_spark.tables import load_table
+
+    embs = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    idx = str(tmp_path / "mat")
+    write_matryoshka_index(embs, idx, probe_dim=probe_dim)
+    prefixes = spark.read.parquet(idx + "/prefixes")
+    vecs = spark.read.parquet(idx + "/vecs")
+    assert len(prefixes.select("vp").first()["vp"]) == probe_dim
+
+    qdir = str(tmp_path / "queries")
+    embs.filter(F.col("vec_id") < 4).repartition(2).write.parquet(qdir)
+    out = str(tmp_path / "topk")
+    q = matryoshka_topk_batches(
+        stream_embeddings(spark, qdir),
+        prefixes,
+        vecs,
+        out,
+        k=5,
+        checkpoint=str(tmp_path / "ckpt"),
+        index_path=idx,
+    )
+    q.awaitTermination(180)
+    got = sorted(map(tuple, spark.read.parquet(out).collect()))
+
+    pref_rows = prefixes.collect()
+    vec_map = {r["vec_id"]: list(r["v"]) for r in vecs.collect()}
+    shortlist = max(8 * 5, 500 // 8)
+    want = []
+    for qid in range(4):
+        uq = vec_map[qid]
+        qp = uq[:probe_dim]
+        qpn = sum(a * a for a in qp) ** 0.5
+        cands = []
+        for r in pref_rows:
+            if r["vec_id"] == qid:
+                continue
+            vp = list(r["vp"])
+            c = sum(a * b for a, b in zip(qp, vp)) / (
+                qpn * sum(a * a for a in vp) ** 0.5
+            )
+            cands.append((-c, r["vec_id"], r["label"]))
+        cands.sort()
+        for rank, (neg_cos, vid, label) in enumerate(
+            sorted(
+                (
+                    -float(
+                        Decimal(
+                            repr(sum(a * b for a, b in zip(uq, vec_map[vid])))
+                        ).quantize(
+                            Decimal("0.000001"), rounding=ROUND_HALF_UP
+                        )
+                    ),
+                    vid,
+                    label,
+                )
+                for _, vid, label in cands[: max(shortlist, 5)]
+            )[:5],
+            start=1,
+        ):
+            want.append((qid, vid, label, rank, -neg_cos))
+    assert got == sorted(want) and got
+
+    # stale pin refuses after a rebuild
+    stale = index_fingerprint(spark, idx)
+    write_matryoshka_index(
+        embs.filter(F.col("vec_id") < 200), idx, probe_dim=probe_dim
+    )
+    with pytest.raises(RuntimeError, match="matryoshka index .* overwritten"):
+        matryoshka_topk_batches(
+            stream_embeddings(spark, qdir),
+            prefixes,
+            vecs,
+            str(tmp_path / "stale_out"),
+            index_path=idx,
+            expected_fingerprint=stale,
+        )
+
+
+def test_streaming_matryoshka_append_is_premise_free(spark, tmp_path):
+    """`append_matryoshka_index` has no model to freeze (prefixes are
+    per-row facts), so append-then-probe equals rebuild-then-probe
+    with no premise: the two artifacts' probe outputs are compared
+    row-for-row. Guards: wrong kind, dup ids, ragged dims, torn
+    prefixes/vecs; empty delta is a no-op without a re-stamp."""
+    from big_data_streaming_dashboard_spark.streaming.llm_ingest import (
+        _write_index_fingerprint,
+        append_matryoshka_index,
+        index_fingerprint,
+        matryoshka_topk_batches,
+        stream_embeddings,
+        write_matryoshka_index,
+    )
+    from big_data_streaming_dashboard_spark.tables import load_table
+
+    embs = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    base = embs.filter(F.col("vec_id") < 400)
+    delta = embs.filter(F.col("vec_id") >= 400)
+    idx = str(tmp_path / "mat")
+    write_matryoshka_index(base, idx, probe_dim=16)
+    stamp0 = index_fingerprint(spark, idx)
+    append_matryoshka_index(delta, idx)
+    assert index_fingerprint(spark, idx) != stamp0
+    rebuilt = str(tmp_path / "mat_rebuilt")
+    write_matryoshka_index(embs, rebuilt, probe_dim=16)
+
+    qdir = str(tmp_path / "queries")
+    embs.filter(F.col("vec_id").isin([7, 430])).write.parquet(qdir)
+    outs = []
+    for name, root in [("app", idx), ("reb", rebuilt)]:
+        out = str(tmp_path / f"topk_{name}")
+        q = matryoshka_topk_batches(
+            stream_embeddings(spark, qdir),
+            spark.read.parquet(root + "/prefixes"),
+            spark.read.parquet(root + "/vecs"),
+            out,
+            k=5,
+            checkpoint=str(tmp_path / f"ckpt_{name}"),
+            index_path=root,
+        )
+        q.awaitTermination(180)
+        outs.append(sorted(map(tuple, spark.read.parquet(out).collect())))
+    assert outs[0] == outs[1] and outs[0]
+    assert any(t[1] >= 400 for t in outs[0])
+
+    other = str(tmp_path / "notmat")
+    _write_index_fingerprint(spark, other, {"kind": "pq"})
+    with pytest.raises(ValueError, match="not a matryoshka index"):
+        append_matryoshka_index(delta, other)
+    with pytest.raises(ValueError, match="already present"):
+        append_matryoshka_index(embs.filter(F.col("vec_id") < 10), idx)
+    ragged = spark.createDataFrame(
+        [(9001, 1, [0.25] * 32)],
+        "vec_id long, label int, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="dimensional"):
+        append_matryoshka_index(ragged, idx)
+    spark.read.parquet(idx + "/vecs").limit(1).withColumn(
+        "vec_id", F.lit(88888).cast("long")
+    ).write.mode("append").parquet(idx + "/vecs")
+    with pytest.raises(ValueError, match="torn artifact"):
+        append_matryoshka_index(delta, idx)
+    # the torn tear above also proves the guard ordering; empty-delta
+    # no-op is pinned on the PQ twin (same code path)
+
+
 def test_streaming_funnel_matches_batch_under_reverse_replay(spark, tmp_path):
     """Exact out-of-order funnel: replay the sf0.001 events corpus in
     REVERSE timestamp order across 5 micro-batches, so nearly every
