@@ -1576,6 +1576,230 @@ def matryoshka_topk_batches(
     return writer.start()
 
 
+def write_quant_index(
+    embeddings: DataFrame, path: str, bits: int = 8
+) -> str:
+    """Persist the symmetric b-bit quantized serving artifact -- the
+    precision axis of the representation-budget trio (width =
+    `write_matryoshka_index`, product codes = `write_pq_index`,
+    precision = this), the physical form of the budget
+    `similarity.quant_recall` evaluates:
+
+      ``path/codes`` -- (vec_id, label, q array<tinyint>): the scan
+        side, one byte-class code per dimension (vs 8 for the float)
+        via the SHARED `_quant_code_vectors` rule -- per-vector
+        amax/max_code scale, banker's rounding, the exact arithmetic
+        the evaluator ranks with. Cosine is invariant to the
+        per-vector positive rescale, so ranking by cosine against the
+        code vector IS ranking against the dequantized
+        reconstruction; the query side stays float (no query
+        quantization loss -- a documented delta from the evaluator's
+        corpus-replayed code-vs-code form, which the parity pin's
+        pure-Python recompute covers).
+      ``path/vecs`` -- (vec_id, v): full-precision unit vectors, read
+        only for the per-query shortlist's exact re-rank.
+
+    Like matryoshka there is NO trained model -- a vector's codes are
+    per-row facts -- so `append_quant_index` is exact with no premise.
+    ``bits`` stamps into the fingerprint."""
+    from ..llmdata.similarity import (
+        _dvec,
+        _normalize,
+        _quant_code_vectors,
+    )
+
+    spark = embeddings.sparkSession
+    max_code = (1 << (bits - 1)) - 1
+    (
+        _quant_code_vectors(embeddings, max_code)
+        .select(
+            "vec_id",
+            "label",
+            F.transform("embedding", lambda x: x.cast("tinyint")).alias("q"),
+        )
+        .write.mode("overwrite")
+        .parquet(path + "/codes")
+    )
+    (
+        embeddings.select(
+            "vec_id", _normalize(_dvec("embedding")).alias("v")
+        )
+        .write.mode("overwrite")
+        .parquet(path + "/vecs")
+    )
+    _write_index_fingerprint(
+        spark, path, {"kind": "quant", "bits": bits}
+    )
+    return path
+
+
+def append_quant_index(embeddings: DataFrame, path: str) -> str:
+    """Fold an embedding delta into a `write_quant_index` root.
+    Premise-free like the matryoshka append: the per-vector scale and
+    codes are per-row facts (`_quant_code_vectors` touches nothing
+    corpus-wide), so append-then-probe equals rebuild-then-probe with
+    NO premise. Guards: unstamped / non-quant artifacts refuse
+    distinctly; ragged delta dims refuse; duplicate delta vec_ids
+    refuse; a TORN codes/vecs artifact refuses. Nonce re-stamps LAST;
+    an empty delta is a no-op. Appends are not snapshot-isolated --
+    see `append_pq_index`'s concurrency delta."""
+    from ..llmdata.similarity import (
+        _dvec,
+        _normalize,
+        _quant_code_vectors,
+    )
+
+    spark = embeddings.sparkSession
+    fp = _read_stamped_fingerprint(
+        spark, path, "quant", "quant", "append_quant_index"
+    )
+    max_code = (1 << (int(fp["bits"]) - 1)) - 1
+    dim = len(spark.read.parquet(path + "/vecs").select("v").first()["v"])
+
+    new = embeddings.persist()
+    try:
+        if new.isEmpty():
+            return path
+        bad_dim = new.filter(F.size("embedding") != dim).count()
+        if bad_dim:
+            raise ValueError(
+                f"append_quant_index: {bad_dim} delta vector(s) are not "
+                f"{dim}-dimensional -- the stored corpus is; a ragged "
+                "delta would rank against misaligned codes"
+            )
+        codes = spark.read.parquet(path + "/codes")
+        vecs = spark.read.parquet(path + "/vecs")
+        n_codes_rows, n_vecs_rows = codes.count(), vecs.count()
+        if n_codes_rows != n_vecs_rows:
+            raise ValueError(
+                f"append_quant_index: torn artifact at {path} -- codes "
+                f"has {n_codes_rows} rows but vecs has {n_vecs_rows} (a "
+                "prior append crashed between its writes); rebuild with "
+                "write_quant_index"
+            )
+        dups = [
+            r["vec_id"]
+            for r in new.join(codes.select("vec_id"), "vec_id")
+            .select("vec_id")
+            .limit(5)
+            .collect()
+        ]
+        if dups:
+            raise ValueError(
+                f"append_quant_index: delta vec_ids already present in "
+                f"the index (sample: {dups}) -- appends must be disjoint "
+                "deltas"
+            )
+        (
+            _quant_code_vectors(new, max_code)
+            .select(
+                "vec_id",
+                "label",
+                F.transform(
+                    "embedding", lambda x: x.cast("tinyint")
+                ).alias("q"),
+            )
+            .write.mode("append")
+            .parquet(path + "/codes")
+        )
+        (
+            new.select("vec_id", _normalize(_dvec("embedding")).alias("v"))
+            .write.mode("append")
+            .parquet(path + "/vecs")
+        )
+    finally:
+        new.unpersist()
+    _write_index_fingerprint(
+        spark, path, {"kind": "quant", "bits": int(fp["bits"])}
+    )
+    return path
+
+
+def quant_topk_batches(
+    queries: DataFrame,
+    index_codes: DataFrame,
+    index_vecs: DataFrame,
+    out_path: str,
+    k: int = 5,
+    shortlist: int | None = None,
+    checkpoint: str | None = None,
+    index_path: str | None = None,
+    expected_fingerprint: str | None = None,
+    exclude_self: bool = True,
+):
+    """Streaming b-bit quantized top-k (code-cosine shortlist + exact
+    rerank): arriving queries score the byte-code artifact by cosine
+    against the code vectors (one byte-class per dim read instead of
+    eight -- the precision budget made physical; integer products are
+    exact in double), the per-query shortlist joins the float store,
+    and the exact re-rank is `pq_shortlist_rerank` VERBATIM with the
+    negated code-cosine riding `_adc` (the matryoshka pattern with
+    precision instead of width as the coarse budget).
+
+    Pinned against a pure-Python recompute of the cascade at b=8 and
+    b=2 (the evaluator's near-lossless and provably-lossy rungs --
+    same exactness either way, different recall, which
+    `emb_quant_recall` measures). Default ``shortlist`` = the
+    family's corpus/8 budget; same pin / checkpoint / ``exclude_self``
+    discipline as the family."""
+    from ..llmdata.similarity import (
+        _dvec,
+        _normalize,
+        cosine,
+        pq_shortlist_rerank,
+    )
+
+    _check = _pin_index(
+        queries.sparkSession,
+        index_path,
+        expected_fingerprint,
+        "quant index at {path} was overwritten under a probe stream "
+        "(fingerprint {now} != snapshot {expected}); rebuild the probe "
+        "stream against the new index instead",
+    )
+
+    if shortlist is None:
+        shortlist = max(8 * k, index_codes.count() // 8)
+
+    def _emit(batch: DataFrame, _epoch: int) -> None:
+        _check(batch.sparkSession)
+        if batch.isEmpty():
+            return
+        qdf = batch.select(
+            F.col("vec_id").alias("query_id"),
+            _normalize(_dvec("embedding")).alias("_qv"),
+        )
+        scored = index_codes.crossJoin(F.broadcast(qdf))
+        if exclude_self:
+            scored = scored.filter(F.col("vec_id") != F.col("query_id"))
+        scored = scored.select(
+            "query_id",
+            "vec_id",
+            "label",
+            (
+                -cosine(
+                    F.col("_qv"),
+                    F.transform("q", lambda x: x.cast("double")),
+                )
+            ).alias("_adc"),
+            "_qv",
+        )
+        (
+            pq_shortlist_rerank(scored, k, shortlist, vecs=index_vecs)
+            .write.mode("append")
+            .parquet(out_path)
+        )
+
+    writer = (
+        queries.writeStream.foreachBatch(_emit)
+        .outputMode("append")
+        .trigger(availableNow=True)
+    )
+    if checkpoint is not None:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
+
+
 def _read_stamped_fingerprint(
     spark: SparkSession, path: str, kind: str, display: str, caller: str
 ) -> dict:

@@ -2766,6 +2766,134 @@ def test_streaming_matryoshka_append_is_premise_free(spark, tmp_path):
     # no-op is pinned on the PQ twin (same code path)
 
 
+@pytest.mark.parametrize("bits", [2, 8])
+def test_streaming_quant_topk_matches_python_cascade(spark, tmp_path, bits):
+    """Streaming b-bit quantized serving (code-cosine shortlist +
+    exact rerank through the shared tail) equals a pure-Python
+    recompute of the whole cascade: per-vector amax/max_code scale,
+    banker's rounding via Decimal(repr(x)) ROUND_HALF_EVEN (Java
+    BigDecimal.valueOf semantics), byte-code cosine with left-fold
+    dots, (-cos, vec_id) shortlist order, exact-dot rerank with
+    HALF_UP display rounding. Runs at the evaluator's near-lossless
+    (b=8) and provably-lossy (b=2) rungs -- exactness is identical,
+    only recall differs. Also pins that the artifact stores tinyint
+    codes and the premise-free append (append-then-probe ==
+    rebuild-then-probe row-for-row)."""
+    from decimal import ROUND_HALF_EVEN, ROUND_HALF_UP, Decimal
+
+    from big_data_streaming_dashboard_spark.streaming.llm_ingest import (
+        append_quant_index,
+        quant_topk_batches,
+        stream_embeddings,
+        write_quant_index,
+    )
+    from big_data_streaming_dashboard_spark.tables import load_table
+
+    embs = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    idx = str(tmp_path / "quant")
+    write_quant_index(embs, idx, bits=bits)
+    codes = spark.read.parquet(idx + "/codes")
+    vecs = spark.read.parquet(idx + "/vecs")
+    assert dict(codes.dtypes)["q"] == "array<tinyint>"
+
+    qdir = str(tmp_path / "queries")
+    embs.filter(F.col("vec_id") < 4).repartition(2).write.parquet(qdir)
+    out = str(tmp_path / "topk")
+    q = quant_topk_batches(
+        stream_embeddings(spark, qdir),
+        codes,
+        vecs,
+        out,
+        k=5,
+        checkpoint=str(tmp_path / "ckpt"),
+        index_path=idx,
+    )
+    q.awaitTermination(180)
+    got = sorted(map(tuple, spark.read.parquet(out).collect()))
+
+    max_code = (1 << (bits - 1)) - 1
+    raw = {
+        r["vec_id"]: ([float(x) for x in r["embedding"]], r["label"])
+        for r in embs.collect()
+    }
+    py_codes = {}
+    for vid, (vec, label) in raw.items():
+        amax = max(abs(x) for x in vec)
+        scale = amax / float(max_code)
+        if scale > 0:
+            cv = [
+                float(
+                    Decimal(repr(x / scale)).quantize(
+                        Decimal("1"), rounding=ROUND_HALF_EVEN
+                    )
+                )
+                for x in vec
+            ]
+        else:
+            cv = [0.0] * len(vec)
+        py_codes[vid] = cv
+    # the stored tinyint codes ARE the shared-rule quantization
+    stored = {r["vec_id"]: [float(x) for x in r["q"]] for r in codes.collect()}
+    assert stored == py_codes
+
+    unit = {}
+    for vid, (vec, label) in raw.items():
+        acc = 0.0
+        for x in vec:
+            acc = acc + x * x
+        n = acc ** 0.5
+        unit[vid] = [x / n for x in vec]
+    shortlist = max(8 * 5, 500 // 8)
+    want = []
+    for qid in range(4):
+        uq = unit[qid]
+        qn = sum(a * a for a in uq) ** 0.5
+        cands = []
+        for vid, cv in py_codes.items():
+            if vid == qid:
+                continue
+            num = sum(a * b for a, b in zip(uq, cv))
+            den = qn * sum(a * a for a in cv) ** 0.5
+            cands.append((-(num / den), vid, raw[vid][1]))
+        cands.sort()
+        for rank, (neg_cos, vid, label) in enumerate(
+            sorted(
+                (
+                    -float(
+                        Decimal(
+                            repr(sum(a * b for a, b in zip(uq, unit[vid])))
+                        ).quantize(
+                            Decimal("0.000001"), rounding=ROUND_HALF_UP
+                        )
+                    ),
+                    vid,
+                    label,
+                )
+                for _, vid, label in cands[: max(shortlist, 5)]
+            )[:5],
+            start=1,
+        ):
+            want.append((qid, vid, label, rank, -neg_cos))
+    assert got == sorted(want) and got
+
+    # premise-free append: append-then-probe == rebuild-then-probe
+    idx2 = str(tmp_path / "quant_app")
+    write_quant_index(embs.filter(F.col("vec_id") < 400), idx2, bits=bits)
+    append_quant_index(embs.filter(F.col("vec_id") >= 400), idx2)
+    out2 = str(tmp_path / "topk_app")
+    q2 = quant_topk_batches(
+        stream_embeddings(spark, qdir),
+        spark.read.parquet(idx2 + "/codes"),
+        spark.read.parquet(idx2 + "/vecs"),
+        out2,
+        k=5,
+        checkpoint=str(tmp_path / "ckpt_app"),
+        index_path=idx2,
+    )
+    q2.awaitTermination(180)
+    assert sorted(map(tuple, spark.read.parquet(out2).collect())) == got
+
+
 def test_streaming_funnel_matches_batch_under_reverse_replay(spark, tmp_path):
     """Exact out-of-order funnel: replay the sf0.001 events corpus in
     REVERSE timestamp order across 5 micro-batches, so nearly every
