@@ -1313,8 +1313,11 @@ def pq_topk_batches(
     codebooks: list[list[list[float]]] = [[] for _ in range(n_subspaces)]
     for r in cb_rows:
         codebooks[r["s"]].append(list(r["centroid"]))
+    n_corpus = _require_untorn(
+        index_codes, index_vecs, "codes", "pq_topk_batches"
+    )
     if shortlist is None:
-        shortlist = max(8 * k, index_codes.count() // 8)
+        shortlist = max(8 * k, n_corpus // 8)
 
     def _emit(batch: DataFrame, _epoch: int) -> None:
         _check(batch.sparkSession)
@@ -1539,8 +1542,11 @@ def matryoshka_topk_batches(
     )
 
     probe_dim = len(index_prefixes.select("vp").first()["vp"])
+    n_corpus = _require_untorn(
+        index_prefixes, index_vecs, "prefixes", "matryoshka_topk_batches"
+    )
     if shortlist is None:
-        shortlist = max(8 * k, index_prefixes.count() // 8)
+        shortlist = max(8 * k, n_corpus // 8)
 
     def _emit(batch: DataFrame, _epoch: int) -> None:
         _check(batch.sparkSession)
@@ -1758,8 +1764,11 @@ def quant_topk_batches(
         "stream against the new index instead",
     )
 
+    n_corpus = _require_untorn(
+        index_codes, index_vecs, "codes", "quant_topk_batches"
+    )
     if shortlist is None:
-        shortlist = max(8 * k, index_codes.count() // 8)
+        shortlist = max(8 * k, n_corpus // 8)
 
     def _emit(batch: DataFrame, _epoch: int) -> None:
         _check(batch.sparkSession)
@@ -1798,6 +1807,29 @@ def quant_topk_batches(
     if checkpoint is not None:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer.start()
+
+
+def _require_untorn(
+    scan_df: DataFrame, vecs_df: DataFrame, scan_name: str, caller: str
+) -> int:
+    """Probe-construction guard for the two-directory serving
+    artifacts (codes/cells/prefixes + vecs): on a TORN artifact (the
+    crash window between an append's two writes) the shortlist's vecs
+    join silently DROPS the candidates whose float row is missing and
+    the rank window pulls up the wrong rows -- wrong results, not an
+    error. The appends refuse to bury a tear deeper; this makes the
+    probes refuse to SERVE one. Costs the row count the shortlist
+    default needs anyway (returned), plus one metadata-cheap count on
+    the float side."""
+    n_scan, n_vecs = scan_df.count(), vecs_df.count()
+    if n_scan != n_vecs:
+        raise ValueError(
+            f"{caller}: torn artifact -- {scan_name} has {n_scan} rows "
+            f"but vecs has {n_vecs} (a prior append crashed between its "
+            "writes); probing it would silently drop candidates from the "
+            "shortlist re-rank; rebuild the index"
+        )
+    return n_scan
 
 
 def _read_stamped_fingerprint(
@@ -2215,10 +2247,11 @@ def ivfpq_topk_batches(
     for r in cb_rows:
         codebooks[r["s"]].append(list(r["centroid"]))
     n_lists = index_centroids.count()
+    n_corpus = _require_untorn(
+        index_cells, index_vecs, "cells", "ivfpq_topk_batches"
+    )
     if shortlist is None:
-        shortlist = max(
-            8 * k, index_cells.count() * n_probe // (8 * n_lists)
-        )
+        shortlist = max(8 * k, n_corpus * n_probe // (8 * n_lists))
 
     def _emit(batch: DataFrame, _epoch: int) -> None:
         _check(batch.sparkSession)

@@ -2351,6 +2351,26 @@ def test_streaming_pq_append_guards_refuse_loudly(spark, tmp_path):
     with pytest.raises(ValueError, match="torn artifact"):
         append_pq_index(delta, idx)
 
+    # ...and the PROBE constructor refuses the same tear (a torn
+    # artifact would silently drop candidates from the shortlist
+    # re-rank, wrong results not an error) -- shared _require_untorn
+    # guard across the two-directory serving family
+    from big_data_streaming_dashboard_spark.streaming.llm_ingest import (
+        pq_topk_batches,
+        stream_embeddings,
+    )
+
+    qdir = str(tmp_path / "queries")
+    embs.filter(F.col("vec_id") < 2).write.parquet(qdir)
+    with pytest.raises(ValueError, match="torn artifact"):
+        pq_topk_batches(
+            stream_embeddings(spark, qdir),
+            spark.read.parquet(idx + "/codes"),
+            spark.read.parquet(idx + "/vecs"),
+            spark.read.parquet(idx + "/codebooks"),
+            str(tmp_path / "torn_out"),
+        )
+
 
 def test_streaming_ivf_append_assigns_frozen_nearest_cell(spark, tmp_path):
     """`append_ivf_index` lands each delta vector in its nearest
