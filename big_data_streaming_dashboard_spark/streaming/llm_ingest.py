@@ -2223,15 +2223,6 @@ def ivfpq_topk_batches(
     PQ rule corpus/8 at n_probe == n_lists (the equivalence pin's
     premise). Same pin / checkpoint / ``exclude_self`` discipline as
     the family."""
-    from ..llmdata.similarity import (
-        _dvec,
-        _normalize,
-        ivf_probe_rank,
-        pq_adc_dist,
-        pq_lut,
-        pq_shortlist_rerank,
-    )
-
     _check = _pin_index(
         queries.sparkSession,
         index_path,
@@ -2257,61 +2248,21 @@ def ivfpq_topk_batches(
         _check(batch.sparkSession)
         if batch.isEmpty():
             return
-        qs = batch.select(
-            F.col("vec_id").alias("query_id"),
-            _dvec("embedding").alias("qvec"),
+        ranked, done = _ivfpq_ranked_plan(
+            batch,
+            index_cells,
+            index_vecs,
+            codebooks,
+            index_centroids,
+            k,
+            n_probe,
+            shortlist,
+            exclude_self,
         )
-        # persisted: the probed-cluster collect and the scored join
-        # both consume the probe plan (the bpairs lesson)
-        probes = ivf_probe_rank(qs, index_centroids, n_probe).persist()
         try:
-            probed = sorted(
-                r["probe_cluster"]
-                for r in probes.select("probe_cluster").distinct().collect()
-            )
-            qrows = batch.select(
-                F.col("vec_id").alias("query_id"),
-                _normalize(_dvec("embedding")).alias("qvec"),
-            ).collect()
-            qdf = batch.sparkSession.createDataFrame(
-                [
-                    (
-                        r["query_id"],
-                        list(r["qvec"]),
-                        pq_lut(list(r["qvec"]), codebooks),
-                    )
-                    for r in qrows
-                ],
-                "query_id long, _qv array<double>, lut array<array<double>>",
-            )
-            scored = (
-                index_cells.filter(F.col("cluster").isin(probed))
-                .join(
-                    F.broadcast(
-                        probes.select("query_id", "probe_cluster")
-                    ),
-                    F.col("cluster") == F.col("probe_cluster"),
-                )
-                .join(F.broadcast(qdf), "query_id")
-            )
-            if exclude_self:
-                scored = scored.filter(F.col("vec_id") != F.col("query_id"))
-            scored = scored.select(
-                "query_id",
-                "vec_id",
-                "label",
-                pq_adc_dist(F.col("lut"), F.col("codes"), n_subspaces).alias(
-                    "_adc"
-                ),
-                "_qv",
-            )
-            (
-                pq_shortlist_rerank(scored, k, shortlist, vecs=index_vecs)
-                .write.mode("append")
-                .parquet(out_path)
-            )
+            ranked.write.mode("append").parquet(out_path)
         finally:
-            probes.unpersist()
+            done()
 
     writer = (
         queries.writeStream.foreachBatch(_emit)
@@ -2321,6 +2272,82 @@ def ivfpq_topk_batches(
     if checkpoint is not None:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer.start()
+
+
+def _ivfpq_ranked_plan(
+    batch: DataFrame,
+    index_cells: DataFrame,
+    index_vecs: DataFrame,
+    codebooks: list[list[list[float]]],
+    index_centroids: DataFrame,
+    k: int,
+    n_probe: int,
+    shortlist: int,
+    exclude_self: bool,
+):
+    """The per-batch IVF-PQ ranking, I/O-free: (ranked_df, cleanup) for
+    arriving (vec_id, embedding) rows against in-memory artifact
+    frames. Extracted from the sink loop so the randomized-corpora
+    parity test (`test_streaming_ivfpq_randomized_corpora_parity`, the
+    BM25 `_bm25_postings` precedent) can exercise the probe/ADC/tie
+    arithmetic on corpora far outside the fixture distribution without
+    a streaming round-trip per seed. ``cleanup`` unpersists the probe
+    frame and must be called after the ranked frame is consumed."""
+    from ..llmdata.similarity import (
+        _dvec,
+        _normalize,
+        ivf_probe_rank,
+        pq_adc_dist,
+        pq_lut,
+        pq_shortlist_rerank,
+    )
+
+    n_subspaces = len(codebooks)
+    qs = batch.select(
+        F.col("vec_id").alias("query_id"),
+        _dvec("embedding").alias("qvec"),
+    )
+    # persisted: the probed-cluster collect and the scored join both
+    # consume the probe plan (the bpairs lesson)
+    probes = ivf_probe_rank(qs, index_centroids, n_probe).persist()
+    probed = sorted(
+        r["probe_cluster"]
+        for r in probes.select("probe_cluster").distinct().collect()
+    )
+    qrows = batch.select(
+        F.col("vec_id").alias("query_id"),
+        _normalize(_dvec("embedding")).alias("qvec"),
+    ).collect()
+    qdf = batch.sparkSession.createDataFrame(
+        [
+            (
+                r["query_id"],
+                list(r["qvec"]),
+                pq_lut(list(r["qvec"]), codebooks),
+            )
+            for r in qrows
+        ],
+        "query_id long, _qv array<double>, lut array<array<double>>",
+    )
+    scored = (
+        index_cells.filter(F.col("cluster").isin(probed))
+        .join(
+            F.broadcast(probes.select("query_id", "probe_cluster")),
+            F.col("cluster") == F.col("probe_cluster"),
+        )
+        .join(F.broadcast(qdf), "query_id")
+    )
+    if exclude_self:
+        scored = scored.filter(F.col("vec_id") != F.col("query_id"))
+    scored = scored.select(
+        "query_id",
+        "vec_id",
+        "label",
+        pq_adc_dist(F.col("lut"), F.col("codes"), n_subspaces).alias("_adc"),
+        "_qv",
+    )
+    ranked = pq_shortlist_rerank(scored, k, shortlist, vecs=index_vecs)
+    return ranked, probes.unpersist
 
 
 def _write_index_fingerprint(spark: SparkSession, path: str, params: dict) -> None:

@@ -2161,6 +2161,73 @@ def test_streaming_ivfpq_topk_composes_the_family_rules(spark, tmp_path):
         )
 
 
+def test_streaming_ivfpq_randomized_corpora_parity(spark):
+    """IVF-PQ probe/ADC/tie arithmetic vs the pure-Python cascade on
+    RANDOMIZED corpora (the `_bm25_postings` in-memory-parity
+    precedent): three seeded corpora far outside the fixture
+    distribution -- tiny dim, coarse codebooks, cluster-starved
+    k-means -- exercised I/O-free through the extracted
+    `_ivfpq_ranked_plan`, so tie-rule or probe-rule regressions can't
+    hide behind the fixture's comfortable geometry."""
+    import random
+
+    from big_data_streaming_dashboard_spark.llmdata.similarity import (
+        _dvec,
+        ivf_centroids,
+        kmeans_assign,
+        pq_encode,
+    )
+    from big_data_streaming_dashboard_spark.streaming.llm_ingest import (
+        _ivfpq_ranked_plan,
+    )
+
+    for seed in (11, 37, 96):
+        rng = random.Random(seed)
+        n, dim = 60, 8
+        rows = [
+            (i, rng.randrange(4), [rng.uniform(-1, 1) for _ in range(dim)])
+            for i in range(n)
+        ]
+        embs = spark.createDataFrame(
+            rows, "vec_id long, label int, embedding array<double>"
+        )
+        assigned = kmeans_assign(embs, k=4, iterations=2)
+        encoded, books = pq_encode(
+            embs, n_subspaces=2, n_codes=4, iterations=2, dim=dim
+        )
+        cells = (
+            encoded.select("vec_id", "label", "codes")
+            .join(assigned, "vec_id")
+            .persist()
+        )
+        vecs = encoded.select("vec_id", "v").persist()
+        cents = ivf_centroids(
+            embs.select(
+                "vec_id", _dvec("embedding").alias("vec")
+            ).join(assigned, "vec_id")
+        ).persist()
+        batch = embs.filter(F.col("vec_id") < 5)
+        ranked, done = _ivfpq_ranked_plan(
+            batch, cells, vecs, books, cents, 3, 2, 10, True
+        )
+        got = sorted(map(tuple, ranked.collect()))
+        done()
+
+        want = _ivfpq_pure_python_topk(
+            cells.collect(),
+            {r["vec_id"]: list(r["v"]) for r in vecs.collect()},
+            sorted((r["cluster"], list(r["centroid"])) for r in cents.collect()),
+            books,
+            {i: [float(x) for x in rows[i][2]] for i in range(5)},
+            k=3,
+            n_probe=2,
+            shortlist=10,
+        )
+        for df in (cells, vecs, cents):
+            df.unpersist()
+        assert got == want and got, seed
+
+
 def test_streaming_pq_append_equals_frozen_model_rebuild(spark, tmp_path):
     """`append_pq_index` encodes a delta under the FROZEN stored
     codebooks (faiss add-with-trained-index), and the claim is pinned
