@@ -2465,6 +2465,20 @@ def ann_probe_stream(
     )
 
     dim = EMBEDDING_DIM if dim is None else dim
+    # torn/mismatch guard (the _require_untorn class, ratio form): a
+    # bands-landed/vecs-missing torn append would silently drop those
+    # candidates at the exact-verify join below, and a bands knob that
+    # disagrees with the artifact's build would probe with the wrong
+    # planes -- both refuse here, at plan construction
+    n_band_rows, n_vec_rows = index_bands.count(), index_vecs.count()
+    if n_band_rows != bands * n_vec_rows:
+        raise ValueError(
+            f"ann_probe_stream: bands has {n_band_rows} rows but vecs "
+            f"has {n_vec_rows} (expected bands*vecs = {bands}*"
+            f"{n_vec_rows}) -- a torn append or a bands knob that "
+            "disagrees with the artifact's build; rebuild the index or "
+            "pass the build-time knobs"
+        )
     planes = gaussian_planes(bands * rows_per_band, dim, seed)
     sig_udf = _band_sigs_udf(planes, bands, rows_per_band)
     q = queries.select(

@@ -1659,6 +1659,20 @@ def test_streaming_ann_append_equals_rebuild(spark, tmp_path):
     batch = sorted(map(tuple, lsh_banded_topk(embs, n_queries=5, k=10).collect()))
     assert got == batch
 
+    # torn artifact (bands rows landed, vecs rows missing -- the crash
+    # window inside an append) and a bands knob that disagrees with
+    # the build both refuse at probe construction: either would
+    # otherwise silently drop candidates at the exact-verify join
+    spark.read.parquet(incr + "/bands").limit(1).withColumn(
+        "vec_id", F.lit(99999).cast("long")
+    ).write.mode("append").parquet(incr + "/bands")
+    with pytest.raises(ValueError, match="torn append or a bands knob"):
+        ann_probe_stream(
+            stream_embeddings(spark, qdir),
+            spark.read.parquet(incr + "/bands"),
+            spark.read.parquet(incr + "/vecs"),
+        )
+
 
 def test_containment_probe_merged_df_cap_across_appends(spark, tmp_path):
     """The containment df cap must bind on MERGED document
