@@ -2961,7 +2961,18 @@ def append_curation_index(
     rebuild-under-a-running-stream rule.
 
     Equality with a one-shot build over the union corpus is pinned by
-    tests/test_streaming.py::test_streaming_curation_append_equals_rebuild."""
+    tests/test_streaming.py::test_streaming_curation_append_equals_rebuild.
+
+    Crash window (the `append_pq_index` concurrency-delta class): the
+    five constituent appends below are sequential and the nonce
+    re-stamp is LAST (the completion marker) -- a crash mid-fold
+    leaves a partially-folded delta under the OLD nonce. Unlike the
+    two-directory ANN artifacts there is no cheap cross-artifact row
+    invariant to refuse on (the five sides have different
+    granularities: per-text, per-(doc, band), per-passage, per-vec),
+    so recovery is re-running the SAME delta after a compaction or a
+    rebuild; probes running through the window see the torn view
+    until the re-stamp fails them over."""
     (
         docs.groupBy(F.md5(F.col("text")).alias("text_hash"))
         .agg(F.min("doc_id").alias("min_doc_id"))
@@ -4430,7 +4441,13 @@ def append_bm25_index(docs: DataFrame, path: str) -> str:
     row-for-row, pinned by
     tests/test_streaming.py::test_streaming_bm25_append_equals_rebuild.
     The nonce re-stamps, failing over running probe streams per the
-    family rule."""
+    family rule. Crash window (the `append_pq_index`
+    concurrency-delta class): postings land before the stats row, so
+    a crash between them leaves delta docs scored with an
+    under-counted n_docs/avgdl; detection would cost a
+    countDistinct(doc_id) over the postings (a full shuffle --
+    deliberately not paid per append), so recovery is re-running the
+    delta or rebuilding."""
     return write_bm25_index(docs, path, mode="append")
 
 
