@@ -1809,6 +1809,28 @@ def quant_topk_batches(
     return writer.start()
 
 
+def _require_band_ratio(
+    index_bands: DataFrame, index_vecs: DataFrame, bands: int, caller: str
+) -> None:
+    """Torn/mismatch guard for the two-directory BANDED artifacts
+    (`write_ann_index` / `write_semantic_index` layouts), ratio form
+    of `_require_untorn`: band rows must equal bands * vecs rows. A
+    bands-landed/vecs-missing torn append would silently drop those
+    candidates at the exact-verify join, and a bands knob that
+    disagrees with the artifact's build would probe with the wrong
+    planes -- both refuse at plan construction, before any stream
+    starts."""
+    n_band_rows, n_vec_rows = index_bands.count(), index_vecs.count()
+    if n_band_rows != bands * n_vec_rows:
+        raise ValueError(
+            f"{caller}: bands has {n_band_rows} rows but vecs has "
+            f"{n_vec_rows} (expected bands*vecs = {bands}*{n_vec_rows}) "
+            "-- a torn append or a bands knob that disagrees with the "
+            "artifact's build; rebuild the index or pass the build-time "
+            "knobs"
+        )
+
+
 def _require_untorn(
     scan_df: DataFrame, vecs_df: DataFrame, scan_name: str, caller: str
 ) -> int:
@@ -2465,20 +2487,7 @@ def ann_probe_stream(
     )
 
     dim = EMBEDDING_DIM if dim is None else dim
-    # torn/mismatch guard (the _require_untorn class, ratio form): a
-    # bands-landed/vecs-missing torn append would silently drop those
-    # candidates at the exact-verify join below, and a bands knob that
-    # disagrees with the artifact's build would probe with the wrong
-    # planes -- both refuse here, at plan construction
-    n_band_rows, n_vec_rows = index_bands.count(), index_vecs.count()
-    if n_band_rows != bands * n_vec_rows:
-        raise ValueError(
-            f"ann_probe_stream: bands has {n_band_rows} rows but vecs "
-            f"has {n_vec_rows} (expected bands*vecs = {bands}*"
-            f"{n_vec_rows}) -- a torn append or a bands knob that "
-            "disagrees with the artifact's build; rebuild the index or "
-            "pass the build-time knobs"
-        )
+    _require_band_ratio(index_bands, index_vecs, bands, "ann_probe_stream")
     planes = gaussian_planes(bands * rows_per_band, dim, seed)
     sig_udf = _band_sigs_udf(planes, bands, rows_per_band)
     q = queries.select(
@@ -2760,6 +2769,14 @@ def semantic_probe_stream(
     state: one row per distinct (vec_id, index_vec_id); watermark +
     dropDuplicatesWithinWatermark to TTL at scale (same note as the
     other probes)."""
+    from ..llmdata.similarity import DEFAULT_NEARDUP_BANDS
+
+    _require_band_ratio(
+        index_bands,
+        index_vecs,
+        DEFAULT_NEARDUP_BANDS if bands is None else bands,
+        "semantic_probe_stream",
+    )
     return _semantic_probe_plan(
         embeddings, index_bands, index_vecs, threshold,
         bands, rows_per_band, dim, seed,
@@ -2810,6 +2827,14 @@ def semantic_verdict_batches(
     index version -- same rules as `ann_topk_batches`: stale pin
     refuses at call time, per-batch re-check catches in-place
     rewrites."""
+    from ..llmdata.similarity import DEFAULT_NEARDUP_BANDS
+
+    _require_band_ratio(
+        index_bands,
+        index_vecs,
+        DEFAULT_NEARDUP_BANDS if bands is None else bands,
+        "semantic_verdict_batches",
+    )
     _check = _pin_index(
         embeddings.sparkSession,
         index_path,
