@@ -1809,6 +1809,131 @@ def quant_topk_batches(
     return writer.start()
 
 
+def _compact_parquet_dir(
+    spark: SparkSession,
+    live: str,
+    partition_by: str | None = None,
+    merged: DataFrame | None = None,
+) -> None:
+    """Rewrite one artifact directory with the `compact_curation_index`
+    write discipline (r12/r11 ADVICE -- every crash point leaves a
+    recoverable table): merged/coalesced data lands in a temp dir, the
+    live dir renames to a BACKUP name, the temp dir renames into
+    place, and only then is the backup deleted. A stale backup from a
+    crashed prior compaction refuses loudly until resolved.
+
+    ``merged`` overrides the default read-and-rewrite plan (the BM25
+    stats log compacts to its SUM aggregate -- a true LSM merge; the
+    per-row-fact dirs just rewrite). File-count target = dir bytes /
+    128 MB (the maxPartitionBytes default), so N appends' small files
+    collapse to scan-sized ones."""
+    tmp, backup = live + ".compact-tmp", live + ".compact-backup"
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(live).getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(hpath(backup)):
+        raise IOError(
+            f"compact: stale backup {backup} exists -- a previous "
+            f"compaction crashed mid-swap; restore it (rename to {live} "
+            "if the live dir is missing, else delete it) first"
+        )
+    if merged is None:
+        n_bytes = fs.getContentSummary(hpath(live)).getLength()
+        n_files = max(1, int(n_bytes // (128 * 1024 * 1024)) + 1)
+        df = spark.read.parquet(live)
+        merged = (
+            df.repartition(n_files, F.col(partition_by))
+            if partition_by
+            else df.repartition(n_files)
+        )
+    w = merged.write.mode("overwrite")
+    if partition_by:
+        w = w.option("partitionOverwriteMode", "static").partitionBy(
+            partition_by
+        )
+    w.parquet(tmp)
+    if not fs.rename(hpath(live), hpath(backup)):
+        raise IOError(
+            f"compact: could not move {live} aside; live dir untouched, "
+            f"compacted data left at {tmp}"
+        )
+    if not fs.rename(hpath(tmp), hpath(live)):
+        restored = fs.rename(hpath(backup), hpath(live))
+        raise IOError(
+            f"compact: swap-in rename failed; original dir "
+            f"{'restored' if restored else f'left at {backup}'}, "
+            f"compacted data left at {tmp}"
+        )
+    fs.delete(hpath(backup), True)
+
+
+# kind -> ((subdir, partition column), ...) for `compact_serving_index`;
+# every listed dir holds per-row facts (rewrite-only compaction), and
+# bm25's stats log is special-cased to its SUM merge in the function.
+_INDEX_COMPACT_LAYOUT: dict = {
+    "pq": (("codes", None), ("vecs", None)),
+    "ivfpq": (("cells", "cluster"), ("vecs", None)),
+    "ivf": (("cells", "cluster"),),
+    "matryoshka": (("prefixes", None), ("vecs", None)),
+    "quant": (("codes", None), ("vecs", None)),
+    "bm25": (("postings", "term_bucket"),),
+}
+
+
+def compact_serving_index(spark: SparkSession, path: str) -> str:
+    """LSM compaction for the append-able serving indexes: N appends
+    leave N generations of small files per directory (and, for BM25,
+    N partial rows in the stats log); compaction rewrites each data
+    dir at scan-sized files -- preserving the cells/postings partition
+    layout the probes prune on -- and merges the BM25 stats log to its
+    SUM (associative, so the merge is exact by the same argument the
+    probe's sum rests on). Pure optimization: probes are already exact
+    over the un-compacted artifact, so this can run at any cadence.
+    Compact-then-probe equals probe (pinned row-for-row).
+
+    Each directory swap follows the `compact_curation_index`
+    tmp/backup/rename discipline; the nonce re-stamps LAST -- a
+    compaction changes the on-disk fileset, and a probe stream's
+    static plan holds the OLD file listing, so pinned running streams
+    must fail over exactly as for appends. Kind-less artifact roots
+    (`write_ann_index` / `write_semantic_index` stamp no ``kind``)
+    are refused -- their band/vecs dirs are per-row facts too and can
+    be compacted by the storage layer."""
+    try:
+        fp = spark.read.parquet(path + "/fingerprint").collect()[0].asDict()
+    except Exception as exc:
+        raise ValueError(
+            f"compact_serving_index: no fingerprint at {path} -- not a "
+            "stamped index root"
+        ) from exc
+    kind = fp.get("kind")
+    if kind not in _INDEX_COMPACT_LAYOUT:
+        raise ValueError(
+            f"compact_serving_index: artifact kind {kind!r} at {path} "
+            "has no registered compaction layout (supported: "
+            f"{sorted(_INDEX_COMPACT_LAYOUT)})"
+        )
+    for subdir, partition_by in _INDEX_COMPACT_LAYOUT[kind]:
+        _compact_parquet_dir(spark, f"{path}/{subdir}", partition_by)
+    if kind == "bm25":
+        merged_stats = spark.read.parquet(path + "/stats").agg(
+            F.sum("n_docs").alias("n_docs"), F.sum("sum_dl").alias("sum_dl")
+        )
+        # the agg plan reads the live dir lazily -- materialize it as
+        # rows before the swap (one row), then rebuild the frame
+        row = merged_stats.collect()[0]
+        _compact_parquet_dir(
+            spark,
+            path + "/stats",
+            merged=spark.createDataFrame(
+                [(row["n_docs"], row["sum_dl"])], "n_docs long, sum_dl long"
+            ).coalesce(1),
+        )
+    fp.pop("nonce", None)
+    _write_index_fingerprint(spark, path, fp)
+    return path
+
+
 def _require_band_ratio(
     index_bands: DataFrame, index_vecs: DataFrame, bands: int, caller: str
 ) -> None:

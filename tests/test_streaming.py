@@ -2995,6 +2995,112 @@ def test_streaming_quant_topk_matches_python_cascade(spark, tmp_path, bits):
     assert sorted(map(tuple, spark.read.parquet(out2).collect())) == got
 
 
+def test_compact_serving_index_preserves_probes(spark, tmp_path):
+    """`compact_serving_index` is a pure optimization: compacting a
+    multiply-appended PQ artifact shrinks its file count and leaves
+    probe output IDENTICAL row-for-row; the BM25 stats log merges to
+    its one-row SUM with bit-exact probe scores; the nonce re-stamps
+    (pinned running streams fail over); a stale backup dir from a
+    crashed compaction refuses; kind-less and unstamped roots
+    refuse."""
+    import glob
+
+    from big_data_streaming_dashboard_spark.streaming.llm_ingest import (
+        append_bm25_index,
+        append_pq_index,
+        bm25_topk_batches,
+        compact_serving_index,
+        index_fingerprint,
+        pq_topk_batches,
+        stream_embeddings,
+        stream_keyword_queries,
+        write_bm25_index,
+        write_pq_index,
+        _write_index_fingerprint,
+    )
+    from big_data_streaming_dashboard_spark.tables import load_table
+
+    embs = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    idx = str(tmp_path / "pq")
+    write_pq_index(embs.filter(F.col("vec_id") < 300), idx)
+    append_pq_index(
+        embs.filter((F.col("vec_id") >= 300) & (F.col("vec_id") < 400)), idx
+    )
+    append_pq_index(embs.filter(F.col("vec_id") >= 400), idx)
+
+    qdir = str(tmp_path / "queries")
+    embs.filter(F.col("vec_id").isin([2, 350, 450])).write.parquet(qdir)
+
+    def probe(tag):
+        out = str(tmp_path / f"out_{tag}")
+        q = pq_topk_batches(
+            stream_embeddings(spark, qdir),
+            spark.read.parquet(idx + "/codes"),
+            spark.read.parquet(idx + "/vecs"),
+            spark.read.parquet(idx + "/codebooks"),
+            out,
+            k=5,
+            checkpoint=str(tmp_path / f"ck_{tag}"),
+            index_path=idx,
+        )
+        q.awaitTermination(180)
+        return sorted(map(tuple, spark.read.parquet(out).collect()))
+
+    before = probe("before")
+    files_before = len(glob.glob(idx + "/codes/*.parquet"))
+    stamp0 = index_fingerprint(spark, idx)
+    compact_serving_index(spark, idx)
+    files_after = len(glob.glob(idx + "/codes/*.parquet"))
+    assert files_after < files_before  # three generations collapse
+    assert index_fingerprint(spark, idx) != stamp0  # failover re-stamp
+    assert probe("after") == before and before
+
+    # crashed-compaction residue refuses until resolved
+    import os
+
+    os.makedirs(idx + "/codes.compact-backup")
+    with pytest.raises(IOError, match="stale backup"):
+        compact_serving_index(spark, idx)
+    os.rmdir(idx + "/codes.compact-backup")
+
+    # BM25: postings rewrite + stats log merges to its one-row SUM
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    bidx = str(tmp_path / "bm25")
+    write_bm25_index(docs.filter(F.col("doc_id") < 250), bidx)
+    append_bm25_index(docs.filter(F.col("doc_id") >= 250), bidx)
+    kdir = str(tmp_path / "kq")
+    spark.createDataFrame(
+        [(0, "dup spark scan join")], "query_id long, keywords string"
+    ).coalesce(1).write.parquet(kdir)
+
+    def kprobe(tag):
+        out = str(tmp_path / f"kout_{tag}")
+        q = bm25_topk_batches(
+            stream_keyword_queries(spark, kdir),
+            spark.read.parquet(bidx + "/postings"),
+            spark.read.parquet(bidx + "/stats"),
+            out,
+            checkpoint=str(tmp_path / f"kck_{tag}"),
+            index_path=bidx,
+        )
+        q.awaitTermination(120)
+        return sorted(map(tuple, spark.read.parquet(out).collect()))
+
+    kbefore = kprobe("before")
+    assert spark.read.parquet(bidx + "/stats").count() == 2  # two increments
+    compact_serving_index(spark, bidx)
+    assert spark.read.parquet(bidx + "/stats").count() == 1  # merged SUM
+    assert kprobe("after") == kbefore and kbefore
+
+    # unsupported / unstamped roots refuse distinctly
+    other = str(tmp_path / "kindless")
+    _write_index_fingerprint(spark, other, {"bands": 32})
+    with pytest.raises(ValueError, match="no registered compaction"):
+        compact_serving_index(spark, other)
+    with pytest.raises(ValueError, match="no fingerprint"):
+        compact_serving_index(spark, str(tmp_path / "nowhere"))
+
+
 def test_streaming_funnel_matches_batch_under_reverse_replay(spark, tmp_path):
     """Exact out-of-order funnel: replay the sf0.001 events corpus in
     REVERSE timestamp order across 5 micro-batches, so nearly every
