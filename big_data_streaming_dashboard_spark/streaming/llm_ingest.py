@@ -1165,11 +1165,15 @@ def append_pq_index(embeddings: DataFrame, path: str) -> str:
         window between the two appends below) refuses before writing
         anything, instead of burying the tear deeper.
     Write order: codes, vecs, then the nonce re-stamp LAST (the stamp
-    is the completion marker; a crash between the writes leaves the
-    old nonce and the NEXT append's torn-artifact guard catches it).
-    The re-stamp fails over running pinned probe streams per the
-    family rule. An empty delta is a no-op WITHOUT a re-stamp (no
-    pointless stream failover).
+    is the completion marker). A crash BETWEEN the data writes leaves
+    the old nonce and the next append's/probe's torn-artifact guard
+    catches it; a crash AFTER both writes but BEFORE the stamp leaves
+    a CONSISTENT artifact under the old nonce -- retrying the delta
+    refuses as a double-append, and pinned probe streams keep passing
+    their stale nonce check, so recover with `restamp_index` once the
+    counts confirm the fold completed. The re-stamp fails over
+    running pinned probe streams per the family rule. An empty delta
+    is a no-op WITHOUT a re-stamp (no pointless stream failover).
 
     Concurrency delta (applies to the whole append family): appends
     are not snapshot-isolated -- the data files land BEFORE the
@@ -1186,20 +1190,14 @@ def append_pq_index(embeddings: DataFrame, path: str) -> str:
     fp = _read_stamped_fingerprint(
         spark, path, "pq", "PQ", "append_pq_index"
     )
-    cb_rows = (
-        spark.read.parquet(path + "/codebooks").orderBy("s", "code").collect()
-    )
-    n_subspaces = 1 + max(r["s"] for r in cb_rows)
-    if int(fp["n_subspaces"]) != n_subspaces:
+    codebooks = _load_codebooks(spark.read.parquet(path + "/codebooks"))
+    if int(fp["n_subspaces"]) != len(codebooks):
         raise ValueError(
             f"append_pq_index: fingerprint stamps n_subspaces="
             f"{fp['n_subspaces']} but the stored codebooks span "
-            f"{n_subspaces} subspaces -- mixed artifact, rebuild"
+            f"{len(codebooks)} subspaces -- mixed artifact, rebuild"
         )
-    codebooks: list[list[list[float]]] = [[] for _ in range(n_subspaces)]
-    for r in cb_rows:
-        codebooks[r["s"]].append(list(r["centroid"]))
-    dim = n_subspaces * len(codebooks[0][0])
+    dim = len(codebooks) * len(codebooks[0][0])
 
     new = embeddings.select(
         "vec_id", "label", _normalize(_dvec("embedding")).alias("v")
@@ -1215,28 +1213,11 @@ def append_pq_index(embeddings: DataFrame, path: str) -> str:
                 f"{dim} dims; a ragged delta would assign garbage codes"
             )
         codes = spark.read.parquet(path + "/codes")
-        vecs = spark.read.parquet(path + "/vecs")
-        n_codes_rows, n_vecs_rows = codes.count(), vecs.count()
-        if n_codes_rows != n_vecs_rows:
-            raise ValueError(
-                f"append_pq_index: torn artifact at {path} -- codes has "
-                f"{n_codes_rows} rows but vecs has {n_vecs_rows} (a prior "
-                "append crashed between its writes); rebuild with "
-                "write_pq_index"
-            )
-        dups = [
-            r["vec_id"]
-            for r in new.join(codes.select("vec_id"), "vec_id")
-            .select("vec_id")
-            .limit(5)
-            .collect()
-        ]
-        if dups:
-            raise ValueError(
-                f"append_pq_index: delta vec_ids already present in the "
-                f"index (sample: {dups}) -- a double-append would "
-                "duplicate shortlist rows; appends must be disjoint deltas"
-            )
+        _require_untorn(
+            codes, spark.read.parquet(path + "/vecs"), "codes",
+            "append_pq_index",
+        )
+        _require_disjoint_delta(new, codes, "append_pq_index")
         encoded = new.withColumn("codes", pq_code_col(codebooks))
         encoded.select("vec_id", "label", "codes").write.mode(
             "append"
@@ -1308,11 +1289,8 @@ def pq_topk_batches(
         "stream against the new index instead",
     )
 
-    cb_rows = index_codebooks.orderBy("s", "code").collect()
-    n_subspaces = 1 + max(r["s"] for r in cb_rows)
-    codebooks: list[list[list[float]]] = [[] for _ in range(n_subspaces)]
-    for r in cb_rows:
-        codebooks[r["s"]].append(list(r["centroid"]))
+    codebooks = _load_codebooks(index_codebooks)
+    n_subspaces = len(codebooks)
     n_corpus = _require_untorn(
         index_codes, index_vecs, "codes", "pq_topk_batches"
     )
@@ -1395,6 +1373,11 @@ def write_matryoshka_index(
         "vec_id", "label", _normalize(_dvec("embedding")).alias("v")
     ).persist()
     try:
+        if unit.isEmpty():
+            # refuse (the pq_encode rule): an empty build would stamp a
+            # valid root whose appends/probes then die on a bare
+            # first()=None TypeError instead of a distinct message
+            raise ValueError("write_matryoshka_index: empty embeddings input")
         (
             unit.select(
                 "vec_id",
@@ -1450,29 +1433,12 @@ def append_matryoshka_index(embeddings: DataFrame, path: str) -> str:
                 f"not {dim}-dimensional -- the stored corpus is; a ragged "
                 "delta would rank against misaligned prefixes"
             )
-        prefixes = spark.read.parquet(path + "/prefixes")
         vecs = spark.read.parquet(path + "/vecs")
-        n_pref, n_vecs = prefixes.count(), vecs.count()
-        if n_pref != n_vecs:
-            raise ValueError(
-                f"append_matryoshka_index: torn artifact at {path} -- "
-                f"prefixes has {n_pref} rows but vecs has {n_vecs} (a "
-                "prior append crashed between its writes); rebuild with "
-                "write_matryoshka_index"
-            )
-        dups = [
-            r["vec_id"]
-            for r in new.join(vecs.select("vec_id"), "vec_id")
-            .select("vec_id")
-            .limit(5)
-            .collect()
-        ]
-        if dups:
-            raise ValueError(
-                f"append_matryoshka_index: delta vec_ids already present "
-                f"in the index (sample: {dups}) -- appends must be "
-                "disjoint deltas"
-            )
+        _require_untorn(
+            spark.read.parquet(path + "/prefixes"), vecs, "prefixes",
+            "append_matryoshka_index",
+        )
+        _require_disjoint_delta(new, vecs, "append_matryoshka_index")
         (
             new.select(
                 "vec_id",
@@ -1615,24 +1581,42 @@ def write_quant_index(
     )
 
     spark = embeddings.sparkSession
+    if not 2 <= bits <= 8:
+        # codes are stored as tinyint: bits > 8 would WRAP under
+        # Spark's non-ANSI cast (2047 -> -1) and the coarse ranking
+        # would silently collapse; bits < 2 has max_code = 0 (a
+        # divide-by-zero scale). Refuse the knob loudly.
+        raise ValueError(
+            f"write_quant_index: bits={bits} out of range [2, 8] -- "
+            "codes are stored as tinyint, so wider codes would wrap "
+            "silently"
+        )
     max_code = (1 << (bits - 1)) - 1
-    (
-        _quant_code_vectors(embeddings, max_code)
-        .select(
-            "vec_id",
-            "label",
-            F.transform("embedding", lambda x: x.cast("tinyint")).alias("q"),
+    # persisted: the codes and vecs writes both consume the source
+    # plan (the bpairs lesson)
+    src = embeddings.persist()
+    try:
+        if src.isEmpty():
+            raise ValueError("write_quant_index: empty embeddings input")
+        (
+            _quant_code_vectors(src, max_code)
+            .select(
+                "vec_id",
+                "label",
+                F.transform(
+                    "embedding", lambda x: x.cast("tinyint")
+                ).alias("q"),
+            )
+            .write.mode("overwrite")
+            .parquet(path + "/codes")
         )
-        .write.mode("overwrite")
-        .parquet(path + "/codes")
-    )
-    (
-        embeddings.select(
-            "vec_id", _normalize(_dvec("embedding")).alias("v")
+        (
+            src.select("vec_id", _normalize(_dvec("embedding")).alias("v"))
+            .write.mode("overwrite")
+            .parquet(path + "/vecs")
         )
-        .write.mode("overwrite")
-        .parquet(path + "/vecs")
-    )
+    finally:
+        src.unpersist()
     _write_index_fingerprint(
         spark, path, {"kind": "quant", "bits": bits}
     )
@@ -1674,28 +1658,11 @@ def append_quant_index(embeddings: DataFrame, path: str) -> str:
                 "delta would rank against misaligned codes"
             )
         codes = spark.read.parquet(path + "/codes")
-        vecs = spark.read.parquet(path + "/vecs")
-        n_codes_rows, n_vecs_rows = codes.count(), vecs.count()
-        if n_codes_rows != n_vecs_rows:
-            raise ValueError(
-                f"append_quant_index: torn artifact at {path} -- codes "
-                f"has {n_codes_rows} rows but vecs has {n_vecs_rows} (a "
-                "prior append crashed between its writes); rebuild with "
-                "write_quant_index"
-            )
-        dups = [
-            r["vec_id"]
-            for r in new.join(codes.select("vec_id"), "vec_id")
-            .select("vec_id")
-            .limit(5)
-            .collect()
-        ]
-        if dups:
-            raise ValueError(
-                f"append_quant_index: delta vec_ids already present in "
-                f"the index (sample: {dups}) -- appends must be disjoint "
-                "deltas"
-            )
+        _require_untorn(
+            codes, spark.read.parquet(path + "/vecs"), "codes",
+            "append_quant_index",
+        )
+        _require_disjoint_delta(new, codes, "append_quant_index")
         (
             _quant_code_vectors(new, max_code)
             .select(
@@ -1959,24 +1926,82 @@ def _require_band_ratio(
 def _require_untorn(
     scan_df: DataFrame, vecs_df: DataFrame, scan_name: str, caller: str
 ) -> int:
-    """Probe-construction guard for the two-directory serving
-    artifacts (codes/cells/prefixes + vecs): on a TORN artifact (the
-    crash window between an append's two writes) the shortlist's vecs
+    """Guard for the two-directory serving artifacts
+    (codes/cells/prefixes + vecs): on a TORN artifact (the crash
+    window between an append's two data writes) the shortlist's vecs
     join silently DROPS the candidates whose float row is missing and
     the rank window pulls up the wrong rows -- wrong results, not an
-    error. The appends refuse to bury a tear deeper; this makes the
-    probes refuse to SERVE one. Costs the row count the shortlist
-    default needs anyway (returned), plus one metadata-cheap count on
-    the float side."""
+    error. Called by the APPENDS (refuse to bury a tear deeper) and
+    by the PROBE constructors (refuse to serve one). Costs the row
+    count the shortlist default needs anyway (returned), plus one
+    metadata-cheap count on the float side."""
     n_scan, n_vecs = scan_df.count(), vecs_df.count()
     if n_scan != n_vecs:
         raise ValueError(
             f"{caller}: torn artifact -- {scan_name} has {n_scan} rows "
             f"but vecs has {n_vecs} (a prior append crashed between its "
-            "writes); probing it would silently drop candidates from the "
-            "shortlist re-rank; rebuild the index"
+            "data writes); a torn index silently drops candidates from "
+            "the shortlist re-rank; rebuild it"
         )
     return n_scan
+
+
+def _require_disjoint_delta(
+    new: DataFrame, existing: DataFrame, caller: str
+) -> None:
+    """Append-family guard: delta vec_ids must be disjoint from the
+    stored corpus (a double-append would duplicate shortlist rows and
+    corrupt the per-query rank window). One bounded join + limit(5)
+    sample for the message; shared by all five appends so the refusal
+    cannot drift."""
+    dups = [
+        r["vec_id"]
+        for r in new.join(existing.select("vec_id"), "vec_id")
+        .select("vec_id")
+        .limit(5)
+        .collect()
+    ]
+    if dups:
+        raise ValueError(
+            f"{caller}: delta vec_ids already present in the index "
+            f"(sample: {dups}) -- appends must be disjoint deltas"
+        )
+
+
+def _load_codebooks(codebooks_df: DataFrame) -> list[list[list[float]]]:
+    """The stored PQ model as the nested n_subspaces x n_codes x d_sub
+    list the shared `pq_lut`/`pq_code_col` arithmetic consumes --
+    defined once for the PQ/IVF-PQ probes and appends (the loader was
+    copy-pasted three times before the r15 review)."""
+    cb_rows = codebooks_df.orderBy("s", "code").collect()
+    n_subspaces = 1 + max(r["s"] for r in cb_rows)
+    books: list[list[list[float]]] = [[] for _ in range(n_subspaces)]
+    for r in cb_rows:
+        books[r["s"]].append(list(r["centroid"]))
+    return books
+
+
+def restamp_index(spark: SparkSession, path: str) -> str:
+    """Refresh a stamped index root's nonce, preserving its knob
+    stamps -- the RECOVERY for the append family's stamp-crash
+    window: an append whose data writes all landed but whose final
+    re-stamp did not leaves a CONSISTENT artifact (the torn guards
+    pass) under the OLD nonce, so retrying the delta refuses as a
+    double-append while pinned probe streams keep passing their nonce
+    check against a file listing that predates the append -- they
+    would never see the appended rows. Run this after confirming the
+    fold completed (the guards' counts agree); it fails pinned
+    streams over exactly as a completed append would."""
+    try:
+        fp = spark.read.parquet(path + "/fingerprint").collect()[0].asDict()
+    except Exception as exc:
+        raise ValueError(
+            f"restamp_index: no fingerprint at {path} -- not a stamped "
+            "index root"
+        ) from exc
+    fp.pop("nonce", None)
+    _write_index_fingerprint(spark, path, fp)
+    return path
 
 
 def _read_stamped_fingerprint(
@@ -2051,19 +2076,9 @@ def append_ivf_index(embeddings: DataFrame, path: str) -> str:
                 f"{dim}-dimensional -- the stored centroids are; a ragged "
                 "delta would assign a garbage cell"
             )
-        cells = spark.read.parquet(path + "/cells")
-        dups = [
-            r["vec_id"]
-            for r in new.join(cells.select("vec_id"), "vec_id")
-            .select("vec_id")
-            .limit(5)
-            .collect()
-        ]
-        if dups:
-            raise ValueError(
-                f"append_ivf_index: delta vec_ids already present in the "
-                f"index (sample: {dups}) -- appends must be disjoint deltas"
-            )
+        _require_disjoint_delta(
+            new, spark.read.parquet(path + "/cells"), "append_ivf_index"
+        )
         assigned = ivf_probe_rank(
             new.select(
                 F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
@@ -2103,6 +2118,7 @@ def write_ivfpq_index(
     n_subspaces: int = 8,
     n_codes: int = 16,
     iterations: int = 3,
+    dim: int | None = None,
 ) -> str:
     """Persist the IVF-PQ artifact -- the canonical billion-vector
     serving shape (the faiss IVFPQ layout): a coarse quantizer prunes
@@ -2134,12 +2150,14 @@ def write_ivfpq_index(
     delta under the FROZEN models appends exactly --
     `append_ivfpq_index`. Knobs stamp into the fingerprint."""
     from ..llmdata.similarity import (
+        EMBEDDING_DIM,
         _dvec,
         ivf_centroids,
         kmeans_assign,
         pq_encode,
     )
 
+    dim = EMBEDDING_DIM if dim is None else dim
     spark = embeddings.sparkSession
     # both intermediates feed TWO writes below (cells + vecs; cells +
     # centroids) -- persist so the literal-assignment map stages run
@@ -2148,7 +2166,7 @@ def write_ivfpq_index(
         embeddings, k=n_lists, iterations=kmeans_iterations
     ).persist()
     encoded, codebooks = pq_encode(
-        embeddings, n_subspaces, n_codes, iterations
+        embeddings, n_subspaces, n_codes, iterations, dim
     )
     encoded = encoded.persist()
     try:
@@ -2237,20 +2255,14 @@ def append_ivfpq_index(embeddings: DataFrame, path: str) -> str:
     fp = _read_stamped_fingerprint(
         spark, path, "ivfpq", "IVF-PQ", "append_ivfpq_index"
     )
-    cb_rows = (
-        spark.read.parquet(path + "/codebooks").orderBy("s", "code").collect()
-    )
-    n_subspaces = 1 + max(r["s"] for r in cb_rows)
-    if int(fp["n_subspaces"]) != n_subspaces:
+    codebooks = _load_codebooks(spark.read.parquet(path + "/codebooks"))
+    if int(fp["n_subspaces"]) != len(codebooks):
         raise ValueError(
             f"append_ivfpq_index: fingerprint stamps n_subspaces="
             f"{fp['n_subspaces']} but the stored codebooks span "
-            f"{n_subspaces} subspaces -- mixed artifact, rebuild"
+            f"{len(codebooks)} subspaces -- mixed artifact, rebuild"
         )
-    codebooks: list[list[list[float]]] = [[] for _ in range(n_subspaces)]
-    for r in cb_rows:
-        codebooks[r["s"]].append(list(r["centroid"]))
-    dim = n_subspaces * len(codebooks[0][0])
+    dim = len(codebooks) * len(codebooks[0][0])
     cents = spark.read.parquet(path + "/centroids")
 
     new = embeddings.select(
@@ -2270,28 +2282,11 @@ def append_ivfpq_index(embeddings: DataFrame, path: str) -> str:
                 f"{dim} dims; a ragged delta would assign garbage"
             )
         cells = spark.read.parquet(path + "/cells")
-        vecs = spark.read.parquet(path + "/vecs")
-        n_cells_rows, n_vecs_rows = cells.count(), vecs.count()
-        if n_cells_rows != n_vecs_rows:
-            raise ValueError(
-                f"append_ivfpq_index: torn artifact at {path} -- cells "
-                f"has {n_cells_rows} rows but vecs has {n_vecs_rows} (a "
-                "prior append crashed between its writes); rebuild with "
-                "write_ivfpq_index"
-            )
-        dups = [
-            r["vec_id"]
-            for r in new.join(cells.select("vec_id"), "vec_id")
-            .select("vec_id")
-            .limit(5)
-            .collect()
-        ]
-        if dups:
-            raise ValueError(
-                f"append_ivfpq_index: delta vec_ids already present in "
-                f"the index (sample: {dups}) -- appends must be disjoint "
-                "deltas"
-            )
+        _require_untorn(
+            cells, spark.read.parquet(path + "/vecs"), "cells",
+            "append_ivfpq_index",
+        )
+        _require_disjoint_delta(new, cells, "append_ivfpq_index")
         assigned = ivf_probe_rank(
             new.select(
                 F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
@@ -2379,11 +2374,7 @@ def ivfpq_topk_batches(
         "stream against the new index instead",
     )
 
-    cb_rows = index_codebooks.orderBy("s", "code").collect()
-    n_subspaces = 1 + max(r["s"] for r in cb_rows)
-    codebooks: list[list[list[float]]] = [[] for _ in range(n_subspaces)]
-    for r in cb_rows:
-        codebooks[r["s"]].append(list(r["centroid"]))
+    codebooks = _load_codebooks(index_codebooks)
     n_lists = index_centroids.count()
     n_corpus = _require_untorn(
         index_cells, index_vecs, "cells", "ivfpq_topk_batches"

@@ -2452,6 +2452,93 @@ def test_streaming_pq_append_guards_refuse_loudly(spark, tmp_path):
             str(tmp_path / "torn_out"),
         )
 
+    # stamp-crash recovery: an append whose data writes landed but
+    # whose re-stamp crashed leaves a consistent artifact under the
+    # OLD nonce (retry refuses as double-append, pinned streams never
+    # fail over) -- restamp_index refreshes the nonce and preserves
+    # every knob stamp
+    from big_data_streaming_dashboard_spark.streaming.llm_ingest import (
+        restamp_index,
+    )
+
+    fp0 = spark.read.parquet(idx + "/fingerprint").collect()[0].asDict()
+    restamp_index(spark, idx)
+    fp1 = spark.read.parquet(idx + "/fingerprint").collect()[0].asDict()
+    assert fp1["nonce"] != fp0["nonce"]
+    assert {k: v for k, v in fp1.items() if k != "nonce"} == {
+        k: v for k, v in fp0.items() if k != "nonce"
+    }
+    with pytest.raises(ValueError, match="not a stamped"):
+        restamp_index(spark, str(tmp_path / "nothing"))
+
+
+def test_serving_index_build_knob_guards(spark, tmp_path):
+    """Build-time knob guards added by the r15 review: quant bits
+    outside [2, 8] refuse (tinyint storage would wrap wider codes
+    silently and the coarse ranking would collapse); empty corpora
+    refuse at build (a stamped-but-empty root would die later with a
+    bare first()=None TypeError); and write_ivfpq_index's dim knob
+    encodes non-default widths correctly (before the fix it hardwired
+    EMBEDDING_DIM and null-padded every distance on a 32-dim
+    corpus)."""
+    import random
+
+    from big_data_streaming_dashboard_spark.streaming.llm_ingest import (
+        _ivfpq_ranked_plan,
+        write_ivfpq_index,
+        write_matryoshka_index,
+        write_quant_index,
+    )
+    from big_data_streaming_dashboard_spark.tables import load_table
+
+    embs = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    empty = embs.filter(F.col("vec_id") < 0)
+    with pytest.raises(ValueError, match="bits=12 out of range"):
+        write_quant_index(embs, str(tmp_path / "q12"), bits=12)
+    with pytest.raises(ValueError, match="empty embeddings"):
+        write_quant_index(empty, str(tmp_path / "qe"))
+    with pytest.raises(ValueError, match="empty embeddings"):
+        write_matryoshka_index(empty, str(tmp_path / "me"))
+
+    rng = random.Random(7)
+    narrow = spark.createDataFrame(
+        [
+            (i, rng.randrange(3), [rng.uniform(-1, 1) for _ in range(32)])
+            for i in range(40)
+        ],
+        "vec_id long, label int, embedding array<double>",
+    )
+    idx = write_ivfpq_index(
+        narrow, str(tmp_path / "ivfpq32"), n_lists=4, dim=32
+    )
+    cells = spark.read.parquet(idx + "/cells")
+    # every stored code is a real (non-null) assignment
+    assert (
+        cells.filter(
+            F.exists("codes", lambda c: c.isNull())
+            | F.col("codes").isNull()
+        ).count()
+        == 0
+    )
+    from big_data_streaming_dashboard_spark.streaming.llm_ingest import (
+        _load_codebooks,
+    )
+
+    ranked, done = _ivfpq_ranked_plan(
+        narrow.filter(F.col("vec_id") < 3),
+        cells,
+        spark.read.parquet(idx + "/vecs"),
+        _load_codebooks(spark.read.parquet(idx + "/codebooks")),
+        spark.read.parquet(idx + "/centroids"),
+        3,
+        2,
+        10,
+        True,
+    )
+    rows = ranked.collect()
+    done()
+    assert len(rows) == 9 and all(r["cos_sim"] is not None for r in rows)
+
 
 def test_streaming_ivf_append_assigns_frozen_nearest_cell(spark, tmp_path):
     """`append_ivf_index` lands each delta vector in its nearest
