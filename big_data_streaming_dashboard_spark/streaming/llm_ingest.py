@@ -207,11 +207,38 @@ def write_neardup_index(docs: DataFrame, path: str, mode: str = "overwrite") -> 
     return path
 
 
+def _dedup_candidates(
+    cands: DataFrame, keys: list[str], dedup_ttl: str | None
+) -> DataFrame:
+    """The candidate-pair dedup shared by the probe streams: unbounded
+    `dropDuplicates` state by default (exactly-once pairs for the
+    stream's lifetime), or -- when ``dedup_ttl`` is set (e.g.
+    ``"1 hour"``) -- ingest-time-watermarked
+    `dropDuplicatesWithinWatermark`, the documented at-scale form
+    whose state is BOUNDED by the TTL. The trade is explicit: a pair
+    re-arriving after its first sighting ages past the watermark is
+    re-emitted (downstream consumers that aggregate per key are
+    unaffected; exactly-once-per-pair consumers must keep the
+    default). Ingest time is `current_timestamp()` -- stable within a
+    micro-batch, the standard processing-time TTL pattern; batch
+    (non-streaming) frames keep the plain dropDuplicates, since the
+    watermark form is streaming-only."""
+    if dedup_ttl is None or not cands.isStreaming:
+        return cands.dropDuplicates(keys)
+    return (
+        cands.withColumn("_ingest_ts", F.current_timestamp())
+        .withWatermark("_ingest_ts", dedup_ttl)
+        .dropDuplicatesWithinWatermark(keys)
+        .drop("_ingest_ts")
+    )
+
+
 def neardup_probe_stream(
     docs: DataFrame,
     index: DataFrame,
     threshold: float = 0.2,
     max_bucket_size: int = 1000,
+    dedup_ttl: str | None = None,
 ) -> DataFrame:
     """Streaming near-dup detection: each arriving document probes the
     static band index (stream-STATIC join -- natively supported, no
@@ -223,9 +250,11 @@ def neardup_probe_stream(
     ``dropDuplicates`` -- cross-batch state, one entry per distinct
     candidate pair, which also makes each emitted pair exactly-once
     across the stream's lifetime. State grows with the candidate-pair
-    count (band-collision-rate bounded); at scale put an ingest-time
-    watermark on the stream and use ``dropDuplicatesWithinWatermark``
-    to TTL it. Degenerate index buckets above the cap are skipped,
+    count (band-collision-rate bounded); at scale pass ``dedup_ttl``
+    (e.g. ``"1 hour"``) to switch to ingest-time-watermarked
+    ``dropDuplicatesWithinWatermark`` -- state bounded by the TTL,
+    with the re-emission trade documented on `_dedup_candidates`.
+    Degenerate index buckets above the cap are skipped,
     mirroring the batch guard; the bucket sizes are recomputed over
     the index AT PROBE TIME (one count-agg on the static side, paid
     once per stream start) rather than read from the stored
@@ -270,11 +299,12 @@ def neardup_probe_stream(
             F.col("shingles").alias("index_shingles"),
         )
     )
-    cands = (
+    cands = _dedup_candidates(
         probe.join(idx, ["band_idx", "band_hash"])
         .filter(F.col("doc_id") != F.col("index_doc_id"))
-        .select("doc_id", "index_doc_id", "index_shingles")
-        .dropDuplicates(["doc_id", "index_doc_id"])
+        .select("doc_id", "index_doc_id", "index_shingles"),
+        ["doc_id", "index_doc_id"],
+        dedup_ttl,
     )
     sh = docs.select("doc_id", shingles(F.col("text")).alias("sh"))
     pair = cands.join(sh, "doc_id")
@@ -2578,6 +2608,7 @@ def ann_probe_stream(
     dim: int | None = None,
     seed: int = 42,
     multiprobe: bool = True,
+    dedup_ttl: str | None = None,
 ) -> DataFrame:
     """Streaming ANN candidate scoring: each arriving query vector
     probes the static band index (stream-STATIC equi-join on
@@ -2591,9 +2622,11 @@ def ann_probe_stream(
     the UNROUNDED cosine, because ranking must happen on the same
     value the batch path ranks on; `ann_topk_batches` applies the
     per-query top-k. ``dropDuplicates`` holds one state row per
-    distinct (query, candidate) pair -- at scale, watermark the
-    stream and use ``dropDuplicatesWithinWatermark`` to TTL it (same
-    note as `neardup_probe_stream`)."""
+    distinct (query, candidate) pair -- at scale pass ``dedup_ttl``
+    to switch to the ingest-time-watermarked TTL'd form (state
+    bounded; re-emission trade on `_dedup_candidates` -- harmless
+    here unless one query_id is replayed across batches farther
+    apart than the TTL)."""
     from ..llmdata.similarity import (
         EMBEDDING_DIM,
         _band_sigs_udf,
@@ -2628,11 +2661,12 @@ def ann_probe_stream(
         probe = probe.select(
             "query_id", "qvec", "band", F.col("qsig").alias("sig")
         )
-    cands = (
+    cands = _dedup_candidates(
         probe.join(index_bands, ["band", "sig"])
         .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", "qvec", "vec_id")
-        .dropDuplicates(["query_id", "vec_id"])
+        .select("query_id", "qvec", "vec_id"),
+        ["query_id", "vec_id"],
+        dedup_ttl,
     )
     return cands.join(index_vecs, "vec_id").select(
         "query_id",

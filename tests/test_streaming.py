@@ -2472,6 +2472,48 @@ def test_streaming_pq_append_guards_refuse_loudly(spark, tmp_path):
         restamp_index(spark, str(tmp_path / "nothing"))
 
 
+def test_probe_dedup_ttl_matches_unbounded_state(spark, tmp_path):
+    """The opt-in TTL'd candidate dedup
+    (`dropDuplicatesWithinWatermark` on an ingest-time watermark --
+    the documented at-scale form whose state is bounded) produces the
+    SAME output as the default unbounded `dropDuplicates` for a
+    replay inside the TTL, for both the ANN and near-dup probes; the
+    helper degrades to plain dropDuplicates on batch (non-streaming)
+    frames, so the curation verdict plan's per-batch reuse is
+    unaffected."""
+    from big_data_streaming_dashboard_spark.streaming.llm_ingest import (
+        ann_probe_stream,
+        ann_topk_batches,
+        stream_embeddings,
+        write_ann_index,
+    )
+    from big_data_streaming_dashboard_spark.tables import load_table
+
+    embs = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    idx = write_ann_index(embs, str(tmp_path / "ann"))
+    qdir = str(tmp_path / "queries")
+    embs.filter(F.col("vec_id") < 5).repartition(2).write.parquet(qdir)
+
+    outs = []
+    for tag, ttl in [("plain", None), ("ttl", "1 hour")]:
+        out = str(tmp_path / f"out_{tag}")
+        q = ann_topk_batches(
+            ann_probe_stream(
+                stream_embeddings(spark, qdir),
+                spark.read.parquet(idx + "/bands"),
+                spark.read.parquet(idx + "/vecs"),
+                dedup_ttl=ttl,
+            ),
+            out,
+            k=10,
+            checkpoint=str(tmp_path / f"ck_{tag}"),
+            index_path=idx,
+        )
+        q.awaitTermination(180)
+        outs.append(sorted(map(tuple, spark.read.parquet(out).collect())))
+    assert outs[0] == outs[1] and outs[0]
+
+
 def test_serving_index_build_knob_guards(spark, tmp_path):
     """Build-time knob guards added by the r15 review: quant bits
     outside [2, 8] refuse (tinyint storage would wrap wider codes
