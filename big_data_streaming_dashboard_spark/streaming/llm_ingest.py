@@ -2979,12 +2979,8 @@ def semantic_verdict_batches(
     rewrites."""
     from ..llmdata.similarity import DEFAULT_NEARDUP_BANDS
 
-    _require_band_ratio(
-        index_bands,
-        index_vecs,
-        DEFAULT_NEARDUP_BANDS if bands is None else bands,
-        "semantic_verdict_batches",
-    )
+    # pin-target contract first (a caller error), artifact-state
+    # ratio guard second -- the family test pins this precedence
     _check = _pin_index(
         embeddings.sparkSession,
         index_path,
@@ -2992,6 +2988,12 @@ def semantic_verdict_batches(
         "semantic index at {path} was overwritten under a probe/verdict "
         "stream (fingerprint {now} != snapshot {expected}); rebuild the "
         "verdict stream against the new index instead",
+    )
+    _require_band_ratio(
+        index_bands,
+        index_vecs,
+        DEFAULT_NEARDUP_BANDS if bands is None else bands,
+        "semantic_verdict_batches",
     )
 
     def _emit(batch: DataFrame, _epoch: int) -> None:
