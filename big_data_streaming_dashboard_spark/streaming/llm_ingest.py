@@ -383,12 +383,15 @@ def containment_probe_stream(
     threshold: float = 0.8,
     df_index: DataFrame | None = None,
     max_postings: int | None = None,
+    dedup_ttl: str | None = None,
 ) -> DataFrame:
     """Streaming directed containment against a static corpus: each
     arriving document's shingle hashes probe the capped posting index
     (stream-STATIC equi-join, no stream state in candidate
     generation), candidates dedup exactly-once via cross-batch
-    ``dropDuplicates``, and the exact verify scores BOTH directions --
+    ``dropDuplicates`` (or, with ``dedup_ttl`` set, the
+    ingest-time-watermarked TTL'd form whose state is bounded --
+    `_dedup_candidates`), and the exact verify scores BOTH directions --
     (arriving ⊂ indexed): an excerpt/quote of a known page, and
     (indexed ⊂ arriving): an arriving page that swallows a known doc.
 
@@ -440,13 +443,13 @@ def containment_probe_stream(
     probe = docs.select(
         "doc_id", F.explode(shingles(F.col("text"))).alias("_s")
     ).select("doc_id", F.xxhash64("_s").alias("sh_hash"))
-    cands = (
+    cands = _dedup_candidates(
         probe.join(
             idx_postings,
             "sh_hash",
-        )
-        .select("doc_id", "index_doc_id")
-        .dropDuplicates(["doc_id", "index_doc_id"])
+        ).select("doc_id", "index_doc_id"),
+        ["doc_id", "index_doc_id"],
+        dedup_ttl,
     )
     stream_sh = docs.select(
         "doc_id",
@@ -2832,6 +2835,7 @@ def _semantic_probe_plan(
     rows_per_band: int | None,
     dim: int | None,
     seed: int,
+    dedup_ttl: str | None = None,
 ) -> DataFrame:
     """The ONE semantic-probe plan, shared verbatim by the streaming
     hit probe (`semantic_probe_stream`) and the per-micro-batch
@@ -2872,11 +2876,12 @@ def _semantic_probe_plan(
     idx = index_bands.select(
         F.col("vec_id").alias("index_vec_id"), "band", "sig"
     )
-    cands = (
+    cands = _dedup_candidates(
         probe.join(idx, ["band", "sig"])
         .filter(F.col("vec_id") != F.col("index_vec_id"))
-        .select("vec_id", "qvec", "index_vec_id")
-        .dropDuplicates(["vec_id", "index_vec_id"])
+        .select("vec_id", "qvec", "index_vec_id"),
+        ["vec_id", "index_vec_id"],
+        dedup_ttl,
     )
     vecs = index_vecs.select(
         F.col("vec_id").alias("index_vec_id"), "vec"
@@ -2901,6 +2906,7 @@ def semantic_probe_stream(
     rows_per_band: int | None = None,
     dim: int | None = None,
     seed: int = 42,
+    dedup_ttl: str | None = None,
 ) -> DataFrame:
     """Streaming semantic near-dup detection: each arriving embedding
     probes the static band index (stream-static equi-join on
@@ -2916,9 +2922,10 @@ def semantic_probe_stream(
     restricted to the streamed side). The capstone verdict derives
     downstream exactly as the batch `semantic_neardup` does -- use
     `semantic_verdict_batches` for that composition. Candidate dedup
-    state: one row per distinct (vec_id, index_vec_id); watermark +
-    dropDuplicatesWithinWatermark to TTL at scale (same note as the
-    other probes)."""
+    state: one row per distinct (vec_id, index_vec_id); at scale pass
+    ``dedup_ttl`` to switch to the ingest-time-watermarked TTL'd form
+    (`_dedup_candidates` -- state bounded, re-emission trade stated
+    there)."""
     from ..llmdata.similarity import DEFAULT_NEARDUP_BANDS
 
     _require_band_ratio(
@@ -2929,7 +2936,7 @@ def semantic_probe_stream(
     )
     return _semantic_probe_plan(
         embeddings, index_bands, index_vecs, threshold,
-        bands, rows_per_band, dim, seed,
+        bands, rows_per_band, dim, seed, dedup_ttl,
     )
 
 

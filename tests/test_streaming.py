@@ -2513,6 +2513,50 @@ def test_probe_dedup_ttl_matches_unbounded_state(spark, tmp_path):
         outs.append(sorted(map(tuple, spark.read.parquet(out).collect())))
     assert outs[0] == outs[1] and outs[0]
 
+    # near-dup: the uniquely risky TTL chain (dropDuplicatesWithin-
+    # Watermark followed by the shingle self-join -- a multi-stateful-
+    # operator plan Spark only conditionally supports) must run AND
+    # match the unbounded path on a replay inside the TTL
+    from big_data_streaming_dashboard_spark.streaming.llm_ingest import (
+        neardup_probe_stream,
+        stream_documents,
+        write_neardup_index,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text", "lang"
+    )
+    nd_idx = str(tmp_path / "nd_index")
+    write_neardup_index(docs, nd_idx)
+    docs_dir = str(tmp_path / "docs")
+    docs.repartition(3).write.parquet(docs_dir)
+    nd_outs = []
+    for tag, ttl in [("plain", None), ("ttl", "1 hour")]:
+        stream = neardup_probe_stream(
+            stream_documents(spark, docs_dir),
+            spark.read.parquet(nd_idx),
+            dedup_ttl=ttl,
+        )
+        got = _run_stream(spark, stream, f"t_{uuid.uuid4().hex[:8]}")
+        nd_outs.append(
+            sorted(
+                (r["doc_id"], r["index_doc_id"], r["jaccard"])
+                for r in got.collect()
+            )
+        )
+    assert nd_outs[0] == nd_outs[1] and nd_outs[0]
+
+    # batch (non-streaming) frames degrade to plain dropDuplicates
+    # even with a TTL set -- the curation verdict plan's per-batch
+    # reuse path
+    batch_hits = sorted(
+        (r["doc_id"], r["index_doc_id"], r["jaccard"])
+        for r in neardup_probe_stream(
+            docs, spark.read.parquet(nd_idx), dedup_ttl="1 hour"
+        ).collect()
+    )
+    assert batch_hits == nd_outs[0]
+
 
 def test_serving_index_build_knob_guards(spark, tmp_path):
     """Build-time knob guards added by the r15 review: quant bits
