@@ -1260,17 +1260,10 @@ def append_pq_index(embeddings: DataFrame, path: str) -> str:
         )
     finally:
         new.unpersist()
-    _write_index_fingerprint(
-        spark,
-        path,
-        {
-            "kind": "pq",
-            "n_subspaces": int(fp["n_subspaces"]),
-            "n_codes": int(fp["n_codes"]),
-            "iterations": int(fp["iterations"]),
-        },
-    )
-    return path
+    # re-stamp via the ONE nonce-refresh path -- preserves whatever
+    # keys the writer stamped, so a fingerprint-schema change cannot
+    # be silently dropped by a hand-enumerated dict here (r15 review)
+    return restamp_index(spark, path)
 
 
 def pq_topk_batches(
@@ -1411,6 +1404,18 @@ def write_matryoshka_index(
             # valid root whose appends/probes then die on a bare
             # first()=None TypeError instead of a distinct message
             raise ValueError("write_matryoshka_index: empty embeddings input")
+        # knob guards (the quant bits rule): probe_dim < 1 slices an
+        # EMPTY prefix whose cosine is NULL for every row -- the
+        # shortlist degenerates to lowest-vec_id, silently wrong;
+        # probe_dim > dim silently stores full-width vectors,
+        # negating the byte win the artifact exists for (== dim is
+        # legitimate: the brute-force collapse)
+        dim = len(unit.select("v").first()["v"])
+        if not 1 <= probe_dim <= dim:
+            raise ValueError(
+                f"write_matryoshka_index: probe_dim={probe_dim} out of "
+                f"range [1, {dim}] for this corpus's vector width"
+            )
         (
             unit.select(
                 "vec_id",
@@ -1486,10 +1491,7 @@ def append_matryoshka_index(embeddings: DataFrame, path: str) -> str:
         )
     finally:
         new.unpersist()
-    _write_index_fingerprint(
-        spark, path, {"kind": "matryoshka", "probe_dim": probe_dim}
-    )
-    return path
+    return restamp_index(spark, path)
 
 
 def matryoshka_topk_batches(
@@ -1626,8 +1628,11 @@ def write_quant_index(
         )
     max_code = (1 << (bits - 1)) - 1
     # persisted: the codes and vecs writes both consume the source
-    # plan (the bpairs lesson)
-    src = embeddings.persist()
+    # plan (the bpairs lesson). Persist a DERIVED select, never the
+    # caller's frame -- persist/unpersist act on the plan, so
+    # unpersisting `embeddings` itself would silently evict a cache
+    # the caller owns (the family rule; r15 review)
+    src = embeddings.select("vec_id", "label", "embedding").persist()
     try:
         if src.isEmpty():
             raise ValueError("write_quant_index: empty embeddings input")
@@ -1679,7 +1684,8 @@ def append_quant_index(embeddings: DataFrame, path: str) -> str:
     max_code = (1 << (int(fp["bits"]) - 1)) - 1
     dim = len(spark.read.parquet(path + "/vecs").select("v").first()["v"])
 
-    new = embeddings.persist()
+    # derived select, not the caller's frame (see write_quant_index)
+    new = embeddings.select("vec_id", "label", "embedding").persist()
     try:
         if new.isEmpty():
             return path
@@ -1715,10 +1721,7 @@ def append_quant_index(embeddings: DataFrame, path: str) -> str:
         )
     finally:
         new.unpersist()
-    _write_index_fingerprint(
-        spark, path, {"kind": "quant", "bits": int(fp["bits"])}
-    )
-    return path
+    return restamp_index(spark, path)
 
 
 def quant_topk_batches(
@@ -1899,13 +1902,9 @@ def compact_serving_index(spark: SparkSession, path: str) -> str:
     (`write_ann_index` / `write_semantic_index` stamp no ``kind``)
     are refused -- their band/vecs dirs are per-row facts too and can
     be compacted by the storage layer."""
-    try:
-        fp = spark.read.parquet(path + "/fingerprint").collect()[0].asDict()
-    except Exception as exc:
-        raise ValueError(
-            f"compact_serving_index: no fingerprint at {path} -- not a "
-            "stamped index root"
-        ) from exc
+    fp = _read_stamped_fingerprint(
+        spark, path, None, "", "compact_serving_index"
+    )
     kind = fp.get("kind")
     if kind not in _INDEX_COMPACT_LAYOUT:
         raise ValueError(
@@ -2015,45 +2014,48 @@ def _load_codebooks(codebooks_df: DataFrame) -> list[list[list[float]]]:
 
 
 def restamp_index(spark: SparkSession, path: str) -> str:
-    """Refresh a stamped index root's nonce, preserving its knob
-    stamps -- the RECOVERY for the append family's stamp-crash
-    window: an append whose data writes all landed but whose final
-    re-stamp did not leaves a CONSISTENT artifact (the torn guards
-    pass) under the OLD nonce, so retrying the delta refuses as a
-    double-append while pinned probe streams keep passing their nonce
-    check against a file listing that predates the append -- they
-    would never see the appended rows. Run this after confirming the
-    fold completed (the guards' counts agree); it fails pinned
-    streams over exactly as a completed append would."""
-    try:
-        fp = spark.read.parquet(path + "/fingerprint").collect()[0].asDict()
-    except Exception as exc:
-        raise ValueError(
-            f"restamp_index: no fingerprint at {path} -- not a stamped "
-            "index root"
-        ) from exc
+    """Refresh a stamped index root's nonce, preserving EVERY knob
+    stamp (whatever keys the writer stamped -- no hand-enumerated
+    dict to drift; the appends end with this call, so a future
+    fingerprint-schema change lands in one place). Also the RECOVERY
+    for the append family's stamp-crash window: an append whose data
+    writes all landed but whose final re-stamp did not leaves a
+    CONSISTENT artifact (the torn guards pass) under the OLD nonce,
+    so retrying the delta refuses as a double-append while pinned
+    probe streams keep passing their nonce check against a file
+    listing that predates the append -- they would never see the
+    appended rows. Run this after confirming the fold completed (the
+    guards' counts agree); it fails pinned streams over exactly as a
+    completed append would."""
+    fp = _read_stamped_fingerprint(spark, path, None, "", "restamp_index")
     fp.pop("nonce", None)
     _write_index_fingerprint(spark, path, fp)
     return path
 
 
 def _read_stamped_fingerprint(
-    spark: SparkSession, path: str, kind: str, display: str, caller: str
+    spark: SparkSession,
+    path: str,
+    kind: str | None,
+    display: str,
+    caller: str,
 ) -> dict:
     """The append family's shared entry guard (one place, the
     `_pin_index` lesson): an unstamped root and a wrong-kind artifact
     refuse with DISTINCT messages -- the former is 'this is not (or
     no longer) a built index', the latter is 'you are appending the
-    wrong kind of delta to a real index'."""
+    wrong kind of delta to a real index'. ``kind=None`` accepts any
+    stamped root (the restamp/compact callers, which work on whatever
+    the writer stamped)."""
     try:
         fp = spark.read.parquet(path + "/fingerprint").collect()[0].asDict()
     except Exception as exc:
+        what = f"a {display} index root" if kind else "a stamped index root"
         raise ValueError(
             f"{caller}: no fingerprint at {path} -- the artifact is "
-            f"unstamped (not a {display} index root, or a torn build); "
-            "rebuild it first"
+            f"unstamped (not {what}, or a torn build); rebuild it first"
         ) from exc
-    if fp.get("kind") != kind:
+    if kind is not None and fp.get("kind") != kind:
         raise ValueError(
             f"{caller}: artifact at {path} is stamped "
             f"kind={fp.get('kind')!r}, not a {display} index"
@@ -2090,9 +2092,7 @@ def append_ivf_index(embeddings: DataFrame, path: str) -> str:
     from ..llmdata.similarity import _dvec, ivf_probe_rank
 
     spark = embeddings.sparkSession
-    fp = _read_stamped_fingerprint(
-        spark, path, "ivf", "IVF", "append_ivf_index"
-    )
+    _read_stamped_fingerprint(spark, path, "ivf", "IVF", "append_ivf_index")
     cents = spark.read.parquet(path + "/centroids")
     dim = len(cents.select("centroid").first()["centroid"])
 
@@ -2131,16 +2131,7 @@ def append_ivf_index(embeddings: DataFrame, path: str) -> str:
         )
     finally:
         new.unpersist()
-    _write_index_fingerprint(
-        spark,
-        path,
-        {
-            "kind": "ivf",
-            "n_lists": int(fp["n_lists"]),
-            "kmeans_iterations": int(fp["kmeans_iterations"]),
-        },
-    )
-    return path
+    return restamp_index(spark, path)
 
 
 def write_ivfpq_index(
@@ -2343,19 +2334,7 @@ def append_ivfpq_index(embeddings: DataFrame, path: str) -> str:
         )
     finally:
         new.unpersist()
-    _write_index_fingerprint(
-        spark,
-        path,
-        {
-            "kind": "ivfpq",
-            "n_lists": int(fp["n_lists"]),
-            "kmeans_iterations": int(fp["kmeans_iterations"]),
-            "n_subspaces": int(fp["n_subspaces"]),
-            "n_codes": int(fp["n_codes"]),
-            "iterations": int(fp["iterations"]),
-        },
-    )
-    return path
+    return restamp_index(spark, path)
 
 
 def ivfpq_topk_batches(

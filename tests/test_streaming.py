@@ -2557,6 +2557,47 @@ def test_probe_dedup_ttl_matches_unbounded_state(spark, tmp_path):
     )
     assert batch_hits == nd_outs[0]
 
+    # semantic and containment: the other two TTL chains must RUN in
+    # CI (each is a watermarked dedup feeding a further stateful /
+    # join stage Spark only conditionally supports) and match their
+    # unbounded twins
+    from big_data_streaming_dashboard_spark.streaming.llm_ingest import (
+        containment_probe_stream,
+        semantic_probe_stream,
+        write_containment_index,
+        write_semantic_index,
+    )
+
+    sem_idx = write_semantic_index(embs, str(tmp_path / "sem"))
+    sem_outs = []
+    for tag, ttl in [("plain", None), ("ttl", "1 hour")]:
+        stream = semantic_probe_stream(
+            stream_embeddings(spark, qdir),
+            spark.read.parquet(sem_idx + "/bands"),
+            spark.read.parquet(sem_idx + "/vecs"),
+            threshold=0.2,
+            dedup_ttl=ttl,
+        )
+        got = _run_stream(spark, stream, f"t_{uuid.uuid4().hex[:8]}")
+        sem_outs.append(sorted(map(tuple, got.collect())))
+    assert sem_outs[0] == sem_outs[1] and sem_outs[0]
+
+    c_idx = write_containment_index(docs, str(tmp_path / "cont"))
+    c_outs = []
+    for tag, ttl in [("plain", None), ("ttl", "1 hour")]:
+        stream = containment_probe_stream(
+            stream_documents(spark, docs_dir).withColumn(
+                "doc_id", F.col("doc_id") + 10000
+            ),
+            spark.read.parquet(c_idx + "/postings"),
+            spark.read.parquet(c_idx + "/docs"),
+            threshold=0.5,
+            dedup_ttl=ttl,
+        )
+        got = _run_stream(spark, stream, f"t_{uuid.uuid4().hex[:8]}")
+        c_outs.append(sorted(map(tuple, got.collect())))
+    assert c_outs[0] == c_outs[1] and c_outs[0]
+
 
 def test_serving_index_build_knob_guards(spark, tmp_path):
     """Build-time knob guards added by the r15 review: quant bits
