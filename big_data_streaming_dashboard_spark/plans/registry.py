@@ -1514,76 +1514,73 @@ WHERE s._emit""",
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW: list[str] = [
-    # r15 window, computed by plans/rotation.py (pasted verbatim).
-    # 2 rows-only + ALL 37 r12-attested queries (mandatory at the
-    # 3-round bound) + the 11 stalest of the r13-attested block =
-    # exactly 50 slots, ZERO slack. CAPACITY IS NOW BINDING (r14
-    # verdict item 2): 135 = 50 (r14) + 48 (r13) + 37 (r12); the
-    # steady-state window is full, so ANY net registry addition
-    # breaches the 3-round bound by construction. DECISION: the
-    # registry is FROZEN at 135 queries. New work ships as depth --
-    # serving forms, evaluators, plan/perf improvements, tests --
-    # on existing slots. Unfreezing requires amending the bound to
-    # 4 rounds in this comment as an explicit documented decision.
-    # r16 swap plan (run the tool; it accounts for this): after a
-    # successful r15 run, the 48 r13-attested queries left out here
+    # r16 window, computed by plans/rotation.py (pasted verbatim).
+    # 2 rows-only + ALL 37 r13-attested queries (mandatory at the
+    # 3-round bound, newest driver row r13) + the 11 stalest of the
+    # r14-attested block = exactly 50 slots, ZERO slack. The registry
+    # remains FROZEN at 135 (binding capacity arithmetic, r14 verdict
+    # item 2): 135 = 50 (r15) + 48 (r14) + 37 (r13); steady state
+    # cycles three blocks (50/48/37). New work ships as depth on
+    # existing slots; unfreezing requires amending the bound to
+    # 4 rounds here as an explicit documented decision.
+    # r17 swap plan (run the tool; it accounts for this): after a
+    # successful r16 run, the 48 r14-attested queries left out here
     # reach their bound -- 2 rows-only + those 48 = exactly 50 again.
-    # Steady state cycles three blocks (50/48/37) with zero slack.
     # rows-only by design -- permanently in-window per r3 advice
     "approx_aggregates",
     "media_feature_census",
-    # --- 37 mandatory: the r12-attested block, at its 3-round
-    # LRU bound (newest driver row r12) ---
-    "doc_curation_funnel",
-    "doc_dedupe_lines",
-    "doc_langid",
-    "doc_neardup_cluster_sizes",
-    "doc_neardup_recall_hi",
-    "doc_normalize",
-    "doc_pii_redact",
-    "doc_quality",
-    "doc_rolling_fingerprint",
-    "doc_shard_packing",
-    "doc_simhash",
-    "doc_tfidf_top_terms",
-    "doc_vocab_coverage",
-    "emb_ivf_recall",
-    "emb_kmeans",
-    "emb_pq_recall",
-    "event_funnel",
-    "exact_distinct_quantiles",
-    "full_pipeline",
-    "geojson_features",
-    "grid_cluster",
-    "idle_customer_balance",
-    "level_filter_high",
-    "pivot_event_counts",
-    "pricing_summary",
-    "rollup_pricing",
-    "segment_semi_anti",
-    "severity_ws_counts",
-    "shipping_priority",
-    "small_quantity_revenue",
-    "temporal_batch_annotate",
-    "temporal_union",
-    "top_supplier_revenue",
-    "user_set_ops",
-    "value_anomalies",
-    "weekly_cohort_retention",
-    "window_zoo",
+    # --- 37 mandatory: the r13-attested block, at its 3-round
+    # LRU bound (newest driver row r13) ---
+    "doc_corpus_mixture",
+    "doc_curation",
+    "doc_curation_extended",
+    "doc_curation_full",
+    "doc_domain_cap",
+    "doc_exact_dedup",
+    "doc_gopher_rules",
+    "doc_importance_weights",
+    "doc_minhash_calibration",
+    "doc_minhash_signature",
+    "doc_neardup_clusters",
+    "doc_neardup_pairs",
+    "doc_neardup_recall",
+    "doc_ngram_jaccard",
+    "doc_packing_efficiency",
+    "doc_repeated_passages",
+    "doc_repeated_passages_exact",
+    "doc_repetition",
+    "doc_semantic_neardup",
+    "doc_stratified_sample",
+    "doc_token_stats",
+    "dominant_suppliers",
+    "emb_ann_recall",
+    "emb_ivf_topk",
+    "emb_kmeans_inertia",
+    "emb_source_drift",
+    "events_by_hour",
+    "gapfill_5min",
+    "grouping_sets_shipping",
+    "large_volume_orders",
+    "late_lines_priority",
+    "order_priority_exists",
+    "region_market_share",
+    "revenue_by_nation",
+    "sole_late_supplier",
+    "top_customers",
+    "unpivot_event_metrics",
     # --- 11 stalest others: alphabetically-first of the 48-query
-    # r13-attested block (all tied at newest-row r13) ---
-    "above_user_avg",
-    "bi_nation_volume",
-    "brand_supplier_variety",
-    "bronze_radiation",
-    "cube_order_stats",
-    "dedup_first_occurrence",
-    "disjunctive_brand_revenue",
-    "doc_bpe_encode",
-    "doc_bpe_merges",
-    "doc_containment_pairs",
-    "doc_contamination",
+    # r14-attested block (all tied at newest-row r14) ---
+    "activity_reconcile",
+    "alerts_active",
+    "alerts_cooldown",
+    "alerts_cooldown_exact",
+    "alerts_ws_messages",
+    "asof_latest_order",
+    "brand_supplier_margin",
+    "customer_order_histogram",
+    "customer_revenue_pareto",
+    "discount_band_revenue",
+    "doc_bigram_lm",
 ]
 
 # Fail fast at import: a DRIVER_WINDOW name with no QUERIES entry would
