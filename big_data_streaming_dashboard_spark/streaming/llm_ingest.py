@@ -1454,8 +1454,9 @@ def append_matryoshka_index(embeddings: DataFrame, path: str) -> str:
         spark, path, "matryoshka", "matryoshka", "append_matryoshka_index"
     )
     probe_dim = int(fp["probe_dim"])
-    dim = len(
-        spark.read.parquet(path + "/vecs").select("v").first()["v"]
+    dim = _stored_dim(
+        spark.read.parquet(path + "/vecs"), "v", "vecs",
+        "append_matryoshka_index",
     )
 
     new = embeddings.select(
@@ -1542,7 +1543,30 @@ def matryoshka_topk_batches(
         "stream against the new index instead",
     )
 
-    probe_dim = len(index_prefixes.select("vp").first()["vp"])
+    frame_dim = _stored_dim(
+        index_prefixes, "vp", "prefixes", "matryoshka_topk_batches"
+    )
+    if index_path is not None:
+        # the stamped probe_dim is authoritative when a path is
+        # pinned: frames passed from a DIFFERENT artifact than the
+        # pinned index_path would otherwise silently probe at that
+        # other artifact's width -- the nonce pin alone cannot catch
+        # a frame/path mismatch (r15 ADVICE item 2)
+        fp = _read_stamped_fingerprint(
+            queries.sparkSession, index_path, "matryoshka", "matryoshka",
+            "matryoshka_topk_batches",
+        )
+        probe_dim = int(fp["probe_dim"])
+        if probe_dim != frame_dim:
+            raise ValueError(
+                f"matryoshka_topk_batches: pinned index at {index_path} "
+                f"stamps probe_dim={probe_dim} but the prefixes frame is "
+                f"{frame_dim}-wide -- the frames were read from a "
+                "different artifact than the pin; pass frames and "
+                "index_path from the same root"
+            )
+    else:
+        probe_dim = frame_dim
     n_corpus = _require_untorn(
         index_prefixes, index_vecs, "prefixes", "matryoshka_topk_batches"
     )
@@ -1682,7 +1706,10 @@ def append_quant_index(embeddings: DataFrame, path: str) -> str:
         spark, path, "quant", "quant", "append_quant_index"
     )
     max_code = (1 << (int(fp["bits"]) - 1)) - 1
-    dim = len(spark.read.parquet(path + "/vecs").select("v").first()["v"])
+    dim = _stored_dim(
+        spark.read.parquet(path + "/vecs"), "v", "vecs",
+        "append_quant_index",
+    )
 
     # derived select, not the caller's frame (see write_quant_index)
     new = embeddings.select("vec_id", "label", "embedding").persist()
@@ -1928,9 +1955,10 @@ def compact_serving_index(spark: SparkSession, path: str) -> str:
                 [(row["n_docs"], row["sum_dl"])], "n_docs long, sum_dl long"
             ).coalesce(1),
         )
-    fp.pop("nonce", None)
-    _write_index_fingerprint(spark, path, fp)
-    return path
+    # nonce refresh rides restamp_index -- the ONE re-stamp path, so a
+    # fingerprint-schema change lands in one place (r15 ADVICE item 3);
+    # the fingerprint was already validated at function entry
+    return restamp_index(spark, path)
 
 
 def _require_band_ratio(
@@ -1952,6 +1980,37 @@ def _require_band_ratio(
             "-- a torn append or a bands knob that disagrees with the "
             "artifact's build; rebuild the index or pass the build-time "
             "knobs"
+        )
+
+
+def _require_stamped_knobs(
+    spark: SparkSession, index_path: str, knobs: dict, caller: str
+) -> None:
+    """Band-knob blind-spot guard (r15 verdict item 2): the ratio form
+    `_require_band_ratio` catches a bands-COUNT mismatch but not a
+    ``rows_per_band``/``seed`` knob that disagrees with the build at
+    the same bands count -- a same-ratio/wrong-planes probe hashes
+    queries with DIFFERENT Gaussian planes than the artifact and
+    silently returns (near-)empty candidates, wrong results not an
+    error. The banded writers stamp all three knobs; when the caller
+    passes the artifact root, verify the probe knobs against the
+    stamp exactly, refusing loudly on any disagreement."""
+    fp = _read_stamped_fingerprint(spark, index_path, None, "", caller)
+    bad = {
+        k: (fp.get(k), v)
+        for k, v in knobs.items()
+        if fp.get(k) is None or int(fp[k]) != int(v)
+    }
+    if bad:
+        detail = "; ".join(
+            f"{k}: stamped {s!r} != probe {p!r}"
+            for k, (s, p) in sorted(bad.items())
+        )
+        raise ValueError(
+            f"{caller}: probe knobs disagree with the build stamped at "
+            f"{index_path} ({detail}) -- a probe with wrong planes "
+            "silently returns empty candidates; use the stamped "
+            "build-time knobs"
         )
 
 
@@ -2000,12 +2059,37 @@ def _require_disjoint_delta(
         )
 
 
+def _stored_dim(df: DataFrame, col: str, what: str, caller: str) -> int:
+    """Probe the stored dimensionality from an artifact's first row,
+    refusing LOUDLY on an empty directory. The appends probe the dim
+    BEFORE the torn guards run (the ragged-delta check needs it), so
+    without this an empty/torn vecs or centroids dir died with a bare
+    ``TypeError: len(None)`` instead of the family's distinct refusal
+    -- the exact failure class the r15 empty-build guards were added
+    to catch (r15 ADVICE item 1)."""
+    row = df.select(col).first()
+    if row is None or row[col] is None:
+        raise ValueError(
+            f"{caller}: stored {what} artifact is empty -- an empty or "
+            "torn build (nothing to probe the corpus dim from); rebuild "
+            "the index"
+        )
+    return len(row[col])
+
+
 def _load_codebooks(codebooks_df: DataFrame) -> list[list[list[float]]]:
     """The stored PQ model as the nested n_subspaces x n_codes x d_sub
     list the shared `pq_lut`/`pq_code_col` arithmetic consumes --
     defined once for the PQ/IVF-PQ probes and appends (the loader was
     copy-pasted three times before the r15 review)."""
     cb_rows = codebooks_df.orderBy("s", "code").collect()
+    if not cb_rows:
+        # same failure class as _stored_dim: an empty codebooks dir
+        # otherwise dies on max() of an empty sequence mid-probe
+        raise ValueError(
+            "PQ codebooks artifact is empty -- an empty or torn build; "
+            "rebuild the index"
+        )
     n_subspaces = 1 + max(r["s"] for r in cb_rows)
     books: list[list[list[float]]] = [[] for _ in range(n_subspaces)]
     for r in cb_rows:
@@ -2094,7 +2178,7 @@ def append_ivf_index(embeddings: DataFrame, path: str) -> str:
     spark = embeddings.sparkSession
     _read_stamped_fingerprint(spark, path, "ivf", "IVF", "append_ivf_index")
     cents = spark.read.parquet(path + "/centroids")
-    dim = len(cents.select("centroid").first()["centroid"])
+    dim = _stored_dim(cents, "centroid", "centroids", "append_ivf_index")
 
     new = embeddings.select(
         "vec_id", "label", _dvec("embedding").alias("vec")
@@ -2500,6 +2584,54 @@ def _ivfpq_ranked_plan(
     return ranked, probes.unpersist
 
 
+def _ivfpq_dense_retriever(
+    spark: SparkSession,
+    path: str,
+    n_probe: int,
+    shortlist: int | None,
+    exclude_self: bool,
+    caller: str,
+):
+    """Load a `write_ivfpq_index` root as a pluggable DENSE retrieval
+    constituent for the RAG endpoints (r15 verdict item 3: the hybrid
+    keyword endpoint and the knn classifier brute-scanned the float
+    vecs via `_dense_cosine_topk` while IVF-PQ serving sat in the same
+    file). Returns ``retrieve(batch, k) -> (ranked, cleanup)`` where
+    ``ranked`` carries the family's (query_id, vec_id, label, rank)
+    surface through `_ivfpq_ranked_plan` -- the SAME cascade
+    `ivfpq_topk_batches` serves, so at n_probe = n_lists and
+    shortlist = corpus the ranking collapses to exact brute-force
+    (parity-pinned) and at serving budgets the endpoint inherits the
+    measured probe-budget win.
+
+    Artifact guards at CONSTRUCTION time (before any stream starts):
+    stamped kind must be ivfpq; codebooks/fingerprint subspan
+    disagreement refuses; torn cells/vecs refuses (`_require_untorn`).
+    Version pinning under a RUNNING stream stays on the caller's
+    nonce pin, which should target this same root."""
+    fp = _read_stamped_fingerprint(spark, path, "ivfpq", "IVF-PQ", caller)
+    codebooks = _load_codebooks(spark.read.parquet(path + "/codebooks"))
+    if int(fp["n_subspaces"]) != len(codebooks):
+        raise ValueError(
+            f"{caller}: fingerprint stamps n_subspaces="
+            f"{fp['n_subspaces']} but the stored codebooks span "
+            f"{len(codebooks)} subspaces -- mixed artifact, rebuild"
+        )
+    cells = spark.read.parquet(path + "/cells")
+    vecs = spark.read.parquet(path + "/vecs")
+    n_corpus = _require_untorn(cells, vecs, "cells", caller)
+    cents = spark.read.parquet(path + "/centroids")
+
+    def retrieve(batch: DataFrame, k: int):
+        sl = max(8 * k, n_corpus // 8) if shortlist is None else shortlist
+        return _ivfpq_ranked_plan(
+            batch, cells, vecs, codebooks, cents, k, n_probe, sl,
+            exclude_self,
+        )
+
+    return retrieve
+
+
 def _write_index_fingerprint(spark: SparkSession, path: str, params: dict) -> None:
     """Stamp an index build with a unique nonce + its knob values (one
     tiny parquet row at ``path/fingerprint``). Probe streams snapshot
@@ -2591,6 +2723,7 @@ def ann_probe_stream(
     seed: int = 42,
     multiprobe: bool = True,
     dedup_ttl: str | None = None,
+    index_path: str | None = None,
 ) -> DataFrame:
     """Streaming ANN candidate scoring: each arriving query vector
     probes the static band index (stream-STATIC equi-join on
@@ -2608,7 +2741,16 @@ def ann_probe_stream(
     to switch to the ingest-time-watermarked TTL'd form (state
     bounded; re-emission trade on `_dedup_candidates` -- harmless
     here unless one query_id is replayed across batches farther
-    apart than the TTL)."""
+    apart than the TTL).
+
+    Pass ``index_path`` (the `write_ann_index` root) to verify the
+    probe's ``bands``/``rows_per_band``/``seed`` knobs against the
+    STAMPED build knobs (`_require_stamped_knobs`): the ratio guard
+    below cannot catch a same-ratio/wrong-seed probe, which hashes
+    with different planes and silently returns empty candidates.
+    This is plan-construction verification only -- version pinning
+    under a RUNNING stream stays on `ann_topk_batches`' own
+    ``index_path``/nonce discipline."""
     from ..llmdata.similarity import (
         EMBEDDING_DIM,
         _band_sigs_udf,
@@ -2618,6 +2760,13 @@ def ann_probe_stream(
     )
 
     dim = EMBEDDING_DIM if dim is None else dim
+    if index_path is not None:
+        _require_stamped_knobs(
+            queries.sparkSession,
+            index_path,
+            {"bands": bands, "rows_per_band": rows_per_band, "seed": seed},
+            "ann_probe_stream",
+        )
     _require_band_ratio(index_bands, index_vecs, bands, "ann_probe_stream")
     planes = gaussian_planes(bands * rows_per_band, dim, seed)
     sig_udf = _band_sigs_udf(planes, bands, rows_per_band)
@@ -2886,6 +3035,7 @@ def semantic_probe_stream(
     dim: int | None = None,
     seed: int = 42,
     dedup_ttl: str | None = None,
+    index_path: str | None = None,
 ) -> DataFrame:
     """Streaming semantic near-dup detection: each arriving embedding
     probes the static band index (stream-static equi-join on
@@ -2904,9 +3054,34 @@ def semantic_probe_stream(
     state: one row per distinct (vec_id, index_vec_id); at scale pass
     ``dedup_ttl`` to switch to the ingest-time-watermarked TTL'd form
     (`_dedup_candidates` -- state bounded, re-emission trade stated
-    there)."""
-    from ..llmdata.similarity import DEFAULT_NEARDUP_BANDS
+    there).
 
+    Pass ``index_path`` (the `write_semantic_index` root) to verify
+    the probe's ``bands``/``rows_per_band``/``seed`` knobs against
+    the STAMPED build knobs -- the ratio guard cannot catch a
+    same-ratio/wrong-seed probe (different planes, silently empty
+    candidates). Plan-construction verification only; nonce pinning
+    stays on `semantic_verdict_batches`."""
+    from ..llmdata.similarity import (
+        DEFAULT_NEARDUP_BANDS,
+        DEFAULT_NEARDUP_ROWS,
+    )
+
+    if index_path is not None:
+        _require_stamped_knobs(
+            embeddings.sparkSession,
+            index_path,
+            {
+                "bands": DEFAULT_NEARDUP_BANDS if bands is None else bands,
+                "rows_per_band": (
+                    DEFAULT_NEARDUP_ROWS
+                    if rows_per_band is None
+                    else rows_per_band
+                ),
+                "seed": seed,
+            },
+            "semantic_probe_stream",
+        )
     _require_band_ratio(
         index_bands,
         index_vecs,
@@ -2962,11 +3137,18 @@ def semantic_verdict_batches(
     ``index_path`` (the `write_semantic_index` root) to pin the
     index version -- same rules as `ann_topk_batches`: stale pin
     refuses at call time, per-batch re-check catches in-place
-    rewrites."""
-    from ..llmdata.similarity import DEFAULT_NEARDUP_BANDS
+    rewrites -- and additionally to verify the probe's
+    ``bands``/``rows_per_band``/``seed`` knobs against the stamped
+    build knobs (`_require_stamped_knobs`; a same-ratio/wrong-seed
+    probe would silently emit keep=true for every row)."""
+    from ..llmdata.similarity import (
+        DEFAULT_NEARDUP_BANDS,
+        DEFAULT_NEARDUP_ROWS,
+    )
 
     # pin-target contract first (a caller error), artifact-state
-    # ratio guard second -- the family test pins this precedence
+    # knob + ratio guards second -- the family test pins this
+    # precedence
     _check = _pin_index(
         embeddings.sparkSession,
         index_path,
@@ -2975,6 +3157,21 @@ def semantic_verdict_batches(
         "stream (fingerprint {now} != snapshot {expected}); rebuild the "
         "verdict stream against the new index instead",
     )
+    if index_path is not None:
+        _require_stamped_knobs(
+            embeddings.sparkSession,
+            index_path,
+            {
+                "bands": DEFAULT_NEARDUP_BANDS if bands is None else bands,
+                "rows_per_band": (
+                    DEFAULT_NEARDUP_ROWS
+                    if rows_per_band is None
+                    else rows_per_band
+                ),
+                "seed": seed,
+            },
+            "semantic_verdict_batches",
+        )
     _require_band_ratio(
         index_bands,
         index_vecs,
@@ -3657,13 +3854,16 @@ def _dense_cosine_topk(
 
 def knn_classify_batches(
     queries: DataFrame,
-    index_vecs: DataFrame,
+    index_vecs: DataFrame | None,
     out_path: str,
     k: int = 5,
     checkpoint: str | None = None,
     index_path: str | None = None,
     expected_fingerprint: str | None = None,
     exclude_self: bool = True,
+    ann_index_path: str | None = None,
+    n_probe: int = 2,
+    ann_shortlist: int | None = None,
 ):
     """Streaming k-NN classification: each arriving query vector is
     labeled by majority vote over its exact top-k cosine neighbors in
@@ -3690,8 +3890,38 @@ def knn_classify_batches(
     the corpus must not vote for themselves). When arriving query ids
     are EXTERNAL request ids, pass False, or an id colliding with a
     corpus vec_id silently loses that neighbor (the r15 keyword-hybrid
-    fix, same class)."""
+    fix, same class).
+
+    Pass ``ann_index_path`` (a `write_ivfpq_index` root) to serve the
+    neighbor retrieval through the IVF-PQ cascade instead of the
+    brute scan (`_ivfpq_dense_retriever`; ``n_probe`` /
+    ``ann_shortlist`` are the budget knobs, shortlist defaulting to
+    the family's corpus/8). ``index_vecs`` is then unused (pass
+    None); the nonce pin defaults to the SAME root so the dense
+    constituent cannot rotate unpinned -- an explicit ``index_path``
+    naming a DIFFERENT root refuses (a contradiction, not a second
+    pin)."""
     from pyspark.sql import Window
+
+    ann_retrieve = None
+    if ann_index_path is not None:
+        if index_path is not None and index_path != ann_index_path:
+            raise ValueError(
+                "knn_classify_batches: index_path and ann_index_path "
+                "disagree -- the classify stream serves ONE dense "
+                "artifact; pass the IVF-PQ root as ann_index_path and "
+                "leave index_path None (it pins the same root)"
+            )
+        index_path = ann_index_path
+        ann_retrieve = _ivfpq_dense_retriever(
+            queries.sparkSession, ann_index_path, n_probe, ann_shortlist,
+            exclude_self, "knn_classify_batches",
+        )
+    elif index_vecs is None:
+        raise ValueError(
+            "knn_classify_batches: pass index_vecs (brute scan) or "
+            "ann_index_path (IVF-PQ serving) -- got neither"
+        )
 
     _check = _pin_index(
         queries.sparkSession,
@@ -3706,24 +3936,34 @@ def knn_classify_batches(
         _check(batch.sparkSession)
         if batch.isEmpty():
             return
-        topk = _dense_cosine_topk(
-            batch, index_vecs, k, exclude_self=exclude_self
-        )
+        cleanup = None
+        if ann_retrieve is not None:
+            topk, cleanup = ann_retrieve(batch, k)
+        else:
+            topk = _dense_cosine_topk(
+                batch, index_vecs, k, exclude_self=exclude_self
+            )
         votes = topk.groupBy("query_id", "label").agg(
             F.count(F.lit(1)).alias("votes")
         )
         wv = Window.partitionBy("query_id").orderBy(
             F.col("votes").desc(), F.col("label")
         )
-        (
-            votes.withColumn("_r", F.row_number().over(wv))
-            .filter(F.col("_r") == 1)
-            .select(
-                "query_id", F.col("label").alias("predicted_label"), "votes"
+        try:
+            (
+                votes.withColumn("_r", F.row_number().over(wv))
+                .filter(F.col("_r") == 1)
+                .select(
+                    "query_id",
+                    F.col("label").alias("predicted_label"),
+                    "votes",
+                )
+                .write.mode("append")
+                .parquet(out_path)
             )
-            .write.mode("append")
-            .parquet(out_path)
-        )
+        finally:
+            if cleanup is not None:
+                cleanup()
 
     writer = (
         queries.writeStream.foreachBatch(_emit)
@@ -4751,7 +4991,7 @@ def hybrid_rrf_keyword_batches(
     queries: DataFrame,
     postings: DataFrame,
     stats: DataFrame,
-    index_vecs: DataFrame,
+    index_vecs: DataFrame | None,
     out_path: str,
     fusion_k: int | None = None,
     top_k: int | None = None,
@@ -4760,6 +5000,9 @@ def hybrid_rrf_keyword_batches(
     expected_fingerprint: str | None = None,
     vecs_index_path: str | None = None,
     vecs_expected_fingerprint: str | None = None,
+    ann_index_path: str | None = None,
+    n_probe: int = 2,
+    ann_shortlist: int | None = None,
 ):
     """The full RAG serving loop: each arriving (query_id, keywords,
     embedding) row retrieves its OWN lexical list from the inverted
@@ -4791,7 +5034,19 @@ def hybrid_rrf_keyword_batches(
     verdict item 5: one pinned root let the other rotate silently
     under a running stream). A single shared root still works: pass
     it as ``index_path`` and leave the vecs pair None. Same
-    ``checkpoint`` semantics as the family."""
+    ``checkpoint`` semantics as the family.
+
+    Pass ``ann_index_path`` (a `write_ivfpq_index` root) to serve the
+    DENSE constituent through the IVF-PQ cascade instead of the brute
+    vecs scan (`_ivfpq_dense_retriever`; ``n_probe`` /
+    ``ann_shortlist`` are the budget knobs). ``index_vecs`` is then
+    unused (pass None), and the dense nonce pin defaults to the SAME
+    root (``vecs_index_path`` naming a DIFFERENT root refuses -- a
+    contradiction, not a second pin); the BM25 pin pair is
+    unchanged. At n_probe = n_lists, shortlist = corpus the fused
+    output equals the brute-dense form row-for-row (pinned); at
+    serving budgets the endpoint inherits IVF-PQ's measured
+    probe-budget win on batch retrieval."""
     from pyspark.sql import Window
 
     from ..llmdata.similarity import (
@@ -4802,6 +5057,26 @@ def hybrid_rrf_keyword_batches(
 
     fusion_k = HYBRID_FUSION_K if fusion_k is None else fusion_k
     top_k = HYBRID_TOP_K if top_k is None else top_k
+
+    ann_retrieve = None
+    if ann_index_path is not None:
+        if vecs_index_path is not None and vecs_index_path != ann_index_path:
+            raise ValueError(
+                "hybrid_rrf_keyword_batches: vecs_index_path and "
+                "ann_index_path disagree -- the dense constituent is ONE "
+                "artifact; pass the IVF-PQ root as ann_index_path and "
+                "leave vecs_index_path None (it pins the same root)"
+            )
+        vecs_index_path = ann_index_path
+        ann_retrieve = _ivfpq_dense_retriever(
+            queries.sparkSession, ann_index_path, n_probe, ann_shortlist,
+            False, "hybrid_rrf_keyword_batches",
+        )
+    elif index_vecs is None:
+        raise ValueError(
+            "hybrid_rrf_keyword_batches: pass index_vecs (brute dense "
+            "scan) or ann_index_path (IVF-PQ serving) -- got neither"
+        )
 
     _check_lex = _pin_index(
         queries.sparkSession,
@@ -4828,14 +5103,15 @@ def hybrid_rrf_keyword_batches(
         lex = _bm25_ranked_plan(
             batch.select("query_id", "keywords"), postings, stats, fusion_k
         ).select("query_id", "doc_id", F.col("rank").alias("lex_rank"))
-        dense = _dense_cosine_topk(
-            batch.select(
-                F.col("query_id").alias("vec_id"), "embedding"
-            ),
-            index_vecs,
-            fusion_k,
-            exclude_self=False,
-        ).select(
+        cleanup = None
+        qside = batch.select(F.col("query_id").alias("vec_id"), "embedding")
+        if ann_retrieve is not None:
+            ranked, cleanup = ann_retrieve(qside, fusion_k)
+        else:
+            ranked = _dense_cosine_topk(
+                qside, index_vecs, fusion_k, exclude_self=False
+            )
+        dense = ranked.select(
             "query_id",
             F.col("vec_id").alias("doc_id"),
             F.col("rank").alias("cos_rank"),
@@ -4844,14 +5120,20 @@ def hybrid_rrf_keyword_batches(
         w = Window.partitionBy("query_id").orderBy(
             F.col("rrf_score").desc(), F.col("doc_id")
         )
-        (
-            fused.withColumn("rrf_score", F.expr(_rrf_score_sql()))
-            .withColumn("_r", F.row_number().over(w))
-            .filter(F.col("_r") <= top_k)
-            .select("query_id", "doc_id", "lex_rank", "cos_rank", "rrf_score")
-            .write.mode("append")
-            .parquet(out_path)
-        )
+        try:
+            (
+                fused.withColumn("rrf_score", F.expr(_rrf_score_sql()))
+                .withColumn("_r", F.row_number().over(w))
+                .filter(F.col("_r") <= top_k)
+                .select(
+                    "query_id", "doc_id", "lex_rank", "cos_rank", "rrf_score"
+                )
+                .write.mode("append")
+                .parquet(out_path)
+            )
+        finally:
+            if cleanup is not None:
+                cleanup()
 
     writer = (
         queries.writeStream.foreachBatch(_emit)

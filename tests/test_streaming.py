@@ -5320,3 +5320,305 @@ def test_bm25_probe_parity_on_randomized_corpora(spark, seed):
             )
         ]
         assert got.get(qid, []) == want, f"seed {seed} query {qid} ({kw})"
+
+
+def test_empty_artifact_dim_probes_refuse_loudly(spark, tmp_path):
+    """r15 ADVICE item 1: the append family probes the stored dim
+    BEFORE its torn guards run (the ragged-delta check needs it), so
+    an empty/torn vecs, centroids, or codebooks dir used to die with
+    a bare TypeError (len(None)) / max()-of-empty instead of the
+    family's distinct loud refusal. `_stored_dim` /
+    `_load_codebooks` now refuse with the empty-or-torn message at
+    every dim-probe site."""
+    from big_data_streaming_dashboard_spark.streaming.llm_ingest import (
+        append_ivf_index,
+        append_ivfpq_index,
+        append_matryoshka_index,
+        append_quant_index,
+        write_ivf_index,
+        write_ivfpq_index,
+        write_matryoshka_index,
+        write_quant_index,
+    )
+    from big_data_streaming_dashboard_spark.tables import load_table
+
+    embs = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    base = embs.filter(F.col("vec_id") < 200).persist()
+    delta = embs.filter(
+        (F.col("vec_id") >= 200) & (F.col("vec_id") < 240)
+    ).persist()
+
+    def _empty_out(subdir: str) -> None:
+        sch = spark.read.parquet(subdir).schema
+        spark.createDataFrame([], sch).write.mode("overwrite").parquet(
+            subdir
+        )
+
+    # matryoshka + quant: empty vecs dir under a valid stamp
+    midx = str(tmp_path / "m")
+    write_matryoshka_index(base, midx, probe_dim=8)
+    _empty_out(midx + "/vecs")
+    with pytest.raises(ValueError, match="empty or torn build"):
+        append_matryoshka_index(delta, midx)
+
+    qidx = str(tmp_path / "q")
+    write_quant_index(base, qidx)
+    _empty_out(qidx + "/vecs")
+    with pytest.raises(ValueError, match="empty or torn build"):
+        append_quant_index(delta, qidx)
+
+    # ivf: empty centroids dir (the model side, not the data side)
+    iidx = str(tmp_path / "i")
+    write_ivf_index(base, iidx, n_lists=4)
+    _empty_out(iidx + "/centroids")
+    with pytest.raises(ValueError, match="empty or torn build"):
+        append_ivf_index(delta, iidx)
+
+    # ivf-pq: empty codebooks dir (shared _load_codebooks guard)
+    pidx = str(tmp_path / "p")
+    write_ivfpq_index(base, pidx, n_lists=4, n_subspaces=4)
+    _empty_out(pidx + "/codebooks")
+    with pytest.raises(ValueError, match="codebooks artifact is empty"):
+        append_ivfpq_index(delta, pidx)
+
+    base.unpersist()
+    delta.unpersist()
+
+
+def test_matryoshka_probe_dim_pinned_to_fingerprint(spark, tmp_path):
+    """r15 ADVICE item 2: when `matryoshka_topk_batches` is pinned to
+    an index_path, the probe width comes from the STAMPED probe_dim --
+    frames read from a DIFFERENT artifact than the pin refuse loudly
+    instead of silently probing at the other artifact's width (the
+    nonce pin alone cannot catch a frame/path mismatch)."""
+    from big_data_streaming_dashboard_spark.streaming.llm_ingest import (
+        matryoshka_topk_batches,
+        stream_embeddings,
+        write_matryoshka_index,
+    )
+    from big_data_streaming_dashboard_spark.tables import load_table
+
+    embs = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    base = embs.filter(F.col("vec_id") < 200)
+
+    a = str(tmp_path / "a")
+    b = str(tmp_path / "b")
+    write_matryoshka_index(base, a, probe_dim=8)
+    write_matryoshka_index(base, b, probe_dim=16)
+
+    qdir = str(tmp_path / "queries")
+    embs.filter(F.col("vec_id") < 2).write.parquet(qdir)
+
+    # frames from A, pin on B: stamped width 16 != frame width 8
+    with pytest.raises(ValueError, match="different artifact"):
+        matryoshka_topk_batches(
+            stream_embeddings(spark, qdir),
+            spark.read.parquet(a + "/prefixes"),
+            spark.read.parquet(a + "/vecs"),
+            str(tmp_path / "out_bad"),
+            index_path=b,
+        )
+
+    # matched frames + pin constructs and serves (k rows per query)
+    q = matryoshka_topk_batches(
+        stream_embeddings(spark, qdir),
+        spark.read.parquet(a + "/prefixes"),
+        spark.read.parquet(a + "/vecs"),
+        str(tmp_path / "out_ok"),
+        k=3,
+        index_path=a,
+        checkpoint=str(tmp_path / "ck"),
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(str(tmp_path / "out_ok"))
+    assert got.count() == 6  # 2 queries x k=3
+
+
+def test_banded_probe_knobs_verified_against_stamp(spark, tmp_path):
+    """r15 verdict item 2 (the builder's own recorded blind spot):
+    `_require_band_ratio` catches a bands-count mismatch but NOT a
+    rows_per_band/seed knob disagreeing with the build at the same
+    bands count -- a same-ratio/wrong-planes probe silently returns
+    empty candidates. With the optional ``index_path``, the probe
+    constructors verify all three stamped knobs exactly and refuse
+    loudly on any disagreement."""
+    from big_data_streaming_dashboard_spark.streaming.llm_ingest import (
+        ann_probe_stream,
+        semantic_probe_stream,
+        semantic_verdict_batches,
+        stream_embeddings,
+        write_ann_index,
+        write_semantic_index,
+    )
+    from big_data_streaming_dashboard_spark.tables import load_table
+
+    embs = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    base = embs.filter(F.col("vec_id") < 200)
+
+    aidx = str(tmp_path / "ann")
+    write_ann_index(base, aidx, bands=8, rows_per_band=4, seed=42)
+    bands_df = spark.read.parquet(aidx + "/bands")
+    vecs_df = spark.read.parquet(aidx + "/vecs")
+
+    qdir = str(tmp_path / "queries")
+    embs.filter(F.col("vec_id") < 2).write.parquet(qdir)
+    qstream = stream_embeddings(spark, qdir)
+
+    # same ratio, wrong seed: the exact silent-empty case -- refuses
+    with pytest.raises(ValueError, match="knobs disagree.*seed"):
+        ann_probe_stream(
+            qstream, bands_df, vecs_df,
+            bands=8, rows_per_band=4, seed=7, index_path=aidx,
+        )
+    # same ratio, wrong rows_per_band: also invisible to the ratio
+    # guard (band rows = bands * vecs regardless) -- refuses
+    with pytest.raises(ValueError, match="knobs disagree.*rows_per_band"):
+        ann_probe_stream(
+            qstream, bands_df, vecs_df,
+            bands=8, rows_per_band=6, seed=42, index_path=aidx,
+        )
+    # matched knobs + path: constructs (the guard is not a tripwire)
+    assert ann_probe_stream(
+        qstream, bands_df, vecs_df,
+        bands=8, rows_per_band=4, seed=42, index_path=aidx,
+    ).isStreaming
+
+    # unstamped root refuses distinctly
+    with pytest.raises(ValueError, match="unstamped"):
+        ann_probe_stream(
+            qstream, bands_df, vecs_df,
+            bands=8, rows_per_band=4, seed=42,
+            index_path=str(tmp_path / "nowhere"),
+        )
+
+    # semantic family: default knobs stamped by the writer
+    sidx = str(tmp_path / "sem")
+    write_semantic_index(base, sidx)
+    sbands = spark.read.parquet(sidx + "/bands")
+    svecs = spark.read.parquet(sidx + "/vecs")
+    estream = stream_embeddings(spark, qdir)
+    with pytest.raises(ValueError, match="knobs disagree.*seed"):
+        semantic_probe_stream(
+            estream, sbands, svecs, seed=7, index_path=sidx
+        )
+    assert semantic_probe_stream(
+        estream, sbands, svecs, index_path=sidx
+    ).isStreaming
+    # the verdict writer verifies the same knobs on its existing
+    # index_path before any stream starts
+    with pytest.raises(ValueError, match="knobs disagree.*rows_per_band"):
+        semantic_verdict_batches(
+            estream, sbands, svecs, str(tmp_path / "vout"),
+            rows_per_band=3, index_path=sidx,
+        )
+
+
+def test_rag_endpoints_serve_from_ivfpq_index(spark, tmp_path):
+    """r15 verdict item 3: the RAG endpoints accept an IVF-PQ serving
+    root as the DENSE constituent (`_ivfpq_dense_retriever`) instead
+    of brute-scanning the float vecs. At n_probe = n_lists and
+    shortlist = corpus the cascade's candidate set is the full corpus
+    and the exact re-rank collapses it to brute-force, so the fused /
+    voted outputs equal the brute-dense form row-for-row; the budget
+    knobs (n_probe < n_lists) then buy the measured probe win with
+    the SAME plumbing."""
+    from big_data_streaming_dashboard_spark.streaming.llm_ingest import (
+        hybrid_rrf_keyword_batches,
+        knn_classify_batches,
+        stream_embeddings,
+        write_bm25_index,
+        write_ivfpq_index,
+    )
+    from big_data_streaming_dashboard_spark.llmdata.text import (
+        BM25_QUERY_TERMS,
+    )
+    from big_data_streaming_dashboard_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    embs = load_table(spark, sf, "embeddings")
+    n_corpus = embs.count()
+    bmidx = write_bm25_index(docs, str(tmp_path / "bm"))
+    pidx = write_ivfpq_index(
+        embs, str(tmp_path / "ivfpq"), n_lists=4, n_subspaces=8
+    )
+    index_vecs = spark.read.parquet(pidx + "/vecs").select(
+        "vec_id", F.col("v").alias("vec")
+    ).join(embs.select("vec_id", "label"), "vec_id")
+
+    emb_by_id = {
+        r["vec_id"]: list(r["embedding"])
+        for r in embs.filter(F.col("vec_id") < 3).collect()
+    }
+    queries = [
+        (0, " ".join(BM25_QUERY_TERMS), emb_by_id[0]),
+        (1, "customer value window", emb_by_id[1]),
+        (2, "zzz not_in_vocab qqq", emb_by_id[2]),
+    ]
+    qdir = str(tmp_path / "queries")
+    spark.createDataFrame(
+        queries, "query_id long, keywords string, embedding array<double>"
+    ).coalesce(1).write.parquet(qdir)
+
+    def _qstream():
+        return (
+            spark.readStream.schema(
+                "query_id long, keywords string, embedding array<double>"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(qdir)
+        )
+
+    postings = spark.read.parquet(bmidx + "/postings")
+    stats = spark.read.parquet(bmidx + "/stats")
+
+    # brute-dense form (the pre-r16 endpoint)
+    out_brute = str(tmp_path / "fused_brute")
+    hybrid_rrf_keyword_batches(
+        _qstream(), postings, stats, index_vecs, out_brute,
+    ).awaitTermination(180)
+
+    # ANN-backed form at the exact budget: full probe, full shortlist
+    out_ann = str(tmp_path / "fused_ann")
+    hybrid_rrf_keyword_batches(
+        _qstream(), postings, stats, None, out_ann,
+        ann_index_path=pidx, n_probe=4, ann_shortlist=n_corpus,
+    ).awaitTermination(180)
+
+    brute = sorted(map(tuple, spark.read.parquet(out_brute).collect()))
+    ann = sorted(map(tuple, spark.read.parquet(out_ann).collect()))
+    assert ann == brute and ann
+
+    # knn classifier through the same retriever, full budget
+    qdir2 = str(tmp_path / "knnq")
+    embs.filter(F.col("vec_id") < 5).write.parquet(qdir2)
+    out_kb = str(tmp_path / "knn_brute")
+    knn_classify_batches(
+        stream_embeddings(spark, qdir2), index_vecs, out_kb, k=5,
+    ).awaitTermination(120)
+    out_ka = str(tmp_path / "knn_ann")
+    knn_classify_batches(
+        stream_embeddings(spark, qdir2), None, out_ka, k=5,
+        ann_index_path=pidx, n_probe=4, ann_shortlist=n_corpus,
+    ).awaitTermination(120)
+    kb = sorted(map(tuple, spark.read.parquet(out_kb).collect()))
+    ka = sorted(map(tuple, spark.read.parquet(out_ka).collect()))
+    assert ka == kb and ka
+
+    # contract guards: contradictory dense roots refuse; neither
+    # constituent refuses
+    with pytest.raises(ValueError, match="disagree"):
+        hybrid_rrf_keyword_batches(
+            _qstream(), postings, stats, None, str(tmp_path / "x"),
+            ann_index_path=pidx, vecs_index_path=bmidx,
+        )
+    with pytest.raises(ValueError, match="got neither"):
+        knn_classify_batches(
+            stream_embeddings(spark, qdir2), None, str(tmp_path / "y")
+        )
+    # wrong-kind artifact refuses through the shared stamp guard
+    with pytest.raises(ValueError, match="not a IVF-PQ index"):
+        knn_classify_batches(
+            stream_embeddings(spark, qdir2), None, str(tmp_path / "z"),
+            ann_index_path=bmidx,
+        )
