@@ -1839,6 +1839,326 @@ def quant_topk_batches(
     return writer.start()
 
 
+def write_ivf_matryoshka_index(
+    embeddings: DataFrame,
+    path: str,
+    n_lists: int = 8,
+    kmeans_iterations: int = 3,
+    probe_dim: int = 16,
+) -> str:
+    """Persist the IVF x matryoshka composed serving artifact (r15
+    verdict item 6): the matryoshka coarse stage is a full-corpus scan
+    whose win is BYTES (probe_dim/dim of the floats); laying the
+    prefixes under `write_ivf_index`'s cluster-partitioned layout
+    MULTIPLIES the two budgets -- a probe scans ~n_probe/n_lists of
+    the partitions AND probe_dim/dim of the bytes in them, the same
+    composition `write_ivfpq_index` proved for product codes.
+
+      ``path/cells``     -- (vec_id, label, vp) PARTITIONED BY the
+                            k-means cluster: a probe reads n_probe
+                            cell dirs of probe_dim-float prefixes.
+      ``path/vecs``      -- (vec_id, v): full-width unit vectors,
+                            read only for the shortlist's exact
+                            re-rank.
+      ``path/centroids`` -- (cluster, centroid): RAW-space means of
+                            the final assignment (`ivf_centroids` --
+                            the IVF family's shared probe rule).
+
+    Rules are the two constituents' VERBATIM: the cell comes from
+    `kmeans_assign`'s final-iteration assignment over the raw vectors
+    (appends assign to the nearest FINAL centroid -- the
+    `append_ivf_index` frozen-model premise); the prefix is a slice
+    of the UNIT vector (a per-row fact -- the matryoshka premise), so
+    an append freezes ONLY the centroids. n_lists /
+    kmeans_iterations / probe_dim stamp into the fingerprint."""
+    from ..llmdata.similarity import (
+        _dvec,
+        _normalize,
+        ivf_centroids,
+        kmeans_assign,
+    )
+
+    spark = embeddings.sparkSession
+    src = embeddings.select(
+        "vec_id",
+        "label",
+        _dvec("embedding").alias("vec"),
+        _normalize(_dvec("embedding")).alias("v"),
+    ).persist()
+    try:
+        if src.isEmpty():
+            raise ValueError(
+                "write_ivf_matryoshka_index: empty embeddings input"
+            )
+        dim = len(src.select("v").first()["v"])
+        if not 1 <= probe_dim <= dim:
+            # same knob guard as write_matryoshka_index: < 1 slices an
+            # empty prefix (NULL cosine, silently wrong shortlist);
+            # > dim negates the byte win; == dim is the brute collapse
+            raise ValueError(
+                f"write_ivf_matryoshka_index: probe_dim={probe_dim} out "
+                f"of range [1, {dim}] for this corpus's vector width"
+            )
+        assigned = src.join(
+            kmeans_assign(embeddings, k=n_lists, iterations=kmeans_iterations),
+            "vec_id",
+        ).persist()
+        try:
+            (
+                assigned.select(
+                    "vec_id",
+                    "label",
+                    F.slice(F.col("v"), 1, probe_dim).alias("vp"),
+                    "cluster",
+                )
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "static")
+                .partitionBy("cluster")
+                .parquet(path + "/cells")
+            )
+            assigned.select("vec_id", "v").write.mode("overwrite").parquet(
+                path + "/vecs"
+            )
+            (
+                ivf_centroids(assigned.select("vec_id", "vec", "cluster"))
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(path + "/centroids")
+            )
+        finally:
+            assigned.unpersist()
+    finally:
+        src.unpersist()
+    _write_index_fingerprint(
+        spark,
+        path,
+        {
+            "kind": "ivfmat",
+            "n_lists": n_lists,
+            "kmeans_iterations": kmeans_iterations,
+            "probe_dim": probe_dim,
+        },
+    )
+    return path
+
+
+def append_ivf_matryoshka_index(embeddings: DataFrame, path: str) -> str:
+    """Fold an embedding delta into a `write_ivf_matryoshka_index`
+    root: the cell is the nearest stored FINAL centroid
+    (`ivf_probe_rank` at n_probe=1 -- the `append_ivf_index` rule and
+    its documented boundary-assignment delta vs a rebuild), the
+    prefix is a per-row fact (the matryoshka premise) -- so the ONLY
+    frozen model is the centroids, and the means drift as deltas
+    accumulate exactly as for IVF (retrain = rebuild, the LSM-refresh
+    story). Guards are the family union: unstamped / wrong-kind
+    refuse distinctly, empty centroids refuse via `_stored_dim`,
+    ragged delta dims refuse, dup delta vec_ids refuse, a TORN
+    cells/vecs artifact refuses. Write order cells -> vecs -> nonce
+    re-stamp LAST; empty delta is a no-op. Appends are not
+    snapshot-isolated -- see `append_pq_index`'s concurrency delta."""
+    from ..llmdata.similarity import _dvec, _normalize, ivf_probe_rank
+
+    spark = embeddings.sparkSession
+    fp = _read_stamped_fingerprint(
+        spark, path, "ivfmat", "IVF-matryoshka",
+        "append_ivf_matryoshka_index",
+    )
+    probe_dim = int(fp["probe_dim"])
+    cents = spark.read.parquet(path + "/centroids")
+    dim = _stored_dim(
+        cents, "centroid", "centroids", "append_ivf_matryoshka_index"
+    )
+
+    new = embeddings.select(
+        "vec_id",
+        "label",
+        _dvec("embedding").alias("vec"),
+        _normalize(_dvec("embedding")).alias("v"),
+    ).persist()
+    try:
+        if new.isEmpty():
+            return path
+        bad_dim = new.filter(F.size("vec") != dim).count()
+        if bad_dim:
+            raise ValueError(
+                f"append_ivf_matryoshka_index: {bad_dim} delta vector(s) "
+                f"are not {dim}-dimensional -- the stored centroids are; "
+                "a ragged delta would assign a garbage cell"
+            )
+        cells = spark.read.parquet(path + "/cells")
+        _require_untorn(
+            cells, spark.read.parquet(path + "/vecs"), "cells",
+            "append_ivf_matryoshka_index",
+        )
+        _require_disjoint_delta(new, cells, "append_ivf_matryoshka_index")
+        assigned = ivf_probe_rank(
+            new.select(
+                F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
+            ),
+            cents,
+            1,
+        ).select(
+            F.col("query_id").alias("vec_id"),
+            F.col("probe_cluster").alias("cluster"),
+        )
+        (
+            new.join(assigned, "vec_id")
+            .select(
+                "vec_id",
+                "label",
+                F.slice(F.col("v"), 1, probe_dim).alias("vp"),
+                "cluster",
+            )
+            .write.mode("append")
+            .partitionBy("cluster")
+            .parquet(path + "/cells")
+        )
+        new.select("vec_id", "v").write.mode("append").parquet(
+            path + "/vecs"
+        )
+    finally:
+        new.unpersist()
+    return restamp_index(spark, path)
+
+
+def ivf_matryoshka_topk_batches(
+    queries: DataFrame,
+    index_cells: DataFrame,
+    index_vecs: DataFrame,
+    index_centroids: DataFrame,
+    out_path: str,
+    k: int = 5,
+    n_probe: int = 2,
+    shortlist: int | None = None,
+    checkpoint: str | None = None,
+    index_path: str | None = None,
+    expected_fingerprint: str | None = None,
+    exclude_self: bool = True,
+):
+    """Streaming IVF x matryoshka top-k: each arriving query ranks the
+    coarse centroids and probes its ``n_probe`` cells
+    (`ivf_probe_rank`, RAW space -- the IVF family's shared rule),
+    prefix-cosine-scores ONLY those cells' probe_dim-float prefixes
+    (the matryoshka coarse score, riding `_adc` negated), and
+    exact-reranks the shortlist from the float store
+    (`pq_shortlist_rerank` VERBATIM). Every stage is the respective
+    family member's code, so the two collapse pins come for free:
+
+      - at ``n_probe == n_lists`` the candidate set is the whole
+        corpus and the output equals `matryoshka_topk_batches` over a
+        plain matryoshka artifact at the same probe_dim, row-for-row;
+      - at ``probe_dim == dim`` AND ``n_probe == n_lists`` the
+        cascade collapses to exact brute-force.
+
+    Scale: the probed clusters are a bounded literal IN against the
+    cluster-partitioned cells (static partition pruning, the
+    `ivfpq_topk_batches` observation), the surviving scan reads
+    probe_dim/dim of the float bytes by construction, and the float
+    store serves only the shortlist join -- the two budgets multiply.
+    Default ``shortlist`` = the IVF-PQ rule
+    max(8k, corpus * n_probe / (8 * n_lists)). The probe width comes
+    from the STAMPED fingerprint when ``index_path`` is pinned
+    (refusing a frame/path mismatch -- the matryoshka r15 ADVICE
+    rule); same pin / checkpoint / ``exclude_self`` discipline as the
+    family."""
+    from ..llmdata.similarity import (
+        _dvec,
+        _normalize,
+        cosine,
+        ivf_probe_rank,
+        pq_shortlist_rerank,
+    )
+
+    _check = _pin_index(
+        queries.sparkSession,
+        index_path,
+        expected_fingerprint,
+        "IVF-matryoshka index at {path} was overwritten under a probe "
+        "stream (fingerprint {now} != snapshot {expected}); rebuild the "
+        "probe stream against the new index instead",
+    )
+
+    frame_dim = _stored_dim(
+        index_cells, "vp", "cells", "ivf_matryoshka_topk_batches"
+    )
+    if index_path is not None:
+        fp = _read_stamped_fingerprint(
+            queries.sparkSession, index_path, "ivfmat", "IVF-matryoshka",
+            "ivf_matryoshka_topk_batches",
+        )
+        probe_dim = int(fp["probe_dim"])
+        if probe_dim != frame_dim:
+            raise ValueError(
+                f"ivf_matryoshka_topk_batches: pinned index at "
+                f"{index_path} stamps probe_dim={probe_dim} but the cells "
+                f"frame is {frame_dim}-wide -- the frames were read from "
+                "a different artifact than the pin; pass frames and "
+                "index_path from the same root"
+            )
+    else:
+        probe_dim = frame_dim
+    n_lists = index_centroids.count()
+    n_corpus = _require_untorn(
+        index_cells, index_vecs, "cells", "ivf_matryoshka_topk_batches"
+    )
+    if shortlist is None:
+        shortlist = max(8 * k, n_corpus * n_probe // (8 * n_lists))
+
+    def _emit(batch: DataFrame, _epoch: int) -> None:
+        _check(batch.sparkSession)
+        if batch.isEmpty():
+            return
+        qs = batch.select(
+            F.col("vec_id").alias("query_id"),
+            _dvec("embedding").alias("qvec"),
+        )
+        # persisted: the probed-cluster collect and the scored join
+        # both consume the probe plan (the bpairs lesson)
+        probes = ivf_probe_rank(qs, index_centroids, n_probe).persist()
+        try:
+            probed = sorted(
+                r["probe_cluster"]
+                for r in probes.select("probe_cluster").distinct().collect()
+            )
+            qdf = batch.select(
+                F.col("vec_id").alias("query_id"),
+                _normalize(_dvec("embedding")).alias("_qv"),
+            ).withColumn("_qp", F.slice(F.col("_qv"), 1, probe_dim))
+            scored = (
+                index_cells.filter(F.col("cluster").isin(probed))
+                .join(
+                    F.broadcast(probes.select("query_id", "probe_cluster")),
+                    F.col("cluster") == F.col("probe_cluster"),
+                )
+                .join(F.broadcast(qdf), "query_id")
+            )
+            if exclude_self:
+                scored = scored.filter(F.col("vec_id") != F.col("query_id"))
+            scored = scored.select(
+                "query_id",
+                "vec_id",
+                "label",
+                (-cosine(F.col("_qp"), F.col("vp"))).alias("_adc"),
+                "_qv",
+            )
+            (
+                pq_shortlist_rerank(scored, k, shortlist, vecs=index_vecs)
+                .write.mode("append")
+                .parquet(out_path)
+            )
+        finally:
+            probes.unpersist()
+
+    writer = (
+        queries.writeStream.foreachBatch(_emit)
+        .outputMode("append")
+        .trigger(availableNow=True)
+    )
+    if checkpoint is not None:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
+
+
 def _compact_parquet_dir(
     spark: SparkSession,
     live: str,
@@ -1906,6 +2226,7 @@ _INDEX_COMPACT_LAYOUT: dict = {
     "ivf": (("cells", "cluster"),),
     "matryoshka": (("prefixes", None), ("vecs", None)),
     "quant": (("codes", None), ("vecs", None)),
+    "ivfmat": (("cells", "cluster"), ("vecs", None)),
     "bm25": (("postings", "term_bucket"),),
 }
 
@@ -1942,17 +2263,28 @@ def compact_serving_index(spark: SparkSession, path: str) -> str:
     for subdir, partition_by in _INDEX_COMPACT_LAYOUT[kind]:
         _compact_parquet_dir(spark, f"{path}/{subdir}", partition_by)
     if kind == "bm25":
-        merged_stats = spark.read.parquet(path + "/stats").agg(
-            F.sum("n_docs").alias("n_docs"), F.sum("sum_dl").alias("sum_dl")
-        )
+        stats_df = spark.read.parquet(path + "/stats")
+        # n_postings merges to its SUM too (postings rewrite preserves
+        # row count, so the torn invariant survives compaction); a
+        # pre-stamp root keeps the legacy two-column schema
+        has_np = "n_postings" in stats_df.columns
+        aggs = [
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("sum_dl").alias("sum_dl"),
+        ]
+        if has_np:
+            aggs.append(F.sum("n_postings").alias("n_postings"))
         # the agg plan reads the live dir lazily -- materialize it as
         # rows before the swap (one row), then rebuild the frame
-        row = merged_stats.collect()[0]
+        row = stats_df.agg(*aggs).collect()[0]
+        schema = "n_docs long, sum_dl long" + (
+            ", n_postings long" if has_np else ""
+        )
         _compact_parquet_dir(
             spark,
             path + "/stats",
             merged=spark.createDataFrame(
-                [(row["n_docs"], row["sum_dl"])], "n_docs long, sum_dl long"
+                [tuple(row)], schema
             ).coalesce(1),
         )
     # nonce refresh rides restamp_index -- the ONE re-stamp path, so a
@@ -4797,17 +5129,74 @@ def write_bm25_index(docs: DataFrame, path: str, mode: str = "overwrite") -> str
 
     Tokenization is `text.tokens` -- the SAME function the batch
     scorer and every text operator use, so tf/dl/df here equal the
-    batch scorer's HOF-computed columns exactly."""
+    batch scorer's HOF-computed columns exactly.
+
+    Each stats row additionally stamps ``n_postings`` -- THIS
+    increment's postings row count, computed from the increment plan
+    itself (never from the on-disk total, which would silently absorb
+    a previous tear into the next generation's count) -- giving the
+    torn window a cheap probe-time invariant: sum(stats.n_postings)
+    == count(postings), one metadata-cheap count + one 1-row sum
+    instead of the countDistinct shuffle the r15 docs declined
+    (`_require_bm25_untorn`). Appends to a pre-stamp root keep the
+    legacy stats schema (the guard stays disarmed there; rebuild to
+    arm it)."""
     spark = docs.sparkSession
     postings, stats = _bm25_postings(docs)
-    (
-        postings.write.mode(mode)
-        .partitionBy("term_bucket")
-        .parquet(path + "/postings")
-    )
-    stats.coalesce(1).write.mode(mode).parquet(path + "/stats")
+    # persisted: the write and the increment count share one tokenize
+    # pass (the bpairs lesson); a derived plan, not the caller's frame
+    postings = postings.persist()
+    try:
+        n_postings = postings.count()
+        (
+            postings.write.mode(mode)
+            .partitionBy("term_bucket")
+            .parquet(path + "/postings")
+        )
+        legacy = False
+        if mode == "append":
+            try:
+                legacy = (
+                    "n_postings"
+                    not in spark.read.parquet(path + "/stats").columns
+                )
+            except Exception:
+                legacy = False  # fresh root -- stamp from generation 0
+        if not legacy:
+            stats = stats.withColumn(
+                "n_postings", F.lit(n_postings).cast("long")
+            )
+        stats.coalesce(1).write.mode(mode).parquet(path + "/stats")
+    finally:
+        postings.unpersist()
     _write_index_fingerprint(spark, path, {"kind": "bm25"})
     return path
+
+
+def _require_bm25_untorn(
+    postings: DataFrame, stats: DataFrame, caller: str
+) -> None:
+    """BM25's torn-window guard (r15 verdict item 5): an append whose
+    postings landed but whose stats row did not leaves delta docs
+    scored against an under-counted n_docs/avgdl -- wrong scores, not
+    an error. Every stats row stamps its generation's postings count
+    at write time, so consistency is ONE parquet count against a
+    1-row sum. Pre-stamp artifacts (no ``n_postings`` column) pass
+    silently -- the invariant is armed by rebuild, never faked."""
+    if "n_postings" not in stats.columns:
+        return
+    row = stats.agg(F.sum("n_postings").alias("s")).first()
+    stamped = row["s"]
+    actual = postings.count()
+    if stamped != actual:
+        raise ValueError(
+            f"{caller}: torn bm25 artifact -- postings has {actual} rows "
+            f"but the stats log stamps {stamped} (an append crashed "
+            "between its postings and stats writes, or a stats row "
+            "landed without its postings); delta docs would score "
+            "against an under-counted n_docs/avgdl -- re-run the delta "
+            "or rebuild the index"
+        )
 
 
 def _bm25_postings(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
@@ -4847,10 +5236,11 @@ def append_bm25_index(docs: DataFrame, path: str) -> str:
     family rule. Crash window (the `append_pq_index`
     concurrency-delta class): postings land before the stats row, so
     a crash between them leaves delta docs scored with an
-    under-counted n_docs/avgdl; detection would cost a
-    countDistinct(doc_id) over the postings (a full shuffle --
-    deliberately not paid per append), so recovery is re-running the
-    delta or rebuilding."""
+    under-counted n_docs/avgdl -- DETECTED at probe construction by
+    `_require_bm25_untorn` (each stats row stamps its generation's
+    postings count; one count + one sum, not the countDistinct
+    shuffle r15 declined); recovery is re-running the delta or
+    rebuilding."""
     return write_bm25_index(docs, path, mode="append")
 
 
@@ -4957,7 +5347,9 @@ def bm25_topk_batches(
     rows. Scale: the query side is batch-sized and broadcasts; the
     postings join prunes to the term buckets the batch touches; the
     stats row is a 1-row broadcast. Same ``checkpoint`` /
-    ``index_path`` discipline as the rest of the serving family."""
+    ``index_path`` discipline as the rest of the serving family; a
+    TORN postings/stats artifact refuses here, at construction
+    (`_require_bm25_untorn` -- the shortlist family's rule)."""
     _check = _pin_index(
         queries.sparkSession,
         index_path,
@@ -4966,6 +5358,7 @@ def bm25_topk_batches(
         "(fingerprint {now} != snapshot {expected}); rebuild the probe "
         "stream against the new index instead",
     )
+    _require_bm25_untorn(postings, stats, "bm25_topk_batches")
 
     def _emit(batch: DataFrame, _epoch: int) -> None:
         _check(batch.sparkSession)
@@ -5077,6 +5470,7 @@ def hybrid_rrf_keyword_batches(
             "hybrid_rrf_keyword_batches: pass index_vecs (brute dense "
             "scan) or ann_index_path (IVF-PQ serving) -- got neither"
         )
+    _require_bm25_untorn(postings, stats, "hybrid_rrf_keyword_batches")
 
     _check_lex = _pin_index(
         queries.sparkSession,

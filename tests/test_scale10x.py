@@ -1112,3 +1112,131 @@ def test_hybrid_ann_dense_probe_budget_at_10x(spark, scale_dir, tmp_path):
         f"batch brute {brute_s:.1f}s vs ann {ann_s:.1f}s at candidate "
         f"fraction {frac:.3f}, top-k overlap {overlap:.3f}"
     )
+
+
+def test_ivf_matryoshka_composes_budgets_at_10x(spark, scale_dir, tmp_path):
+    """r15 verdict item 6, the wall: prefix-width cells under IVF
+    partition pruning multiply the two serving budgets -- the probe
+    scans ~n_probe/n_lists of the partitions AND probe_dim/dim of the
+    float bytes in them, where the pure matryoshka coarse stage reads
+    the prefix of EVERY corpus row. Pins the deterministic budget
+    model (probed-row fraction; the byte ratio is structural in the
+    artifact) and serving quality vs brute; walls printed for the
+    PLANS.md ledger (single-run walls swing 3x on this VM)."""
+    from big_data_streaming_dashboard_spark.llmdata.similarity import (
+        EMBEDDING_DIM,
+        _dvec,
+        ivf_probe_rank,
+    )
+    from big_data_streaming_dashboard_spark.streaming.llm_ingest import (
+        _dense_cosine_topk,
+        ivf_matryoshka_topk_batches,
+        matryoshka_topk_batches,
+        write_ivf_matryoshka_index,
+        write_matryoshka_index,
+    )
+    from big_data_streaming_dashboard_spark.tables import spread
+
+    embs = spread(
+        spark.read.parquet(f"{scale_dir}/embeddings.parquet"), spark
+    )
+    n_corpus = embs.count()
+    assert n_corpus >= 20_000
+    probe_dim, n_lists, n_probe, k = 16, 64, 8, 10
+
+    t0 = time.perf_counter()
+    cidx = write_ivf_matryoshka_index(
+        embs, str(tmp_path / "ivfmat"),
+        n_lists=n_lists, probe_dim=probe_dim,
+    )
+    build_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    midx = write_matryoshka_index(
+        embs, str(tmp_path / "mat"), probe_dim=probe_dim
+    )
+    mat_build_s = time.perf_counter() - t0
+
+    qids = [i * 37 % n_corpus for i in range(500)]
+    qdir = str(tmp_path / "q")
+    embs.filter(F.col("vec_id").isin(qids)).select(
+        "vec_id", "label", "embedding"
+    ).coalesce(1).write.parquet(qdir)
+    n_queries = spark.read.parquet(qdir).count()
+
+    def _qstream():
+        return (
+            spark.readStream.schema(
+                "vec_id long, label int, embedding array<float>"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(qdir)
+        )
+
+    # pure matryoshka: full-corpus prefix scan per batch (bytes win only)
+    out_m = str(tmp_path / "out_mat")
+    t0 = time.perf_counter()
+    matryoshka_topk_batches(
+        _qstream(),
+        spark.read.parquet(midx + "/prefixes"),
+        spark.read.parquet(midx + "/vecs"),
+        out_m,
+        k=k,
+        checkpoint=str(tmp_path / "ckm"),
+    ).awaitTermination(600)
+    mat_probe_s = time.perf_counter() - t0
+
+    # composed: n_probe/n_lists of the partitions x probe_dim/dim bytes
+    out_c = str(tmp_path / "out_ivfmat")
+    t0 = time.perf_counter()
+    ivf_matryoshka_topk_batches(
+        _qstream(),
+        spark.read.parquet(cidx + "/cells"),
+        spark.read.parquet(cidx + "/vecs"),
+        spark.read.parquet(cidx + "/centroids"),
+        out_c,
+        k=k,
+        n_probe=n_probe,
+        checkpoint=str(tmp_path / "ckc"),
+    ).awaitTermination(600)
+    comp_probe_s = time.perf_counter() - t0
+
+    # deterministic budget model: probed candidate rows are a small
+    # fraction of the matryoshka coarse stage's n_queries * n_corpus
+    cells = spark.read.parquet(cidx + "/cells")
+    sizes = cells.groupBy("cluster").agg(F.count(F.lit(1)).alias("n"))
+    qdf = spark.read.parquet(qdir).select(
+        F.col("vec_id").alias("query_id"), _dvec("embedding").alias("qvec")
+    )
+    probed_vol = (
+        ivf_probe_rank(qdf, spark.read.parquet(cidx + "/centroids"), n_probe)
+        .join(sizes, F.col("probe_cluster") == F.col("cluster"))
+        .agg(F.sum("n"))
+        .first()[0]
+    )
+    frac = probed_vol / (n_queries * n_corpus)
+    assert frac < 0.3, f"cell pruning not composing: {frac:.3f}"
+    assert len(cells.select("vp").first()["vp"]) == probe_dim  # byte ratio
+
+    # serving quality: top-k overlap vs exact brute force
+    brute = _dense_cosine_topk(
+        spark.read.parquet(qdir), embs.select(
+            "vec_id", "label", _dvec("embedding").alias("vec")
+        ), k,
+    )
+    b_by_q, c_by_q = {}, {}
+    for r in brute.collect():
+        b_by_q.setdefault(r["query_id"], set()).add(r["vec_id"])
+    for r in spark.read.parquet(out_c).collect():
+        c_by_q.setdefault(r["query_id"], set()).add(r["vec_id"])
+    assert len(c_by_q) == n_queries
+    recall = sum(
+        len(c_by_q[q] & b_by_q[q]) / len(b_by_q[q]) for q in b_by_q
+    ) / len(b_by_q)
+    assert recall >= 0.6, f"composed recall collapsed: {recall:.3f}"
+
+    print(
+        f"\nIVF-MATRYOSHKA canary: build {build_s:.1f}s (mat {mat_build_s:.1f}s), "
+        f"{n_queries}-query batch matryoshka {mat_probe_s:.1f}s vs composed "
+        f"{comp_probe_s:.1f}s at cell fraction {frac:.3f} x width "
+        f"{probe_dim}/{EMBEDDING_DIM} bytes, recall@{k} {recall:.3f}"
+    )

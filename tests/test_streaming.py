@@ -5622,3 +5622,438 @@ def test_rag_endpoints_serve_from_ivfpq_index(spark, tmp_path):
             stream_embeddings(spark, qdir2), None, str(tmp_path / "z"),
             ann_index_path=bmidx,
         )
+
+
+@pytest.mark.parametrize(
+    "kind", ["pq", "ivf", "ivfpq", "matryoshka", "quant", "ivfmat", "bm25"]
+)
+def test_compact_then_probe_parity_all_kinds(spark, tmp_path, kind):
+    """r15 verdict item 4: compact-then-probe == probe, pinned for
+    EVERY registered compaction layout (`_INDEX_COMPACT_LAYOUT`), not
+    just the PQ + BM25 members the r15 test covered. Each case builds
+    a root, appends a delta (a second file generation), probes, LSM-
+    compacts, and re-probes through freshly-read frames -- the two
+    outputs must match row-for-row and the nonce must have rotated
+    (running pinned streams fail over, never serve a stale listing)."""
+    from big_data_streaming_dashboard_spark.streaming.llm_ingest import (
+        append_bm25_index,
+        append_ivf_index,
+        append_ivf_matryoshka_index,
+        append_ivfpq_index,
+        append_matryoshka_index,
+        append_pq_index,
+        append_quant_index,
+        bm25_topk_batches,
+        compact_serving_index,
+        index_fingerprint,
+        ivf_matryoshka_topk_batches,
+        ivf_topk_batches,
+        ivfpq_topk_batches,
+        matryoshka_topk_batches,
+        pq_topk_batches,
+        quant_topk_batches,
+        stream_embeddings,
+        stream_keyword_queries,
+        write_bm25_index,
+        write_ivf_index,
+        write_ivf_matryoshka_index,
+        write_ivfpq_index,
+        write_matryoshka_index,
+        write_pq_index,
+        write_quant_index,
+    )
+    from big_data_streaming_dashboard_spark.tables import load_table
+
+    idx = str(tmp_path / kind)
+    qdir = str(tmp_path / "queries")
+
+    if kind == "bm25":
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        write_bm25_index(docs.filter(F.col("doc_id") < 250), idx)
+        append_bm25_index(docs.filter(F.col("doc_id") >= 250), idx)
+        spark.createDataFrame(
+            [(0, "dup spark scan join"), (1, "customer value window")],
+            "query_id long, keywords string",
+        ).coalesce(1).write.parquet(qdir)
+
+        def probe(tag):
+            out = str(tmp_path / f"out_{tag}")
+            bm25_topk_batches(
+                stream_keyword_queries(spark, qdir),
+                spark.read.parquet(idx + "/postings"),
+                spark.read.parquet(idx + "/stats"),
+                out,
+                checkpoint=str(tmp_path / f"ck_{tag}"),
+            ).awaitTermination(120)
+            return sorted(map(tuple, spark.read.parquet(out).collect()))
+
+    else:
+        embs = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        base = embs.filter(F.col("vec_id") < 300)
+        delta = embs.filter(
+            (F.col("vec_id") >= 300) & (F.col("vec_id") < 400)
+        )
+        embs.filter(F.col("vec_id") < 3).write.parquet(qdir)
+
+        if kind == "pq":
+            write_pq_index(base, idx)
+            append_pq_index(delta, idx)
+        elif kind == "ivf":
+            write_ivf_index(base, idx, n_lists=4)
+            append_ivf_index(delta, idx)
+        elif kind == "ivfpq":
+            write_ivfpq_index(base, idx, n_lists=4, n_subspaces=4)
+            append_ivfpq_index(delta, idx)
+        elif kind == "matryoshka":
+            write_matryoshka_index(base, idx, probe_dim=8)
+            append_matryoshka_index(delta, idx)
+        elif kind == "ivfmat":
+            write_ivf_matryoshka_index(base, idx, n_lists=4, probe_dim=8)
+            append_ivf_matryoshka_index(delta, idx)
+        elif kind == "quant":
+            write_quant_index(base, idx)
+            append_quant_index(delta, idx)
+
+        def probe(tag):
+            out = str(tmp_path / f"out_{tag}")
+            q = stream_embeddings(spark, qdir)
+            if kind == "pq":
+                h = pq_topk_batches(
+                    q,
+                    spark.read.parquet(idx + "/codes"),
+                    spark.read.parquet(idx + "/vecs"),
+                    spark.read.parquet(idx + "/codebooks"),
+                    out,
+                    checkpoint=str(tmp_path / f"ck_{tag}"),
+                )
+            elif kind == "ivf":
+                h = ivf_topk_batches(
+                    q,
+                    spark.read.parquet(idx + "/cells"),
+                    spark.read.parquet(idx + "/centroids"),
+                    out,
+                    n_probe=2,
+                    checkpoint=str(tmp_path / f"ck_{tag}"),
+                )
+            elif kind == "ivfpq":
+                h = ivfpq_topk_batches(
+                    q,
+                    spark.read.parquet(idx + "/cells"),
+                    spark.read.parquet(idx + "/vecs"),
+                    spark.read.parquet(idx + "/codebooks"),
+                    spark.read.parquet(idx + "/centroids"),
+                    out,
+                    n_probe=2,
+                    checkpoint=str(tmp_path / f"ck_{tag}"),
+                )
+            elif kind == "matryoshka":
+                h = matryoshka_topk_batches(
+                    q,
+                    spark.read.parquet(idx + "/prefixes"),
+                    spark.read.parquet(idx + "/vecs"),
+                    out,
+                    checkpoint=str(tmp_path / f"ck_{tag}"),
+                )
+            elif kind == "ivfmat":
+                h = ivf_matryoshka_topk_batches(
+                    q,
+                    spark.read.parquet(idx + "/cells"),
+                    spark.read.parquet(idx + "/vecs"),
+                    spark.read.parquet(idx + "/centroids"),
+                    out,
+                    n_probe=2,
+                    checkpoint=str(tmp_path / f"ck_{tag}"),
+                )
+            else:
+                h = quant_topk_batches(
+                    q,
+                    spark.read.parquet(idx + "/codes"),
+                    spark.read.parquet(idx + "/vecs"),
+                    out,
+                    checkpoint=str(tmp_path / f"ck_{tag}"),
+                )
+            h.awaitTermination(180)
+            return sorted(map(tuple, spark.read.parquet(out).collect()))
+
+    before = probe("before")
+    stamp0 = index_fingerprint(spark, idx)
+    compact_serving_index(spark, idx)
+    assert index_fingerprint(spark, idx) != stamp0
+    assert probe("after") == before and before
+
+
+def test_bm25_torn_artifact_refuses_at_probe(spark, tmp_path):
+    """r15 verdict item 5: the BM25 torn window gets a cheap
+    invariant -- every stats row stamps its generation's postings
+    count, so a torn append (postings landed, stats missing -- or the
+    reverse) refuses at probe construction with one count + one sum,
+    like the shortlist family, instead of silently scoring delta docs
+    against an under-counted n_docs/avgdl."""
+    from big_data_streaming_dashboard_spark.streaming.llm_ingest import (
+        append_bm25_index,
+        bm25_topk_batches,
+        compact_serving_index,
+        hybrid_rrf_keyword_batches,
+        stream_keyword_queries,
+        write_bm25_index,
+    )
+    from big_data_streaming_dashboard_spark.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    idx = str(tmp_path / "bm")
+    write_bm25_index(docs.filter(F.col("doc_id") < 250), idx)
+    append_bm25_index(
+        docs.filter((F.col("doc_id") >= 250) & (F.col("doc_id") < 400)), idx
+    )
+
+    qdir = str(tmp_path / "q")
+    spark.createDataFrame(
+        [(0, "dup spark scan join")], "query_id long, keywords string"
+    ).coalesce(1).write.parquet(qdir)
+
+    def build_probe(tag):
+        return bm25_topk_batches(
+            stream_keyword_queries(spark, qdir),
+            spark.read.parquet(idx + "/postings"),
+            spark.read.parquet(idx + "/stats"),
+            str(tmp_path / f"out_{tag}"),
+            checkpoint=str(tmp_path / f"ck_{tag}"),
+        )
+
+    # consistent two-generation artifact probes fine, and the
+    # invariant survives compaction (n_postings merges to its SUM)
+    build_probe("ok").awaitTermination(120)
+    assert spark.read.parquet(str(tmp_path / "out_ok")).count() > 0
+    compact_serving_index(spark, idx)
+    stats = spark.read.parquet(idx + "/stats")
+    assert stats.count() == 1
+    assert (
+        stats.first()["n_postings"]
+        == spark.read.parquet(idx + "/postings").count()
+    )
+
+    # tear it: postings rows land with no stats twin (the append
+    # crash window between the two writes)
+    spark.read.parquet(idx + "/postings").limit(5).withColumn(
+        "doc_id", F.col("doc_id") + 100000
+    ).write.mode("append").partitionBy("term_bucket").parquet(
+        idx + "/postings"
+    )
+    with pytest.raises(ValueError, match="torn bm25 artifact"):
+        build_probe("torn")
+    # ...and the keyword hybrid refuses the same tear
+    with pytest.raises(ValueError, match="torn bm25 artifact"):
+        hybrid_rrf_keyword_batches(
+            spark.readStream.schema(
+                "query_id long, keywords string, embedding array<double>"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(qdir),
+            spark.read.parquet(idx + "/postings"),
+            spark.read.parquet(idx + "/stats"),
+            spark.createDataFrame(
+                [(0, 0, [0.0])], "vec_id long, label int, vec array<double>"
+            ),
+            str(tmp_path / "hout"),
+        )
+
+    # pre-stamp (legacy) artifacts stay serveable: the guard is armed
+    # by rebuild, never faked from the on-disk total
+    legacy_stats = spark.read.parquet(idx + "/stats").select(
+        "n_docs", "sum_dl"
+    )
+    legacy_rows = legacy_stats.collect()
+    spark.createDataFrame(
+        legacy_rows, "n_docs long, sum_dl long"
+    ).coalesce(1).write.mode("overwrite").parquet(idx + "/stats")
+    build_probe("legacy").awaitTermination(120)
+    assert spark.read.parquet(str(tmp_path / "out_legacy")).count() > 0
+
+
+@pytest.mark.parametrize("probe_dim,n_probe", [(8, 2), (64, 4)])
+def test_streaming_ivf_matryoshka_matches_python_cascade(
+    spark, tmp_path, probe_dim, n_probe
+):
+    """r15 verdict item 6: prefix-width cells under IVF partition
+    pruning -- the two serving budgets MULTIPLIED. The streamed output
+    equals a pure-Python recompute of the composed cascade (centroid
+    d2 ranking with (d2, cluster) ties -> probed cells only ->
+    prefix-cosine shortlist with (-cos, vec_id) order -> exact
+    full-width rerank with HALF_UP display rounding). At
+    probe_dim=64 (== dim) and n_probe=4 (== n_lists) the cascade
+    collapses to exact brute force -- same pin, full budget. The
+    delta fold is covered by the same recompute run over an APPENDED
+    artifact (the stored cluster column IS the frozen-centroid
+    assignment)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from big_data_streaming_dashboard_spark.streaming.llm_ingest import (
+        append_ivf_matryoshka_index,
+        ivf_matryoshka_topk_batches,
+        stream_embeddings,
+        write_ivf_matryoshka_index,
+    )
+    from big_data_streaming_dashboard_spark.tables import load_table
+
+    embs = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    idx = str(tmp_path / "ivfmat")
+    write_ivf_matryoshka_index(
+        embs.filter(F.col("vec_id") < 400), idx,
+        n_lists=4, probe_dim=probe_dim,
+    )
+    append_ivf_matryoshka_index(embs.filter(F.col("vec_id") >= 400), idx)
+
+    cells = spark.read.parquet(idx + "/cells")
+    vecs = spark.read.parquet(idx + "/vecs")
+    cents = spark.read.parquet(idx + "/centroids")
+    assert len(cells.select("vp").first()["vp"]) == probe_dim
+
+    qdir = str(tmp_path / "queries")
+    embs.filter(F.col("vec_id") < 4).repartition(2).write.parquet(qdir)
+    out = str(tmp_path / "topk")
+    q = ivf_matryoshka_topk_batches(
+        stream_embeddings(spark, qdir),
+        cells,
+        vecs,
+        cents,
+        out,
+        k=5,
+        n_probe=n_probe,
+        checkpoint=str(tmp_path / "ckpt"),
+        index_path=idx,
+    )
+    q.awaitTermination(180)
+    got = sorted(map(tuple, spark.read.parquet(out).collect()))
+
+    cell_rows = cells.collect()
+    vec_map = {r["vec_id"]: list(r["v"]) for r in vecs.collect()}
+    raw_map = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in embs.filter(F.col("vec_id") < 4).collect()
+    }
+    cent_rows = sorted(
+        (r["cluster"], list(r["centroid"])) for r in cents.collect()
+    )
+    n_corpus = len(vec_map)
+    shortlist = max(8 * 5, n_corpus * n_probe // (8 * 4))
+    want = []
+    for qid in range(4):
+        qraw = raw_map[qid]
+        ranked_cells = sorted(
+            (
+                sum((x - y) * (x - y) for x, y in zip(qraw, c)),
+                cl,
+            )
+            for cl, c in cent_rows
+        )
+        probed = {cl for _d2, cl in ranked_cells[:n_probe]}
+        uq = vec_map[qid]
+        qp = uq[:probe_dim]
+        qpn = sum(a * a for a in qp) ** 0.5
+        cands = []
+        for r in cell_rows:
+            if r["cluster"] not in probed or r["vec_id"] == qid:
+                continue
+            vp = list(r["vp"])
+            c = sum(a * b for a, b in zip(qp, vp)) / (
+                qpn * sum(a * a for a in vp) ** 0.5
+            )
+            cands.append((-c, r["vec_id"], r["label"]))
+        cands.sort()
+        for rank, (neg_cos, vid, label) in enumerate(
+            sorted(
+                (
+                    -float(
+                        Decimal(
+                            repr(sum(a * b for a, b in zip(uq, vec_map[vid])))
+                        ).quantize(
+                            Decimal("0.000001"), rounding=ROUND_HALF_UP
+                        )
+                    ),
+                    vid,
+                    label,
+                )
+                for _, vid, label in cands[: max(shortlist, 5)]
+            )[:5],
+            start=1,
+        ):
+            want.append((qid, vid, label, rank, -neg_cos))
+    assert got == sorted(want) and got
+    # appended vectors actually serve through their frozen cells
+    if probe_dim == 64:
+        assert any(t[1] >= 400 for t in got)
+
+
+def test_ivf_matryoshka_guards_refuse_loudly(spark, tmp_path):
+    """The composed family's guard union, each with its distinct
+    message: unstamped root, wrong-kind artifact, empty build, ragged
+    delta, dup delta ids, torn cells/vecs (append AND probe), pinned
+    frame/path width mismatch, and static partition pruning in the
+    probed scan."""
+    from big_data_streaming_dashboard_spark.streaming.llm_ingest import (
+        _write_index_fingerprint,
+        append_ivf_matryoshka_index,
+        ivf_matryoshka_topk_batches,
+        stream_embeddings,
+        write_ivf_matryoshka_index,
+    )
+    from big_data_streaming_dashboard_spark.tables import load_table
+
+    embs = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    base = embs.filter(F.col("vec_id") < 300)
+    delta = embs.filter(F.col("vec_id") >= 300)
+
+    with pytest.raises(ValueError, match="empty embeddings"):
+        write_ivf_matryoshka_index(
+            embs.filter(F.col("vec_id") < 0), str(tmp_path / "e")
+        )
+    with pytest.raises(ValueError, match="out of range"):
+        write_ivf_matryoshka_index(base, str(tmp_path / "w"), probe_dim=0)
+    with pytest.raises(ValueError, match="unstamped"):
+        append_ivf_matryoshka_index(delta, str(tmp_path / "nowhere"))
+    other = str(tmp_path / "notmat")
+    _write_index_fingerprint(spark, other, {"kind": "ivf"})
+    with pytest.raises(ValueError, match="not a IVF-matryoshka"):
+        append_ivf_matryoshka_index(delta, other)
+
+    idx = str(tmp_path / "m")
+    write_ivf_matryoshka_index(base, idx, n_lists=4, probe_dim=8)
+    with pytest.raises(ValueError, match="already present"):
+        append_ivf_matryoshka_index(embs.filter(F.col("vec_id") < 10), idx)
+    ragged = spark.createDataFrame(
+        [(9001, 1, [0.25] * 32)],
+        "vec_id long, label int, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="dimensional"):
+        append_ivf_matryoshka_index(ragged, idx)
+
+    qdir = str(tmp_path / "q")
+    embs.filter(F.col("vec_id") < 2).write.parquet(qdir)
+    # pinned probe at a mismatched width refuses (frames from another
+    # artifact than the pin)
+    idx16 = str(tmp_path / "m16")
+    write_ivf_matryoshka_index(base, idx16, n_lists=4, probe_dim=16)
+    with pytest.raises(ValueError, match="different artifact"):
+        ivf_matryoshka_topk_batches(
+            stream_embeddings(spark, qdir),
+            spark.read.parquet(idx + "/cells"),
+            spark.read.parquet(idx + "/vecs"),
+            spark.read.parquet(idx + "/centroids"),
+            str(tmp_path / "o1"),
+            index_path=idx16,
+        )
+
+    # tear it: a cells row with no vecs twin
+    spark.read.parquet(idx + "/cells").limit(1).withColumn(
+        "vec_id", F.lit(77777).cast("long")
+    ).write.mode("append").partitionBy("cluster").parquet(idx + "/cells")
+    with pytest.raises(ValueError, match="torn artifact"):
+        append_ivf_matryoshka_index(delta, idx)
+    with pytest.raises(ValueError, match="torn artifact"):
+        ivf_matryoshka_topk_batches(
+            stream_embeddings(spark, qdir),
+            spark.read.parquet(idx + "/cells"),
+            spark.read.parquet(idx + "/vecs"),
+            spark.read.parquet(idx + "/centroids"),
+            str(tmp_path / "o2"),
+        )
