@@ -2061,14 +2061,6 @@ def ivf_matryoshka_topk_batches(
     (refusing a frame/path mismatch -- the matryoshka r15 ADVICE
     rule); same pin / checkpoint / ``exclude_self`` discipline as the
     family."""
-    from ..llmdata.similarity import (
-        _dvec,
-        _normalize,
-        cosine,
-        ivf_probe_rank,
-        pq_shortlist_rerank,
-    )
-
     _check = _pin_index(
         queries.sparkSession,
         index_path,
@@ -2108,46 +2100,21 @@ def ivf_matryoshka_topk_batches(
         _check(batch.sparkSession)
         if batch.isEmpty():
             return
-        qs = batch.select(
-            F.col("vec_id").alias("query_id"),
-            _dvec("embedding").alias("qvec"),
+        ranked, done = _ivfmat_ranked_plan(
+            batch,
+            index_cells,
+            index_vecs,
+            index_centroids,
+            probe_dim,
+            k,
+            n_probe,
+            shortlist,
+            exclude_self,
         )
-        # persisted: the probed-cluster collect and the scored join
-        # both consume the probe plan (the bpairs lesson)
-        probes = ivf_probe_rank(qs, index_centroids, n_probe).persist()
         try:
-            probed = sorted(
-                r["probe_cluster"]
-                for r in probes.select("probe_cluster").distinct().collect()
-            )
-            qdf = batch.select(
-                F.col("vec_id").alias("query_id"),
-                _normalize(_dvec("embedding")).alias("_qv"),
-            ).withColumn("_qp", F.slice(F.col("_qv"), 1, probe_dim))
-            scored = (
-                index_cells.filter(F.col("cluster").isin(probed))
-                .join(
-                    F.broadcast(probes.select("query_id", "probe_cluster")),
-                    F.col("cluster") == F.col("probe_cluster"),
-                )
-                .join(F.broadcast(qdf), "query_id")
-            )
-            if exclude_self:
-                scored = scored.filter(F.col("vec_id") != F.col("query_id"))
-            scored = scored.select(
-                "query_id",
-                "vec_id",
-                "label",
-                (-cosine(F.col("_qp"), F.col("vp"))).alias("_adc"),
-                "_qv",
-            )
-            (
-                pq_shortlist_rerank(scored, k, shortlist, vecs=index_vecs)
-                .write.mode("append")
-                .parquet(out_path)
-            )
+            ranked.write.mode("append").parquet(out_path)
         finally:
-            probes.unpersist()
+            done()
 
     writer = (
         queries.writeStream.foreachBatch(_emit)
@@ -2157,6 +2124,68 @@ def ivf_matryoshka_topk_batches(
     if checkpoint is not None:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer.start()
+
+
+def _ivfmat_ranked_plan(
+    batch: DataFrame,
+    index_cells: DataFrame,
+    index_vecs: DataFrame,
+    index_centroids: DataFrame,
+    probe_dim: int,
+    k: int,
+    n_probe: int,
+    shortlist: int,
+    exclude_self: bool,
+):
+    """The per-batch IVF x matryoshka ranking, I/O-free: (ranked_df,
+    cleanup) for arriving (vec_id, embedding) rows against in-memory
+    artifact frames -- the `_ivfpq_ranked_plan` extraction applied to
+    the composed index, so the dense-retriever dispatch
+    (`_ann_dense_retriever`) and the probe sink consume ONE plan.
+    ``cleanup`` unpersists the probe frame and must be called after
+    the ranked frame is consumed."""
+    from ..llmdata.similarity import (
+        _dvec,
+        _normalize,
+        cosine,
+        ivf_probe_rank,
+        pq_shortlist_rerank,
+    )
+
+    qs = batch.select(
+        F.col("vec_id").alias("query_id"),
+        _dvec("embedding").alias("qvec"),
+    )
+    # persisted: the probed-cluster collect and the scored join both
+    # consume the probe plan (the bpairs lesson)
+    probes = ivf_probe_rank(qs, index_centroids, n_probe).persist()
+    probed = sorted(
+        r["probe_cluster"]
+        for r in probes.select("probe_cluster").distinct().collect()
+    )
+    qdf = batch.select(
+        F.col("vec_id").alias("query_id"),
+        _normalize(_dvec("embedding")).alias("_qv"),
+    ).withColumn("_qp", F.slice(F.col("_qv"), 1, probe_dim))
+    scored = (
+        index_cells.filter(F.col("cluster").isin(probed))
+        .join(
+            F.broadcast(probes.select("query_id", "probe_cluster")),
+            F.col("cluster") == F.col("probe_cluster"),
+        )
+        .join(F.broadcast(qdf), "query_id")
+    )
+    if exclude_self:
+        scored = scored.filter(F.col("vec_id") != F.col("query_id"))
+    scored = scored.select(
+        "query_id",
+        "vec_id",
+        "label",
+        (-cosine(F.col("_qp"), F.col("vp"))).alias("_adc"),
+        "_qv",
+    )
+    ranked = pq_shortlist_rerank(scored, k, shortlist, vecs=index_vecs)
+    return ranked, probes.unpersist
 
 
 def _compact_parquet_dir(
@@ -2916,7 +2945,7 @@ def _ivfpq_ranked_plan(
     return ranked, probes.unpersist
 
 
-def _ivfpq_dense_retriever(
+def _ann_dense_retriever(
     spark: SparkSession,
     path: str,
     n_probe: int,
@@ -2924,42 +2953,77 @@ def _ivfpq_dense_retriever(
     exclude_self: bool,
     caller: str,
 ):
-    """Load a `write_ivfpq_index` root as a pluggable DENSE retrieval
+    """Load a servable ANN root as a pluggable DENSE retrieval
     constituent for the RAG endpoints (r15 verdict item 3: the hybrid
     keyword endpoint and the knn classifier brute-scanned the float
-    vecs via `_dense_cosine_topk` while IVF-PQ serving sat in the same
-    file). Returns ``retrieve(batch, k) -> (ranked, cleanup)`` where
+    vecs via `_dense_cosine_topk` while ANN serving sat in the same
+    file). Dispatches on the STAMPED kind -- ``ivfpq``
+    (`_ivfpq_ranked_plan`) or ``ivfmat`` (`_ivfmat_ranked_plan`) --
+    and returns ``retrieve(batch, k) -> (ranked, cleanup)`` where
     ``ranked`` carries the family's (query_id, vec_id, label, rank)
-    surface through `_ivfpq_ranked_plan` -- the SAME cascade
-    `ivfpq_topk_batches` serves, so at n_probe = n_lists and
-    shortlist = corpus the ranking collapses to exact brute-force
-    (parity-pinned) and at serving budgets the endpoint inherits the
-    measured probe-budget win.
+    surface through the SAME per-batch plan the kind's own probe sink
+    serves, so at n_probe = n_lists and shortlist = corpus the
+    ranking collapses to exact brute-force (parity-pinned) and at
+    serving budgets the endpoint inherits the kind's measured
+    probe-budget win.
 
     Artifact guards at CONSTRUCTION time (before any stream starts):
-    stamped kind must be ivfpq; codebooks/fingerprint subspan
-    disagreement refuses; torn cells/vecs refuses (`_require_untorn`).
-    Version pinning under a RUNNING stream stays on the caller's
-    nonce pin, which should target this same root."""
-    fp = _read_stamped_fingerprint(spark, path, "ivfpq", "IVF-PQ", caller)
-    codebooks = _load_codebooks(spark.read.parquet(path + "/codebooks"))
-    if int(fp["n_subspaces"]) != len(codebooks):
+    unstamped / non-servable kinds refuse distinctly; the IVF-PQ
+    codebooks/fingerprint subspan disagreement refuses; torn
+    cells/vecs refuses (`_require_untorn`). Default ``shortlist`` is
+    the kind's own budget rule. Version pinning under a RUNNING
+    stream stays on the caller's nonce pin, which should target this
+    same root."""
+    fp = _read_stamped_fingerprint(spark, path, None, "", caller)
+    kind = fp.get("kind")
+    if kind not in ("ivfpq", "ivfmat"):
         raise ValueError(
-            f"{caller}: fingerprint stamps n_subspaces="
-            f"{fp['n_subspaces']} but the stored codebooks span "
-            f"{len(codebooks)} subspaces -- mixed artifact, rebuild"
+            f"{caller}: artifact at {path} is stamped kind={kind!r}, "
+            "not a servable dense index (expected ivfpq or ivfmat)"
         )
     cells = spark.read.parquet(path + "/cells")
     vecs = spark.read.parquet(path + "/vecs")
     n_corpus = _require_untorn(cells, vecs, "cells", caller)
     cents = spark.read.parquet(path + "/centroids")
+    n_lists = cents.count()
 
-    def retrieve(batch: DataFrame, k: int):
-        sl = max(8 * k, n_corpus // 8) if shortlist is None else shortlist
-        return _ivfpq_ranked_plan(
-            batch, cells, vecs, codebooks, cents, k, n_probe, sl,
-            exclude_self,
-        )
+    def _sl(k: int) -> int:
+        # the IVF family's shared budget rule (reduces to corpus/8 at
+        # n_probe == n_lists -- the full-budget collapse premise)
+        if shortlist is not None:
+            return shortlist
+        return max(8 * k, n_corpus * n_probe // (8 * n_lists))
+
+    if kind == "ivfpq":
+        codebooks = _load_codebooks(spark.read.parquet(path + "/codebooks"))
+        if int(fp["n_subspaces"]) != len(codebooks):
+            raise ValueError(
+                f"{caller}: fingerprint stamps n_subspaces="
+                f"{fp['n_subspaces']} but the stored codebooks span "
+                f"{len(codebooks)} subspaces -- mixed artifact, rebuild"
+            )
+
+        def retrieve(batch: DataFrame, k: int):
+            return _ivfpq_ranked_plan(
+                batch, cells, vecs, codebooks, cents, k, n_probe, _sl(k),
+                exclude_self,
+            )
+
+    else:
+        probe_dim = int(fp["probe_dim"])
+        stored = _stored_dim(cells, "vp", "cells", caller)
+        if probe_dim != stored:
+            raise ValueError(
+                f"{caller}: fingerprint stamps probe_dim={probe_dim} but "
+                f"the stored prefixes are {stored}-wide -- mixed "
+                "artifact, rebuild"
+            )
+
+        def retrieve(batch: DataFrame, k: int):
+            return _ivfmat_ranked_plan(
+                batch, cells, vecs, cents, probe_dim, k, n_probe, _sl(k),
+                exclude_self,
+            )
 
     return retrieve
 
@@ -4224,9 +4288,11 @@ def knn_classify_batches(
     corpus vec_id silently loses that neighbor (the r15 keyword-hybrid
     fix, same class).
 
-    Pass ``ann_index_path`` (a `write_ivfpq_index` root) to serve the
-    neighbor retrieval through the IVF-PQ cascade instead of the
-    brute scan (`_ivfpq_dense_retriever`; ``n_probe`` /
+    Pass ``ann_index_path`` (a `write_ivfpq_index` or
+    `write_ivf_matryoshka_index` root -- the retriever dispatches on
+    the stamped kind) to serve the neighbor retrieval through that
+    index's cascade instead of the brute scan
+    (`_ann_dense_retriever`; ``n_probe`` /
     ``ann_shortlist`` are the budget knobs, shortlist defaulting to
     the family's corpus/8). ``index_vecs`` is then unused (pass
     None); the nonce pin defaults to the SAME root so the dense
@@ -4245,7 +4311,7 @@ def knn_classify_batches(
                 "leave index_path None (it pins the same root)"
             )
         index_path = ann_index_path
-        ann_retrieve = _ivfpq_dense_retriever(
+        ann_retrieve = _ann_dense_retriever(
             queries.sparkSession, ann_index_path, n_probe, ann_shortlist,
             exclude_self, "knn_classify_batches",
         )
@@ -5429,9 +5495,11 @@ def hybrid_rrf_keyword_batches(
     it as ``index_path`` and leave the vecs pair None. Same
     ``checkpoint`` semantics as the family.
 
-    Pass ``ann_index_path`` (a `write_ivfpq_index` root) to serve the
-    DENSE constituent through the IVF-PQ cascade instead of the brute
-    vecs scan (`_ivfpq_dense_retriever`; ``n_probe`` /
+    Pass ``ann_index_path`` (a `write_ivfpq_index` or
+    `write_ivf_matryoshka_index` root -- the retriever dispatches on
+    the stamped kind) to serve the DENSE constituent through that
+    index's cascade instead of the brute vecs scan
+    (`_ann_dense_retriever`; ``n_probe`` /
     ``ann_shortlist`` are the budget knobs). ``index_vecs`` is then
     unused (pass None), and the dense nonce pin defaults to the SAME
     root (``vecs_index_path`` naming a DIFFERENT root refuses -- a
@@ -5461,7 +5529,7 @@ def hybrid_rrf_keyword_batches(
                 "leave vecs_index_path None (it pins the same root)"
             )
         vecs_index_path = ann_index_path
-        ann_retrieve = _ivfpq_dense_retriever(
+        ann_retrieve = _ann_dense_retriever(
             queries.sparkSession, ann_index_path, n_probe, ann_shortlist,
             False, "hybrid_rrf_keyword_batches",
         )

@@ -5515,7 +5515,7 @@ def test_banded_probe_knobs_verified_against_stamp(spark, tmp_path):
 
 def test_rag_endpoints_serve_from_ivfpq_index(spark, tmp_path):
     """r15 verdict item 3: the RAG endpoints accept an IVF-PQ serving
-    root as the DENSE constituent (`_ivfpq_dense_retriever`) instead
+    root as the DENSE constituent (`_ann_dense_retriever`) instead
     of brute-scanning the float vecs. At n_probe = n_lists and
     shortlist = corpus the cascade's candidate set is the full corpus
     and the exact re-rank collapses it to brute-force, so the fused /
@@ -5617,11 +5617,29 @@ def test_rag_endpoints_serve_from_ivfpq_index(spark, tmp_path):
             stream_embeddings(spark, qdir2), None, str(tmp_path / "y")
         )
     # wrong-kind artifact refuses through the shared stamp guard
-    with pytest.raises(ValueError, match="not a IVF-PQ index"):
+    with pytest.raises(ValueError, match="not a servable dense index"):
         knn_classify_batches(
             stream_embeddings(spark, qdir2), None, str(tmp_path / "z"),
             ann_index_path=bmidx,
         )
+
+    # kind dispatch: the composed IVF x matryoshka root serves the
+    # same endpoints; at full budget (n_probe = n_lists, probe_dim =
+    # dim, shortlist = corpus) it too collapses to the brute form
+    from big_data_streaming_dashboard_spark.streaming.llm_ingest import (
+        write_ivf_matryoshka_index,
+    )
+
+    midx = write_ivf_matryoshka_index(
+        embs, str(tmp_path / "ivfmat"), n_lists=4, probe_dim=64
+    )
+    out_mat = str(tmp_path / "fused_mat")
+    hybrid_rrf_keyword_batches(
+        _qstream(), postings, stats, None, out_mat,
+        ann_index_path=midx, n_probe=4, ann_shortlist=n_corpus,
+    ).awaitTermination(180)
+    mat = sorted(map(tuple, spark.read.parquet(out_mat).collect()))
+    assert mat == brute and mat
 
 
 @pytest.mark.parametrize(
