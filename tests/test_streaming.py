@@ -6075,3 +6075,117 @@ def test_ivf_matryoshka_guards_refuse_loudly(spark, tmp_path):
             spark.read.parquet(idx + "/centroids"),
             str(tmp_path / "o2"),
         )
+
+
+def test_streaming_ivfmat_randomized_corpora_parity(spark):
+    """IVF x matryoshka probe/prefix/tie arithmetic vs the pure-Python
+    cascade on RANDOMIZED corpora (the `_ivfpq_ranked_plan` /
+    `_bm25_postings` precedent): three seeded corpora far outside the
+    fixture distribution -- tiny dim, a non-divisor prefix width,
+    cluster-starved k-means -- exercised I/O-free through the
+    extracted `_ivfmat_ranked_plan`, so tie-rule or probe-rule
+    regressions can't hide behind the fixture's geometry."""
+    import random
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from big_data_streaming_dashboard_spark.llmdata.similarity import (
+        _dvec,
+        _normalize,
+        ivf_centroids,
+        kmeans_assign,
+    )
+    from big_data_streaming_dashboard_spark.streaming.llm_ingest import (
+        _ivfmat_ranked_plan,
+    )
+
+    for seed in (5, 23, 71):
+        rng = random.Random(seed)
+        n, dim, probe_dim, k, n_probe, shortlist = 60, 8, 3, 3, 2, 10
+        rows = [
+            (i, rng.randrange(4), [rng.uniform(-1, 1) for _ in range(dim)])
+            for i in range(n)
+        ]
+        embs = spark.createDataFrame(
+            rows, "vec_id long, label int, embedding array<double>"
+        )
+        assigned = kmeans_assign(embs, k=4, iterations=2)
+        unit = embs.select(
+            "vec_id", "label", _normalize(_dvec("embedding")).alias("v")
+        )
+        cells = (
+            unit.select(
+                "vec_id",
+                "label",
+                F.slice(F.col("v"), 1, probe_dim).alias("vp"),
+            )
+            .join(assigned, "vec_id")
+            .persist()
+        )
+        vecs = unit.select("vec_id", "v").persist()
+        cents = ivf_centroids(
+            embs.select("vec_id", _dvec("embedding").alias("vec")).join(
+                assigned, "vec_id"
+            )
+        ).persist()
+        batch = embs.filter(F.col("vec_id") < 5)
+        ranked, done = _ivfmat_ranked_plan(
+            batch, cells, vecs, cents, probe_dim, k, n_probe, shortlist, True
+        )
+        got = sorted(map(tuple, ranked.collect()))
+        done()
+
+        cell_rows = cells.collect()
+        vec_map = {r["vec_id"]: list(r["v"]) for r in vecs.collect()}
+        cent_rows = sorted(
+            (r["cluster"], list(r["centroid"])) for r in cents.collect()
+        )
+        for df in (cells, vecs, cents):
+            df.unpersist()
+        want = []
+        for qid in range(5):
+            qraw = [float(x) for x in rows[qid][2]]
+            ranked_cells = sorted(
+                (
+                    sum((x - y) * (x - y) for x, y in zip(qraw, c)),
+                    cl,
+                )
+                for cl, c in cent_rows
+            )
+            probed = {cl for _d2, cl in ranked_cells[:n_probe]}
+            uq = vec_map[qid]
+            qp = uq[:probe_dim]
+            qpn = sum(a * a for a in qp) ** 0.5
+            cands = []
+            for r in cell_rows:
+                if r["cluster"] not in probed or r["vec_id"] == qid:
+                    continue
+                vp = list(r["vp"])
+                c = sum(a * b for a, b in zip(qp, vp)) / (
+                    qpn * sum(a * a for a in vp) ** 0.5
+                )
+                cands.append((-c, r["vec_id"], r["label"]))
+            cands.sort()
+            for rank, (neg_cos, vid, label) in enumerate(
+                sorted(
+                    (
+                        -float(
+                            Decimal(
+                                repr(
+                                    sum(
+                                        a * b
+                                        for a, b in zip(uq, vec_map[vid])
+                                    )
+                                )
+                            ).quantize(
+                                Decimal("0.000001"), rounding=ROUND_HALF_UP
+                            )
+                        ),
+                        vid,
+                        label,
+                    )
+                    for _, vid, label in cands[: max(shortlist, k)]
+                )[:k],
+                start=1,
+            ):
+                want.append((qid, vid, label, rank, -neg_cos))
+        assert got == sorted(want) and got, seed
