@@ -4376,13 +4376,16 @@ def knn_classify_batches(
 def hybrid_rrf_batches(
     queries: DataFrame,
     docs: DataFrame,
-    index_vecs: DataFrame,
+    index_vecs: DataFrame | None,
     out_path: str,
     fusion_k: int | None = None,
     top_k: int | None = None,
     checkpoint: str | None = None,
     index_path: str | None = None,
     expected_fingerprint: str | None = None,
+    ann_index_path: str | None = None,
+    n_probe: int = 2,
+    ann_shortlist: int | None = None,
 ):
     """Streaming hybrid retrieval: each arriving query vector gets the
     fused BM25 + cosine top-k under reciprocal-rank fusion -- the
@@ -4414,7 +4417,16 @@ def hybrid_rrf_batches(
 
     Output: (query_id, doc_id, lex_rank, cos_rank, rrf_score), top_k
     rows per arriving query. Same ``checkpoint`` append-idempotency
-    note as the other writers."""
+    note as the other writers.
+
+    Pass ``ann_index_path`` (a `write_ivfpq_index` or
+    `write_ivf_matryoshka_index` root) to serve the dense constituent
+    through that index's cascade instead of the brute vecs scan --
+    the `hybrid_rrf_keyword_batches` contract: ``index_vecs`` is then
+    unused (pass None), the nonce pin defaults to the same root, and
+    an ``index_path`` naming a DIFFERENT root refuses. The
+    leave-one-out filter stays ON here (corpus-replayed query ids,
+    unlike the keyword endpoint's external request ids)."""
     from pyspark.sql import Window
 
     from ..llmdata.similarity import (
@@ -4426,6 +4438,26 @@ def hybrid_rrf_batches(
 
     fusion_k = HYBRID_FUSION_K if fusion_k is None else fusion_k
     top_k = HYBRID_TOP_K if top_k is None else top_k
+
+    ann_retrieve = None
+    if ann_index_path is not None:
+        if index_path is not None and index_path != ann_index_path:
+            raise ValueError(
+                "hybrid_rrf_batches: index_path and ann_index_path "
+                "disagree -- the dense constituent is ONE artifact; pass "
+                "the ANN root as ann_index_path and leave index_path "
+                "None (it pins the same root)"
+            )
+        index_path = ann_index_path
+        ann_retrieve = _ann_dense_retriever(
+            queries.sparkSession, ann_index_path, n_probe, ann_shortlist,
+            True, "hybrid_rrf_batches",
+        )
+    elif index_vecs is None:
+        raise ValueError(
+            "hybrid_rrf_batches: pass index_vecs (brute dense scan) or "
+            "ann_index_path (ANN serving) -- got neither"
+        )
 
     _check = _pin_index(
         queries.sparkSession,
@@ -4448,7 +4480,12 @@ def hybrid_rrf_batches(
             return
         sess = batch.sparkSession
         lex = sess.createDataFrame(lex_rows, "doc_id long, lex_rank int")
-        dense = _dense_cosine_topk(batch, index_vecs, fusion_k).select(
+        cleanup = None
+        if ann_retrieve is not None:
+            ranked, cleanup = ann_retrieve(batch, fusion_k)
+        else:
+            ranked = _dense_cosine_topk(batch, index_vecs, fusion_k)
+        dense = ranked.select(
             "query_id",
             F.col("vec_id").alias("doc_id"),
             F.col("rank").alias("cos_rank"),
@@ -4459,14 +4496,20 @@ def hybrid_rrf_batches(
         wf = Window.partitionBy("query_id").orderBy(
             F.col("rrf_score").desc(), F.col("doc_id")
         )
-        (
-            fused.withColumn("rrf_score", F.expr(_rrf_score_sql()))
-            .withColumn("_r", F.row_number().over(wf))
-            .filter(F.col("_r") <= top_k)
-            .select("query_id", "doc_id", "lex_rank", "cos_rank", "rrf_score")
-            .write.mode("append")
-            .parquet(out_path)
-        )
+        try:
+            (
+                fused.withColumn("rrf_score", F.expr(_rrf_score_sql()))
+                .withColumn("_r", F.row_number().over(wf))
+                .filter(F.col("_r") <= top_k)
+                .select(
+                    "query_id", "doc_id", "lex_rank", "cos_rank", "rrf_score"
+                )
+                .write.mode("append")
+                .parquet(out_path)
+            )
+        finally:
+            if cleanup is not None:
+                cleanup()
 
     writer = (
         queries.writeStream.foreachBatch(_emit)

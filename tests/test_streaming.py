@@ -6189,3 +6189,55 @@ def test_streaming_ivfmat_randomized_corpora_parity(spark):
             ):
                 want.append((qid, vid, label, rank, -neg_cos))
         assert got == sorted(want) and got, seed
+
+
+def test_hybrid_rrf_fixed_query_serves_from_ann_index(spark, tmp_path):
+    """The fixed-keyword hybrid accepts the same ann_index_path dense
+    constituent as the keyword endpoint: at full budget (n_probe =
+    n_lists, shortlist = corpus) the fused output equals the
+    brute-dense form row-for-row, with the leave-one-out filter kept
+    ON (corpus-replayed query ids); contradictory roots refuse."""
+    from big_data_streaming_dashboard_spark.streaming.llm_ingest import (
+        hybrid_rrf_batches,
+        stream_embeddings,
+        write_ivfpq_index,
+    )
+    from big_data_streaming_dashboard_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    embs = load_table(spark, sf, "embeddings")
+    n_corpus = embs.count()
+    pidx = write_ivfpq_index(
+        embs, str(tmp_path / "ivfpq"), n_lists=4, n_subspaces=8
+    )
+    index_vecs = spark.read.parquet(pidx + "/vecs").select(
+        "vec_id", F.col("v").alias("vec")
+    ).join(embs.select("vec_id", "label"), "vec_id")
+
+    qdir = str(tmp_path / "q")
+    embs.filter(F.col("vec_id") < 3).coalesce(1).write.parquet(qdir)
+
+    out_b = str(tmp_path / "brute")
+    hybrid_rrf_batches(
+        stream_embeddings(spark, qdir), docs, index_vecs, out_b,
+    ).awaitTermination(180)
+    out_a = str(tmp_path / "ann")
+    hybrid_rrf_batches(
+        stream_embeddings(spark, qdir), docs, None, out_a,
+        ann_index_path=pidx, n_probe=4, ann_shortlist=n_corpus,
+    ).awaitTermination(180)
+    brute = sorted(map(tuple, spark.read.parquet(out_b).collect()))
+    ann = sorted(map(tuple, spark.read.parquet(out_a).collect()))
+    assert ann == brute and ann
+
+    with pytest.raises(ValueError, match="disagree"):
+        hybrid_rrf_batches(
+            stream_embeddings(spark, qdir), docs, None,
+            str(tmp_path / "x"),
+            ann_index_path=pidx, index_path=str(tmp_path / "other"),
+        )
+    with pytest.raises(ValueError, match="got neither"):
+        hybrid_rrf_batches(
+            stream_embeddings(spark, qdir), docs, None, str(tmp_path / "y")
+        )
