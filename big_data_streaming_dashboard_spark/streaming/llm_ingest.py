@@ -5581,8 +5581,8 @@ def hybrid_rrf_keyword_batches(
             "hybrid_rrf_keyword_batches: pass index_vecs (brute dense "
             "scan) or ann_index_path (IVF-PQ serving) -- got neither"
         )
-    _require_bm25_untorn(postings, stats, "hybrid_rrf_keyword_batches")
-
+    # pin-target contract first (a caller error), artifact-state torn
+    # guard second -- the family precedence rule
     _check_lex = _pin_index(
         queries.sparkSession,
         index_path,
@@ -5599,6 +5599,7 @@ def hybrid_rrf_keyword_batches(
         "probe stream (fingerprint {now} != snapshot {expected}); rebuild "
         "the probe stream against the new index instead",
     )
+    _require_bm25_untorn(postings, stats, "hybrid_rrf_keyword_batches")
 
     def _emit(batch: DataFrame, _epoch: int) -> None:
         _check_lex(batch.sparkSession)
