@@ -901,7 +901,10 @@ def write_ann_index(
     Band and vector rows are per-vector facts with no corpus-wide
     state (the ANN path has no bucket cap), so a corpus delta appends
     exactly (``mode="append"``); the fingerprint re-stamps either way
-    and a pinned running probe fails over (`ann_topk_batches`)."""
+    and a pinned running probe fails over (`ann_topk_batches`). An
+    APPEND whose knobs disagree with the existing stamp refuses
+    (`_require_append_knobs` -- it would hash the delta with
+    different planes and then bless them in the re-stamp)."""
     from ..llmdata.similarity import (
         EMBEDDING_DIM,
         _band_sigs_udf,
@@ -910,6 +913,13 @@ def write_ann_index(
     )
 
     dim = EMBEDDING_DIM if dim is None else dim
+    if mode == "append":
+        _require_append_knobs(
+            embeddings.sparkSession,
+            path,
+            {"bands": bands, "rows_per_band": rows_per_band, "seed": seed},
+            "write_ann_index",
+        )
     planes = gaussian_planes(bands * rows_per_band, dim, seed)
     sig_udf = _band_sigs_udf(planes, bands, rows_per_band)
     (
@@ -1059,6 +1069,7 @@ def ivf_topk_batches(
         "(fingerprint {now} != snapshot {expected}); rebuild the probe "
         "stream against the new index instead",
     )
+    _centroid_count(index_centroids, "ivf_topk_batches")
 
     def _emit(batch: DataFrame, _epoch: int) -> None:
         _check(batch.sparkSession)
@@ -1543,30 +1554,14 @@ def matryoshka_topk_batches(
         "stream against the new index instead",
     )
 
-    frame_dim = _stored_dim(
+    probe_dim = frame_dim = _stored_dim(
         index_prefixes, "vp", "prefixes", "matryoshka_topk_batches"
     )
     if index_path is not None:
-        # the stamped probe_dim is authoritative when a path is
-        # pinned: frames passed from a DIFFERENT artifact than the
-        # pinned index_path would otherwise silently probe at that
-        # other artifact's width -- the nonce pin alone cannot catch
-        # a frame/path mismatch (r15 ADVICE item 2)
-        fp = _read_stamped_fingerprint(
+        probe_dim = _require_stamped_probe_dim(
             queries.sparkSession, index_path, "matryoshka", "matryoshka",
-            "matryoshka_topk_batches",
+            frame_dim, "matryoshka_topk_batches",
         )
-        probe_dim = int(fp["probe_dim"])
-        if probe_dim != frame_dim:
-            raise ValueError(
-                f"matryoshka_topk_batches: pinned index at {index_path} "
-                f"stamps probe_dim={probe_dim} but the prefixes frame is "
-                f"{frame_dim}-wide -- the frames were read from a "
-                "different artifact than the pin; pass frames and "
-                "index_path from the same root"
-            )
-    else:
-        probe_dim = frame_dim
     n_corpus = _require_untorn(
         index_prefixes, index_vecs, "prefixes", "matryoshka_topk_batches"
     )
@@ -2070,26 +2065,15 @@ def ivf_matryoshka_topk_batches(
         "probe stream against the new index instead",
     )
 
-    frame_dim = _stored_dim(
+    probe_dim = frame_dim = _stored_dim(
         index_cells, "vp", "cells", "ivf_matryoshka_topk_batches"
     )
     if index_path is not None:
-        fp = _read_stamped_fingerprint(
+        probe_dim = _require_stamped_probe_dim(
             queries.sparkSession, index_path, "ivfmat", "IVF-matryoshka",
-            "ivf_matryoshka_topk_batches",
+            frame_dim, "ivf_matryoshka_topk_batches",
         )
-        probe_dim = int(fp["probe_dim"])
-        if probe_dim != frame_dim:
-            raise ValueError(
-                f"ivf_matryoshka_topk_batches: pinned index at "
-                f"{index_path} stamps probe_dim={probe_dim} but the cells "
-                f"frame is {frame_dim}-wide -- the frames were read from "
-                "a different artifact than the pin; pass frames and "
-                "index_path from the same root"
-            )
-    else:
-        probe_dim = frame_dim
-    n_lists = index_centroids.count()
+    n_lists = _centroid_count(index_centroids, "ivf_matryoshka_topk_batches")
     n_corpus = _require_untorn(
         index_cells, index_vecs, "cells", "ivf_matryoshka_topk_batches"
     )
@@ -2375,6 +2359,75 @@ def _require_stamped_knobs(
         )
 
 
+def _require_stamped_probe_dim(
+    spark: SparkSession,
+    index_path: str,
+    kind: str,
+    display: str,
+    frame_dim: int,
+    caller: str,
+) -> int:
+    """The prefix family's pinned-width rule in ONE place (r15 ADVICE
+    item 2; hand-rolled three times by mid-r16 -- the `_load_codebooks`
+    consolidation class): the STAMPED probe_dim is authoritative when
+    a root is named. Frames read from a DIFFERENT artifact than the
+    pin (or a mixed artifact whose stamp disagrees with its stored
+    prefixes) would silently probe at the wrong width -- the nonce pin
+    alone cannot catch a frame/path mismatch."""
+    fp = _read_stamped_fingerprint(spark, index_path, kind, display, caller)
+    probe_dim = int(fp["probe_dim"])
+    if probe_dim != frame_dim:
+        raise ValueError(
+            f"{caller}: pinned index at {index_path} stamps "
+            f"probe_dim={probe_dim} but the prefix frame is "
+            f"{frame_dim}-wide -- the frames were read from a different "
+            "artifact than the pin (or the artifact is mixed); pass "
+            "frames and index_path from the same root"
+        )
+    return probe_dim
+
+
+def _semantic_knobs(
+    bands: int | None, rows_per_band: int | None, seed: int
+) -> dict:
+    """The semantic family's banding-knob dict with the write-time
+    defaults resolved -- built in ONE place so the probe constructors,
+    the verdict writer, and the append guard can never verify
+    different knob sets against the same artifact (r16 review)."""
+    from ..llmdata.similarity import (
+        DEFAULT_NEARDUP_BANDS,
+        DEFAULT_NEARDUP_ROWS,
+    )
+
+    return {
+        "bands": DEFAULT_NEARDUP_BANDS if bands is None else bands,
+        "rows_per_band": (
+            DEFAULT_NEARDUP_ROWS if rows_per_band is None else rows_per_band
+        ),
+        "seed": seed,
+    }
+
+
+def _require_append_knobs(
+    spark: SparkSession, path: str, knobs: dict, caller: str
+) -> None:
+    """Banded APPEND knob guard (r16 review): an append whose knobs
+    disagree with the existing stamp would hash the delta with
+    DIFFERENT planes than the stored corpus AND re-stamp the new
+    knobs last -- corrupting the artifact while blessing the wrong
+    probes (the probe-side `_require_stamped_knobs` would then refuse
+    correct probes and accept the wrong ones). Fresh roots (no
+    fingerprint yet -- the only case allowed to fall through) pass:
+    generation 0 stamps them."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        spark.read.parquet(path + "/fingerprint").collect()
+    except AnalysisException:
+        return
+    _require_stamped_knobs(spark, path, knobs, caller)
+
+
 def _require_untorn(
     scan_df: DataFrame, vecs_df: DataFrame, scan_name: str, caller: str
 ) -> int:
@@ -2436,6 +2489,22 @@ def _stored_dim(df: DataFrame, col: str, what: str, caller: str) -> int:
             "the index"
         )
     return len(row[col])
+
+
+def _centroid_count(index_centroids: DataFrame, caller: str) -> int:
+    """n_lists from the stored centroids, refusing LOUDLY on an empty
+    directory: cells/vecs can pass `_require_untorn` while a lost
+    centroids write leaves zero rows -- the IVF shortlist rule then
+    divides by zero, or (with an explicit shortlist) `ivf_probe_rank`
+    yields zero probes and every query silently gets zero neighbors --
+    the exact silent-empty class `_stored_dim` guards (r16 review)."""
+    n = index_centroids.count()
+    if n == 0:
+        raise ValueError(
+            f"{caller}: centroids artifact is empty -- an empty or torn "
+            "build (zero cells to probe); rebuild the index"
+        )
+    return n
 
 
 def _load_codebooks(codebooks_df: DataFrame) -> list[list[list[float]]]:
@@ -2832,7 +2901,7 @@ def ivfpq_topk_batches(
     )
 
     codebooks = _load_codebooks(index_codebooks)
-    n_lists = index_centroids.count()
+    n_lists = _centroid_count(index_centroids, "ivfpq_topk_batches")
     n_corpus = _require_untorn(
         index_cells, index_vecs, "cells", "ivfpq_topk_batches"
     )
@@ -2963,9 +3032,12 @@ def _ann_dense_retriever(
     ``ranked`` carries the family's (query_id, vec_id, label, rank)
     surface through the SAME per-batch plan the kind's own probe sink
     serves, so at n_probe = n_lists and shortlist = corpus the
-    ranking collapses to exact brute-force (parity-pinned) and at
-    serving budgets the endpoint inherits the kind's measured
-    probe-budget win.
+    ranking collapses to exact brute-force (parity-pinned; one stated
+    delta: the cascade's re-rank orders on the ROUND-6 cosine where
+    the brute scan orders unrounded, so two candidates within 1e-6 of
+    each other can swap -- a display-tie the parity fixtures don't
+    contain, not an approximation) and at serving budgets the
+    endpoint inherits the kind's measured probe-budget win.
 
     Artifact guards at CONSTRUCTION time (before any stream starts):
     unstamped / non-servable kinds refuse distinctly; the IVF-PQ
@@ -2985,7 +3057,7 @@ def _ann_dense_retriever(
     vecs = spark.read.parquet(path + "/vecs")
     n_corpus = _require_untorn(cells, vecs, "cells", caller)
     cents = spark.read.parquet(path + "/centroids")
-    n_lists = cents.count()
+    n_lists = _centroid_count(cents, caller)
 
     def _sl(k: int) -> int:
         # the IVF family's shared budget rule (reduces to corpus/8 at
@@ -3010,14 +3082,10 @@ def _ann_dense_retriever(
             )
 
     else:
-        probe_dim = int(fp["probe_dim"])
-        stored = _stored_dim(cells, "vp", "cells", caller)
-        if probe_dim != stored:
-            raise ValueError(
-                f"{caller}: fingerprint stamps probe_dim={probe_dim} but "
-                f"the stored prefixes are {stored}-wide -- mixed "
-                "artifact, rebuild"
-            )
+        probe_dim = _require_stamped_probe_dim(
+            spark, path, "ivfmat", "IVF-matryoshka",
+            _stored_dim(cells, "vp", "cells", caller), caller,
+        )
 
         def retrieve(batch: DataFrame, k: int):
             return _ivfmat_ranked_plan(
@@ -3026,6 +3094,44 @@ def _ann_dense_retriever(
             )
 
     return retrieve
+
+
+def _resolve_dense_constituent(
+    spark: SparkSession,
+    index_vecs: DataFrame | None,
+    ann_index_path: str | None,
+    pin_path: str | None,
+    n_probe: int,
+    shortlist: int | None,
+    exclude_self: bool,
+    caller: str,
+):
+    """The serving endpoints' shared dense-constituent contract (r16
+    review -- the wiring was copy-pasted three times): with
+    ``ann_index_path`` the dense side is the ANN root
+    (`_ann_dense_retriever`, kind-dispatched) and its nonce pin
+    DEFAULTS to the same root, so the dense constituent can never
+    rotate unpinned -- an explicit pin naming a DIFFERENT root
+    refuses (a contradiction, not a second pin). Without it,
+    ``index_vecs`` is the brute scan and must be present. Returns
+    (pin_path, ann_retrieve)."""
+    if ann_index_path is not None:
+        if pin_path is not None and pin_path != ann_index_path:
+            raise ValueError(
+                f"{caller}: the dense pin path and ann_index_path "
+                "disagree -- the dense constituent is ONE artifact; pass "
+                "the ANN root as ann_index_path and leave the pin None "
+                "(it pins the same root)"
+            )
+        return ann_index_path, _ann_dense_retriever(
+            spark, ann_index_path, n_probe, shortlist, exclude_self, caller
+        )
+    if index_vecs is None:
+        raise ValueError(
+            f"{caller}: pass index_vecs (brute dense scan) or "
+            "ann_index_path (ANN serving) -- got neither"
+        )
+    return pin_path, None
 
 
 def _write_index_fingerprint(spark: SparkSession, path: str, params: dict) -> None:
@@ -3317,7 +3423,10 @@ def write_semantic_index(
     a corpus delta appends exactly (``mode="append"``, used by
     `append_curation_index`); the fingerprint is re-stamped on every
     call (append or rebuild -- either way the index changed and a
-    pinned running probe must fail over to a new stream)."""
+    pinned running probe must fail over to a new stream). An APPEND
+    whose knobs disagree with the existing stamp refuses
+    (`_require_append_knobs` -- it would hash the delta with
+    different planes and then bless them in the re-stamp)."""
     from ..llmdata.similarity import (
         DEFAULT_NEARDUP_BANDS,
         DEFAULT_NEARDUP_ROWS,
@@ -3330,6 +3439,13 @@ def write_semantic_index(
     bands = DEFAULT_NEARDUP_BANDS if bands is None else bands
     rows_per_band = DEFAULT_NEARDUP_ROWS if rows_per_band is None else rows_per_band
     dim = EMBEDDING_DIM if dim is None else dim
+    if mode == "append":
+        _require_append_knobs(
+            embeddings.sparkSession,
+            path,
+            _semantic_knobs(bands, rows_per_band, seed),
+            "write_semantic_index",
+        )
     planes = gaussian_planes(bands * rows_per_band, dim, seed)
     sig_udf = _band_sigs_udf(planes, bands, rows_per_band)
     (
@@ -3458,31 +3574,14 @@ def semantic_probe_stream(
     same-ratio/wrong-seed probe (different planes, silently empty
     candidates). Plan-construction verification only; nonce pinning
     stays on `semantic_verdict_batches`."""
-    from ..llmdata.similarity import (
-        DEFAULT_NEARDUP_BANDS,
-        DEFAULT_NEARDUP_ROWS,
-    )
-
+    knobs = _semantic_knobs(bands, rows_per_band, seed)
     if index_path is not None:
         _require_stamped_knobs(
-            embeddings.sparkSession,
-            index_path,
-            {
-                "bands": DEFAULT_NEARDUP_BANDS if bands is None else bands,
-                "rows_per_band": (
-                    DEFAULT_NEARDUP_ROWS
-                    if rows_per_band is None
-                    else rows_per_band
-                ),
-                "seed": seed,
-            },
+            embeddings.sparkSession, index_path, knobs,
             "semantic_probe_stream",
         )
     _require_band_ratio(
-        index_bands,
-        index_vecs,
-        DEFAULT_NEARDUP_BANDS if bands is None else bands,
-        "semantic_probe_stream",
+        index_bands, index_vecs, knobs["bands"], "semantic_probe_stream"
     )
     return _semantic_probe_plan(
         embeddings, index_bands, index_vecs, threshold,
@@ -3537,11 +3636,6 @@ def semantic_verdict_batches(
     ``bands``/``rows_per_band``/``seed`` knobs against the stamped
     build knobs (`_require_stamped_knobs`; a same-ratio/wrong-seed
     probe would silently emit keep=true for every row)."""
-    from ..llmdata.similarity import (
-        DEFAULT_NEARDUP_BANDS,
-        DEFAULT_NEARDUP_ROWS,
-    )
-
     # pin-target contract first (a caller error), artifact-state
     # knob + ratio guards second -- the family test pins this
     # precedence
@@ -3553,26 +3647,14 @@ def semantic_verdict_batches(
         "stream (fingerprint {now} != snapshot {expected}); rebuild the "
         "verdict stream against the new index instead",
     )
+    knobs = _semantic_knobs(bands, rows_per_band, seed)
     if index_path is not None:
         _require_stamped_knobs(
-            embeddings.sparkSession,
-            index_path,
-            {
-                "bands": DEFAULT_NEARDUP_BANDS if bands is None else bands,
-                "rows_per_band": (
-                    DEFAULT_NEARDUP_ROWS
-                    if rows_per_band is None
-                    else rows_per_band
-                ),
-                "seed": seed,
-            },
+            embeddings.sparkSession, index_path, knobs,
             "semantic_verdict_batches",
         )
     _require_band_ratio(
-        index_bands,
-        index_vecs,
-        DEFAULT_NEARDUP_BANDS if bands is None else bands,
-        "semantic_verdict_batches",
+        index_bands, index_vecs, knobs["bands"], "semantic_verdict_batches"
     )
 
     def _emit(batch: DataFrame, _epoch: int) -> None:
@@ -4301,25 +4383,10 @@ def knn_classify_batches(
     pin)."""
     from pyspark.sql import Window
 
-    ann_retrieve = None
-    if ann_index_path is not None:
-        if index_path is not None and index_path != ann_index_path:
-            raise ValueError(
-                "knn_classify_batches: index_path and ann_index_path "
-                "disagree -- the classify stream serves ONE dense "
-                "artifact; pass the IVF-PQ root as ann_index_path and "
-                "leave index_path None (it pins the same root)"
-            )
-        index_path = ann_index_path
-        ann_retrieve = _ann_dense_retriever(
-            queries.sparkSession, ann_index_path, n_probe, ann_shortlist,
-            exclude_self, "knn_classify_batches",
-        )
-    elif index_vecs is None:
-        raise ValueError(
-            "knn_classify_batches: pass index_vecs (brute scan) or "
-            "ann_index_path (IVF-PQ serving) -- got neither"
-        )
+    index_path, ann_retrieve = _resolve_dense_constituent(
+        queries.sparkSession, index_vecs, ann_index_path, index_path,
+        n_probe, ann_shortlist, exclude_self, "knn_classify_batches",
+    )
 
     _check = _pin_index(
         queries.sparkSession,
@@ -4439,25 +4506,10 @@ def hybrid_rrf_batches(
     fusion_k = HYBRID_FUSION_K if fusion_k is None else fusion_k
     top_k = HYBRID_TOP_K if top_k is None else top_k
 
-    ann_retrieve = None
-    if ann_index_path is not None:
-        if index_path is not None and index_path != ann_index_path:
-            raise ValueError(
-                "hybrid_rrf_batches: index_path and ann_index_path "
-                "disagree -- the dense constituent is ONE artifact; pass "
-                "the ANN root as ann_index_path and leave index_path "
-                "None (it pins the same root)"
-            )
-        index_path = ann_index_path
-        ann_retrieve = _ann_dense_retriever(
-            queries.sparkSession, ann_index_path, n_probe, ann_shortlist,
-            True, "hybrid_rrf_batches",
-        )
-    elif index_vecs is None:
-        raise ValueError(
-            "hybrid_rrf_batches: pass index_vecs (brute dense scan) or "
-            "ann_index_path (ANN serving) -- got neither"
-        )
+    index_path, ann_retrieve = _resolve_dense_constituent(
+        queries.sparkSession, index_vecs, ann_index_path, index_path,
+        n_probe, ann_shortlist, True, "hybrid_rrf_batches",
+    )
 
     _check = _pin_index(
         queries.sparkSession,
@@ -5264,13 +5316,21 @@ def write_bm25_index(docs: DataFrame, path: str, mode: str = "overwrite") -> str
         )
         legacy = False
         if mode == "append":
+            from pyspark.errors import AnalysisException
+
             try:
                 legacy = (
                     "n_postings"
                     not in spark.read.parquet(path + "/stats").columns
                 )
-            except Exception:
-                legacy = False  # fresh root -- stamp from generation 0
+            except AnalysisException:
+                # fresh root (no stats dir yet) -- stamp from
+                # generation 0. ONLY the path-not-found case may fall
+                # through: a transient read failure on a legacy root
+                # must not stamp a mixed-schema stats dir (later reads
+                # would NULL the legacy rows' n_postings and the torn
+                # guard would misfire on a healthy index)
+                legacy = False
         if not legacy:
             stats = stats.withColumn(
                 "n_postings", F.lit(n_postings).cast("long")
@@ -5562,25 +5622,10 @@ def hybrid_rrf_keyword_batches(
     fusion_k = HYBRID_FUSION_K if fusion_k is None else fusion_k
     top_k = HYBRID_TOP_K if top_k is None else top_k
 
-    ann_retrieve = None
-    if ann_index_path is not None:
-        if vecs_index_path is not None and vecs_index_path != ann_index_path:
-            raise ValueError(
-                "hybrid_rrf_keyword_batches: vecs_index_path and "
-                "ann_index_path disagree -- the dense constituent is ONE "
-                "artifact; pass the IVF-PQ root as ann_index_path and "
-                "leave vecs_index_path None (it pins the same root)"
-            )
-        vecs_index_path = ann_index_path
-        ann_retrieve = _ann_dense_retriever(
-            queries.sparkSession, ann_index_path, n_probe, ann_shortlist,
-            False, "hybrid_rrf_keyword_batches",
-        )
-    elif index_vecs is None:
-        raise ValueError(
-            "hybrid_rrf_keyword_batches: pass index_vecs (brute dense "
-            "scan) or ann_index_path (IVF-PQ serving) -- got neither"
-        )
+    vecs_index_path, ann_retrieve = _resolve_dense_constituent(
+        queries.sparkSession, index_vecs, ann_index_path, vecs_index_path,
+        n_probe, ann_shortlist, False, "hybrid_rrf_keyword_batches",
+    )
     # pin-target contract first (a caller error), artifact-state torn
     # guard second -- the family precedence rule
     _check_lex = _pin_index(

@@ -1026,9 +1026,6 @@ def test_hybrid_ann_dense_probe_budget_at_10x(spark, scale_dir, tmp_path):
     )
     build_s = time.perf_counter() - t0
 
-    qrows = [
-        (i, "zzznotavocabterm", None) for i in range(500)
-    ]
     qids = [i * 37 % n_corpus for i in range(500)]
     emb_map = {
         r["vec_id"]: list(r["embedding"])

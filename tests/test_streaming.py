@@ -6241,3 +6241,110 @@ def test_hybrid_rrf_fixed_query_serves_from_ann_index(spark, tmp_path):
         hybrid_rrf_batches(
             stream_embeddings(spark, qdir), docs, None, str(tmp_path / "y")
         )
+
+
+def test_empty_centroids_refuse_at_probe_construction(spark, tmp_path):
+    """r16 review: cells/vecs can pass the torn guard while a LOST
+    centroids write leaves zero rows -- the IVF shortlist rule then
+    divides by zero (or every query silently probes zero cells).
+    `_centroid_count` refuses at construction across the IVF family
+    and the dense retriever."""
+    from big_data_streaming_dashboard_spark.streaming.llm_ingest import (
+        ivf_matryoshka_topk_batches,
+        ivf_topk_batches,
+        knn_classify_batches,
+        stream_embeddings,
+        write_ivf_index,
+        write_ivf_matryoshka_index,
+        write_ivfpq_index,
+    )
+    from big_data_streaming_dashboard_spark.tables import load_table
+
+    embs = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    base = embs.filter(F.col("vec_id") < 200)
+    qdir = str(tmp_path / "q")
+    embs.filter(F.col("vec_id") < 2).write.parquet(qdir)
+
+    def _empty_out(subdir):
+        sch = spark.read.parquet(subdir).schema
+        spark.createDataFrame([], sch).write.mode("overwrite").parquet(subdir)
+
+    pidx = str(tmp_path / "ivfpq")
+    write_ivfpq_index(base, pidx, n_lists=4, n_subspaces=4)
+    _empty_out(pidx + "/centroids")
+    with pytest.raises(ValueError, match="centroids artifact is empty"):
+        knn_classify_batches(
+            stream_embeddings(spark, qdir), None, str(tmp_path / "o1"),
+            ann_index_path=pidx,
+        )
+
+    midx = str(tmp_path / "ivfmat")
+    write_ivf_matryoshka_index(base, midx, n_lists=4, probe_dim=8)
+    _empty_out(midx + "/centroids")
+    with pytest.raises(ValueError, match="centroids artifact is empty"):
+        ivf_matryoshka_topk_batches(
+            stream_embeddings(spark, qdir),
+            spark.read.parquet(midx + "/cells"),
+            spark.read.parquet(midx + "/vecs"),
+            spark.read.parquet(midx + "/centroids"),
+            str(tmp_path / "o2"),
+        )
+
+    iidx = str(tmp_path / "ivf")
+    write_ivf_index(base, iidx, n_lists=4)
+    _empty_out(iidx + "/centroids")
+    with pytest.raises(ValueError, match="centroids artifact is empty"):
+        ivf_topk_batches(
+            stream_embeddings(spark, qdir),
+            spark.read.parquet(iidx + "/cells"),
+            spark.read.parquet(iidx + "/centroids"),
+            str(tmp_path / "o3"),
+        )
+
+
+def test_banded_append_verifies_knobs_against_stamp(spark, tmp_path):
+    """r16 review: an append whose banding knobs disagree with the
+    existing stamp would hash the delta with DIFFERENT planes than
+    the stored corpus and then re-stamp the new knobs -- corrupting
+    the artifact while blessing the wrong probes. The banded writers
+    now refuse such appends (`_require_append_knobs`); fresh roots
+    still stamp from generation 0."""
+    from big_data_streaming_dashboard_spark.streaming.llm_ingest import (
+        write_ann_index,
+        write_semantic_index,
+    )
+    from big_data_streaming_dashboard_spark.tables import load_table
+
+    embs = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    base = embs.filter(F.col("vec_id") < 200)
+    delta = embs.filter(
+        (F.col("vec_id") >= 200) & (F.col("vec_id") < 240)
+    )
+
+    aidx = str(tmp_path / "ann")
+    write_ann_index(base, aidx, bands=8, rows_per_band=4, seed=42)
+    with pytest.raises(ValueError, match="knobs disagree.*seed"):
+        write_ann_index(
+            delta, aidx, bands=8, rows_per_band=4, seed=7, mode="append"
+        )
+    with pytest.raises(ValueError, match="knobs disagree.*rows_per_band"):
+        write_ann_index(
+            delta, aidx, bands=8, rows_per_band=6, seed=42, mode="append"
+        )
+    # matched knobs append fine; fresh roots stamp from generation 0
+    write_ann_index(
+        delta, aidx, bands=8, rows_per_band=4, seed=42, mode="append"
+    )
+    assert (
+        spark.read.parquet(aidx + "/vecs").count() == 240
+    )
+    fresh = str(tmp_path / "fresh")
+    write_ann_index(base, fresh, bands=8, rows_per_band=4, mode="append")
+    assert spark.read.parquet(fresh + "/fingerprint").count() == 1
+
+    sidx = str(tmp_path / "sem")
+    write_semantic_index(base, sidx)
+    with pytest.raises(ValueError, match="knobs disagree.*seed"):
+        write_semantic_index(delta, sidx, seed=9, mode="append")
+    write_semantic_index(delta, sidx, mode="append")
+    assert spark.read.parquet(sidx + "/vecs").count() == 240
