@@ -913,6 +913,7 @@ def write_ann_index(
     )
 
     dim = EMBEDDING_DIM if dim is None else dim
+    mode = mode.lower()  # writer modes are case-insensitive downstream
     if mode == "append":
         _require_append_knobs(
             embeddings.sparkSession,
@@ -2329,7 +2330,11 @@ def _require_band_ratio(
 
 
 def _require_stamped_knobs(
-    spark: SparkSession, index_path: str, knobs: dict, caller: str
+    spark: SparkSession,
+    index_path: str,
+    knobs: dict,
+    caller: str,
+    fp: dict | None = None,
 ) -> None:
     """Band-knob blind-spot guard (r15 verdict item 2): the ratio form
     `_require_band_ratio` catches a bands-COUNT mismatch but not a
@@ -2340,7 +2345,8 @@ def _require_stamped_knobs(
     error. The banded writers stamp all three knobs; when the caller
     passes the artifact root, verify the probe knobs against the
     stamp exactly, refusing loudly on any disagreement."""
-    fp = _read_stamped_fingerprint(spark, index_path, None, "", caller)
+    if fp is None:
+        fp = _read_stamped_fingerprint(spark, index_path, None, "", caller)
     bad = {
         k: (fp.get(k), v)
         for k, v in knobs.items()
@@ -2366,6 +2372,7 @@ def _require_stamped_probe_dim(
     display: str,
     frame_dim: int,
     caller: str,
+    fp: dict | None = None,
 ) -> int:
     """The prefix family's pinned-width rule in ONE place (r15 ADVICE
     item 2; hand-rolled three times by mid-r16 -- the `_load_codebooks`
@@ -2373,16 +2380,30 @@ def _require_stamped_probe_dim(
     a root is named. Frames read from a DIFFERENT artifact than the
     pin (or a mixed artifact whose stamp disagrees with its stored
     prefixes) would silently probe at the wrong width -- the nonce pin
-    alone cannot catch a frame/path mismatch."""
-    fp = _read_stamped_fingerprint(spark, index_path, kind, display, caller)
+    alone cannot catch a frame/path mismatch. Pass the already-read
+    ``fp`` when the frames were read from the pinned root ITSELF (the
+    dense-retriever case): it skips a second fingerprint read and
+    reports a width disagreement accurately as a MIXED artifact
+    instead of a frame/path mismatch (r16 second review)."""
+    same_root = fp is not None
+    if fp is None:
+        fp = _read_stamped_fingerprint(
+            spark, index_path, kind, display, caller
+        )
     probe_dim = int(fp["probe_dim"])
     if probe_dim != frame_dim:
+        if same_root:
+            raise ValueError(
+                f"{caller}: index at {index_path} stamps "
+                f"probe_dim={probe_dim} but its stored prefixes are "
+                f"{frame_dim}-wide -- mixed artifact, rebuild"
+            )
         raise ValueError(
             f"{caller}: pinned index at {index_path} stamps "
             f"probe_dim={probe_dim} but the prefix frame is "
             f"{frame_dim}-wide -- the frames were read from a different "
-            "artifact than the pin (or the artifact is mixed); pass "
-            "frames and index_path from the same root"
+            "artifact than the pin; pass frames and index_path from the "
+            "same root"
         )
     return probe_dim
 
@@ -2417,15 +2438,28 @@ def _require_append_knobs(
     knobs last -- corrupting the artifact while blessing the wrong
     probes (the probe-side `_require_stamped_knobs` would then refuse
     correct probes and accept the wrong ones). Fresh roots (no
-    fingerprint yet -- the only case allowed to fall through) pass:
-    generation 0 stamps them."""
+    fingerprint AND no data dirs) pass: generation 0 stamps them. A
+    root whose bands exist WITHOUT a fingerprint is a torn build (the
+    writer crashed before its stamp) -- the stored rows' knobs are
+    unverifiable, so appending would bury the tear under whatever
+    knobs the delta brings; refuse (r16 second review)."""
     from pyspark.errors import AnalysisException
 
     try:
-        spark.read.parquet(path + "/fingerprint").collect()
+        fp = (
+            spark.read.parquet(path + "/fingerprint").collect()[0].asDict()
+        )
     except AnalysisException:
-        return
-    _require_stamped_knobs(spark, path, knobs, caller)
+        try:
+            spark.read.parquet(path + "/bands").schema
+        except AnalysisException:
+            return  # genuinely fresh: no stamp, no data
+        raise ValueError(
+            f"{caller}: bands exist at {path} but the root is unstamped "
+            "-- a build crashed before its fingerprint stamp; rebuild "
+            "the index"
+        ) from None
+    _require_stamped_knobs(spark, path, knobs, caller, fp=fp)
 
 
 def _require_untorn(
@@ -3084,7 +3118,7 @@ def _ann_dense_retriever(
     else:
         probe_dim = _require_stamped_probe_dim(
             spark, path, "ivfmat", "IVF-matryoshka",
-            _stored_dim(cells, "vp", "cells", caller), caller,
+            _stored_dim(cells, "vp", "cells", caller), caller, fp=fp,
         )
 
         def retrieve(batch: DataFrame, k: int):
@@ -3439,6 +3473,7 @@ def write_semantic_index(
     bands = DEFAULT_NEARDUP_BANDS if bands is None else bands
     rows_per_band = DEFAULT_NEARDUP_ROWS if rows_per_band is None else rows_per_band
     dim = EMBEDDING_DIM if dim is None else dim
+    mode = mode.lower()  # writer modes are case-insensitive downstream
     if mode == "append":
         _require_append_knobs(
             embeddings.sparkSession,
@@ -5303,6 +5338,29 @@ def write_bm25_index(docs: DataFrame, path: str, mode: str = "overwrite") -> str
     legacy stats schema (the guard stays disarmed there; rebuild to
     arm it)."""
     spark = docs.sparkSession
+    # Spark's DataFrameWriter.mode is case-insensitive -- normalize so
+    # the append-only branches below cannot be bypassed by "Append"
+    # (r16 second review)
+    mode = mode.lower()
+    # the legacy-schema sniff reads only PRE-EXISTING on-disk state,
+    # so it runs BEFORE the postings write: a transient read failure
+    # here leaves the root untouched instead of tearing it between
+    # the two data writes (r16 second review). ONLY the
+    # path-not-found AnalysisException may fall through as "fresh":
+    # a broad catch on a legacy root would stamp a mixed-schema
+    # stats dir (later reads NULL the legacy rows' n_postings and
+    # the torn guard misfires on a healthy index)
+    legacy = False
+    if mode == "append":
+        from pyspark.errors import AnalysisException
+
+        try:
+            legacy = (
+                "n_postings"
+                not in spark.read.parquet(path + "/stats").columns
+            )
+        except AnalysisException:
+            legacy = False  # fresh root -- stamp from generation 0
     postings, stats = _bm25_postings(docs)
     # persisted: the write and the increment count share one tokenize
     # pass (the bpairs lesson); a derived plan, not the caller's frame
@@ -5314,23 +5372,6 @@ def write_bm25_index(docs: DataFrame, path: str, mode: str = "overwrite") -> str
             .partitionBy("term_bucket")
             .parquet(path + "/postings")
         )
-        legacy = False
-        if mode == "append":
-            from pyspark.errors import AnalysisException
-
-            try:
-                legacy = (
-                    "n_postings"
-                    not in spark.read.parquet(path + "/stats").columns
-                )
-            except AnalysisException:
-                # fresh root (no stats dir yet) -- stamp from
-                # generation 0. ONLY the path-not-found case may fall
-                # through: a transient read failure on a legacy root
-                # must not stamp a mixed-schema stats dir (later reads
-                # would NULL the legacy rows' n_postings and the torn
-                # guard would misfire on a healthy index)
-                legacy = False
         if not legacy:
             stats = stats.withColumn(
                 "n_postings", F.lit(n_postings).cast("long")

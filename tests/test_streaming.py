@@ -6348,3 +6348,23 @@ def test_banded_append_verifies_knobs_against_stamp(spark, tmp_path):
         write_semantic_index(delta, sidx, seed=9, mode="append")
     write_semantic_index(delta, sidx, mode="append")
     assert spark.read.parquet(sidx + "/vecs").count() == 240
+
+    # the guard keys on the NORMALIZED mode -- Spark writer modes are
+    # case-insensitive, so "Append" must not bypass it (r16 review)
+    with pytest.raises(ValueError, match="knobs disagree.*seed"):
+        write_ann_index(
+            delta, aidx, bands=8, rows_per_band=4, seed=7, mode="Append"
+        )
+
+    # an unstamped root WITH data is a torn build, not a fresh root:
+    # its rows' knobs are unverifiable, so appends refuse instead of
+    # burying the tear under whatever knobs they bring (r16 review)
+    torn = str(tmp_path / "torn")
+    write_ann_index(base, torn, bands=8, rows_per_band=4, seed=42)
+    import shutil
+
+    shutil.rmtree(torn + "/fingerprint")
+    with pytest.raises(ValueError, match="unstamped"):
+        write_ann_index(
+            delta, torn, bands=8, rows_per_band=4, seed=42, mode="append"
+        )
