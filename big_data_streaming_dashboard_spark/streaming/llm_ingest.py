@@ -2173,6 +2173,334 @@ def _ivfmat_ranked_plan(
     return ranked, probes.unpersist
 
 
+def write_ivf_quant_index(
+    embeddings: DataFrame,
+    path: str,
+    n_lists: int = 8,
+    kmeans_iterations: int = 3,
+    bits: int = 8,
+) -> str:
+    """Persist the IVF x quant composed serving artifact -- the third
+    multiplied budget pair, completing the family (IVF x PQ in r15,
+    IVF x matryoshka in r16): the b-bit coarse scan's win is BYTES
+    (one byte-class code per dim instead of eight), and laying the
+    codes under `write_ivf_index`'s cluster-partitioned layout adds
+    cell pruning on top -- a probe scans ~n_probe/n_lists of the
+    partitions AND ~1/8 of the bytes in them.
+
+      ``path/cells``     -- (vec_id, label, q array<tinyint>)
+                            PARTITIONED BY the k-means cluster; codes
+                            from the SHARED `_quant_code_vectors`
+                            rule (per-vector amax/max_code scale,
+                            banker's rounding -- the evaluator's
+                            exact arithmetic).
+      ``path/vecs``      -- (vec_id, v): full-width unit vectors for
+                            the shortlist's exact re-rank only.
+      ``path/centroids`` -- (cluster, centroid): RAW-space means of
+                            the final assignment (the IVF family's
+                            shared probe rule).
+
+    The cell comes from `kmeans_assign`'s final-iteration assignment
+    (appends = nearest FINAL centroid, the frozen-model premise); the
+    codes are per-row facts (the quant premise) -- so like IVF x
+    matryoshka the ONLY frozen model is the centroids. ``bits`` /
+    n_lists / kmeans_iterations stamp into the fingerprint."""
+    from ..llmdata.similarity import (
+        _dvec,
+        _normalize,
+        _quant_code_vectors,
+        ivf_centroids,
+        kmeans_assign,
+    )
+
+    spark = embeddings.sparkSession
+    if not 2 <= bits <= 8:
+        # the write_quant_index rule: tinyint wrap above 8, zero
+        # max_code below 2
+        raise ValueError(
+            f"write_ivf_quant_index: bits={bits} out of range [2, 8] -- "
+            "codes are stored as tinyint, so wider codes would wrap "
+            "silently"
+        )
+    max_code = (1 << (bits - 1)) - 1
+    src = embeddings.select("vec_id", "label", "embedding").persist()
+    try:
+        if src.isEmpty():
+            raise ValueError("write_ivf_quant_index: empty embeddings input")
+        assigned = src.join(
+            kmeans_assign(src, k=n_lists, iterations=kmeans_iterations),
+            "vec_id",
+        ).persist()
+        try:
+            (
+                _quant_code_vectors(
+                    assigned.select("vec_id", "label", "embedding"),
+                    max_code,
+                )
+                .select(
+                    "vec_id",
+                    "label",
+                    F.transform(
+                        "embedding", lambda x: x.cast("tinyint")
+                    ).alias("q"),
+                )
+                .join(assigned.select("vec_id", "cluster"), "vec_id")
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "static")
+                .partitionBy("cluster")
+                .parquet(path + "/cells")
+            )
+            (
+                assigned.select(
+                    "vec_id", _normalize(_dvec("embedding")).alias("v")
+                )
+                .write.mode("overwrite")
+                .parquet(path + "/vecs")
+            )
+            (
+                ivf_centroids(
+                    assigned.select(
+                        "vec_id", _dvec("embedding").alias("vec"), "cluster"
+                    )
+                )
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(path + "/centroids")
+            )
+        finally:
+            assigned.unpersist()
+    finally:
+        src.unpersist()
+    _write_index_fingerprint(
+        spark,
+        path,
+        {
+            "kind": "ivfquant",
+            "n_lists": n_lists,
+            "kmeans_iterations": kmeans_iterations,
+            "bits": bits,
+        },
+    )
+    return path
+
+
+def append_ivf_quant_index(embeddings: DataFrame, path: str) -> str:
+    """Fold an embedding delta into a `write_ivf_quant_index` root:
+    the cell is the nearest stored FINAL centroid (`ivf_probe_rank`
+    at n_probe=1 -- the `append_ivf_index` rule), the codes are
+    per-row facts under the STAMPED bits (`_quant_code_vectors` --
+    the quant premise), so the only frozen model is the centroids
+    (retrain = rebuild, the LSM-refresh story). Guards are the family
+    union: unstamped / wrong-kind refuse distinctly, empty centroids
+    refuse via `_stored_dim`, ragged delta dims refuse, dup delta
+    vec_ids refuse, a TORN cells/vecs artifact refuses. Write order
+    cells -> vecs -> nonce re-stamp LAST; empty delta is a no-op."""
+    from ..llmdata.similarity import (
+        _dvec,
+        _normalize,
+        _quant_code_vectors,
+        ivf_probe_rank,
+    )
+
+    spark = embeddings.sparkSession
+    fp = _read_stamped_fingerprint(
+        spark, path, "ivfquant", "IVF-quant", "append_ivf_quant_index"
+    )
+    max_code = (1 << (int(fp["bits"]) - 1)) - 1
+    cents = spark.read.parquet(path + "/centroids")
+    dim = _stored_dim(
+        cents, "centroid", "centroids", "append_ivf_quant_index"
+    )
+
+    new = embeddings.select("vec_id", "label", "embedding").persist()
+    try:
+        if new.isEmpty():
+            return path
+        bad_dim = new.filter(F.size("embedding") != dim).count()
+        if bad_dim:
+            raise ValueError(
+                f"append_ivf_quant_index: {bad_dim} delta vector(s) are "
+                f"not {dim}-dimensional -- the stored centroids are; a "
+                "ragged delta would assign a garbage cell"
+            )
+        cells = spark.read.parquet(path + "/cells")
+        _require_untorn(
+            cells, spark.read.parquet(path + "/vecs"), "cells",
+            "append_ivf_quant_index",
+        )
+        _require_disjoint_delta(new, cells, "append_ivf_quant_index")
+        assigned = ivf_probe_rank(
+            new.select(
+                F.col("vec_id").alias("query_id"),
+                _dvec("embedding").alias("qvec"),
+            ),
+            cents,
+            1,
+        ).select(
+            F.col("query_id").alias("vec_id"),
+            F.col("probe_cluster").alias("cluster"),
+        )
+        (
+            _quant_code_vectors(new, max_code)
+            .select(
+                "vec_id",
+                "label",
+                F.transform(
+                    "embedding", lambda x: x.cast("tinyint")
+                ).alias("q"),
+            )
+            .join(assigned, "vec_id")
+            .write.mode("append")
+            .partitionBy("cluster")
+            .parquet(path + "/cells")
+        )
+        (
+            new.select("vec_id", _normalize(_dvec("embedding")).alias("v"))
+            .write.mode("append")
+            .parquet(path + "/vecs")
+        )
+    finally:
+        new.unpersist()
+    return restamp_index(spark, path)
+
+
+def ivf_quant_topk_batches(
+    queries: DataFrame,
+    index_cells: DataFrame,
+    index_vecs: DataFrame,
+    index_centroids: DataFrame,
+    out_path: str,
+    k: int = 5,
+    n_probe: int = 2,
+    shortlist: int | None = None,
+    checkpoint: str | None = None,
+    index_path: str | None = None,
+    expected_fingerprint: str | None = None,
+    exclude_self: bool = True,
+):
+    """Streaming IVF x quant top-k: each arriving query ranks the
+    coarse centroids and probes its ``n_probe`` cells
+    (`ivf_probe_rank`, RAW space), code-cosine-scores ONLY those
+    cells' tinyint codes (the quant coarse score -- float query,
+    rescale-invariant, riding `_adc` negated), and exact-reranks the
+    shortlist from the float store (`pq_shortlist_rerank` VERBATIM).
+    At ``shortlist`` >= corpus and ``n_probe`` == n_lists the exact
+    re-rank sees every candidate and the output collapses to brute
+    force regardless of the lossy coarse order (the quant family's
+    collapse argument). Scale: bounded literal-IN static partition
+    pruning + a byte-class scan -- the two budgets multiply. Default
+    ``shortlist`` = the IVF family rule
+    max(8k, corpus * n_probe / (8 * n_lists)); same pin / checkpoint
+    / ``exclude_self`` discipline as the family."""
+    _check = _pin_index(
+        queries.sparkSession,
+        index_path,
+        expected_fingerprint,
+        "IVF-quant index at {path} was overwritten under a probe stream "
+        "(fingerprint {now} != snapshot {expected}); rebuild the probe "
+        "stream against the new index instead",
+    )
+    n_lists = _centroid_count(index_centroids, "ivf_quant_topk_batches")
+    n_corpus = _require_untorn(
+        index_cells, index_vecs, "cells", "ivf_quant_topk_batches"
+    )
+    if shortlist is None:
+        shortlist = max(8 * k, n_corpus * n_probe // (8 * n_lists))
+
+    def _emit(batch: DataFrame, _epoch: int) -> None:
+        _check(batch.sparkSession)
+        if batch.isEmpty():
+            return
+        ranked, done = _ivfquant_ranked_plan(
+            batch,
+            index_cells,
+            index_vecs,
+            index_centroids,
+            k,
+            n_probe,
+            shortlist,
+            exclude_self,
+        )
+        try:
+            ranked.write.mode("append").parquet(out_path)
+        finally:
+            done()
+
+    writer = (
+        queries.writeStream.foreachBatch(_emit)
+        .outputMode("append")
+        .trigger(availableNow=True)
+    )
+    if checkpoint is not None:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
+
+
+def _ivfquant_ranked_plan(
+    batch: DataFrame,
+    index_cells: DataFrame,
+    index_vecs: DataFrame,
+    index_centroids: DataFrame,
+    k: int,
+    n_probe: int,
+    shortlist: int,
+    exclude_self: bool,
+):
+    """The per-batch IVF x quant ranking, I/O-free: (ranked_df,
+    cleanup) -- the `_ivfmat_ranked_plan` shape with the code-cosine
+    coarse score instead of the prefix cosine, shared by the probe
+    sink and the dense-retriever dispatch. ``cleanup`` unpersists the
+    probe frame and must be called after the ranked frame is
+    consumed."""
+    from ..llmdata.similarity import (
+        _dvec,
+        _normalize,
+        cosine,
+        ivf_probe_rank,
+        pq_shortlist_rerank,
+    )
+
+    qs = batch.select(
+        F.col("vec_id").alias("query_id"),
+        _dvec("embedding").alias("qvec"),
+    )
+    # persisted: the probed-cluster collect and the scored join both
+    # consume the probe plan (the bpairs lesson)
+    probes = ivf_probe_rank(qs, index_centroids, n_probe).persist()
+    probed = sorted(
+        r["probe_cluster"]
+        for r in probes.select("probe_cluster").distinct().collect()
+    )
+    qdf = batch.select(
+        F.col("vec_id").alias("query_id"),
+        _normalize(_dvec("embedding")).alias("_qv"),
+    )
+    scored = (
+        index_cells.filter(F.col("cluster").isin(probed))
+        .join(
+            F.broadcast(probes.select("query_id", "probe_cluster")),
+            F.col("cluster") == F.col("probe_cluster"),
+        )
+        .join(F.broadcast(qdf), "query_id")
+    )
+    if exclude_self:
+        scored = scored.filter(F.col("vec_id") != F.col("query_id"))
+    scored = scored.select(
+        "query_id",
+        "vec_id",
+        "label",
+        (
+            -cosine(
+                F.col("_qv"),
+                F.transform("q", lambda x: x.cast("double")),
+            )
+        ).alias("_adc"),
+        "_qv",
+    )
+    ranked = pq_shortlist_rerank(scored, k, shortlist, vecs=index_vecs)
+    return ranked, probes.unpersist
+
+
 def _compact_parquet_dir(
     spark: SparkSession,
     live: str,
@@ -2241,6 +2569,7 @@ _INDEX_COMPACT_LAYOUT: dict = {
     "matryoshka": (("prefixes", None), ("vecs", None)),
     "quant": (("codes", None), ("vecs", None)),
     "ivfmat": (("cells", "cluster"), ("vecs", None)),
+    "ivfquant": (("cells", "cluster"), ("vecs", None)),
     "bm25": (("postings", "term_bucket"),),
 }
 
@@ -3061,7 +3390,8 @@ def _ann_dense_retriever(
     keyword endpoint and the knn classifier brute-scanned the float
     vecs via `_dense_cosine_topk` while ANN serving sat in the same
     file). Dispatches on the STAMPED kind -- ``ivfpq``
-    (`_ivfpq_ranked_plan`) or ``ivfmat`` (`_ivfmat_ranked_plan`) --
+    (`_ivfpq_ranked_plan`), ``ivfmat`` (`_ivfmat_ranked_plan`), or
+    ``ivfquant`` (`_ivfquant_ranked_plan`) --
     and returns ``retrieve(batch, k) -> (ranked, cleanup)`` where
     ``ranked`` carries the family's (query_id, vec_id, label, rank)
     surface through the SAME per-batch plan the kind's own probe sink
@@ -3082,10 +3412,11 @@ def _ann_dense_retriever(
     same root."""
     fp = _read_stamped_fingerprint(spark, path, None, "", caller)
     kind = fp.get("kind")
-    if kind not in ("ivfpq", "ivfmat"):
+    if kind not in ("ivfpq", "ivfmat", "ivfquant"):
         raise ValueError(
             f"{caller}: artifact at {path} is stamped kind={kind!r}, "
-            "not a servable dense index (expected ivfpq or ivfmat)"
+            "not a servable dense index (expected ivfpq, ivfmat, or "
+            "ivfquant)"
         )
     cells = spark.read.parquet(path + "/cells")
     vecs = spark.read.parquet(path + "/vecs")
@@ -3115,7 +3446,7 @@ def _ann_dense_retriever(
                 exclude_self,
             )
 
-    else:
+    elif kind == "ivfmat":
         probe_dim = _require_stamped_probe_dim(
             spark, path, "ivfmat", "IVF-matryoshka",
             _stored_dim(cells, "vp", "cells", caller), caller, fp=fp,
@@ -3124,6 +3455,14 @@ def _ann_dense_retriever(
         def retrieve(batch: DataFrame, k: int):
             return _ivfmat_ranked_plan(
                 batch, cells, vecs, cents, probe_dim, k, n_probe, _sl(k),
+                exclude_self,
+            )
+
+    else:  # ivfquant -- codes are self-describing, no width to verify
+
+        def retrieve(batch: DataFrame, k: int):
+            return _ivfquant_ranked_plan(
+                batch, cells, vecs, cents, k, n_probe, _sl(k),
                 exclude_self,
             )
 
@@ -4405,10 +4744,10 @@ def knn_classify_batches(
     corpus vec_id silently loses that neighbor (the r15 keyword-hybrid
     fix, same class).
 
-    Pass ``ann_index_path`` (a `write_ivfpq_index` or
-    `write_ivf_matryoshka_index` root -- the retriever dispatches on
-    the stamped kind) to serve the neighbor retrieval through that
-    index's cascade instead of the brute scan
+    Pass ``ann_index_path`` (a `write_ivfpq_index`,
+    `write_ivf_matryoshka_index`, or `write_ivf_quant_index` root --
+    the retriever dispatches on the stamped kind) to serve the
+    neighbor retrieval through that index's cascade instead of the brute scan
     (`_ann_dense_retriever`; ``n_probe`` /
     ``ann_shortlist`` are the budget knobs, shortlist defaulting to
     the family's corpus/8). ``index_vecs`` is then unused (pass
@@ -4521,9 +4860,10 @@ def hybrid_rrf_batches(
     rows per arriving query. Same ``checkpoint`` append-idempotency
     note as the other writers.
 
-    Pass ``ann_index_path`` (a `write_ivfpq_index` or
-    `write_ivf_matryoshka_index` root) to serve the dense constituent
-    through that index's cascade instead of the brute vecs scan --
+    Pass ``ann_index_path`` (a `write_ivfpq_index`,
+    `write_ivf_matryoshka_index`, or `write_ivf_quant_index` root) to
+    serve the dense constituent through that index's cascade instead
+    of the brute vecs scan --
     the `hybrid_rrf_keyword_batches` contract: ``index_vecs`` is then
     unused (pass None), the nonce pin defaults to the same root, and
     an ``index_path`` naming a DIFFERENT root refuses. The
@@ -5639,10 +5979,10 @@ def hybrid_rrf_keyword_batches(
     it as ``index_path`` and leave the vecs pair None. Same
     ``checkpoint`` semantics as the family.
 
-    Pass ``ann_index_path`` (a `write_ivfpq_index` or
-    `write_ivf_matryoshka_index` root -- the retriever dispatches on
-    the stamped kind) to serve the DENSE constituent through that
-    index's cascade instead of the brute vecs scan
+    Pass ``ann_index_path`` (a `write_ivfpq_index`,
+    `write_ivf_matryoshka_index`, or `write_ivf_quant_index` root --
+    the retriever dispatches on the stamped kind) to serve the DENSE
+    constituent through that index's cascade instead of the brute vecs scan
     (`_ann_dense_retriever`; ``n_probe`` /
     ``ann_shortlist`` are the budget knobs). ``index_vecs`` is then
     unused (pass None), and the dense nonce pin defaults to the SAME

@@ -1237,3 +1237,120 @@ def test_ivf_matryoshka_composes_budgets_at_10x(spark, scale_dir, tmp_path):
         f"{comp_probe_s:.1f}s at cell fraction {frac:.3f} x width "
         f"{probe_dim}/{EMBEDDING_DIM} bytes, recall@{k} {recall:.3f}"
     )
+
+
+def test_ivf_quant_composes_budgets_at_10x(spark, scale_dir, tmp_path):
+    """The third multiplied budget pair, measured: b-bit codes under
+    IVF cell pruning (n_probe/n_lists of the partitions x ~1/8 of the
+    bytes) vs the pure quant full-corpus code scan. Pins the
+    deterministic cost model (probed-row fraction; the byte ratio is
+    structural -- tinyint codes either way) and serving quality vs
+    exact brute force; walls printed for the PLANS.md ledger
+    (single-run walls swing 3x on this VM)."""
+    from big_data_streaming_dashboard_spark.llmdata.similarity import (
+        _dvec,
+        ivf_probe_rank,
+    )
+    from big_data_streaming_dashboard_spark.streaming.llm_ingest import (
+        _dense_cosine_topk,
+        ivf_quant_topk_batches,
+        quant_topk_batches,
+        write_ivf_quant_index,
+        write_quant_index,
+    )
+    from big_data_streaming_dashboard_spark.tables import spread
+
+    embs = spread(
+        spark.read.parquet(f"{scale_dir}/embeddings.parquet"), spark
+    )
+    n_corpus = embs.count()
+    assert n_corpus >= 20_000
+    n_lists, n_probe, k = 64, 8, 10
+
+    t0 = time.perf_counter()
+    cidx = write_ivf_quant_index(
+        embs, str(tmp_path / "ivfquant"), n_lists=n_lists
+    )
+    build_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    qidx = write_quant_index(embs, str(tmp_path / "quant"))
+    q_build_s = time.perf_counter() - t0
+
+    qids = [i * 37 % n_corpus for i in range(500)]
+    qdir = str(tmp_path / "q")
+    embs.filter(F.col("vec_id").isin(qids)).select(
+        "vec_id", "label", "embedding"
+    ).coalesce(1).write.parquet(qdir)
+    n_queries = spark.read.parquet(qdir).count()
+
+    def _qstream():
+        return (
+            spark.readStream.schema(
+                "vec_id long, label int, embedding array<float>"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(qdir)
+        )
+
+    out_q = str(tmp_path / "out_quant")
+    t0 = time.perf_counter()
+    quant_topk_batches(
+        _qstream(),
+        spark.read.parquet(qidx + "/codes"),
+        spark.read.parquet(qidx + "/vecs"),
+        out_q,
+        k=k,
+        checkpoint=str(tmp_path / "ckq"),
+    ).awaitTermination(600)
+    quant_probe_s = time.perf_counter() - t0
+
+    out_c = str(tmp_path / "out_ivfquant")
+    t0 = time.perf_counter()
+    ivf_quant_topk_batches(
+        _qstream(),
+        spark.read.parquet(cidx + "/cells"),
+        spark.read.parquet(cidx + "/vecs"),
+        spark.read.parquet(cidx + "/centroids"),
+        out_c,
+        k=k,
+        n_probe=n_probe,
+        checkpoint=str(tmp_path / "ckc"),
+    ).awaitTermination(600)
+    comp_probe_s = time.perf_counter() - t0
+
+    cells = spark.read.parquet(cidx + "/cells")
+    sizes = cells.groupBy("cluster").agg(F.count(F.lit(1)).alias("n"))
+    qdf = spark.read.parquet(qdir).select(
+        F.col("vec_id").alias("query_id"), _dvec("embedding").alias("qvec")
+    )
+    probed_vol = (
+        ivf_probe_rank(qdf, spark.read.parquet(cidx + "/centroids"), n_probe)
+        .join(sizes, F.col("probe_cluster") == F.col("cluster"))
+        .agg(F.sum("n"))
+        .first()[0]
+    )
+    frac = probed_vol / (n_queries * n_corpus)
+    assert frac < 0.3, f"cell pruning not composing: {frac:.3f}"
+
+    brute = _dense_cosine_topk(
+        spark.read.parquet(qdir), embs.select(
+            "vec_id", "label", _dvec("embedding").alias("vec")
+        ), k,
+    )
+    b_by_q, c_by_q = {}, {}
+    for r in brute.collect():
+        b_by_q.setdefault(r["query_id"], set()).add(r["vec_id"])
+    for r in spark.read.parquet(out_c).collect():
+        c_by_q.setdefault(r["query_id"], set()).add(r["vec_id"])
+    assert len(c_by_q) == n_queries
+    recall = sum(
+        len(c_by_q[q] & b_by_q[q]) / len(b_by_q[q]) for q in b_by_q
+    ) / len(b_by_q)
+    assert recall >= 0.6, f"composed recall collapsed: {recall:.3f}"
+
+    print(
+        f"\nIVF-QUANT canary: build {build_s:.1f}s (quant {q_build_s:.1f}s), "
+        f"{n_queries}-query batch quant {quant_probe_s:.1f}s vs composed "
+        f"{comp_probe_s:.1f}s at cell fraction {frac:.3f} x tinyint bytes, "
+        f"recall@{k} {recall:.3f}"
+    )

@@ -5643,7 +5643,9 @@ def test_rag_endpoints_serve_from_ivfpq_index(spark, tmp_path):
 
 
 @pytest.mark.parametrize(
-    "kind", ["pq", "ivf", "ivfpq", "matryoshka", "quant", "ivfmat", "bm25"]
+    "kind",
+    ["pq", "ivf", "ivfpq", "matryoshka", "quant", "ivfmat", "ivfquant",
+     "bm25"],
 )
 def test_compact_then_probe_parity_all_kinds(spark, tmp_path, kind):
     """r15 verdict item 4: compact-then-probe == probe, pinned for
@@ -5657,6 +5659,7 @@ def test_compact_then_probe_parity_all_kinds(spark, tmp_path, kind):
         append_bm25_index,
         append_ivf_index,
         append_ivf_matryoshka_index,
+        append_ivf_quant_index,
         append_ivfpq_index,
         append_matryoshka_index,
         append_pq_index,
@@ -5665,6 +5668,7 @@ def test_compact_then_probe_parity_all_kinds(spark, tmp_path, kind):
         compact_serving_index,
         index_fingerprint,
         ivf_matryoshka_topk_batches,
+        ivf_quant_topk_batches,
         ivf_topk_batches,
         ivfpq_topk_batches,
         matryoshka_topk_batches,
@@ -5675,6 +5679,7 @@ def test_compact_then_probe_parity_all_kinds(spark, tmp_path, kind):
         write_bm25_index,
         write_ivf_index,
         write_ivf_matryoshka_index,
+        write_ivf_quant_index,
         write_ivfpq_index,
         write_matryoshka_index,
         write_pq_index,
@@ -5728,6 +5733,9 @@ def test_compact_then_probe_parity_all_kinds(spark, tmp_path, kind):
         elif kind == "ivfmat":
             write_ivf_matryoshka_index(base, idx, n_lists=4, probe_dim=8)
             append_ivf_matryoshka_index(delta, idx)
+        elif kind == "ivfquant":
+            write_ivf_quant_index(base, idx, n_lists=4)
+            append_ivf_quant_index(delta, idx)
         elif kind == "quant":
             write_quant_index(base, idx)
             append_quant_index(delta, idx)
@@ -5774,6 +5782,16 @@ def test_compact_then_probe_parity_all_kinds(spark, tmp_path, kind):
                 )
             elif kind == "ivfmat":
                 h = ivf_matryoshka_topk_batches(
+                    q,
+                    spark.read.parquet(idx + "/cells"),
+                    spark.read.parquet(idx + "/vecs"),
+                    spark.read.parquet(idx + "/centroids"),
+                    out,
+                    n_probe=2,
+                    checkpoint=str(tmp_path / f"ck_{tag}"),
+                )
+            elif kind == "ivfquant":
+                h = ivf_quant_topk_batches(
                     q,
                     spark.read.parquet(idx + "/cells"),
                     spark.read.parquet(idx + "/vecs"),
@@ -6367,4 +6385,197 @@ def test_banded_append_verifies_knobs_against_stamp(spark, tmp_path):
     with pytest.raises(ValueError, match="unstamped"):
         write_ann_index(
             delta, torn, bands=8, rows_per_band=4, seed=42, mode="append"
+        )
+
+
+@pytest.mark.parametrize("bits,n_probe", [(8, 2), (2, 4)])
+def test_streaming_ivf_quant_matches_python_cascade(
+    spark, tmp_path, bits, n_probe
+):
+    """IVF x quant -- the third multiplied budget pair (precision x
+    cells). The streamed output equals a pure-Python recompute of the
+    composed cascade (centroid d2 ranking -> probed cells only ->
+    code-cosine shortlist over the STORED tinyint codes -> exact
+    full-width rerank with HALF_UP display rounding), at the
+    near-lossless b=8 and the provably-lossy b=2 rungs. The delta
+    fold is covered by the same recompute over an APPENDED artifact
+    (the stored cluster and codes ARE the frozen-centroid assignment
+    and the per-row quant facts)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from big_data_streaming_dashboard_spark.streaming.llm_ingest import (
+        append_ivf_quant_index,
+        ivf_quant_topk_batches,
+        stream_embeddings,
+        write_ivf_quant_index,
+    )
+    from big_data_streaming_dashboard_spark.tables import load_table
+
+    embs = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    idx = str(tmp_path / "ivfquant")
+    write_ivf_quant_index(
+        embs.filter(F.col("vec_id") < 400), idx, n_lists=4, bits=bits
+    )
+    append_ivf_quant_index(embs.filter(F.col("vec_id") >= 400), idx)
+
+    cells = spark.read.parquet(idx + "/cells")
+    vecs = spark.read.parquet(idx + "/vecs")
+    cents = spark.read.parquet(idx + "/centroids")
+
+    qdir = str(tmp_path / "queries")
+    embs.filter(F.col("vec_id") < 4).repartition(2).write.parquet(qdir)
+    out = str(tmp_path / "topk")
+    q = ivf_quant_topk_batches(
+        stream_embeddings(spark, qdir),
+        cells,
+        vecs,
+        cents,
+        out,
+        k=5,
+        n_probe=n_probe,
+        checkpoint=str(tmp_path / "ckpt"),
+        index_path=idx,
+    )
+    q.awaitTermination(180)
+    got = sorted(map(tuple, spark.read.parquet(out).collect()))
+
+    cell_rows = cells.collect()
+    vec_map = {r["vec_id"]: list(r["v"]) for r in vecs.collect()}
+    raw_map = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in embs.filter(F.col("vec_id") < 4).collect()
+    }
+    cent_rows = sorted(
+        (r["cluster"], list(r["centroid"])) for r in cents.collect()
+    )
+    n_corpus = len(vec_map)
+    shortlist = max(8 * 5, n_corpus * n_probe // (8 * 4))
+    want = []
+    for qid in range(4):
+        qraw = raw_map[qid]
+        ranked_cells = sorted(
+            (
+                sum((x - y) * (x - y) for x, y in zip(qraw, c)),
+                cl,
+            )
+            for cl, c in cent_rows
+        )
+        probed = {cl for _d2, cl in ranked_cells[:n_probe]}
+        uq = vec_map[qid]
+        uqn = sum(a * a for a in uq) ** 0.5
+        cands = []
+        for r in cell_rows:
+            if r["cluster"] not in probed or r["vec_id"] == qid:
+                continue
+            qv = [float(x) for x in r["q"]]
+            c = sum(a * b for a, b in zip(uq, qv)) / (
+                uqn * sum(a * a for a in qv) ** 0.5
+            )
+            cands.append((-c, r["vec_id"], r["label"]))
+        cands.sort()
+        for rank, (neg_cos, vid, label) in enumerate(
+            sorted(
+                (
+                    -float(
+                        Decimal(
+                            repr(sum(a * b for a, b in zip(uq, vec_map[vid])))
+                        ).quantize(
+                            Decimal("0.000001"), rounding=ROUND_HALF_UP
+                        )
+                    ),
+                    vid,
+                    label,
+                )
+                for _, vid, label in cands[: max(shortlist, 5)]
+            )[:5],
+            start=1,
+        ):
+            want.append((qid, vid, label, rank, -neg_cos))
+    assert got == sorted(want) and got
+    if bits == 2:
+        # appended vectors actually serve through their frozen cells
+        assert any(t[1] >= 400 for t in got)
+
+
+def test_ivf_quant_guards_and_retriever_dispatch(spark, tmp_path):
+    """IVF x quant guard union (bits range, wrong kind, empty build,
+    ragged/dup delta, torn cells/vecs) + the dense-retriever dispatch:
+    at n_probe = n_lists and shortlist = corpus the exact re-rank
+    sees every candidate, so the knn endpoint served from the
+    ivfquant root equals the brute form row-for-row REGARDLESS of the
+    lossy coarse order (the quant collapse argument)."""
+    from big_data_streaming_dashboard_spark.streaming.llm_ingest import (
+        _write_index_fingerprint,
+        append_ivf_quant_index,
+        knn_classify_batches,
+        stream_embeddings,
+        write_ann_index,
+        write_ivf_quant_index,
+    )
+    from big_data_streaming_dashboard_spark.tables import load_table
+
+    embs = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    base = embs.filter(F.col("vec_id") < 300)
+    delta = embs.filter(F.col("vec_id") >= 300)
+    n_corpus = embs.count()
+
+    with pytest.raises(ValueError, match="out of range"):
+        write_ivf_quant_index(base, str(tmp_path / "b"), bits=9)
+    with pytest.raises(ValueError, match="empty embeddings"):
+        write_ivf_quant_index(
+            embs.filter(F.col("vec_id") < 0), str(tmp_path / "e")
+        )
+    other = str(tmp_path / "notq")
+    _write_index_fingerprint(spark, other, {"kind": "quant", "bits": 8})
+    with pytest.raises(ValueError, match="not a IVF-quant"):
+        append_ivf_quant_index(delta, other)
+
+    idx = str(tmp_path / "q")
+    write_ivf_quant_index(embs, idx, n_lists=4)
+    with pytest.raises(ValueError, match="already present"):
+        append_ivf_quant_index(embs.filter(F.col("vec_id") < 10), idx)
+    ragged = spark.createDataFrame(
+        [(9001, 1, [0.25] * 32)],
+        "vec_id long, label int, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="dimensional"):
+        append_ivf_quant_index(ragged, idx)
+
+    # full-budget collapse through the kind-dispatched retriever
+    qdir = str(tmp_path / "knnq")
+    embs.filter(F.col("vec_id") < 5).write.parquet(qdir)
+    aidx = write_ann_index(embs, str(tmp_path / "ann"))
+    out_b = str(tmp_path / "knn_brute")
+    knn_classify_batches(
+        stream_embeddings(spark, qdir),
+        spark.read.parquet(aidx + "/vecs"),
+        out_b,
+        k=5,
+    ).awaitTermination(120)
+    out_a = str(tmp_path / "knn_ivfquant")
+    knn_classify_batches(
+        stream_embeddings(spark, qdir), None, out_a, k=5,
+        ann_index_path=idx, n_probe=4, ann_shortlist=n_corpus,
+    ).awaitTermination(120)
+    kb = sorted(map(tuple, spark.read.parquet(out_b).collect()))
+    ka = sorted(map(tuple, spark.read.parquet(out_a).collect()))
+    assert ka == kb and ka
+
+    # tear it: a cells row with no vecs twin -- append AND probe refuse
+    from big_data_streaming_dashboard_spark.streaming.llm_ingest import (
+        ivf_quant_topk_batches,
+    )
+
+    spark.read.parquet(idx + "/cells").limit(1).withColumn(
+        "vec_id", F.lit(77777).cast("long")
+    ).write.mode("append").partitionBy("cluster").parquet(idx + "/cells")
+    with pytest.raises(ValueError, match="torn artifact"):
+        append_ivf_quant_index(delta, idx)
+    with pytest.raises(ValueError, match="torn artifact"):
+        ivf_quant_topk_batches(
+            stream_embeddings(spark, qdir),
+            spark.read.parquet(idx + "/cells"),
+            spark.read.parquet(idx + "/vecs"),
+            spark.read.parquet(idx + "/centroids"),
+            str(tmp_path / "o"),
         )
