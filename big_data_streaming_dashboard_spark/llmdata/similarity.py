@@ -1795,17 +1795,27 @@ def _quant_code_vectors(embeddings: DataFrame, max_code: int) -> DataFrame:
     integers <= max_code in magnitude (exact in double). scale is
     materialized in its own projection before the per-element lambda
     references it (HOFs are CodegenFallback -- the quantize_int8
-    two-stage discipline)."""
+    two-stage discipline). Columns beyond (vec_id, label, embedding)
+    pass through untouched, so a partition key can ride along without
+    a corpus-sized re-join (the IVF x quant writer; r16 review)."""
+    extra = [
+        c for c in embeddings.columns
+        if c not in ("vec_id", "label", "embedding")
+    ]
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    staged = embeddings.select("vec_id", "label", v.alias("v")).select(
+    staged = embeddings.select(
+        "vec_id", "label", *extra, v.alias("v")
+    ).select(
         "vec_id",
         "label",
+        *extra,
         "v",
         F.array_max(F.transform("v", lambda x: F.abs(x))).alias("amax"),
     )
     staged = staged.select(
         "vec_id",
         "label",
+        *extra,
         "v",
         (F.col("amax") / F.lit(float(max_code))).alias("scale"),
     )
@@ -1815,7 +1825,7 @@ def _quant_code_vectors(embeddings: DataFrame, max_code: int) -> DataFrame:
             "v", lambda x: F.bround(x / F.col("scale")).cast("double")
         ),
     ).otherwise(F.transform("v", lambda x: F.lit(0.0)))
-    return staged.select("vec_id", "label", qv.alias("embedding"))
+    return staged.select("vec_id", "label", *extra, qv.alias("embedding"))
 
 
 def quant_recall(

@@ -1070,6 +1070,14 @@ def ivf_topk_batches(
         "(fingerprint {now} != snapshot {expected}); rebuild the probe "
         "stream against the new index instead",
     )
+    if index_path is not None:
+        # the nonce pin names a root; verify it IS this kind of root --
+        # a pin on some OTHER artifact passes every nonce check while
+        # the frames' true root rotates unpinned (r16 review)
+        _read_stamped_fingerprint(
+            queries.sparkSession, index_path, "ivf", "IVF",
+            "ivf_topk_batches",
+        )
     _centroid_count(index_centroids, "ivf_topk_batches")
 
     def _emit(batch: DataFrame, _epoch: int) -> None:
@@ -1326,6 +1334,14 @@ def pq_topk_batches(
         "(fingerprint {now} != snapshot {expected}); rebuild the probe "
         "stream against the new index instead",
     )
+    if index_path is not None:
+        # the nonce pin names a root; verify it IS this kind of root --
+        # a pin on some OTHER artifact passes every nonce check while
+        # the frames' true root rotates unpinned (r16 review)
+        _read_stamped_fingerprint(
+            queries.sparkSession, index_path, "pq", "PQ",
+            "pq_topk_batches",
+        )
 
     codebooks = _load_codebooks(index_codebooks)
     n_subspaces = len(codebooks)
@@ -1629,11 +1645,7 @@ def write_quant_index(
     Like matryoshka there is NO trained model -- a vector's codes are
     per-row facts -- so `append_quant_index` is exact with no premise.
     ``bits`` stamps into the fingerprint."""
-    from ..llmdata.similarity import (
-        _dvec,
-        _normalize,
-        _quant_code_vectors,
-    )
+    from ..llmdata.similarity import _dvec, _normalize
 
     spark = embeddings.sparkSession
     if not 2 <= bits <= 8:
@@ -1657,14 +1669,7 @@ def write_quant_index(
         if src.isEmpty():
             raise ValueError("write_quant_index: empty embeddings input")
         (
-            _quant_code_vectors(src, max_code)
-            .select(
-                "vec_id",
-                "label",
-                F.transform(
-                    "embedding", lambda x: x.cast("tinyint")
-                ).alias("q"),
-            )
+            _quant_tinyint_codes(src, max_code)
             .write.mode("overwrite")
             .parquet(path + "/codes")
         )
@@ -1691,11 +1696,7 @@ def append_quant_index(embeddings: DataFrame, path: str) -> str:
     refuse; a TORN codes/vecs artifact refuses. Nonce re-stamps LAST;
     an empty delta is a no-op. Appends are not snapshot-isolated --
     see `append_pq_index`'s concurrency delta."""
-    from ..llmdata.similarity import (
-        _dvec,
-        _normalize,
-        _quant_code_vectors,
-    )
+    from ..llmdata.similarity import _dvec, _normalize
 
     spark = embeddings.sparkSession
     fp = _read_stamped_fingerprint(
@@ -1726,14 +1727,7 @@ def append_quant_index(embeddings: DataFrame, path: str) -> str:
         )
         _require_disjoint_delta(new, codes, "append_quant_index")
         (
-            _quant_code_vectors(new, max_code)
-            .select(
-                "vec_id",
-                "label",
-                F.transform(
-                    "embedding", lambda x: x.cast("tinyint")
-                ).alias("q"),
-            )
+            _quant_tinyint_codes(new, max_code)
             .write.mode("append")
             .parquet(path + "/codes")
         )
@@ -1789,6 +1783,14 @@ def quant_topk_batches(
         "(fingerprint {now} != snapshot {expected}); rebuild the probe "
         "stream against the new index instead",
     )
+    if index_path is not None:
+        # the nonce pin names a root; verify it IS this kind of root --
+        # a pin on some OTHER artifact passes every nonce check while
+        # the frames' true root rotates unpinned (r16 review)
+        _read_stamped_fingerprint(
+            queries.sparkSession, index_path, "quant", "quant",
+            "quant_topk_batches",
+        )
 
     n_corpus = _require_untorn(
         index_codes, index_vecs, "codes", "quant_topk_batches"
@@ -2124,53 +2126,22 @@ def _ivfmat_ranked_plan(
 ):
     """The per-batch IVF x matryoshka ranking, I/O-free: (ranked_df,
     cleanup) for arriving (vec_id, embedding) rows against in-memory
-    artifact frames -- the `_ivfpq_ranked_plan` extraction applied to
-    the composed index, so the dense-retriever dispatch
-    (`_ann_dense_retriever`) and the probe sink consume ONE plan.
-    ``cleanup`` unpersists the probe frame and must be called after
-    the ranked frame is consumed."""
-    from ..llmdata.similarity import (
-        _dvec,
-        _normalize,
-        cosine,
-        ivf_probe_rank,
-        pq_shortlist_rerank,
-    )
+    artifact frames -- the prefix-cosine coarse score through the
+    shared `_ivf_cascade_ranked_plan` scaffold, so the dense-retriever
+    dispatch (`_ann_dense_retriever`) and the probe sink consume ONE
+    plan. ``cleanup`` unpersists the probe frame and must be called
+    after the ranked frame is consumed."""
+    from ..llmdata.similarity import _dvec, _normalize, cosine
 
-    qs = batch.select(
-        F.col("vec_id").alias("query_id"),
-        _dvec("embedding").alias("qvec"),
-    )
-    # persisted: the probed-cluster collect and the scored join both
-    # consume the probe plan (the bpairs lesson)
-    probes = ivf_probe_rank(qs, index_centroids, n_probe).persist()
-    probed = sorted(
-        r["probe_cluster"]
-        for r in probes.select("probe_cluster").distinct().collect()
-    )
     qdf = batch.select(
         F.col("vec_id").alias("query_id"),
         _normalize(_dvec("embedding")).alias("_qv"),
     ).withColumn("_qp", F.slice(F.col("_qv"), 1, probe_dim))
-    scored = (
-        index_cells.filter(F.col("cluster").isin(probed))
-        .join(
-            F.broadcast(probes.select("query_id", "probe_cluster")),
-            F.col("cluster") == F.col("probe_cluster"),
-        )
-        .join(F.broadcast(qdf), "query_id")
+    return _ivf_cascade_ranked_plan(
+        batch, index_cells, index_vecs, index_centroids,
+        k, n_probe, shortlist, exclude_self, qdf,
+        -cosine(F.col("_qp"), F.col("vp")),
     )
-    if exclude_self:
-        scored = scored.filter(F.col("vec_id") != F.col("query_id"))
-    scored = scored.select(
-        "query_id",
-        "vec_id",
-        "label",
-        (-cosine(F.col("_qp"), F.col("vp"))).alias("_adc"),
-        "_qv",
-    )
-    ranked = pq_shortlist_rerank(scored, k, shortlist, vecs=index_vecs)
-    return ranked, probes.unpersist
 
 
 def write_ivf_quant_index(
@@ -2208,7 +2179,6 @@ def write_ivf_quant_index(
     from ..llmdata.similarity import (
         _dvec,
         _normalize,
-        _quant_code_vectors,
         ivf_centroids,
         kmeans_assign,
     )
@@ -2232,19 +2202,16 @@ def write_ivf_quant_index(
             "vec_id",
         ).persist()
         try:
+            # cluster rides THROUGH the code projection (passthrough
+            # columns in _quant_code_vectors) -- no corpus-sized
+            # re-join to restore the partition key (r16 review)
             (
-                _quant_code_vectors(
-                    assigned.select("vec_id", "label", "embedding"),
+                _quant_tinyint_codes(
+                    assigned.select(
+                        "vec_id", "label", "embedding", "cluster"
+                    ),
                     max_code,
                 )
-                .select(
-                    "vec_id",
-                    "label",
-                    F.transform(
-                        "embedding", lambda x: x.cast("tinyint")
-                    ).alias("q"),
-                )
-                .join(assigned.select("vec_id", "cluster"), "vec_id")
                 .write.mode("overwrite")
                 .option("partitionOverwriteMode", "static")
                 .partitionBy("cluster")
@@ -2295,12 +2262,7 @@ def append_ivf_quant_index(embeddings: DataFrame, path: str) -> str:
     refuse via `_stored_dim`, ragged delta dims refuse, dup delta
     vec_ids refuse, a TORN cells/vecs artifact refuses. Write order
     cells -> vecs -> nonce re-stamp LAST; empty delta is a no-op."""
-    from ..llmdata.similarity import (
-        _dvec,
-        _normalize,
-        _quant_code_vectors,
-        ivf_probe_rank,
-    )
+    from ..llmdata.similarity import _dvec, _normalize, ivf_probe_rank
 
     spark = embeddings.sparkSession
     fp = _read_stamped_fingerprint(
@@ -2341,14 +2303,7 @@ def append_ivf_quant_index(embeddings: DataFrame, path: str) -> str:
             F.col("probe_cluster").alias("cluster"),
         )
         (
-            _quant_code_vectors(new, max_code)
-            .select(
-                "vec_id",
-                "label",
-                F.transform(
-                    "embedding", lambda x: x.cast("tinyint")
-                ).alias("q"),
-            )
+            _quant_tinyint_codes(new, max_code)
             .join(assigned, "vec_id")
             .write.mode("append")
             .partitionBy("cluster")
@@ -2400,6 +2355,14 @@ def ivf_quant_topk_batches(
         "(fingerprint {now} != snapshot {expected}); rebuild the probe "
         "stream against the new index instead",
     )
+    if index_path is not None:
+        # the nonce pin names a root; verify it IS this kind of root --
+        # a pin on some OTHER artifact passes every nonce check while
+        # the frames' true root rotates unpinned (r16 review)
+        _read_stamped_fingerprint(
+            queries.sparkSession, index_path, "ivfquant", "IVF-quant",
+            "ivf_quant_topk_batches",
+        )
     n_lists = _centroid_count(index_centroids, "ivf_quant_topk_batches")
     n_corpus = _require_untorn(
         index_cells, index_vecs, "cells", "ivf_quant_topk_batches"
@@ -2447,58 +2410,23 @@ def _ivfquant_ranked_plan(
     exclude_self: bool,
 ):
     """The per-batch IVF x quant ranking, I/O-free: (ranked_df,
-    cleanup) -- the `_ivfmat_ranked_plan` shape with the code-cosine
-    coarse score instead of the prefix cosine, shared by the probe
-    sink and the dense-retriever dispatch. ``cleanup`` unpersists the
-    probe frame and must be called after the ranked frame is
-    consumed."""
-    from ..llmdata.similarity import (
-        _dvec,
-        _normalize,
-        cosine,
-        ivf_probe_rank,
-        pq_shortlist_rerank,
-    )
+    cleanup) -- the code-cosine coarse score through the shared
+    `_ivf_cascade_ranked_plan` scaffold, shared by the probe sink and
+    the dense-retriever dispatch. ``cleanup`` unpersists the probe
+    frame and must be called after the ranked frame is consumed."""
+    from ..llmdata.similarity import _dvec, _normalize, cosine
 
-    qs = batch.select(
-        F.col("vec_id").alias("query_id"),
-        _dvec("embedding").alias("qvec"),
-    )
-    # persisted: the probed-cluster collect and the scored join both
-    # consume the probe plan (the bpairs lesson)
-    probes = ivf_probe_rank(qs, index_centroids, n_probe).persist()
-    probed = sorted(
-        r["probe_cluster"]
-        for r in probes.select("probe_cluster").distinct().collect()
-    )
     qdf = batch.select(
         F.col("vec_id").alias("query_id"),
         _normalize(_dvec("embedding")).alias("_qv"),
     )
-    scored = (
-        index_cells.filter(F.col("cluster").isin(probed))
-        .join(
-            F.broadcast(probes.select("query_id", "probe_cluster")),
-            F.col("cluster") == F.col("probe_cluster"),
-        )
-        .join(F.broadcast(qdf), "query_id")
+    return _ivf_cascade_ranked_plan(
+        batch, index_cells, index_vecs, index_centroids,
+        k, n_probe, shortlist, exclude_self, qdf,
+        -cosine(
+            F.col("_qv"), F.transform("q", lambda x: x.cast("double"))
+        ),
     )
-    if exclude_self:
-        scored = scored.filter(F.col("vec_id") != F.col("query_id"))
-    scored = scored.select(
-        "query_id",
-        "vec_id",
-        "label",
-        (
-            -cosine(
-                F.col("_qv"),
-                F.transform("q", lambda x: x.cast("double")),
-            )
-        ).alias("_adc"),
-        "_qv",
-    )
-    ranked = pq_shortlist_rerank(scored, k, shortlist, vecs=index_vecs)
-    return ranked, probes.unpersist
 
 
 def _compact_parquet_dir(
@@ -2834,6 +2762,24 @@ def _require_disjoint_delta(
             f"{caller}: delta vec_ids already present in the index "
             f"(sample: {dups}) -- appends must be disjoint deltas"
         )
+
+
+def _quant_tinyint_codes(embeddings: DataFrame, max_code: int) -> DataFrame:
+    """The stored code projection -- `_quant_code_vectors` down to the
+    tinyint ``q`` column -- defined ONCE for the quant and IVF x quant
+    writers and appends (copy-pasted four times by mid-r16; the
+    `_load_codebooks` consolidation class). Passthrough columns (the
+    IVF cluster key) ride through both layers, so the composed writer
+    needs no corpus-sized re-join."""
+    from ..llmdata.similarity import _quant_code_vectors
+
+    return (
+        _quant_code_vectors(embeddings, max_code)
+        .withColumn(
+            "q", F.transform("embedding", lambda x: x.cast("tinyint"))
+        )
+        .drop("embedding")
+    )
 
 
 def _stored_dim(df: DataFrame, col: str, what: str, caller: str) -> int:
@@ -3262,6 +3208,14 @@ def ivfpq_topk_batches(
         "(fingerprint {now} != snapshot {expected}); rebuild the probe "
         "stream against the new index instead",
     )
+    if index_path is not None:
+        # the nonce pin names a root; verify it IS this kind of root --
+        # a pin on some OTHER artifact passes every nonce check while
+        # the frames' true root rotates unpinned (r16 review)
+        _read_stamped_fingerprint(
+            queries.sparkSession, index_path, "ivfpq", "IVF-PQ",
+            "ivfpq_topk_batches",
+        )
 
     codebooks = _load_codebooks(index_codebooks)
     n_lists = _centroid_count(index_centroids, "ivfpq_topk_batches")
@@ -3323,24 +3277,11 @@ def _ivfpq_ranked_plan(
     from ..llmdata.similarity import (
         _dvec,
         _normalize,
-        ivf_probe_rank,
         pq_adc_dist,
         pq_lut,
-        pq_shortlist_rerank,
     )
 
     n_subspaces = len(codebooks)
-    qs = batch.select(
-        F.col("vec_id").alias("query_id"),
-        _dvec("embedding").alias("qvec"),
-    )
-    # persisted: the probed-cluster collect and the scored join both
-    # consume the probe plan (the bpairs lesson)
-    probes = ivf_probe_rank(qs, index_centroids, n_probe).persist()
-    probed = sorted(
-        r["probe_cluster"]
-        for r in probes.select("probe_cluster").distinct().collect()
-    )
     qrows = batch.select(
         F.col("vec_id").alias("query_id"),
         _normalize(_dvec("embedding")).alias("qvec"),
@@ -3356,6 +3297,53 @@ def _ivfpq_ranked_plan(
         ],
         "query_id long, _qv array<double>, lut array<array<double>>",
     )
+    return _ivf_cascade_ranked_plan(
+        batch, index_cells, index_vecs, index_centroids,
+        k, n_probe, shortlist, exclude_self, qdf,
+        pq_adc_dist(F.col("lut"), F.col("codes"), n_subspaces),
+    )
+
+
+def _ivf_cascade_ranked_plan(
+    batch: DataFrame,
+    index_cells: DataFrame,
+    index_vecs: DataFrame,
+    index_centroids: DataFrame,
+    k: int,
+    n_probe: int,
+    shortlist: int,
+    exclude_self: bool,
+    qdf: DataFrame,
+    adc,
+):
+    """The ONE IVF-cascade scaffold (r16 review: the probe/broadcast/
+    exclude-self/shortlist skeleton existed in three parallel copies
+    across `_ivfpq_ranked_plan`/`_ivfmat_ranked_plan`/
+    `_ivfquant_ranked_plan` -- a probe-plan fix must land ONCE, the
+    `ivf_centroids` shared-rule discipline): rank centroids, collect
+    the bounded probe set, literal-IN-prune the cluster-partitioned
+    cells, broadcast-join the probes and the batch-sized ``qdf``
+    (which must carry at least (query_id, _qv)), score the coarse
+    ``adc`` Column, and run the verbatim `pq_shortlist_rerank` tail.
+    Returns (ranked_df, cleanup); ``cleanup`` unpersists the probe
+    frame and must be called after the ranked frame is consumed."""
+    from ..llmdata.similarity import (
+        _dvec,
+        ivf_probe_rank,
+        pq_shortlist_rerank,
+    )
+
+    qs = batch.select(
+        F.col("vec_id").alias("query_id"),
+        _dvec("embedding").alias("qvec"),
+    )
+    # persisted: the probed-cluster collect and the scored join both
+    # consume the probe plan (the bpairs lesson)
+    probes = ivf_probe_rank(qs, index_centroids, n_probe).persist()
+    probed = sorted(
+        r["probe_cluster"]
+        for r in probes.select("probe_cluster").distinct().collect()
+    )
     scored = (
         index_cells.filter(F.col("cluster").isin(probed))
         .join(
@@ -3370,7 +3358,7 @@ def _ivfpq_ranked_plan(
         "query_id",
         "vec_id",
         "label",
-        pq_adc_dist(F.col("lut"), F.col("codes"), n_subspaces).alias("_adc"),
+        adc.alias("_adc"),
         "_qv",
     )
     ranked = pq_shortlist_rerank(scored, k, shortlist, vecs=index_vecs)
@@ -5908,6 +5896,14 @@ def bm25_topk_batches(
         "(fingerprint {now} != snapshot {expected}); rebuild the probe "
         "stream against the new index instead",
     )
+    if index_path is not None:
+        # the nonce pin names a root; verify it IS this kind of root --
+        # a pin on some OTHER artifact passes every nonce check while
+        # the frames' true root rotates unpinned (r16 review)
+        _read_stamped_fingerprint(
+            queries.sparkSession, index_path, "bm25", "bm25",
+            "bm25_topk_batches",
+        )
     _require_bm25_untorn(postings, stats, "bm25_topk_batches")
 
     def _emit(batch: DataFrame, _epoch: int) -> None:

@@ -6579,3 +6579,44 @@ def test_ivf_quant_guards_and_retriever_dispatch(spark, tmp_path):
             spark.read.parquet(idx + "/centroids"),
             str(tmp_path / "o"),
         )
+
+
+def test_sink_pins_verify_stamped_kind(spark, tmp_path):
+    """r16 review: a nonce pin names a root, but the nonce alone
+    cannot tell WHOSE root -- a pin on some other artifact passes
+    every per-batch check while the frames' true root rotates
+    unpinned. The kind-stamped sinks now verify the pinned root IS
+    their kind at construction."""
+    from big_data_streaming_dashboard_spark.streaming.llm_ingest import (
+        pq_topk_batches,
+        quant_topk_batches,
+        stream_embeddings,
+        write_ivf_quant_index,
+        write_pq_index,
+    )
+    from big_data_streaming_dashboard_spark.tables import load_table
+
+    embs = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    base = embs.filter(F.col("vec_id") < 200)
+    pqidx = write_pq_index(base, str(tmp_path / "pq"))
+    qidx = write_ivf_quant_index(base, str(tmp_path / "ivfquant"), n_lists=4)
+    qdir = str(tmp_path / "q")
+    embs.filter(F.col("vec_id") < 2).write.parquet(qdir)
+
+    with pytest.raises(ValueError, match="not a PQ index"):
+        pq_topk_batches(
+            stream_embeddings(spark, qdir),
+            spark.read.parquet(pqidx + "/codes"),
+            spark.read.parquet(pqidx + "/vecs"),
+            spark.read.parquet(pqidx + "/codebooks"),
+            str(tmp_path / "o1"),
+            index_path=qidx,
+        )
+    with pytest.raises(ValueError, match="not a quant index"):
+        quant_topk_batches(
+            stream_embeddings(spark, qdir),
+            spark.read.parquet(qidx + "/cells"),
+            spark.read.parquet(qidx + "/vecs"),
+            str(tmp_path / "o2"),
+            index_path=pqidx,
+        )
