@@ -1514,73 +1514,72 @@ WHERE s._emit""",
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW: list[str] = [
-    # r16 window, computed by plans/rotation.py (pasted verbatim).
-    # 2 rows-only + ALL 37 r13-attested queries (mandatory at the
-    # 3-round bound, newest driver row r13) + the 11 stalest of the
-    # r14-attested block = exactly 50 slots, ZERO slack. The registry
-    # remains FROZEN at 135 (binding capacity arithmetic, r14 verdict
-    # item 2): 135 = 50 (r15) + 48 (r14) + 37 (r13); steady state
-    # cycles three blocks (50/48/37). New work ships as depth on
-    # existing slots; unfreezing requires amending the bound to
-    # 4 rounds here as an explicit documented decision.
-    # r17 swap plan (run the tool; it accounts for this): after a
-    # successful r16 run, the 48 r14-attested queries left out here
-    # reach their bound -- 2 rows-only + those 48 = exactly 50 again.
+    # r17 window, computed by plans/rotation.py (pasted verbatim).
+    # 2 rows-only + ALL 48 r14-attested queries (mandatory at the
+    # 3-round bound, newest driver row r14) = exactly 50 slots, ZERO
+    # slack. The registry remains FROZEN at 135 (binding capacity
+    # arithmetic, r14 verdict item 2): 135 = 50 (r16) + 48 (r14) +
+    # 37 (r15/r16); steady state cycles three blocks (50/48/37). New
+    # work ships as depth on existing slots; unfreezing requires
+    # amending the bound to 4 rounds here as an explicit documented
+    # decision.
+    # r18 swap plan (run the tool; it accounts for this): after a
+    # successful r17 run, the 48 queries attested r16 plus the 37-
+    # query block cycle again -- 2 rows-only + the block reaching its
+    # bound.
     # rows-only by design -- permanently in-window per r3 advice
     "approx_aggregates",
     "media_feature_census",
-    # --- 37 mandatory: the r13-attested block, at its 3-round
-    # LRU bound (newest driver row r13) ---
-    "doc_corpus_mixture",
-    "doc_curation",
-    "doc_curation_extended",
-    "doc_curation_full",
-    "doc_domain_cap",
-    "doc_exact_dedup",
-    "doc_gopher_rules",
-    "doc_importance_weights",
-    "doc_minhash_calibration",
-    "doc_minhash_signature",
-    "doc_neardup_clusters",
-    "doc_neardup_pairs",
-    "doc_neardup_recall",
-    "doc_ngram_jaccard",
-    "doc_packing_efficiency",
-    "doc_repeated_passages",
-    "doc_repeated_passages_exact",
-    "doc_repetition",
-    "doc_semantic_neardup",
-    "doc_stratified_sample",
-    "doc_token_stats",
-    "dominant_suppliers",
-    "emb_ann_recall",
-    "emb_ivf_topk",
-    "emb_kmeans_inertia",
-    "emb_source_drift",
-    "events_by_hour",
-    "gapfill_5min",
-    "grouping_sets_shipping",
-    "large_volume_orders",
-    "late_lines_priority",
-    "order_priority_exists",
-    "region_market_share",
-    "revenue_by_nation",
-    "sole_late_supplier",
-    "top_customers",
-    "unpivot_event_metrics",
-    # --- 11 stalest others: alphabetically-first of the 48-query
-    # r14-attested block (all tied at newest-row r14) ---
-    "activity_reconcile",
-    "alerts_active",
-    "alerts_cooldown",
-    "alerts_cooldown_exact",
-    "alerts_ws_messages",
-    "asof_latest_order",
-    "brand_supplier_margin",
-    "customer_order_histogram",
-    "customer_revenue_pareto",
-    "discount_band_revenue",
-    "doc_bigram_lm",
+    # --- 48 mandatory: the r14-attested block, at its 3-round
+    # LRU bound (newest driver row r14) ---
+    "doc_bm25_topk",
+    "doc_chunk_spans",
+    "doc_corpus_census",
+    "doc_hybrid_rrf_topk",
+    "doc_source_overlap",
+    "doc_split_leakage_safe",
+    "doc_subword_stats",
+    "downsample_5min",
+    "emb_hamming_topk",
+    "emb_ivf_topk_tuned",
+    "emb_knn_label_vote",
+    "emb_label_centroids",
+    "emb_lsh_topk",
+    "emb_matryoshka_recall",
+    "emb_neardup_pairs",
+    "emb_pq_topk",
+    "emb_quant_recall",
+    "emb_quantize_int8",
+    "emb_rerank_topk",
+    "emb_topk_cosine",
+    "flagship_event_stats",
+    "local_supplier_volume",
+    "moving_avg_events",
+    "national_part_share",
+    "promo_revenue_share",
+    "range_join_signup_events",
+    "recent_points",
+    "regional_min_quote",
+    "returned_top_customers",
+    "rolling_stats",
+    "route_counts",
+    "routed_records",
+    "session_window_events",
+    "silver_error_breakdown",
+    "silver_validate",
+    "user_sessions",
+    "value_percentiles",
+    "above_user_avg",
+    "bi_nation_volume",
+    "brand_supplier_variety",
+    "bronze_radiation",
+    "cube_order_stats",
+    "dedup_first_occurrence",
+    "disjunctive_brand_revenue",
+    "doc_bpe_encode",
+    "doc_bpe_merges",
+    "doc_containment_pairs",
+    "doc_contamination",
 ]
 
 # Fail fast at import: a DRIVER_WINDOW name with no QUERIES entry would
