@@ -920,6 +920,8 @@ def write_ann_index(
             path,
             {"bands": bands, "rows_per_band": rows_per_band, "seed": seed},
             "write_ann_index",
+            kind="ann",
+            display="banded ANN",
         )
     planes = gaussian_planes(bands * rows_per_band, dim, seed)
     sig_udf = _band_sigs_udf(planes, bands, rows_per_band)
@@ -938,7 +940,8 @@ def write_ann_index(
     )
     _write_index_fingerprint(
         embeddings.sparkSession, path,
-        {"bands": bands, "rows_per_band": rows_per_band, "seed": seed},
+        {"kind": "ann", "bands": bands,
+         "rows_per_band": rows_per_band, "seed": seed},
     )
     return path
 
@@ -2499,6 +2502,14 @@ _INDEX_COMPACT_LAYOUT: dict = {
     "ivfmat": (("cells", "cluster"), ("vecs", None)),
     "ivfquant": (("cells", "cluster"), ("vecs", None)),
     "bm25": (("postings", "term_bucket"),),
+    # r17: the formerly kind-less roots, now stamped -- bands/vecs/
+    # corpus rows are per-row facts (append IS rebuild), so rewrite-
+    # only compaction applies verbatim. The curation root is COMPOSITE
+    # (sub-indexes with their own fingerprints + a MIN-log needing a
+    # merge) and keeps its own `compact_curation_index`.
+    "ann": (("bands", None), ("vecs", None)),
+    "semantic": (("bands", None), ("vecs", None)),
+    "rerank": (("corpus", None),),
 }
 
 
@@ -2517,14 +2528,21 @@ def compact_serving_index(spark: SparkSession, path: str) -> str:
     tmp/backup/rename discipline; the nonce re-stamps LAST -- a
     compaction changes the on-disk fileset, and a probe stream's
     static plan holds the OLD file listing, so pinned running streams
-    must fail over exactly as for appends. Kind-less artifact roots
-    (`write_ann_index` / `write_semantic_index` stamp no ``kind``)
-    are refused -- their band/vecs dirs are per-row facts too and can
-    be compacted by the storage layer."""
+    must fail over exactly as for appends. Since r17 the formerly
+    kind-less roots (ann / semantic / rerank) are kind-stamped and
+    compact here too; PRE-r17 stamps carry no ``kind`` and still
+    refuse (rebuild or append once to arm the stamp). The composite
+    curation root redirects to `compact_curation_index`."""
     fp = _read_stamped_fingerprint(
         spark, path, None, "", "compact_serving_index"
     )
     kind = fp.get("kind")
+    if kind == "curation":
+        raise ValueError(
+            f"compact_serving_index: {path} is a composite curation "
+            "root (sub-indexes with their own fingerprints + a MIN "
+            "log); use compact_curation_index"
+        )
     if kind not in _INDEX_COMPACT_LAYOUT:
         raise ValueError(
             f"compact_serving_index: artifact kind {kind!r} at {path} "
@@ -2687,7 +2705,12 @@ def _semantic_knobs(
 
 
 def _require_append_knobs(
-    spark: SparkSession, path: str, knobs: dict, caller: str
+    spark: SparkSession,
+    path: str,
+    knobs: dict,
+    caller: str,
+    kind: str | None = None,
+    display: str = "",
 ) -> None:
     """Banded APPEND knob guard (r16 review): an append whose knobs
     disagree with the existing stamp would hash the delta with
@@ -2699,7 +2722,12 @@ def _require_append_knobs(
     root whose bands exist WITHOUT a fingerprint is a torn build (the
     writer crashed before its stamp) -- the stored rows' knobs are
     unverifiable, so appending would bury the tear under whatever
-    knobs the delta brings; refuse (r16 second review)."""
+    knobs the delta brings; refuse (r16 second review). Pass ``kind``
+    to additionally refuse an append onto a root stamped as a
+    DIFFERENT kind (r17: the banded writers stamp ``kind`` now; knob
+    dicts alone can coincide across families at matching values, and
+    appending the wrong family's rows corrupts both directories
+    before the knob guard can notice)."""
     from pyspark.errors import AnalysisException
 
     try:
@@ -2716,7 +2744,42 @@ def _require_append_knobs(
             "-- a build crashed before its fingerprint stamp; rebuild "
             "the index"
         ) from None
+    if kind is not None:
+        _require_root_kind(spark, path, kind, display, caller, fp=fp)
     _require_stamped_knobs(spark, path, knobs, caller, fp=fp)
+
+
+def _require_root_kind(
+    spark: SparkSession,
+    index_path: str,
+    kind: str,
+    display: str,
+    caller: str,
+    fp: dict | None = None,
+) -> dict:
+    """Wrong-root pin guard for the FORMERLY kind-less artifact roots
+    (ann / semantic / rerank / curation -- stamped without a ``kind``
+    key before r17), migration-tolerant form of the strict
+    `_read_stamped_fingerprint` kind check the seven kind-stamped
+    layouts use: a root stamped with a DIFFERENT kind refuses loudly
+    (a pin on some other artifact otherwise passes every nonce check
+    while the frames' true root rotates unpinned -- the r16 review
+    class), while a PRE-KIND legacy stamp (no ``kind`` key) stays
+    serveable with the guard disarmed. The guard is armed by rebuild
+    OR by any append (both re-stamp through the writer's full knob
+    dict, which now carries ``kind``) -- never faked onto an
+    unverifiable root (the `_require_bm25_untorn` migration
+    precedent). Returns the fingerprint so callers chain into
+    `_require_stamped_knobs(..., fp=fp)` without a second read."""
+    if fp is None:
+        fp = _read_stamped_fingerprint(spark, index_path, None, display, caller)
+    stamped = fp.get("kind")
+    if stamped is not None and stamped != kind:
+        raise ValueError(
+            f"{caller}: artifact at {index_path} is stamped "
+            f"kind={stamped!r}, not a {display} index"
+        )
+    return fp
 
 
 def _require_untorn(
@@ -3624,11 +3687,19 @@ def ann_probe_stream(
 
     dim = EMBEDDING_DIM if dim is None else dim
     if index_path is not None:
+        # kind before knobs: a foreign root can coincide on knob values
+        # but never on its stamp (pre-r17 kind-less stamps pass -- the
+        # guard arms on rebuild/append, `_require_root_kind`)
+        fp = _require_root_kind(
+            queries.sparkSession, index_path, "ann", "banded ANN",
+            "ann_probe_stream",
+        )
         _require_stamped_knobs(
             queries.sparkSession,
             index_path,
             {"bands": bands, "rows_per_band": rows_per_band, "seed": seed},
             "ann_probe_stream",
+            fp=fp,
         )
     _require_band_ratio(index_bands, index_vecs, bands, "ann_probe_stream")
     planes = gaussian_planes(bands * rows_per_band, dim, seed)
@@ -3726,6 +3797,13 @@ def ann_topk_batches(
         "(fingerprint {now} != snapshot {expected}); rebuild the probe "
         "stream against the new index instead",
     )
+    if index_path is not None:
+        # the nonce pin names a root; verify it IS this kind of root
+        # (migration-tolerant: pre-r17 stamps carry no kind)
+        _require_root_kind(
+            scored.sparkSession, index_path, "ann", "banded ANN",
+            "ann_topk_batches",
+        )
 
     def _emit(batch: DataFrame, _epoch: int) -> None:
         _check(batch.sparkSession)
@@ -3807,6 +3885,8 @@ def write_semantic_index(
             path,
             _semantic_knobs(bands, rows_per_band, seed),
             "write_semantic_index",
+            kind="semantic",
+            display="semantic near-dup",
         )
     planes = gaussian_planes(bands * rows_per_band, dim, seed)
     sig_udf = _band_sigs_udf(planes, bands, rows_per_band)
@@ -3823,7 +3903,8 @@ def write_semantic_index(
     )
     _write_index_fingerprint(
         embeddings.sparkSession, path,
-        {"bands": bands, "rows_per_band": rows_per_band, "seed": seed},
+        {"kind": "semantic", "bands": bands,
+         "rows_per_band": rows_per_band, "seed": seed},
     )
     return path
 
@@ -3938,9 +4019,14 @@ def semantic_probe_stream(
     stays on `semantic_verdict_batches`."""
     knobs = _semantic_knobs(bands, rows_per_band, seed)
     if index_path is not None:
+        # kind before knobs (see ann_probe_stream)
+        fp = _require_root_kind(
+            embeddings.sparkSession, index_path, "semantic",
+            "semantic near-dup", "semantic_probe_stream",
+        )
         _require_stamped_knobs(
             embeddings.sparkSession, index_path, knobs,
-            "semantic_probe_stream",
+            "semantic_probe_stream", fp=fp,
         )
     _require_band_ratio(
         index_bands, index_vecs, knobs["bands"], "semantic_probe_stream"
@@ -4011,9 +4097,14 @@ def semantic_verdict_batches(
     )
     knobs = _semantic_knobs(bands, rows_per_band, seed)
     if index_path is not None:
+        # kind before knobs (see ann_probe_stream)
+        fp = _require_root_kind(
+            embeddings.sparkSession, index_path, "semantic",
+            "semantic near-dup", "semantic_verdict_batches",
+        )
         _require_stamped_knobs(
             embeddings.sparkSession, index_path, knobs,
-            "semantic_verdict_batches",
+            "semantic_verdict_batches", fp=fp,
         )
     _require_band_ratio(
         index_bands, index_vecs, knobs["bands"], "semantic_verdict_batches"
@@ -4120,7 +4211,8 @@ def write_curation_index(
         .parquet(path + "/sem/embeddings")
     )
     _write_index_fingerprint(
-        docs.sparkSession, path, {"eval_source": eval_source}
+        docs.sparkSession, path,
+        {"kind": "curation", "eval_source": eval_source},
     )
     return path
 
@@ -4173,6 +4265,15 @@ def append_curation_index(
     so recovery is re-running the SAME delta after a compaction or a
     rebuild; probes running through the window see the torn view
     until the re-stamp fails them over."""
+    # the target must be an existing (stamped) curation root: an
+    # unstamped path is a torn build or a typo, and a root stamped as
+    # a DIFFERENT kind would get five foreign directories interleaved
+    # into it before any probe could notice (migration-tolerant:
+    # pre-r17 curation stamps carry no kind)
+    _require_root_kind(
+        docs.sparkSession, path, "curation", "curation",
+        "append_curation_index",
+    )
     (
         docs.groupBy(F.md5(F.col("text")).alias("text_hash"))
         .agg(F.min("doc_id").alias("min_doc_id"))
@@ -4188,7 +4289,8 @@ def append_curation_index(
         .parquet(path + "/sem/embeddings")
     )
     _write_index_fingerprint(
-        docs.sparkSession, path, {"eval_source": eval_source}
+        docs.sparkSession, path,
+        {"kind": "curation", "eval_source": eval_source},
     )
     return path
 
@@ -4443,6 +4545,13 @@ def curation_verdict_batches(
     keep_lang = DEFAULT_KEEP_LANG if keep_lang is None else keep_lang
 
     spark = docs.sparkSession
+    # the root is REQUIRED here; verify it IS a curation root before
+    # snapshotting its nonce (migration-tolerant: pre-r17 stamps carry
+    # no kind -- `_require_root_kind`)
+    _require_root_kind(
+        spark, index_path, "curation", "curation",
+        "curation_verdict_batches",
+    )
     expected = index_fingerprint(spark, index_path)
     # persist every static side ONCE: a stream-static join re-executes
     # the static plan every micro-batch, so without this each batch
@@ -4531,7 +4640,8 @@ def write_rerank_index(
         .parquet(path + "/corpus")
     )
     _write_index_fingerprint(
-        embeddings.sparkSession, path, {"n_bits": n_bits, "seed": seed}
+        embeddings.sparkSession, path,
+        {"kind": "rerank", "n_bits": n_bits, "seed": seed},
     )
     return path
 
@@ -4595,6 +4705,13 @@ def rerank_topk_batches(
         "(fingerprint {now} != snapshot {expected}); rebuild the probe "
         "stream against the new index instead",
     )
+    if index_path is not None:
+        # the nonce pin names a root; verify it IS this kind of root
+        # (migration-tolerant: pre-r17 stamps carry no kind)
+        _require_root_kind(
+            queries.sparkSession, index_path, "rerank", "rerank",
+            "rerank_topk_batches",
+        )
 
     def _emit(batch: DataFrame, _epoch: int) -> None:
         _check(batch.sparkSession)

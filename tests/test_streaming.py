@@ -5645,7 +5645,7 @@ def test_rag_endpoints_serve_from_ivfpq_index(spark, tmp_path):
 @pytest.mark.parametrize(
     "kind",
     ["pq", "ivf", "ivfpq", "matryoshka", "quant", "ivfmat", "ivfquant",
-     "bm25"],
+     "bm25", "ann", "semantic", "rerank"],
 )
 def test_compact_then_probe_parity_all_kinds(spark, tmp_path, kind):
     """r15 verdict item 4: compact-then-probe == probe, pinned for
@@ -5656,6 +5656,8 @@ def test_compact_then_probe_parity_all_kinds(spark, tmp_path, kind):
     outputs must match row-for-row and the nonce must have rotated
     (running pinned streams fail over, never serve a stale listing)."""
     from big_data_streaming_dashboard_spark.streaming.llm_ingest import (
+        ann_probe_stream,
+        ann_topk_batches,
         append_bm25_index,
         append_ivf_index,
         append_ivf_matryoshka_index,
@@ -5674,8 +5676,11 @@ def test_compact_then_probe_parity_all_kinds(spark, tmp_path, kind):
         matryoshka_topk_batches,
         pq_topk_batches,
         quant_topk_batches,
+        rerank_topk_batches,
+        semantic_verdict_batches,
         stream_embeddings,
         stream_keyword_queries,
+        write_ann_index,
         write_bm25_index,
         write_ivf_index,
         write_ivf_matryoshka_index,
@@ -5684,6 +5689,8 @@ def test_compact_then_probe_parity_all_kinds(spark, tmp_path, kind):
         write_matryoshka_index,
         write_pq_index,
         write_quant_index,
+        write_rerank_index,
+        write_semantic_index,
     )
     from big_data_streaming_dashboard_spark.tables import load_table
 
@@ -5739,6 +5746,15 @@ def test_compact_then_probe_parity_all_kinds(spark, tmp_path, kind):
         elif kind == "quant":
             write_quant_index(base, idx)
             append_quant_index(delta, idx)
+        elif kind == "ann":
+            write_ann_index(base, idx)
+            write_ann_index(delta, idx, mode="append")
+        elif kind == "semantic":
+            write_semantic_index(base, idx)
+            write_semantic_index(delta, idx, mode="append")
+        elif kind == "rerank":
+            write_rerank_index(base, idx)
+            write_rerank_index(delta, idx, mode="append")
 
         def probe(tag):
             out = str(tmp_path / f"out_{tag}")
@@ -5798,6 +5814,31 @@ def test_compact_then_probe_parity_all_kinds(spark, tmp_path, kind):
                     spark.read.parquet(idx + "/centroids"),
                     out,
                     n_probe=2,
+                    checkpoint=str(tmp_path / f"ck_{tag}"),
+                )
+            elif kind == "ann":
+                h = ann_topk_batches(
+                    ann_probe_stream(
+                        q,
+                        spark.read.parquet(idx + "/bands"),
+                        spark.read.parquet(idx + "/vecs"),
+                    ),
+                    out,
+                    checkpoint=str(tmp_path / f"ck_{tag}"),
+                )
+            elif kind == "semantic":
+                h = semantic_verdict_batches(
+                    q,
+                    spark.read.parquet(idx + "/bands"),
+                    spark.read.parquet(idx + "/vecs"),
+                    out,
+                    checkpoint=str(tmp_path / f"ck_{tag}"),
+                )
+            elif kind == "rerank":
+                h = rerank_topk_batches(
+                    q,
+                    spark.read.parquet(idx + "/corpus"),
+                    out,
                     checkpoint=str(tmp_path / f"ck_{tag}"),
                 )
             else:
@@ -6620,3 +6661,153 @@ def test_sink_pins_verify_stamped_kind(spark, tmp_path):
             str(tmp_path / "o2"),
             index_path=pqidx,
         )
+
+
+def test_formerly_kindless_sinks_refuse_foreign_pins(spark, tmp_path):
+    """r16 verdict item 2 (the recorded r17 schema change): the four
+    formerly kind-LESS roots (ann / semantic / rerank / curation) now
+    stamp ``kind``, so their own sinks can refuse a foreign pin the
+    way the seven kind-stamped layouts do -- a pin on some OTHER
+    artifact passes every nonce check while the frames' true root
+    rotates unpinned. Kind is checked BEFORE knobs: knob dicts can
+    coincide across families at matching values."""
+    from big_data_streaming_dashboard_spark.streaming.llm_ingest import (
+        ann_probe_stream,
+        ann_topk_batches,
+        append_curation_index,
+        curation_verdict_batches,
+        rerank_topk_batches,
+        semantic_verdict_batches,
+        stream_documents_full,
+        stream_embeddings,
+        write_ann_index,
+        write_curation_index,
+        write_rerank_index,
+        write_semantic_index,
+    )
+    from big_data_streaming_dashboard_spark.tables import load_table
+
+    embs = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    base_e = embs.filter(F.col("vec_id") < 150)
+    base_d = docs.filter(F.col("doc_id") < 150)
+    ann = write_ann_index(base_e, str(tmp_path / "ann"))
+    sem = write_semantic_index(base_e, str(tmp_path / "sem"))
+    rr = write_rerank_index(base_e, str(tmp_path / "rr"))
+    cur = write_curation_index(base_d, base_e, str(tmp_path / "cur"))
+    qdir = str(tmp_path / "q")
+    embs.filter(F.col("vec_id") < 2).write.parquet(qdir)
+    ddir = str(tmp_path / "d")
+    base_d.limit(2).select("doc_id", "text", "lang", "source").write.parquet(
+        ddir
+    )
+    q = stream_embeddings(spark, qdir)
+
+    # even matching knob values cannot sneak a semantic root under an
+    # ANN probe: kind refuses first
+    with pytest.raises(ValueError, match="not a banded ANN index"):
+        ann_probe_stream(
+            q,
+            spark.read.parquet(ann + "/bands"),
+            spark.read.parquet(ann + "/vecs"),
+            bands=32,
+            rows_per_band=8,
+            index_path=sem,
+        )
+    with pytest.raises(ValueError, match="not a banded ANN index"):
+        ann_topk_batches(
+            q.select(
+                F.col("vec_id").alias("query_id"),
+                F.lit(1).alias("vec_id2"),
+            ),
+            str(tmp_path / "o1"),
+            index_path=sem,
+        )
+    with pytest.raises(ValueError, match="not a semantic near-dup index"):
+        semantic_verdict_batches(
+            q,
+            spark.read.parquet(sem + "/bands"),
+            spark.read.parquet(sem + "/vecs"),
+            str(tmp_path / "o2"),
+            bands=32,
+            rows_per_band=10,
+            index_path=ann,
+        )
+    with pytest.raises(ValueError, match="not a rerank index"):
+        rerank_topk_batches(
+            q,
+            spark.read.parquet(rr + "/corpus"),
+            str(tmp_path / "o3"),
+            index_path=cur,
+        )
+    with pytest.raises(ValueError, match="not a curation index"):
+        curation_verdict_batches(
+            stream_documents_full(spark, ddir),
+            rr,
+            str(tmp_path / "o4"),
+        )
+    # appending five foreign directories into a rerank root refuses at
+    # the front door; so does an unstamped target path
+    with pytest.raises(ValueError, match="not a curation index"):
+        append_curation_index(base_d, base_e, rr)
+    with pytest.raises(ValueError, match="no fingerprint"):
+        append_curation_index(base_d, base_e, str(tmp_path / "nowhere"))
+
+
+def test_pre_kind_stamp_roots_stay_serveable_and_arm_on_append(
+    spark, tmp_path
+):
+    """The migration contract for the r17 kind stamps (the
+    `_require_bm25_untorn` precedent): a PRE-r17 root -- stamped
+    without a ``kind`` key -- keeps serving with the kind guard
+    DISARMED (never faked onto an unverifiable root), and ONE append
+    re-stamps through the writer's full knob dict, arming the guard.
+    While disarmed, a foreign pin is caught only if the knob values
+    happen to disagree -- exactly the blind spot the stamp closes."""
+    from big_data_streaming_dashboard_spark.streaming.llm_ingest import (
+        _write_index_fingerprint,
+        ann_probe_stream,
+        semantic_probe_stream,
+        stream_embeddings,
+        write_ann_index,
+    )
+    from big_data_streaming_dashboard_spark.tables import load_table
+
+    embs = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    base = embs.filter(F.col("vec_id") < 150)
+    idx = write_ann_index(base, str(tmp_path / "ann"))
+    # simulate a pre-r17 stamp: same knobs, no kind key
+    fp = spark.read.parquet(idx + "/fingerprint").collect()[0].asDict()
+    fp.pop("kind"), fp.pop("nonce")
+    _write_index_fingerprint(spark, idx, fp)
+
+    qdir = str(tmp_path / "q")
+    embs.filter(F.col("vec_id") < 2).write.parquet(qdir)
+    q = stream_embeddings(spark, qdir)
+    bands_df = spark.read.parquet(idx + "/bands")
+    vecs_df = spark.read.parquet(idx + "/vecs")
+
+    # its own probe still serves (guard disarmed on the legacy stamp)
+    assert ann_probe_stream(q, bands_df, vecs_df, index_path=idx) is not None
+    # a FOREIGN probe slips past the disarmed kind guard and is caught
+    # only by the knob disagreement (rows_per_band 8 vs the stamped 10)
+    with pytest.raises(ValueError, match="probe knobs disagree"):
+        semantic_probe_stream(q, bands_df, vecs_df, index_path=idx)
+
+    # one append arms the stamp...
+    write_ann_index(
+        embs.filter((F.col("vec_id") >= 150) & (F.col("vec_id") < 200)),
+        idx,
+        mode="append",
+    )
+    kinds = spark.read.parquet(idx + "/fingerprint").collect()[0].asDict()
+    assert kinds.get("kind") == "ann"
+    # ...after which the same foreign probe refuses on KIND, even at
+    # coinciding knob values
+    with pytest.raises(ValueError, match="not a semantic near-dup index"):
+        semantic_probe_stream(
+            q, bands_df, vecs_df, bands=32, rows_per_band=10,
+            index_path=idx,
+        )
+    # and its own probe still serves
+    assert ann_probe_stream(q, bands_df, vecs_df, index_path=idx) is not None
