@@ -1063,8 +1063,6 @@ def ivf_topk_batches(
     nonce discipline as the family; ``exclude_self`` as in
     `_dense_cosine_topk` (True for corpus-replay parity, False for
     external request ids)."""
-    from ..llmdata.similarity import _dvec, ivf_exact_rank, ivf_probe_rank
-
     _check = _pin_index(
         queries.sparkSession,
         index_path,
@@ -1087,36 +1085,15 @@ def ivf_topk_batches(
         _check(batch.sparkSession)
         if batch.isEmpty():
             return
-        qs = batch.select(
-            F.col("vec_id").alias("query_id"),
-            _dvec("embedding").alias("qvec"),
+        # the ONE per-batch IVF plan, shared with the dense-retriever
+        # dispatch (r17)
+        ranked, cleanup = _ivf_ranked_plan(
+            batch, index_cells, index_centroids, k, n_probe, exclude_self
         )
-        # persisted: the probed-cluster collect below and the scored
-        # join both consume this plan (the bpairs lesson -- without
-        # the persist every batch pays the centroid cross-join and
-        # the rank window twice)
-        probes = ivf_probe_rank(qs, index_centroids, n_probe).persist()
         try:
-            # bounded driver artifact (<= n_lists ints) -> literal IN,
-            # so the cluster-partitioned cells scan prunes statically
-            # (the BM25 bucket idiom; dynamic pruning declines at
-            # these sizes)
-            probed = sorted(
-                r["probe_cluster"]
-                for r in probes.select("probe_cluster").distinct().collect()
-            )
-            (
-                ivf_exact_rank(
-                    index_cells.filter(F.col("cluster").isin(probed)),
-                    probes,
-                    k,
-                    exclude_self=exclude_self,
-                )
-                .write.mode("append")
-                .parquet(out_path)
-            )
+            ranked.write.mode("append").parquet(out_path)
         finally:
-            probes.unpersist()
+            cleanup()
 
     writer = (
         queries.writeStream.foreachBatch(_emit)
@@ -1321,14 +1298,6 @@ def pq_topk_batches(
     to the batch rule max(8k, corpus/8) via one count on the codes
     artifact at construction. Same ``checkpoint`` / pin / ``exclude_self``
     discipline as the family."""
-    from ..llmdata.similarity import (
-        _dvec,
-        _normalize,
-        pq_adc_dist,
-        pq_lut,
-        pq_shortlist_rerank,
-    )
-
     _check = _pin_index(
         queries.sparkSession,
         index_path,
@@ -1347,7 +1316,6 @@ def pq_topk_batches(
         )
 
     codebooks = _load_codebooks(index_codebooks)
-    n_subspaces = len(codebooks)
     n_corpus = _require_untorn(
         index_codes, index_vecs, "codes", "pq_topk_batches"
     )
@@ -1358,34 +1326,13 @@ def pq_topk_batches(
         _check(batch.sparkSession)
         if batch.isEmpty():
             return
-        qrows = batch.select(
-            F.col("vec_id").alias("query_id"),
-            _normalize(_dvec("embedding")).alias("qvec"),
-        ).collect()
-        qdf = batch.sparkSession.createDataFrame(
-            [
-                (r["query_id"], list(r["qvec"]), pq_lut(list(r["qvec"]), codebooks))
-                for r in qrows
-            ],
-            "query_id long, _qv array<double>, lut array<array<double>>",
+        # the ONE per-batch PQ plan, shared with the dense-retriever
+        # dispatch (r17 -- the _ivfpq_ranked_plan precedent)
+        ranked, _ = _pq_ranked_plan(
+            batch, index_codes, index_vecs, codebooks, k, shortlist,
+            exclude_self,
         )
-        scored = index_codes.crossJoin(F.broadcast(qdf))
-        if exclude_self:
-            scored = scored.filter(F.col("vec_id") != F.col("query_id"))
-        scored = scored.select(
-            "query_id",
-            "vec_id",
-            "label",
-            pq_adc_dist(F.col("lut"), F.col("codes"), n_subspaces).alias(
-                "_adc"
-            ),
-            "_qv",
-        )
-        (
-            pq_shortlist_rerank(scored, k, shortlist, vecs=index_vecs)
-            .write.mode("append")
-            .parquet(out_path)
-        )
+        ranked.write.mode("append").parquet(out_path)
 
     writer = (
         queries.writeStream.foreachBatch(_emit)
@@ -1558,13 +1505,6 @@ def matryoshka_topk_batches(
     PLANS.md). Default ``shortlist`` = the family's corpus/8 budget.
     Same pin / checkpoint / ``exclude_self`` discipline as the
     family."""
-    from ..llmdata.similarity import (
-        _dvec,
-        _normalize,
-        cosine,
-        pq_shortlist_rerank,
-    )
-
     _check = _pin_index(
         queries.sparkSession,
         index_path,
@@ -1592,25 +1532,13 @@ def matryoshka_topk_batches(
         _check(batch.sparkSession)
         if batch.isEmpty():
             return
-        qdf = batch.select(
-            F.col("vec_id").alias("query_id"),
-            _normalize(_dvec("embedding")).alias("_qv"),
-        ).withColumn("_qp", F.slice(F.col("_qv"), 1, probe_dim))
-        scored = index_prefixes.crossJoin(F.broadcast(qdf))
-        if exclude_self:
-            scored = scored.filter(F.col("vec_id") != F.col("query_id"))
-        scored = scored.select(
-            "query_id",
-            "vec_id",
-            "label",
-            (-cosine(F.col("_qp"), F.col("vp"))).alias("_adc"),
-            "_qv",
+        # the ONE per-batch matryoshka plan, shared with the
+        # dense-retriever dispatch (r17)
+        ranked, _ = _matryoshka_ranked_plan(
+            batch, index_prefixes, index_vecs, probe_dim, k, shortlist,
+            exclude_self,
         )
-        (
-            pq_shortlist_rerank(scored, k, shortlist, vecs=index_vecs)
-            .write.mode("append")
-            .parquet(out_path)
-        )
+        ranked.write.mode("append").parquet(out_path)
 
     writer = (
         queries.writeStream.foreachBatch(_emit)
@@ -1771,13 +1699,6 @@ def quant_topk_batches(
     `emb_quant_recall` measures). Default ``shortlist`` = the
     family's corpus/8 budget; same pin / checkpoint / ``exclude_self``
     discipline as the family."""
-    from ..llmdata.similarity import (
-        _dvec,
-        _normalize,
-        cosine,
-        pq_shortlist_rerank,
-    )
-
     _check = _pin_index(
         queries.sparkSession,
         index_path,
@@ -1805,30 +1726,12 @@ def quant_topk_batches(
         _check(batch.sparkSession)
         if batch.isEmpty():
             return
-        qdf = batch.select(
-            F.col("vec_id").alias("query_id"),
-            _normalize(_dvec("embedding")).alias("_qv"),
+        # the ONE per-batch quant plan, shared with the dense-retriever
+        # dispatch (r17)
+        ranked, _ = _quant_ranked_plan(
+            batch, index_codes, index_vecs, k, shortlist, exclude_self
         )
-        scored = index_codes.crossJoin(F.broadcast(qdf))
-        if exclude_self:
-            scored = scored.filter(F.col("vec_id") != F.col("query_id"))
-        scored = scored.select(
-            "query_id",
-            "vec_id",
-            "label",
-            (
-                -cosine(
-                    F.col("_qv"),
-                    F.transform("q", lambda x: x.cast("double")),
-                )
-            ).alias("_adc"),
-            "_qv",
-        )
-        (
-            pq_shortlist_rerank(scored, k, shortlist, vecs=index_vecs)
-            .write.mode("append")
-            .parquet(out_path)
-        )
+        ranked.write.mode("append").parquet(out_path)
 
     writer = (
         queries.writeStream.foreachBatch(_emit)
@@ -3428,6 +3331,166 @@ def _ivf_cascade_ranked_plan(
     return ranked, probes.unpersist
 
 
+def _pq_ranked_plan(
+    batch: DataFrame,
+    index_codes: DataFrame,
+    index_vecs: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int,
+    shortlist: int,
+    exclude_self: bool,
+):
+    """The per-batch PQ ranking, I/O-free: extracted from
+    `pq_topk_batches`' sink loop (r17 -- the `_ivfpq_ranked_plan`
+    precedent) so the dense-retriever dispatch and the probe sink
+    consume ONE plan. Returns (ranked_df, cleanup) with cleanup=None
+    (nothing persisted -- the flat kinds' coarse stage is a single
+    broadcast cross-join)."""
+    from ..llmdata.similarity import (
+        _dvec,
+        _normalize,
+        pq_adc_dist,
+        pq_lut,
+        pq_shortlist_rerank,
+    )
+
+    n_subspaces = len(codebooks)
+    qrows = batch.select(
+        F.col("vec_id").alias("query_id"),
+        _normalize(_dvec("embedding")).alias("qvec"),
+    ).collect()
+    qdf = batch.sparkSession.createDataFrame(
+        [
+            (r["query_id"], list(r["qvec"]), pq_lut(list(r["qvec"]), codebooks))
+            for r in qrows
+        ],
+        "query_id long, _qv array<double>, lut array<array<double>>",
+    )
+    scored = index_codes.crossJoin(F.broadcast(qdf))
+    if exclude_self:
+        scored = scored.filter(F.col("vec_id") != F.col("query_id"))
+    scored = scored.select(
+        "query_id",
+        "vec_id",
+        "label",
+        pq_adc_dist(F.col("lut"), F.col("codes"), n_subspaces).alias("_adc"),
+        "_qv",
+    )
+    return pq_shortlist_rerank(scored, k, shortlist, vecs=index_vecs), None
+
+
+def _matryoshka_ranked_plan(
+    batch: DataFrame,
+    index_prefixes: DataFrame,
+    index_vecs: DataFrame,
+    probe_dim: int,
+    k: int,
+    shortlist: int,
+    exclude_self: bool,
+):
+    """The per-batch matryoshka ranking, I/O-free (extracted from
+    `matryoshka_topk_batches`, same contract as `_pq_ranked_plan`)."""
+    from ..llmdata.similarity import (
+        _dvec,
+        _normalize,
+        cosine,
+        pq_shortlist_rerank,
+    )
+
+    qdf = batch.select(
+        F.col("vec_id").alias("query_id"),
+        _normalize(_dvec("embedding")).alias("_qv"),
+    ).withColumn("_qp", F.slice(F.col("_qv"), 1, probe_dim))
+    scored = index_prefixes.crossJoin(F.broadcast(qdf))
+    if exclude_self:
+        scored = scored.filter(F.col("vec_id") != F.col("query_id"))
+    scored = scored.select(
+        "query_id",
+        "vec_id",
+        "label",
+        (-cosine(F.col("_qp"), F.col("vp"))).alias("_adc"),
+        "_qv",
+    )
+    return pq_shortlist_rerank(scored, k, shortlist, vecs=index_vecs), None
+
+
+def _quant_ranked_plan(
+    batch: DataFrame,
+    index_codes: DataFrame,
+    index_vecs: DataFrame,
+    k: int,
+    shortlist: int,
+    exclude_self: bool,
+):
+    """The per-batch quant ranking, I/O-free (extracted from
+    `quant_topk_batches`, same contract as `_pq_ranked_plan`)."""
+    from ..llmdata.similarity import (
+        _dvec,
+        _normalize,
+        cosine,
+        pq_shortlist_rerank,
+    )
+
+    qdf = batch.select(
+        F.col("vec_id").alias("query_id"),
+        _normalize(_dvec("embedding")).alias("_qv"),
+    )
+    scored = index_codes.crossJoin(F.broadcast(qdf))
+    if exclude_self:
+        scored = scored.filter(F.col("vec_id") != F.col("query_id"))
+    scored = scored.select(
+        "query_id",
+        "vec_id",
+        "label",
+        (
+            -cosine(
+                F.col("_qv"),
+                F.transform("q", lambda x: x.cast("double")),
+            )
+        ).alias("_adc"),
+        "_qv",
+    )
+    return pq_shortlist_rerank(scored, k, shortlist, vecs=index_vecs), None
+
+
+def _ivf_ranked_plan(
+    batch: DataFrame,
+    index_cells: DataFrame,
+    index_centroids: DataFrame,
+    k: int,
+    n_probe: int,
+    exclude_self: bool,
+):
+    """The per-batch plain-IVF ranking, I/O-free: extracted from
+    `ivf_topk_batches`' sink loop. Unlike the shortlist family the
+    probed cells carry full float vectors, so scoring is exact within
+    the probed budget (`ivf_exact_rank` -- no re-rank stage, no
+    shortlist knob). Returns (ranked_df, cleanup); ``cleanup``
+    unpersists the probe frame after the ranked frame is consumed."""
+    from ..llmdata.similarity import _dvec, ivf_exact_rank, ivf_probe_rank
+
+    qs = batch.select(
+        F.col("vec_id").alias("query_id"),
+        _dvec("embedding").alias("qvec"),
+    )
+    # persisted: the probed-cluster collect and the scored join both
+    # consume the probe plan (the bpairs lesson)
+    probes = ivf_probe_rank(qs, index_centroids, n_probe).persist()
+    # bounded driver artifact (<= n_lists ints) -> literal IN, so the
+    # cluster-partitioned cells scan prunes statically
+    probed = sorted(
+        r["probe_cluster"]
+        for r in probes.select("probe_cluster").distinct().collect()
+    )
+    ranked = ivf_exact_rank(
+        index_cells.filter(F.col("cluster").isin(probed)),
+        probes,
+        k,
+        exclude_self=exclude_self,
+    )
+    return ranked, probes.unpersist
+
+
 def _ann_dense_retriever(
     spark: SparkSession,
     path: str,
@@ -3440,84 +3503,158 @@ def _ann_dense_retriever(
     constituent for the RAG endpoints (r15 verdict item 3: the hybrid
     keyword endpoint and the knn classifier brute-scanned the float
     vecs via `_dense_cosine_topk` while ANN serving sat in the same
-    file). Dispatches on the STAMPED kind -- ``ivfpq``
-    (`_ivfpq_ranked_plan`), ``ivfmat`` (`_ivfmat_ranked_plan`), or
-    ``ivfquant`` (`_ivfquant_ranked_plan`) --
-    and returns ``retrieve(batch, k) -> (ranked, cleanup)`` where
-    ``ranked`` carries the family's (query_id, vec_id, label, rank)
-    surface through the SAME per-batch plan the kind's own probe sink
-    serves, so at n_probe = n_lists and shortlist = corpus the
-    ranking collapses to exact brute-force (parity-pinned; one stated
-    delta: the cascade's re-rank orders on the ROUND-6 cosine where
-    the brute scan orders unrounded, so two candidates within 1e-6 of
-    each other can swap -- a display-tie the parity fixtures don't
-    contain, not an approximation) and at serving budgets the
+    file). Dispatches on the STAMPED kind over ALL SEVEN servable
+    layouts (r16 verdict item 3 widened it from the three composed
+    kinds -- a user holding a plain `write_pq_index` root was forced
+    into a composed rebuild): the composed ``ivfpq`` / ``ivfmat`` /
+    ``ivfquant`` cascades, the flat shortlist kinds ``pq`` /
+    ``matryoshka`` / ``quant``, and plain ``ivf``. Returns
+    ``retrieve(batch, k) -> (ranked, cleanup)`` where ``ranked``
+    carries the family's (query_id, vec_id, label, rank) surface
+    through the SAME per-batch plan the kind's own probe sink serves,
+    so at full budget (n_probe = n_lists and/or shortlist = corpus)
+    the ranking collapses to exact brute-force (parity-pinned; one
+    stated delta: the shortlist re-rank orders on the ROUND-6 cosine
+    where the brute scan orders unrounded, so two candidates within
+    1e-6 of each other can swap -- a display-tie the parity fixtures
+    don't contain, not an approximation) and at serving budgets the
     endpoint inherits the kind's measured probe-budget win.
 
+    Budget knobs by kind: ``n_probe`` drives the four IVF-layout
+    kinds and is ignored by the flat kinds (their coarse stage is a
+    full-corpus code/prefix scan -- the byte win, not a partition
+    win); ``shortlist`` drives the six shortlist-re-rank kinds and is
+    ignored by plain ``ivf`` (its probed cells carry full floats, so
+    scoring is exact within the probe budget -- no re-rank stage).
+
     Artifact guards at CONSTRUCTION time (before any stream starts):
-    unstamped / non-servable kinds refuse distinctly; the IVF-PQ
+    unstamped / non-servable kinds refuse distinctly; the PQ-family
     codebooks/fingerprint subspan disagreement refuses; torn
-    cells/vecs refuses (`_require_untorn`). Default ``shortlist`` is
-    the kind's own budget rule. Version pinning under a RUNNING
-    stream stays on the caller's nonce pin, which should target this
-    same root."""
+    scan/vecs dirs refuse (`_require_untorn`); empty centroids refuse
+    (`_centroid_count`); the prefix kinds' stamped probe_dim is
+    authoritative (`_require_stamped_probe_dim`). Version pinning
+    under a RUNNING stream stays on the caller's nonce pin, which
+    should target this same root."""
     fp = _read_stamped_fingerprint(spark, path, None, "", caller)
     kind = fp.get("kind")
-    if kind not in ("ivfpq", "ivfmat", "ivfquant"):
-        raise ValueError(
-            f"{caller}: artifact at {path} is stamped kind={kind!r}, "
-            "not a servable dense index (expected ivfpq, ivfmat, or "
-            "ivfquant)"
-        )
-    cells = spark.read.parquet(path + "/cells")
-    vecs = spark.read.parquet(path + "/vecs")
-    n_corpus = _require_untorn(cells, vecs, "cells", caller)
-    cents = spark.read.parquet(path + "/centroids")
-    n_lists = _centroid_count(cents, caller)
+    if kind in ("ivfpq", "ivfmat", "ivfquant"):
+        cells = spark.read.parquet(path + "/cells")
+        vecs = spark.read.parquet(path + "/vecs")
+        n_corpus = _require_untorn(cells, vecs, "cells", caller)
+        cents = spark.read.parquet(path + "/centroids")
+        n_lists = _centroid_count(cents, caller)
 
-    def _sl(k: int) -> int:
-        # the IVF family's shared budget rule (reduces to corpus/8 at
-        # n_probe == n_lists -- the full-budget collapse premise)
-        if shortlist is not None:
-            return shortlist
-        return max(8 * k, n_corpus * n_probe // (8 * n_lists))
+        def _sl(k: int) -> int:
+            # the IVF family's shared budget rule (reduces to corpus/8
+            # at n_probe == n_lists -- the full-budget collapse premise)
+            if shortlist is not None:
+                return shortlist
+            return max(8 * k, n_corpus * n_probe // (8 * n_lists))
 
-    if kind == "ivfpq":
-        codebooks = _load_codebooks(spark.read.parquet(path + "/codebooks"))
-        if int(fp["n_subspaces"]) != len(codebooks):
-            raise ValueError(
-                f"{caller}: fingerprint stamps n_subspaces="
-                f"{fp['n_subspaces']} but the stored codebooks span "
-                f"{len(codebooks)} subspaces -- mixed artifact, rebuild"
+        if kind == "ivfpq":
+            codebooks = _load_codebooks(
+                spark.read.parquet(path + "/codebooks")
             )
+            if int(fp["n_subspaces"]) != len(codebooks):
+                raise ValueError(
+                    f"{caller}: fingerprint stamps n_subspaces="
+                    f"{fp['n_subspaces']} but the stored codebooks span "
+                    f"{len(codebooks)} subspaces -- mixed artifact, rebuild"
+                )
+
+            def retrieve(batch: DataFrame, k: int):
+                return _ivfpq_ranked_plan(
+                    batch, cells, vecs, codebooks, cents, k, n_probe,
+                    _sl(k), exclude_self,
+                )
+
+        elif kind == "ivfmat":
+            probe_dim = _require_stamped_probe_dim(
+                spark, path, "ivfmat", "IVF-matryoshka",
+                _stored_dim(cells, "vp", "cells", caller), caller, fp=fp,
+            )
+
+            def retrieve(batch: DataFrame, k: int):
+                return _ivfmat_ranked_plan(
+                    batch, cells, vecs, cents, probe_dim, k, n_probe,
+                    _sl(k), exclude_self,
+                )
+
+        else:  # ivfquant -- codes are self-describing, no width check
+
+            def retrieve(batch: DataFrame, k: int):
+                return _ivfquant_ranked_plan(
+                    batch, cells, vecs, cents, k, n_probe, _sl(k),
+                    exclude_self,
+                )
+
+        return retrieve
+
+    if kind == "ivf":
+        cells = spark.read.parquet(path + "/cells")
+        cents = spark.read.parquet(path + "/centroids")
+        _centroid_count(cents, caller)
 
         def retrieve(batch: DataFrame, k: int):
-            return _ivfpq_ranked_plan(
-                batch, cells, vecs, codebooks, cents, k, n_probe, _sl(k),
-                exclude_self,
+            return _ivf_ranked_plan(
+                batch, cells, cents, k, n_probe, exclude_self
             )
 
-    elif kind == "ivfmat":
-        probe_dim = _require_stamped_probe_dim(
-            spark, path, "ivfmat", "IVF-matryoshka",
-            _stored_dim(cells, "vp", "cells", caller), caller, fp=fp,
-        )
+        return retrieve
 
-        def retrieve(batch: DataFrame, k: int):
-            return _ivfmat_ranked_plan(
-                batch, cells, vecs, cents, probe_dim, k, n_probe, _sl(k),
-                exclude_self,
+    if kind in ("pq", "matryoshka", "quant"):
+        scan_name = "prefixes" if kind == "matryoshka" else "codes"
+        scan = spark.read.parquet(f"{path}/{scan_name}")
+        vecs = spark.read.parquet(path + "/vecs")
+        n_corpus = _require_untorn(scan, vecs, scan_name, caller)
+
+        def _sl(k: int) -> int:
+            # the flat kinds' shared budget rule (the sinks' default)
+            if shortlist is not None:
+                return shortlist
+            return max(8 * k, n_corpus // 8)
+
+        if kind == "pq":
+            codebooks = _load_codebooks(
+                spark.read.parquet(path + "/codebooks")
+            )
+            if int(fp["n_subspaces"]) != len(codebooks):
+                raise ValueError(
+                    f"{caller}: fingerprint stamps n_subspaces="
+                    f"{fp['n_subspaces']} but the stored codebooks span "
+                    f"{len(codebooks)} subspaces -- mixed artifact, rebuild"
+                )
+
+            def retrieve(batch: DataFrame, k: int):
+                return _pq_ranked_plan(
+                    batch, scan, vecs, codebooks, k, _sl(k), exclude_self
+                )
+
+        elif kind == "matryoshka":
+            probe_dim = _require_stamped_probe_dim(
+                spark, path, "matryoshka", "matryoshka",
+                _stored_dim(scan, "vp", "prefixes", caller), caller, fp=fp,
             )
 
-    else:  # ivfquant -- codes are self-describing, no width to verify
+            def retrieve(batch: DataFrame, k: int):
+                return _matryoshka_ranked_plan(
+                    batch, scan, vecs, probe_dim, k, _sl(k), exclude_self
+                )
 
-        def retrieve(batch: DataFrame, k: int):
-            return _ivfquant_ranked_plan(
-                batch, cells, vecs, cents, k, n_probe, _sl(k),
-                exclude_self,
-            )
+        else:  # quant -- codes are self-describing, no width check
 
-    return retrieve
+            def retrieve(batch: DataFrame, k: int):
+                return _quant_ranked_plan(
+                    batch, scan, vecs, k, _sl(k), exclude_self
+                )
+
+        return retrieve
+
+    raise ValueError(
+        f"{caller}: artifact at {path} is stamped kind={kind!r}, "
+        "not a servable dense index (expected ivfpq, ivfmat, ivfquant, "
+        "ivf, pq, matryoshka, or quant)"
+    )
 
 
 def _resolve_dense_constituent(
@@ -4849,10 +4986,12 @@ def knn_classify_batches(
     corpus vec_id silently loses that neighbor (the r15 keyword-hybrid
     fix, same class).
 
-    Pass ``ann_index_path`` (a `write_ivfpq_index`,
-    `write_ivf_matryoshka_index`, or `write_ivf_quant_index` root --
-    the retriever dispatches on the stamped kind) to serve the
-    neighbor retrieval through that index's cascade instead of the brute scan
+    Pass ``ann_index_path`` (any servable dense root -- the composed
+    `write_ivfpq_index` / `write_ivf_matryoshka_index` /
+    `write_ivf_quant_index` cascades or the plain `write_pq_index` /
+    `write_ivf_index` / `write_matryoshka_index` / `write_quant_index`
+    layouts; the retriever dispatches on the stamped kind) to serve the
+    neighbor retrieval through that index's plan instead of the brute scan
     (`_ann_dense_retriever`; ``n_probe`` /
     ``ann_shortlist`` are the budget knobs, shortlist defaulting to
     the family's corpus/8). ``index_vecs`` is then unused (pass
@@ -4965,8 +5104,8 @@ def hybrid_rrf_batches(
     rows per arriving query. Same ``checkpoint`` append-idempotency
     note as the other writers.
 
-    Pass ``ann_index_path`` (a `write_ivfpq_index`,
-    `write_ivf_matryoshka_index`, or `write_ivf_quant_index` root) to
+    Pass ``ann_index_path`` (any servable dense root, seven kinds --
+    see `_ann_dense_retriever`) to
     serve the dense constituent through that index's cascade instead
     of the brute vecs scan --
     the `hybrid_rrf_keyword_batches` contract: ``index_vecs`` is then
@@ -6092,9 +6231,8 @@ def hybrid_rrf_keyword_batches(
     it as ``index_path`` and leave the vecs pair None. Same
     ``checkpoint`` semantics as the family.
 
-    Pass ``ann_index_path`` (a `write_ivfpq_index`,
-    `write_ivf_matryoshka_index`, or `write_ivf_quant_index` root --
-    the retriever dispatches on the stamped kind) to serve the DENSE
+    Pass ``ann_index_path`` (any servable dense root, seven kinds --
+    the retriever dispatches on the stamped kind, `_ann_dense_retriever`) to serve the DENSE
     constituent through that index's cascade instead of the brute vecs scan
     (`_ann_dense_retriever`; ``n_probe`` /
     ``ann_shortlist`` are the budget knobs). ``index_vecs`` is then

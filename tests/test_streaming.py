@@ -6811,3 +6811,62 @@ def test_pre_kind_stamp_roots_stay_serveable_and_arm_on_append(
         )
     # and its own probe still serves
     assert ann_probe_stream(q, bands_df, vecs_df, index_path=idx) is not None
+
+
+@pytest.mark.parametrize("kind", ["pq", "ivf", "matryoshka", "quant"])
+def test_rag_dense_retriever_serves_plain_kinds(spark, tmp_path, kind):
+    """r16 verdict item 3: `_ann_dense_retriever` dispatches the PLAIN
+    servable kinds too (pq / ivf / matryoshka / quant) -- a user
+    holding a plain root no longer has to rebuild it as a composed
+    index to serve the RAG endpoints' dense constituent. Each kind
+    rides the SAME extracted per-batch plan its own probe sink serves
+    (`_pq_ranked_plan` etc.), and at full budget (shortlist = corpus
+    for the shortlist kinds, n_probe = n_lists for plain ivf) the
+    ranking collapses to exact brute-force: the knn vote equals the
+    brute-dense form row-for-row."""
+    from big_data_streaming_dashboard_spark.llmdata.similarity import _dvec
+    from big_data_streaming_dashboard_spark.streaming.llm_ingest import (
+        knn_classify_batches,
+        stream_embeddings,
+        write_ivf_index,
+        write_matryoshka_index,
+        write_pq_index,
+        write_quant_index,
+    )
+    from big_data_streaming_dashboard_spark.tables import load_table
+
+    embs = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    n_corpus = embs.count()
+    idx = str(tmp_path / kind)
+    if kind == "pq":
+        write_pq_index(embs, idx, n_subspaces=8)
+    elif kind == "ivf":
+        write_ivf_index(embs, idx, n_lists=4)
+    elif kind == "matryoshka":
+        # a REAL prefix budget: full-shortlist re-rank makes the vote
+        # exact regardless of the coarse width
+        write_matryoshka_index(embs, idx, probe_dim=16)
+    else:
+        write_quant_index(embs, idx)
+
+    # brute corpus frame (cosine is scale-invariant, so the raw
+    # embeddings serve as the float side)
+    index_vecs = embs.select(
+        "vec_id", _dvec("embedding").alias("vec"), "label"
+    )
+    qdir = str(tmp_path / "q")
+    embs.filter(F.col("vec_id") < 5).write.parquet(qdir)
+
+    out_b = str(tmp_path / "brute")
+    knn_classify_batches(
+        stream_embeddings(spark, qdir), index_vecs, out_b, k=5,
+    ).awaitTermination(120)
+    out_a = str(tmp_path / "served")
+    knn_classify_batches(
+        stream_embeddings(spark, qdir), None, out_a, k=5,
+        ann_index_path=idx, n_probe=4, ann_shortlist=n_corpus,
+    ).awaitTermination(120)
+
+    brute = sorted(map(tuple, spark.read.parquet(out_b).collect()))
+    served = sorted(map(tuple, spark.read.parquet(out_a).collect()))
+    assert served == brute and served
