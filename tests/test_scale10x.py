@@ -1354,3 +1354,123 @@ def test_ivf_quant_composes_budgets_at_10x(spark, scale_dir, tmp_path):
         f"{comp_probe_s:.1f}s at cell fraction {frac:.3f} x tinyint bytes, "
         f"recall@{k} {recall:.3f}"
     )
+
+
+def test_bm25_ten_append_root_compacts_to_scan_sized_buckets(
+    spark, tmp_path
+):
+    """r16 verdict item 6: a LONG-APPENDED BM25 root accumulates one
+    file generation per append in every touched term_bucket dir (plus
+    one stats row per generation), so the rare-term probe's per-bucket
+    scan cost grows with APPEND COUNT, not data size -- the exact
+    failure LSM compaction exists for. This pins the 10-append case
+    on the Zipf corpus: compaction collapses every bucket back to
+    scan-sized files (the deterministic cost proxy -- walls on this
+    VM swing 3x, file counts don't), merges the stats log to one row
+    with the torn-window stamp preserved at its SUM, and the
+    rare-term probe returns row-for-row the same answer through the
+    rewritten fileset (compact-then-probe, extended to the
+    multi-append root)."""
+    import glob
+
+    from big_data_streaming_dashboard_spark.streaming.llm_ingest import (
+        append_bm25_index,
+        bm25_topk_batches,
+        compact_serving_index,
+        index_fingerprint,
+        stream_keyword_queries,
+        write_bm25_index,
+    )
+
+    from .scale10x import ZIPF_DOCS, ensure_zipf_corpus
+
+    docs = spark.read.parquet(ensure_zipf_corpus(spark))
+    idx = str(tmp_path / "bm")
+    # generation 0 + ten appends over disjoint doc_id slices
+    slice_w = ZIPF_DOCS // 11
+    write_bm25_index(docs.filter(F.col("doc_id") < slice_w), idx)
+    for g in range(1, 11):
+        lo, hi = g * slice_w, (g + 1) * slice_w if g < 10 else ZIPF_DOCS
+        append_bm25_index(
+            docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)),
+            idx,
+        )
+
+    def files_per_bucket():
+        counts = {}
+        for d in glob.glob(idx + "/postings/term_bucket=*"):
+            counts[d.rsplit("=", 1)[1]] = len(
+                glob.glob(d + "/*.parquet")
+            )
+        return counts
+
+    before = files_per_bucket()
+    # every bucket carries one file generation per touched append --
+    # the Zipf head terms land in every generation, so the max is 11
+    assert before and max(before.values()) >= 10
+    stats = spark.read.parquet(idx + "/stats")
+    assert stats.count() == 11
+    n_postings_total = spark.read.parquet(idx + "/postings").count()
+    assert (
+        stats.agg(F.sum("n_postings")).collect()[0][0] == n_postings_total
+    )
+
+    # rare-term probe on the appended root (the canary's query shape)
+    postings_df = spark.read.parquet(idx + "/postings")
+    df_by_term = {
+        r["term"]: r["df"]
+        for r in postings_df.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .collect()
+    }
+    rare_pool = sorted(t for t, d in df_by_term.items() if d <= 200)
+    assert len(rare_pool) >= 2_000
+    queries = [
+        (i, " ".join(rare_pool[(3 * i + j) % len(rare_pool)] for j in range(3)))
+        for i in range(200)
+    ]
+    qdir = str(tmp_path / "q")
+    spark.createDataFrame(
+        queries, "query_id long, keywords string"
+    ).coalesce(1).write.parquet(qdir)
+
+    def probe(tag):
+        out = str(tmp_path / f"out_{tag}")
+        t0 = time.perf_counter()
+        bm25_topk_batches(
+            stream_keyword_queries(spark, qdir),
+            spark.read.parquet(idx + "/postings"),
+            spark.read.parquet(idx + "/stats"),
+            out,
+            k=20,
+            checkpoint=str(tmp_path / f"ck_{tag}"),
+            index_path=idx,
+        ).awaitTermination(600)
+        wall = time.perf_counter() - t0
+        return sorted(map(tuple, spark.read.parquet(out).collect())), wall
+
+    got_before, wall_before = probe("before")
+    stamp0 = index_fingerprint(spark, idx)
+    compact_serving_index(spark, idx)
+    assert index_fingerprint(spark, idx) != stamp0
+
+    after = files_per_bucket()
+    # the deterministic scan-cost pin: every bucket collapses to ONE
+    # data file (this corpus is far under the 128 MB file target), so
+    # a rare-term probe opens one file per probed bucket regardless of
+    # how many appends the root has absorbed
+    assert set(after) == set(before)
+    assert max(after.values()) == 1
+    # stats: one merged row, torn stamp preserved at its SUM
+    stats2 = spark.read.parquet(idx + "/stats").collect()
+    assert len(stats2) == 1
+    assert stats2[0]["n_postings"] == n_postings_total
+    assert stats2[0]["n_docs"] == ZIPF_DOCS
+
+    got_after, wall_after = probe("after")
+    assert got_after == got_before and got_before
+    print(
+        f"\nBM25 10-append compaction: files/bucket max "
+        f"{max(before.values())} -> {max(after.values())}, 200 "
+        f"rare-term queries {wall_before:.1f}s -> {wall_after:.1f}s"
+    )
