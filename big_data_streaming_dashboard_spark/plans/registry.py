@@ -1515,22 +1515,26 @@ WHERE s._emit""",
 
 DRIVER_WINDOW: list[str] = [
     # r17 window, computed by plans/rotation.py (pasted verbatim).
-    # 2 rows-only + ALL 48 r14-attested queries (mandatory at the
-    # 3-round bound, newest driver row r14) = exactly 50 slots, ZERO
-    # slack. The registry remains FROZEN at 135 (binding capacity
-    # arithmetic, r14 verdict item 2): 135 = 50 (r16) + 48 (r14) +
-    # 37 (r15/r16); steady state cycles three blocks (50/48/37). New
-    # work ships as depth on existing slots; unfreezing requires
-    # amending the bound to 4 rounds here as an explicit documented
-    # decision.
+    # 2 rows-only + ALL 37 r14-attested queries (mandatory at their
+    # 3-round bound, newest driver row r14) + the 11 stalest of the
+    # 48-query r15-attested block = exactly 50 slots, ZERO slack
+    # (recomputed from the sixteen ledgers in-session: the window's
+    # 48 non-rows-only names split {r14: 37, r15: 11} -- the r16
+    # verdict's "all 48 r14-attested" wording mislabeled the blocks;
+    # the tool's names are authoritative and match). The registry
+    # remains FROZEN at 135 (binding capacity arithmetic, r14 verdict
+    # item 2): 135 = 50 (r16) + 48 (r15) + 37 (r14); steady state
+    # cycles three blocks (50/48/37). New work ships as depth on
+    # existing slots; unfreezing requires amending the bound to
+    # 4 rounds here as an explicit documented decision.
     # r18 swap plan (run the tool; it accounts for this): after a
-    # successful r17 run, the 48 queries attested r16 plus the 37-
-    # query block cycle again -- 2 rows-only + the block reaching its
-    # bound.
+    # successful r17 run the 37 r15-attested queries left out here
+    # reach their bound in r18 staggered (11 rotate here; the
+    # remaining 37 hit the bound next round).
     # rows-only by design -- permanently in-window per r3 advice
     "approx_aggregates",
     "media_feature_census",
-    # --- 48 mandatory: the r14-attested block, at its 3-round
+    # --- 37 mandatory: the r14-attested block, at its 3-round
     # LRU bound (newest driver row r14) ---
     "doc_bm25_topk",
     "doc_chunk_spans",
@@ -1569,6 +1573,8 @@ DRIVER_WINDOW: list[str] = [
     "silver_validate",
     "user_sessions",
     "value_percentiles",
+    # --- 11 stalest others: alphabetically-first of the 48-query
+    # r15-attested block (all tied at newest-row r15) ---
     "above_user_avg",
     "bi_nation_volume",
     "brand_supplier_variety",

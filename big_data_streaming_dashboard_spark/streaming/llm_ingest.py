@@ -2614,6 +2614,7 @@ def _require_append_knobs(
     caller: str,
     kind: str | None = None,
     display: str = "",
+    data_dir: str = "bands",
 ) -> None:
     """Banded APPEND knob guard (r16 review): an append whose knobs
     disagree with the existing stamp would hash the delta with
@@ -2639,13 +2640,13 @@ def _require_append_knobs(
         )
     except AnalysisException:
         try:
-            spark.read.parquet(path + "/bands").schema
+            spark.read.parquet(f"{path}/{data_dir}").schema
         except AnalysisException:
             return  # genuinely fresh: no stamp, no data
         raise ValueError(
-            f"{caller}: bands exist at {path} but the root is unstamped "
-            "-- a build crashed before its fingerprint stamp; rebuild "
-            "the index"
+            f"{caller}: {data_dir} exist at {path} but the root is "
+            "unstamped -- a build crashed before its fingerprint stamp; "
+            "rebuild the index"
         ) from None
     if kind is not None:
         _require_root_kind(spark, path, kind, display, caller, fp=fp)
@@ -3306,28 +3307,35 @@ def _ivf_cascade_ranked_plan(
     # persisted: the probed-cluster collect and the scored join both
     # consume the probe plan (the bpairs lesson)
     probes = ivf_probe_rank(qs, index_centroids, n_probe).persist()
-    probed = sorted(
-        r["probe_cluster"]
-        for r in probes.select("probe_cluster").distinct().collect()
-    )
-    scored = (
-        index_cells.filter(F.col("cluster").isin(probed))
-        .join(
-            F.broadcast(probes.select("query_id", "probe_cluster")),
-            F.col("cluster") == F.col("probe_cluster"),
+    try:
+        probed = sorted(
+            r["probe_cluster"]
+            for r in probes.select("probe_cluster").distinct().collect()
         )
-        .join(F.broadcast(qdf), "query_id")
-    )
-    if exclude_self:
-        scored = scored.filter(F.col("vec_id") != F.col("query_id"))
-    scored = scored.select(
-        "query_id",
-        "vec_id",
-        "label",
-        adc.alias("_adc"),
-        "_qv",
-    )
-    ranked = pq_shortlist_rerank(scored, k, shortlist, vecs=index_vecs)
+        scored = (
+            index_cells.filter(F.col("cluster").isin(probed))
+            .join(
+                F.broadcast(probes.select("query_id", "probe_cluster")),
+                F.col("cluster") == F.col("probe_cluster"),
+            )
+            .join(F.broadcast(qdf), "query_id")
+        )
+        if exclude_self:
+            scored = scored.filter(F.col("vec_id") != F.col("query_id"))
+        scored = scored.select(
+            "query_id",
+            "vec_id",
+            "label",
+            adc.alias("_adc"),
+            "_qv",
+        )
+        ranked = pq_shortlist_rerank(scored, k, shortlist, vecs=index_vecs)
+    except BaseException:
+        # a failure in the probed-cluster collect must not leak the
+        # pinned probe frame (r17 review -- same class as
+        # _ivf_ranked_plan)
+        probes.unpersist()
+        raise
     return ranked, probes.unpersist
 
 
@@ -3476,18 +3484,25 @@ def _ivf_ranked_plan(
     # persisted: the probed-cluster collect and the scored join both
     # consume the probe plan (the bpairs lesson)
     probes = ivf_probe_rank(qs, index_centroids, n_probe).persist()
-    # bounded driver artifact (<= n_lists ints) -> literal IN, so the
-    # cluster-partitioned cells scan prunes statically
-    probed = sorted(
-        r["probe_cluster"]
-        for r in probes.select("probe_cluster").distinct().collect()
-    )
-    ranked = ivf_exact_rank(
-        index_cells.filter(F.col("cluster").isin(probed)),
-        probes,
-        k,
-        exclude_self=exclude_self,
-    )
+    try:
+        # bounded driver artifact (<= n_lists ints) -> literal IN, so
+        # the cluster-partitioned cells scan prunes statically
+        probed = sorted(
+            r["probe_cluster"]
+            for r in probes.select("probe_cluster").distinct().collect()
+        )
+        ranked = ivf_exact_rank(
+            index_cells.filter(F.col("cluster").isin(probed)),
+            probes,
+            k,
+            exclude_self=exclude_self,
+        )
+    except BaseException:
+        # the collect is the one action between persist and return: a
+        # failure there must not leak the pinned probe frame (the old
+        # inline sink wrapped it in try/finally -- r17 review)
+        probes.unpersist()
+        raise
     return ranked, probes.unpersist
 
 
@@ -3746,6 +3761,7 @@ def _pin_index(
     index_path: str | None,
     expected_fingerprint: str | None,
     message: str,
+    snapshot_nonce: str | None = None,
 ):
     """The serving family's whole nonce discipline in ONE place (the
     r13/r14 fixes each had to touch six hand-rolled copies): refuse a
@@ -3755,7 +3771,12 @@ def _pin_index(
     re-check callable (no-op when unpinned) that catches a same-name
     in-place rewrite under a RUNNING query. ``message`` is the
     site-specific failure text, formatted with {path}/{now}/{expected}
-    -- each stream kind keeps its own pinned wording."""
+    -- each stream kind keeps its own pinned wording. Pass
+    ``snapshot_nonce`` when the caller already read the root's
+    fingerprint (the `_require_root_kind` chain) to skip the second
+    snapshot read; it is used ONLY in the unpinned case -- a
+    caller-held pin is always verified against the disk at call
+    time."""
     _require_pin_target(index_path, expected_fingerprint)
     if index_path is None:
         return lambda sess: None
@@ -3770,7 +3791,11 @@ def _pin_index(
             )
 
     if expected is None:
-        expected = index_fingerprint(spark, index_path)
+        expected = (
+            snapshot_nonce
+            if snapshot_nonce is not None
+            else index_fingerprint(spark, index_path)
+        )
     else:
         check(spark)
     return check
@@ -3926,6 +3951,15 @@ def ann_topk_batches(
     tests/test_streaming.py::test_streaming_ann_index_refresh_fails_loudly)."""
     from pyspark.sql import Window
 
+    snapshot = None
+    if index_path is not None:
+        # the nonce pin names a root; verify it IS this kind of root
+        # (migration-tolerant: pre-r17 stamps carry no kind); the read
+        # fingerprint seeds the unpinned snapshot -- one read
+        snapshot = _require_root_kind(
+            scored.sparkSession, index_path, "ann", "banded ANN",
+            "ann_topk_batches",
+        ).get("nonce")
     _check = _pin_index(
         scored.sparkSession,
         index_path,
@@ -3933,14 +3967,8 @@ def ann_topk_batches(
         "ANN index at {path} was overwritten under a probe stream "
         "(fingerprint {now} != snapshot {expected}); rebuild the probe "
         "stream against the new index instead",
+        snapshot_nonce=snapshot,
     )
-    if index_path is not None:
-        # the nonce pin names a root; verify it IS this kind of root
-        # (migration-tolerant: pre-r17 stamps carry no kind)
-        _require_root_kind(
-            scored.sparkSession, index_path, "ann", "banded ANN",
-            "ann_topk_batches",
-        )
 
     def _emit(batch: DataFrame, _epoch: int) -> None:
         _check(batch.sparkSession)
@@ -4221,18 +4249,14 @@ def semantic_verdict_batches(
     ``bands``/``rows_per_band``/``seed`` knobs against the stamped
     build knobs (`_require_stamped_knobs`; a same-ratio/wrong-seed
     probe would silently emit keep=true for every row)."""
-    # pin-target contract first (a caller error), artifact-state
-    # knob + ratio guards second -- the family test pins this
-    # precedence
-    _check = _pin_index(
-        embeddings.sparkSession,
-        index_path,
-        expected_fingerprint,
-        "semantic index at {path} was overwritten under a probe/verdict "
-        "stream (fingerprint {now} != snapshot {expected}); rebuild the "
-        "verdict stream against the new index instead",
-    )
+    # the pin-target contract (a caller error) is disjoint from the
+    # artifact-state guards below -- it fires only with index_path
+    # None, so the kind/knob checks (index_path required) cannot
+    # shadow it; the family test pins that call shape. The read
+    # fingerprint seeds the unpinned snapshot -- one read (r17
+    # review).
     knobs = _semantic_knobs(bands, rows_per_band, seed)
+    snapshot = None
     if index_path is not None:
         # kind before knobs (see ann_probe_stream)
         fp = _require_root_kind(
@@ -4243,6 +4267,16 @@ def semantic_verdict_batches(
             embeddings.sparkSession, index_path, knobs,
             "semantic_verdict_batches", fp=fp,
         )
+        snapshot = fp.get("nonce")
+    _check = _pin_index(
+        embeddings.sparkSession,
+        index_path,
+        expected_fingerprint,
+        "semantic index at {path} was overwritten under a probe/verdict "
+        "stream (fingerprint {now} != snapshot {expected}); rebuild the "
+        "verdict stream against the new index instead",
+        snapshot_nonce=snapshot,
+    )
     _require_band_ratio(
         index_bands, index_vecs, knobs["bands"], "semantic_verdict_batches"
     )
@@ -4684,12 +4718,12 @@ def curation_verdict_batches(
     spark = docs.sparkSession
     # the root is REQUIRED here; verify it IS a curation root before
     # snapshotting its nonce (migration-tolerant: pre-r17 stamps carry
-    # no kind -- `_require_root_kind`)
-    _require_root_kind(
+    # no kind -- `_require_root_kind`); the read fingerprint IS the
+    # snapshot -- one read (r17 review)
+    expected = _require_root_kind(
         spark, index_path, "curation", "curation",
         "curation_verdict_batches",
-    )
-    expected = index_fingerprint(spark, index_path)
+    )["nonce"]
     # persist every static side ONCE: a stream-static join re-executes
     # the static plan every micro-batch, so without this each batch
     # re-scans the artifact parquet (and re-runs the exact-log merge).
@@ -4766,11 +4800,27 @@ def write_rerank_index(
     literal planes as the batch `cross_encoder_rerank` path so stream
     and batch candidate sets coincide. Rows are per-vector facts, so
     a corpus delta appends exactly (``mode="append"``); fingerprint
-    re-stamps either way."""
+    re-stamps either way. An APPEND whose ``n_bits``/``seed`` knobs
+    disagree with the existing stamp refuses (r17 review -- it would
+    sign the delta with different planes/word-count than the stored
+    corpus AND bless them in the re-stamp), as does an append onto a
+    root stamped as a different kind (five foreign rows in someone
+    else's artifact plus a bricked fingerprint)."""
     from ..llmdata.similarity import DEFAULT_SIG_BITS, EMBEDDING_DIM, _signed_corpus
 
     n_bits = DEFAULT_SIG_BITS if n_bits is None else n_bits
     dim = EMBEDDING_DIM if dim is None else dim
+    mode = mode.lower()  # writer modes are case-insensitive downstream
+    if mode == "append":
+        _require_append_knobs(
+            embeddings.sparkSession,
+            path,
+            {"n_bits": n_bits, "seed": seed},
+            "write_rerank_index",
+            kind="rerank",
+            display="rerank",
+            data_dir="corpus",
+        )
     (
         _signed_corpus(embeddings, n_bits, dim, seed)
         .write.mode(mode)
@@ -4834,6 +4884,28 @@ def rerank_topk_batches(
     n_words = (n_bits + 63) // 64
     score = _cross_encoder_udf(dim, seed, model_stub)
 
+    snapshot = None
+    if index_path is not None:
+        # the nonce pin names a root; verify it IS this kind of root
+        # (migration-tolerant: pre-r17 stamps carry no kind), then the
+        # probe knobs against the stamp -- a same-kind root built at a
+        # different n_bits/seed signs queries with different planes/
+        # word-count than the stored corpus, so the Hamming filter
+        # compares garbage and the candidate set is silently wrong
+        # (the r15 banded blind-spot class, r17 review). The read
+        # fingerprint seeds the unpinned snapshot -- one read.
+        fp = _require_root_kind(
+            queries.sparkSession, index_path, "rerank", "rerank",
+            "rerank_topk_batches",
+        )
+        _require_stamped_knobs(
+            queries.sparkSession,
+            index_path,
+            {"n_bits": n_bits, "seed": seed},
+            "rerank_topk_batches",
+            fp=fp,
+        )
+        snapshot = fp.get("nonce")
     _check = _pin_index(
         queries.sparkSession,
         index_path,
@@ -4841,14 +4913,8 @@ def rerank_topk_batches(
         "rerank index at {path} was overwritten under a probe stream "
         "(fingerprint {now} != snapshot {expected}); rebuild the probe "
         "stream against the new index instead",
+        snapshot_nonce=snapshot,
     )
-    if index_path is not None:
-        # the nonce pin names a root; verify it IS this kind of root
-        # (migration-tolerant: pre-r17 stamps carry no kind)
-        _require_root_kind(
-            queries.sparkSession, index_path, "rerank", "rerank",
-            "rerank_topk_batches",
-        )
 
     def _emit(batch: DataFrame, _epoch: int) -> None:
         _check(batch.sparkSession)

@@ -6870,3 +6870,71 @@ def test_rag_dense_retriever_serves_plain_kinds(spark, tmp_path, kind):
     brute = sorted(map(tuple, spark.read.parquet(out_b).collect()))
     served = sorted(map(tuple, spark.read.parquet(out_a).collect()))
     assert served == brute and served
+
+
+def test_rerank_append_and_probe_verify_stamped_knobs(spark, tmp_path):
+    """r17 review: `write_rerank_index(mode="append")` had neither the
+    kind nor the knob guard the other appendable kind-stamped writers
+    arm -- an append at the wrong n_bits would sign the delta with a
+    different plane/word-count than the stored corpus AND bless the
+    mismatch in the re-stamp, and an append onto a foreign root would
+    write a /corpus dir into it and overwrite its fingerprint.
+    `rerank_topk_batches` likewise never verified its n_bits/seed
+    probe knobs against the pinned stamp (the r15 banded blind-spot
+    class: kind and nonce both pass while the Hamming filter compares
+    garbage)."""
+    import shutil
+
+    from big_data_streaming_dashboard_spark.streaming.llm_ingest import (
+        rerank_topk_batches,
+        stream_embeddings,
+        write_ann_index,
+        write_rerank_index,
+    )
+    from big_data_streaming_dashboard_spark.tables import load_table
+
+    embs = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    base = embs.filter(F.col("vec_id") < 100)
+    delta = embs.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 150))
+    idx = write_rerank_index(base, str(tmp_path / "rr"))
+    ann = write_ann_index(base, str(tmp_path / "ann"))
+    qdir = str(tmp_path / "q")
+    embs.filter(F.col("vec_id") < 2).write.parquet(qdir)
+    q = stream_embeddings(spark, qdir)
+
+    # append at the wrong knobs refuses (write side)
+    with pytest.raises(ValueError, match="knobs disagree.*n_bits"):
+        write_rerank_index(delta, idx, n_bits=128, mode="append")
+    with pytest.raises(ValueError, match="knobs disagree.*seed"):
+        write_rerank_index(delta, idx, seed=7, mode="append")
+    # append onto a FOREIGN kind-stamped root refuses before touching it
+    with pytest.raises(ValueError, match="not a rerank index"):
+        write_rerank_index(delta, ann, mode="append")
+    # case-insensitive writer mode cannot bypass the guard
+    with pytest.raises(ValueError, match="knobs disagree"):
+        write_rerank_index(delta, idx, n_bits=128, mode="Append")
+    # an unstamped root WITH corpus data is a torn build -- refuse
+    torn = str(tmp_path / "torn")
+    write_rerank_index(base, torn)
+    shutil.rmtree(torn + "/fingerprint")
+    with pytest.raises(ValueError, match="unstamped"):
+        write_rerank_index(delta, torn, mode="append")
+
+    # probe at the wrong knobs refuses at construction (read side)
+    corpus = spark.read.parquet(idx + "/corpus")
+    with pytest.raises(ValueError, match="knobs disagree.*n_bits"):
+        rerank_topk_batches(
+            q, corpus, str(tmp_path / "o1"), n_bits=128, index_path=idx
+        )
+    with pytest.raises(ValueError, match="knobs disagree.*seed"):
+        rerank_topk_batches(
+            q, corpus, str(tmp_path / "o2"), seed=7, index_path=idx
+        )
+
+    # a matching-knob append still folds and re-stamps
+    fp0 = spark.read.parquet(idx + "/fingerprint").collect()[0].asDict()
+    write_rerank_index(delta, idx, mode="append")
+    fp1 = spark.read.parquet(idx + "/fingerprint").collect()[0].asDict()
+    assert fp1["nonce"] != fp0["nonce"]
+    assert fp1["kind"] == "rerank" and int(fp1["n_bits"]) == 256
+    assert spark.read.parquet(idx + "/corpus").count() == 150
