@@ -1474,3 +1474,119 @@ def test_bm25_ten_append_root_compacts_to_scan_sized_buckets(
         f"{max(before.values())} -> {max(after.values())}, 200 "
         f"rare-term queries {wall_before:.1f}s -> {wall_after:.1f}s"
     )
+
+
+@pytest.mark.parametrize("kind", ["matryoshka", "quant"])
+def test_knn_serves_plain_byte_budget_kinds_at_10x(
+    spark, scale_dir, tmp_path, kind
+):
+    """r16 verdict item 3, the wall at 10x for the PLAIN kinds: the
+    widened `_ann_dense_retriever` serves the knn endpoint from a
+    plain matryoshka or quant root, whose coarse stage reads a
+    structural fraction of the float bytes (probe_dim/dim of the
+    widths, or one tinyint per dim vs an 8-byte double) before the
+    shortlist-capped exact re-rank. Pins the deterministic budget
+    model -- the stored scan side's byte shape and the shortlist
+    fraction -- plus output shape and vote agreement vs the brute
+    500 x 20k scan; walls printed for the PLANS.md ledger (single-run
+    walls on this VM swing 3x).
+
+    Honest wall expectation, measured at first landing (r17): the
+    flat kinds are SLOWER than brute here (matryoshka 24.9 s vs
+    16.7 s brute; quant 35.2 s vs 14.2 s; agreement 1.000) -- their
+    coarse stage is still a full-corpus pair scan, so on a
+    page-cached 20k-vector fixture the byte win buys nothing while
+    the shortlist re-rank adds a second join. The flat kinds' win is
+    SCAN BYTES, which pays when the corpus streams off object
+    storage / exceeds page cache (the 100 TB regime this engine
+    targets); the PARTITION-pruned IVF kinds are the wall-clock win
+    at serving budgets on cached data (the composed canaries above
+    measure 2-3x). This test exists to keep the dispatch honest and
+    the vote exact, not to claim a local wall win."""
+    from big_data_streaming_dashboard_spark.llmdata.similarity import (
+        EMBEDDING_DIM,
+        _dvec,
+    )
+    from big_data_streaming_dashboard_spark.streaming.llm_ingest import (
+        knn_classify_batches,
+        write_matryoshka_index,
+        write_quant_index,
+    )
+    from big_data_streaming_dashboard_spark.tables import spread
+
+    embs = spread(
+        spark.read.parquet(f"{scale_dir}/embeddings.parquet"), spark
+    )
+    n_corpus = embs.count()
+
+    t0 = time.perf_counter()
+    idx = str(tmp_path / kind)
+    if kind == "matryoshka":
+        write_matryoshka_index(embs, idx, probe_dim=16)
+    else:
+        write_quant_index(embs, idx)
+    build_s = time.perf_counter() - t0
+
+    # structural byte-budget pin on the stored scan side
+    if kind == "matryoshka":
+        row = spark.read.parquet(idx + "/prefixes").select("vp").first()
+        assert len(row["vp"]) == 16 and EMBEDDING_DIM == 64
+    else:
+        schema = dict(spark.read.parquet(idx + "/codes").dtypes)
+        assert schema["q"] == "array<tinyint>"
+
+    qids = [i * 37 % n_corpus for i in range(500)]
+    qdir = str(tmp_path / "q")
+    embs.filter(F.col("vec_id").isin(qids)).write.parquet(qdir)
+
+    from big_data_streaming_dashboard_spark.streaming.llm_ingest import (
+        stream_embeddings,
+    )
+
+    def _qstream():
+        return stream_embeddings(spark, qdir)
+
+    brute_vecs = embs.select(
+        "vec_id", "label", _dvec("embedding").alias("vec")
+    )
+    out_b = str(tmp_path / "brute")
+    t0 = time.perf_counter()
+    knn_classify_batches(
+        _qstream(), brute_vecs, out_b, k=10,
+        checkpoint=str(tmp_path / "ckb"),
+    ).awaitTermination(600)
+    brute_s = time.perf_counter() - t0
+
+    # served at the family's default shortlist budget (corpus/8)
+    out_s = str(tmp_path / "served")
+    t0 = time.perf_counter()
+    knn_classify_batches(
+        _qstream(), None, out_s, k=10,
+        checkpoint=str(tmp_path / "cks"),
+        ann_index_path=idx,
+    ).awaitTermination(600)
+    served_s = time.perf_counter() - t0
+
+    # the shortlist fraction is the deterministic budget: corpus/8 of
+    # the float rows join the re-rank per query
+    frac = max(8 * 10, n_corpus // 8) / n_corpus
+    assert frac <= 0.15, f"shortlist budget not a fraction: {frac:.3f}"
+
+    n_q = spark.read.parquet(qdir).count()
+    b = {
+        r["query_id"]: r["predicted_label"]
+        for r in spark.read.parquet(out_b).collect()
+    }
+    s = {
+        r["query_id"]: r["predicted_label"]
+        for r in spark.read.parquet(out_s).collect()
+    }
+    assert len(b) == n_q and len(s) == n_q
+    agree = sum(b[q] == s[q] for q in b) / n_q
+    assert agree >= 0.6, f"served vote agreement collapsed: {agree:.3f}"
+
+    print(
+        f"\nKNN plain-{kind} canary: build {build_s:.1f}s, 500-query "
+        f"batch brute {brute_s:.1f}s vs served {served_s:.1f}s at "
+        f"shortlist fraction {frac:.3f}, vote agreement {agree:.3f}"
+    )
