@@ -922,6 +922,9 @@ def write_ann_index(
             "write_ann_index",
             kind="ann",
             display="banded ANN",
+            # dim parameterizes the planes too; stamped since r17,
+            # checked when present (r17 second review)
+            optional_knobs={"dim": dim},
         )
     planes = gaussian_planes(bands * rows_per_band, dim, seed)
     sig_udf = _band_sigs_udf(planes, bands, rows_per_band)
@@ -941,7 +944,7 @@ def write_ann_index(
     _write_index_fingerprint(
         embeddings.sparkSession, path,
         {"kind": "ann", "bands": bands,
-         "rows_per_band": rows_per_band, "seed": seed},
+         "rows_per_band": rows_per_band, "seed": seed, "dim": dim},
     )
     return path
 
@@ -2513,6 +2516,7 @@ def _require_stamped_knobs(
     knobs: dict,
     caller: str,
     fp: dict | None = None,
+    optional_knobs: dict | None = None,
 ) -> None:
     """Band-knob blind-spot guard (r15 verdict item 2): the ratio form
     `_require_band_ratio` catches a bands-COUNT mismatch but not a
@@ -2522,12 +2526,20 @@ def _require_stamped_knobs(
     silently returns (near-)empty candidates, wrong results not an
     error. The banded writers stamp all three knobs; when the caller
     passes the artifact root, verify the probe knobs against the
-    stamp exactly, refusing loudly on any disagreement."""
+    stamp exactly, refusing loudly on any disagreement.
+    ``optional_knobs`` are verified ONLY when the stamp carries them
+    (the migration rule for knobs stamped later than the family --
+    ``dim`` since r17: pre-r17 stamps pass unchecked, one rebuild or
+    append arms the check)."""
     if fp is None:
         fp = _read_stamped_fingerprint(spark, index_path, None, "", caller)
+    all_knobs = dict(knobs)
+    for k, v in (optional_knobs or {}).items():
+        if fp.get(k) is not None:
+            all_knobs[k] = v
     bad = {
         k: (fp.get(k), v)
-        for k, v in knobs.items()
+        for k, v in all_knobs.items()
         if fp.get(k) is None or int(fp[k]) != int(v)
     }
     if bad:
@@ -2615,6 +2627,7 @@ def _require_append_knobs(
     kind: str | None = None,
     display: str = "",
     data_dir: str = "bands",
+    optional_knobs: dict | None = None,
 ) -> None:
     """Banded APPEND knob guard (r16 review): an append whose knobs
     disagree with the existing stamp would hash the delta with
@@ -2650,7 +2663,9 @@ def _require_append_knobs(
         ) from None
     if kind is not None:
         _require_root_kind(spark, path, kind, display, caller, fp=fp)
-    _require_stamped_knobs(spark, path, knobs, caller, fp=fp)
+    _require_stamped_knobs(
+        spark, path, knobs, caller, fp=fp, optional_knobs=optional_knobs
+    )
 
 
 def _require_root_kind(
@@ -3541,6 +3556,9 @@ def _ann_dense_retriever(
     win); ``shortlist`` drives the six shortlist-re-rank kinds and is
     ignored by plain ``ivf`` (its probed cells carry full floats, so
     scoring is exact within the probe budget -- no re-rank stage).
+    Returns ``(retrieve, fp)`` -- the already-read fingerprint rides
+    back so the caller's nonce pin can snapshot without a second read
+    (`_pin_index(snapshot_nonce=...)`, r17 second review).
 
     Artifact guards at CONSTRUCTION time (before any stream starts):
     unstamped / non-servable kinds refuse distinctly; the PQ-family
@@ -3603,7 +3621,7 @@ def _ann_dense_retriever(
                     exclude_self,
                 )
 
-        return retrieve
+        return retrieve, fp
 
     if kind == "ivf":
         cells = spark.read.parquet(path + "/cells")
@@ -3615,7 +3633,7 @@ def _ann_dense_retriever(
                 batch, cells, cents, k, n_probe, exclude_self
             )
 
-        return retrieve
+        return retrieve, fp
 
     if kind in ("pq", "matryoshka", "quant"):
         scan_name = "prefixes" if kind == "matryoshka" else "codes"
@@ -3663,7 +3681,7 @@ def _ann_dense_retriever(
                     batch, scan, vecs, k, _sl(k), exclude_self
                 )
 
-        return retrieve
+        return retrieve, fp
 
     raise ValueError(
         f"{caller}: artifact at {path} is stamped kind={kind!r}, "
@@ -3690,7 +3708,10 @@ def _resolve_dense_constituent(
     rotate unpinned -- an explicit pin naming a DIFFERENT root
     refuses (a contradiction, not a second pin). Without it,
     ``index_vecs`` is the brute scan and must be present. Returns
-    (pin_path, ann_retrieve)."""
+    (pin_path, ann_retrieve, snapshot_nonce) -- the nonce from the
+    retriever's own fingerprint read, so the caller's pin snapshots
+    without a second read (r17 second review; None on the brute
+    path)."""
     if ann_index_path is not None:
         if pin_path is not None and pin_path != ann_index_path:
             raise ValueError(
@@ -3699,15 +3720,16 @@ def _resolve_dense_constituent(
                 "the ANN root as ann_index_path and leave the pin None "
                 "(it pins the same root)"
             )
-        return ann_index_path, _ann_dense_retriever(
+        retrieve, fp = _ann_dense_retriever(
             spark, ann_index_path, n_probe, shortlist, exclude_self, caller
         )
+        return ann_index_path, retrieve, fp.get("nonce")
     if index_vecs is None:
         raise ValueError(
             f"{caller}: pass index_vecs (brute dense scan) or "
             "ann_index_path (ANN serving) -- got neither"
         )
-    return pin_path, None
+    return pin_path, None, None
 
 
 def _write_index_fingerprint(spark: SparkSession, path: str, params: dict) -> None:
@@ -3862,6 +3884,7 @@ def ann_probe_stream(
             {"bands": bands, "rows_per_band": rows_per_band, "seed": seed},
             "ann_probe_stream",
             fp=fp,
+            optional_knobs={"dim": dim},
         )
     _require_band_ratio(index_bands, index_vecs, bands, "ann_probe_stream")
     planes = gaussian_planes(bands * rows_per_band, dim, seed)
@@ -4052,6 +4075,9 @@ def write_semantic_index(
             "write_semantic_index",
             kind="semantic",
             display="semantic near-dup",
+            # dim parameterizes the planes too; stamped since r17,
+            # checked when present (r17 second review)
+            optional_knobs={"dim": dim},
         )
     planes = gaussian_planes(bands * rows_per_band, dim, seed)
     sig_udf = _band_sigs_udf(planes, bands, rows_per_band)
@@ -4069,7 +4095,7 @@ def write_semantic_index(
     _write_index_fingerprint(
         embeddings.sparkSession, path,
         {"kind": "semantic", "bands": bands,
-         "rows_per_band": rows_per_band, "seed": seed},
+         "rows_per_band": rows_per_band, "seed": seed, "dim": dim},
     )
     return path
 
@@ -4182,6 +4208,8 @@ def semantic_probe_stream(
     same-ratio/wrong-seed probe (different planes, silently empty
     candidates). Plan-construction verification only; nonce pinning
     stays on `semantic_verdict_batches`."""
+    from ..llmdata.similarity import EMBEDDING_DIM
+
     knobs = _semantic_knobs(bands, rows_per_band, seed)
     if index_path is not None:
         # kind before knobs (see ann_probe_stream)
@@ -4192,6 +4220,9 @@ def semantic_probe_stream(
         _require_stamped_knobs(
             embeddings.sparkSession, index_path, knobs,
             "semantic_probe_stream", fp=fp,
+            optional_knobs={
+                "dim": EMBEDDING_DIM if dim is None else dim
+            },
         )
     _require_band_ratio(
         index_bands, index_vecs, knobs["bands"], "semantic_probe_stream"
@@ -4249,6 +4280,8 @@ def semantic_verdict_batches(
     ``bands``/``rows_per_band``/``seed`` knobs against the stamped
     build knobs (`_require_stamped_knobs`; a same-ratio/wrong-seed
     probe would silently emit keep=true for every row)."""
+    from ..llmdata.similarity import EMBEDDING_DIM as _SEM_EMBEDDING_DIM
+
     # the pin-target contract (a caller error) is disjoint from the
     # artifact-state guards below -- it fires only with index_path
     # None, so the kind/knob checks (index_path required) cannot
@@ -4266,6 +4299,9 @@ def semantic_verdict_batches(
         _require_stamped_knobs(
             embeddings.sparkSession, index_path, knobs,
             "semantic_verdict_batches", fp=fp,
+            optional_knobs={
+                "dim": _SEM_EMBEDDING_DIM if dim is None else dim
+            },
         )
         snapshot = fp.get("nonce")
     _check = _pin_index(
@@ -4820,7 +4856,26 @@ def write_rerank_index(
             kind="rerank",
             display="rerank",
             data_dir="corpus",
+            # dim parameterizes the planes exactly like n_bits/seed but
+            # is stamped only since r17 -- checked when present (r17
+            # second review)
+            optional_knobs={"dim": dim},
         )
+        # a retried delta must not land twice: duplicated corpus rows
+        # rank into consecutive top-k slots and push genuine neighbors
+        # out (the append family's shared rule; r17 second review)
+        from pyspark.errors import AnalysisException
+
+        try:
+            existing = embeddings.sparkSession.read.parquet(
+                path + "/corpus"
+            )
+        except AnalysisException:
+            existing = None  # fresh root: generation 0 appends cleanly
+        if existing is not None:
+            _require_disjoint_delta(
+                embeddings.select("vec_id"), existing, "write_rerank_index"
+            )
     (
         _signed_corpus(embeddings, n_bits, dim, seed)
         .write.mode(mode)
@@ -4828,7 +4883,7 @@ def write_rerank_index(
     )
     _write_index_fingerprint(
         embeddings.sparkSession, path,
-        {"kind": "rerank", "n_bits": n_bits, "seed": seed},
+        {"kind": "rerank", "n_bits": n_bits, "seed": seed, "dim": dim},
     )
     return path
 
@@ -4904,6 +4959,7 @@ def rerank_topk_batches(
             {"n_bits": n_bits, "seed": seed},
             "rerank_topk_batches",
             fp=fp,
+            optional_knobs={"dim": dim},
         )
         snapshot = fp.get("nonce")
     _check = _pin_index(
@@ -5067,7 +5123,7 @@ def knn_classify_batches(
     pin)."""
     from pyspark.sql import Window
 
-    index_path, ann_retrieve = _resolve_dense_constituent(
+    index_path, ann_retrieve, snapshot = _resolve_dense_constituent(
         queries.sparkSession, index_vecs, ann_index_path, index_path,
         n_probe, ann_shortlist, exclude_self, "knn_classify_batches",
     )
@@ -5079,6 +5135,7 @@ def knn_classify_batches(
         "ANN index at {path} was overwritten under a classify stream "
         "(fingerprint {now} != snapshot {expected}); rebuild the stream "
         "against the new index instead",
+        snapshot_nonce=snapshot,
     )
 
     def _emit(batch: DataFrame, _epoch: int) -> None:
@@ -5191,7 +5248,7 @@ def hybrid_rrf_batches(
     fusion_k = HYBRID_FUSION_K if fusion_k is None else fusion_k
     top_k = HYBRID_TOP_K if top_k is None else top_k
 
-    index_path, ann_retrieve = _resolve_dense_constituent(
+    index_path, ann_retrieve, snapshot = _resolve_dense_constituent(
         queries.sparkSession, index_vecs, ann_index_path, index_path,
         n_probe, ann_shortlist, True, "hybrid_rrf_batches",
     )
@@ -5204,6 +5261,7 @@ def hybrid_rrf_batches(
         "(fingerprint {now} != snapshot {expected}); the lexical list "
         "and dense corpus are construction-time snapshots -- rebuild "
         "the stream against the new index instead",
+        snapshot_nonce=snapshot,
     )
 
     lex_rows = [
@@ -6320,9 +6378,12 @@ def hybrid_rrf_keyword_batches(
     fusion_k = HYBRID_FUSION_K if fusion_k is None else fusion_k
     top_k = HYBRID_TOP_K if top_k is None else top_k
 
-    vecs_index_path, ann_retrieve = _resolve_dense_constituent(
-        queries.sparkSession, index_vecs, ann_index_path, vecs_index_path,
-        n_probe, ann_shortlist, False, "hybrid_rrf_keyword_batches",
+    vecs_index_path, ann_retrieve, vecs_snapshot = (
+        _resolve_dense_constituent(
+            queries.sparkSession, index_vecs, ann_index_path,
+            vecs_index_path, n_probe, ann_shortlist, False,
+            "hybrid_rrf_keyword_batches",
+        )
     )
     # pin-target contract first (a caller error), artifact-state torn
     # guard second -- the family precedence rule
@@ -6341,6 +6402,7 @@ def hybrid_rrf_keyword_batches(
         "hybrid keyword ANN vecs at {path} were overwritten under a "
         "probe stream (fingerprint {now} != snapshot {expected}); rebuild "
         "the probe stream against the new index instead",
+        snapshot_nonce=vecs_snapshot,
     )
     _require_bm25_untorn(postings, stats, "hybrid_rrf_keyword_batches")
 

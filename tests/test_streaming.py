@@ -6931,6 +6931,16 @@ def test_rerank_append_and_probe_verify_stamped_knobs(spark, tmp_path):
             q, corpus, str(tmp_path / "o2"), seed=7, index_path=idx
         )
 
+    # dim parameterizes the planes exactly like n_bits/seed: stamped
+    # since r17, a wrong-dim append or probe refuses (r17 second
+    # review); pre-r17 stamps without the key pass unchecked
+    with pytest.raises(ValueError, match="knobs disagree.*dim"):
+        write_rerank_index(delta, idx, dim=32, mode="append")
+    with pytest.raises(ValueError, match="knobs disagree.*dim"):
+        rerank_topk_batches(
+            q, corpus, str(tmp_path / "o3"), dim=32, index_path=idx
+        )
+
     # a matching-knob append still folds and re-stamps
     fp0 = spark.read.parquet(idx + "/fingerprint").collect()[0].asDict()
     write_rerank_index(delta, idx, mode="append")
@@ -6938,3 +6948,9 @@ def test_rerank_append_and_probe_verify_stamped_knobs(spark, tmp_path):
     assert fp1["nonce"] != fp0["nonce"]
     assert fp1["kind"] == "rerank" and int(fp1["n_bits"]) == 256
     assert spark.read.parquet(idx + "/corpus").count() == 150
+
+    # a RETRIED delta refuses instead of landing twice (duplicated
+    # corpus rows rank into consecutive top-k slots -- the append
+    # family's shared _require_disjoint_delta rule, r17 second review)
+    with pytest.raises(ValueError, match="must be disjoint"):
+        write_rerank_index(delta, idx, mode="append")
