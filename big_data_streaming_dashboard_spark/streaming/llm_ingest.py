@@ -926,6 +926,23 @@ def write_ann_index(
             # checked when present (r17 second review)
             optional_knobs={"dim": dim},
         )
+        # a retried delta must not land twice: the vecs join
+        # re-multiplies a duplicated corpus row after candidate dedup
+        # and it occupies two consecutive top-k slots (r17 third
+        # review). Unlike write_semantic_index -- whose duplicates are
+        # provably benign (candidate-pair dedup + MIN aggregate) and
+        # whose replay tolerance the curation append recovery relies
+        # on -- the standalone ANN root has no replay story to keep.
+        from pyspark.errors import AnalysisException
+
+        try:
+            existing = embeddings.sparkSession.read.parquet(path + "/vecs")
+        except AnalysisException:
+            existing = None  # fresh root: generation 0 appends cleanly
+        if existing is not None:
+            _require_disjoint_delta(
+                embeddings.select("vec_id"), existing, "write_ann_index"
+            )
     planes = gaussian_planes(bands * rows_per_band, dim, seed)
     sig_udf = _band_sigs_udf(planes, bands, rows_per_band)
     (
@@ -2599,24 +2616,37 @@ def _require_stamped_probe_dim(
 
 
 def _semantic_knobs(
-    bands: int | None, rows_per_band: int | None, seed: int
-) -> dict:
-    """The semantic family's banding-knob dict with the write-time
+    bands: int | None, rows_per_band: int | None, seed: int,
+    dim: int | None = None,
+) -> tuple[dict, dict]:
+    """The semantic family's banding-knob dicts with the write-time
     defaults resolved -- built in ONE place so the probe constructors,
     the verdict writer, and the append guard can never verify
-    different knob sets against the same artifact (r16 review)."""
+    different knob sets against the same artifact (r16 review).
+    Returns (required, optional): ``dim`` rides the optional dict
+    because it is stamped only since r17 (`_require_stamped_knobs`
+    checks it when the stamp carries the key); resolving it HERE
+    keeps the guard and the plan on one default (r17 third review --
+    the hand-resolved copies were exactly the drift class this
+    helper exists to kill)."""
     from ..llmdata.similarity import (
         DEFAULT_NEARDUP_BANDS,
         DEFAULT_NEARDUP_ROWS,
+        EMBEDDING_DIM,
     )
 
-    return {
-        "bands": DEFAULT_NEARDUP_BANDS if bands is None else bands,
-        "rows_per_band": (
-            DEFAULT_NEARDUP_ROWS if rows_per_band is None else rows_per_band
-        ),
-        "seed": seed,
-    }
+    return (
+        {
+            "bands": DEFAULT_NEARDUP_BANDS if bands is None else bands,
+            "rows_per_band": (
+                DEFAULT_NEARDUP_ROWS
+                if rows_per_band is None
+                else rows_per_band
+            ),
+            "seed": seed,
+        },
+        {"dim": EMBEDDING_DIM if dim is None else dim},
+    )
 
 
 def _require_append_knobs(
@@ -4068,16 +4098,17 @@ def write_semantic_index(
     dim = EMBEDDING_DIM if dim is None else dim
     mode = mode.lower()  # writer modes are case-insensitive downstream
     if mode == "append":
+        req, opt = _semantic_knobs(bands, rows_per_band, seed, dim)
         _require_append_knobs(
             embeddings.sparkSession,
             path,
-            _semantic_knobs(bands, rows_per_band, seed),
+            req,
             "write_semantic_index",
             kind="semantic",
             display="semantic near-dup",
             # dim parameterizes the planes too; stamped since r17,
             # checked when present (r17 second review)
-            optional_knobs={"dim": dim},
+            optional_knobs=opt,
         )
     planes = gaussian_planes(bands * rows_per_band, dim, seed)
     sig_udf = _band_sigs_udf(planes, bands, rows_per_band)
@@ -4208,9 +4239,7 @@ def semantic_probe_stream(
     same-ratio/wrong-seed probe (different planes, silently empty
     candidates). Plan-construction verification only; nonce pinning
     stays on `semantic_verdict_batches`."""
-    from ..llmdata.similarity import EMBEDDING_DIM
-
-    knobs = _semantic_knobs(bands, rows_per_band, seed)
+    knobs, opt_knobs = _semantic_knobs(bands, rows_per_band, seed, dim)
     if index_path is not None:
         # kind before knobs (see ann_probe_stream)
         fp = _require_root_kind(
@@ -4220,9 +4249,7 @@ def semantic_probe_stream(
         _require_stamped_knobs(
             embeddings.sparkSession, index_path, knobs,
             "semantic_probe_stream", fp=fp,
-            optional_knobs={
-                "dim": EMBEDDING_DIM if dim is None else dim
-            },
+            optional_knobs=opt_knobs,
         )
     _require_band_ratio(
         index_bands, index_vecs, knobs["bands"], "semantic_probe_stream"
@@ -4280,15 +4307,13 @@ def semantic_verdict_batches(
     ``bands``/``rows_per_band``/``seed`` knobs against the stamped
     build knobs (`_require_stamped_knobs`; a same-ratio/wrong-seed
     probe would silently emit keep=true for every row)."""
-    from ..llmdata.similarity import EMBEDDING_DIM as _SEM_EMBEDDING_DIM
-
     # the pin-target contract (a caller error) is disjoint from the
     # artifact-state guards below -- it fires only with index_path
     # None, so the kind/knob checks (index_path required) cannot
     # shadow it; the family test pins that call shape. The read
     # fingerprint seeds the unpinned snapshot -- one read (r17
     # review).
-    knobs = _semantic_knobs(bands, rows_per_band, seed)
+    knobs, opt_knobs = _semantic_knobs(bands, rows_per_band, seed, dim)
     snapshot = None
     if index_path is not None:
         # kind before knobs (see ann_probe_stream)
@@ -4299,9 +4324,7 @@ def semantic_verdict_batches(
         _require_stamped_knobs(
             embeddings.sparkSession, index_path, knobs,
             "semantic_verdict_batches", fp=fp,
-            optional_knobs={
-                "dim": _SEM_EMBEDDING_DIM if dim is None else dim
-            },
+            optional_knobs=opt_knobs,
         )
         snapshot = fp.get("nonce")
     _check = _pin_index(

@@ -1518,6 +1518,10 @@ def test_knn_serves_plain_byte_budget_kinds_at_10x(
         spark.read.parquet(f"{scale_dir}/embeddings.parquet"), spark
     )
     n_corpus = embs.count()
+    # fixture-size guard (the sibling canaries' rule): a shrunken
+    # fixture would cycle the qid derivation below and silently
+    # measure a smaller query set
+    assert n_corpus >= 20_000
 
     t0 = time.perf_counter()
     idx = str(tmp_path / kind)

@@ -6954,3 +6954,40 @@ def test_rerank_append_and_probe_verify_stamped_knobs(spark, tmp_path):
     # family's shared _require_disjoint_delta rule, r17 second review)
     with pytest.raises(ValueError, match="must be disjoint"):
         write_rerank_index(delta, idx, mode="append")
+
+
+def test_ann_append_refuses_retried_delta(spark, tmp_path):
+    """r17 third review: the standalone banded-ANN root gets the
+    append family's disjoint-delta rule too -- a retried delta landed
+    duplicate rows in bands AND vecs, and while the candidate dedup
+    absorbs the band side, the vecs join re-multiplies each duplicated
+    corpus row so it occupies two consecutive top-k slots. The
+    SEMANTIC writer deliberately stays replay-tolerant (its duplicates
+    are provably benign -- candidate-pair dedup + MIN aggregate -- and
+    `append_curation_index`'s documented crash recovery re-runs the
+    same delta)."""
+    from big_data_streaming_dashboard_spark.streaming.llm_ingest import (
+        write_ann_index,
+        write_semantic_index,
+    )
+    from big_data_streaming_dashboard_spark.tables import load_table
+
+    embs = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    base = embs.filter(F.col("vec_id") < 100)
+    delta = embs.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 130))
+    idx = write_ann_index(base, str(tmp_path / "ann"))
+    write_ann_index(delta, idx, mode="append")
+    with pytest.raises(ValueError, match="must be disjoint"):
+        write_ann_index(delta, idx, mode="append")
+    # overlapping (not just identical) deltas refuse too
+    with pytest.raises(ValueError, match="must be disjoint"):
+        write_ann_index(
+            embs.filter((F.col("vec_id") >= 120) & (F.col("vec_id") < 140)),
+            idx,
+            mode="append",
+        )
+    # the semantic writer's replay tolerance is unchanged (the
+    # curation recovery contract)
+    sidx = write_semantic_index(base, str(tmp_path / "sem"))
+    write_semantic_index(delta, sidx, mode="append")
+    write_semantic_index(delta, sidx, mode="append")  # replay: no raise
