@@ -1083,6 +1083,15 @@ def ivf_topk_batches(
     nonce discipline as the family; ``exclude_self`` as in
     `_dense_cosine_topk` (True for corpus-replay parity, False for
     external request ids)."""
+    snapshot = None
+    if index_path is not None:
+        # the nonce pin names a root; verify it IS this kind of root
+        # (r16 review), and let the read fingerprint seed the
+        # unpinned snapshot -- one read (r17)
+        snapshot = _read_stamped_fingerprint(
+            queries.sparkSession, index_path, "ivf", "IVF",
+            "ivf_topk_batches",
+        ).get("nonce")
     _check = _pin_index(
         queries.sparkSession,
         index_path,
@@ -1090,15 +1099,8 @@ def ivf_topk_batches(
         "IVF index at {path} was overwritten under a probe stream "
         "(fingerprint {now} != snapshot {expected}); rebuild the probe "
         "stream against the new index instead",
+        snapshot_nonce=snapshot,
     )
-    if index_path is not None:
-        # the nonce pin names a root; verify it IS this kind of root --
-        # a pin on some OTHER artifact passes every nonce check while
-        # the frames' true root rotates unpinned (r16 review)
-        _read_stamped_fingerprint(
-            queries.sparkSession, index_path, "ivf", "IVF",
-            "ivf_topk_batches",
-        )
     _centroid_count(index_centroids, "ivf_topk_batches")
 
     def _emit(batch: DataFrame, _epoch: int) -> None:
@@ -1318,6 +1320,15 @@ def pq_topk_batches(
     to the batch rule max(8k, corpus/8) via one count on the codes
     artifact at construction. Same ``checkpoint`` / pin / ``exclude_self``
     discipline as the family."""
+    snapshot = None
+    if index_path is not None:
+        # the nonce pin names a root; verify it IS this kind of root
+        # (r16 review), and let the read fingerprint seed the
+        # unpinned snapshot -- one read (r17)
+        snapshot = _read_stamped_fingerprint(
+            queries.sparkSession, index_path, "pq", "PQ",
+            "pq_topk_batches",
+        ).get("nonce")
     _check = _pin_index(
         queries.sparkSession,
         index_path,
@@ -1325,15 +1336,8 @@ def pq_topk_batches(
         "PQ index at {path} was overwritten under a probe stream "
         "(fingerprint {now} != snapshot {expected}); rebuild the probe "
         "stream against the new index instead",
+        snapshot_nonce=snapshot,
     )
-    if index_path is not None:
-        # the nonce pin names a root; verify it IS this kind of root --
-        # a pin on some OTHER artifact passes every nonce check while
-        # the frames' true root rotates unpinned (r16 review)
-        _read_stamped_fingerprint(
-            queries.sparkSession, index_path, "pq", "PQ",
-            "pq_topk_batches",
-        )
 
     codebooks = _load_codebooks(index_codebooks)
     n_corpus = _require_untorn(
@@ -1719,6 +1723,15 @@ def quant_topk_batches(
     `emb_quant_recall` measures). Default ``shortlist`` = the
     family's corpus/8 budget; same pin / checkpoint / ``exclude_self``
     discipline as the family."""
+    snapshot = None
+    if index_path is not None:
+        # the nonce pin names a root; verify it IS this kind of root
+        # (r16 review), and let the read fingerprint seed the
+        # unpinned snapshot -- one read (r17)
+        snapshot = _read_stamped_fingerprint(
+            queries.sparkSession, index_path, "quant", "quant",
+            "quant_topk_batches",
+        ).get("nonce")
     _check = _pin_index(
         queries.sparkSession,
         index_path,
@@ -1726,15 +1739,8 @@ def quant_topk_batches(
         "quant index at {path} was overwritten under a probe stream "
         "(fingerprint {now} != snapshot {expected}); rebuild the probe "
         "stream against the new index instead",
+        snapshot_nonce=snapshot,
     )
-    if index_path is not None:
-        # the nonce pin names a root; verify it IS this kind of root --
-        # a pin on some OTHER artifact passes every nonce check while
-        # the frames' true root rotates unpinned (r16 review)
-        _read_stamped_fingerprint(
-            queries.sparkSession, index_path, "quant", "quant",
-            "quant_topk_batches",
-        )
 
     n_corpus = _require_untorn(
         index_codes, index_vecs, "codes", "quant_topk_batches"
@@ -2273,6 +2279,15 @@ def ivf_quant_topk_batches(
     ``shortlist`` = the IVF family rule
     max(8k, corpus * n_probe / (8 * n_lists)); same pin / checkpoint
     / ``exclude_self`` discipline as the family."""
+    snapshot = None
+    if index_path is not None:
+        # the nonce pin names a root; verify it IS this kind of root
+        # (r16 review), and let the read fingerprint seed the
+        # unpinned snapshot -- one read (r17)
+        snapshot = _read_stamped_fingerprint(
+            queries.sparkSession, index_path, "ivfquant", "IVF-quant",
+            "ivf_quant_topk_batches",
+        ).get("nonce")
     _check = _pin_index(
         queries.sparkSession,
         index_path,
@@ -2280,15 +2295,8 @@ def ivf_quant_topk_batches(
         "IVF-quant index at {path} was overwritten under a probe stream "
         "(fingerprint {now} != snapshot {expected}); rebuild the probe "
         "stream against the new index instead",
+        snapshot_nonce=snapshot,
     )
-    if index_path is not None:
-        # the nonce pin names a root; verify it IS this kind of root --
-        # a pin on some OTHER artifact passes every nonce check while
-        # the frames' true root rotates unpinned (r16 review)
-        _read_stamped_fingerprint(
-            queries.sparkSession, index_path, "ivfquant", "IVF-quant",
-            "ivf_quant_topk_batches",
-        )
     n_lists = _centroid_count(index_centroids, "ivf_quant_topk_batches")
     n_corpus = _require_untorn(
         index_cells, index_vecs, "cells", "ivf_quant_topk_batches"
@@ -3212,6 +3220,15 @@ def ivfpq_topk_batches(
     PQ rule corpus/8 at n_probe == n_lists (the equivalence pin's
     premise). Same pin / checkpoint / ``exclude_self`` discipline as
     the family."""
+    snapshot = None
+    if index_path is not None:
+        # the nonce pin names a root; verify it IS this kind of root
+        # (r16 review), and let the read fingerprint seed the
+        # unpinned snapshot -- one read (r17)
+        snapshot = _read_stamped_fingerprint(
+            queries.sparkSession, index_path, "ivfpq", "IVF-PQ",
+            "ivfpq_topk_batches",
+        ).get("nonce")
     _check = _pin_index(
         queries.sparkSession,
         index_path,
@@ -3219,15 +3236,8 @@ def ivfpq_topk_batches(
         "IVF-PQ index at {path} was overwritten under a probe stream "
         "(fingerprint {now} != snapshot {expected}); rebuild the probe "
         "stream against the new index instead",
+        snapshot_nonce=snapshot,
     )
-    if index_path is not None:
-        # the nonce pin names a root; verify it IS this kind of root --
-        # a pin on some OTHER artifact passes every nonce check while
-        # the frames' true root rotates unpinned (r16 review)
-        _read_stamped_fingerprint(
-            queries.sparkSession, index_path, "ivfpq", "IVF-PQ",
-            "ivfpq_topk_batches",
-        )
 
     codebooks = _load_codebooks(index_codebooks)
     n_lists = _centroid_count(index_centroids, "ivfpq_topk_batches")
@@ -5638,27 +5648,22 @@ def split_verdict_batches(
 
     salt = SPLIT_SALT if salt is None else salt
 
-    _check = _pin_index(
-        docs.sparkSession,
-        index_path,
-        expected_fingerprint,
-        "split index at {path} was rebuilt under a running assignment "
-        "stream (fingerprint {now} != snapshot {expected}); assignments "
-        "must come from ONE artifact version -- rebuild the stream",
-    )
-
+    snapshot = None
     if index_path is not None:
         # build/serve knob consistency (r14 review): the cluster labels
         # were built at the stamped threshold/cap; probing at different
         # knobs silently voids the leakage guarantee (a 0.3-jaccard
         # near-dup of a training doc would fail a 0.5 probe verify and
         # draw an independent split). Old artifacts without the stamps
-        # are refused too -- rebuild with the stamping writer.
-        fp = (
-            docs.sparkSession.read.parquet(index_path + "/fingerprint")
-            .collect()[0]
-            .asDict()
+        # are refused too -- rebuild with the stamping writer. r17:
+        # kind verified first (a foreign root previously refused via
+        # the misleading "predates the stamping writer" message), and
+        # the one read seeds the pin snapshot.
+        fp = _require_root_kind(
+            docs.sparkSession, index_path, "split", "split",
+            "split_verdict_batches",
         )
+        snapshot = fp.get("nonce")
         stamped = {k: fp.get(k) for k in ("threshold", "max_bucket_size")}
         if any(v is None for v in stamped.values()):
             # distinct from a knob MISMATCH (r14 ADVICE): an unstamped
@@ -5685,6 +5690,16 @@ def split_verdict_batches(
                 "labels bake the build knobs in -- rebuild the index or "
                 "match the knobs"
             )
+
+    _check = _pin_index(
+        docs.sparkSession,
+        index_path,
+        expected_fingerprint,
+        "split index at {path} was rebuilt under a running assignment "
+        "stream (fingerprint {now} != snapshot {expected}); assignments "
+        "must come from ONE artifact version -- rebuild the stream",
+        snapshot_nonce=snapshot,
+    )
 
     labels_idx = index_clusters.select(
         F.col("doc_id").alias("index_doc_id"),
@@ -6291,6 +6306,15 @@ def bm25_topk_batches(
     ``index_path`` discipline as the rest of the serving family; a
     TORN postings/stats artifact refuses here, at construction
     (`_require_bm25_untorn` -- the shortlist family's rule)."""
+    snapshot = None
+    if index_path is not None:
+        # the nonce pin names a root; verify it IS this kind of root
+        # (r16 review), and let the read fingerprint seed the
+        # unpinned snapshot -- one read (r17)
+        snapshot = _read_stamped_fingerprint(
+            queries.sparkSession, index_path, "bm25", "bm25",
+            "bm25_topk_batches",
+        ).get("nonce")
     _check = _pin_index(
         queries.sparkSession,
         index_path,
@@ -6298,15 +6322,8 @@ def bm25_topk_batches(
         "bm25 index at {path} was overwritten under a probe stream "
         "(fingerprint {now} != snapshot {expected}); rebuild the probe "
         "stream against the new index instead",
+        snapshot_nonce=snapshot,
     )
-    if index_path is not None:
-        # the nonce pin names a root; verify it IS this kind of root --
-        # a pin on some OTHER artifact passes every nonce check while
-        # the frames' true root rotates unpinned (r16 review)
-        _read_stamped_fingerprint(
-            queries.sparkSession, index_path, "bm25", "bm25",
-            "bm25_topk_batches",
-        )
     _require_bm25_untorn(postings, stats, "bm25_topk_batches")
 
     def _emit(batch: DataFrame, _epoch: int) -> None:
