@@ -1083,15 +1083,9 @@ def ivf_topk_batches(
     nonce discipline as the family; ``exclude_self`` as in
     `_dense_cosine_topk` (True for corpus-replay parity, False for
     external request ids)."""
-    snapshot = None
-    if index_path is not None:
-        # the nonce pin names a root; verify it IS this kind of root
-        # (r16 review), and let the read fingerprint seed the
-        # unpinned snapshot -- one read (r17)
-        snapshot = _read_stamped_fingerprint(
-            queries.sparkSession, index_path, "ivf", "IVF",
-            "ivf_topk_batches",
-        ).get("nonce")
+    # kind-checked one-read snapshot (`_kind_snapshot`): the pin
+    # names a root -- verify it IS this kind of root and seed the
+    # unpinned nonce snapshot from the same read
     _check = _pin_index(
         queries.sparkSession,
         index_path,
@@ -1099,7 +1093,10 @@ def ivf_topk_batches(
         "IVF index at {path} was overwritten under a probe stream "
         "(fingerprint {now} != snapshot {expected}); rebuild the probe "
         "stream against the new index instead",
-        snapshot_nonce=snapshot,
+        snapshot_nonce=_kind_snapshot(
+            queries.sparkSession, index_path, "ivf", "IVF",
+            "ivf_topk_batches",
+        ),
     )
     _centroid_count(index_centroids, "ivf_topk_batches")
 
@@ -1320,15 +1317,9 @@ def pq_topk_batches(
     to the batch rule max(8k, corpus/8) via one count on the codes
     artifact at construction. Same ``checkpoint`` / pin / ``exclude_self``
     discipline as the family."""
-    snapshot = None
-    if index_path is not None:
-        # the nonce pin names a root; verify it IS this kind of root
-        # (r16 review), and let the read fingerprint seed the
-        # unpinned snapshot -- one read (r17)
-        snapshot = _read_stamped_fingerprint(
-            queries.sparkSession, index_path, "pq", "PQ",
-            "pq_topk_batches",
-        ).get("nonce")
+    # kind-checked one-read snapshot (`_kind_snapshot`): the pin
+    # names a root -- verify it IS this kind of root and seed the
+    # unpinned nonce snapshot from the same read
     _check = _pin_index(
         queries.sparkSession,
         index_path,
@@ -1336,7 +1327,10 @@ def pq_topk_batches(
         "PQ index at {path} was overwritten under a probe stream "
         "(fingerprint {now} != snapshot {expected}); rebuild the probe "
         "stream against the new index instead",
-        snapshot_nonce=snapshot,
+        snapshot_nonce=_kind_snapshot(
+            queries.sparkSession, index_path, "pq", "PQ",
+            "pq_topk_batches",
+        ),
     )
 
     codebooks = _load_codebooks(index_codebooks)
@@ -1723,15 +1717,9 @@ def quant_topk_batches(
     `emb_quant_recall` measures). Default ``shortlist`` = the
     family's corpus/8 budget; same pin / checkpoint / ``exclude_self``
     discipline as the family."""
-    snapshot = None
-    if index_path is not None:
-        # the nonce pin names a root; verify it IS this kind of root
-        # (r16 review), and let the read fingerprint seed the
-        # unpinned snapshot -- one read (r17)
-        snapshot = _read_stamped_fingerprint(
-            queries.sparkSession, index_path, "quant", "quant",
-            "quant_topk_batches",
-        ).get("nonce")
+    # kind-checked one-read snapshot (`_kind_snapshot`): the pin
+    # names a root -- verify it IS this kind of root and seed the
+    # unpinned nonce snapshot from the same read
     _check = _pin_index(
         queries.sparkSession,
         index_path,
@@ -1739,7 +1727,10 @@ def quant_topk_batches(
         "quant index at {path} was overwritten under a probe stream "
         "(fingerprint {now} != snapshot {expected}); rebuild the probe "
         "stream against the new index instead",
-        snapshot_nonce=snapshot,
+        snapshot_nonce=_kind_snapshot(
+            queries.sparkSession, index_path, "quant", "quant",
+            "quant_topk_batches",
+        ),
     )
 
     n_corpus = _require_untorn(
@@ -2279,15 +2270,9 @@ def ivf_quant_topk_batches(
     ``shortlist`` = the IVF family rule
     max(8k, corpus * n_probe / (8 * n_lists)); same pin / checkpoint
     / ``exclude_self`` discipline as the family."""
-    snapshot = None
-    if index_path is not None:
-        # the nonce pin names a root; verify it IS this kind of root
-        # (r16 review), and let the read fingerprint seed the
-        # unpinned snapshot -- one read (r17)
-        snapshot = _read_stamped_fingerprint(
-            queries.sparkSession, index_path, "ivfquant", "IVF-quant",
-            "ivf_quant_topk_batches",
-        ).get("nonce")
+    # kind-checked one-read snapshot (`_kind_snapshot`): the pin
+    # names a root -- verify it IS this kind of root and seed the
+    # unpinned nonce snapshot from the same read
     _check = _pin_index(
         queries.sparkSession,
         index_path,
@@ -2295,7 +2280,10 @@ def ivf_quant_topk_batches(
         "IVF-quant index at {path} was overwritten under a probe stream "
         "(fingerprint {now} != snapshot {expected}); rebuild the probe "
         "stream against the new index instead",
-        snapshot_nonce=snapshot,
+        snapshot_nonce=_kind_snapshot(
+            queries.sparkSession, index_path, "ivfquant", "IVF-quant",
+            "ivf_quant_topk_batches",
+        ),
     )
     n_lists = _centroid_count(index_centroids, "ivf_quant_topk_batches")
     n_corpus = _require_untorn(
@@ -3220,15 +3208,9 @@ def ivfpq_topk_batches(
     PQ rule corpus/8 at n_probe == n_lists (the equivalence pin's
     premise). Same pin / checkpoint / ``exclude_self`` discipline as
     the family."""
-    snapshot = None
-    if index_path is not None:
-        # the nonce pin names a root; verify it IS this kind of root
-        # (r16 review), and let the read fingerprint seed the
-        # unpinned snapshot -- one read (r17)
-        snapshot = _read_stamped_fingerprint(
-            queries.sparkSession, index_path, "ivfpq", "IVF-PQ",
-            "ivfpq_topk_batches",
-        ).get("nonce")
+    # kind-checked one-read snapshot (`_kind_snapshot`): the pin
+    # names a root -- verify it IS this kind of root and seed the
+    # unpinned nonce snapshot from the same read
     _check = _pin_index(
         queries.sparkSession,
         index_path,
@@ -3236,7 +3218,10 @@ def ivfpq_topk_batches(
         "IVF-PQ index at {path} was overwritten under a probe stream "
         "(fingerprint {now} != snapshot {expected}); rebuild the probe "
         "stream against the new index instead",
-        snapshot_nonce=snapshot,
+        snapshot_nonce=_kind_snapshot(
+            queries.sparkSession, index_path, "ivfpq", "IVF-PQ",
+            "ivfpq_topk_batches",
+        ),
     )
 
     codebooks = _load_codebooks(index_codebooks)
@@ -3816,6 +3801,27 @@ def _require_pin_target(
             "is checked against index_path's on-disk nonce, so without "
             "one it protects nothing -- pass the index root too"
         )
+
+
+def _kind_snapshot(
+    spark: SparkSession,
+    index_path: str | None,
+    kind: str,
+    display: str,
+    caller: str,
+) -> str | None:
+    """The strict kind-stamped sinks' one-read preamble (r17 fourth
+    review: it had been hand-copied into six sinks -- the
+    `_load_codebooks` consolidation class): when a root is pinned,
+    verify it IS this kind of root (a pin on some OTHER artifact
+    passes every nonce check while the frames' true root rotates
+    unpinned -- r16 review) and return its nonce to seed
+    `_pin_index`'s unpinned snapshot. None when unpinned."""
+    if index_path is None:
+        return None
+    return _read_stamped_fingerprint(
+        spark, index_path, kind, display, caller
+    ).get("nonce")
 
 
 def _pin_index(
@@ -5658,8 +5664,12 @@ def split_verdict_batches(
         # are refused too -- rebuild with the stamping writer. r17:
         # kind verified first (a foreign root previously refused via
         # the misleading "predates the stamping writer" message), and
-        # the one read seeds the pin snapshot.
-        fp = _require_root_kind(
+        # the one read seeds the pin snapshot. STRICT check: the
+        # split writer has stamped kind="split" since its first
+        # commit, so no kind-less split roots exist, and the
+        # migration-tolerant form would still mislead on a legacy
+        # kind-LESS foreign root (r17 fourth review).
+        fp = _read_stamped_fingerprint(
             docs.sparkSession, index_path, "split", "split",
             "split_verdict_batches",
         )
@@ -6306,15 +6316,9 @@ def bm25_topk_batches(
     ``index_path`` discipline as the rest of the serving family; a
     TORN postings/stats artifact refuses here, at construction
     (`_require_bm25_untorn` -- the shortlist family's rule)."""
-    snapshot = None
-    if index_path is not None:
-        # the nonce pin names a root; verify it IS this kind of root
-        # (r16 review), and let the read fingerprint seed the
-        # unpinned snapshot -- one read (r17)
-        snapshot = _read_stamped_fingerprint(
-            queries.sparkSession, index_path, "bm25", "bm25",
-            "bm25_topk_batches",
-        ).get("nonce")
+    # kind-checked one-read snapshot (`_kind_snapshot`): the pin
+    # names a root -- verify it IS this kind of root and seed the
+    # unpinned nonce snapshot from the same read
     _check = _pin_index(
         queries.sparkSession,
         index_path,
@@ -6322,7 +6326,10 @@ def bm25_topk_batches(
         "bm25 index at {path} was overwritten under a probe stream "
         "(fingerprint {now} != snapshot {expected}); rebuild the probe "
         "stream against the new index instead",
-        snapshot_nonce=snapshot,
+        snapshot_nonce=_kind_snapshot(
+            queries.sparkSession, index_path, "bm25", "bm25",
+            "bm25_topk_batches",
+        ),
     )
     _require_bm25_untorn(postings, stats, "bm25_topk_batches")
 

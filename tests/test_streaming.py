@@ -4474,6 +4474,31 @@ def test_streaming_split_honors_corpus_bucket_cap(spark, tmp_path):
             index_path=idx,
         )
 
+    # a pin naming a FOREIGN root refuses on KIND, with the accurate
+    # message -- not the misleading "predates the stamping writer"
+    # path a raw knob probe fell into (r17 fourth review). Strict
+    # check: split roots have stamped kind since their first commit.
+    from big_data_streaming_dashboard_spark.streaming.llm_ingest import (
+        write_rerank_index,
+    )
+    from big_data_streaming_dashboard_spark.tables import load_table
+
+    foreign = write_rerank_index(
+        load_table(spark, "/root/testdata/sf0.001", "embeddings").filter(
+            F.col("vec_id") < 50
+        ),
+        str(tmp_path / "foreign"),
+    )
+    with pytest.raises(ValueError, match="not a split index"):
+        split_verdict_batches(
+            stream_documents(spark, sdir),
+            spark.read.parquet(idx + "/bands"),
+            spark.read.parquet(idx + "/clusters"),
+            str(tmp_path / "out4"),
+            max_bucket_size=2,
+            index_path=foreign,
+        )
+
 
 def test_streaming_split_cadence_closes_straddle(spark, tmp_path):
     """r14 verdict item 7: the serving loop's documented delta (a) --
