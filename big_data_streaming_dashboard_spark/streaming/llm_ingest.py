@@ -1523,6 +1523,19 @@ def matryoshka_topk_batches(
     PLANS.md). Default ``shortlist`` = the family's corpus/8 budget.
     Same pin / checkpoint / ``exclude_self`` discipline as the
     family."""
+    fp = None
+    if index_path is not None:
+        # one read: kind check, the nonce snapshot, and (below) the
+        # pinned-width authority (r17). The fingerprint read is always
+        # fresh, so it stays valid across a rebuild -- unlike the
+        # caller-supplied frames, whose file listing a rebuild
+        # invalidates; the PIN verification must therefore run before
+        # any frame I/O (a stale pin refuses with the family message,
+        # never FAILED_READ_FILE).
+        fp = _read_stamped_fingerprint(
+            queries.sparkSession, index_path, "matryoshka", "matryoshka",
+            "matryoshka_topk_batches",
+        )
     _check = _pin_index(
         queries.sparkSession,
         index_path,
@@ -1530,15 +1543,18 @@ def matryoshka_topk_batches(
         "matryoshka index at {path} was overwritten under a probe stream "
         "(fingerprint {now} != snapshot {expected}); rebuild the probe "
         "stream against the new index instead",
+        snapshot_nonce=fp.get("nonce") if fp is not None else None,
     )
 
     probe_dim = frame_dim = _stored_dim(
         index_prefixes, "vp", "prefixes", "matryoshka_topk_batches"
     )
-    if index_path is not None:
+    if fp is not None:
+        # frames are caller-supplied, so same_root=False keeps the
+        # frame/path-mismatch message
         probe_dim = _require_stamped_probe_dim(
             queries.sparkSession, index_path, "matryoshka", "matryoshka",
-            frame_dim, "matryoshka_topk_batches",
+            frame_dim, "matryoshka_topk_batches", fp=fp, same_root=False,
         )
     n_corpus = _require_untorn(
         index_prefixes, index_vecs, "prefixes", "matryoshka_topk_batches"
@@ -1982,6 +1998,15 @@ def ivf_matryoshka_topk_batches(
     (refusing a frame/path mismatch -- the matryoshka r15 ADVICE
     rule); same pin / checkpoint / ``exclude_self`` discipline as the
     family."""
+    fp = None
+    if index_path is not None:
+        # one read: kind check, the nonce snapshot, and (below) the
+        # pinned-width authority (r17); pin verification stays ahead
+        # of any frame I/O -- see matryoshka_topk_batches
+        fp = _read_stamped_fingerprint(
+            queries.sparkSession, index_path, "ivfmat", "IVF-matryoshka",
+            "ivf_matryoshka_topk_batches",
+        )
     _check = _pin_index(
         queries.sparkSession,
         index_path,
@@ -1989,15 +2014,19 @@ def ivf_matryoshka_topk_batches(
         "IVF-matryoshka index at {path} was overwritten under a probe "
         "stream (fingerprint {now} != snapshot {expected}); rebuild the "
         "probe stream against the new index instead",
+        snapshot_nonce=fp.get("nonce") if fp is not None else None,
     )
 
     probe_dim = frame_dim = _stored_dim(
         index_cells, "vp", "cells", "ivf_matryoshka_topk_batches"
     )
-    if index_path is not None:
+    if fp is not None:
+        # frames are caller-supplied, so same_root=False keeps the
+        # frame/path-mismatch message
         probe_dim = _require_stamped_probe_dim(
             queries.sparkSession, index_path, "ivfmat", "IVF-matryoshka",
-            frame_dim, "ivf_matryoshka_topk_batches",
+            frame_dim, "ivf_matryoshka_topk_batches", fp=fp,
+            same_root=False,
         )
     n_lists = _centroid_count(index_centroids, "ivf_matryoshka_topk_batches")
     n_corpus = _require_untorn(
@@ -2576,6 +2605,7 @@ def _require_stamped_probe_dim(
     frame_dim: int,
     caller: str,
     fp: dict | None = None,
+    same_root: bool | None = None,
 ) -> int:
     """The prefix family's pinned-width rule in ONE place (r15 ADVICE
     item 2; hand-rolled three times by mid-r16 -- the `_load_codebooks`
@@ -2587,8 +2617,13 @@ def _require_stamped_probe_dim(
     ``fp`` when the frames were read from the pinned root ITSELF (the
     dense-retriever case): it skips a second fingerprint read and
     reports a width disagreement accurately as a MIXED artifact
-    instead of a frame/path mismatch (r16 second review)."""
-    same_root = fp is not None
+    instead of a frame/path mismatch (r16 second review). A caller
+    whose frames are CALLER-SUPPLIED (not necessarily from the pinned
+    root) but who already read the fingerprint for its kind check
+    passes ``same_root=False`` alongside ``fp`` -- one read without
+    flipping the message semantics (r17)."""
+    if same_root is None:
+        same_root = fp is not None
     if fp is None:
         fp = _read_stamped_fingerprint(
             spark, index_path, kind, display, caller
