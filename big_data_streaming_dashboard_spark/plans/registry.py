@@ -1514,78 +1514,78 @@ WHERE s._emit""",
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW: list[str] = [
-    # r17 window, computed by plans/rotation.py (pasted verbatim).
-    # 2 rows-only + ALL 37 r14-attested queries (mandatory at their
-    # 3-round bound, newest driver row r14) + the 11 stalest of the
-    # 48-query r15-attested block = exactly 50 slots, ZERO slack
-    # (recomputed from the sixteen ledgers in-session: the window's
-    # 48 non-rows-only names split {r14: 37, r15: 11} -- the r16
-    # verdict's "all 48 r14-attested" wording mislabeled the blocks;
-    # the tool's names are authoritative and match). The registry
-    # remains FROZEN at 135 (binding capacity arithmetic, r14 verdict
-    # item 2): 135 = 50 (r16) + 48 (r15) + 37 (r14); steady state
-    # cycles three blocks (50/48/37). New work ships as depth on
-    # existing slots; unfreezing requires amending the bound to
-    # 4 rounds here as an explicit documented decision.
-    # r18 swap plan (run the tool; it accounts for this): after a
-    # successful r17 run the 37 r15-attested queries left out here
-    # reach their bound in r18 staggered (11 rotate here; the
+    # r18 window, computed by plans/rotation.py (pasted verbatim).
+    # 2 rows-only + ALL 37 r15-attested queries (mandatory at their
+    # 3-round bound, newest driver row r15) + the 11 stalest
+    # (alphabetically-first, all tied at newest-row r16) of the
+    # 48-query r16-attested block = exactly 50 slots, ZERO slack
+    # (recomputed from the seventeen ledgers in-session; split
+    # verified {r15: 37, r16: 11} via rotation.attestation_ledger).
+    # The registry remains FROZEN at 135 (binding capacity
+    # arithmetic, r14 verdict item 2): 135 = 50 (r17) + 48 (r16)
+    # + 37 (r15); steady state cycles three blocks (50/48/37).
+    # New work ships as depth on existing slots; unfreezing
+    # requires amending the bound to 4 rounds here as an explicit
+    # documented decision.
+    # r19 swap plan (run the tool; it accounts for this): after a
+    # successful r18 run the 37 r16-attested queries left out here
+    # reach their bound in r19 staggered (11 rotate here; the
     # remaining 37 hit the bound next round).
     # rows-only by design -- permanently in-window per r3 advice
     "approx_aggregates",
     "media_feature_census",
-    # --- 37 mandatory: the r14-attested block, at its 3-round
-    # LRU bound (newest driver row r14) ---
-    "doc_bm25_topk",
-    "doc_chunk_spans",
-    "doc_corpus_census",
-    "doc_hybrid_rrf_topk",
-    "doc_source_overlap",
-    "doc_split_leakage_safe",
-    "doc_subword_stats",
-    "downsample_5min",
-    "emb_hamming_topk",
-    "emb_ivf_topk_tuned",
-    "emb_knn_label_vote",
-    "emb_label_centroids",
-    "emb_lsh_topk",
-    "emb_matryoshka_recall",
-    "emb_neardup_pairs",
-    "emb_pq_topk",
-    "emb_quant_recall",
-    "emb_quantize_int8",
-    "emb_rerank_topk",
-    "emb_topk_cosine",
-    "flagship_event_stats",
-    "local_supplier_volume",
-    "moving_avg_events",
-    "national_part_share",
-    "promo_revenue_share",
-    "range_join_signup_events",
-    "recent_points",
-    "regional_min_quote",
-    "returned_top_customers",
-    "rolling_stats",
-    "route_counts",
-    "routed_records",
-    "session_window_events",
-    "silver_error_breakdown",
-    "silver_validate",
-    "user_sessions",
-    "value_percentiles",
+    # --- 37 mandatory: the r15-attested block, at its 3-round
+    # LRU bound (newest driver row r15) ---
+    "doc_curation_funnel",
+    "doc_dedupe_lines",
+    "doc_langid",
+    "doc_neardup_cluster_sizes",
+    "doc_neardup_recall_hi",
+    "doc_normalize",
+    "doc_pii_redact",
+    "doc_quality",
+    "doc_rolling_fingerprint",
+    "doc_shard_packing",
+    "doc_simhash",
+    "doc_tfidf_top_terms",
+    "doc_vocab_coverage",
+    "emb_ivf_recall",
+    "emb_kmeans",
+    "emb_pq_recall",
+    "event_funnel",
+    "exact_distinct_quantiles",
+    "full_pipeline",
+    "geojson_features",
+    "grid_cluster",
+    "idle_customer_balance",
+    "level_filter_high",
+    "pivot_event_counts",
+    "pricing_summary",
+    "rollup_pricing",
+    "segment_semi_anti",
+    "severity_ws_counts",
+    "shipping_priority",
+    "small_quantity_revenue",
+    "temporal_batch_annotate",
+    "temporal_union",
+    "top_supplier_revenue",
+    "user_set_ops",
+    "value_anomalies",
+    "weekly_cohort_retention",
+    "window_zoo",
     # --- 11 stalest others: alphabetically-first of the 48-query
-    # r15-attested block (all tied at newest-row r15) ---
-    "above_user_avg",
-    "bi_nation_volume",
-    "brand_supplier_variety",
-    "bronze_radiation",
-    "cube_order_stats",
-    "dedup_first_occurrence",
-    "disjunctive_brand_revenue",
-    "doc_bpe_encode",
-    "doc_bpe_merges",
-    "doc_containment_pairs",
-    "doc_contamination",
+    # r16-attested block (all tied at newest-row r16) ---
+    "activity_reconcile",
+    "alerts_active",
+    "alerts_cooldown",
+    "alerts_cooldown_exact",
+    "alerts_ws_messages",
+    "asof_latest_order",
+    "brand_supplier_margin",
+    "customer_order_histogram",
+    "customer_revenue_pareto",
+    "discount_band_revenue",
+    "doc_bigram_lm",
 ]
 
 # Fail fast at import: a DRIVER_WINDOW name with no QUERIES entry would
