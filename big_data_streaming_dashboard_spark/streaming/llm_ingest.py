@@ -945,18 +945,26 @@ def write_ann_index(
             )
     planes = gaussian_planes(bands * rows_per_band, dim, seed)
     sig_udf = _band_sigs_udf(planes, bands, rows_per_band)
-    (
-        embeddings.select("vec_id", sig_udf("embedding").alias("sigs"))
-        .select("vec_id", F.posexplode("sigs").alias("band", "sig"))
-        .write.mode(mode)
-        .parquet(path + "/bands")
-    )
+    # vecs lands FIRST because it is the directory the retried-delta
+    # guard above reads: with bands-first, a crash between the two
+    # writes leaves a delta whose vec_ids are absent from vecs, so a
+    # retry of the SAME delta passes the guard and double-appends
+    # bands -- the exact torn state the guard exists to refuse,
+    # surfacing only later as a _require_band_ratio rebuild (r17
+    # ADVICE). Vecs-first, the retry of a partially-landed delta
+    # refuses at append time.
     (
         embeddings.select(
             "vec_id", "label", _dvec("embedding").alias("vec")
         )
         .write.mode(mode)
         .parquet(path + "/vecs")
+    )
+    (
+        embeddings.select("vec_id", sig_udf("embedding").alias("sigs"))
+        .select("vec_id", F.posexplode("sigs").alias("band", "sig"))
+        .write.mode(mode)
+        .parquet(path + "/bands")
     )
     _write_index_fingerprint(
         embeddings.sparkSession, path,
@@ -2718,9 +2726,9 @@ def _require_append_knobs(
         except AnalysisException:
             return  # genuinely fresh: no stamp, no data
         raise ValueError(
-            f"{caller}: {data_dir} exist at {path} but the root is "
-            "unstamped -- a build crashed before its fingerprint stamp; "
-            "rebuild the index"
+            f"{caller}: data ({data_dir}) exists at {path} but the root "
+            "is unstamped -- a build crashed before its fingerprint "
+            "stamp; rebuild the index"
         ) from None
     if kind is not None:
         _require_root_kind(spark, path, kind, display, caller, fp=fp)
@@ -3614,8 +3622,10 @@ def _ann_dense_retriever(
     kinds and is ignored by the flat kinds (their coarse stage is a
     full-corpus code/prefix scan -- the byte win, not a partition
     win); ``shortlist`` drives the six shortlist-re-rank kinds and is
-    ignored by plain ``ivf`` (its probed cells carry full floats, so
-    scoring is exact within the probe budget -- no re-rank stage).
+    REFUSED on plain ``ivf`` (its probed cells carry full floats, so
+    scoring is exact within the probe budget -- no re-rank stage; a
+    supplied shortlist would protect nothing, so it raises per the
+    family's no-op-knob idiom).
     Returns ``(retrieve, fp)`` -- the already-read fingerprint rides
     back so the caller's nonce pin can snapshot without a second read
     (`_pin_index(snapshot_nonce=...)`, r17 second review).
@@ -3684,6 +3694,20 @@ def _ann_dense_retriever(
         return retrieve, fp
 
     if kind == "ivf":
+        if shortlist is not None:
+            # plain ivf has no re-rank stage (probed cells carry full
+            # floats, scoring is exact within the probe budget), so a
+            # caller-supplied shortlist would protect nothing -- refuse
+            # loudly, matching the family's no-op-knob idiom (r13
+            # ADVICE on no-op pins; r17 ADVICE flagged the silent
+            # docstring-only ignore here).
+            raise ValueError(
+                f"{caller}: shortlist={shortlist} has no effect on a "
+                "plain 'ivf' root (its probed cells are scored exactly "
+                "on full floats -- there is no re-rank stage); drop the "
+                "knob or serve a shortlist kind (ivfpq/ivfmat/ivfquant/"
+                "pq/matryoshka/quant)"
+            )
         cells = spark.read.parquet(path + "/cells")
         cents = spark.read.parquet(path + "/centroids")
         _centroid_count(cents, caller)

@@ -6887,14 +6887,26 @@ def test_rag_dense_retriever_serves_plain_kinds(spark, tmp_path, kind):
         stream_embeddings(spark, qdir), index_vecs, out_b, k=5,
     ).awaitTermination(120)
     out_a = str(tmp_path / "served")
+    # plain ivf REFUSES a shortlist (no re-rank stage -- the knob
+    # would protect nothing; r17 ADVICE): full budget there is
+    # n_probe = n_lists alone.
+    shortlist = None if kind == "ivf" else n_corpus
     knn_classify_batches(
         stream_embeddings(spark, qdir), None, out_a, k=5,
-        ann_index_path=idx, n_probe=4, ann_shortlist=n_corpus,
+        ann_index_path=idx, n_probe=4, ann_shortlist=shortlist,
     ).awaitTermination(120)
 
     brute = sorted(map(tuple, spark.read.parquet(out_b).collect()))
     served = sorted(map(tuple, spark.read.parquet(out_a).collect()))
     assert served == brute and served
+
+    if kind == "ivf":
+        with pytest.raises(ValueError, match="no effect on a plain 'ivf'"):
+            knn_classify_batches(
+                stream_embeddings(spark, qdir), None,
+                str(tmp_path / "refused"), k=5,
+                ann_index_path=idx, n_probe=4, ann_shortlist=n_corpus,
+            )
 
 
 def test_rerank_append_and_probe_verify_stamped_knobs(spark, tmp_path):
@@ -7011,6 +7023,25 @@ def test_ann_append_refuses_retried_delta(spark, tmp_path):
             idx,
             mode="append",
         )
+    # r18 (r17 ADVICE): the guard reads VECS, so vecs must land FIRST
+    # -- with bands-first, a crash between the two writes leaves the
+    # delta absent from vecs and a retry passes the guard, silently
+    # double-appending bands. Simulate the partial-crash state (vecs
+    # landed, bands didn't) and pin that the retry refuses at append
+    # time instead.
+    from big_data_streaming_dashboard_spark.llmdata.similarity import _dvec
+
+    delta2 = embs.filter((F.col("vec_id") >= 130) & (F.col("vec_id") < 150))
+    bands_before = spark.read.parquet(idx + "/bands").count()
+    (
+        delta2.select("vec_id", "label", _dvec("embedding").alias("vec"))
+        .write.mode("append")
+        .parquet(idx + "/vecs")
+    )
+    with pytest.raises(ValueError, match="must be disjoint"):
+        write_ann_index(delta2, idx, mode="append")
+    assert spark.read.parquet(idx + "/bands").count() == bands_before
+
     # the semantic writer's replay tolerance is unchanged (the
     # curation recovery contract)
     sidx = write_semantic_index(base, str(tmp_path / "sem"))
