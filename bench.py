@@ -194,7 +194,15 @@ TENX = [
     # built to make its seconds hotter, which is where the
     # count-agg + broadcast-join-back plan's premise actually holds
     # (the sf0.1 fixture is ~1 Hz, so its per-second dim degenerates
-    # to row-per-row; see operators/temporal.py docstring)
+    # to row-per-row; see operators/temporal.py docstring).
+    # r18 HISTORY RESET: this entry had silently included the shared
+    # silver->dedup->points persist materialization (~5-10 s at 10x;
+    # full_pipeline builds its OWN pipeline, so nothing upstream in
+    # TENX warms the shared stage) -- the r15-r17 4.5/16.6/12.4 s
+    # swings were THAT shuffle's variance, not the W4 join (stable
+    # 0.7-1.7 s, plan verified BroadcastHashJoin on a quiet box).
+    # The shared stage is now warmed untimed before the loop
+    # (storage ledger: shared_pipeline_warm_s); comparable from r18.
     "temporal_batch_annotate",
     # r11: the new 3-table two-sided-pushdown top-k shape (orders
     # replicate with remapped orderkeys, so the date-filtered join
@@ -361,6 +369,117 @@ def _warm_page_cache(*dirs: str) -> dict[str, float]:
     return ledger
 
 
+# r18 (r17 verdict item 3): the sf10x canaries have now cost THREE
+# consecutive rounds of builder+judge adjudication of load-correlated
+# noise (r15 load 10.8, r16 4.5, r17 8.8 -- walls tracked the load,
+# not the code). The bench recorded load but never acted on it; these
+# convert that labor into a mechanical per-rep gate. load1 (the 1-min
+# EMA) is the WRONG gate signal mid-bench: it is confounded by the
+# bench's own just-finished 32-thread queries for minutes after they
+# end. The gate therefore samples /proc/loadavg's 4th field
+# (instantaneous runnable/total) while OUR session is idle between
+# reps: every runnable thread at sample time minus ourselves is
+# external by construction. load1 is still stamped for continuity
+# with load_avg_at_start history.
+TENX_LOAD_THRESHOLD = 2.0
+# total settle sleep across the whole 10x block -- the bench must fit
+# the driver's ~10-minute envelope, so a persistently-loaded box gets
+# annotated (contended: true), never an unbounded wait
+TENX_SETTLE_BUDGET_S = 120.0
+
+
+def _external_runnable(samples: int = 5, interval_s: float = 0.2) -> float:
+    """Mean count of OTHER runnable threads right now: /proc/loadavg
+    field 4 is 'runnable/total' at read time; our python thread is
+    runnable while reading, so subtract 1. Unconfounded by the 1-min
+    EMA's memory of our own finished Spark stages."""
+    vals: list[float] = []
+    for _ in range(samples):
+        try:
+            with open("/proc/loadavg") as f:
+                runnable = int(f.read().split()[3].split("/")[0])
+        except (OSError, ValueError, IndexError):
+            return -1.0  # non-Linux: gate disarms, stamp records -1
+        vals.append(max(0, runnable - 1))
+        time.sleep(interval_s)
+    return round(sum(vals) / len(vals), 2)
+
+
+def _rep_load_gate(settle_budget: list) -> dict:
+    """Pre-rep gate: if external runnable load exceeds the threshold,
+    sleep in 15 s slices (shared block budget, annotate-and-retry
+    policy) until it decays or the budget is gone; stamp what the rep
+    actually started at. `contended: true` marks a draw that STARTED
+    loaded despite the settle -- cross-round canary tooling must
+    discard it rather than adjudicate it (the r15-r17 lesson)."""
+    ext = _external_runnable()
+    waited = 0.0
+    while ext > TENX_LOAD_THRESHOLD and settle_budget[0] > 0:
+        step = min(15.0, settle_budget[0])
+        time.sleep(step)
+        settle_budget[0] -= step
+        waited += step
+        ext = _external_runnable()
+    stamp = {
+        "ext_runnable": ext,
+        "load1": round(os.getloadavg()[0], 2),
+    }
+    if waited:
+        stamp["settle_s"] = round(waited, 1)
+    if ext > TENX_LOAD_THRESHOLD:
+        stamp["contended"] = True
+    return stamp
+
+
+_SIZE_UNITS = {"B": 1, "KiB": 1 << 10, "MiB": 1 << 20, "GiB": 1 << 30, "TiB": 1 << 40}
+
+
+def _parse_size(s: str) -> float:
+    """Parse a size SQLMetric's display string: a 'total (min, med,
+    max (stageId: taskId))' HEADER line, then the value line whose
+    leading token pair is the total in Utils.bytesToString format
+    ('19.6 KiB (4.9 KiB, ...)')."""
+    line = s.strip().splitlines()[-1]
+    parts = line.split()
+    return float(parts[0]) * _SIZE_UNITS[parts[1]]
+
+
+def _last_exec_shuffle_mb(spark) -> float:
+    """Total 'shuffle bytes written' across every exchange of the
+    session's LAST completed SQL execution, read from the SQL status
+    store's own aggregated metrics. For a fixed plan this footprint
+    is DETERMINISTIC (same partitioning, same rows), so it is the
+    noise-immune plan-regression tripwire the containment canary
+    needs: its cold WALL swings ~3x with VM disk throughput
+    invisible to every load metric (r18 adjudication), and disk-walk
+    deltas of the blockmgr dirs race the async context cleaner
+    (validated: a mid/post-draw GC zeroes them). The store's
+    formatted totals ('2.2 GiB') cost ~1% precision -- irrelevant
+    for a tripwire whose failure mode is a 10-30x candidate
+    blowup."""
+    try:
+        store = spark._jsparkSession.sharedState().statusStore()
+        execs = store.executionsList()
+        if execs.isEmpty():
+            return -1.0
+        last = execs.apply(execs.size() - 1)
+        vals = store.executionMetrics(last.executionId())
+        metrics = last.metrics()
+        total = 0.0
+        seen: set = set()  # AQE re-lists a metric per plan version
+        for i in range(metrics.size()):
+            m = metrics.apply(i)
+            acc = m.accumulatorId()
+            if m.name() == "shuffle bytes written" and acc not in seen:
+                seen.add(acc)
+                v = vals.get(acc)
+                if v.isDefined():
+                    total += _parse_size(v.get())
+        return round(total / (1 << 20), 1)
+    except Exception:
+        return -1.0
+
+
 def _storage_bytes(spark) -> int:
     """Executor storage memory currently held by persisted RDDs --
     recorded around the pre-TENX cache release so a contaminated 10x
@@ -515,39 +634,76 @@ def main() -> None:
             # single-rep TENX entries are the ones r11's eviction
             # inflated up to 5x
             warmup_s.update(_warm_page_cache(scale_dir))
+            # r18 (r17 verdict item 2, temporal adjudication): the
+            # shared silver->dedup->points stage is materialized
+            # UNTIMED here, because full_pipeline builds its OWN
+            # pipeline (batch_pipeline) -- so temporal_batch_annotate
+            # was the FIRST consumer of the shared stage at 10x and
+            # its timed wall had included the ~5-10 s persist
+            # materialization (a big shuffle, the actual source of
+            # the r15-r17 4.5->16.6 s "regressions"; the W4 join the
+            # canary exists for measures 0.7-1.7 s and never moved).
+            # HISTORY RESET: temporal_batch_annotate's 10x ledger is
+            # comparable only from r18 on.
+            from big_data_streaming_dashboard_spark.plans.registry import (
+                _points,
+            )
+
+            t0 = time.perf_counter()
+            _points(spark, scale_dir).count()
+            storage["shared_pipeline_warm_s"] = round(
+                time.perf_counter() - t0, 4
+            )
             from big_data_streaming_dashboard_spark.llmdata import dedup as dd
 
+            settle_budget = [TENX_SETTLE_BUDGET_S]
             for name in TENX:
                 if name in TENX_COLD_REPS:
                     # iid cold draws: engine caches + Spark cache
                     # cleared before EACH rep; compact line = min of
                     # cold (see TENX_COLD_REPS comment)
                     cold_totals: list[float] = []
-                    for _ in range(TENX_COLD_REPS[name]):
+                    rep_loads: dict[str, object] = {}
+                    for i in range(TENX_COLD_REPS[name]):
                         clear_engine_caches()
                         spark.catalog.clearCache()
+                        rep_loads[f"load_{i + 1}"] = _rep_load_gate(
+                            settle_budget
+                        )
                         t, _, _, _ = _time_query(
                             fns[name], spark, scale_dir, reps=1
                         )
                         cold_totals.append(t)
+                        # the draw's shuffle-bytes footprint (from
+                        # the noop write's own execution metrics --
+                        # it is the session's last SQL execution
+                        # here): the mechanical plan-regression
+                        # tripwire; the wall is advisory (see
+                        # _last_exec_shuffle_mb).
+                        rep_loads[f"shuffle_mb_{i + 1}"] = (
+                            _last_exec_shuffle_mb(spark)
+                        )
                     tenx[name] = round(min(cold_totals), 4)
                     tenx_reps_detail[name] = {
                         f"cold_s_{i + 1}": v
                         for i, v in enumerate(cold_totals)
                     }
+                    tenx_reps_detail[name].update(rep_loads)
                     continue
                 reps = TENX_REPS.get(name, 1)
+                load_stamp = _rep_load_gate(settle_budget)
                 tenx[name], _, _, rep_totals = _time_query(
                     fns[name], spark, scale_dir, reps=reps
                 )
+                tenx_reps_detail.setdefault(name, {})["load"] = load_stamp
                 if reps > 1:
                     # report COLD (rep 0); both reps go to the detail
                     # ledger (see TENX_REPS comment)
                     tenx[name] = rep_totals[0]
-                    tenx_reps_detail[name] = {
-                        "cold_s": rep_totals[0],
-                        "warm_s": round(min(rep_totals[1:]), 4),
-                    }
+                    tenx_reps_detail[name].update(
+                        cold_s=rep_totals[0],
+                        warm_s=round(min(rep_totals[1:]), 4),
+                    )
             # candidate/output pair counts beside the containment 10x
             # time (r7 verdict: the counts make the output-bound wall
             # self-evident). GATED since r12: the CollectMetrics taps
@@ -601,8 +757,15 @@ def main() -> None:
         sf10x_reps=tenx_reps_detail,
         # rep semantics (r14): cold_s_N are iid cache-cleared draws,
         # compared cross-round via their MIN; warm_s is advisory only
-        # (warm >= cold reads as a contended box, never a regression)
-        sf10x_rep_semantics="min-of-cold is the comparison key; warm advisory",
+        # (warm >= cold reads as a contended box, never a regression).
+        # r18: every rep carries a pre-rep load stamp (ext_runnable =
+        # instantaneous OTHER-thread runnable count, the gate signal;
+        # load1 = the EMA, history-confounded, for continuity);
+        # contended:true marks a draw that started above the gate
+        # threshold after the settle budget -- DISCARD it cross-round,
+        # never adjudicate it (r17 verdict item 3).
+        sf10x_rep_semantics="min-of-cold is the comparison key; warm "
+        "advisory; discard contended:true draws",
         # r15: both block totals; compact carries the min block (r14
         # verdict item 4 -- block-level noise suppression, same policy
         # class as min-of-cold)

@@ -4158,7 +4158,19 @@ def write_semantic_index(
     pinned running probe must fail over to a new stream). An APPEND
     whose knobs disagree with the existing stamp refuses
     (`_require_append_knobs` -- it would hash the delta with
-    different planes and then bless them in the re-stamp)."""
+    different planes and then bless them in the re-stamp).
+
+    DELIBERATELY replay-tolerant (no disjoint-delta guard, unlike
+    the ann/rerank appends): `append_curation_index`'s documented
+    crash recovery re-runs the SAME delta, and the duplicate
+    band/vec rows a replay lands are benign through the verdict
+    derivation -- candidate dedup collapses duplicated band
+    collisions, the groupBy(vec_id).min aggregate collapses
+    duplicated vec rows' repeated hits. PROVEN (r17 verdict item 5),
+    not just asserted: tests/test_streaming.py::
+    test_semantic_replay_duplicates_are_verdict_benign pins
+    verdict-set equality between a clean root and a delta-replayed
+    root on the same streamed corpus."""
     from ..llmdata.similarity import (
         DEFAULT_NEARDUP_BANDS,
         DEFAULT_NEARDUP_ROWS,

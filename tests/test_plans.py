@@ -179,6 +179,47 @@ def test_bench_lists_fail_fast_on_dangling_names():
         assert "TENX_COLD_REPS" in str(e) and "doc_containment_pairs" in str(e)
 
 
+def test_bench_sf10x_load_gate_settles_and_annotates(monkeypatch):
+    """r18 (r17 verdict item 3): the sf10x per-rep load gate. Three
+    behaviors pinned: (1) above-threshold external load sleeps in
+    15 s slices off the SHARED block budget until it decays, and the
+    stamp records the settle plus the load the rep actually started
+    at; (2) a quiet box passes through without sleeping; (3) a box
+    still loaded when the budget runs out is stamped contended:true
+    (the cross-round discard marker) rather than waited on forever --
+    the bench must fit the driver's ~10-minute envelope."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import bench
+
+    slept: list[float] = []
+    monkeypatch.setattr(bench.time, "sleep", lambda s: slept.append(s))
+
+    # (1) loaded then decays after one slice
+    seq = iter([7.0, 0.5])
+    monkeypatch.setattr(bench, "_external_runnable", lambda: next(seq))
+    budget = [bench.TENX_SETTLE_BUDGET_S]
+    stamp = bench._rep_load_gate(budget)
+    assert slept == [15.0] and budget[0] == bench.TENX_SETTLE_BUDGET_S - 15
+    assert stamp["ext_runnable"] == 0.5 and stamp["settle_s"] == 15.0
+    assert "contended" not in stamp
+
+    # (2) quiet box: no sleep, no settle key
+    slept.clear()
+    monkeypatch.setattr(bench, "_external_runnable", lambda: 0.0)
+    stamp = bench._rep_load_gate(budget)
+    assert slept == [] and "settle_s" not in stamp and "contended" not in stamp
+
+    # (3) persistently loaded: budget drains, contended annotated
+    slept.clear()
+    monkeypatch.setattr(bench, "_external_runnable", lambda: 9.0)
+    budget = [30.0]
+    stamp = bench._rep_load_gate(budget)
+    assert budget[0] == 0 and sum(slept) == 30.0
+    assert stamp["contended"] is True and stamp["ext_runnable"] == 9.0
+
+
 def test_value_anomalies_decimal_exactness_and_loud_overflow(spark):
     """r12 (r11 ADVICE): the z-test arithmetic claims (a) every
     product is DECIMAL(19,0) x DECIMAL(19,0) -> DECIMAL(38,0), exact

@@ -1272,6 +1272,174 @@ def test_streaming_semantic_verdict_matches_batch(spark, tmp_path):
     )
 
 
+def _parquet_scan_files_sizes(df) -> dict:
+    """{parquet root path: 'filesSize' scan metric} for every
+    FileSourceScanExec in df's EXECUTED plan (run an action on df
+    first; a .write creates its own QueryExecution -- the AQE
+    gotcha). filesSize is the post-partition-pruning byte total the
+    scan planned to read, so it measures what the plan TOUCHES, not
+    what the OS cached. Run with AQE off so leaves are plain scans,
+    not QueryStageExecs."""
+    sizes: dict = {}
+
+    def walk(node):
+        name = node.getClass().getSimpleName()
+        if name == "AdaptiveSparkPlanExec":
+            walk(node.executedPlan())
+            return
+        if name == "ReusedExchangeExec":
+            walk(node.child())
+            return
+        if name == "FileSourceScanExec":
+            root = node.relation().location().rootPaths().head().toString()
+            sizes[root] = sizes.get(root, 0) + int(
+                node.metrics().apply("filesSize").value()
+            )
+            return
+        ch = node.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i))
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return sizes
+
+
+def _dir_bytes(path: str) -> int:
+    # skip what the scan's file index skips: dot-files (local-FS .crc
+    # checksums) and _-prefixed metadata (_SUCCESS)
+    return sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _s, files in os.walk(path)
+        for f in files
+        if not f.startswith((".", "_"))
+    )
+
+
+@pytest.mark.parametrize("kind", ["quant", "matryoshka"])
+def test_flat_kind_probe_scan_bytes_pinned(spark, tmp_path, kind):
+    """r18 (r17 verdict item 4): the flat byte-budget kinds measured
+    SLOWER than brute on the page-cached 10x fixture (PLANS.md r17:
+    quant 35.2 s vs 14.2; matryoshka 24.9 s vs 16.7) and the recorded
+    adjudication -- their win is SCAN BYTES in the 100 TB /
+    object-storage regime, not local wall-clock -- rested on an
+    unmeasured structural claim. Measure it: the probe's coarse
+    stage plans its scan over the narrow artifact (tinyint codes /
+    d-of-n prefix floats) at a small fraction of the full-width vecs
+    bytes, read from the EXECUTED plan's own filesSize scan metric
+    (what the plan touches), cross-checked against the on-disk byte
+    sum (what a cold object store would serve)."""
+    from big_data_streaming_dashboard_spark.streaming.llm_ingest import (
+        _ann_dense_retriever,
+        write_matryoshka_index,
+        write_quant_index,
+    )
+    from big_data_streaming_dashboard_spark.tables import load_table
+
+    embs = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    idx = str(tmp_path / kind)
+    if kind == "quant":
+        write_quant_index(embs, idx)  # tinyint vs double: 1/8 raw
+        scan_dir, bound = "codes", 0.30
+    else:
+        # probe_dim 16 of 64 doubles: 1/4 raw; per-row id/label
+        # overhead is proportionally larger on the narrow side
+        write_matryoshka_index(embs, idx, probe_dim=16)
+        scan_dir, bound = "prefixes", 0.45
+
+    retrieve, _fp = _ann_dense_retriever(
+        spark, idx, 4, None, True, "scan-bytes-test"
+    )
+    batch = embs.filter(F.col("vec_id") < 5)
+    aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        ranked, _cleanup = retrieve(batch, 5)
+        # execute the SAME QueryExecution whose plan we then walk --
+        # df.count() would build (and execute) its own aggregate QE,
+        # leaving this plan's metrics zeroed
+        n = (
+            ranked._jdf.queryExecution().executedPlan().execute().count()
+        )
+        assert n > 0
+        sizes = _parquet_scan_files_sizes(ranked)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+
+    by_dir = {
+        os.path.basename(root.rstrip("/")): b for root, b in sizes.items()
+    }
+    # the probe really scans the narrow artifact and the float tail
+    assert scan_dir in by_dir and "vecs" in by_dir, by_dir
+    ratio = by_dir[scan_dir] / by_dir["vecs"]
+    assert ratio <= bound, (
+        f"{kind}: coarse scan plans {by_dir[scan_dir]} bytes vs "
+        f"{by_dir['vecs']} full-width -- ratio {ratio:.3f} > {bound}"
+    )
+    # the metric is the on-disk truth, not a planner estimate: a cold
+    # object store serves exactly these bytes
+    assert by_dir[scan_dir] == _dir_bytes(os.path.join(idx, scan_dir))
+    assert by_dir["vecs"] == _dir_bytes(os.path.join(idx, "vecs"))
+
+
+def test_semantic_replay_duplicates_are_verdict_benign(spark, tmp_path):
+    """r18 (r17 verdict item 5): CLOSE the deliberate semantic-append
+    carve-out (STATE.md 'Deferred by decision') by pinning the proof
+    it rests on. `write_semantic_index(mode="append")` stays
+    replay-tolerant because `append_curation_index`'s documented
+    crash recovery re-runs the SAME delta -- the claim is that the
+    duplicate band/vec rows a replay lands are BENIGN through the
+    verdict derivation (candidate dedup collapses duplicated band
+    collisions to distinct (vec_id, index_vec_id) pairs; the
+    groupBy(vec_id).MIN(dup_of) aggregate collapses duplicated vec
+    rows' repeated hits). Proof: a replayed root (same delta appended
+    TWICE) yields verdicts IDENTICAL to the clean root on the same
+    streamed corpus -- keep flags, dup_of partners, and row
+    multiplicity (no duplicated verdict rows)."""
+    from big_data_streaming_dashboard_spark.streaming.llm_ingest import (
+        semantic_verdict_batches,
+        stream_embeddings,
+        write_semantic_index,
+    )
+    from big_data_streaming_dashboard_spark.tables import load_table
+
+    embs = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    base = embs.filter(F.col("vec_id") < 150)
+    delta = embs.filter((F.col("vec_id") >= 150) & (F.col("vec_id") < 250))
+
+    clean = write_semantic_index(base, str(tmp_path / "clean"))
+    write_semantic_index(delta, clean, mode="append")
+    replayed = write_semantic_index(base, str(tmp_path / "replayed"))
+    write_semantic_index(delta, replayed, mode="append")
+    write_semantic_index(delta, replayed, mode="append")  # crash recovery
+    # the replayed root really does hold duplicate per-vector facts
+    n_clean = spark.read.parquet(clean + "/vecs").count()
+    n_replay = spark.read.parquet(replayed + "/vecs").count()
+    assert n_replay == n_clean + delta.count()
+
+    stream_dir = str(tmp_path / "qstream")
+    embs.filter(F.col("vec_id") < 250).repartition(3).write.parquet(
+        stream_dir
+    )
+    outs = {}
+    for tag, idx in (("clean", clean), ("replayed", replayed)):
+        out = str(tmp_path / f"verdicts_{tag}")
+        semantic_verdict_batches(
+            stream_embeddings(spark, stream_dir),
+            spark.read.parquet(idx + "/bands"),
+            spark.read.parquet(idx + "/vecs"),
+            out,
+            threshold=0.3,
+            checkpoint=str(tmp_path / f"ckpt_{tag}"),
+        ).awaitTermination(120)
+        outs[tag] = sorted(
+            map(tuple, spark.read.parquet(out).collect())
+        )
+    assert outs["replayed"] == outs["clean"] and outs["clean"]
+    assert any(not keep for _, keep, _ in outs["clean"]), (
+        "fixture lost its semantic duplicates"
+    )
+
+
 def test_streaming_ann_index_refresh_fails_loudly(spark, tmp_path):
     """The stream-static ANN correctness argument (per-query
     candidates are batch-local) holds only while the index is STATIC
