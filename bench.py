@@ -696,6 +696,15 @@ def main() -> None:
                     fns[name], spark, scale_dir, reps=reps
                 )
                 tenx_reps_detail.setdefault(name, {})["load"] = load_stamp
+                if reps == 1:
+                    # footprint tripwire for the single-rep entries
+                    # too; skipped for repped entries, whose LAST
+                    # execution is the warm rep (band-index reuse
+                    # shrinks its shuffle -- not the canonical
+                    # footprint)
+                    tenx_reps_detail[name]["shuffle_mb"] = (
+                        _last_exec_shuffle_mb(spark)
+                    )
                 if reps > 1:
                     # report COLD (rep 0); both reps go to the detail
                     # ledger (see TENX_REPS comment)
