@@ -392,7 +392,12 @@ def _external_runnable(samples: int = 5, interval_s: float = 0.2) -> float:
     """Mean count of OTHER runnable threads right now: /proc/loadavg
     field 4 is 'runnable/total' at read time; our python thread is
     runnable while reading, so subtract 1. Unconfounded by the 1-min
-    EMA's memory of our own finished Spark stages."""
+    EMA's memory of our own finished Spark stages -- though only
+    APPROXIMATELY external: the session's own JVM background threads
+    (listener-bus drain, GC, context cleaner) can briefly be
+    runnable at sample time (observed up to ~1.8 right after a heavy
+    query), which the 5-sample mean and the 2.0 threshold absorb;
+    they do not SUSTAIN above it."""
     vals: list[float] = []
     for _ in range(samples):
         try:
@@ -427,7 +432,14 @@ def _rep_load_gate(settle_budget: list) -> dict:
     if waited:
         stamp["settle_s"] = round(waited, 1)
     if ext > TENX_LOAD_THRESHOLD:
-        stamp["contended"] = True
+        # contended means DISCARD downstream, so confirm before
+        # stamping: own-JVM background threads (listener bus, GC)
+        # can spike one sample window; genuine contention sustains
+        # across two
+        confirm = _external_runnable()
+        stamp["ext_runnable"] = confirm  # the rep starts NOW
+        if confirm > TENX_LOAD_THRESHOLD:
+            stamp["contended"] = True
     return stamp
 
 
@@ -459,10 +471,22 @@ def _last_exec_shuffle_mb(spark) -> float:
     blowup."""
     try:
         store = spark._jsparkSession.sharedState().statusStore()
-        execs = store.executionsList()
-        if execs.isEmpty():
+        last = None
+        completed = False
+        for _ in range(50):  # the store fills via the ASYNC listener
+            execs = store.executionsList()  # bus; wait (<=5 s) for the
+            if not execs.isEmpty():  # last execution to complete there
+                last = execs.apply(execs.size() - 1)
+                if last.completionTime().isDefined():
+                    completed = True
+                    break
+            time.sleep(0.1)
+        if last is None or not completed:
+            # a lagging/dropping listener bus after a heavy draw: a
+            # PARTIAL aggregate archived as "the footprint" would
+            # fire phantom cross-round tripwires -- the sentinel,
+            # never a half-drained total
             return -1.0
-        last = execs.apply(execs.size() - 1)
         vals = store.executionMetrics(last.executionId())
         metrics = last.metrics()
         total = 0.0
