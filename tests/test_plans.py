@@ -212,12 +212,34 @@ def test_bench_sf10x_load_gate_settles_and_annotates(monkeypatch):
     assert slept == [] and "settle_s" not in stamp and "contended" not in stamp
 
     # (3) persistently loaded: budget drains, contended annotated
+    # (after a CONFIRMING second sample -- one own-JVM spike window
+    # must not mark a draw for cross-round discard)
     slept.clear()
     monkeypatch.setattr(bench, "_external_runnable", lambda: 9.0)
     budget = [30.0]
     stamp = bench._rep_load_gate(budget)
     assert budget[0] == 0 and sum(slept) == 30.0
     assert stamp["contended"] is True and stamp["ext_runnable"] == 9.0
+
+    # (3b) a spike that does NOT confirm is stamped at the calmer
+    # confirm value with no contended marker
+    slept.clear()
+    seq2 = iter([5.0, 0.8])  # budget already 0: first sample, confirm
+    monkeypatch.setattr(bench, "_external_runnable", lambda: next(seq2))
+    stamp = bench._rep_load_gate([0.0])
+    assert stamp["ext_runnable"] == 0.8 and "contended" not in stamp
+
+    # (4) the size-metric parser handles both observed SQLMetric
+    # display shapes: plain totals and the header + value form the
+    # status store emits for per-task size metrics
+    assert bench._parse_size("19.6 KiB (4.9 KiB, 4.9 KiB, 4.9 KiB)") == (
+        19.6 * 1024
+    )
+    two_line = (
+        "total (min, med, max (stageId: taskId))\n"
+        "2.2 GiB (1.1 MiB, 2.3 MiB, 5.0 MiB (stage 3.0: task 7))"
+    )
+    assert bench._parse_size(two_line) == 2.2 * (1 << 30)
 
 
 def test_value_anomalies_decimal_exactness_and_loud_overflow(spark):
