@@ -468,7 +468,10 @@ def _last_exec_shuffle_mb(spark) -> float:
     (validated: a mid/post-draw GC zeroes them). The store's
     formatted totals ('2.2 GiB') cost ~1% precision -- irrelevant
     for a tripwire whose failure mode is a 10-30x candidate
-    blowup."""
+    blowup. Scope: the LAST SQL execution only -- an ITERATIVE query
+    (doc_bpe_merges trains across many executions) reads just its
+    final assembly, so a stable 0.0 there is legitimate; its wall
+    remains the whole-query ledger."""
     try:
         store = spark._jsparkSession.sharedState().statusStore()
         last = None
