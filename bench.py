@@ -719,24 +719,33 @@ def main() -> None:
                     continue
                 reps = TENX_REPS.get(name, 1)
                 load_stamp = _rep_load_gate(settle_budget)
-                tenx[name], _, _, rep_totals = _time_query(
-                    fns[name], spark, scale_dir, reps=reps
-                )
-                tenx_reps_detail.setdefault(name, {})["load"] = load_stamp
+                detail = tenx_reps_detail.setdefault(name, {})
+                detail["load"] = load_stamp
                 if reps == 1:
-                    # footprint tripwire for the single-rep entries
-                    # too; skipped for repped entries, whose LAST
-                    # execution is the warm rep (band-index reuse
-                    # shrinks its shuffle -- not the canonical
-                    # footprint)
-                    tenx_reps_detail[name]["shuffle_mb"] = (
-                        _last_exec_shuffle_mb(spark)
+                    tenx[name], _, _, _ = _time_query(
+                        fns[name], spark, scale_dir, reps=1
                     )
-                if reps > 1:
+                    detail["shuffle_mb"] = _last_exec_shuffle_mb(spark)
+                else:
                     # report COLD (rep 0); both reps go to the detail
-                    # ledger (see TENX_REPS comment)
+                    # ledger (see TENX_REPS comment). Reps run as
+                    # separate _time_query calls (fn is rebuilt per
+                    # rep either way) so the COLD rep's footprint can
+                    # be stamped -- the warm rep's shuffle shrinks
+                    # with band-index reuse and is not the canonical
+                    # footprint.
+                    rep_totals = []
+                    for r in range(reps):
+                        t, _, _, _ = _time_query(
+                            fns[name], spark, scale_dir, reps=1
+                        )
+                        rep_totals.append(t)
+                        if r == 0:
+                            detail["shuffle_mb"] = (
+                                _last_exec_shuffle_mb(spark)
+                            )
                     tenx[name] = rep_totals[0]
-                    tenx_reps_detail[name].update(
+                    detail.update(
                         cold_s=rep_totals[0],
                         warm_s=round(min(rep_totals[1:]), 4),
                     )
