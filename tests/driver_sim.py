@@ -51,6 +51,27 @@ def main() -> int:
         )
     qs, oq = queries_dict(), oracle_sql_dict()
     fails: list[str] = []
+    # the driver's t1 smoke gate first: entry() on the plain session
+    # must load sf0.001 and return rows with a stable schema (r18 --
+    # the sim covered only the t2 window sweep before)
+    try:
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            "__spark_entry__",
+            os.path.join(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))), "__spark_entry__.py"),
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        smoke = mod.entry(spark)
+        n = smoke.count()
+        print(f"OK  entry() smoke ({n} rows, {smoke.schema.simpleString()[:80]})")
+        if n < 0:
+            fails.append("entry")
+    except Exception as ex:  # noqa: BLE001
+        print(f"FAIL entry() smoke -- {type(ex).__name__}: {ex}")
+        fails.append("entry")
     for name in DRIVER_WINDOW:
         t0 = time.time()
         try:
