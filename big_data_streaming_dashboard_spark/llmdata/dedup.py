@@ -369,6 +369,42 @@ def _prefix_candidates(
     only removes rows, so candidates are a subset of the self-join's;
     the exact verify + threshold then decides identically.
 
+    PAIR-LEVEL COUNT FILTER (r18, symmetric path only): the verify
+    stage downstream attaches both docs' full shingle arrays to every
+    surviving pair, and the second attachment ships the first array
+    across the doc_b exchange -- measured at 10x as 6,635 MB of the
+    query's 6,783 MB total shuffle (97.8%), for 12.0M candidates of
+    which only 250,600 survive the exact verify. So before any array
+    is attached, candidates are aggregated per DIRECTED pair and
+    pruned by an exact overlap upper bound built from the join's own
+    match count (the PPJoin count-filtering idea, Xiao et al. WWW'08):
+    with c = |prefix_probe ∩ capped_ix| (= the pair's row count in
+    this join, postings are distinct per doc), every common shingle is
+    (i) capped and within the probe prefix -> counted by c, (ii)
+    capped beyond the prefix -> at most max(0, nc_probe - p), or
+    (iii) df-capped out of the index entirely -> at most
+    min(n_probe - nc_probe, n_ix - nc_ix); hence
+      overlap <= c + max(0, nc_probe - p) + min(unc_probe, unc_ix).
+    A qualifying pair has overlap >= t'*(|a|+|b|)/(1+t') = required,
+    so its own probe direction passes the filter (the bound is a true
+    upper bound); pairs are kept when EITHER direction passes, and
+    the pigeonhole argument above guarantees each qualifying pair
+    appears in its own probe's direction. The count bound needs c to
+    see EVERY common row of a qualifying pair, so the symmetric path
+    drops the per-ROW positional filter (a late-rank common shingle
+    of a qualifying pair legitimately fails it; dropping that row
+    would undercount c and could lose the pair) and re-applies the
+    positional bound per PAIR instead, as max-over-rows (valid: the
+    max is attained at the earliest common capped shingle, the row
+    whose bound is provably an overlap upper bound) -- at 10x the
+    count bound prunes 12.0M -> 1.28M candidates and the pair-level
+    positional bound cuts the remainder to 269k (the exact verify
+    keeps 251k: 93% precision, vs 2% before). The asymmetric
+    (containment) path keeps the original row-level form: there
+    p > (1-t')*n_probe makes required - (nc_probe - p) <= ~1, so the
+    count bound can never prune (verified) -- aggregating would only
+    re-shape its plan and its cross-round byte tripwire.
+
     SCALE BOUND (what this buys over the raw self-join, whose
     candidates grow as Σ_s C(df_s, 2) even below the cap -- the
     r5-measured ~78 GB spill on a low-entropy 10x corpus): candidate
@@ -437,12 +473,68 @@ def _prefix_candidates(
             F.col("_n_ix") - F.col("_nc_ix"),
         )
     )
+    joined = probe.join(hint(index, n), "sh_hash").filter(
+        (F.col("doc_id") != F.col("_ix_doc")) & size_ok
+    )
+    if not symmetric:
+        return (
+            joined.filter(max_overlap >= required)
+            .select(
+                F.least("doc_id", "_ix_doc").alias("doc_a"),
+                F.greatest("doc_id", "_ix_doc").alias("doc_b"),
+            )
+            .distinct()
+        )
+    # symmetric path: aggregate per DIRECTED pair and apply the exact
+    # count bound (docstring, PAIR-LEVEL COUNT FILTER) before the
+    # array-attaching verify joins downstream. The aggregation's
+    # payload is pre-folded to ONE double per row -- the pair-constant
+    # threshold c must reach, thr = required - prefix_slack -
+    # uncapped_slack -- so the (doc_a, doc_b) exchange carries 2 keys
+    # + a count + a double instead of the 6-column form (a pair's
+    # common-shingle rows live in DIFFERENT sh_hash partitions, so
+    # map-side combine cannot shrink this exchange; its byte width is
+    # the whole cost). min(_thr) == the value (pair-constant).
+    p_probe = F.floor(F.lit(1.0 - t) * F.col("_n_probe")) + 1
+    unc_slack = F.least(
+        F.col("_n_probe") - F.col("_nc_probe"),
+        F.col("_n_ix") - F.col("_nc_ix"),
+    )
+    req_row = F.lit(t) * (F.col("_n_probe") + F.col("_n_ix")) / F.lit(1.0 + t)
+    thr_c = (
+        req_row
+        - F.greatest(F.lit(0).cast("long"), F.col("_nc_probe") - p_probe)
+        - unc_slack
+    )
+    # positional bound, aggregated: overlap <= 1 + max-over-rows of
+    # least(capped suffixes) + uncapped slack (the max is attained at
+    # the earliest common capped shingle, whose bound is the provably
+    # valid one -- see the asymmetric path's row filter); folded to
+    # "max(_core) >= required - 1 - unc_slack" so it rides the
+    # exchange as one long + one double
+    core = F.least(
+        F.col("_nc_probe") - F.col("_r_probe"),
+        F.col("_nc_ix") - F.col("_r_ix"),
+    )
+    thr_pos = req_row - F.lit(1) - unc_slack
     return (
-        probe.join(hint(index, n), "sh_hash")
+        joined.select(
+            "doc_id",
+            "_ix_doc",
+            thr_c.alias("_thr"),
+            core.alias("_core"),
+            thr_pos.alias("_tp"),
+        )
+        .groupBy("doc_id", "_ix_doc")
+        .agg(
+            F.count(F.lit(1)).alias("_c"),
+            F.min("_thr").alias("_thr"),
+            F.max("_core").alias("_mx"),
+            F.min("_tp").alias("_tp"),
+        )
         .filter(
-            (F.col("doc_id") != F.col("_ix_doc"))
-            & size_ok
-            & (max_overlap >= required)
+            (F.col("_c").cast("double") >= F.col("_thr"))
+            & (F.col("_mx").cast("double") >= F.col("_tp"))
         )
         .select(
             F.least("doc_id", "_ix_doc").alias("doc_a"),

@@ -447,12 +447,31 @@ def sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier qualifies on an order iff it shipped late, n_supp > 1,
     and n_late_supp = 1 (it IS that one). Provably the same set:
     "another supplier exists" == n_supp > 1; "no OTHER late
-    supplier" given this one is late == n_late_supp == 1. The fact
-    crosses one orderkey exchange once (per-order aggregate +
-    late-line join-back on the same key, AQE-coalesced), versus two
-    extra fact-sized shuffles for the literal double self-join --
-    the oracle SQL keeps the literal EXISTS form, so the hash match
-    is itself the decorrelation proof.
+    supplier" given this one is late == n_late_supp == 1.
+
+    r18 (guide 2.4, remove shuffles outright): the qualifying
+    supplier itself is recovered IN the same aggregate instead of a
+    distinct-late-lines branch joined back on orderkey. The late
+    distinct count is replaced by MIN/MAX of the late suppkey --
+    ``n_late_supp == 1`` iff the late-suppkey set is non-empty with
+    min == max, and that value IS the sole supplier (every late row
+    of such an order carries the same suppkey, so the emitted
+    (order, supplier) pairs are identical to the join-back's
+    row-for-row). min/max are non-distinct aggregates, so they ride
+    the multi-distinct Expand's existing non-distinct projection:
+    the Expand stays at 2 projections (a first cut that KEPT the
+    second countDistinct alongside max() planned a 3-projection
+    Expand and measured a LARGER footprint than baseline, 367.3 vs
+    320.4 MB at 10x -- the A/B that motivated this form). That
+    deletes the second lineitem+orders scan, the (orderkey,
+    suppkey) distinct with its two exchanges, and the orderkey
+    sort-merge join: the fact crosses ONE orderkey exchange and the
+    only join left is the broadcast supplier dim. Interleaved A/B at
+    10x: shuffle footprint 320.4 -> 167.9 MB (draw-stable both
+    sides), cold 11.8 -> 9.1 s, warm 4.8 -> 2.6 s (see
+    plans/r18/sole_late_supplier_{before,after}.txt); the oracle
+    SQL keeps the literal double-EXISTS form, so the hash match is
+    itself the proof of both rewrites.
     """
     orders = _load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     li = (
@@ -461,24 +480,23 @@ def sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .withColumn("_late", F.expr(_LATE))
     )
-    per_order = li.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("_n_supp"),
-        F.countDistinct(F.when(F.col("_late"), F.col("l_suppkey"))).alias(
-            "_n_late_supp"
-        ),
+    late_supp = F.when(F.col("_late"), F.col("l_suppkey"))
+    sole_late = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("_n_supp"),
+            F.min(late_supp).alias("_min_late"),
+            F.max(late_supp).alias("l_suppkey"),
+        )
+        .filter(
+            (F.col("_n_supp") > 1)
+            & F.col("l_suppkey").isNotNull()
+            & (F.col("l_suppkey") == F.col("_min_late"))
+        )
     )
-    late_lines = li.filter(F.col("_late")).select(
-        F.col("l_orderkey").alias("_ok"), "l_suppkey"
-    ).distinct()
     supp = _load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        late_lines.join(
-            per_order,
-            (F.col("_ok") == per_order.l_orderkey)
-            & (F.col("_n_supp") > 1)
-            & (F.col("_n_late_supp") == 1),
-        )
-        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        sole_late.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_suppkey", "s_name")
         .agg(F.count(F.lit(1)).alias("n_waiting_orders"))
     )

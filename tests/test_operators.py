@@ -494,6 +494,83 @@ def test_ngram_jaccard_exact_value_and_cap(spark):
     assert ngram_jaccard_pairs(docs, threshold=0.0, max_postings=1).count() == 0
 
 
+def test_ngram_jaccard_count_filter_binds_without_recall_loss(spark):
+    """r18 optimization pin: the symmetric candidate path aggregates
+    the prefix-probe join per directed pair and prunes by the exact
+    PPJoin count/positional bounds BEFORE the array-attaching verify
+    (dedup._prefix_candidates docstring, PAIR-LEVEL COUNT FILTER).
+    This corpus is built so the filter genuinely BINDS -- long docs
+    (prefixes are proper subsets of the posting lists) with mutation
+    distances spanning the threshold -- and the test asserts the two
+    things the optimization must preserve: (a) the final thresholded
+    output is EXACTLY brute force, and (b) candidates remain a
+    superset of qualifying pairs while the filter demonstrably prunes
+    sub-threshold ones (strictly fewer candidates than raw distinct
+    join pairs), i.e. the pruning is live, not vacuous."""
+    import random
+
+    from big_data_streaming_dashboard_spark.llmdata.dedup import (
+        DEFAULT_MAX_BUCKET,
+        _prefix_candidates,
+        corpus_count,
+        ngram_jaccard_pairs,
+        scale_hint,
+        shingles,
+    )
+
+    rng = random.Random(18)
+    vocab = [f"w{i}" for i in range(120)]
+    texts = []
+    for _ in range(8):  # 8 families x 4 variants = 32 docs
+        base = [rng.choice(vocab) for _ in range(60)]
+        for n_mut in (0, 3, 12, 35):  # dup / near / borderline / far
+            doc = list(base)
+            for pos in rng.sample(range(60), n_mut):
+                doc[pos] = rng.choice(vocab)
+            texts.append(" ".join(doc))
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), ["doc_id", "text"]
+    ).persist()
+    t = 0.5
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=t).collect()
+    }
+    sh = {
+        r["doc_id"]: set(r["sh"])
+        for r in docs.select("doc_id", shingles(F.col("text")).alias("sh")).collect()
+    }
+    expect = {}
+    for i in sorted(sh):
+        for j in sorted(sh):
+            if i >= j or not (sh[i] & sh[j]):
+                continue
+            jac = round(len(sh[i] & sh[j]) / len(sh[i] | sh[j]), 6)
+            if jac >= t:
+                expect[(i, j)] = jac
+    assert got == expect  # (a) exactness, with the filter binding
+    assert len(expect) >= 8  # the corpus really has qualifying pairs
+    n = corpus_count(docs)
+    cand = {
+        (r["doc_a"], r["doc_b"])
+        for r in _prefix_candidates(
+            docs, t, DEFAULT_MAX_BUCKET, n, scale_hint, symmetric=True
+        ).collect()
+    }
+    assert set(expect) <= cand  # (b) no qualifying pair pruned
+    # raw sharing-any-shingle pair count -- what the candidate set was
+    # before the r18 count filter (modulo the prefix/size filters):
+    # the filter must be strictly pruning on this corpus
+    raw = sum(
+        1
+        for i in sorted(sh)
+        for j in sorted(sh)
+        if i < j and (sh[i] & sh[j])
+    )
+    assert len(cand) < raw, (len(cand), raw)
+    docs.unpersist()
+
+
 def test_contamination_check_flags_shared_passage(spark):
     """An 8-token run copied from the eval doc marks the train doc
     contaminated; a clean train doc keeps an explicit zero; eval docs

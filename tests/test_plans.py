@@ -321,10 +321,13 @@ def test_r12_decision_support_plan_shapes(spark):
     assert "In(p_brand, [Brand#1,Brand#2,Brand#3])" in p  # part scan
     assert "GreaterThanOrEqual(l_quantity,1.0)" in p  # fact scan
 
-    # Q21's decorrelation: the fact is scanned twice (per-order agg +
-    # late-line join-back), never the literal double-self-join's three
+    # Q21's decorrelation, r18 form: ONE fact scan -- the sole late
+    # supplier is recovered inside the per-order aggregate
+    # (min==max of the late suppkey), so the late-line join-back
+    # branch (the old second scan + SMJ) is gone entirely
     p = _plan(sole_late_supplier(spark, SF_ORACLE))
-    assert p.count("lineitem.parquet") == 2, p.count("lineitem.parquet")
+    assert p.count("lineitem.parquet") == 1, p.count("lineitem.parquet")
+    assert "SortMergeJoin" not in p
 
 
 def test_r13_decision_support_plan_shapes(spark):
