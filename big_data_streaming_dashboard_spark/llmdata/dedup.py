@@ -477,12 +477,27 @@ def _prefix_candidates(
         (F.col("doc_id") != F.col("_ix_doc")) & size_ok
     )
     if not symmetric:
+        # r18 (guide 2.4, share one exchange): the candidate rows are
+        # REPARTITIONED BY doc_b before the dedup so the distinct and
+        # the first verify join (which joins on doc_b -- see
+        # `_containment_plan`) ride ONE exchange: HashPartitioning
+        # (doc_b) satisfies the distinct's ClusteredDistribution
+        # ([doc_a, doc_b]) (subset rule), and the join's requirement
+        # exactly. Cost: the dedup becomes a complete-mode aggregate
+        # (no map-side partial dedup below an explicit repartition),
+        # so this exchange carries the raw join output (47.3M rows at
+        # 10x, ~397 MB) instead of the partially-deduped 39.2M
+        # (329 MB) -- but it DELETES the 313 MB repartition of the
+        # 33.65M distinct pairs the join otherwise needs. Net at 10x:
+        # -245 MB and one exchange fewer (measured via
+        # tests/plancap exchanges; before/after in plans/r18/).
         return (
             joined.filter(max_overlap >= required)
             .select(
                 F.least("doc_id", "_ix_doc").alias("doc_a"),
                 F.greatest("doc_id", "_ix_doc").alias("doc_b"),
             )
+            .repartition("doc_b")
             .distinct()
         )
     # symmetric path: aggregate per DIRECTED pair and apply the exact
@@ -621,6 +636,19 @@ def neardup_pairs(
     split's batch-local co-link passes the index's over-cap buckets so
     a micro-batch slice of a degenerate corpus bucket doesn't link
     pairs the corpus-wide build dropped (r14 review)."""
+    # r18 (guide 2.3, narrower types): verify on the int-hashed
+    # shingle table like the family's other two exact verifies
+    # (`ngram_jaccard_pairs` since r8, `containment_pairs` since r7)
+    # instead of the raw string arrays -- 8 B/shingle crosses the
+    # candidate-verify joins instead of ~25, and array_intersect over
+    # int64 is the measured-6x form (r7: 4.0 -> 0.66 s on 347k
+    # pairs). Counts -- and hence round(J, 6) -- are identical to the
+    # string intersect unless xxhash64 collides within one candidate
+    # pair's sets (p < 1e-10 per full corpus verify, `_shingle_ints`
+    # docstring): the same accepted argument under which the two
+    # sibling verifies have been hash-matched against the
+    # string-computing DuckDB oracle since r7. transform preserves
+    # array length, so the union term is unchanged too.
     banded = _banded_sigs(docs, k, band_rows).filter(
         F.col("_bucket_n") <= max_bucket_size
     )
@@ -645,12 +673,12 @@ def neardup_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    sh = _shingle_table(docs)
+    sh = _shingle_ints(docs)
     pair = (
         cand.join(
             scale_hint(
                 sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
-                    "sh", "sh_a"
+                    "shi", "sh_a"
                 ),
                 n,
             ),
@@ -659,7 +687,7 @@ def neardup_pairs(
         .join(
             scale_hint(
                 sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
-                    "sh", "sh_b"
+                    "shi", "sh_b"
                 ),
                 n,
             ),
@@ -1259,16 +1287,29 @@ def _containment_plan(
     )
     if cand_tap is not None:
         cand = cand_tap(cand)
+    # r18 (guide 2.3, shuffle fewer bytes): attach sh_b FIRST, sh_a
+    # second -- the SECOND attachment is the one whose join ships the
+    # already-attached array across the wide exchange (33.65M
+    # candidate rows at 10x), and doc_b (the greater id) is the
+    # EXCERPT side of every original-excerpt candidate (58% of
+    # candidates at 10x), whose arrays are ~half the original's:
+    # measured Σ|sh_b| = 1,515M elements vs Σ|sh_a| = 2,099M (0.72x),
+    # so shipping sh_b instead of sh_a cuts the wide exchange -- the
+    # query's dominant byte cost AND the SMJ sort-spill feeding it --
+    # by ~28%. The doc_b join also reuses the candidate exchange (see
+    # `_prefix_candidates`). Join semantics are order-independent
+    # (both are inner equi-joins on distinct-keyed shi), so the
+    # emitted rows are unchanged.
     pair = cand.join(
-        scale_hint_merge(
-            shi.select(F.col("doc_id").alias("doc_a"), F.col("shi").alias("sh_a")), n
-        ),
-        "doc_a",
-    ).join(
         scale_hint_merge(
             shi.select(F.col("doc_id").alias("doc_b"), F.col("shi").alias("sh_b")), n
         ),
         "doc_b",
+    ).join(
+        scale_hint_merge(
+            shi.select(F.col("doc_id").alias("doc_a"), F.col("shi").alias("sh_a")), n
+        ),
+        "doc_a",
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     scored = pair.select(
