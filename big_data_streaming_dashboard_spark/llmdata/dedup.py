@@ -532,24 +532,44 @@ def _prefix_candidates(
         F.col("_nc_ix") - F.col("_r_ix"),
     )
     thr_pos = req_row - F.lit(1) - unc_slack
+    # r18 second pass (guide 2.5/5, measured at 10x): the groupBy's
+    # default two-phase plan spilled 9.63 GB in the MAP-side partial
+    # aggregate while removing only 5% of rows (84.7M -> 79.96M --
+    # a pair's common-shingle rows live in different sh_hash
+    # partitions, so map-side combine finds almost no duplicates),
+    # then another 8.72 GB in the final aggregate. An explicit
+    # repartition on the pair key makes the aggregate complete-mode:
+    # the raw join rows cross the exchange un-combined (+6% records,
+    # and the pair-clustered layout compresses BETTER: 1,111.7 ->
+    # 856.6 MB measured) and the useless map-side hash build -- and
+    # its spill -- disappears. The positional bound also rides the
+    # exchange pre-folded: max(_core) >= _tp  <=>  max(_core - _tp)
+    # >= 0 (_tp is pair-constant), so the row payload and the
+    # per-group state drop a column each (dataSize 4.48 -> 3.39 GB).
+    # Measured (plancap walk, interleaved A/B at 10x): total agg
+    # spill 18.35 -> 8.12 GB (map-side 9.63 -> 0), exec 28.6-42.3 ->
+    # 32.6 s (wall-neutral on this box; the spill is the win). The
+    # compressed exchange grows 1,111.7 -> 1,518.8 MB -- raw rows
+    # compress worse than the partial-agged clustered form -- still
+    # 4.4x under the pre-r18 6,635 MB; accepted for the map-side
+    # spill kill (per-node disk pressure at scale).
     return (
         joined.select(
             "doc_id",
             "_ix_doc",
             thr_c.alias("_thr"),
-            core.alias("_core"),
-            thr_pos.alias("_tp"),
+            (core.cast("double") - thr_pos).alias("_cmt"),
         )
+        .repartition("doc_id", "_ix_doc")
         .groupBy("doc_id", "_ix_doc")
         .agg(
             F.count(F.lit(1)).alias("_c"),
             F.min("_thr").alias("_thr"),
-            F.max("_core").alias("_mx"),
-            F.min("_tp").alias("_tp"),
+            F.max("_cmt").alias("_mx"),
         )
         .filter(
             (F.col("_c").cast("double") >= F.col("_thr"))
-            & (F.col("_mx").cast("double") >= F.col("_tp"))
+            & (F.col("_mx") >= F.lit(0.0))
         )
         .select(
             F.least("doc_id", "_ix_doc").alias("doc_a"),
