@@ -230,6 +230,32 @@ def scale_hint(df: DataFrame, n_rows: int) -> DataFrame:
     return df.hint("shuffle_hash") if n_rows > BROADCAST_SAFE_ROWS else df
 
 
+# r18 optimization round (guide section 5 spill remedies: "more
+# partitions -- smaller per-task state"; section 2 scale-adaptive
+# partitioning): the jaccard directed-pair aggregate's group count
+# grows LINEARLY with the corpus (~1.4k directed candidate pairs per
+# doc on the 10x fixture), so a fixed session layout (32 partitions
+# locally) concentrates ~2.2M groups per task at 10x and the
+# complete-mode aggregate spilled 8.12 GB; the throwaway seed-96
+# experiment measured the spill ~linear in 1/partitions (8.12 ->
+# 4.31 GB) but a GLOBAL seed raise ballooned containment's
+# array-carrying exchange +116%, so the raise is applied ONLY to this
+# pair-keyed exchange, derived from the corpus count: one partition
+# per _PAIR_DOCS_PER_PARTITION docs, floored at the session default.
+# Below the broadcast-safety gate (every sf<=0.1 fixture) the layout
+# is the session default, so small-SF plans are bit-identical to the
+# pre-r18 hash-matched ones. Calibration at 10x (50k docs -> 250
+# partitions) in OPTIMIZATION_r18.md.
+_PAIR_DOCS_PER_PARTITION = 200
+
+
+def _pair_agg_partitions(spark, n_rows: int) -> int:
+    return max(
+        int(spark.conf.get("spark.sql.shuffle.partitions")),
+        -(-n_rows // _PAIR_DOCS_PER_PARTITION),
+    )
+
+
 def scale_hint_merge(df: DataFrame, n_rows: int) -> DataFrame:
     """MERGE (sort-merge) above the broadcast-safety threshold: for
     joins whose PROBE side is explosion-prone (candidate-pair x
@@ -552,16 +578,32 @@ def _prefix_candidates(
     # compressed exchange grows 1,111.7 -> 1,518.8 MB -- raw rows
     # compress worse than the partial-agged clustered form -- still
     # 4.4x under the pre-r18 6,635 MB; accepted for the map-side
-    # spill kill (per-node disk pressure at scale).
-    return (
-        joined.select(
-            "doc_id",
-            "_ix_doc",
-            thr_c.alias("_thr"),
-            (core.cast("double") - thr_pos).alias("_cmt"),
+    # spill kill (per-node disk pressure at scale). Third pass (same
+    # round): the remaining 8.12 GB reduce-side spill was per-task
+    # group-state pressure (69M groups / 32 partitions); the explicit
+    # corpus-derived partition count below zeroes it entirely.
+    pair_rows = joined.select(
+        "doc_id",
+        "_ix_doc",
+        thr_c.alias("_thr"),
+        (core.cast("double") - thr_pos).alias("_cmt"),
+    )
+    if n > BROADCAST_SAFE_ROWS:
+        # corpus-derived partition count (see _PAIR_DOCS_PER_PARTITION):
+        # at 10x this is 250 partitions vs the session's 32 -- measured
+        # (plancap walk, same session shape): agg spill 8.12 GB -> ZERO
+        # at +12.8% exchange bytes (1,518.8 -> 1,713.4 MB compressed;
+        # smaller blocks compress worse), walk exec 152.8 -> 120.2 s.
+        # The explicit count also opts this exchange out of AQE
+        # coalescing, which would otherwise undo the raise by
+        # re-merging the small blocks back into few fat partitions.
+        pair_rows = pair_rows.repartition(
+            _pair_agg_partitions(docs.sparkSession, n), "doc_id", "_ix_doc"
         )
-        .repartition("doc_id", "_ix_doc")
-        .groupBy("doc_id", "_ix_doc")
+    else:
+        pair_rows = pair_rows.repartition("doc_id", "_ix_doc")
+    return (
+        pair_rows.groupBy("doc_id", "_ix_doc")
         .agg(
             F.count(F.lit(1)).alias("_c"),
             F.min("_thr").alias("_thr"),

@@ -571,6 +571,56 @@ def test_ngram_jaccard_count_filter_binds_without_recall_loss(spark):
     docs.unpersist()
 
 
+def test_jaccard_pair_agg_partitions_scale_derived(spark):
+    """r18 optimization pin (guide section 5 spill remedies): the
+    jaccard directed-pair aggregate derives its exchange's partition
+    count from the CORPUS COUNT past the broadcast-safety gate (one
+    partition per _PAIR_DOCS_PER_PARTITION docs, floored at the
+    session default -- measured at 10x: agg spill 8.12 GB -> zero at
+    +12.8% exchange bytes), while below the gate the layout stays the
+    session default so every small-SF hash-matched plan is unchanged.
+    Pins (a) the formula, (b) the plan markers on both sides of the
+    gate (explicit-count repartition = REPARTITION_BY_NUM, which AQE
+    must not coalesce; default = REPARTITION_BY_COL), and (c) result
+    identity across the branch."""
+    from big_data_streaming_dashboard_spark.llmdata.dedup import (
+        _PAIR_DOCS_PER_PARTITION,
+        _pair_agg_partitions,
+        _prefix_candidates,
+        scale_hint,
+    )
+
+    default = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert _pair_agg_partitions(spark, 100) == default
+    assert _pair_agg_partitions(spark, 50_000) == max(
+        default, -(-50_000 // _PAIR_DOCS_PER_PARTITION)
+    )
+
+    def plan_str(df):
+        return df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d f")], ["doc_id", "text"]
+    )
+    # past the gate (n is a parameter, so a tiny corpus can exercise
+    # the scale branch): the pair exchange pins its derived count
+    big = _prefix_candidates(docs, 0.5, 1000, 50_000, scale_hint, symmetric=True)
+    s_big = plan_str(big)
+    parts = _pair_agg_partitions(spark, 50_000)
+    assert f", {parts}), REPARTITION_BY_NUM" in s_big, s_big
+    # below the gate: session-default, AQE-coalescible layout
+    small = _prefix_candidates(docs, 0.5, 1000, 2, scale_hint, symmetric=True)
+    s_small = plan_str(small)
+    assert "REPARTITION_BY_NUM" not in s_small
+    assert "REPARTITION_BY_COL" in s_small
+    # the branch is partitioning-only: identical candidate pairs
+    assert sorted(map(tuple, big.collect())) == sorted(map(tuple, small.collect()))
+
+
 def test_contamination_check_flags_shared_passage(spark):
     """An 8-token run copied from the eval doc marks the train doc
     contaminated; a clean train doc keeps an explicit zero; eval docs
