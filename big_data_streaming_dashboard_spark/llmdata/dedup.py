@@ -267,6 +267,61 @@ def scale_hint_merge(df: DataFrame, n_rows: int) -> DataFrame:
     return df.hint("merge") if n_rows > BROADCAST_SAFE_ROWS else df
 
 
+# r18 optimization round (guide section 3.1 "broadcast the side that
+# fits" -- decided on MEASURED bytes, never Catalyst's array-blind
+# estimates): the exact-verify joins attach the int-shingle table to
+# the candidate pairs; past the broadcast-safety gate they were hinted
+# SHUFFLE_HASH/MERGE because the table's size ESTIMATE is wrong by
+# >10x (r5) -- but its TRUE broadcast size is knowable exactly (one
+# cached agg over the persisted table: 8 B per shingle + row
+# overhead; 68.3 MB at the 100k-doc 10x fixture). When that true size
+# fits the gate below, an EXPLICIT F.broadcast ships the table once
+# per executor and the wide candidate intermediate never crosses an
+# exchange at all -- measured at 10x on doc_containment_pairs: total
+# shuffle 1,817 -> 444 MB and the verify SMJ's 8.59 GB sort spill
+# (the fleet's last remaining spill site) -> ZERO. Past the gate the
+# memory-safe hinted shape stands unchanged (at 100 TB the corpus
+# shingle table is far over any broadcast cap). Local default 256 MB
+# serialized (~2-4x that built, vs a 16 GB driver and Spark's 8 GB
+# relation cap); env-tunable for deployments with bigger executors.
+_VERIFY_BROADCAST_BYTES = int(
+    os.environ.get("SPARK_GRAFT_VERIFY_BROADCAST_MB", "256")
+) * 1024 * 1024
+
+
+def _shingle_int_bytes(docs: DataFrame) -> int:
+    """TRUE serialized size of the int-shingle verify table, measured
+    (not estimated): 8 B per element + 32 B per-row overhead. One agg
+    job per (app, corpus) -- cached like the index it measures, and
+    only ever run past the broadcast-safety gate (callers short-circuit
+    on n first), so small-SF sessions never pay it."""
+
+    def measure():
+        row = (
+            _shingle_ints(docs)
+            .select(
+                F.coalesce(F.sum(F.size("shi")), F.lit(0)).alias("e"),
+                F.count(F.lit(1)).alias("r"),
+            )
+            .collect()[0]
+        )
+        return int(row["e"]) * 8 + int(row["r"]) * 32
+
+    return _plan_cached(docs, "shingle_int_bytes", measure)
+
+
+def _verify_attach(shi_side: DataFrame, docs: DataFrame, n: int, fallback) -> DataFrame:
+    """The verify-join attachment policy (see _VERIFY_BROADCAST_BYTES):
+    explicit broadcast when the measured table fits, the caller's
+    memory-safe scale hint otherwise, Catalyst-planned below the gate
+    (small-SF plans bit-identical to the pre-r18 hash-matched ones)."""
+    if n <= BROADCAST_SAFE_ROWS:
+        return shi_side
+    if _shingle_int_bytes(docs) <= _VERIFY_BROADCAST_BYTES:
+        return F.broadcast(shi_side)
+    return fallback(shi_side, n)
+
+
 def _shingle_table(docs: DataFrame) -> DataFrame:
     """(doc_id, sh): the persisted distinct-shingle table every exact
     verify joins against."""
@@ -738,20 +793,24 @@ def neardup_pairs(
     sh = _shingle_ints(docs)
     pair = (
         cand.join(
-            scale_hint(
+            _verify_attach(
                 sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
                     "shi", "sh_a"
                 ),
+                docs,
                 n,
+                scale_hint,
             ),
             "doc_a",
         )
         .join(
-            scale_hint(
+            _verify_attach(
                 sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
                     "shi", "sh_b"
                 ),
+                docs,
                 n,
+                scale_hint,
             ),
             "doc_b",
         )
@@ -961,13 +1020,19 @@ def ngram_jaccard_pairs(
             docs, threshold, max_postings, n, scale_hint, symmetric=True
         )
         pair = cand.join(
-            scale_hint(
-                shi.select(F.col("doc_id").alias("doc_a"), F.col("shi").alias("sh_a")), n
+            _verify_attach(
+                shi.select(F.col("doc_id").alias("doc_a"), F.col("shi").alias("sh_a")),
+                docs,
+                n,
+                scale_hint,
             ),
             "doc_a",
         ).join(
-            scale_hint(
-                shi.select(F.col("doc_id").alias("doc_b"), F.col("shi").alias("sh_b")), n
+            _verify_attach(
+                shi.select(F.col("doc_id").alias("doc_b"), F.col("shi").alias("sh_b")),
+                docs,
+                n,
+                scale_hint,
             ),
             "doc_b",
         )
@@ -1363,13 +1428,19 @@ def _containment_plan(
     # (both are inner equi-joins on distinct-keyed shi), so the
     # emitted rows are unchanged.
     pair = cand.join(
-        scale_hint_merge(
-            shi.select(F.col("doc_id").alias("doc_b"), F.col("shi").alias("sh_b")), n
+        _verify_attach(
+            shi.select(F.col("doc_id").alias("doc_b"), F.col("shi").alias("sh_b")),
+            docs,
+            n,
+            scale_hint_merge,
         ),
         "doc_b",
     ).join(
-        scale_hint_merge(
-            shi.select(F.col("doc_id").alias("doc_a"), F.col("shi").alias("sh_a")), n
+        _verify_attach(
+            shi.select(F.col("doc_id").alias("doc_a"), F.col("shi").alias("sh_a")),
+            docs,
+            n,
+            scale_hint_merge,
         ),
         "doc_a",
     )

@@ -621,6 +621,59 @@ def test_jaccard_pair_agg_partitions_scale_derived(spark):
     assert sorted(map(tuple, big.collect())) == sorted(map(tuple, small.collect()))
 
 
+def test_verify_attach_broadcast_gated_on_measured_bytes(spark, monkeypatch):
+    """r18 optimization pin (guide section 3.1, broadcast decided on
+    MEASURED bytes): the exact-verify attachment of the int-shingle
+    table is (a) untouched below the broadcast-safety gate (small-SF
+    hash-matched plans bit-identical), (b) an EXPLICIT broadcast past
+    the gate while the table's true measured bytes fit
+    _VERIFY_BROADCAST_BYTES (at 10x: 68.3 MB measured -> containment
+    total shuffle 1,817 -> 444 MB, the 8.59 GB verify sort spill ->
+    zero), and (c) the caller's memory-safe scale hint when it does
+    not (the 100 TB shape). Estimates are never consulted."""
+    from big_data_streaming_dashboard_spark.llmdata import dedup as dd
+
+    docs = spark.createDataFrame(
+        [(i, f"v{i} w{i} x{i} y{i} z{i}") for i in range(6)], ["doc_id", "text"]
+    )
+    side = dd._shingle_ints(docs).withColumnRenamed("doc_id", "doc_a")
+    # (a) below the gate: returned untouched
+    assert dd._verify_attach(side, docs, 5, dd.scale_hint) is side
+    # (b) past the gate, measured bytes under the cap: broadcast hint
+    out = dd._verify_attach(side, docs, 50_000, dd.scale_hint)
+    assert "ResolvedHint (strategy=broadcast)" in (
+        out._jdf.queryExecution().analyzed().toString()
+    )
+    # strategy-only, broadcast branch end-to-end: identical verified
+    # pairs on the scale path (fresh corpora per branch -- the family
+    # memoizes plan handles)
+    rows_a = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d f"), (3, "x y z w v")],
+        ["doc_id", "text"],
+    )
+    expect = [(1, 2, 0.5)]
+    monkeypatch.setattr(dd, "BROADCAST_SAFE_ROWS", 0)  # scale path
+    got_bcast = dd.ngram_jaccard_pairs(rows_a, threshold=0.5).collect()
+    assert [(r["doc_a"], r["doc_b"], r["jaccard"]) for r in got_bcast] == expect
+    # (c) past the gate, cap forced below the measured bytes: the
+    # memory-safe fallback hint (never an estimate-driven broadcast)
+    assert dd._shingle_int_bytes(docs) > 0
+    monkeypatch.setattr(dd, "_VERIFY_BROADCAST_BYTES", 0)
+    out2 = dd._verify_attach(side, docs, 50_000, dd.scale_hint)
+    assert "ResolvedHint (strategy=shuffle_hash)" in (
+        out2._jdf.queryExecution().analyzed().toString()
+    )
+    # fallback branch end-to-end: same pairs
+    rows_b = spark.createDataFrame(
+        [(4, "a b c d e"), (5, "a b c d f"), (6, "x y z w v")],
+        ["doc_id", "text"],
+    )
+    got_hint = dd.ngram_jaccard_pairs(rows_b, threshold=0.5).collect()
+    assert [
+        (r["doc_a"] - 3, r["doc_b"] - 3, r["jaccard"]) for r in got_hint
+    ] == expect
+
+
 def test_contamination_check_flags_shared_passage(spark):
     """An 8-token run copied from the eval doc marks the train doc
     contaminated; a clean train doc keeps an explicit zero; eval docs
