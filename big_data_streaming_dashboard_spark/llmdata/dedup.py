@@ -572,6 +572,12 @@ def _prefix_candidates(
         # 33.65M distinct pairs the join otherwise needs. Net at 10x:
         # -245 MB and one exchange fewer (measured via
         # tests/plancap exchanges; before/after in plans/r18/).
+        # Under the broadcast verify (`_verify_attach`, r18 third
+        # pass) the join-sharing half of this rationale is moot --
+        # but doc_b stays the right key anyway: the distinct still
+        # needs ONE clustering exchange, and complete-mode by doc_b
+        # measured 290.3 MB vs 329 for the two-phase (doc_a, doc_b)
+        # form (partial dedup removes only ~17% of rows here).
         return (
             joined.filter(max_overlap >= required)
             .select(
