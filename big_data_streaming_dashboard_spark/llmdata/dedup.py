@@ -128,12 +128,17 @@ def _holder_frames(obj):
             yield from _holder_frames(item)
 
 
-def _plan_cached(docs: DataFrame, tag: str, build) -> DataFrame:
+def _plan_cached(docs: DataFrame, tag: str, build):
     """Keyed on (app, plan semanticHash, INPUT-FILE fingerprint, tag).
     The fingerprint term (r8; same fix corpus_count got from the r5
     advice) matters because an overwrite at the same path keeps the
     same analyzed plan: without it, a rewritten corpus would keep
-    serving the PREVIOUS corpus's persisted index/plan handle."""
+    serving the PREVIOUS corpus's persisted index/plan handle.
+    Holders are usually DataFrames (or list/tuple wrappers of them --
+    see _holder_frames), but plain derived values ride the same keying
+    too (e.g. the 'shingle_int_bytes' int): eviction must only ever
+    unpersist the frames _holder_frames finds, never assume the
+    holder's type."""
     app_id = docs.sparkSession.sparkContext.applicationId
     try:
         sem = docs._jdf.queryExecution().analyzed().semanticHash()
@@ -245,14 +250,23 @@ def scale_hint(df: DataFrame, n_rows: int) -> DataFrame:
 # Below the broadcast-safety gate (every sf<=0.1 fixture) the layout
 # is the session default, so small-SF plans are bit-identical to the
 # pre-r18 hash-matched ones. Calibration at 10x (50k docs -> 250
-# partitions) in OPTIMIZATION_r18.md.
+# partitions) in OPTIMIZATION_r18.md. The cap bounds the derived
+# count at the billion-doc regime, where an unclamped linear formula
+# would hand the driver millions of reduce tasks (scheduler/MapStatus
+# pressure, guide section 2.2) -- past ~6.5M docs per-task group
+# state grows again and a deployment sizes the cap with its cluster.
 _PAIR_DOCS_PER_PARTITION = 200
+_PAIR_AGG_MAX_PARTITIONS = 32_768
 
 
 def _pair_agg_partitions(spark, n_rows: int) -> int:
+    try:
+        floor = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):  # e.g. "auto" on managed platforms
+        floor = 200
     return max(
-        int(spark.conf.get("spark.sql.shuffle.partitions")),
-        -(-n_rows // _PAIR_DOCS_PER_PARTITION),
+        floor,
+        min(_PAIR_AGG_MAX_PARTITIONS, -(-n_rows // _PAIR_DOCS_PER_PARTITION)),
     )
 
 
@@ -283,10 +297,14 @@ def scale_hint_merge(df: DataFrame, n_rows: int) -> DataFrame:
 # memory-safe hinted shape stands unchanged (at 100 TB the corpus
 # shingle table is far over any broadcast cap). Local default 256 MB
 # serialized (~2-4x that built, vs a 16 GB driver and Spark's 8 GB
-# relation cap); env-tunable for deployments with bigger executors.
-_VERIFY_BROADCAST_BYTES = int(
-    os.environ.get("SPARK_GRAFT_VERIFY_BROADCAST_MB", "256")
-) * 1024 * 1024
+# relation cap); env-tunable for deployments with bigger executors,
+# clamped under Spark's hard 8 GB broadcast-relation cap so a generous
+# env value can never force a broadcast the runtime must reject (the
+# hinted fallback is the right shape there).
+_VERIFY_BROADCAST_BYTES = min(
+    int(os.environ.get("SPARK_GRAFT_VERIFY_BROADCAST_MB", "256")) * 1024 * 1024,
+    7 * 1024 * 1024 * 1024,
+)
 
 
 def _shingle_int_bytes(docs: DataFrame) -> int:
@@ -317,6 +335,11 @@ def _verify_attach(shi_side: DataFrame, docs: DataFrame, n: int, fallback) -> Da
     (small-SF plans bit-identical to the pre-r18 hash-matched ones)."""
     if n <= BROADCAST_SAFE_ROWS:
         return shi_side
+    # row count alone can prove the table over the cap (>= 32 B/row by
+    # the formula) -- skip the corpus-wide measurement job in exactly
+    # the regime where it would be most expensive
+    if n * 32 > _VERIFY_BROADCAST_BYTES:
+        return fallback(shi_side, n)
     if _shingle_int_bytes(docs) <= _VERIFY_BROADCAST_BYTES:
         return F.broadcast(shi_side)
     return fallback(shi_side, n)
