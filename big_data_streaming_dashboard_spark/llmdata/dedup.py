@@ -301,10 +301,17 @@ def scale_hint_merge(df: DataFrame, n_rows: int) -> DataFrame:
 # clamped under Spark's hard 8 GB broadcast-relation cap so a generous
 # env value can never force a broadcast the runtime must reject (the
 # hinted fallback is the right shape there).
-_VERIFY_BROADCAST_BYTES = min(
-    int(os.environ.get("SPARK_GRAFT_VERIFY_BROADCAST_MB", "256")) * 1024 * 1024,
-    7 * 1024 * 1024 * 1024,
-)
+def _verify_broadcast_bytes() -> int:
+    # r19 ADVICE fix: a malformed env value ('256m') must degrade to
+    # the default, not ValueError out of every import of this module
+    try:
+        mb = int(os.environ.get("SPARK_GRAFT_VERIFY_BROADCAST_MB", "256"))
+    except (TypeError, ValueError):
+        mb = 256
+    return min(mb * 1024 * 1024, 7 * 1024 * 1024 * 1024)
+
+
+_VERIFY_BROADCAST_BYTES = _verify_broadcast_bytes()
 
 
 def _shingle_int_bytes(docs: DataFrame) -> int:
@@ -335,14 +342,64 @@ def _verify_attach(shi_side: DataFrame, docs: DataFrame, n: int, fallback) -> Da
     (small-SF plans bit-identical to the pre-r18 hash-matched ones)."""
     if n <= BROADCAST_SAFE_ROWS:
         return shi_side
+    # r19 ADVICE fix: every verify query attaches the table TWICE
+    # (sh_a and sh_b projections build two broadcast relations), so
+    # the gate compares 2x the measured bytes against the cap -- the
+    # env value is documented as the PER-QUERY broadcast budget, not
+    # per-relation. At the r18 10x calibration point (68.3 MB
+    # measured, 136.6 MB doubled vs the 256 MB default) every fixture
+    # decision is unchanged.
     # row count alone can prove the table over the cap (>= 32 B/row by
     # the formula) -- skip the corpus-wide measurement job in exactly
     # the regime where it would be most expensive
-    if n * 32 > _VERIFY_BROADCAST_BYTES:
+    if 2 * n * 32 > _VERIFY_BROADCAST_BYTES:
         return fallback(shi_side, n)
-    if _shingle_int_bytes(docs) <= _VERIFY_BROADCAST_BYTES:
+    if 2 * _shingle_int_bytes(docs) <= _VERIFY_BROADCAST_BYTES:
         return F.broadcast(shi_side)
     return fallback(shi_side, n)
+
+
+def _pair_id_range(docs: DataFrame):
+    """(min, max) doc_id of the corpus -- the cached probe behind the
+    packed pair key (see `_prefix_candidates`). One agg job per
+    (app, corpus), measured over the persisted shingle table (already
+    materialized by every caller's verify stage) and cached like the
+    index it reads; only ever consulted past the broadcast-safety
+    gate, so small-SF sessions never pay it."""
+
+    def measure():
+        row = (
+            _shingle_table(docs)
+            .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
+            .collect()[0]
+        )
+        return (row["lo"], row["hi"])
+
+    return _plan_cached(docs, "doc_id_range", measure)
+
+
+def _pair_key_packable(docs: DataFrame) -> bool:
+    """True when every doc_id provably fits unsigned 31 bits, so a
+    DIRECTED pair packs injectively into one long as
+    (probe_id << 32) | ix_id: integral column type (required for the
+    shift to be the identity map it claims) and measured id range
+    within [0, 2^31). Falls back -- to the two-column pair key --
+    on any other type or range, including an empty corpus."""
+    from pyspark.sql.types import (
+        ByteType,
+        IntegerType,
+        LongType,
+        ShortType,
+    )
+
+    try:
+        dt = docs.schema["doc_id"].dataType
+    except Exception:
+        return False
+    if not isinstance(dt, (ByteType, ShortType, IntegerType, LongType)):
+        return False
+    lo, hi = _pair_id_range(docs)
+    return lo is not None and lo >= 0 and hi < (1 << 31)
 
 
 def _shingle_table(docs: DataFrame) -> DataFrame:
@@ -666,6 +723,53 @@ def _prefix_candidates(
     # round): the remaining 8.12 GB reduce-side spill was per-task
     # group-state pressure (69M groups / 32 partitions); the explicit
     # corpus-derived partition count below zeroes it entirely.
+    if n > BROADCAST_SAFE_ROWS and _pair_key_packable(docs):
+        # r19 (r18 verdict item 3; guide 2.3 "narrower types"): this
+        # exchange is the fleet's largest (1,713 MB at 10x, ~96% of
+        # the query's footprint) and ships (doc_id, _ix_doc, _thr,
+        # _cmt) = 4 longs/doubles per row for 84.7M rows. When a
+        # cached range probe proves every doc_id fits unsigned 31
+        # bits, the DIRECTED pair packs injectively into ONE long
+        # _pk = (doc_id << 32) | _ix_doc -- 8 fewer bytes per row on
+        # the wire and HALF the aggregate's per-group key state.
+        # EXACTNESS: the map doc pair -> _pk is injective on
+        # [0, 2^31)^2 (disjoint bit ranges; the probe guarantees
+        # _ix_doc has no bits above 30, so the OR is addition), so
+        # groupBy(_pk) forms exactly the groups groupBy(doc_id,
+        # _ix_doc) formed; _thr/_cmt and the count filter are
+        # byte-identical expressions; unpacking is the exact inverse
+        # (shiftright 32 / mask 2^32-1 on non-negative halves), cast
+        # back to the source id type so the output schema is
+        # unchanged. Below the gate (every sf<=0.1 fixture) and for
+        # non-packable corpora the two-column form stands
+        # bit-identical. Measured at 10x: see OPTIMIZATION_r19.md.
+        id_type = joined.schema["doc_id"].dataType.simpleString()
+        pair_rows = joined.select(
+            F.shiftleft(F.col("doc_id").cast("long"), 32)
+            .bitwiseOR(F.col("_ix_doc").cast("long"))
+            .alias("_pk"),
+            thr_c.alias("_thr"),
+            (core.cast("double") - thr_pos).alias("_cmt"),
+        ).repartition(_pair_agg_partitions(docs.sparkSession, n), "_pk")
+        hi = F.shiftright(F.col("_pk"), 32).cast(id_type)
+        lo = F.col("_pk").bitwiseAND(F.lit(4294967295)).cast(id_type)
+        return (
+            pair_rows.groupBy("_pk")
+            .agg(
+                F.count(F.lit(1)).alias("_c"),
+                F.min("_thr").alias("_thr"),
+                F.max("_cmt").alias("_mx"),
+            )
+            .filter(
+                (F.col("_c").cast("double") >= F.col("_thr"))
+                & (F.col("_mx") >= F.lit(0.0))
+            )
+            .select(
+                F.least(hi, lo).alias("doc_a"),
+                F.greatest(hi, lo).alias("doc_b"),
+            )
+            .distinct()
+        )
     pair_rows = joined.select(
         "doc_id",
         "_ix_doc",
@@ -681,6 +785,8 @@ def _prefix_candidates(
         # The explicit count also opts this exchange out of AQE
         # coalescing, which would otherwise undo the raise by
         # re-merging the small blocks back into few fat partitions.
+        # (Reached past the gate only when the id-range probe refuses
+        # the packed key above.)
         pair_rows = pair_rows.repartition(
             _pair_agg_partitions(docs.sparkSession, n), "doc_id", "_ix_doc"
         )

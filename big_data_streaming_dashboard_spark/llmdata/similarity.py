@@ -958,9 +958,33 @@ def embedding_neardup_pairs(
     )
     va = sigs.select(F.col("vec_id").alias("vec_a"), F.col("vec").alias("va"))
     vb = sigs.select(F.col("vec_id").alias("vec_b"), F.col("vec").alias("vb"))
+
+    # r19 (r18 verdict item 4; guide section 3.1 "broadcast the side
+    # that fits", decided on TRUE bytes): the exact-cosine verify
+    # attaches the vector table twice; past the broadcast-safety gate
+    # it was hinted SHUFFLE_HASH because the table's size ESTIMATE is
+    # array-blind -- but unlike the text family's shingle table, the
+    # vec table's true serialized size needs NO measurement job at
+    # all: every row is exactly (dim x 8 B vector + ~32 B row
+    # overhead). When 2x that (both attachments resident per executor,
+    # the r19 double-attach accounting) fits the family broadcast
+    # budget, an explicit broadcast ships the vectors once per
+    # executor and the candidate-pair intermediate never crosses a
+    # verify exchange; past the budget (the 100 TB regime) the
+    # memory-safe hint stands; below the safety gate plans stay
+    # Catalyst-planned and bit-identical.
+    from .dedup import _VERIFY_BROADCAST_BYTES, BROADCAST_SAFE_ROWS
+
+    def _vec_attach(side: DataFrame) -> DataFrame:
+        if n <= BROADCAST_SAFE_ROWS:
+            return side
+        if 2 * n * (dim * 8 + 32) <= _VERIFY_BROADCAST_BYTES:
+            return F.broadcast(side)
+        return scale_hint(side, n)
+
     return (
-        pairs.join(scale_hint(va, n), "vec_a")
-        .join(scale_hint(vb, n), "vec_b")
+        pairs.join(_vec_attach(va), "vec_a")
+        .join(_vec_attach(vb), "vec_b")
         .select(
             "vec_a",
             "vec_b",

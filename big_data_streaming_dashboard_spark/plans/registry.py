@@ -1514,78 +1514,77 @@ WHERE s._emit""",
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW: list[str] = [
-    # r18 window, computed by plans/rotation.py (pasted verbatim).
-    # 2 rows-only + ALL 37 r15-attested queries (mandatory at their
-    # 3-round bound, newest driver row r15) + the 11 stalest
-    # (alphabetically-first, all tied at newest-row r16) of the
-    # 48-query r16-attested block = exactly 50 slots, ZERO slack
-    # (recomputed from the seventeen ledgers in-session; split
-    # verified {r15: 37, r16: 11} via rotation.attestation_ledger).
-    # The registry remains FROZEN at 135 (binding capacity
-    # arithmetic, r14 verdict item 2): 135 = 50 (r17) + 48 (r16)
-    # + 37 (r15); steady state cycles three blocks (50/48/37).
+    # r19 window, computed by plans/rotation.py (pasted verbatim,
+    # per the standing r19 swap plan recorded in the r18 comment).
+    # 2 rows-only + ALL 37 r16-attested queries (mandatory at their
+    # 3-round bound, newest driver row r16) + the 11 stalest
+    # (alphabetically-first, all tied at newest-row r17) of the
+    # 48-query r17/r18-attested block = exactly 50 slots, ZERO
+    # slack. The registry remains FROZEN at 135 (binding capacity
+    # arithmetic, r14 verdict item 2): 135 = 50 (r18) + 48 (r17)
+    # + 37 (r16); steady state cycles three blocks (50/48/37).
     # New work ships as depth on existing slots; unfreezing
     # requires amending the bound to 4 rounds here as an explicit
     # documented decision.
-    # r19 swap plan (run the tool; it accounts for this): after a
-    # successful r18 run the 37 r16-attested queries left out here
-    # reach their bound in r19 staggered (11 rotate here; the
+    # r20 swap plan (run the tool; it accounts for this): after a
+    # successful r19 run the 37 r17-attested queries left out here
+    # reach their bound in r20 staggered (11 rotate here; the
     # remaining 37 hit the bound next round).
     # rows-only by design -- permanently in-window per r3 advice
     "approx_aggregates",
     "media_feature_census",
-    # --- 37 mandatory: the r15-attested block, at its 3-round
-    # LRU bound (newest driver row r15) ---
-    "doc_curation_funnel",
-    "doc_dedupe_lines",
-    "doc_langid",
-    "doc_neardup_cluster_sizes",
-    "doc_neardup_recall_hi",
-    "doc_normalize",
-    "doc_pii_redact",
-    "doc_quality",
-    "doc_rolling_fingerprint",
-    "doc_shard_packing",
-    "doc_simhash",
-    "doc_tfidf_top_terms",
-    "doc_vocab_coverage",
-    "emb_ivf_recall",
-    "emb_kmeans",
-    "emb_pq_recall",
-    "event_funnel",
-    "exact_distinct_quantiles",
-    "full_pipeline",
-    "geojson_features",
-    "grid_cluster",
-    "idle_customer_balance",
-    "level_filter_high",
-    "pivot_event_counts",
-    "pricing_summary",
-    "rollup_pricing",
-    "segment_semi_anti",
-    "severity_ws_counts",
-    "shipping_priority",
-    "small_quantity_revenue",
-    "temporal_batch_annotate",
-    "temporal_union",
-    "top_supplier_revenue",
-    "user_set_ops",
-    "value_anomalies",
-    "weekly_cohort_retention",
-    "window_zoo",
+    # --- 37 mandatory: the r16-attested block, at its 3-round
+    # LRU bound (newest driver row r16) ---
+    "doc_corpus_mixture",
+    "doc_curation",
+    "doc_curation_extended",
+    "doc_curation_full",
+    "doc_domain_cap",
+    "doc_exact_dedup",
+    "doc_gopher_rules",
+    "doc_importance_weights",
+    "doc_minhash_calibration",
+    "doc_minhash_signature",
+    "doc_neardup_clusters",
+    "doc_neardup_pairs",
+    "doc_neardup_recall",
+    "doc_ngram_jaccard",
+    "doc_packing_efficiency",
+    "doc_repeated_passages",
+    "doc_repeated_passages_exact",
+    "doc_repetition",
+    "doc_semantic_neardup",
+    "doc_stratified_sample",
+    "doc_token_stats",
+    "dominant_suppliers",
+    "emb_ann_recall",
+    "emb_ivf_topk",
+    "emb_kmeans_inertia",
+    "emb_source_drift",
+    "events_by_hour",
+    "gapfill_5min",
+    "grouping_sets_shipping",
+    "large_volume_orders",
+    "late_lines_priority",
+    "order_priority_exists",
+    "region_market_share",
+    "revenue_by_nation",
+    "sole_late_supplier",
+    "top_customers",
+    "unpivot_event_metrics",
     # --- 11 stalest others: alphabetically-first of the 48-query
-    # r16-attested block (all tied at newest-row r16) ---
-    "activity_reconcile",
-    "alerts_active",
-    "alerts_cooldown",
-    "alerts_cooldown_exact",
-    "alerts_ws_messages",
-    "asof_latest_order",
-    "brand_supplier_margin",
-    "customer_order_histogram",
-    "customer_revenue_pareto",
-    "discount_band_revenue",
-    "doc_bigram_lm",
+    # r17-attested block (all tied at newest-row r17) ---
+    "above_user_avg",
+    "bi_nation_volume",
+    "brand_supplier_variety",
+    "bronze_radiation",
+    "cube_order_stats",
+    "dedup_first_occurrence",
+    "disjunctive_brand_revenue",
+    "doc_bm25_topk",
+    "doc_bpe_encode",
+    "doc_bpe_merges",
+    "doc_chunk_spans",
 ]
 
 # Fail fast at import: a DRIVER_WINDOW name with no QUERIES entry would

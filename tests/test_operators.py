@@ -611,7 +611,15 @@ def test_jaccard_pair_agg_partitions_scale_derived(spark):
     big = _prefix_candidates(docs, 0.5, 1000, 50_000, scale_hint, symmetric=True)
     s_big = plan_str(big)
     parts = _pair_agg_partitions(spark, 50_000)
-    assert f", {parts}), REPARTITION_BY_NUM" in s_big, s_big
+    # r19 ADVICE fix: match the marker and the derived count on the
+    # same plan line rather than exact punctuation (Spark-version-
+    # agnostic -- the formatted layout of the node line is not ours)
+    import re as _re
+
+    assert any(
+        "REPARTITION_BY_NUM" in ln and _re.search(rf"\b{parts}\b", ln)
+        for ln in s_big.splitlines()
+    ), s_big
     # below the gate: session-default, AQE-coalescible layout
     small = _prefix_candidates(docs, 0.5, 1000, 2, scale_hint, symmetric=True)
     s_small = plan_str(small)
@@ -641,7 +649,9 @@ def test_verify_attach_broadcast_gated_on_measured_bytes(spark, monkeypatch):
     assert dd._verify_attach(side, docs, 5, dd.scale_hint) is side
     # (b) past the gate, measured bytes under the cap: broadcast hint
     out = dd._verify_attach(side, docs, 50_000, dd.scale_hint)
-    assert "ResolvedHint (strategy=broadcast)" in (
+    # r19 ADVICE fix: pin the strategy, not the node's exact
+    # formatting (Spark-version-agnostic)
+    assert "strategy=broadcast" in (
         out._jdf.queryExecution().analyzed().toString()
     )
     # strategy-only, broadcast branch end-to-end: identical verified
@@ -660,7 +670,7 @@ def test_verify_attach_broadcast_gated_on_measured_bytes(spark, monkeypatch):
     assert dd._shingle_int_bytes(docs) > 0
     monkeypatch.setattr(dd, "_VERIFY_BROADCAST_BYTES", 0)
     out2 = dd._verify_attach(side, docs, 50_000, dd.scale_hint)
-    assert "ResolvedHint (strategy=shuffle_hash)" in (
+    assert "strategy=shuffle_hash" in (
         out2._jdf.queryExecution().analyzed().toString()
     )
     # fallback branch end-to-end: same pairs
