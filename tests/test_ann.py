@@ -124,6 +124,43 @@ def test_neardup_banded_recall_vs_exact(spark):
     assert recall >= 0.5, (recall, len(exact_pairs))
 
 
+def test_emb_neardup_vec_attach_broadcast_gated_on_true_bytes(spark, monkeypatch):
+    """r19 optimization pin (r18 verdict item 4; guide section 3.1):
+    the embedding near-dup exact-cosine verify attaches the vector
+    table via the same measured-bytes policy as the text family's
+    `_verify_attach`, with the table size derived ARITHMETICALLY
+    (rows x (dim x 8 + 32) -- no job): (a) past the broadcast-safety
+    gate with the true bytes under the budget, both attachments are
+    explicit broadcasts; (b) with the budget forced to zero, the
+    memory-safe SHUFFLE_HASH hint stands; (c) both branches emit the
+    same pairs (strategy-only change). Measured at the 20k-vec 10x
+    fixture: total shuffle 10,267 -> 274.5 MB, identical 90,920 output
+    rows / 26,858,727 candidates (plans/r19/emb_neardup_pairs_10x_*)."""
+    from big_data_streaming_dashboard_spark.llmdata import dedup as dd
+    from big_data_streaming_dashboard_spark.llmdata.similarity import (
+        embedding_neardup_pairs,
+    )
+
+    embs = load_table(spark, SF, "embeddings").limit(200)
+    baseline = sorted(
+        map(tuple, embedding_neardup_pairs(embs, threshold=0.3).collect())
+    )
+    assert baseline, "fixture slice lost its near-dup pairs"
+    # (a) scale path, true bytes under the budget: explicit broadcast
+    monkeypatch.setattr(dd, "BROADCAST_SAFE_ROWS", 0)
+    bcast = embedding_neardup_pairs(embs, threshold=0.3)
+    plan = bcast._jdf.queryExecution().analyzed().toString()
+    assert "strategy=broadcast" in plan
+    assert sorted(map(tuple, bcast.collect())) == baseline
+    # (b) budget forced to zero: memory-safe hint, same pairs
+    monkeypatch.setattr(dd, "_VERIFY_BROADCAST_BYTES", 0)
+    hinted = embedding_neardup_pairs(embs, threshold=0.3)
+    plan2 = hinted._jdf.queryExecution().analyzed().toString()
+    assert "strategy=shuffle_hash" in plan2
+    assert "strategy=broadcast" not in plan2
+    assert sorted(map(tuple, hinted.collect())) == baseline
+
+
 def test_ivf_multiprobe_recall(spark):
     """IVF with nprobe=2 of 16 lists: candidate budget ~corpus/8,
     recall measured 1.0 on the 5 fixture queries at sf0.1 (floor 0.8

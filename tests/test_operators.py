@@ -568,7 +568,83 @@ def test_ngram_jaccard_count_filter_binds_without_recall_loss(spark):
         if i < j and (sh[i] & sh[j])
     )
     assert len(cand) < raw, (len(cand), raw)
+    # r19 extension (packed pair key): past the broadcast-safety gate
+    # with 31-bit ids the directed-pair aggregate keys on ONE packed
+    # long (_pk = doc_id << 32 | _ix_doc); the candidate set must be
+    # IDENTICAL to the below-gate two-column form on the same corpus
+    # (injective key -> same groups -> same count/positional filter
+    # decisions -> same pairs after the exact inverse unpack)
+    packed = _prefix_candidates(
+        docs, t, DEFAULT_MAX_BUCKET, 50_000, scale_hint, symmetric=True
+    )
+    packed_plan = packed._jdf.queryExecution().analyzed().toString()
+    assert "_pk" in packed_plan, "scale path must take the packed key"
+    assert cand == {(r["doc_a"], r["doc_b"]) for r in packed.collect()}
     docs.unpersist()
+
+
+def test_jaccard_packed_pair_key_gate_and_fallback(spark):
+    """r19 optimization pin (packed pair key, guide 2.3 'narrower
+    types'): (a) the id-range probe refuses ids past 2^31 and the
+    two-column pair key stands, with IDENTICAL pairs; (b) non-integral
+    id types refuse statically; (c) the packed branch preserves the
+    output schema (ids keep their source type)."""
+    from big_data_streaming_dashboard_spark.llmdata.dedup import (
+        DEFAULT_MAX_BUCKET,
+        _pair_key_packable,
+        _prefix_candidates,
+        ngram_jaccard_pairs,
+        scale_hint,
+    )
+
+    texts = ["a b c d e f", "a b c d e g", "x y z w v u"]
+    small = spark.createDataFrame(
+        list(enumerate(texts)), ["doc_id", "text"]
+    )
+    assert _pair_key_packable(small)
+    # (a) ids >= 2^31: probe refuses, fallback path, same pairs
+    shift = 1 << 31
+    big_ids = spark.createDataFrame(
+        [(i + shift, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    assert not _pair_key_packable(big_ids)
+    cand_big = _prefix_candidates(
+        big_ids, 0.5, DEFAULT_MAX_BUCKET, 50_000, scale_hint, symmetric=True
+    )
+    assert "_pk" not in cand_big._jdf.queryExecution().analyzed().toString()
+    got_big = sorted(
+        (r["doc_a"] - shift, r["doc_b"] - shift) for r in cand_big.collect()
+    )
+    cand_small = _prefix_candidates(
+        small, 0.5, DEFAULT_MAX_BUCKET, 50_000, scale_hint, symmetric=True
+    )
+    assert sorted(map(tuple, cand_small.collect())) == got_big
+    # (b) non-integral id type refuses statically (no probe job)
+    sdocs = spark.createDataFrame(
+        [("a", "a b c"), ("b", "a b d")], ["doc_id", "text"]
+    )
+    assert not _pair_key_packable(sdocs)
+    # (c) schema through the packed branch is unchanged: int ids stay
+    # int (the unpack casts back to the source id type), and the
+    # packed candidates match the below-gate form's on the same corpus
+    int_docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    ).withColumn("doc_id", F.col("doc_id").cast("int"))
+    packed = _prefix_candidates(
+        int_docs, 0.5, DEFAULT_MAX_BUCKET, 50_000, scale_hint, symmetric=True
+    )
+    assert "_pk" in packed._jdf.queryExecution().analyzed().toString()
+    assert dict(packed.dtypes) == {"doc_a": "int", "doc_b": "int"}
+    below = _prefix_candidates(
+        int_docs, 0.5, DEFAULT_MAX_BUCKET, 3, scale_hint, symmetric=True
+    )
+    assert dict(below.dtypes) == {"doc_a": "int", "doc_b": "int"}
+    assert sorted(map(tuple, packed.collect())) == sorted(
+        map(tuple, below.collect())
+    )
+    # the full query below the gate is untouched (plan parity for the
+    # small-SF hash-matched fixtures is pinned elsewhere; here: runs)
+    assert ngram_jaccard_pairs(int_docs, threshold=0.5).count() >= 1
 
 
 def test_jaccard_pair_agg_partitions_scale_derived(spark):
