@@ -881,6 +881,38 @@ def pq_recall(
     return _recall_at_k(exact, approx)
 
 
+def _vec_pair_packable(embeddings: DataFrame, sigs: DataFrame) -> bool:
+    """True when every vec_id provably fits unsigned 31 bits, so the
+    ORDERED candidate pair (vec_a < vec_b) packs injectively into one
+    long -- the jaccard packed-pair-key gate, vector-family edition.
+    Integral id type required; the range probe is one cached agg over
+    the persisted signature table, only consulted past the
+    broadcast-safety gate."""
+    from pyspark.sql.types import (
+        ByteType,
+        IntegerType,
+        LongType,
+        ShortType,
+    )
+
+    try:
+        dt = sigs.schema["vec_id"].dataType
+    except Exception:
+        return False
+    if not isinstance(dt, (ByteType, ShortType, IntegerType, LongType)):
+        return False
+    from .dedup import _plan_cached
+
+    def measure():
+        row = sigs.agg(
+            F.min("vec_id").alias("lo"), F.max("vec_id").alias("hi")
+        ).collect()[0]
+        return (row["lo"], row["hi"])
+
+    lo, hi = _plan_cached(embeddings, "vec_id_range", measure)
+    return lo is not None and lo >= 0 and hi < (1 << 31)
+
+
 def embedding_neardup_pairs(
     embeddings: DataFrame,
     bands: int = DEFAULT_NEARDUP_BANDS,
@@ -940,22 +972,48 @@ def embedding_neardup_pairs(
     # fixture caught in the text family -- an auto-broadcast of a
     # corpus-sized side OOMs the driver); below the threshold the
     # Catalyst-planned broadcast is safe and faster
-    from .dedup import corpus_count, scale_hint
+    from .dedup import (
+        _VERIFY_BROADCAST_BYTES,
+        BROADCAST_SAFE_ROWS,
+        corpus_count,
+        scale_hint,
+    )
 
     n = corpus_count(embeddings)
-    pairs = (
-        bands_df.alias("a")
-        .join(
-            scale_hint(bands_df.alias("b"), n),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
-        )
-        .distinct()
+    raw_pairs = bands_df.alias("a").join(
+        scale_hint(bands_df.alias("b"), n),
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.sig") == F.col("b.sig"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
     )
+    # r19 (guide 2.3 "narrower types", the jaccard packed-pair-key
+    # recipe applied to this family's candidate dedup): past the
+    # broadcast-safety gate the (vec_a, vec_b) distinct is the query's
+    # dominant remaining exchange once the verify broadcasts (259 MB /
+    # 30.2M rows at 10x). When the cached id-range probe proves every
+    # vec_id fits unsigned 31 bits, the ORDERED pair (vec_a < vec_b by
+    # the join condition) packs injectively into one long; the
+    # distinct groups are identical and the unpack is the exact
+    # inverse, cast back to the source id type. Fallback to the
+    # two-column form on any other id type or range.
+    if n > BROADCAST_SAFE_ROWS and _vec_pair_packable(embeddings, sigs):
+        id_type = dict(bands_df.dtypes)["vec_id"]
+        packed = (
+            raw_pairs.select(
+                F.shiftleft(F.col("a.vec_id").cast("long"), 32)
+                .bitwiseOR(F.col("b.vec_id").cast("long"))
+                .alias("_pk")
+            )
+            .distinct()
+        )
+        pairs = packed.select(
+            F.shiftright(F.col("_pk"), 32).cast(id_type).alias("vec_a"),
+            F.col("_pk").bitwiseAND(F.lit(4294967295)).cast(id_type).alias("vec_b"),
+        )
+    else:
+        pairs = raw_pairs.select(
+            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
+        ).distinct()
     va = sigs.select(F.col("vec_id").alias("vec_a"), F.col("vec").alias("va"))
     vb = sigs.select(F.col("vec_id").alias("vec_b"), F.col("vec").alias("vb"))
 
@@ -973,8 +1031,6 @@ def embedding_neardup_pairs(
     # verify exchange; past the budget (the 100 TB regime) the
     # memory-safe hint stands; below the safety gate plans stay
     # Catalyst-planned and bit-identical.
-    from .dedup import _VERIFY_BROADCAST_BYTES, BROADCAST_SAFE_ROWS
-
     def _vec_attach(side: DataFrame) -> DataFrame:
         if n <= BROADCAST_SAFE_ROWS:
             return side

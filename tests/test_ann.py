@@ -146,12 +146,24 @@ def test_emb_neardup_vec_attach_broadcast_gated_on_true_bytes(spark, monkeypatch
         map(tuple, embedding_neardup_pairs(embs, threshold=0.3).collect())
     )
     assert baseline, "fixture slice lost its near-dup pairs"
-    # (a) scale path, true bytes under the budget: explicit broadcast
+    # (a) scale path, true bytes under the budget: explicit broadcast,
+    # and the candidate distinct keys on the packed single long
+    # (r19: the jaccard packed-pair-key recipe on this family's dedup)
     monkeypatch.setattr(dd, "BROADCAST_SAFE_ROWS", 0)
     bcast = embedding_neardup_pairs(embs, threshold=0.3)
     plan = bcast._jdf.queryExecution().analyzed().toString()
     assert "strategy=broadcast" in plan
+    assert "_pk" in plan, "scale path must pack the candidate pair key"
     assert sorted(map(tuple, bcast.collect())) == baseline
+    # packed-key fallback: ids past 2^31 refuse the pack, two-column
+    # distinct stands, same pairs (shifted back)
+    shift = 1 << 31
+    big_ids = embs.withColumn("vec_id", F.col("vec_id") + shift)
+    far = embedding_neardup_pairs(big_ids, threshold=0.3)
+    assert "_pk" not in far._jdf.queryExecution().analyzed().toString()
+    assert sorted(
+        (r[0] - shift, r[1] - shift, r[2]) for r in far.collect()
+    ) == baseline
     # (b) budget forced to zero: memory-safe hint, same pairs
     monkeypatch.setattr(dd, "_VERIFY_BROADCAST_BYTES", 0)
     hinted = embedding_neardup_pairs(embs, threshold=0.3)
