@@ -402,6 +402,22 @@ def _pair_key_packable(docs: DataFrame) -> bool:
     return lo is not None and lo >= 0 and hi < (1 << 31)
 
 
+def _doc_stats(docs: DataFrame, max_postings: int) -> DataFrame:
+    """(doc_id, n_sh, n_capped): one row per doc with the two posting
+    stats the pair-filter expressions need -- the broadcast side of
+    the r19 stats-join rewrite (see `_prefix_candidates`). Derived by
+    a distinct over the persisted capped index: the index is
+    doc_id-hash-partitioned by its window build, so the distinct
+    collapses in place with NO new exchange."""
+    return _plan_cached(
+        docs,
+        f"doc_stats:{max_postings}",
+        lambda: _bounded_postings(docs, max_postings)
+        .select("doc_id", "n_sh", "n_capped")
+        .distinct(),
+    )
+
+
 def _shingle_table(docs: DataFrame) -> DataFrame:
     """(doc_id, sh): the persisted distinct-shingle table every exact
     verify joins against."""
@@ -744,15 +760,82 @@ def _prefix_candidates(
         # non-packable corpora the two-column form stands
         # bit-identical. Measured at 10x: see OPTIMIZATION_r19.md.
         id_type = joined.schema["doc_id"].dataType.simpleString()
-        pair_rows = joined.select(
+        pk = (
             F.shiftleft(F.col("doc_id").cast("long"), 32)
             .bitwiseOR(F.col("_ix_doc").cast("long"))
-            .alias("_pk"),
-            thr_c.alias("_thr"),
-            (core.cast("double") - thr_pos).alias("_cmt"),
-        ).repartition(_pair_agg_partitions(docs.sparkSession, n), "_pk")
+            .alias("_pk")
+        )
         hi = F.shiftright(F.col("_pk"), 32).cast(id_type)
         lo = F.col("_pk").bitwiseAND(F.lit(4294967295)).cast(id_type)
+        parts = _pair_agg_partitions(docs.sparkSession, n)
+        # r19 second pass (guide 2.3 "project before the exchange" /
+        # section 8 "shuffle keys and metadata, re-attach decisions"):
+        # _thr and _cmt are functions of PAIR-LEVEL doc stats (n_sh,
+        # n_capped of both docs) plus the row-level rank bound `core`
+        # -- and the packed key already ENCODES both doc ids. So when
+        # the per-doc stats table (n rows x ~32 B) fits the family
+        # broadcast budget twice, the exchange ships only (_pk, core)
+        # = 24 B/row instead of (_pk, _thr, _cmt) = 32, and the two
+        # doubles are re-derived POST-aggregate by broadcast-joining
+        # the stats back on the unpacked ids. EXACTNESS: thr is
+        # pair-constant, so min(_thr) == the reconstructed value (the
+        # literal same expression tree `thr_c` over the same int
+        # columns, re-exposed under the same names by the stats join);
+        # max(core - thr_pos) == max(core) - thr_pos because x - c is
+        # strictly monotonic and exact on these operands, and the
+        # final comparison replicates the identical double subtraction
+        # -- decisions are byte-identical (pinned by the binding-
+        # corpus test, which compares this branch against the
+        # below-gate two-column form pair-for-pair). Past the stats
+        # budget (the 100 TB regime: billions of docs) the doubles
+        # ride the exchange as before -- memory-safe, no new joins.
+        if 2 * n * 32 <= _VERIFY_BROADCAST_BYTES:
+            pair_rows = joined.select(
+                pk, core.alias("_core")
+            ).repartition(parts, "_pk")
+            agg = pair_rows.groupBy("_pk").agg(
+                F.count(F.lit(1)).alias("_c"),
+                F.max("_core").alias("_mxc"),
+            )
+            stats = _doc_stats(docs, max_postings)
+            sp = stats.select(
+                F.col("doc_id").cast("long").alias("_p_id"),
+                F.col("n_sh").alias("_n_probe"),
+                F.col("n_capped").alias("_nc_probe"),
+            )
+            si = stats.select(
+                F.col("doc_id").cast("long").alias("_i_id"),
+                F.col("n_sh").alias("_n_ix"),
+                F.col("n_capped").alias("_nc_ix"),
+            )
+            return (
+                agg.join(
+                    F.broadcast(sp),
+                    F.shiftright(F.col("_pk"), 32) == F.col("_p_id"),
+                )
+                .join(
+                    F.broadcast(si),
+                    F.col("_pk").bitwiseAND(F.lit(4294967295))
+                    == F.col("_i_id"),
+                )
+                .filter(
+                    (F.col("_c").cast("double") >= thr_c)
+                    & (
+                        (F.col("_mxc").cast("double") - thr_pos)
+                        >= F.lit(0.0)
+                    )
+                )
+                .select(
+                    F.least(hi, lo).alias("doc_a"),
+                    F.greatest(hi, lo).alias("doc_b"),
+                )
+                .distinct()
+            )
+        pair_rows = joined.select(
+            pk,
+            thr_c.alias("_thr"),
+            (core.cast("double") - thr_pos).alias("_cmt"),
+        ).repartition(parts, "_pk")
         return (
             pair_rows.groupBy("_pk")
             .agg(

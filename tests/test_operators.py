@@ -583,12 +583,15 @@ def test_ngram_jaccard_count_filter_binds_without_recall_loss(spark):
     docs.unpersist()
 
 
-def test_jaccard_packed_pair_key_gate_and_fallback(spark):
+def test_jaccard_packed_pair_key_gate_and_fallback(spark, monkeypatch):
     """r19 optimization pin (packed pair key, guide 2.3 'narrower
     types'): (a) the id-range probe refuses ids past 2^31 and the
     two-column pair key stands, with IDENTICAL pairs; (b) non-integral
     id types refuse statically; (c) the packed branch preserves the
-    output schema (ids keep their source type)."""
+    output schema (ids keep their source type); (d) past the stats
+    broadcast budget the packed branch ships the pair-constant doubles
+    on the exchange instead of stats-joining them back -- same pairs."""
+    from big_data_streaming_dashboard_spark.llmdata import dedup as dd
     from big_data_streaming_dashboard_spark.llmdata.dedup import (
         DEFAULT_MAX_BUCKET,
         _pair_key_packable,
@@ -645,6 +648,18 @@ def test_jaccard_packed_pair_key_gate_and_fallback(spark):
     # the full query below the gate is untouched (plan parity for the
     # small-SF hash-matched fixtures is pinned elsewhere; here: runs)
     assert ngram_jaccard_pairs(int_docs, threshold=0.5).count() >= 1
+    # (d) stats budget forced to zero: the packed branch falls back to
+    # shipping the doubles (min(_thr)/max(_cmt) form) -- identical
+    # pairs, and the plan shows the on-exchange _thr column
+    monkeypatch.setattr(dd, "_VERIFY_BROADCAST_BYTES", 0)
+    doubles = _prefix_candidates(
+        int_docs, 0.5, DEFAULT_MAX_BUCKET, 50_000, scale_hint, symmetric=True
+    )
+    dplan = doubles._jdf.queryExecution().analyzed().toString()
+    assert "_pk" in dplan and "_thr" in dplan, dplan
+    assert sorted(map(tuple, doubles.collect())) == sorted(
+        map(tuple, below.collect())
+    )
 
 
 def test_jaccard_pair_agg_partitions_scale_derived(spark):
