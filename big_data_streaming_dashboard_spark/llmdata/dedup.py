@@ -342,21 +342,29 @@ def _verify_attach(shi_side: DataFrame, docs: DataFrame, n: int, fallback) -> Da
     (small-SF plans bit-identical to the pre-r18 hash-matched ones)."""
     if n <= BROADCAST_SAFE_ROWS:
         return shi_side
-    # r19 ADVICE fix: every verify query attaches the table TWICE
-    # (sh_a and sh_b projections build two broadcast relations), so
-    # the gate compares 2x the measured bytes against the cap -- the
-    # env value is documented as the PER-QUERY broadcast budget, not
-    # per-relation. At the r18 10x calibration point (68.3 MB
-    # measured, 136.6 MB doubled vs the 256 MB default) every fixture
-    # decision is unchanged.
-    # row count alone can prove the table over the cap (>= 32 B/row by
-    # the formula) -- skip the corpus-wide measurement job in exactly
-    # the regime where it would be most expensive
-    if 2 * n * 32 > _VERIFY_BROADCAST_BYTES:
-        return fallback(shi_side, n)
-    if 2 * _shingle_int_bytes(docs) <= _VERIFY_BROADCAST_BYTES:
+    if _verify_broadcasts(docs, n):
         return F.broadcast(shi_side)
     return fallback(shi_side, n)
+
+
+def _verify_broadcasts(docs: DataFrame, n: int) -> bool:
+    """The measured-bytes broadcast decision shared by `_verify_attach`
+    and the candidate-dedup key packing (which may re-key the candidate
+    exchange ONLY when the downstream verify join has no partitioning
+    requirement left, i.e. exactly when the verify broadcasts).
+    r19 ADVICE fix folded in: every verify query attaches the table
+    TWICE (sh_a and sh_b projections build two broadcast relations),
+    so the gate compares 2x the measured bytes against the cap -- the
+    env value is documented as the PER-QUERY broadcast budget, not
+    per-relation. At the r18 10x calibration point (68.3 MB measured,
+    136.6 MB doubled vs the 256 MB default) every fixture decision is
+    unchanged. Row count alone can prove the table over the cap
+    (>= 32 B/row by the formula) -- that short-circuit skips the
+    corpus-wide measurement job in exactly the regime where it would
+    be most expensive."""
+    if 2 * n * 32 > _VERIFY_BROADCAST_BYTES:
+        return False
+    return 2 * _shingle_int_bytes(docs) <= _VERIFY_BROADCAST_BYTES
 
 
 def _pair_id_range(docs: DataFrame):
@@ -674,9 +682,46 @@ def _prefix_candidates(
         # needs ONE clustering exchange, and complete-mode by doc_b
         # measured 290.3 MB vs 329 for the two-phase (doc_a, doc_b)
         # form (partial dedup removes only ~17% of rows here).
+        kept = joined.filter(max_overlap >= required)
+        # r19 (guide 2.3 "narrower types"): when the verify WILL
+        # broadcast, the candidate partitioning has no downstream
+        # consumer, so the dedup can key on the packed single long
+        # (undirected: doc_a < doc_b by construction, so hi IS doc_a)
+        # -- one 8 B key instead of two across the query's dominant
+        # remaining exchange, and Catalyst's two-phase distinct gets
+        # its map-side partial dedup back (cheap on a single long
+        # key). When the verify does NOT broadcast (past the budget,
+        # the 100 TB regime) the doc_b repartition below still feeds
+        # the SMJ's partitioning requirement -- packing there would
+        # ADD an exchange, so the r18 shape stands.
+        if (
+            n > BROADCAST_SAFE_ROWS
+            and _pair_key_packable(docs)
+            and _verify_broadcasts(docs, n)
+        ):
+            id_type = joined.schema["doc_id"].dataType.simpleString()
+            upk = (
+                F.shiftleft(
+                    F.least("doc_id", "_ix_doc").cast("long"), 32
+                )
+                .bitwiseOR(F.greatest("doc_id", "_ix_doc").cast("long"))
+                .alias("_pk")
+            )
+            return (
+                kept.select(upk)
+                .distinct()
+                .select(
+                    F.shiftright(F.col("_pk"), 32)
+                    .cast(id_type)
+                    .alias("doc_a"),
+                    F.col("_pk")
+                    .bitwiseAND(F.lit(4294967295))
+                    .cast(id_type)
+                    .alias("doc_b"),
+                )
+            )
         return (
-            joined.filter(max_overlap >= required)
-            .select(
+            kept.select(
                 F.least("doc_id", "_ix_doc").alias("doc_a"),
                 F.greatest("doc_id", "_ix_doc").alias("doc_b"),
             )
