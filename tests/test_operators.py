@@ -660,6 +660,40 @@ def test_jaccard_packed_pair_key_gate_and_fallback(spark, monkeypatch):
     assert sorted(map(tuple, doubles.collect())) == sorted(
         map(tuple, below.collect())
     )
+    monkeypatch.undo()
+    # (e) randomized identity sweep across ALL THREE branches
+    # (packed+stats-join, packed+doubles, below-gate two-column): the
+    # stats-join re-derivation must be byte-identical on corpora it
+    # was NOT designed around -- random docs with duplicate-heavy
+    # vocab so the count/positional filters genuinely engage
+    import random as _random
+
+    for seed in (7, 18, 29):
+        rng = _random.Random(seed)
+        vocab = [f"t{i}" for i in range(30)]
+        rdocs = spark.createDataFrame(
+            [
+                (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(6, 24))))
+                for i in range(40)
+            ],
+            ["doc_id", "text"],
+        )
+        forms = []
+        for budget, n_gate in ((dd._verify_broadcast_bytes(), 50_000),
+                               (0, 50_000), (dd._verify_broadcast_bytes(), 2)):
+            monkeypatch.setattr(dd, "_VERIFY_BROADCAST_BYTES", budget)
+            got = sorted(
+                map(
+                    tuple,
+                    _prefix_candidates(
+                        rdocs, 0.5, DEFAULT_MAX_BUCKET, n_gate,
+                        scale_hint, symmetric=True,
+                    ).collect(),
+                )
+            )
+            forms.append(got)
+            monkeypatch.undo()
+        assert forms[0] == forms[1] == forms[2], (seed, forms)
 
 
 def test_jaccard_pair_agg_partitions_scale_derived(spark):
